@@ -1,0 +1,50 @@
+"""Benchmark harness: runs the headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and prints ONE
+JSON line {"metric": ..., "value": total_sec, "unit": "sec",
+"queries": {name: sec}, "sf": ...}.
+
+Each query is executed with a count-style action (collect) after a warm-up of
+the session; timings are per-query wall clock, hot JVM.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from doris_spark import queries as Q
+from doris_spark.session import get_spark
+
+# Headline set: run everything that's registered.
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    Q.load_all()
+    spark = get_spark("doris_spark_bench")
+    spark.sparkContext.setLogLevel("ERROR")
+    # Warm up the JVM + parquet footers once (cold-start excluded, matching
+    # the reference's hot-run gates in BASELINE.md).
+    Q.QUERIES["tpch_q1"](spark, sf_dir).collect()
+
+    timings: dict[str, float] = {}
+    for name in sorted(Q.QUERIES):
+        t0 = time.perf_counter()
+        Q.QUERIES[name](spark, sf_dir).collect()
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    out = {
+        "metric": "headline_queries_total_hot",
+        "value": round(sum(timings.values()), 3),
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,46 @@
+"""Query registry: the engine's public correctness surface.
+
+Each entry registers a (name, builder, oracle_sql) triple. Builders take
+(spark, sf_dir) and return a DataFrame; oracle_sql is equivalent ANSI SQL for
+DuckDB over the same parquet fixtures (driver contract in __spark_entry__.py).
+Column names are aliased identically on both sides — the driver hashes values
+after sorting columns by name.
+
+A query with oracle=None gets the driver's weaker rows-only check (used for
+genuinely non-SQL-expressible ops, e.g. MinHash LSH dedup).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def query(name: str, oracle: Optional[str] = None):
+    """Decorator: register a query builder and its DuckDB oracle SQL."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+def load_all() -> None:
+    """Import every query module (side effect: fills QUERIES/ORACLES)."""
+    from doris_spark.queries import (  # noqa: F401
+        analytics,
+        events,
+        text,
+        tpch,
+        vector,
+    )

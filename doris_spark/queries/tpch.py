@@ -1,0 +1,787 @@
+"""TPC-H-style analytical queries over the driver's star schema.
+
+Reference analog: the reference's golden regression corpus runs the full TPC-H
+suite (regression-test/suites/nereids_tpch_p0/tpch/q*.groovy); these are the same
+query shapes adapted to the fixture schema (TESTDATA.md — no partsupp table, no
+l_commitdate/l_receiptdate/l_shipmode, no o_shippriority).
+
+Scale design notes (100 TB):
+- region/nation are broadcast unconditionally (fixed cardinality 5/25).
+- customer/supplier/part joins use plain equi-joins: at SF100k those are
+  shuffle joins on the join key; AQE demotes to broadcast when a side is small.
+- Aggregations are expressed as groupBy().agg() → Catalyst plans partial
+  (map-side) + final aggregation, so the shuffle carries pre-aggregated rows.
+- Top-k queries use orderBy+limit → Spark plans TakeOrderedAndProject (no full
+  sort of the data; per-partition heaps, driver merge of k rows).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doris_spark.queries import query
+from doris_spark.session import load_tables
+
+
+def _t(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return load_tables(spark, sf_dir)
+
+
+# --------------------------------------------------------------------------
+# Q1 — pricing summary report (flagship; reference golden
+# regression-test/suites/nereids_tpch_p0/tpch/q1.groovy:26)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q1",
+    oracle="""
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity)                                      AS sum_qty,
+       sum(l_extendedprice)                                 AS sum_base_price,
+       sum(l_extendedprice * (1 - l_discount))              AS sum_disc_price,
+       sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)) AS sum_charge,
+       avg(l_quantity)                                      AS avg_qty,
+       avg(l_extendedprice)                                 AS avg_price,
+       avg(l_discount)                                      AS avg_disc,
+       count(*)                                             AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+GROUP BY l_returnflag, l_linestatus
+ORDER BY l_returnflag, l_linestatus
+""",
+)
+def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir)["lineitem"]
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.sum("l_extendedprice").alias("sum_base_price"),
+            F.sum(disc_price).alias("sum_disc_price"),
+            F.sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            F.avg("l_quantity").alias("avg_qty"),
+            F.avg("l_extendedprice").alias("avg_price"),
+            F.avg("l_discount").alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q3 — shipping-priority top orders
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q3",
+    oracle="""
+SELECT l_orderkey,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       o_orderdate
+FROM customer
+JOIN orders    ON c_custkey = o_custkey
+JOIN lineitem  ON l_orderkey = o_orderkey
+WHERE c_mktsegment = 'BUILDING'
+  AND o_orderdate < TIMESTAMP '1997-03-15 00:00:00'
+  AND l_shipdate  > TIMESTAMP '1997-03-15 00:00:00'
+GROUP BY l_orderkey, o_orderdate
+ORDER BY revenue DESC, o_orderdate, l_orderkey
+LIMIT 10
+""",
+)
+def tpch_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    cutoff = F.lit("1997-03-15").cast("timestamp")
+    return (
+        t["customer"]
+        .filter(F.col("c_mktsegment") == "BUILDING")
+        .join(t["orders"].filter(F.col("o_orderdate") < cutoff), F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"].filter(F.col("l_shipdate") > cutoff), F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.desc("revenue"), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q4 — order priority checking (EXISTS → left-semi join).
+# Lateness condition adapted: l_shipdate > o_orderdate + 60 days
+# (fixture has no l_commitdate/l_receiptdate).
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q4",
+    oracle="""
+SELECT o_orderpriority, count(*) AS order_count
+FROM orders
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-10-01 00:00:00'
+  AND EXISTS (
+    SELECT 1 FROM lineitem
+    WHERE l_orderkey = o_orderkey
+      AND l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1997-10-01").cast("timestamp"))
+    )
+    late = t["lineitem"].select("l_orderkey", "l_shipdate")
+    semi = orders.join(
+        late,
+        (F.col("l_orderkey") == F.col("o_orderkey"))
+        & (F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAY")),
+        "left_semi",
+    )
+    return (
+        semi.groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q5 — local supplier volume (6-way join; region/nation broadcast)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q5",
+    oracle="""
+SELECT n_name, sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY n_name
+ORDER BY revenue DESC, n_name
+""",
+)
+def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    nation_region = F.broadcast(
+        t["nation"].join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    orders = t["orders"].filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
+    )
+    return (
+        t["customer"]
+        .join(orders, F.col("c_custkey") == F.col("o_custkey"))
+        .join(t["lineitem"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(
+            t["supplier"],
+            (F.col("l_suppkey") == F.col("s_suppkey"))
+            & (F.col("c_nationkey") == F.col("s_nationkey")),
+        )
+        .join(nation_region, F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .orderBy(F.desc("revenue"), "n_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q6 — forecast revenue change (scan + filter + single agg; the filter must
+# reach the parquet scan as PushedFilters)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q6",
+    oracle="""
+SELECT sum(l_extendedprice * l_discount) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
+""",
+)
+def tpch_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = _t(spark, sf_dir)["lineitem"]
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            & (F.col("l_discount").between(0.05, 0.07))
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(F.sum(F.col("l_extendedprice") * F.col("l_discount")).alias("revenue"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q7 — volume shipping between two nations, by year
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q7",
+    oracle="""
+SELECT supp_nation, cust_nation, l_year, sum(volume) AS revenue
+FROM (
+  SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+         year(l_shipdate) AS l_year,
+         l_extendedprice * (1 - l_discount) AS volume
+  FROM supplier
+  JOIN lineitem ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN customer ON c_custkey = o_custkey
+  JOIN nation n1 ON s_nationkey = n1.n_nationkey
+  JOIN nation n2 ON c_nationkey = n2.n_nationkey
+  WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+      OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+    AND l_shipdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                       AND TIMESTAMP '1998-12-31 00:00:00'
+) shipping
+GROUP BY supp_nation, cust_nation, l_year
+ORDER BY supp_nation, cust_nation, l_year
+""",
+)
+def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    n1 = F.broadcast(t["nation"].select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
+    n2 = F.broadcast(t["nation"].select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    li = t["lineitem"].filter(
+        F.col("l_shipdate").between(
+            F.lit("1996-01-01").cast("timestamp"), F.lit("1998-12-31").cast("timestamp")
+        )
+    )
+    joined = (
+        t["supplier"]
+        .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
+        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .filter(
+            ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
+            | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
+        )
+    )
+    return (
+        joined.select(
+            "supp_nation",
+            "cust_nation",
+            F.year("l_shipdate").alias("l_year"),
+            (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume"),
+        )
+        .groupBy("supp_nation", "cust_nation", "l_year")
+        .agg(F.sum("volume").alias("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q8 — national market share within a region for one part type
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q8",
+    oracle="""
+SELECT o_year,
+       sum(CASE WHEN nation = 'NATION_3' THEN volume ELSE 0 END) / sum(volume)
+         AS mkt_share
+FROM (
+  SELECT year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) AS volume,
+         n2.n_name AS nation
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation n1 ON c_nationkey = n1.n_nationkey
+  JOIN region    ON n1.n_regionkey = r_regionkey
+  JOIN nation n2 ON s_nationkey = n2.n_nationkey
+  WHERE r_name = 'EUROPE'
+    AND o_orderdate BETWEEN TIMESTAMP '1996-01-01 00:00:00'
+                        AND TIMESTAMP '1997-12-31 00:00:00'
+    AND p_type = 'STANDARD'
+) all_nations
+GROUP BY o_year
+ORDER BY o_year
+""",
+)
+def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    n1 = F.broadcast(
+        t["nation"]
+        .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
+        .select(F.col("n_nationkey").alias("cust_nkey"))
+    )
+    n2 = F.broadcast(t["nation"].select(F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("nation")))
+    joined = (
+        t["part"]
+        .filter(F.col("p_type") == "STANDARD")
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(
+            t["orders"].filter(
+                F.col("o_orderdate").between(
+                    F.lit("1996-01-01").cast("timestamp"), F.lit("1997-12-31").cast("timestamp")
+                )
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(n1, F.col("c_nationkey") == F.col("cust_nkey"))
+        .join(n2, F.col("s_nationkey") == F.col("supp_nkey"))
+    )
+    vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
+    return (
+        joined.select(F.year("o_orderdate").alias("o_year"), vol, "nation")
+        .groupBy("o_year")
+        .agg(
+            (
+                F.sum(F.when(F.col("nation") == "NATION_3", F.col("volume")).otherwise(0.0))
+                / F.sum("volume")
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q9 — product-type profit by nation and year (p_retailprice stands in for
+# ps_supplycost; fixture has no partsupp)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q9",
+    oracle="""
+SELECT nation, o_year, sum(amount) AS sum_profit
+FROM (
+  SELECT n_name AS nation, year(o_orderdate) AS o_year,
+         l_extendedprice * (1 - l_discount) - p_retailprice * l_quantity AS amount
+  FROM part
+  JOIN lineitem ON p_partkey = l_partkey
+  JOIN supplier ON s_suppkey = l_suppkey
+  JOIN orders   ON o_orderkey = l_orderkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  WHERE p_name LIKE '%bolt%'
+) profit
+GROUP BY nation, o_year
+ORDER BY nation, o_year DESC
+""",
+)
+def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    joined = (
+        t["part"]
+        .filter(F.col("p_name").like("%bolt%"))
+        .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
+        .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
+        .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+    )
+    amount = (
+        F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        - F.col("p_retailprice") * F.col("l_quantity")
+    ).alias("amount")
+    return (
+        joined.select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"), amount)
+        .groupBy("nation", "o_year")
+        .agg(F.sum("amount").alias("sum_profit"))
+        .orderBy("nation", F.desc("o_year"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q10 — returned-item reporting: top 20 customers by lost revenue
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q10",
+    oracle="""
+SELECT c_custkey, c_name,
+       sum(l_extendedprice * (1 - l_discount)) AS revenue,
+       c_acctbal, n_name
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON l_orderkey = o_orderkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND o_orderdate <  TIMESTAMP '1997-07-01 00:00:00'
+  AND l_returnflag = 'R'
+GROUP BY c_custkey, c_name, c_acctbal, n_name
+ORDER BY revenue DESC, c_custkey
+LIMIT 20
+""",
+)
+def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    return (
+        t["customer"]
+        .join(
+            t["orders"].filter(
+                (F.col("o_orderdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp"))
+            ),
+            F.col("c_custkey") == F.col("o_custkey"),
+        )
+        .join(t["lineitem"].filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+        .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
+        .orderBy(F.desc("revenue"), "c_custkey")
+        .limit(20)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q12 — shipping lateness vs order priority (CASE aggregation; adapted:
+# "late" = shipped >90 days after order date, split by priority class)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q12",
+    oracle="""
+SELECT l_linestatus,
+       sum(CASE WHEN o_orderpriority IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS high_line_count,
+       sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT','2-HIGH') THEN 1 ELSE 0 END)
+         AS low_line_count
+FROM orders
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+  AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    return (
+        t["orders"]
+        .join(
+            t["lineitem"].filter(
+                (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+                & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+            ),
+            F.col("o_orderkey") == F.col("l_orderkey"),
+        )
+        .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAY"))
+        .groupBy("l_linestatus")
+        .agg(
+            F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
+            F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q13 — customer order-count distribution (left outer join + double agg)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q13",
+    oracle="""
+SELECT c_count, count(*) AS custdist
+FROM (
+  SELECT c_custkey, count(o_orderkey) AS c_count
+  FROM customer
+  LEFT JOIN orders ON c_custkey = o_custkey
+                  AND o_orderpriority <> '1-URGENT'
+  GROUP BY c_custkey
+) c_orders
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+""",
+)
+def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    per_cust = (
+        t["customer"]
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+    )
+    return (
+        per_cust.groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.desc("custdist"), F.desc("c_count"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q14 — promo revenue share
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q14",
+    oracle="""
+SELECT 100.00 * sum(CASE WHEN p_type = 'PROMO'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+       / sum(l_extendedprice * (1 - l_discount)) AS promo_revenue
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-06-01 00:00:00'
+  AND l_shipdate <  TIMESTAMP '1997-07-01 00:00:00'
+""",
+)
+def tpch_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-06-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-07-01").cast("timestamp"))
+        )
+        .join(t["part"], F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            (
+                F.lit(100.0)
+                * F.sum(F.when(F.col("p_type") == "PROMO", rev).otherwise(0.0))
+                / F.sum(rev)
+            ).alias("promo_revenue")
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Q15 — top supplier(s): revenue view + scalar-subquery max
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q15",
+    oracle="""
+WITH revenue AS (
+  SELECT l_suppkey AS supplier_no,
+         sum(l_extendedprice * (1 - l_discount)) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1997-04-01 00:00:00'
+  GROUP BY l_suppkey
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM supplier JOIN revenue ON s_suppkey = supplier_no
+WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+ORDER BY s_suppkey
+""",
+)
+def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    revenue = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1997-04-01").cast("timestamp"))
+        )
+        .groupBy(F.col("l_suppkey").alias("supplier_no"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+    )
+    max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
+    return (
+        t["supplier"]
+        .join(revenue, F.col("s_suppkey") == F.col("supplier_no"))
+        .join(F.broadcast(max_rev), F.col("total_revenue") == F.col("mr"))
+        .select("s_suppkey", "s_name", "total_revenue")
+        .orderBy("s_suppkey")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q17 — small-quantity-order revenue (correlated scalar subquery → per-part
+# avg join)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q17",
+    oracle="""
+SELECT sum(l_extendedprice) / 7.0 AS avg_yearly
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE p_brand = 'Brand#13'
+  AND l_quantity < (
+    SELECT 0.5 * avg(l_quantity) FROM lineitem l2 WHERE l2.l_partkey = p_partkey
+  )
+""",
+)
+def tpch_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    part_avg = (
+        t["lineitem"]
+        .groupBy(F.col("l_partkey").alias("pa_partkey"))
+        .agg((F.lit(0.5) * F.avg("l_quantity")).alias("half_avg_qty"))
+    )
+    return (
+        t["lineitem"]
+        .join(t["part"].filter(F.col("p_brand") == "Brand#13"), F.col("l_partkey") == F.col("p_partkey"))
+        .join(part_avg, F.col("l_partkey") == F.col("pa_partkey"))
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .agg((F.sum("l_extendedprice") / 7.0).alias("avg_yearly"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Q18 — large-volume customers (group-having IN subquery)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q18",
+    oracle="""
+SELECT c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice,
+       sum(l_quantity) AS sum_qty
+FROM customer
+JOIN orders   ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY l_orderkey
+  HAVING sum(l_quantity) > 200
+)
+GROUP BY c_name, c_custkey, o_orderkey, o_orderdate, o_totalprice
+ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+LIMIT 100
+""",
+)
+def tpch_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    big = (
+        t["lineitem"]
+        .groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 200)
+        .select(F.col("l_orderkey").alias("big_orderkey"))
+    )
+    return (
+        t["customer"]
+        .join(t["orders"], F.col("c_custkey") == F.col("o_custkey"))
+        .join(big, F.col("o_orderkey") == F.col("big_orderkey"), "left_semi")
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .orderBy(F.desc("o_totalprice"), "o_orderdate", "o_orderkey")
+        .limit(100)
+    )
+
+
+# --------------------------------------------------------------------------
+# Q19 — disjunctive brand/size/quantity predicates
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q19",
+    oracle="""
+SELECT sum(l_extendedprice * (1 - l_discount)) AS revenue
+FROM lineitem
+JOIN part ON p_partkey = l_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+       AND l_quantity >= 1 AND l_quantity <= 21)
+   OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 25
+       AND l_quantity >= 10 AND l_quantity <= 30)
+   OR (p_brand = 'Brand#14' AND p_size BETWEEN 1 AND 35
+       AND l_quantity >= 20 AND l_quantity <= 40)
+""",
+)
+def tpch_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    li, p = t["lineitem"], t["part"]
+    joined = li.join(p, F.col("p_partkey") == F.col("l_partkey"))
+    c1 = (
+        (F.col("p_brand") == "Brand#12")
+        & F.col("p_size").between(1, 15)
+        & F.col("l_quantity").between(1, 21)
+    )
+    c2 = (
+        (F.col("p_brand") == "Brand#13")
+        & F.col("p_size").between(1, 25)
+        & F.col("l_quantity").between(10, 30)
+    )
+    c3 = (
+        (F.col("p_brand") == "Brand#14")
+        & F.col("p_size").between(1, 35)
+        & F.col("l_quantity").between(20, 40)
+    )
+    return joined.filter(c1 | c2 | c3).agg(
+        F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q20-analog — suppliers who shipped more than N units of bolt parts
+# (nested semi-join chain)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q20",
+    oracle="""
+SELECT s_name, s_acctbal
+FROM supplier
+WHERE s_suppkey IN (
+  SELECT l_suppkey FROM lineitem
+  WHERE l_partkey IN (SELECT p_partkey FROM part WHERE p_name LIKE '%bolt%')
+    AND l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+    AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+  GROUP BY l_suppkey
+  HAVING sum(l_quantity) > 100
+)
+ORDER BY s_name
+""",
+)
+def tpch_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    bolt_parts = t["part"].filter(F.col("p_name").like("%bolt%")).select("p_partkey")
+    shippers = (
+        t["lineitem"]
+        .filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01").cast("timestamp"))
+        )
+        .join(bolt_parts, F.col("l_partkey") == F.col("p_partkey"), "left_semi")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("sq"))
+        .filter(F.col("sq") > 100)
+        .select("l_suppkey")
+    )
+    return (
+        t["supplier"]
+        .join(shippers, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_name", "s_acctbal")
+        .orderBy("s_name")
+    )
+
+
+# --------------------------------------------------------------------------
+# Q22-analog — customers with above-average balance and no orders
+# (scalar subquery + null-aware anti join)
+# --------------------------------------------------------------------------
+@query(
+    "tpch_q22",
+    oracle="""
+SELECT c_mktsegment AS cntrycode, count(*) AS numcust, sum(c_acctbal) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT avg(c_acctbal) FROM customer WHERE c_acctbal > 0.0)
+  AND NOT EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_orderpriority = '1-URGENT')
+GROUP BY c_mktsegment
+ORDER BY cntrycode
+""",
+)
+def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    t = _t(spark, sf_dir)
+    avg_bal = (
+        t["customer"].filter(F.col("c_acctbal") > 0.0).agg(F.avg("c_acctbal").alias("ab"))
+    )
+    return (
+        t["customer"]
+        .join(F.broadcast(avg_bal))
+        .filter(F.col("c_acctbal") > F.col("ab"))
+        .join(
+            t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+            F.col("o_custkey") == F.col("c_custkey"),
+            "left_anti",
+        )
+        .groupBy(F.col("c_mktsegment").alias("cntrycode"))
+        .agg(F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
+        .orderBy("cntrycode")
+    )
