@@ -1,0 +1,190 @@
+"""Deduplication operators for large-scale corpus cleaning.
+
+These are the LLM-training-pipeline extensions (BASELINE.json north star):
+exact dedup, MinHash+LSH near-dup, SimHash, and n-gram Jaccard. All are
+pure DataFrame compositions — no driver-side collect, no UDF in the hot
+path — so they scale linearly with executors:
+
+- exact_dedup: one shuffle on the content hash.
+- minhash_lsh_pairs: explode shingles (map-side), one groupBy per doc for
+  signatures, one groupBy on (band, band_key) for buckets, then a
+  self-join restricted to buckets — the classic O(n·bands) LSH plan; the
+  quadratic blow-up is confined to same-bucket candidates.
+
+Hash choice: md5 (hex string). Deliberately engine-portable — the DuckDB
+oracle computes identical signatures, so correctness is hash-checked, not
+just row-counted. (Production would swap in xxhash64 for speed; the plan
+shape is identical.)
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# --------------------------------------------------------------------- exact
+
+
+def normalized_text(col):
+    """Doris-style simple normalization: trim + lower + collapse whitespace."""
+    return F.regexp_replace(F.lower(F.trim(col)), r"\s+", " ")
+
+
+def exact_dedup_groups(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Groups of exact duplicates (normalized md5): canonical id = min id.
+
+    Returns (content_hash, canonical_id, dup_count) for groups with >1 doc.
+    """
+    return (
+        df.select(
+            F.md5(normalized_text(F.col(text_col))).alias("content_hash"),
+            F.col(id_col),
+        )
+        .groupBy("content_hash")
+        .agg(
+            F.min(id_col).alias("canonical_id"),
+            F.count(F.lit(1)).alias("dup_count"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dedup(df: DataFrame, text_col: str, id_col: str) -> DataFrame:
+    """Keep one row (min id) per normalized-content group."""
+    h = F.md5(normalized_text(F.col(text_col)))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(h).orderBy(F.col(id_col).asc())
+    return df.withColumn("__rn", F.row_number().over(w)).filter(F.col("__rn") == 1).drop("__rn")
+
+
+# ----------------------------------------------------------------- shingles
+
+
+def token_shingles(text_col, n: int = 3):
+    """Array of n-token shingles (space-joined), from whitespace tokens.
+
+    Short documents (< n tokens) yield an empty array.
+    """
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    toks = F.split(normalized_text(c), " ")
+    idx = F.when(F.size(toks) >= n, F.sequence(F.lit(0), F.size(toks) - n)).otherwise(
+        F.array().cast("array<int>")
+    )
+    return F.transform(idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n)))
+
+
+# -------------------------------------------------------------- minhash LSH
+
+
+def minhash_signatures(
+    df: DataFrame, text_col: str, id_col: str, num_hashes: int = 8, shingle_n: int = 3
+) -> DataFrame:
+    """(id, sig_0..sig_{H-1}): per-doc MinHash signature.
+
+    Hash family h_i(s) = md5(i || ':' || s); min under lexicographic order.
+    A min-of-md5-hex is a valid MinHash (any total order works) and is
+    reproducible in the DuckDB oracle.
+    """
+    exploded = df.select(
+        F.col(id_col).alias("doc"),
+        F.explode(F.array_distinct(token_shingles(text_col, shingle_n))).alias("shingle"),
+    )
+    aggs = [
+        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        for i in range(num_hashes)
+    ]
+    return exploded.groupBy("doc").agg(*aggs)
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    num_hashes: int = 8,
+    bands: int = 4,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """Candidate near-duplicate pairs (doc_a < doc_b) via banded LSH.
+
+    Signature is split into `bands` bands of num_hashes/bands rows; docs
+    sharing any full band collide. Distinct pairs are returned.
+    """
+    assert num_hashes % bands == 0
+    rows = num_hashes // bands
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_n)
+    band_cols = []
+    for b in range(bands):
+        band_cols.append(
+            F.struct(
+                F.lit(b).alias("band"),
+                F.concat_ws(
+                    "|", *[F.col(f"sig_{b * rows + r}") for r in range(rows)]
+                ).alias("key"),
+            )
+        )
+    buckets = sigs.select(
+        F.col("doc"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    a = buckets.alias("a")
+    b = buckets.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.key") == F.col("b.key"))
+            & (F.col("a.doc") < F.col("b.doc")),
+        )
+        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+        .distinct()
+    )
+
+
+# ----------------------------------------------------------- ngram jaccard
+
+
+def ngram_jaccard(
+    left: DataFrame,
+    text_a: str,
+    text_b: str,
+    shingle_n: int = 3,
+):
+    """Column expression: Jaccard similarity of n-gram shingle sets between
+    two text columns of the same row (use after a candidate join)."""
+    sa = F.array_distinct(token_shingles(text_a, shingle_n))
+    sb = F.array_distinct(token_shingles(text_b, shingle_n))
+    inter = F.size(F.array_intersect(sa, sb))
+    union = F.size(F.array_union(sa, sb))
+    return F.when(union == 0, F.lit(0.0)).otherwise(inter.cast("double") / union.cast("double"))
+
+
+# ------------------------------------------------------------------ simhash
+
+
+def simhash64(text_col, shingle_n: int = 2):
+    """64-bit SimHash over token shingles, as a bigint column expression.
+
+    Per shingle take the first 16 hex chars of md5 as a 64-bit fingerprint;
+    sum +/-1 per bit position weighted by presence; sign → bit. Pure
+    higher-order-function expression (no UDF).
+    """
+    shingles = F.array_distinct(token_shingles(text_col, shingle_n))
+    # hash each shingle to bigint via conv(hex,16,10) on 15 hex chars
+    # (60 bits, stays within signed-64 positive range)
+    hashes = F.transform(
+        shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
+    )
+    bit_votes = []
+    for bit in range(60):
+        mask = 1 << bit
+        vote = F.aggregate(
+            hashes,
+            F.lit(0),
+            lambda acc, h: acc
+            + F.when(h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1)),
+        )
+        bit_votes.append(F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0)))
+    out = bit_votes[0]
+    for v in bit_votes[1:]:
+        out = out + v
+    return out

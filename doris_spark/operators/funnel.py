@@ -1,0 +1,113 @@
+"""Event-sequence aggregates: window_funnel / retention / sequence_match.
+
+Reference analogs (aggregate functions in the reference's surface,
+SURVEY §2.4): be/src/exprs/aggregate/aggregate_function_window_funnel_v2.h,
+aggregate_function_retention.h, aggregate_function_sequence_match.h.
+
+Spark-first design: instead of a custom UDAF holding per-user event lists
+in Python, each is expressed as join/aggregation plans over the event
+stream — partial aggregation and shuffle-on-user parallelism come free,
+and no per-user event list ever materializes in driver or Python memory.
+
+window_funnel semantics implemented: strict-order leading-chain — step 1
+anchors at the user's earliest step-1 event t1; step i+1 matches the
+earliest step-(i+1) event strictly after the step-i match and within
+t1 + window. (This is the deterministic "first chain" reading used by the
+reference's regression cases.)
+"""
+
+from __future__ import annotations
+
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def window_funnel(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    type_col: str,
+    steps: Sequence[str],
+    window_seconds: int,
+) -> DataFrame:
+    """Per-user funnel level: (user, level) where level = number of steps
+    completed in order within `window_seconds` of the first step-1 event.
+
+    Plan: one filtered aggregate per step, each a (user → min ts) row,
+    chained by equi-joins on user — k-1 small shuffles on the user key
+    (AQE coalesces), linear in events.
+    """
+    u = F.col(user_col)
+    win = F.expr(f"INTERVAL {window_seconds} SECOND")
+
+    cur = (
+        events.filter(F.col(type_col) == steps[0])
+        .groupBy(u.alias("user"))
+        .agg(F.min(ts_col).alias("t1"))
+    )
+    result = cur.select("user", F.lit(1).alias("level"), F.col("t1"), F.col("t1").alias("t_prev"))
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            events.filter(F.col(type_col) == step)
+            .select(u.alias("nuser"), F.col(ts_col).alias("nts"))
+            .join(
+                result.filter(F.col("level") == i - 1).select("user", "t1", "t_prev"),
+                F.col("nuser") == F.col("user"),
+            )
+            .filter((F.col("nts") > F.col("t_prev")) & (F.col("nts") <= F.col("t1") + win))
+            .groupBy("user")
+            .agg(F.min("t1").alias("t1"), F.min("nts").alias("t_next"))
+        )
+        advanced = nxt.select(
+            "user", F.lit(i).alias("level"), "t1", F.col("t_next").alias("t_prev")
+        )
+        stayed = result.join(nxt.select("user"), "user", "left_anti")
+        result = stayed.unionByName(advanced)
+    return result.select("user", "level")
+
+
+def retention(
+    events: DataFrame,
+    user_col: str,
+    conditions: Sequence,
+) -> DataFrame:
+    """Doris `retention(cond1, cond2, ...)`: per user an array of flags —
+    flag[0] = cond1 ever true; flag[i] = cond1 AND cond_{i+1} both true.
+
+    `conditions` are boolean Column expressions over the event row.
+    """
+    aggs = [
+        F.max(F.when(c, F.lit(1)).otherwise(F.lit(0))).alias(f"__c{i}")
+        for i, c in enumerate(conditions)
+    ]
+    per_user = events.groupBy(F.col(user_col).alias("user")).agg(*aggs)
+    flags = [F.col("__c0")] + [
+        (F.col("__c0") * F.col(f"__c{i}")) for i in range(1, len(conditions))
+    ]
+    return per_user.select("user", F.array(*flags).alias("r"))
+
+
+def sequence_match(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    conds: Sequence,
+) -> DataFrame:
+    """Doris sequence_match('(?1).*(?2)...') boolean per user: do events
+    matching cond1, cond2, ... occur in timestamp order (not necessarily
+    adjacent)? Implemented as a chained min-after-previous scan, one
+    aggregate per condition (same plan shape as window_funnel without the
+    window bound)."""
+    cur = events.filter(conds[0]).groupBy(F.col(user_col).alias("user")).agg(F.min(ts_col).alias("t"))
+    for c in conds[1:]:
+        cur = (
+            events.filter(c)
+            .select(F.col(user_col).alias("nuser"), F.col(ts_col).alias("nts"))
+            .join(cur, F.col("nuser") == F.col("user"))
+            .filter(F.col("nts") > F.col("t"))
+            .groupBy("user")
+            .agg(F.min("nts").alias("t"))
+        )
+    return cur.select("user", F.lit(True).alias("matched"))

@@ -1,0 +1,175 @@
+"""Text-analysis operators: tokenize / match / language-ID / quality /
+fingerprint / BM25 ranking.
+
+Reference analogs:
+- tokenize: be/src/exprs/function/function_tokenize.cpp
+- match_any/match_all/match_phrase: be/src/exprs/function/match.h:54-59 and
+  the inverted-index layer be/src/storage/index/inverted/ — here expressed
+  as token-set predicates over `tokenize` (semantic-equivalent layer per
+  SURVEY §2.10; Spark has no inverted index, so matching is a scan predicate
+  that Catalyst can still push into the parquet reader as a string filter).
+- BM25 score(): be/src/exprs/function/function_score.cpp — implemented as a
+  docfreq-join DataFrame pipeline (idf from a broadcast-size term-stats
+  aggregate).
+
+Everything is built-in-function composition — no Python UDFs — so the hot
+path stays in whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import math
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Whitespace tokenizer over normalized text (lower + trim + collapse).
+def tokenize(text_col):
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    return F.split(F.regexp_replace(F.lower(F.trim(c)), r"\s+", " "), " ")
+
+
+def match_any(text_col, terms: Sequence[str]):
+    """True if the token set contains ANY of `terms` (Doris match_any)."""
+    toks = tokenize(text_col)
+    cond = F.lit(False)
+    for t in terms:
+        cond = cond | F.array_contains(toks, t.lower())
+    return cond
+
+
+def match_all(text_col, terms: Sequence[str]):
+    """True if the token set contains ALL of `terms` (Doris match_all)."""
+    toks = tokenize(text_col)
+    cond = F.lit(True)
+    for t in terms:
+        cond = cond & F.array_contains(toks, t.lower())
+    return cond
+
+
+def match_phrase(text_col, phrase: str):
+    """True if the normalized text contains the token phrase contiguously."""
+    c = F.col(text_col) if isinstance(text_col, str) else text_col
+    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+    return norm.contains(" ".join(phrase.lower().split()))
+
+
+# Small multilingual stopword table for the heuristic language classifier.
+_LANG_MARKERS = {
+    "en": ("the", "and", "of"),
+    "es": ("el", "la", "los"),
+    "de": ("der", "die", "und"),
+    "fr": ("le", "la", "et"),
+}
+
+
+def lang_id(text_col):
+    """Heuristic n-gram/stopword language ID: the language whose marker
+    words occur most often; 'und' when nothing matches. Deterministic
+    tie-break by language code order."""
+    toks = tokenize(text_col)
+    scores = []
+    for lang, markers in sorted(_LANG_MARKERS.items()):
+        s = None
+        for m in markers:
+            cnt = F.size(F.filter(toks, lambda t: t == F.lit(m)))
+            s = cnt if s is None else s + cnt
+        scores.append((lang, s))
+    best_score = F.greatest(*[s for _, s in scores])
+    out = F.lit("und")
+    # First language (sorted) achieving the max wins — build backwards.
+    for lang, s in reversed(scores):
+        out = F.when((best_score > 0) & (s == best_score), F.lit(lang)).otherwise(out)
+    return out
+
+
+_STOPWORDS = ("the", "a", "and", "of", "to", "in", "is")
+
+
+def quality_features(df: DataFrame, text_col: str) -> DataFrame:
+    """Adds standard quality-scoring features: token count, char count, mean
+    token length, distinct-token ratio, stopword ratio."""
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    stop_arr = F.array(*[F.lit(s) for s in _STOPWORDS])
+    n_stop = F.size(F.filter(toks, lambda t: F.array_contains(stop_arr, t)))
+    return (
+        df.withColumn("n_tokens", n)
+        .withColumn("n_chars_norm", F.length(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")))
+        .withColumn(
+            "mean_token_len",
+            F.when(n > 0, F.aggregate(toks, F.lit(0), lambda a, t: a + F.length(t)).cast("double") / n).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "distinct_ratio",
+            F.when(n > 0, F.size(F.array_distinct(toks)).cast("double") / n).otherwise(F.lit(0.0)),
+        )
+        .withColumn(
+            "stopword_ratio",
+            F.when(n > 0, n_stop.cast("double") / n).otherwise(F.lit(0.0)),
+        )
+    )
+
+
+def fingerprint(text_col):
+    """Document fingerprint: md5 over the sorted distinct token set —
+    order/whitespace-insensitive content identity (dedup key)."""
+    return F.md5(F.concat_ws(" ", F.array_sort(F.array_distinct(tokenize(text_col)))))
+
+
+def bm25_rank(
+    docs: DataFrame,
+    text_col: str,
+    id_col: str,
+    terms: Sequence[str],
+    k1: float = 1.2,
+    b: float = 0.75,
+    limit: int = 10,
+) -> DataFrame:
+    """BM25 ranking of `docs` for a bag of query terms.
+
+    Plan: one aggregate for (N, avgdl), one aggregate per-corpus for each
+    term's docfreq (single groupBy over exploded matches), both broadcast
+    into the scoring scan. Two passes over the corpus, no self-join —
+    scales as O(corpus) with a tiny broadcast of term stats.
+
+    Returns (id, score) top-`limit` by score desc (ties: id asc).
+    """
+    terms = [t.lower() for t in terms]
+    toks_col = tokenize(text_col)
+    with_toks = docs.select(
+        F.col(id_col).alias("doc"), toks_col.alias("toks"), F.size(toks_col).alias("dl")
+    )
+    stats = with_toks.agg(
+        F.count(F.lit(1)).alias("N"), F.avg("dl").alias("avgdl")
+    )
+    term_arr = F.array(*[F.lit(t) for t in terms])
+    df_per_term = (
+        with_toks.select(
+            F.col("doc"), F.explode(F.array_distinct(F.filter(F.col("toks"), lambda t: F.array_contains(term_arr, t)))).alias("term")
+        )
+        .groupBy("term")
+        .agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = with_toks.crossJoin(F.broadcast(stats))
+    score = F.lit(0.0)
+    # Per-term tf from the token array; idf joined from term stats.
+    tstats = {r["term"]: r["df"] for r in df_per_term.collect()}  # ≤ len(terms) rows
+    for t in terms:
+        dfreq = tstats.get(t, 0)
+        tf = F.size(F.filter(F.col("toks"), lambda x: x == F.lit(t))).cast("double")
+        # docfreq comes from the tiny collected term-stats map (bounded by
+        # the query-term count — a broadcast variable, not a data collect);
+        # N/avgdl stay in-plan via the broadcast stats row.
+        idf_expr = F.log(
+            (F.col("N") - F.lit(dfreq) + F.lit(0.5)) / (F.lit(dfreq) + F.lit(0.5)) + F.lit(1.0)
+        )
+        denom = tf + F.lit(k1) * (F.lit(1 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+        score = score + idf_expr * (tf * F.lit(k1 + 1)) / denom
+    return (
+        scored.select(F.col("doc"), score.alias("score"))
+        .filter(F.col("score") > 0)
+        .orderBy(F.desc("score"), F.asc("doc"))
+        .limit(limit)
+    )

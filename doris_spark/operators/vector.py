@@ -1,0 +1,140 @@
+"""Vector / similarity-search operators.
+
+Reference analogs:
+- exact distances: be/src/exprs/function/array/function_array_distance.h
+  (l2_distance, inner_product, cosine_distance/similarity)
+- ANN top-n: be/src/storage/index/ann/faiss_ann_index.h + planner pushdown
+  nereids/rules/rewrite/PushDownVectorTopNIntoOlapScan.java — pattern
+  `ORDER BY distance(col, const) LIMIT k`.
+
+Spark-first design:
+- Distances are pure zip_with/aggregate expressions (whole-stage codegen,
+  no Python). Accumulation is sequential fold → deterministic and
+  reproducible by the DuckDB oracle.
+- knn_* is brute-force scan + TakeOrderedAndProject: per-partition top-k
+  heaps, driver merges k rows — the right plan up to very large corpora.
+- lsh_bucketed_knn is the 100TB path: random-hyperplane signatures put
+  vectors into buckets; the query probes only its own bucket(s), turning a
+  full scan into a fraction-of-corpus scan. Hyperplanes are derived
+  deterministically from a seed.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import struct
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def _c(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+def dot(a, b):
+    """Inner product as a fold over zip_with — JVM-side, no UDF."""
+    return F.aggregate(
+        F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def norm(a):
+    return F.sqrt(dot(a, a))
+
+
+def cosine_similarity(a, b):
+    return dot(a, b) / (norm(a) * norm(b))
+
+
+def l2_distance(a, b):
+    diff = F.zip_with(_c(a), _c(b), lambda x, y: x.cast("double") - y.cast("double"))
+    return F.sqrt(F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def inner_product(a, b):
+    return dot(a, b)
+
+
+def knn(
+    corpus: DataFrame,
+    query: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    metric: str = "cosine",
+) -> DataFrame:
+    """Exact top-k neighbors of a single-row `query` DataFrame (column
+    `vec_col`) against `corpus`. Query side is broadcast (1 row); plan is
+    scan → project(distance) → TakeOrderedAndProject(k)."""
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    joined = corpus.crossJoin(q)
+    if metric == "cosine":
+        score = cosine_similarity(vec_col, "__qvec")
+        order = [F.desc("score"), F.asc(id_col)]
+    elif metric == "l2":
+        score = l2_distance(vec_col, "__qvec")
+        order = [F.asc("score"), F.asc(id_col)]
+    elif metric == "ip":
+        score = inner_product(vec_col, "__qvec")
+        order = [F.desc("score"), F.asc(id_col)]
+    else:
+        raise ValueError(f"unknown metric {metric}")
+    return joined.select(F.col(id_col), score.alias("score")).orderBy(*order).limit(k)
+
+
+# ------------------------------------------------------------------ LSH ANN
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes from md5(seed,plane,dim) —
+    no RNG state, reproducible across engines and runs."""
+    planes = []
+    for p in range(n_planes):
+        v = []
+        for d in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{d}".encode()).digest()
+            (u,) = struct.unpack(">q", h[:8])
+            v.append(u / float(1 << 63))  # in [-1, 1)
+        planes.append(v)
+    return planes
+
+
+def rhp_signature(vec_col, dim: int, n_planes: int = 8, seed: int = 42):
+    """Random-hyperplane LSH signature (int bitmask column expression)."""
+    sig = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        pl = F.array(*[F.lit(x) for x in plane])
+        d = dot(vec_col, pl)
+        sig = sig + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
+    return sig
+
+
+def lsh_bucketed_knn(
+    corpus: DataFrame,
+    query: DataFrame,
+    vec_col: str,
+    id_col: str,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k: restrict the scan to the query's RHP bucket,
+    then exact cosine within it. At scale the corpus would be written
+    bucketed/partitioned by signature so the probe prunes partitions."""
+    sig = rhp_signature(vec_col, dim, n_planes, seed)
+    corp = corpus.withColumn("__sig", sig)
+    q = F.broadcast(
+        query.select(F.col(vec_col).alias("__qvec")).withColumn(
+            "__qsig", rhp_signature("__qvec", dim, n_planes, seed)
+        )
+    )
+    joined = corp.join(q, F.col("__sig") == F.col("__qsig"))
+    return (
+        joined.select(F.col(id_col), cosine_similarity(vec_col, "__qvec").alias("score"))
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

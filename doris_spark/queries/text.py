@@ -1,1 +1,301 @@
+"""Text analysis + dedup queries over the documents corpus.
 
+Reference analogs: tokenize (be/src/exprs/function/function_tokenize.cpp),
+match_any/match_all/match_phrase (be/src/exprs/function/match.h:54-59),
+BM25 score() (be/src/exprs/function/function_score.cpp), ngram/levenshtein
+(function_levenshtein.cpp). Dedup/quality/lang-ID are the LLM-pipeline
+extensions (BASELINE.json north star).
+
+Every oracle replicates the exact same md5/token arithmetic in DuckDB, so
+these are value-checked, not just row-counted.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doris_spark.operators import dedup as D
+from doris_spark.operators import textops as T
+from doris_spark.queries import query
+from doris_spark.session import load_tables
+
+# DuckDB-side shared fragments (must mirror operators/textops.py +
+# operators/dedup.py exactly).
+_NORM = "regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')"
+_TOKS = f"string_split({_NORM}, ' ')"
+
+
+@query(
+    "txt_quality",
+    oracle=f"""
+WITH t AS (SELECT doc_id, lang, {_TOKS} AS toks, {_NORM} AS norm FROM documents)
+SELECT doc_id, lang,
+       len(toks) AS n_tokens,
+       length(norm) AS n_chars_norm,
+       CASE WHEN len(toks) > 0
+            THEN CAST(list_sum(list_transform(toks, x -> length(x))) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS mean_token_len,
+       CASE WHEN len(toks) > 0
+            THEN CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks)
+            ELSE 0.0 END AS distinct_ratio,
+       CASE WHEN len(toks) > 0
+            THEN CAST(len(list_filter(toks,
+                 x -> list_contains(['the','a','and','of','to','in','is'], x))) AS DOUBLE)
+                 / len(toks)
+            ELSE 0.0 END AS stopword_ratio
+FROM t
+""",
+)
+def txt_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document quality features (token counts, distinct ratio,
+    stopword ratio) — pure built-in expressions."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return T.quality_features(docs, "text").select(
+        "doc_id",
+        "lang",
+        "n_tokens",
+        "n_chars_norm",
+        "mean_token_len",
+        "distinct_ratio",
+        "stopword_ratio",
+    )
+
+
+@query(
+    "txt_langid",
+    oracle=f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents),
+scored AS (
+  SELECT lang,
+    len(list_filter(toks, x -> x = 'der')) + len(list_filter(toks, x -> x = 'die'))
+      + len(list_filter(toks, x -> x = 'und')) AS s_de,
+    len(list_filter(toks, x -> x = 'the')) + len(list_filter(toks, x -> x = 'and'))
+      + len(list_filter(toks, x -> x = 'of')) AS s_en,
+    len(list_filter(toks, x -> x = 'el')) + len(list_filter(toks, x -> x = 'la'))
+      + len(list_filter(toks, x -> x = 'los')) AS s_es,
+    len(list_filter(toks, x -> x = 'le')) + len(list_filter(toks, x -> x = 'la'))
+      + len(list_filter(toks, x -> x = 'et')) AS s_fr
+  FROM t
+)
+SELECT lang,
+       CASE WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_de = greatest(s_de, s_en, s_es, s_fr) THEN 'de'
+            WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_en = greatest(s_de, s_en, s_es, s_fr) THEN 'en'
+            WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_es = greatest(s_de, s_en, s_es, s_fr) THEN 'es'
+            WHEN greatest(s_de, s_en, s_es, s_fr) > 0 AND s_fr = greatest(s_de, s_en, s_es, s_fr) THEN 'fr'
+            ELSE 'und' END AS predicted,
+       count(*) AS cnt
+FROM scored
+GROUP BY lang, predicted
+ORDER BY lang, predicted
+""",
+)
+def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic stopword language ID crossed against the labeled lang."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("lang", T.lang_id("text").alias("predicted"))
+        .groupBy("lang", "predicted")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .orderBy("lang", "predicted")
+    )
+
+
+@query(
+    "txt_exact_dedup",
+    oracle=f"""
+WITH h AS (SELECT source, doc_id, md5({_NORM}) AS content_hash FROM documents)
+SELECT source,
+       count(*) AS n_docs,
+       count(DISTINCT content_hash) AS n_unique,
+       count(*) - count(DISTINCT content_hash) AS n_dup_rows
+FROM h GROUP BY source ORDER BY source
+""",
+)
+def txt_exact_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-dedup statistics by source (normalized-content hash). The
+    group-level variant is exact_dedup_groups / exact_dedup in
+    operators/dedup.py (tested in tests/test_operators.py)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    h = docs.select("source", "doc_id", F.md5(D.normalized_text(F.col("text"))).alias("content_hash"))
+    return (
+        h.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("content_hash").alias("n_unique"),
+            (F.count(F.lit(1)) - F.countDistinct("content_hash")).alias("n_dup_rows"),
+        )
+        .orderBy("source")
+    )
+
+
+@query(
+    "txt_fingerprint",
+    oracle=f"""
+WITH fp AS (
+  SELECT source,
+         md5(array_to_string(list_sort(list_distinct({_TOKS})), ' ')) AS f
+  FROM documents
+)
+SELECT source, count(*) AS n_docs, count(DISTINCT f) AS n_distinct_fp
+FROM fp GROUP BY source ORDER BY source
+""",
+)
+def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprint (md5 of sorted distinct token set): bag-of-words
+    content identity per source."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.select("source", T.fingerprint("text").alias("f"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.countDistinct("f").alias("n_distinct_fp"))
+        .orderBy("source")
+    )
+
+
+@query(
+    "txt_match",
+    oracle=f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks, {_NORM} AS norm FROM documents)
+SELECT lang,
+       sum(CASE WHEN list_contains(toks, 'spark') OR list_contains(toks, 'join')
+                THEN 1 ELSE 0 END) AS n_any,
+       sum(CASE WHEN list_contains(toks, 'spark') AND list_contains(toks, 'join')
+                THEN 1 ELSE 0 END) AS n_all,
+       sum(CASE WHEN contains(norm, 'spark join') THEN 1 ELSE 0 END) AS n_phrase
+FROM t GROUP BY lang ORDER BY lang
+""",
+)
+def txt_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """match_any / match_all / match_phrase semantics (inverted-index
+    predicates re-expressed as token-set predicates)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.sum(F.when(T.match_any("text", ["spark", "join"]), 1).otherwise(0)).alias("n_any"),
+            F.sum(F.when(T.match_all("text", ["spark", "join"]), 1).otherwise(0)).alias("n_all"),
+            F.sum(F.when(T.match_phrase("text", "spark join"), 1).otherwise(0)).alias("n_phrase"),
+        )
+        .orderBy("lang")
+    )
+
+
+def _shingle_sql(n: int = 3) -> str:
+    """DuckDB expression for the distinct n-token shingle list (1-based
+    list indexing), mirroring operators/dedup.token_shingles."""
+    parts = " || ' ' || ".join(f"{_TOKS}[i + {k + 1}]" for k in range(n))
+    return (
+        f"list_distinct(list_transform(range(greatest(len({_TOKS}) - {n - 1}, 0)), "
+        f"i -> {parts}))"
+    )
+
+
+_MINHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, unnest({_shingle_sql(3)}) AS shingle FROM documents
+), sig AS (
+  SELECT doc,
+         {", ".join(f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(8))}
+  FROM sh GROUP BY doc
+), buckets AS (
+  {" UNION ALL ".join(
+    f"SELECT doc, {b} AS band, sig_{2 * b} || '|' || sig_{2 * b + 1} AS key FROM sig"
+    for b in range(4)
+  )}
+)
+SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+FROM buckets a JOIN buckets b
+  ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+ORDER BY doc_a, doc_b
+"""
+
+
+@query("txt_minhash_pairs", oracle=_MINHASH_ORACLE)
+def txt_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-duplicate candidate pairs (8 hashes, 4 bands of 2).
+    The oracle recomputes identical signatures in DuckDB — full value check
+    of the LSH pipeline."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return D.minhash_lsh_pairs(
+        docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3
+    ).orderBy("doc_a", "doc_b")
+
+
+@query(
+    "txt_jaccard_adjacent",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM documents)
+SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+       CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
+            ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(list_concat(a.sh, b.sh))) END AS jaccard
+FROM t a JOIN t b ON b.doc_id = a.doc_id + 1
+ORDER BY doc_a
+""",
+)
+def txt_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """n-gram Jaccard similarity between consecutive doc ids (linear-size
+    verification of the shingle-set similarity machinery)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    t = docs.select(
+        "doc_id", F.array_distinct(D.token_shingles("text", 3)).alias("sh")
+    )
+    a = t.alias("a")
+    b = t.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("sh").alias("sh_b"),
+    ).alias("b")
+    joined = a.join(b, F.col("a.doc_id") == F.col("join_id"))
+    inter = F.size(F.array_intersect(F.col("sh"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh"), F.col("sh_b")))
+    return joined.select(
+        F.col("a.doc_id").alias("doc_a"),
+        F.col("doc_b"),
+        F.when(union == 0, F.lit(0.0))
+        .otherwise(inter.cast("double") / union.cast("double"))
+        .alias("jaccard"),
+    ).orderBy("doc_a")
+
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+
+_BM25_ORACLE = f"""
+WITH t AS (
+  SELECT doc_id AS doc, {_TOKS} AS toks, len({_TOKS}) AS dl FROM documents
+), stats AS (
+  SELECT count(*) AS N, avg(dl) AS avgdl FROM t
+), dfreq AS (
+  SELECT
+    (SELECT count(*) FROM t WHERE list_contains(toks, 'spark')) AS df_spark,
+    (SELECT count(*) FROM t WHERE list_contains(toks, 'vector')) AS df_vector
+)
+SELECT doc, score FROM (
+  SELECT doc,
+    ln((N - df_spark + 0.5) / (df_spark + 0.5) + 1.0)
+      * (len(list_filter(toks, x -> x = 'spark')) * ({_BM25_K1} + 1))
+      / (len(list_filter(toks, x -> x = 'spark'))
+         + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl))
+    + ln((N - df_vector + 0.5) / (df_vector + 0.5) + 1.0)
+      * (len(list_filter(toks, x -> x = 'vector')) * ({_BM25_K1} + 1))
+      / (len(list_filter(toks, x -> x = 'vector'))
+         + {_BM25_K1} * (1 - {_BM25_B} + {_BM25_B} * dl / avgdl)) AS score
+  FROM t, stats, dfreq
+) s
+WHERE score > 0
+ORDER BY score DESC, doc
+LIMIT 10
+"""
+
+
+@query("txt_bm25", oracle=_BM25_ORACLE)
+def txt_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for query terms ('spark', 'vector') — docfreq-join
+    pipeline, no self-join (reference analog: score()/BM25 over the
+    inverted index)."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return T.bm25_rank(
+        docs, "text", "doc_id", ["spark", "vector"], k1=_BM25_K1, b=_BM25_B, limit=10
+    )

@@ -1,1 +1,208 @@
+"""Vector similarity-search queries over the embeddings table.
 
+Reference analogs: exact distance functions
+(be/src/exprs/function/array/function_array_distance.h), ANN top-n pattern
+`ORDER BY distance(col, const) LIMIT k` with planner pushdown
+(nereids/rules/rewrite/PushDownVectorTopNIntoOlapScan.java,
+be/src/storage/index/ann/faiss_ann_index.h), regression suites
+regression-test/suites/ann_index_p0/.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doris_spark.operators import vector as V
+from doris_spark.queries import query
+from doris_spark.session import load_tables
+
+# DuckDB-side: cast float list to double list (mirrors the Spark-side
+# elementwise cast in operators/vector.py).
+_DVEC = "list_transform(embedding, x -> CAST(x AS DOUBLE))"
+
+
+def _query_vec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return emb.filter(F.col("vec_id") == 0)
+
+
+@query(
+    "vec_knn_cosine",
+    oracle=f"""
+WITH q AS (SELECT {_DVEC} AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       list_inner_product({_DVEC}, qv)
+         / (sqrt(list_inner_product({_DVEC}, {_DVEC})) * sqrt(list_inner_product(qv, qv))) AS score
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY score DESC, vec_id
+LIMIT 10
+""",
+)
+def vec_knn_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 (brute force scan + TakeOrderedAndProject)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return V.knn(
+        emb.filter(F.col("vec_id") != 0),
+        _query_vec(spark, sf_dir),
+        "embedding",
+        "vec_id",
+        k=10,
+        metric="cosine",
+    )
+
+
+@query(
+    "vec_knn_l2",
+    oracle=f"""
+WITH q AS (SELECT {_DVEC} AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       sqrt(list_sum(list_transform(list_zip({_DVEC}, qv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])))) AS score
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY score ASC, vec_id
+LIMIT 10
+""",
+)
+def vec_knn_l2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact L2 top-10 nearest."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return V.knn(
+        emb.filter(F.col("vec_id") != 0),
+        _query_vec(spark, sf_dir),
+        "embedding",
+        "vec_id",
+        k=10,
+        metric="l2",
+    )
+
+
+@query(
+    "vec_knn_ip",
+    oracle=f"""
+WITH q AS (SELECT {_DVEC} AS qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id, list_inner_product({_DVEC}, qv) AS score
+FROM embeddings, q
+WHERE vec_id <> 0
+ORDER BY score DESC, vec_id
+LIMIT 10
+""",
+)
+def vec_knn_ip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inner-product top-10."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return V.knn(
+        emb.filter(F.col("vec_id") != 0),
+        _query_vec(spark, sf_dir),
+        "embedding",
+        "vec_id",
+        k=10,
+        metric="ip",
+    )
+
+
+@query(
+    "vec_array_stats",
+    oracle=f"""
+SELECT vec_id,
+       len(embedding) AS dims,
+       list_sum({_DVEC}) AS vsum,
+       list_sum({_DVEC}) / len(embedding) AS vavg,
+       CAST(list_min(embedding) AS DOUBLE) AS vmin,
+       CAST(list_max(embedding) AS DOUBLE) AS vmax,
+       sqrt(list_inner_product({_DVEC}, {_DVEC})) AS l2norm
+FROM embeddings
+WHERE vec_id < 100
+ORDER BY vec_id
+""",
+)
+def vec_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function family over the embedding column (array_sum/avg/
+    min/max + norm — Doris array function tier §2.8)."""
+    emb = load_tables(spark, sf_dir)["embeddings"].filter(F.col("vec_id") < 100)
+    dvec = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    vsum = F.aggregate(dvec, F.lit(0.0), lambda a, x: a + x)
+    return emb.select(
+        "vec_id",
+        F.size("embedding").alias("dims"),
+        vsum.alias("vsum"),
+        (vsum / F.size("embedding")).alias("vavg"),
+        F.array_min("embedding").cast("double").alias("vmin"),
+        F.array_max("embedding").cast("double").alias("vmax"),
+        F.sqrt(V.dot("embedding", "embedding")).alias("l2norm"),
+    ).orderBy("vec_id")
+
+
+@query(
+    "vec_centroids",
+    oracle=f"""
+SELECT label, i - 1 AS dim, round(avg(v), 8) AS centroid_v
+FROM (
+  SELECT label, unnest({_DVEC}) AS v, generate_subscripts(embedding, 1) AS i
+  FROM embeddings
+) x
+WHERE i <= 8
+GROUP BY label, i
+ORDER BY label, dim
+""",
+)
+def vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroids (first 8 dims): posexplode + groupBy(label, dim).
+    Rounded to 8 decimals — cross-row float summation order differs between
+    engines. At 100TB this is the classic partial-agg shuffle (rows explode
+    ×dims but partial sums collapse per partition before shuffling)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    return (
+        emb.select("label", F.posexplode(F.col("embedding")).alias("dim", "v"))
+        .filter(F.col("dim") < 8)
+        .groupBy("label", "dim")
+        .agg(F.round(F.avg(F.col("v").cast("double")), 8).alias("centroid_v"))
+        .orderBy("label", "dim")
+    )
+
+
+@query(
+    "vec_label_sim",
+    oracle=f"""
+WITH pairs AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                  list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
+           / (sqrt(list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
+                            list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
+            * sqrt(list_inner_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
+                            list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) AS sim
+  FROM embeddings a JOIN embeddings b
+    ON a.label = b.label AND a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(sim, 10) AS sim
+FROM pairs
+WHERE round(sim, 10) > 0.35
+ORDER BY id_a, id_b
+""",
+)
+def vec_label_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-duplicate detection within label groups: cosine > 0.35
+    pairs. The label equi-join keys the self-join so the quadratic blow-up
+    is per-group, not global (LSH bucketing generalizes this — see
+    operators/vector.lsh_bucketed_knn)."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    a = emb.select(
+        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
+    )
+    b = emb.select(
+        F.col("label").alias("label_b"),
+        F.col("vec_id").alias("id_b"),
+        F.col("embedding").alias("eb"),
+    )
+    pairs = a.join(
+        b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
+    )
+    sim = V.cosine_similarity("ea", "eb")
+    return (
+        pairs.select("id_a", "id_b", F.round(sim, 10).alias("sim"))
+        .filter(F.col("sim") > 0.35)
+        .orderBy("id_a", "id_b")
+    )

@@ -114,9 +114,10 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     for field in arrow_schema:
         t = field.type
         if str(t).startswith("timestamp[ns"):
+            # Integer division — double division loses precision at 1e18 ns.
             df = df.withColumn(
                 field.name,
-                F.timestamp_micros(F.floor(F.col(field.name) / F.lit(1000)).cast("long")),
+                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
             )
     return df
 
