@@ -1,0 +1,275 @@
+"""Doris scalar-function registry → Spark SQL temporary functions.
+
+Reference: fe/fe-core/src/main/java/org/apache/doris/catalog/
+BuiltinScalarFunctions.java (575 registrations; C++ impls under
+be/src/exprs/function/). Spark already exposes most names natively
+(SURVEY §2.8 maps the tiers); this module registers the *Doris-only*
+names as **SQL UDFs** (CREATE TEMPORARY FUNCTION ... RETURN expr) —
+they inline into Catalyst plans and stay inside whole-stage codegen,
+unlike Python UDFs. No Python in any of these.
+
+Each entry: name -> (typed parameter list, return expression). Types are
+chosen to match Doris semantics documented in the reference impl files.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import SparkSession
+
+# name -> (params-SQL, body-SQL). Registered as:
+#   CREATE OR REPLACE TEMPORARY FUNCTION name(params) RETURNS ... RETURN body
+# (return type inferred by Spark from the body).
+DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
+    # ---- date/time arithmetic family (be/src/exprs/function/
+    #      function_date_or_datetime_computation.cpp)
+    "years_add": ("t TIMESTAMP, n INT", "t + make_interval(n)"),
+    "years_sub": ("t TIMESTAMP, n INT", "t - make_interval(n)"),
+    "months_add": ("t TIMESTAMP, n INT", "t + make_interval(0, n)"),
+    "months_sub": ("t TIMESTAMP, n INT", "t - make_interval(0, n)"),
+    "weeks_add": ("t TIMESTAMP, n INT", "t + make_interval(0, 0, n)"),
+    "weeks_sub": ("t TIMESTAMP, n INT", "t - make_interval(0, 0, n)"),
+    "days_add": ("t TIMESTAMP, n INT", "t + make_interval(0, 0, 0, n)"),
+    "days_sub": ("t TIMESTAMP, n INT", "t - make_interval(0, 0, 0, n)"),
+    "hours_add": ("t TIMESTAMP, n INT", "t + make_interval(0, 0, 0, 0, n)"),
+    "hours_sub": ("t TIMESTAMP, n INT", "t - make_interval(0, 0, 0, 0, n)"),
+    "minutes_add": ("t TIMESTAMP, n INT", "t + make_interval(0, 0, 0, 0, 0, n)"),
+    "minutes_sub": ("t TIMESTAMP, n INT", "t - make_interval(0, 0, 0, 0, 0, n)"),
+    "seconds_add": ("t TIMESTAMP, n INT", "t + make_interval(0, 0, 0, 0, 0, 0, n)"),
+    "seconds_sub": ("t TIMESTAMP, n INT", "t - make_interval(0, 0, 0, 0, 0, 0, n)"),
+    "years_diff": ("a TIMESTAMP, b TIMESTAMP", "timestampdiff(YEAR, b, a)"),
+    "months_diff": ("a TIMESTAMP, b TIMESTAMP", "timestampdiff(MONTH, b, a)"),
+    "weeks_diff": ("a TIMESTAMP, b TIMESTAMP", "timestampdiff(WEEK, b, a)"),
+    "days_diff": ("a TIMESTAMP, b TIMESTAMP", "timestampdiff(DAY, b, a)"),
+    "hours_diff": ("a TIMESTAMP, b TIMESTAMP", "timestampdiff(HOUR, b, a)"),
+    "minutes_diff": ("a TIMESTAMP, b TIMESTAMP", "timestampdiff(MINUTE, b, a)"),
+    "seconds_diff": ("a TIMESTAMP, b TIMESTAMP", "timestampdiff(SECOND, b, a)"),
+    # per-unit floor/ceil (function_datetime_floor_ceil.cpp)
+    "year_floor": ("t TIMESTAMP", "date_trunc('YEAR', t)"),
+    "month_floor": ("t TIMESTAMP", "date_trunc('MONTH', t)"),
+    "week_floor": ("t TIMESTAMP", "date_trunc('WEEK', t)"),
+    "day_floor": ("t TIMESTAMP", "date_trunc('DAY', t)"),
+    "hour_floor": ("t TIMESTAMP", "date_trunc('HOUR', t)"),
+    "minute_floor": ("t TIMESTAMP", "date_trunc('MINUTE', t)"),
+    "second_floor": ("t TIMESTAMP", "date_trunc('SECOND', t)"),
+    "year_ceil": (
+        "t TIMESTAMP",
+        "CASE WHEN t = date_trunc('YEAR', t) THEN t ELSE date_trunc('YEAR', t) + make_interval(1) END",
+    ),
+    "month_ceil": (
+        "t TIMESTAMP",
+        "CASE WHEN t = date_trunc('MONTH', t) THEN t ELSE date_trunc('MONTH', t) + make_interval(0, 1) END",
+    ),
+    "day_ceil": (
+        "t TIMESTAMP",
+        "CASE WHEN t = date_trunc('DAY', t) THEN t ELSE date_trunc('DAY', t) + make_interval(0, 0, 0, 1) END",
+    ),
+    "hour_ceil": (
+        "t TIMESTAMP",
+        "CASE WHEN t = date_trunc('HOUR', t) THEN t ELSE date_trunc('HOUR', t) + make_interval(0, 0, 0, 0, 1) END",
+    ),
+    "minute_ceil": (
+        "t TIMESTAMP",
+        "CASE WHEN t = date_trunc('MINUTE', t) THEN t ELSE date_trunc('MINUTE', t) + make_interval(0, 0, 0, 0, 0, 1) END",
+    ),
+    "second_ceil": (
+        "t TIMESTAMP",
+        "CASE WHEN t = date_trunc('SECOND', t) THEN t ELSE date_trunc('SECOND', t) + make_interval(0, 0, 0, 0, 0, 0, 1) END",
+    ),
+    "yearweek": ("t TIMESTAMP", "year(t) * 100 + weekofyear(t)"),
+    "to_monday": ("t TIMESTAMP", "CAST(date_trunc('WEEK', t) AS DATE)"),
+    "time_to_sec": ("t TIMESTAMP", "hour(t) * 3600 + minute(t) * 60 + second(t)"),
+    "sec_to_time": (
+        "s BIGINT",
+        "lpad(CAST(s div 3600 AS STRING), 2, '0') || ':' || "
+        "lpad(CAST((s % 3600) div 60 AS STRING), 2, '0') || ':' || "
+        "lpad(CAST(s % 60 AS STRING), 2, '0')",
+    ),
+    # Doris to_days: days since year 0 (proleptic); Spark min date is 0001-01-01,
+    # offset 719528 = to_days('1970-01-01').
+    "to_days": ("d DATE", "datediff(d, DATE '1970-01-01') + 719528"),
+    "from_days": (
+        # days-since-year-0; NULL outside Spark's proleptic range (Doris
+        # returns NULL for out-of-range dates)
+        "n BIGINT",
+        "CASE WHEN n < 366 OR n > 4371587 THEN NULL "
+        "ELSE date_add(DATE '1970-01-01', CAST(n - 719528 AS INT)) END",
+    ),
+    "datev2": ("s STRING", "try_cast(s AS DATE)"),
+    "str_to_date": ("s STRING, fmt STRING", "try_to_timestamp(s, fmt)"),
+    "utc_timestamp": ("", "to_utc_timestamp(current_timestamp(), current_timezone())"),
+    # ---- numeric (be/src/exprs/function/math.cpp, round.cpp)
+    "round_bankers": ("x DOUBLE, d INT", "bround(x * pow(10, d)) / pow(10, d)"),
+    "truncate": (
+        "x DOUBLE, d INT",
+        "CASE WHEN x >= 0 THEN floor(x * pow(10, d)) / pow(10, d) "
+        "ELSE ceil(x * pow(10, d)) / pow(10, d) END",
+    ),
+    "dexp": ("x DOUBLE", "exp(x)"),
+    "dlog10": ("x DOUBLE", "log10(x)"),
+    "dsqrt": ("x DOUBLE", "sqrt(x)"),
+    "fmod": ("a DOUBLE, b DOUBLE", "a - b * CAST(CAST(a / b AS BIGINT) AS DOUBLE)"),
+    "normal_cdf": (
+        # erf via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7) — Spark has no erf
+        "mu DOUBLE, sigma DOUBLE, x DOUBLE",
+        "CASE WHEN x IS NULL OR mu IS NULL OR sigma IS NULL THEN NULL ELSE "
+        "0.5 * (1.0 + sign(x - mu) * (1.0 - "
+        "(0.254829592 * (1.0 / (1.0 + 0.3275911 * (abs(x - mu) / (sigma * sqrt(2.0))))) "
+        "- 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (abs(x - mu) / (sigma * sqrt(2.0)))), 2) "
+        "+ 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (abs(x - mu) / (sigma * sqrt(2.0)))), 3) "
+        "- 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (abs(x - mu) / (sigma * sqrt(2.0)))), 4) "
+        "+ 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (abs(x - mu) / (sigma * sqrt(2.0)))), 5)) "
+        "* exp(-pow((x - mu) / (sigma * sqrt(2.0)), 2)))) END",
+    ),
+    # ---- string (function_string.cpp et al.)
+    "strleft": ("s STRING, n INT", "left(s, n)"),
+    "strright": ("s STRING, n INT", "right(s, n)"),
+    "append_trailing_char_if_absent": (
+        "s STRING, c STRING",
+        "CASE WHEN endswith(s, c) THEN s ELSE s || c END",
+    ),
+    "null_or_empty": ("s STRING", "s IS NULL OR s = ''"),
+    "not_null_or_empty": ("s STRING", "s IS NOT NULL AND s <> ''"),
+    "strcmp": ("a STRING, b STRING", "CASE WHEN a < b THEN -1 WHEN a > b THEN 1 ELSE 0 END"),
+    "field": ("x STRING, arr ARRAY<STRING>", "coalesce(array_position(arr, x), 0)"),
+    "money_format": (
+        "x DOUBLE",
+        "format_number(x, 2)",
+    ),
+    "split_by_string": ("s STRING, sep STRING", "split(s, '\\\\Q' || sep || '\\\\E')"),
+    "split_by_regexp": ("s STRING, pat STRING", "split(s, pat)"),
+    "substring_index_doris": ("s STRING, sep STRING, n INT", "substring_index(s, sep, n)"),
+    "is_uuid": (
+        "s STRING",
+        "s rlike '^[0-9a-fA-F]{8}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{4}-[0-9a-fA-F]{12}$'",
+    ),
+    "uuid_numeric": ("", "CAST(conv(substr(replace(uuid(), '-', ''), 1, 15), 16, 10) AS BIGINT)"),
+    "ends_with": ("s STRING, suffix STRING", "endswith(s, suffix)"),
+    "starts_with": ("s STRING, prefix STRING", "startswith(s, prefix)"),
+    "hamming_distance": (
+        "a STRING, b STRING",
+        "CASE WHEN length(a) <> length(b) THEN NULL ELSE "
+        "size(filter(sequence(1, length(a)), i -> substr(a, i, 1) <> substr(b, i, 1))) END",
+    ),
+    "ngram_search": (
+        # trigram similarity of b within a (function_levenshtein.cpp variant):
+        # |trigrams(a) ∩ trigrams(b)| / |trigrams(b)|
+        "a STRING, b STRING",
+        "CASE WHEN length(b) < 3 THEN CAST(NULL AS DOUBLE) ELSE "
+        "CAST(size(array_intersect("
+        "  array_distinct(transform(sequence(1, greatest(length(a) - 2, 0)), i -> substr(a, i, 3))),"
+        "  array_distinct(transform(sequence(1, greatest(length(b) - 2, 0)), i -> substr(b, i, 3)))"
+        ")) AS DOUBLE) / size(array_distinct(transform(sequence(1, greatest(length(b) - 2, 0)), i -> substr(b, i, 3)))) END",
+    ),
+    # ---- conditional (if.cpp, function_ifnull.h)
+    "non_nullable": ("x STRING", "assert_true(x IS NOT NULL, 'non_nullable got NULL')"),
+    # ---- bit (function_bit.cpp, function_bit_shift.cpp)
+    "bitand": ("a BIGINT, b BIGINT", "a & b"),
+    "bitor": ("a BIGINT, b BIGINT", "a | b"),
+    "bitxor": ("a BIGINT, b BIGINT", "a ^ b"),
+    "bitnot": ("a BIGINT", "~a"),
+    "bit_shift_left": ("a BIGINT, n INT", "shiftleft(a, n)"),
+    "bit_shift_right": ("a BIGINT, n INT", "shiftright(a, n)"),
+    "bit_test": ("a BIGINT, pos INT", "CAST((a >> pos) & 1 AS TINYINT)"),
+    # ---- IP (function_ip.cpp) — IPv4 stored as BIGINT
+    "ipv4_num_to_string": (
+        "n BIGINT",
+        "CASE WHEN n < 0 OR n > 4294967295 THEN NULL ELSE "
+        "concat_ws('.', CAST((n >> 24) & 255 AS STRING), CAST((n >> 16) & 255 AS STRING), "
+        "CAST((n >> 8) & 255 AS STRING), CAST(n & 255 AS STRING)) END",
+    ),
+    "ipv4_string_to_num": (
+        "s STRING",
+        "CASE WHEN s rlike '^([0-9]{1,3}\\\\.){3}[0-9]{1,3}$' THEN "
+        "CAST(split(s, '\\\\.')[0] AS BIGINT) * 16777216 + CAST(split(s, '\\\\.')[1] AS BIGINT) * 65536 "
+        "+ CAST(split(s, '\\\\.')[2] AS BIGINT) * 256 + CAST(split(s, '\\\\.')[3] AS BIGINT) ELSE NULL END",
+    ),
+    "is_ipv4_string": (
+        "s STRING",
+        "s rlike '^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$'",
+    ),
+    "inet_aton": (
+        "s STRING",
+        "CASE WHEN s rlike '^([0-9]{1,3}\\\\.){3}[0-9]{1,3}$' THEN "
+        "CAST(split(s, '\\\\.')[0] AS BIGINT) * 16777216 + CAST(split(s, '\\\\.')[1] AS BIGINT) * 65536 "
+        "+ CAST(split(s, '\\\\.')[2] AS BIGINT) * 256 + CAST(split(s, '\\\\.')[3] AS BIGINT) ELSE NULL END",
+    ),
+    "inet_ntoa": (
+        "n BIGINT",
+        "CASE WHEN n < 0 OR n > 4294967295 THEN NULL ELSE "
+        "concat_ws('.', CAST((n >> 24) & 255 AS STRING), CAST((n >> 16) & 255 AS STRING), "
+        "CAST((n >> 8) & 255 AS STRING), CAST(n & 255 AS STRING)) END",
+    ),
+    # ---- array family (be/src/exprs/function/array/)
+    "array_sum": ("a ARRAY<DOUBLE>", "aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"),
+    "array_avg": (
+        "a ARRAY<DOUBLE>",
+        "CASE WHEN size(a) = 0 THEN NULL ELSE aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / size(a) END",
+    ),
+    "array_product": ("a ARRAY<DOUBLE>", "aggregate(a, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"),
+    "array_cum_sum": (
+        "a ARRAY<DOUBLE>",
+        "transform(sequence(1, size(a)), i -> aggregate(slice(a, 1, i), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))",
+    ),
+    "array_difference": (
+        "a ARRAY<DOUBLE>",
+        "transform(sequence(1, size(a)), i -> CASE WHEN i = 1 THEN CAST(0.0 AS DOUBLE) ELSE a[i-1] - a[i-2] END)",
+    ),
+    "array_enumerate": ("a ARRAY<STRING>", "sequence(1, size(a))"),
+    "array_first": ("a ARRAY<STRING>", "a[0]"),
+    "array_last": ("a ARRAY<STRING>", "a[size(a) - 1]"),
+    "array_count": ("a ARRAY<BOOLEAN>", "size(filter(a, x -> x))"),
+    "array_range": ("n INT", "sequence(0, n - 1)"),
+    "array_popback": ("a ARRAY<STRING>", "slice(a, 1, size(a) - 1)"),
+    "array_popfront": ("a ARRAY<STRING>", "slice(a, 2, size(a) - 1)"),
+    "array_pushback": ("a ARRAY<STRING>, x STRING", "concat(a, array(x))"),
+    "array_pushfront": ("a ARRAY<STRING>, x STRING", "concat(array(x), a)"),
+    "array_concat": ("a ARRAY<STRING>, b ARRAY<STRING>", "concat(a, b)"),
+    "array_slice": ("a ARRAY<STRING>, off INT, len INT", "slice(a, off, len)"),
+    "array_reverse_sort": ("a ARRAY<STRING>", "reverse(array_sort(a))"),
+    "l2_distance": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))",
+    ),
+    "inner_product": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+    ),
+    "cosine_distance": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "1.0 - aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / "
+        "(sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * "
+        "sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))",
+    ),
+    "cosine_similarity": (
+        "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+        "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v) / "
+        "(sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * "
+        "sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))",
+    ),
+    # ---- JSON (function_jsonb.cpp) — Doris jsonb_* over Spark JSON exprs
+    "jsonb_extract_string": ("j STRING, p STRING", "get_json_object(j, p)"),
+    "jsonb_extract_int": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS INT)"),
+    "jsonb_extract_bigint": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS BIGINT)"),
+    "jsonb_extract_double": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS DOUBLE)"),
+    "jsonb_extract_bool": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS BOOLEAN)"),
+    "json_extract_doris": ("j STRING, p STRING", "get_json_object(j, p)"),
+    "json_unquote": ("j STRING", "regexp_replace(j, '^\"|\"$', '')"),
+    "json_valid": (
+        "j STRING",
+        "CASE WHEN j IS NULL THEN NULL WHEN try_to_number(j, '999999999999.999999') IS NOT NULL "
+        "OR j IN ('true', 'false', 'null') OR (startswith(j, '{') AND endswith(j, '}') AND get_json_object(j, '$') IS NOT NULL) "
+        "OR (startswith(j, '[') AND endswith(j, ']') AND json_array_length(j) IS NOT NULL) THEN true ELSE false END",
+    ),
+    "json_length_doris": ("j STRING", "json_array_length(j)"),
+    # ---- misc/system (SURVEY §2.8 misc tier)
+}
+
+
+def register_all(spark: SparkSession) -> int:
+    """Install the Doris-only function names as SQL temporary functions.
+    Returns the number registered. Idempotent (CREATE OR REPLACE)."""
+    n = 0
+    for name, (params, body) in DORIS_SQL_FUNCTIONS.items():
+        spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) RETURN {body}")
+        n += 1
+    return n

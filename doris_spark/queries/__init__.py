@@ -39,6 +39,7 @@ def load_all() -> None:
     """Import every query module (side effect: fills QUERIES/ORACLES)."""
     from doris_spark.queries import (  # noqa: F401
         analytics,
+        doris_fns,
         events,
         text,
         tpch,

@@ -83,7 +83,13 @@ def get_spark(app_name: str = "doris_spark", cpus: int | None = None) -> SparkSe
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
         .config("spark.ui.enabled", "false")
     )
-    return builder.getOrCreate()
+    spark = builder.getOrCreate()
+    # Install the Doris-only function-name surface (SQL UDFs, §2.8) so Doris
+    # SQL runs unmodified against this session.
+    from doris_spark.functions import register_all
+
+    register_all(spark)
+    return spark
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:

@@ -1,0 +1,83 @@
+"""Unit checks for the Doris function registry: every registered name must
+be callable through spark.sql, and a sample of semantics is pinned."""
+
+from __future__ import annotations
+
+import pytest
+
+from doris_spark.functions import DORIS_SQL_FUNCTIONS
+
+SMOKE_ARGS = {
+    "TIMESTAMP": "TIMESTAMP '1997-06-15 10:30:45'",
+    "DATE": "DATE '1997-06-15'",
+    "INT": "3",
+    "BIGINT": "7",
+    "DOUBLE": "2.5d",
+    "STRING": "'ab'",
+    "ARRAY<STRING>": "array('a', 'b')",
+    "ARRAY<DOUBLE>": "array(1.0d, 2.0d)",
+    "ARRAY<BOOLEAN>": "array(true, false)",
+}
+
+
+# Functions whose generic smoke args would be semantically invalid.
+SMOKE_OVERRIDES = {
+    "str_to_date": ["'1997-06-15'", "'yyyy-MM-dd'"],
+}
+
+
+@pytest.mark.parametrize("name", sorted(DORIS_SQL_FUNCTIONS))
+def test_function_callable(name, spark):
+    params, _ = DORIS_SQL_FUNCTIONS[name]
+    if name in SMOKE_OVERRIDES:
+        args = SMOKE_OVERRIDES[name]
+    else:
+        args = []
+        for p in [p.strip() for p in params.split(",") if p.strip()]:
+            typ = p.split(None, 1)[1].strip().upper()
+            args.append(SMOKE_ARGS[typ])
+    spark.sql(f"SELECT {name}({', '.join(args)}) AS v").collect()
+
+
+PINNED = [
+    ("years_add(TIMESTAMP '1996-02-29 00:00:00', 1)", "1997-02-28 00:00:00"),
+    ("sec_to_time(3725)", "01:02:05"),
+    ("round_bankers(2.5d, 0)", 2.0),
+    ("round_bankers(3.5d, 0)", 4.0),
+    ("truncate(-2.789d, 2)", -2.78),
+    ("strcmp('b', 'a')", 1),
+    ("field('c', array('a','b','c'))", 3),
+    ("field('z', array('a','b','c'))", 0),
+    ("hamming_distance('karolin', 'kathrin')", 3),
+    ("bitand(6, 3)", 2),
+    ("bit_test(5, 2)", 1),
+    ("ipv4_num_to_string(3232235777)", "192.168.1.1"),
+    ("ipv4_string_to_num('192.168.1.1')", 3232235777),
+    ("is_ipv4_string('256.1.1.1')", False),
+    ("array_cum_sum(array(1.0d, 2.0d, 3.0d))", [1.0, 3.0, 6.0]),
+    ("array_difference(array(1.0d, 4.0d, 9.0d))", [0.0, 3.0, 5.0]),
+    ("l2_distance(array(0.0d, 0.0d), array(3.0d, 4.0d))", 5.0),
+    ("jsonb_extract_bigint('{\"k\": 87}', '$.k')", 87),
+    ("to_days(DATE '1970-01-01')", 719528),
+    ("split_by_string('a.b.c', '.')", ["a", "b", "c"]),
+]
+
+
+@pytest.mark.parametrize("expr,expected", PINNED)
+def test_pinned_semantics(expr, expected, spark):
+    got = spark.sql(f"SELECT {expr} AS v").collect()[0][0]
+    if isinstance(expected, float):
+        assert abs(got - expected) < 1e-9, f"{expr}: {got} != {expected}"
+    elif isinstance(expected, str) and ":" in expected and "-" in expected:
+        assert str(got) == expected, f"{expr}: {got} != {expected}"
+    else:
+        assert got == expected, f"{expr}: {got} != {expected}"
+
+
+def test_normal_cdf_accuracy(spark):
+    import math
+
+    for z in (-2.5, -1.0, 0.0, 0.5, 1.96, 3.0):
+        got = spark.sql(f"SELECT normal_cdf(0.0d, 1.0d, {z}d) AS v").collect()[0][0]
+        want = 0.5 * (1 + math.erf(z / math.sqrt(2)))
+        assert abs(got - want) < 2e-7, f"z={z}: {got} vs {want}"
