@@ -1,0 +1,54 @@
+"""Recursive CTE (WITH RECURSIVE) as a driver-side fixpoint loop.
+
+Reference analog: rec_cte sink/source/scan operators
+(be/src/exec/operator/rec_cte_sink_operator.h:33, rec_cte_source_operator.h,
+rec_cte_scan_operator.h; FE LogicalRecursiveUnion.java). Spark has no
+native recursive query, so the recursive union is unrolled by the driver:
+each iteration is a full Catalyst-optimized plan over the previous
+frontier.
+
+Scale design:
+- UNION DISTINCT mode subtracts the accumulated result from each new
+  frontier (the standard semi-naive evaluation — only *new* rows feed the
+  next step), so work per iteration is proportional to the frontier, not
+  the accumulated set.
+- localCheckpoint() truncates lineage each iteration; without it the plan
+  tree doubles per step and the driver OOMs on plan serialization long
+  before data is a problem.
+- Emptiness is tested with isEmpty() (limit-1 scan), not count().
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame
+
+
+def recursive_union(
+    anchor: DataFrame,
+    step: Callable[[DataFrame], DataFrame],
+    distinct: bool = True,
+    max_iterations: int = 100,
+    checkpoint_every: int = 1,
+) -> DataFrame:
+    """Evaluate WITH RECURSIVE: anchor UNION [ALL] step(frontier) ...
+
+    `step` maps the previous iteration's frontier to the next candidate
+    rows (same schema). Returns the accumulated result. Raises if
+    max_iterations is exceeded (matching the reference's
+    max_recursion_depth guard).
+    """
+    frontier = anchor.localCheckpoint(eager=True)
+    result = frontier
+    for i in range(max_iterations):
+        nxt = step(frontier)
+        if distinct:
+            nxt = nxt.distinct().subtract(result)
+        if (i + 1) % checkpoint_every == 0:
+            nxt = nxt.localCheckpoint(eager=True)
+        if nxt.isEmpty():
+            return result
+        result = result.unionByName(nxt).localCheckpoint(eager=True)
+        frontier = nxt
+    raise RuntimeError(f"recursive_union: no fixpoint after {max_iterations} iterations")

@@ -38,6 +38,7 @@ def query(name: str, oracle: Optional[str] = None):
 def load_all() -> None:
     """Import every query module (side effect: fills QUERIES/ORACLES)."""
     from doris_spark.queries import (  # noqa: F401
+        advanced,
         analytics,
         doris_fns,
         events,

@@ -1,0 +1,207 @@
+"""Recursive CTE + sketch-family queries (driver correctness gate)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from doris_spark.functions import sketches as SK
+from doris_spark.plans.recursive_cte import recursive_union
+from doris_spark.queries import query
+from doris_spark.session import load_tables
+
+
+@query(
+    "rec_cte_bfs",
+    oracle="""
+WITH RECURSIVE
+edges AS (
+  SELECT n_nationkey AS src, (n_nationkey * 2 + 1) % 25 AS dst FROM nation
+  UNION ALL
+  SELECT n_nationkey AS src, (n_nationkey * 3 + 2) % 25 AS dst FROM nation
+),
+reach(node, depth) AS (
+  SELECT 0 AS node, 0 AS depth
+  UNION
+  SELECT e.dst AS node, r.depth + 1 AS depth
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 10
+)
+SELECT node, min(depth) AS min_depth
+FROM reach GROUP BY node ORDER BY node
+""",
+)
+def rec_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE reachability (BFS depths) over a derived graph —
+    driver fixpoint loop (plans/recursive_cte.py; reference analog
+    rec_cte_*_operator.h). min(depth) per node makes the result
+    independent of visit multiplicity."""
+    nation = load_tables(spark, sf_dir)["nation"]
+    e1 = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("src"),
+        ((F.col("n_nationkey") * 2 + 1) % 25).cast("bigint").alias("dst"),
+    )
+    e2 = nation.select(
+        F.col("n_nationkey").cast("bigint").alias("src"),
+        ((F.col("n_nationkey") * 3 + 2) % 25).cast("bigint").alias("dst"),
+    )
+    edges = e1.unionByName(e2)
+    anchor = spark.createDataFrame([(0, 0)], "node BIGINT, depth INT")
+
+    def step(frontier: DataFrame) -> DataFrame:
+        return (
+            frontier.filter(F.col("depth") < 10)
+            .join(edges, F.col("src") == F.col("node"))
+            .select(F.col("dst").alias("node"), (F.col("depth") + 1).alias("depth"))
+        )
+
+    reach = recursive_union(anchor, step, distinct=True, max_iterations=30)
+    return reach.groupBy("node").agg(F.min("depth").alias("min_depth")).orderBy("node")
+
+
+@query(
+    "sketch_bitmap",
+    oracle="""
+WITH per_flag AS (
+  SELECT l_returnflag, list_sort(list(DISTINCT l_suppkey)) AS bm
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT a.l_returnflag AS flag_a, b.l_returnflag AS flag_b,
+       len(a.bm) AS card_a,
+       len(list_intersect(a.bm, b.bm)) AS and_count,
+       len(list_distinct(list_concat(a.bm, b.bm))) AS or_count,
+       len(list_filter(a.bm, x -> NOT list_contains(b.bm, x)))
+         + len(list_filter(b.bm, x -> NOT list_contains(a.bm, x))) AS xor_count,
+       list_contains(a.bm, 3) AS has_3
+FROM per_flag a JOIN per_flag b ON a.l_returnflag < b.l_returnflag
+ORDER BY flag_a, flag_b
+""",
+)
+def sketch_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BITMAP family: bitmap_agg per group, then and/or/xor/contains
+    between group bitmaps (exact distinct-set semantics; array<bigint>
+    representation — see functions/sketches.py)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per_flag = li.groupBy("l_returnflag").agg(SK.bitmap_agg("l_suppkey").alias("bm"))
+    a = per_flag.select(F.col("l_returnflag").alias("flag_a"), F.col("bm").alias("bm_a"))
+    b = per_flag.select(F.col("l_returnflag").alias("flag_b"), F.col("bm").alias("bm_b"))
+    pairs = a.join(b, F.col("flag_a") < F.col("flag_b"))
+    return pairs.select(
+        "flag_a",
+        "flag_b",
+        SK.bitmap_count("bm_a").alias("card_a"),
+        SK.bitmap_count(SK.bitmap_and("bm_a", "bm_b")).alias("and_count"),
+        SK.bitmap_count(SK.bitmap_or("bm_a", "bm_b")).alias("or_count"),
+        SK.bitmap_count(SK.bitmap_xor("bm_a", "bm_b")).alias("xor_count"),
+        SK.bitmap_contains("bm_a", 3).alias("has_3"),
+    ).orderBy("flag_a", "flag_b")
+
+
+@query(
+    "sketch_bitmap_count",
+    oracle="""
+SELECT l_linestatus,
+       count(DISTINCT l_suppkey) AS supp_ndv,
+       count(DISTINCT l_partkey) AS part_ndv
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def sketch_bitmap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bitmap_union_count == exact COUNT(DISTINCT) — the Doris pattern of
+    keeping pre-aggregated bitmap columns and counting their union."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_linestatus")
+        .agg(
+            SK.bitmap_union_count("l_suppkey").alias("supp_ndv"),
+            SK.bitmap_union_count("l_partkey").alias("part_ndv"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "sketch_hll",
+    oracle="""
+SELECT o_orderstatus,
+       count(DISTINCT o_custkey) AS exact_ndv,
+       CASE WHEN abs(approx_count_distinct(o_custkey) - count(DISTINCT o_custkey))
+                 <= greatest(0.05 * count(DISTINCT o_custkey), 5) THEN 1 ELSE 0 END
+         AS ndv_within_5pct
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketches (DataSketches-backed): two-level union-merge — partial
+    sketches per (status, priority) merged per status, exactly the Doris
+    hll_union rollup pattern. The estimate is checked as within-5%-of-exact
+    (each engine evaluates its own sketch; estimates themselves differ)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    partial = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        F.expr("count(DISTINCT o_custkey)").alias("part_ndv"),
+    )
+    merged = partial.groupBy("o_orderstatus").agg(
+        SK.hll_cardinality(SK.hll_union_agg("sk")).alias("est"),
+    )
+    exact = o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("exact_ndv")
+    )
+    return (
+        merged.join(exact, "o_orderstatus")
+        .select(
+            "o_orderstatus",
+            "exact_ndv",
+            F.when(
+                F.abs(F.col("est") - F.col("exact_ndv"))
+                <= F.greatest(0.05 * F.col("exact_ndv"), F.lit(5.0)),
+                1,
+            )
+            .otherwise(0)
+            .alias("ndv_within_5pct"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "sketch_quantile",
+    oracle="""
+SELECT l_returnflag,
+       CASE WHEN abs(approx_quantile(l_extendedprice, 0.5)
+                     - quantile_cont(l_extendedprice, 0.5))
+                 <= 0.05 * quantile_cont(l_extendedprice, 0.5) THEN 1 ELSE 0 END
+         AS p50_within_5pct,
+       quantile_disc(l_extendedprice, 0.5) AS p50_disc
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUANTILE_STATE: percentile_approx sketch vs exact percentile, checked
+    as within-5% (sketches differ between engines)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.when(
+                F.abs(
+                    SK.quantile_percent("l_extendedprice", 0.5)
+                    - F.percentile("l_extendedprice", 0.5)
+                )
+                <= 0.05 * F.percentile("l_extendedprice", 0.5),
+                1,
+            )
+            .otherwise(0)
+            .alias("p50_within_5pct"),
+            F.expr(
+                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
+            ).alias("p50_disc"),
+        )
+        .orderBy("l_returnflag")
+    )

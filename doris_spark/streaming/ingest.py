@@ -1,0 +1,121 @@
+"""Streaming ingest + stateful processing.
+
+Reference analogs:
+- Routine Load (Kafka → table, exactly-once): fe/.../load/routineload/
+  RoutineLoadJob.java, be/src/load/routine_load/data_consumer.h:127 →
+  `spark.readStream.format("kafka")` + foreachBatch + checkpoint. Kafka
+  isn't available in this container, so the file source stands in — the
+  plan shape (source → transform → sink w/ checkpoint) is identical.
+- Stream Load (HTTP micro-batch push): be/src/load/stream_load/ → file/
+  directory streaming source (each dropped file = one micro-batch).
+- UNIQUE_KEYS upsert with sequence column: KeysType.java:28,
+  partial_update_info.h → foreachBatch merge keeping max-sequence row.
+- Group commit / MTMV incremental refresh: micro-batching + incremental
+  windowed aggregation with watermark.
+
+The batch views in operators/table_models.py and these streaming writers
+produce identical table states (tested in tests/test_streaming.py).
+"""
+
+from __future__ import annotations
+
+import os
+from collections.abc import Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader takes
+# it as long (nanosAsLong) and converts like the batch path.
+EVENTS_STREAM_SCHEMA = StructType(
+    [
+        StructField("event_id", LongType()),
+        StructField("ts", LongType()),
+        StructField("user_id", LongType()),
+        StructField("event_type", StringType()),
+        StructField("value", DoubleType()),
+        StructField("props", StringType()),
+    ]
+)
+
+
+def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
+    """File streaming source over the events fixture (stream-load parity:
+    every new file in `path` becomes a micro-batch)."""
+    raw = (
+        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(path)
+    )
+    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
+    """Watermarked tumbling-window aggregation — incremental MTMV analog.
+    Late rows beyond the watermark are dropped (the reference instead
+    upserts them via UNIQUE keys; both paths are provided)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "cnt", "total_value")
+    )
+
+
+def upsert_writer(
+    target_dir: str,
+    keys: Sequence[str],
+    sequence_col: str,
+    tiebreak: Sequence[str] = (),
+):
+    """foreachBatch UNIQUE_KEYS merge: each micro-batch is merged into the
+    target (parquet dir) keeping the max-sequence row per key — Doris
+    merge-on-write analog. On Delta/Iceberg this would be MERGE INTO; on
+    plain parquet we rewrite the (small) merged state, which is the
+    overwrite-refresh MTMV pattern."""
+    from doris_spark.operators.table_models import unique_key_view
+
+    def write(batch: DataFrame, batch_id: int) -> None:
+        spark = batch.sparkSession
+        if os.path.exists(target_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(target_dir)
+        ):
+            current = spark.read.parquet(target_dir)
+            merged_src = current.unionByName(batch)
+        else:
+            merged_src = batch
+        merged = unique_key_view(
+            merged_src, keys=keys, sequence_col=sequence_col, tiebreak=tiebreak
+        )
+        # Write to a temp dir then atomically swap — a micro-batch must not
+        # read its own partial output.
+        tmp = target_dir.rstrip("/") + f".tmp{batch_id}"
+        merged.write.mode("overwrite").parquet(tmp)
+        import shutil
+
+        if os.path.exists(target_dir):
+            shutil.rmtree(target_dir)
+        os.rename(tmp, target_dir)
+
+    return write
+
+
+def run_stream_to_memory(
+    stream_df: DataFrame, query_name: str, output_mode: str = "complete"
+) -> None:
+    """Drain a streaming DataFrame into the in-memory sink (test harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()

@@ -1,0 +1,90 @@
+"""Direct unit tests for custom operators (paths the oracle queries don't
+cover: forward ASOF, left-join ASOF, delete rows, REPLACE aggregation,
+non-distinct recursive union, exact_dedup row filtering)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from doris_spark.operators.asof import asof_join
+from doris_spark.operators.dedup import exact_dedup
+from doris_spark.operators.table_models import agg_key_view, unique_key_view
+from doris_spark.plans.recursive_cte import recursive_union
+
+
+def _ts(s):
+    return dt.datetime.fromisoformat(s)
+
+
+def test_asof_forward_and_left(spark):
+    left = spark.createDataFrame(
+        [(1, _ts("2024-01-01T10:00:00"), "a"), (1, _ts("2024-01-01T23:00:00"), "b")],
+        "k INT, lts TIMESTAMP, lv STRING",
+    )
+    right = spark.createDataFrame(
+        [(1, _ts("2024-01-01T12:00:00"), 100.0)],
+        "k INT, rts TIMESTAMP, rv DOUBLE",
+    )
+    fwd = asof_join(left, right, ["k"], "lts", "rts", direction="forward", how="left")
+    rows = {r["lv"]: r["r_rv"] for r in fwd.collect()}
+    assert rows == {"a": 100.0, "b": None}
+
+    bwd = asof_join(left, right, ["k"], "lts", "rts", direction="backward", how="inner")
+    rows = {r["lv"]: r["r_rv"] for r in bwd.collect()}
+    assert rows == {"b": 100.0}
+
+
+def test_asof_exact_match_toggle(spark):
+    left = spark.createDataFrame([(1, _ts("2024-01-01T12:00:00"), "x")], "k INT, lts TIMESTAMP, lv STRING")
+    right = spark.createDataFrame([(1, _ts("2024-01-01T12:00:00"), 5.0)], "k INT, rts TIMESTAMP, rv DOUBLE")
+    with_exact = asof_join(left, right, ["k"], "lts", "rts", allow_exact_matches=True, how="left")
+    without = asof_join(left, right, ["k"], "lts", "rts", allow_exact_matches=False, how="left")
+    assert with_exact.collect()[0]["r_rv"] == 5.0
+    assert without.collect()[0]["r_rv"] is None
+
+
+def test_unique_key_view_with_deletes(spark):
+    df = spark.createDataFrame(
+        [
+            (1, 1, "v1", False),
+            (1, 2, "v2", False),
+            (2, 1, "x1", False),
+            (2, 2, "x2", True),  # tombstone wins (latest seq) → key 2 dropped
+        ],
+        "pk INT, seq INT, v STRING, deleted BOOLEAN",
+    )
+    out = unique_key_view(df, keys=["pk"], sequence_col="seq", delete_col="deleted")
+    assert {(r["pk"], r["v"]) for r in out.collect()} == {(1, "v2")}
+
+
+def test_agg_key_view_replace(spark):
+    df = spark.createDataFrame(
+        [(1, 1, 10, "a"), (1, 2, 5, "b"), (2, 1, 7, "c")],
+        "k INT, seq INT, amount INT, tag STRING",
+    )
+    out = agg_key_view(
+        df, keys=["k"], agg_spec={"amount": "SUM", "tag": "REPLACE"}, sequence_col="seq"
+    )
+    rows = {r["k"]: (r["amount"], r["tag"]) for r in out.collect()}
+    assert rows == {1: (15, "b"), 2: (7, "c")}
+
+
+def test_exact_dedup_keeps_min_id(spark):
+    df = spark.createDataFrame(
+        [(1, "Hello  World"), (2, "hello world"), (3, "different")],
+        "doc_id INT, text STRING",
+    )
+    out = exact_dedup(df, "text", "doc_id")
+    assert {r["doc_id"] for r in out.collect()} == {1, 3}
+
+
+def test_recursive_union_all_mode(spark):
+    anchor = spark.createDataFrame([(1,)], "n INT")
+
+    def step(fr):
+        return fr.filter(F.col("n") < 5).select((F.col("n") + 1).alias("n"))
+
+    out = recursive_union(anchor, step, distinct=False, max_iterations=10)
+    assert sorted(r["n"] for r in out.collect()) == [1, 2, 3, 4, 5]

@@ -1,0 +1,91 @@
+"""Structured Streaming parity: the streaming plans must converge to the
+same table state as their batch equivalents (SURVEY §2.11 —
+routine-load / stream-load / MTMV analogs)."""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+
+import pytest
+from pyspark.sql import functions as F
+
+from doris_spark.operators.table_models import unique_key_view
+from doris_spark.session import load_tables
+from doris_spark.streaming.ingest import (
+    read_event_stream,
+    run_stream_to_memory,
+    tumbling_counts,
+    upsert_writer,
+)
+
+
+@pytest.fixture()
+def events_dir(spark, sf_dir):
+    """Copy the events parquet into a streaming source dir (2 'arriving'
+    files so the stream sees multiple micro-batches)."""
+    d = tempfile.mkdtemp(prefix="ev_stream_")
+    ev = load_tables(spark, sf_dir)["events"]
+    # split into two halves, written as raw nanos (same as driver fixture)
+    raw = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
+    raw.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(d + "/p0")
+    raw.filter(F.col("event_id") % 2 == 1).write.mode("overwrite").parquet(d + "/p1")
+    # flatten: move part files up so the dir is one streaming source
+    i = 0
+    for sub in ("p0", "p1"):
+        for f in os.listdir(f"{d}/{sub}"):
+            if f.endswith(".parquet"):
+                shutil.move(f"{d}/{sub}/{f}", f"{d}/file_{i}.parquet")
+                i += 1
+        shutil.rmtree(f"{d}/{sub}")
+    yield d
+    shutil.rmtree(d, ignore_errors=True)
+
+
+def test_stream_tumbling_matches_batch(spark, sf_dir, events_dir):
+    stream = read_event_stream(spark, events_dir)
+    agg = tumbling_counts(stream, window="1 hour", watermark="2 hours")
+    run_stream_to_memory(agg, "t_tumbling", output_mode="complete")
+    got = {
+        (r["window_start"], r["event_type"]): (r["cnt"], round(r["total_value"], 6))
+        for r in spark.sql("SELECT * FROM t_tumbling").collect()
+    }
+    ev = load_tables(spark, sf_dir)["events"]
+    want_rows = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.sum("value").alias("tv"))
+        .collect()
+    )
+    want = {(r["w"]["start"], r["event_type"]): (r["cnt"], round(r["tv"], 6)) for r in want_rows}
+    assert got == want
+
+
+def test_stream_upsert_matches_batch_view(spark, sf_dir, events_dir):
+    target = tempfile.mkdtemp(prefix="upsert_tgt_")
+    shutil.rmtree(target)  # writer creates it
+    stream = read_event_stream(spark, events_dir)
+    q = (
+        stream.writeStream.foreachBatch(
+            upsert_writer(target, keys=["user_id", "event_type"], sequence_col="ts", tiebreak=["event_id"])
+        )
+        .start()
+    )
+    q.processAllAvailable()
+    q.stop()
+
+    got = (
+        spark.read.parquet(target)
+        .select("user_id", "event_type", "ts", "value")
+        .orderBy("user_id", "event_type")
+        .collect()
+    )
+    ev = load_tables(spark, sf_dir)["events"]
+    want = (
+        unique_key_view(ev, keys=["user_id", "event_type"], sequence_col="ts", tiebreak=["event_id"])
+        .select("user_id", "event_type", "ts", "value")
+        .orderBy("user_id", "event_type")
+        .collect()
+    )
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    shutil.rmtree(target, ignore_errors=True)
