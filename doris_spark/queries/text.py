@@ -238,9 +238,12 @@ def txt_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard similarity between consecutive doc ids (linear-size
     verification of the shingle-set similarity machinery)."""
     docs = load_tables(spark, sf_dir)["documents"]
+    # Persist the shingle sets: both join sides read the same computed
+    # arrays instead of re-deriving ~300 shingles per doc per side (the
+    # CTE-materialization decision — Doris CTEInline.java analog).
     t = docs.select(
         "doc_id", F.array_distinct(D.token_shingles("text", 3)).alias("sh")
-    )
+    ).persist()
     a = t.alias("a")
     b = t.select(
         (F.col("doc_id") - 1).alias("join_id"),

@@ -166,16 +166,16 @@ def vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "vec_label_sim",
     oracle=f"""
-WITH pairs AS (
+WITH d AS (
+  SELECT vec_id, label, {_DVEC} AS dv FROM embeddings
+), u AS (
+  SELECT vec_id, label,
+         list_transform(dv, x -> x / sqrt(list_inner_product(dv, dv))) AS uv
+  FROM d
+), pairs AS (
   SELECT a.vec_id AS id_a, b.vec_id AS id_b,
-         list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                  list_transform(b.embedding, x -> CAST(x AS DOUBLE)))
-           / (sqrt(list_inner_product(list_transform(a.embedding, x -> CAST(x AS DOUBLE)),
-                            list_transform(a.embedding, x -> CAST(x AS DOUBLE))))
-            * sqrt(list_inner_product(list_transform(b.embedding, x -> CAST(x AS DOUBLE)),
-                            list_transform(b.embedding, x -> CAST(x AS DOUBLE))))) AS sim
-  FROM embeddings a JOIN embeddings b
-    ON a.label = b.label AND a.vec_id < b.vec_id
+         list_inner_product(a.uv, b.uv) AS sim
+  FROM u a JOIN u b ON a.label = b.label AND a.vec_id < b.vec_id
 )
 SELECT id_a, id_b, round(sim, 10) AS sim
 FROM pairs
@@ -185,24 +185,32 @@ ORDER BY id_a, id_b
 )
 def vec_label_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-duplicate detection within label groups: cosine > 0.35
-    pairs. The label equi-join keys the self-join so the quadratic blow-up
-    is per-group, not global (LSH bucketing generalizes this — see
-    operators/vector.lsh_bucketed_knn)."""
+    pairs. Vectors are L2-normalized ONCE per row (persisted) before the
+    self-join, so each candidate pair costs a single dot product instead of
+    three — the same normalize-then-join shape an LSH/IVF pipeline uses at
+    scale (operators/vector.lsh_bucketed_knn). The label equi-join keys the
+    self-join so the quadratic blow-up is per-group, not global."""
     emb = load_tables(spark, sf_dir)["embeddings"]
-    a = emb.select(
-        F.col("label"), F.col("vec_id").alias("id_a"), F.col("embedding").alias("ea")
-    )
-    b = emb.select(
-        F.col("label").alias("label_b"),
-        F.col("vec_id").alias("id_b"),
-        F.col("embedding").alias("eb"),
+    dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    nrm = F.sqrt(V.dot("embedding", "embedding"))
+    unit = emb.select(
+        "vec_id",
+        "label",
+        F.transform(dv, lambda x: x / nrm).alias("uv"),
+    ).persist()
+    a = unit.select("label", F.col("vec_id").alias("id_a"), F.col("uv").alias("ua"))
+    b = unit.select(
+        F.col("label").alias("label_b"), F.col("vec_id").alias("id_b"), F.col("uv").alias("ub")
     )
     pairs = a.join(
         b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
     )
-    sim = V.cosine_similarity("ea", "eb")
+    sim = V.dot("ua", "ub")
+    # Materialize the raw sims before the rounded filter: filter+project
+    # otherwise each recompute the 64-term dot per pair.
+    sims = pairs.select("id_a", "id_b", sim.alias("raw_sim")).persist()
     return (
-        pairs.select("id_a", "id_b", F.round(sim, 10).alias("sim"))
+        sims.select("id_a", "id_b", F.round(F.col("raw_sim"), 10).alias("sim"))
         .filter(F.col("sim") > 0.35)
         .orderBy("id_a", "id_b")
     )

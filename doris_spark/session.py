@@ -92,6 +92,12 @@ def get_spark(app_name: str = "doris_spark", cpus: int | None = None) -> SparkSe
     return spark
 
 
+# (SparkSession id, sf_dir) -> table DataFrames. DataFrames are lazy plan
+# handles — memoizing them skips repeated footer/schema reads per query
+# without pinning any data.
+_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
     """Load the fixture parquet tables as DataFrames.
 
@@ -100,12 +106,16 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
     and row-group stats pruning (zone-map analog) for free.
     """
     sf_dir = sf_dir or default_sf_dir()
+    key = (id(spark), sf_dir)
+    if key in _TABLE_CACHE:
+        return dict(_TABLE_CACHE[key])
     out: dict[str, DataFrame] = {}
     for name in TABLES:
         path = os.path.join(sf_dir, f"{name}.parquet")
         if os.path.exists(path):
             out[name] = _read_parquet(spark, path)
-    return out
+    _TABLE_CACHE[key] = out
+    return dict(out)
 
 
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
