@@ -261,6 +261,27 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "OR (startswith(j, '[') AND endswith(j, ']') AND json_array_length(j) IS NOT NULL) THEN true ELSE false END",
     ),
     "json_length_doris": ("j STRING", "json_array_length(j)"),
+    # ---- geo subset (be/src/exprs/function/geo/; WKT points + sphere
+    #      distance — haversine on the 6371km sphere, Doris geo.cpp default)
+    "st_point": ("x DOUBLE, y DOUBLE", "named_struct('x', x, 'y', y)"),
+    "st_x": ("p STRUCT<x: DOUBLE, y: DOUBLE>", "p.x"),
+    "st_y": ("p STRUCT<x: DOUBLE, y: DOUBLE>", "p.y"),
+    "st_astext": (
+        "p STRUCT<x: DOUBLE, y: DOUBLE>",
+        "'POINT (' || CAST(p.x AS STRING) || ' ' || CAST(p.y AS STRING) || ')'",
+    ),
+    "st_distance_sphere": (
+        "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE",
+        "2 * 6371000.0 * asin(sqrt("
+        "pow(sin(radians(lat2 - lat1) / 2), 2) + "
+        "cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2)))",
+    ),
+    "st_angle_sphere": (
+        "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE",
+        "degrees(2 * asin(sqrt("
+        "pow(sin(radians(lat2 - lat1) / 2), 2) + "
+        "cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2))))",
+    ),
     # ---- misc/system (SURVEY §2.8 misc tier)
 }
 

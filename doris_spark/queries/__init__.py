@@ -42,6 +42,7 @@ def load_all() -> None:
         analytics,
         doris_fns,
         events,
+        extras,
         text,
         tpch,
         vector,

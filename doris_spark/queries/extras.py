@@ -1,0 +1,290 @@
+"""Generator/TVF functions, JSON family, histogram/topn/map aggregates,
+VARIANT shim, geo subset — remaining SURVEY §2 inventory lines.
+
+Reference analogs: table functions (fe/.../functions/table/, BE
+be/src/exprs/table_function/), JSON (function_jsonb.cpp), histogram
+(aggregate_function_histogram.h), topn (aggregate_function_topn.h),
+map_agg (aggregate_function_map.h), VARIANT (data_type_variant.h),
+geo (be/src/exprs/function/geo/).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from doris_spark.queries import query
+from doris_spark.session import load_tables, register_views
+
+
+# ------------------------------------------------------------- generators
+
+@query(
+    "gen_explode",
+    oracle="""
+SELECT doc_id,
+       unnest(toks) AS tok,
+       CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos
+FROM (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents WHERE doc_id < 10
+) t
+ORDER BY doc_id, pos
+""",
+)
+def gen_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """posexplode over tokenized text (Doris explode_split / lateral view)."""
+    from doris_spark.operators.textops import tokenize
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 10)
+    return (
+        docs.select("doc_id", F.posexplode(tokenize("text")).alias("pos", "tok"))
+        .select("doc_id", "tok", F.col("pos").cast("bigint").alias("pos"))
+        .orderBy("doc_id", "pos")
+    )
+
+
+@query(
+    "gen_numbers_tvf",
+    oracle="""
+SELECT count(*) AS n, sum(range) AS total, sum(range * range) AS sq_total
+FROM range(0, 100000)
+""",
+)
+def gen_numbers_tvf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """numbers()/range TVF (Doris DataGen operator → spark.range)."""
+    return spark.range(0, 100000).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("id").alias("total"),
+        F.sum(F.col("id") * F.col("id")).alias("sq_total"),
+    )
+
+
+@query(
+    "gen_stack",
+    oracle="""
+SELECT n_name, 'key' AS kind, CAST(n_nationkey AS BIGINT) AS v FROM nation
+UNION ALL
+SELECT n_name, 'region' AS kind, CAST(n_regionkey AS BIGINT) AS v FROM nation
+ORDER BY n_name, kind
+""",
+)
+def gen_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """stack / unpivot (wide → long) — Doris lateral view of struct arrays."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT n_name, kind, v FROM nation
+        LATERAL VIEW stack(2, 'key', CAST(n_nationkey AS BIGINT),
+                              'region', CAST(n_regionkey AS BIGINT)) s AS kind, v
+        ORDER BY n_name, kind
+        """
+    )
+
+
+# ------------------------------------------------------------------- JSON
+
+@query(
+    "json_build_extract",
+    oracle="""
+SELECT event_id,
+       json_extract_string(props, '$.k') AS k_str,
+       '{"id":' || CAST(event_id AS VARCHAR) || ',"type":"' || event_type
+            || '"}' AS built,
+       json_array_length('[1,2,3]') AS alen,
+       CAST(json_extract_string(props, '$.missing') IS NULL AS BOOLEAN) AS miss
+FROM events
+WHERE event_id < 50
+ORDER BY event_id
+""",
+)
+def json_build_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON build + extract (json_object/jsonb_extract analogs). The built
+    object uses to_json(named_struct(...)) — byte-identical compact form."""
+    ev = load_tables(spark, sf_dir)["events"].filter(F.col("event_id") < 50)
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").alias("k_str"),
+        F.to_json(
+            F.struct(F.col("event_id").alias("id"), F.col("event_type").alias("type"))
+        ).alias("built"),
+        F.json_array_length(F.lit("[1,2,3]")).alias("alen"),
+        F.get_json_object("props", "$.missing").isNull().alias("miss"),
+    ).orderBy("event_id")
+
+
+@query(
+    "variant_shim",
+    oracle="""
+SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       count(*) AS cnt
+FROM events
+GROUP BY 1
+HAVING count(*) > 5
+ORDER BY k_val
+""",
+)
+def variant_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """VARIANT column shim: parse the JSON props into a map once
+    (schema-on-read; Doris data_type_variant.h / variant_element), then
+    group on an element. from_json runs in the scan projection — the
+    subcolumn-pruning analog is Spark's JSON column pruning."""
+    ev = load_tables(spark, sf_dir)["events"]
+    v = F.from_json("props", "map<string,string>")
+    return (
+        ev.select(v.getItem("k").cast("bigint").alias("k_val"))
+        .groupBy("k_val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 5)
+        .orderBy("k_val")
+    )
+
+
+# ------------------------------------------------------------- aggregates
+
+@query(
+    "agg_histogram",
+    oracle="""
+SELECT least(greatest(CAST(floor((o_totalprice - 0.0) / (600000.0 / 12)) AS INT) + 1, 0), 13)
+         AS bucket,
+       count(*) AS cnt,
+       round(min(o_totalprice), 2) AS lo,
+       round(max(o_totalprice), 2) AS hi
+FROM orders
+GROUP BY 1
+ORDER BY bucket
+""",
+)
+def agg_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """histogram/linear_histogram via width_bucket (equi-width buckets)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    return (
+        o.select(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(600000.0), F.lit(12)).alias("bucket"),
+            "o_totalprice",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@query(
+    "agg_topn",
+    oracle="""
+SELECT n_name, c_mktsegment, cnt, rnk FROM (
+  SELECT n_name, c_mktsegment, count(*) AS cnt,
+         row_number() OVER (PARTITION BY n_name
+                            ORDER BY count(*) DESC, c_mktsegment) AS rnk
+  FROM customer JOIN nation ON c_nationkey = n_nationkey
+  GROUP BY n_name, c_mktsegment
+) x
+WHERE rnk <= 3
+ORDER BY n_name, rnk
+""",
+)
+def agg_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topn(col, k) aggregate (map-of-counts) as count + partition top-k —
+    the distributed-safe formulation (partial counts shuffle, then
+    window top-k; no per-group hashmap state)."""
+    t = load_tables(spark, sf_dir)
+    counts = (
+        t["customer"]
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    w = Window.partitionBy("n_name").orderBy(F.desc("cnt"), F.asc("c_mktsegment"))
+    return (
+        counts.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 3)
+        .select("n_name", "c_mktsegment", "cnt", "rnk")
+        .orderBy("n_name", "rnk")
+    )
+
+
+@query(
+    "agg_map",
+    oracle="""
+WITH inner_c AS (
+  SELECT o_orderstatus, o_orderpriority, count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus,
+       list_transform(list_sort(list(struct_pack(k := o_orderpriority, v := cnt))),
+                      e -> e.k) AS prio_keys,
+       list_transform(list_sort(list(struct_pack(k := o_orderpriority, v := cnt))),
+                      e -> e.v) AS prio_vals
+FROM inner_c
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """map_agg: per-status map priority → count. Emitted as the sorted
+    entry array (map_from_entries of it is the Doris MAP value; clients
+    canonicalize MAP differently, arrays compare cleanly)."""
+    o = load_tables(spark, sf_dir)["orders"]
+    inner = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    entries = F.array_sort(
+        F.collect_list(F.struct(F.col("o_orderpriority"), F.col("cnt")))
+    )
+    return (
+        inner.groupBy("o_orderstatus")
+        .agg(
+            F.transform(entries, lambda e: e.getField("o_orderpriority")).alias("prio_keys"),
+            F.transform(entries, lambda e: e.getField("cnt")).alias("prio_vals"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ------------------------------------------------------------------- geo
+
+@query(
+    "geo_fns",
+    oracle="""
+WITH pts AS (
+  SELECT c_custkey,
+         CAST((c_custkey % 360) - 180.0 AS DOUBLE) AS lon,
+         CAST((c_custkey % 180) - 90.0 AS DOUBLE)  AS lat
+  FROM customer WHERE c_custkey < 100
+)
+SELECT c_custkey,
+       'POINT (' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS wkt,
+       lon AS x, lat AS y,
+       2 * 6371000.0 * asin(sqrt(
+         pow(sin(radians(0.0 - lat) / 2), 2) +
+         cos(radians(lat)) * cos(radians(0.0)) * pow(sin(radians(0.0 - lon) / 2), 2)
+       )) AS dist_to_origin
+FROM pts
+ORDER BY c_custkey
+""",
+)
+def geo_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Geo subset (st_point/st_x/st_y/st_astext/st_distance_sphere as
+    registered SQL UDFs; haversine on the 6371km sphere)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH pts AS (
+          SELECT c_custkey,
+                 st_point(CAST((c_custkey % 360) - 180.0 AS DOUBLE),
+                          CAST((c_custkey % 180) - 90.0 AS DOUBLE)) AS p
+          FROM customer WHERE c_custkey < 100
+        )
+        SELECT c_custkey,
+               st_astext(p) AS wkt,
+               st_x(p) AS x, st_y(p) AS y,
+               st_distance_sphere(st_x(p), st_y(p), 0.0d, 0.0d) AS dist_to_origin
+        FROM pts
+        ORDER BY c_custkey
+        """
+    )

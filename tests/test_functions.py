@@ -17,6 +17,7 @@ SMOKE_ARGS = {
     "ARRAY<STRING>": "array('a', 'b')",
     "ARRAY<DOUBLE>": "array(1.0d, 2.0d)",
     "ARRAY<BOOLEAN>": "array(true, false)",
+    "STRUCT<X: DOUBLE, Y: DOUBLE>": "named_struct('x', 1.0d, 'y', 2.0d)",
 }
 
 
@@ -32,8 +33,22 @@ def test_function_callable(name, spark):
     if name in SMOKE_OVERRIDES:
         args = SMOKE_OVERRIDES[name]
     else:
+        # split params on commas not nested inside <...> generics
+        parts, depth, cur = [], 0, ""
+        for ch in params:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            if ch == "," and depth == 0:
+                parts.append(cur)
+                cur = ""
+            else:
+                cur += ch
+        if cur.strip():
+            parts.append(cur)
         args = []
-        for p in [p.strip() for p in params.split(",") if p.strip()]:
+        for p in [p.strip() for p in parts if p.strip()]:
             typ = p.split(None, 1)[1].strip().upper()
             args.append(SMOKE_ARGS[typ])
     spark.sql(f"SELECT {name}({', '.join(args)}) AS v").collect()
