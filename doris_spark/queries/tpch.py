@@ -785,3 +785,178 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
         .orderBy("cntrycode")
     )
+
+
+# --------------------------------------------------------------------------
+# The fixture has no partsupp table; q2/q11/q16 run over a deterministic
+# derived part-supplier relation: every (part, supplier) pair with
+# (p_partkey + s_suppkey) % 4 == 0, supplycost = retailprice * (0.4 +
+# 0.05 * ((p_partkey * 7 + s_suppkey) % 10)), availqty from the same hash.
+# --------------------------------------------------------------------------
+_PARTSUPP_SQL = """
+  SELECT p_partkey AS ps_partkey, s_suppkey AS ps_suppkey,
+         p_retailprice * (0.4 + 0.05 * ((p_partkey * 7 + s_suppkey) % 10))
+           AS ps_supplycost,
+         CAST(1 + (p_partkey * 13 + s_suppkey * 3) % 100 AS INT) AS ps_availqty
+  FROM part, supplier
+  WHERE (p_partkey + s_suppkey) % 4 = 0
+"""
+
+
+def _partsupp(t: dict[str, DataFrame]) -> DataFrame:
+    p, s = t["part"], t["supplier"]
+    joined = p.crossJoin(s).filter((F.col("p_partkey") + F.col("s_suppkey")) % 4 == 0)
+    return joined.select(
+        F.col("p_partkey").alias("ps_partkey"),
+        F.col("s_suppkey").alias("ps_suppkey"),
+        (
+            F.col("p_retailprice")
+            * (0.4 + 0.05 * ((F.col("p_partkey") * 7 + F.col("s_suppkey")) % 10))
+        ).alias("ps_supplycost"),
+        (1 + (F.col("p_partkey") * 13 + F.col("s_suppkey") * 3) % 100)
+        .cast("int")
+        .alias("ps_availqty"),
+    )
+
+
+@query(
+    "tpch_q2",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL})
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM part
+JOIN partsupp ON p_partkey = ps_partkey
+JOIN supplier ON s_suppkey = ps_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE p_size = 15 AND r_name = 'EUROPE'
+  AND ps_supplycost = (
+    SELECT min(ps_supplycost)
+    FROM partsupp ps2
+    JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+    JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+    JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+    WHERE ps2.ps_partkey = p_partkey AND r2.r_name = 'EUROPE'
+  )
+ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+LIMIT 100
+""",
+)
+def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q2: min-cost supplier — correlated scalar subquery as a groupBy-min
+    join (regression-test/suites/nereids_tpch_p0/tpch/q2.groovy analog)."""
+    t = _t(spark, sf_dir)
+    ps = _partsupp(t)
+    euro_sup = (
+        t["supplier"]
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    euro_ps = ps.join(
+        euro_sup.select("s_suppkey", "s_acctbal", "s_name", "n_name"),
+        F.col("ps_suppkey") == F.col("s_suppkey"),
+    )
+    min_cost = euro_ps.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
+        F.min("ps_supplycost").alias("min_cost")
+    )
+    return (
+        t["part"]
+        .filter(F.col("p_size") == 15)
+        .join(euro_ps, F.col("p_partkey") == F.col("ps_partkey"))
+        .join(
+            min_cost,
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("ps_supplycost") == F.col("min_cost")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
+        .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
+        .limit(100)
+    )
+
+
+@query(
+    "tpch_q11",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL})
+SELECT ps_partkey, round(sum(ps_supplycost * ps_availqty), 4) AS value
+FROM partsupp
+JOIN supplier ON ps_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+JOIN region   ON n_regionkey = r_regionkey
+WHERE r_name = 'ASIA'
+GROUP BY ps_partkey
+HAVING sum(ps_supplycost * ps_availqty) > (
+  SELECT sum(ps_supplycost * ps_availqty) / count(DISTINCT ps_partkey) * 1.5
+  FROM partsupp
+  JOIN supplier ON ps_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  JOIN region   ON n_regionkey = r_regionkey
+  WHERE r_name = 'ASIA'
+)
+ORDER BY value DESC, ps_partkey
+""",
+)
+def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q11: important stock — group-having against a global scalar."""
+    t = _t(spark, sf_dir)
+    asia_nations = F.broadcast(
+        t["nation"].join(
+            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+    )
+    asia_ps = (
+        _partsupp(t)
+        .join(t["supplier"], F.col("ps_suppkey") == F.col("s_suppkey"))
+        .join(asia_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
+    )
+    per_part = asia_ps.groupBy("ps_partkey").agg(F.sum("v").alias("raw_value"))
+    threshold = asia_ps.agg(
+        (F.sum("v") / F.countDistinct("ps_partkey") * 1.5).alias("thr")
+    )
+    return (
+        per_part.crossJoin(F.broadcast(threshold))
+        .filter(F.col("raw_value") > F.col("thr"))
+        .select("ps_partkey", F.round("raw_value", 4).alias("value"))
+        .orderBy(F.desc("value"), "ps_partkey")
+    )
+
+
+@query(
+    "tpch_q16",
+    oracle=f"""
+WITH partsupp AS ({_PARTSUPP_SQL})
+SELECT p_brand, p_type, p_size, count(DISTINCT ps_suppkey) AS supplier_cnt
+FROM partsupp
+JOIN part ON p_partkey = ps_partkey
+WHERE p_brand <> 'Brand#13'
+  AND p_type NOT LIKE 'PROMO%'
+  AND p_size IN (1, 5, 9, 14, 19, 23, 36, 45)
+  AND ps_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+GROUP BY p_brand, p_type, p_size
+ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+""",
+)
+def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q16: supplier-part relationship counts with NOT-IN exclusion."""
+    t = _t(spark, sf_dir)
+    bad_sup = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
+    return (
+        _partsupp(t)
+        .join(bad_sup, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
+        .join(
+            t["part"].filter(
+                (F.col("p_brand") != "Brand#13")
+                & (~F.col("p_type").like("PROMO%"))
+                & (F.col("p_size").isin(1, 5, 9, 14, 19, 23, 36, 45))
+            ),
+            F.col("p_partkey") == F.col("ps_partkey"),
+        )
+        .groupBy("p_brand", "p_type", "p_size")
+        .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
+        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+    )
