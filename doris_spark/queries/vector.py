@@ -214,3 +214,66 @@ def vec_label_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("sim") > 0.35)
         .orderBy("id_a", "id_b")
     )
+
+
+# --------------------------------------------------------------------------
+# LSH-bucketed approximate KNN (the 100TB similarity-search path):
+# random-hyperplane signatures partition the corpus; the query probes only
+# its own bucket. Oracle recomputes identical signatures in DuckDB from the
+# same deterministic hyperplanes (literals generated from seed 42).
+# --------------------------------------------------------------------------
+def _rhp_oracle(dim: int = 64, n_planes: int = 6, seed: int = 42) -> str:
+    from doris_spark.operators.vector import _hyperplanes
+
+    planes = _hyperplanes(dim, n_planes, seed)
+    plane_sql = [
+        "[" + ", ".join(repr(x) for x in p) + "]" for p in planes
+    ]
+    sig_terms = " + ".join(
+        f"(CASE WHEN list_inner_product(dv, {plane_sql[i]}) >= 0 THEN {1 << i} ELSE 0 END)"
+        for i in range(n_planes)
+    )
+    return f"""
+WITH d AS (
+  SELECT vec_id, {_DVEC} AS dv FROM embeddings
+), s AS (
+  SELECT vec_id, dv, {sig_terms} AS sig FROM d
+), q AS (
+  SELECT dv AS qv, sig AS qsig FROM s WHERE vec_id = 0
+)
+SELECT s.vec_id,
+       round(list_inner_product(s.dv, q.qv)
+         / (sqrt(list_inner_product(s.dv, s.dv)) * sqrt(list_inner_product(q.qv, q.qv))), 8)
+         AS score
+FROM s, q
+WHERE s.sig = q.qsig AND s.vec_id <> 0
+ORDER BY score DESC, s.vec_id
+LIMIT 5
+"""
+
+
+@query("vec_lsh_knn", oracle=_rhp_oracle())
+def vec_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate KNN restricted to the query's RHP bucket (6 planes →
+    64 buckets). At scale the corpus is written partitioned by `sig` so
+    the probe prunes ~63/64 of the data before any distance math."""
+    from doris_spark.operators.vector import rhp_signature
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    corp = emb.withColumn("__sig", rhp_signature("embedding", 64, 6, 42)).persist()
+    q = F.broadcast(
+        corp.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").alias("__qvec"), F.col("__sig").alias("__qsig")
+        )
+    )
+    joined = corp.filter(F.col("vec_id") != 0).join(
+        q, F.col("__sig") == F.col("__qsig")
+    )
+    return (
+        joined.select(
+            "vec_id",
+            F.round(V.cosine_similarity("embedding", "__qvec"), 8).alias("score"),
+        )
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )
