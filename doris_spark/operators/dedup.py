@@ -90,8 +90,15 @@ def minhash_signatures(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(token_shingles(text_col, shingle_n))).alias("shingle"),
     )
+    # Hash family h_i = 8-hex-char slice i%4 of md5((i//4) || ':' || s):
+    # one md5 evaluation covers four 32-bit hash functions — 4× fewer
+    # digest computations than md5-per-hash, same min-order semantics.
+    n_digests = (num_hashes + 3) // 4
+    digests = [
+        F.md5(F.concat(F.lit(f"{d}:"), F.col("shingle"))) for d in range(n_digests)
+    ]
     aggs = [
-        F.min(F.md5(F.concat(F.lit(f"{i}:"), F.col("shingle")))).alias(f"sig_{i}")
+        F.min(F.substring(digests[i // 4], 1 + 8 * (i % 4), 8)).alias(f"sig_{i}")
         for i in range(num_hashes)
     ]
     return exploded.groupBy("doc").agg(*aggs)

@@ -196,7 +196,10 @@ WITH sh AS (
   SELECT doc_id AS doc, unnest({_shingle_sql(3)}) AS shingle FROM documents
 ), sig AS (
   SELECT doc,
-         {", ".join(f"min(md5('{i}:' || shingle)) AS sig_{i}" for i in range(8))}
+         {", ".join(
+             f"min(substr(md5('{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS sig_{i}"
+             for i in range(8)
+         )}
   FROM sh GROUP BY doc
 ), buckets AS (
   {" UNION ALL ".join(

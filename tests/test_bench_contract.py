@@ -1,0 +1,30 @@
+"""bench.py must print exactly one JSON line with the driver's schema."""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+
+
+def test_bench_json_contract():
+    env = dict(os.environ)
+    env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
+    env["SPARK_GRAFT_CPUS"] = "8"
+    out = subprocess.run(
+        [sys.executable, "bench.py"],
+        capture_output=True,
+        text=True,
+        cwd=os.path.dirname(os.path.dirname(os.path.abspath(__file__))),
+        env=env,
+        timeout=900,
+    )
+    assert out.returncode == 0, out.stderr[-2000:]
+    lines = [l for l in out.stdout.splitlines() if l.strip()]
+    assert len(lines) == 1, f"expected one JSON line, got {len(lines)}"
+    d = json.loads(lines[0])
+    assert set(d) >= {"metric", "value", "unit", "queries", "sf"}
+    assert d["unit"] == "sec" and d["value"] > 0
+    assert len(d["queries"]) >= 80
+    assert d["sf"] == 0.001
