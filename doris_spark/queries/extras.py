@@ -288,3 +288,57 @@ def geo_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@query(
+    "scalar_array_fns",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents WHERE doc_id < 50
+)
+SELECT doc_id,
+       len(toks)                                    AS sz,
+       toks[1]                                      AS first_tok,
+       toks[len(toks)]                              AS last_tok,
+       list_sort(list_distinct(toks))[1]            AS min_tok,
+       list_contains(toks, 'spark')                 AS has_spark,
+       coalesce(list_position(toks, 'spark'), 0)    AS spark_pos,
+       list_sort(list_distinct(toks))               AS sorted_distinct,
+       list_reverse(list_sort(list_distinct(toks))) AS rev_sorted,
+       toks[1:3]                                    AS first3,
+       len(list_filter(toks, x -> length(x) > 4))   AS n_long,
+       list_transform(toks[1:3], x -> upper(x))     AS up3,
+       array_to_string(toks[1:3], '-')              AS joined3,
+       len(list_intersect(toks, ['spark', 'join', 'query'])) AS n_kw,
+       len(list_distinct(list_concat(toks, ['zzz']))) AS sz_with_sentinel
+FROM t ORDER BY doc_id
+""",
+)
+def scalar_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array-function tier matrix (SURVEY §2.8 array family, 50 impl files
+    in be/src/exprs/function/array/) — size/element_at/min/contains/
+    position/sort/reverse/slice/filter/transform/join/intersect/union."""
+    from doris_spark.operators.textops import tokenize
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 50)
+    toks = tokenize("text")
+    kw = F.array(F.lit("spark"), F.lit("join"), F.lit("query"))
+    return docs.select(
+        "doc_id",
+        F.size(toks).alias("sz"),
+        toks[0].alias("first_tok"),
+        F.element_at(toks, -1).alias("last_tok"),
+        F.array_min(F.array_distinct(toks)).alias("min_tok"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.coalesce(F.array_position(toks, "spark"), F.lit(0)).alias("spark_pos"),
+        F.array_sort(F.array_distinct(toks)).alias("sorted_distinct"),
+        F.reverse(F.array_sort(F.array_distinct(toks))).alias("rev_sorted"),
+        F.slice(toks, 1, 3).alias("first3"),
+        F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
+        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias("up3"),
+        F.array_join(F.slice(toks, 1, 3), "-").alias("joined3"),
+        F.size(F.array_intersect(toks, kw)).alias("n_kw"),
+        F.size(F.array_distinct(F.concat(toks, F.array(F.lit("zzz"))))).alias("sz_with_sentinel"),
+    ).orderBy("doc_id")
