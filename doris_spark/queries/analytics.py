@@ -751,3 +751,75 @@ def scalar_regexp_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         (~F.col("p_name").like("%widget")).alias("notlike"),
         F.size(F.split(F.col("p_name"), " ")).alias("nwords"),
     )
+
+
+# ------------------------------------------------------- NULL edge matrix
+
+@query(
+    "null_edge_aggs",
+    oracle="""
+SELECT
+  (SELECT sum(l_quantity)   FROM lineitem WHERE 1 = 0) AS sum_empty,
+  (SELECT count(*)          FROM lineitem WHERE 1 = 0) AS cnt_empty,
+  (SELECT avg(l_quantity)   FROM lineitem WHERE 1 = 0) AS avg_empty,
+  (SELECT max(l_quantity)   FROM lineitem WHERE 1 = 0) AS max_empty,
+  sum(nullif(l_quantity, l_quantity))                  AS sum_all_null,
+  count(nullif(l_quantity, l_quantity))                AS cnt_all_null,
+  avg(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity END) AS avg_half_null,
+  coalesce(sum(nullif(l_quantity, l_quantity)), 0.0)   AS sum0_analog,
+  CAST(7 / 2 AS DOUBLE)                                AS int_div_slash,
+  7 // 2                                               AS int_div_kw,
+  (-7) % 3                                             AS mod_neg
+FROM lineitem
+""",
+)
+def null_edge_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Aggregate-over-empty-set and all-NULL-input semantics (Doris
+    AdjustAggregateNullableForEmptySet.java; sum0 vs sum) plus division/
+    modulo sign semantics (SURVEY §7.3 risk list). DuckDB `//` == Spark
+    `div`; both engines use C-style modulo sign."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT
+          (SELECT sum(l_quantity)   FROM lineitem WHERE 1 = 0) AS sum_empty,
+          (SELECT count(*)          FROM lineitem WHERE 1 = 0) AS cnt_empty,
+          (SELECT avg(l_quantity)   FROM lineitem WHERE 1 = 0) AS avg_empty,
+          (SELECT max(l_quantity)   FROM lineitem WHERE 1 = 0) AS max_empty,
+          sum(nullif(l_quantity, l_quantity))                  AS sum_all_null,
+          count(nullif(l_quantity, l_quantity))                AS cnt_all_null,
+          avg(CASE WHEN l_orderkey % 2 = 0 THEN l_quantity END) AS avg_half_null,
+          coalesce(sum(nullif(l_quantity, l_quantity)), 0.0)   AS sum0_analog,
+          CAST(7 / 2 AS DOUBLE)                                AS int_div_slash,
+          7 div 2                                              AS int_div_kw,
+          (-7) % 3                                             AS mod_neg
+        FROM lineitem
+        """
+    )
+
+
+@query(
+    "null_edge_groupby",
+    oracle="""
+SELECT nullif(l_returnflag, 'R') AS flag_or_null,
+       count(*) AS cnt,
+       count(nullif(l_linestatus, 'F')) AS non_f_cnt,
+       max(nullif(l_quantity, l_quantity)) AS all_null_max
+FROM lineitem
+GROUP BY 1
+ORDER BY flag_or_null NULLS FIRST
+""",
+)
+def null_edge_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NULL group keys: rows with NULL key form ONE group (SQL semantics
+    both engines share); count skips NULLs, count(*) does not."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy(F.nullif(F.col("l_returnflag"), F.lit("R")).alias("flag_or_null"))
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.count(F.nullif(F.col("l_linestatus"), F.lit("F"))).alias("non_f_cnt"),
+            F.max(F.nullif(F.col("l_quantity"), F.col("l_quantity"))).alias("all_null_max"),
+        )
+        .orderBy(F.col("flag_or_null").asc_nulls_first())
+    )
