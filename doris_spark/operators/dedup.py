@@ -172,30 +172,47 @@ def ngram_jaccard(
 # ------------------------------------------------------------------ simhash
 
 
-def simhash64(text_col, shingle_n: int = 2):
-    """64-bit SimHash over token shingles, as a bigint column expression.
+_SIMHASH_BITS = 60
 
-    Per shingle take the first 16 hex chars of md5 as a 64-bit fingerprint;
-    sum +/-1 per bit position weighted by presence; sign → bit. Pure
-    higher-order-function expression (no UDF).
-    """
+
+def shingle_hashes60(text_col, shingle_n: int = 2):
+    """array<bigint>: 60-bit fingerprint per distinct token shingle
+    (conv of the first 15 md5 hex chars — stays in signed-64 range)."""
     shingles = F.array_distinct(token_shingles(text_col, shingle_n))
-    # hash each shingle to bigint via conv(hex,16,10) on 15 hex chars
-    # (60 bits, stays within signed-64 positive range)
-    hashes = F.transform(
+    return F.transform(
         shingles, lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint")
     )
-    bit_votes = []
-    for bit in range(60):
-        mask = 1 << bit
-        vote = F.aggregate(
-            hashes,
-            F.lit(0),
-            lambda acc, h: acc
-            + F.when(h.bitwiseAND(F.lit(mask)) != 0, F.lit(1)).otherwise(F.lit(-1)),
-        )
-        bit_votes.append(F.when(vote > 0, F.lit(mask)).otherwise(F.lit(0)))
-    out = bit_votes[0]
-    for v in bit_votes[1:]:
-        out = out + v
-    return out
+
+
+def simhash_from_hashes(hashes_col):
+    """SimHash bigint from an array<bigint> of shingle fingerprints.
+
+    Single traversal: one F.aggregate carries a 60-wide vote vector
+    (zip_with against a constant mask array), then sign → bit. The naive
+    formulation (one F.aggregate per bit) embeds the hash-array
+    subexpression 60×, which Catalyst re-evaluates — O(60×) the md5 work.
+    """
+    masks = F.array(*[F.lit(1 << b) for b in range(_SIMHASH_BITS)])
+    zero_votes = F.array(*[F.lit(0) for _ in range(_SIMHASH_BITS)])
+    votes = F.aggregate(
+        hashes_col,
+        zero_votes,
+        lambda acc, h: F.zip_with(
+            acc,
+            masks,
+            lambda a, m: a
+            + F.when(h.bitwiseAND(m) != F.lit(0), F.lit(1)).otherwise(F.lit(-1)),
+        ),
+    )
+    return F.aggregate(
+        F.zip_with(votes, masks, lambda v, m: F.when(v > 0, m).otherwise(F.lit(0).cast("bigint"))),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+
+
+def simhash64(text_col, shingle_n: int = 2):
+    """64-bit-style SimHash (60 effective bits) over token shingles, as a
+    bigint column expression. Reference analog: SimHash near-dup for corpus
+    cleaning; pure higher-order-function expression (no UDF)."""
+    return simhash_from_hashes(shingle_hashes60(text_col, shingle_n))

@@ -265,6 +265,58 @@ def txt_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_a")
 
 
+_SIMHASH_ORACLE = f"""
+WITH sh AS (
+  SELECT doc_id AS doc, {_shingle_sql(2)} AS shingles FROM documents
+), h AS (
+  SELECT doc,
+         list_transform(shingles, s -> CAST(list_sum(list_transform(range(15), i ->
+             (strpos('0123456789abcdef', substr(md5(s), i + 1, 1)) - 1)::BIGINT
+               << (4 * (14 - i)))) AS BIGINT)) AS hashes
+  FROM sh
+), sim AS (
+  SELECT doc,
+         CAST(list_sum(list_transform(range(60), bit ->
+             CASE WHEN coalesce(list_sum(list_transform(hashes, x ->
+                        CASE WHEN (x >> bit) & 1 = 1 THEN 1 ELSE -1 END)), 0) > 0
+                  THEN 1::BIGINT << bit ELSE 0::BIGINT END)) AS BIGINT) AS simhash
+  FROM h
+)
+SELECT a.doc AS doc_a, b.doc AS doc_b, a.simhash AS sim_a,
+       CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+FROM sim a JOIN sim b ON b.doc = a.doc + 1
+ORDER BY doc_a
+"""
+
+
+@query("txt_simhash", oracle=_SIMHASH_ORACLE)
+def txt_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup: 60-bit fingerprint per doc + Hamming distance
+    between consecutive doc ids. The oracle rebuilds the identical
+    fingerprint in DuckDB (hex-char → bigint without conv), so the whole
+    bit-vote pipeline is value-checked."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    # Persist: both sides of the adjacent-id self-join read the computed
+    # fingerprints instead of re-deriving the md5/vote pipeline twice.
+    sim = docs.select("doc_id", D.simhash64("text", 2).alias("simhash")).persist()
+    a = sim.alias("a")
+    b = sim.select(
+        (F.col("doc_id") - 1).alias("join_id"),
+        F.col("doc_id").alias("doc_b"),
+        F.col("simhash").alias("sim_b"),
+    )
+    return (
+        a.join(b, F.col("a.doc_id") == F.col("join_id"))
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("doc_b"),
+            F.col("a.simhash").alias("sim_a"),
+            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("sim_b"))).cast("bigint").alias("hamming"),
+        )
+        .orderBy("doc_a")
+    )
+
+
 _BM25_K1 = 1.2
 _BM25_B = 0.75
 
