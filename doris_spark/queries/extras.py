@@ -83,6 +83,175 @@ def gen_stack(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "gen_tvf_family",
+    oracle="""
+WITH base AS (
+  SELECT event_id, event_type,
+         CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+  FROM events WHERE event_id < 30
+)
+SELECT event_id, 'jarr_int' AS kind, 0::BIGINT AS pos, CAST(k AS VARCHAR) AS val FROM base
+UNION ALL
+SELECT event_id, 'jarr_int', 1, CAST(k * 2 AS VARCHAR) FROM base
+UNION ALL
+SELECT event_id, 'map', 0, 'k=' || CAST(k AS VARCHAR) FROM base
+UNION ALL
+SELECT event_id, 'bitmap', 0, CAST(k AS VARCHAR) FROM base
+UNION ALL
+SELECT event_id, 'bitmap', 1, CAST(k + 100 AS VARCHAR) FROM base
+UNION ALL
+SELECT event_id, 'outer',
+       CASE WHEN event_type = 'error' THEN NULL ELSE 0 END,
+       CASE WHEN event_type = 'error' THEN NULL ELSE event_type END
+FROM base
+ORDER BY kind, event_id, pos NULLS FIRST
+""",
+)
+def gen_tvf_family(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doris table-function family (be/src/exprs/table_function/):
+    explode_json_array_int (posexplode of from_json array<bigint>),
+    explode_map (posexplode of map_entries), explode_bitmap (posexplode of
+    the array-backed bitmap), and explode-with-outer (posexplode_outer,
+    emitting a NULL row for empty input). Unioned into one
+    (event_id, kind, pos, val) relation; the oracle derives the expected
+    rows arithmetically."""
+    from doris_spark.functions import sketches as S
+
+    ev = load_tables(spark, sf_dir)["events"].filter(F.col("event_id") < 30)
+    base = ev.select(
+        "event_id",
+        "event_type",
+        F.get_json_object("props", "$.k").cast("bigint").alias("k"),
+        "props",
+    )
+
+    jarr_src = F.from_json(
+        F.concat(
+            F.lit("["),
+            F.col("k").cast("string"),
+            F.lit(","),
+            (F.col("k") * 2).cast("string"),
+            F.lit("]"),
+        ),
+        "array<bigint>",
+    )
+    jarr = base.select("event_id", F.posexplode(jarr_src).alias("pos", "v")).select(
+        "event_id",
+        F.lit("jarr_int").alias("kind"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("v").cast("string").alias("val"),
+    )
+
+    mp = base.select(
+        "event_id",
+        F.posexplode(F.map_entries(F.from_json("props", "map<string,string>"))).alias(
+            "pos", "e"
+        ),
+    ).select(
+        "event_id",
+        F.lit("map").alias("kind"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.concat(F.col("e.key"), F.lit("="), F.col("e.value")).alias("val"),
+    )
+
+    bm = base.select(
+        "event_id",
+        F.posexplode(
+            S.bitmap_from_array(F.array(F.col("k"), F.col("k") + 100))
+        ).alias("pos", "v"),
+    ).select(
+        "event_id",
+        F.lit("bitmap").alias("kind"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("v").cast("string").alias("val"),
+    )
+
+    outer_arr = F.when(
+        F.col("event_type") == "error", F.array().cast("array<string>")
+    ).otherwise(F.array(F.col("event_type")))
+    outer = base.select(
+        "event_id", F.posexplode_outer(outer_arr).alias("pos", "v")
+    ).select(
+        "event_id",
+        F.lit("outer").alias("kind"),
+        F.col("pos").cast("bigint").alias("pos"),
+        F.col("v").alias("val"),
+    )
+
+    return (
+        jarr.unionAll(mp)
+        .unionAll(bm)
+        .unionAll(outer)
+        .orderBy("kind", "event_id", F.col("pos").asc_nulls_first())
+    )
+
+
+@query(
+    "json_mutation",
+    oracle="""
+SELECT event_id,
+       '{"k":' || json_extract_string(props, '$.k') || ',"b":5}'  AS set_new,
+       '{"k":' || json_extract_string(props, '$.k') || '}'        AS insert_existing,
+       '{"k":99}'                                                 AS replace_existing,
+       '{}'                                                       AS removed,
+       '{"k":' || json_extract_string(props, '$.k') || '}'        AS replace_missing,
+       '{"k":' || json_extract_string(props, '$.k') || ',"t":"' || event_type || '"}' AS set_str
+FROM events WHERE event_id < 40 ORDER BY event_id
+""",
+)
+def json_mutation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """json_insert / json_replace / json_set / json_remove (jsonb mutation
+    family, function_jsonb.cpp) as registered pandas UDFs. The oracle
+    builds the expected compact-serialized documents by string
+    construction. insert on an existing key and replace on a missing key
+    are no-ops (MySQL semantics)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id,
+               json_set(props, '$.b', '5')            AS set_new,
+               json_insert(props, '$.k', '1')         AS insert_existing,
+               json_replace(props, '$.k', '99')       AS replace_existing,
+               json_remove(props, '$.k')              AS removed,
+               json_replace(props, '$.missing', '1')  AS replace_missing,
+               json_set(props, '$.t', concat('"', event_type, '"')) AS set_str
+        FROM events WHERE event_id < 40 ORDER BY event_id
+        """
+    )
+
+
+@query(
+    "agg_group_concat",
+    oracle="""
+SELECT o_orderstatus,
+       string_agg(DISTINCT o_orderpriority, '|' ORDER BY o_orderpriority) AS prios,
+       string_agg(CAST(o_orderkey AS VARCHAR), ',' ORDER BY o_orderkey)
+         FILTER (WHERE o_orderkey < 100) AS small_keys
+FROM orders
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def agg_group_concat(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_concat with custom separator + ORDER BY (Doris group_concat,
+    aggregate_function_group_concat; Spark 4 listagg WITHIN GROUP)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT o_orderstatus,
+               listagg(DISTINCT o_orderpriority, '|')
+                 WITHIN GROUP (ORDER BY o_orderpriority) AS prios,
+               listagg(CASE WHEN o_orderkey < 100
+                            THEN CAST(o_orderkey AS STRING) END, ',')
+                 WITHIN GROUP (ORDER BY o_orderkey) AS small_keys
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
+
+
 # ------------------------------------------------------------------- JSON
 
 @query(

@@ -96,3 +96,32 @@ def test_normal_cdf_accuracy(spark):
         got = spark.sql(f"SELECT normal_cdf(0.0d, 1.0d, {z}d) AS v").collect()[0][0]
         want = 0.5 * (1 + math.erf(z / math.sqrt(2)))
         assert abs(got - want) < 2e-7, f"z={z}: {got} vs {want}"
+
+
+# ---------------------------------------------------------- json mutation
+
+def test_json_mutate_semantics():
+    """Pure-python checks of the jsonb-mutation kernel (MySQL-compatible
+    edge semantics; the Spark-side path is covered by the json_mutation
+    oracle query)."""
+    from doris_spark.functions.json_mut import _mutate
+
+    doc = '{"a": 1, "b": {"c": [10, 20]}}'
+    # nested set / replace / insert
+    assert _mutate(doc, "$.b.c[1]", "99", "set") == '{"a":1,"b":{"c":[10,99]}}'
+    assert _mutate(doc, "$.b.c[5]", "99", "insert") == '{"a":1,"b":{"c":[10,20,99]}}'
+    assert _mutate(doc, "$.b.c[5]", "99", "replace") == '{"a":1,"b":{"c":[10,20]}}'
+    assert _mutate(doc, "$.b.d", "true", "insert") == '{"a":1,"b":{"c":[10,20],"d":true}}'
+    # parent missing -> unchanged (no implicit intermediates)
+    assert _mutate(doc, "$.x.y", "1", "set") == '{"a":1,"b":{"c":[10,20]}}'
+    # remove
+    assert _mutate(doc, "$.a", None, "remove") == '{"b":{"c":[10,20]}}'
+    assert _mutate(doc, "$.b.c[0]", None, "remove") == '{"a":1,"b":{"c":[20]}}'
+    # string value and insert-no-overwrite
+    assert _mutate('{"k": 3}', "$.k", '"x"', "insert") == '{"k":3}'
+    assert _mutate('{"k": 3}', "$.k", '"x"', "replace") == '{"k":"x"}'
+    # error -> NULL convention
+    assert _mutate("not json", "$.a", "1", "set") is None
+    assert _mutate('{"a":1}', "a.b", "1", "set") is None
+    assert _mutate('{"a":1}', "$", "1", "set") is None
+    assert _mutate(None, "$.a", "1", "set") is None
