@@ -86,7 +86,9 @@ def minhash_signatures(
     A min-of-md5-hex is a valid MinHash (any total order works) and is
     reproducible in the DuckDB oracle.
     """
-    exploded = df.select(
+    from doris_spark.session import ensure_parallelism
+
+    exploded = ensure_parallelism(df).select(
         F.col(id_col).alias("doc"),
         F.explode(F.array_distinct(token_shingles(text_col, shingle_n))).alias("shingle"),
     )

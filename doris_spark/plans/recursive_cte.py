@@ -38,17 +38,28 @@ def recursive_union(
     rows (same schema). Returns the accumulated result. Raises if
     max_iterations is exceeded (matching the reference's
     max_recursion_depth guard).
+
+    (Measured dead end, do not revisit: fusing k steps into one
+    checkpoint job — 'unrolling' — is SLOWER than one job per step; the
+    un-checkpointed step-k subtree is recomputed inside step k+1 and
+    ReusedExchange does not rescue the nested subtract shapes.)
     """
     frontier = anchor.localCheckpoint(eager=True)
     result = frontier
     for i in range(max_iterations):
         nxt = step(frontier)
         if distinct:
-            nxt = nxt.distinct().subtract(result)
+            # subtract IS "EXCEPT DISTINCT": it both dedups the frontier
+            # and removes already-seen rows — one shuffle, not two.
+            nxt = nxt.subtract(result)
         if (i + 1) % checkpoint_every == 0:
             nxt = nxt.localCheckpoint(eager=True)
         if nxt.isEmpty():
             return result
-        result = result.unionByName(nxt).localCheckpoint(eager=True)
+        # The accumulator is a union over already-checkpointed frontiers:
+        # each leaf is materialized, so the plan stays shallow without its
+        # own per-iteration checkpoint job (subtract re-reads the cached
+        # frontier blocks either way).
+        result = result.unionByName(nxt)
         frontier = nxt
     raise RuntimeError(f"recursive_union: no fixpoint after {max_iterations} iterations")

@@ -45,7 +45,9 @@ def rec_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_nationkey").cast("bigint").alias("src"),
         ((F.col("n_nationkey") * 3 + 2) % 25).cast("bigint").alias("dst"),
     )
-    edges = e1.unionByName(e2)
+    # Materialize the 50-row derived edge set once: every BFS iteration
+    # joins against it, and without this each step re-scans the parquet.
+    edges = e1.unionByName(e2).localCheckpoint(eager=True)
     anchor = spark.createDataFrame([(0, 0)], "node BIGINT, depth INT")
 
     def step(frontier: DataFrame) -> DataFrame:
@@ -185,7 +187,13 @@ ORDER BY l_returnflag
 def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUANTILE_STATE: percentile_approx sketch vs exact percentile, checked
     as within-5% (sketches differ between engines)."""
+    from doris_spark.session import ensure_parallelism
+
     li = load_tables(spark, sf_dir)["lineitem"]
+    # Prune to the two needed columns, then spread the single-row-group
+    # scan across cores: exact percentile buffers every value, so the
+    # partial-agg stage is compute-heavy.
+    li = ensure_parallelism(li.select("l_returnflag", "l_extendedprice"))
     return (
         li.groupBy("l_returnflag")
         .agg(

@@ -18,7 +18,7 @@ from pyspark.sql import functions as F
 from doris_spark.operators import dedup as D
 from doris_spark.operators import textops as T
 from doris_spark.queries import query
-from doris_spark.session import load_tables
+from doris_spark.session import ensure_parallelism, load_tables
 
 # DuckDB-side shared fragments (must mirror operators/textops.py +
 # operators/dedup.py exactly).
@@ -191,6 +191,16 @@ def _shingle_sql(n: int = 3) -> str:
     )
 
 
+def _hash60_sql(s: str) -> str:
+    """DuckDB replacement for Spark `conv(substr(md5(s),1,15),16,10)`:
+    60-bit bigint from the first 15 md5 hex chars (DuckDB has no conv)."""
+    return (
+        f"CAST(list_sum(list_transform(range(15), i -> "
+        f"(strpos('0123456789abcdef', substr(md5({s}), i + 1, 1)) - 1)::BIGINT"
+        f" << (4 * (14 - i)))) AS BIGINT)"
+    )
+
+
 _MINHASH_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id AS doc, unnest({_shingle_sql(3)}) AS shingle FROM documents
@@ -228,7 +238,10 @@ def txt_minhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "txt_jaccard_adjacent",
     oracle=f"""
-WITH t AS (SELECT doc_id, {_shingle_sql(3)} AS sh FROM documents)
+WITH t AS (SELECT doc_id,
+                  list_distinct(list_transform({_shingle_sql(3)},
+                                               s -> {_hash60_sql('s')})) AS sh
+           FROM documents)
 SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
        CASE WHEN len(list_distinct(list_concat(a.sh, b.sh))) = 0 THEN 0.0
             ELSE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
@@ -239,13 +252,22 @@ ORDER BY doc_a
 )
 def txt_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     """n-gram Jaccard similarity between consecutive doc ids (linear-size
-    verification of the shingle-set similarity machinery)."""
+    verification of the shingle-set similarity machinery). Shingles are
+    hashed to 60-bit bigints up front: set ops then move 8-byte ints
+    instead of ~25-char strings (3× on the scan-side stage); the oracle
+    hashes identically, so values still match exactly."""
     docs = load_tables(spark, sf_dir)["documents"]
     # Persist the shingle sets: both join sides read the same computed
     # arrays instead of re-deriving ~300 shingles per doc per side (the
     # CTE-materialization decision — Doris CTEInline.java analog).
-    t = docs.select(
-        "doc_id", F.array_distinct(D.token_shingles("text", 3)).alias("sh")
+    t = ensure_parallelism(docs).select(
+        "doc_id",
+        F.array_distinct(
+            F.transform(
+                D.token_shingles("text", 3),
+                lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
+            )
+        ).alias("sh"),
     ).persist()
     a = t.alias("a")
     b = t.select(
@@ -269,10 +291,7 @@ _SIMHASH_ORACLE = f"""
 WITH sh AS (
   SELECT doc_id AS doc, {_shingle_sql(2)} AS shingles FROM documents
 ), h AS (
-  SELECT doc,
-         list_transform(shingles, s -> CAST(list_sum(list_transform(range(15), i ->
-             (strpos('0123456789abcdef', substr(md5(s), i + 1, 1)) - 1)::BIGINT
-               << (4 * (14 - i)))) AS BIGINT)) AS hashes
+  SELECT doc, list_transform(shingles, s -> {_hash60_sql('s')}) AS hashes
   FROM sh
 ), sim AS (
   SELECT doc,
@@ -298,7 +317,11 @@ def txt_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     # Persist: both sides of the adjacent-id self-join read the computed
     # fingerprints instead of re-deriving the md5/vote pipeline twice.
-    sim = docs.select("doc_id", D.simhash64("text", 2).alias("simhash")).persist()
+    sim = (
+        ensure_parallelism(docs)
+        .select("doc_id", D.simhash64("text", 2).alias("simhash"))
+        .persist()
+    )
     a = sim.alias("a")
     b = sim.select(
         (F.col("doc_id") - 1).alias("join_id"),

@@ -804,7 +804,11 @@ _PARTSUPP_SQL = """
 
 
 def _partsupp(t: dict[str, DataFrame]) -> DataFrame:
-    p, s = t["part"], t["supplier"]
+    from doris_spark.session import ensure_parallelism
+
+    # Spread the stream side first: the 20M-pair nested-loop expansion
+    # otherwise runs inside the single scan partition of part.parquet.
+    p, s = ensure_parallelism(t["part"]), t["supplier"]
     joined = p.crossJoin(s).filter((F.col("p_partkey") + F.col("s_suppkey")) % 4 == 0)
     return joined.select(
         F.col("p_partkey").alias("ps_partkey"),

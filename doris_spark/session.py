@@ -118,6 +118,24 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
     return dict(out)
 
 
+def ensure_parallelism(df: DataFrame) -> DataFrame:
+    """Repartition iff the plan's scan parallelism is below the cluster's.
+
+    A small single-row-group parquet file scans as ONE partition, so a
+    CPU-heavy per-row pipeline (shingling, hashing, vector math) runs on
+    one core no matter how many the cluster has. At 100 TB the scan is
+    already thousands of splits and this is a no-op — the repartition
+    only fires when input splits < defaultParallelism, i.e. exactly the
+    small-input / few-big-gzip-files case where a round-robin shuffle of
+    the raw rows is cheap relative to the compute it unlocks.
+    """
+    sc = df.sparkSession.sparkContext
+    target = sc.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target)
+    return df
+
+
 def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
     """Read parquet; nanosecond timestamps arrive as long (nanosAsLong) and are
     floor-converted to microsecond TimestampType — same truncation DuckDB
