@@ -310,7 +310,201 @@ def variant_shim(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "variant_native",
+    oracle="""
+SELECT event_id,
+       CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+       CAST(json_extract_string(props, '$.k') AS DOUBLE) AS k_dbl,
+       'OBJECT<k: BIGINT>' AS sch,
+       '{"k":' || json_extract_string(props, '$.k') || '}' AS rt,
+       CAST(NULL AS VARCHAR) AS miss
+FROM events WHERE event_id < 40 ORDER BY event_id
+""",
+)
+def variant_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doris VARIANT via Spark 4's native VariantType (data_type_variant.h;
+    subcolumn access = variant_get with typed extraction — the
+    VariantSubPathPruning analog is Spark's variant pushdown). Compare
+    with `variant_shim` (map-based fallback for Spark 3.x)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT event_id,
+               variant_get(v, '$.k', 'bigint')          AS k_val,
+               CAST(variant_get(v, '$.k') AS DOUBLE)    AS k_dbl,
+               schema_of_variant(v)                     AS sch,
+               to_json(v)                               AS rt,
+               try_variant_get(v, '$.missing', 'string') AS miss
+        FROM (SELECT event_id, parse_json(props) AS v FROM events
+              WHERE event_id < 40)
+        ORDER BY event_id
+        """
+    )
+
+
 # ------------------------------------------------------------- aggregates
+
+@query(
+    "agg_extras",
+    oracle="""
+SELECT l_returnflag,
+       sum(l_extendedprice * l_quantity) / sum(l_quantity) AS avg_weighted_price,
+       stddev_samp(l_extendedprice) / sqrt(count(*))       AS sem_price
+FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+""",
+)
+def agg_extras(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """avg_weighted (aggregate_function_avg_weighted.h) and sem (standard
+    error of mean) — composed from built-in partial-aggregatable pieces,
+    so both stay one-shuffle at any scale."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            (
+                F.sum(F.col("l_extendedprice") * F.col("l_quantity"))
+                / F.sum("l_quantity")
+            ).alias("avg_weighted_price"),
+            (F.stddev_samp("l_extendedprice") / F.sqrt(F.count(F.lit(1)))).alias(
+                "sem_price"
+            ),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_count_by_enum",
+    oracle="""
+WITH c AS (
+  SELECT o_orderstatus, nullif(o_orderpriority, '1-URGENT') AS e, count(*) AS cnt
+  FROM orders GROUP BY 1, 2
+)
+SELECT o_orderstatus,
+       list_transform(list_sort(list(struct_pack(k := e, v := cnt))
+                                FILTER (WHERE e IS NOT NULL)),
+                      x -> x.k) AS enum_keys,
+       list_transform(list_sort(list(struct_pack(k := e, v := cnt))
+                                FILTER (WHERE e IS NOT NULL)),
+                      x -> x.v) AS enum_counts,
+       sum(CASE WHEN e IS NULL THEN cnt ELSE 0 END) AS null_cnt
+FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
+""",
+)
+def agg_count_by_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """count_by_enum (aggregate_function_count_by_enum.h): per-group
+    enum-value histogram plus NULL count (the nullable enum is derived
+    with nullif so the null path is actually exercised). Emitted as
+    parallel sorted arrays — the JSON rendering is a to_json away."""
+    o = load_tables(spark, sf_dir)["orders"]
+    inner = o.select(
+        "o_orderstatus",
+        F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias("e"),
+    ).groupBy("o_orderstatus", "e").agg(F.count(F.lit(1)).alias("cnt"))
+    # collect_list skips NULL elements, so wrapping in when() filters the
+    # NULL-enum group out of the entry array.
+    entries = F.array_sort(
+        F.collect_list(
+            F.when(
+                F.col("e").isNotNull(),
+                F.struct(F.col("e").alias("k"), F.col("cnt").alias("v")),
+            )
+        )
+    )
+    return (
+        inner.groupBy("o_orderstatus")
+        .agg(
+            F.transform(entries, lambda x: x.getField("k")).alias("enum_keys"),
+            F.transform(entries, lambda x: x.getField("v")).alias("enum_counts"),
+            F.sum(F.when(F.col("e").isNull(), F.col("cnt")).otherwise(0)).alias(
+                "null_cnt"
+            ),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+@query(
+    "agg_array_intersect",
+    oracle="""
+WITH sets AS (
+  SELECT DISTINCT l_returnflag AS flag, l_linestatus AS st, l_suppkey % 50 AS v
+  FROM lineitem
+), m AS (
+  SELECT flag, count(DISTINCT st) AS n_members FROM sets GROUP BY flag
+), cnt AS (
+  SELECT flag, v, count(DISTINCT st) AS c FROM sets GROUP BY flag, v
+)
+SELECT cnt.flag AS l_returnflag,
+       list_sort(list(cnt.v)) AS common_vals
+FROM cnt JOIN m ON cnt.flag = m.flag
+WHERE cnt.c = m.n_members
+GROUP BY cnt.flag ORDER BY l_returnflag
+""",
+)
+def agg_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """group_array_intersect (aggregate_function_group_array_intersect.h):
+    values present in EVERY member set of the group. Implemented by
+    explode + membership counting (one shuffle, no quadratic
+    array-intersect chain — the formulation that survives wide groups at
+    scale)."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    sets = (
+        li.select(
+            F.col("l_returnflag").alias("flag"),
+            F.col("l_linestatus").alias("st"),
+            (F.col("l_suppkey") % 50).alias("v"),
+        )
+        .distinct()
+    )
+    m = sets.groupBy("flag").agg(F.countDistinct("st").alias("n_members"))
+    cnt = sets.groupBy("flag", "v").agg(F.countDistinct("st").alias("c"))
+    return (
+        cnt.join(F.broadcast(m), "flag")
+        .filter(F.col("c") == F.col("n_members"))
+        .groupBy(F.col("flag").alias("l_returnflag"))
+        .agg(F.array_sort(F.collect_list("v")).alias("common_vals"))
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
+    "agg_ema",
+    oracle="""
+WITH arr AS (
+  SELECT user_id,
+         list_transform(list_sort(list(struct_pack(ts := ts, value := value))),
+                        e -> e.value) AS vals
+  FROM events WHERE user_id < 20 GROUP BY user_id
+)
+SELECT user_id,
+       len(vals) AS n,
+       list_reduce(vals, (acc, x) -> 0.5 * x + 0.5 * acc) AS ema
+FROM arr ORDER BY user_id
+""",
+)
+def agg_ema(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """exponential_moving_average (aggregate_function_ema.h), alpha=0.5,
+    seeded with the first event: inherently sequential per group, so the
+    fold runs over the time-sorted collected array (array size = events
+    per user — bounded; the groupBy shuffle is the only wide op)."""
+    ev = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") < 20)
+    arr = ev.groupBy("user_id").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("ts", "value"))),
+            lambda e: e.getField("value"),
+        ).alias("vals")
+    )
+    return arr.select(
+        "user_id",
+        F.size("vals").alias("n"),
+        F.expr(
+            "aggregate(slice(vals, 2, size(vals) - 1), "
+            "CAST(element_at(vals, 1) AS DOUBLE), "
+            "(acc, x) -> 0.5 * x + 0.5 * acc)"
+        ).alias("ema"),
+    ).orderBy("user_id")
 
 @query(
     "agg_histogram",
