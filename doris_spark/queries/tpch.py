@@ -964,3 +964,77 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
         .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
+
+
+@query(
+    "tpch_q21",
+    oracle="""
+SELECT s_name, count(*) AS numwait
+FROM supplier, lineitem l1, orders, nation
+WHERE s_suppkey = l1.l_suppkey
+  AND o_orderkey = l1.l_orderkey
+  AND o_orderstatus = 'F'
+  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  AND EXISTS (
+    SELECT 1 FROM lineitem l2
+    WHERE l2.l_orderkey = l1.l_orderkey AND l2.l_suppkey <> l1.l_suppkey
+  )
+  AND NOT EXISTS (
+    SELECT 1 FROM lineitem l3
+    WHERE l3.l_orderkey = l1.l_orderkey AND l3.l_suppkey <> l1.l_suppkey
+      AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY
+  )
+  AND s_nationkey = n_nationkey
+  AND n_name = 'NATION_3'
+GROUP BY s_name
+ORDER BY numwait DESC, s_name
+LIMIT 100
+""",
+)
+def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Q21 "suppliers who kept orders waiting" (q21.groovy analog), with
+    lateness adapted to the fixture schema (no commit/receipt dates):
+    late := l_shipdate > o_orderdate + 60 days.
+
+    The correlated EXISTS / NOT EXISTS pair is decorrelated into ONE
+    per-order aggregate (distinct suppliers; distinct late suppliers):
+    a row qualifies iff its order has >1 supplier and exactly one late
+    supplier (necessarily this row's). That replaces two correlated
+    lineitem rescans with a single reusable shuffle — the same plan the
+    reference's SubqueryToApply + agg rewrites aim for."""
+    t = _t(spark, sf_dir)
+    o_f = (
+        t["orders"]
+        .filter(F.col("o_orderstatus") == "F")
+        .select("o_orderkey", "o_orderdate")
+    )
+    li = (
+        t["lineitem"]
+        .select("l_orderkey", "l_suppkey", "l_shipdate")
+        .join(o_f, F.col("l_orderkey") == F.col("o_orderkey"))
+        .withColumn("late", F.col("l_shipdate") > F.date_add(F.col("o_orderdate"), 60))
+    )
+    per_order = li.groupBy(F.col("l_orderkey").alias("po_orderkey")).agg(
+        F.countDistinct("l_suppkey").alias("n_sup"),
+        F.countDistinct(F.when(F.col("late"), F.col("l_suppkey"))).alias("n_late_sup"),
+    )
+    nat_sup = F.broadcast(
+        t["supplier"]
+        .join(
+            t["nation"].filter(F.col("n_name") == "NATION_3"),
+            F.col("s_nationkey") == F.col("n_nationkey"),
+        )
+        .select("s_suppkey", "s_name")
+    )
+    return (
+        li.filter(F.col("late"))
+        .join(
+            per_order.filter((F.col("n_sup") > 1) & (F.col("n_late_sup") == 1)),
+            F.col("l_orderkey") == F.col("po_orderkey"),
+        )
+        .join(nat_sup, F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(F.count(F.lit(1)).alias("numwait"))
+        .orderBy(F.desc("numwait"), "s_name")
+        .limit(100)
+    )

@@ -119,3 +119,37 @@ def run_stream_to_memory(
     )
     q.processAllAvailable()
     q.stop()
+
+
+def read_kafka_routine_load(
+    spark: SparkSession,
+    brokers: str,
+    topic: str,
+    value_schema: StructType | str,
+    starting_offsets: str = "earliest",
+) -> DataFrame:
+    """Routine Load parity over a real Kafka source
+    (fe/.../load/routineload/RoutineLoadJob.java; consumer
+    be/src/load/routine_load/data_consumer.h:127 KafkaDataConsumer).
+
+    Source offsets are tracked in the streaming checkpoint, giving the
+    same exactly-once contract Doris gets from committing Kafka offsets
+    inside the load transaction. Downstream, reuse the identical plan
+    shape as the file path: transform → `upsert_writer` foreachBatch.
+
+    Requires the spark-sql-kafka connector on the classpath; in
+    environments without it (like this container) Spark raises its
+    data-source-not-found error at load() — callers should treat that as
+    "Kafka not available here", not a code failure.
+    """
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", brokers)
+        .option("subscribe", topic)
+        .option("startingOffsets", starting_offsets)
+        .load()
+    )
+    return raw.select(
+        F.from_json(F.col("value").cast("string"), value_schema).alias("r"),
+        F.col("timestamp").alias("kafka_ts"),
+    ).select("r.*", "kafka_ts")

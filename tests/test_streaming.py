@@ -89,3 +89,29 @@ def test_stream_upsert_matches_batch_view(spark, sf_dir, events_dir):
     )
     assert [tuple(r) for r in got] == [tuple(r) for r in want]
     shutil.rmtree(target, ignore_errors=True)
+
+
+def test_kafka_routine_load_wiring(spark):
+    """No broker/connector in this container: assert the Kafka source path
+    reaches Spark's data-source resolution (i.e. our wiring is correct and
+    the only missing piece is the classpath JAR). If a connector IS
+    present, the unstarted streaming DataFrame must expose the parsed
+    schema."""
+    import pytest
+    from doris_spark.streaming.ingest import (
+        EVENTS_STREAM_SCHEMA,
+        read_kafka_routine_load,
+    )
+
+    try:
+        df = read_kafka_routine_load(
+            spark, "localhost:9092", "events", EVENTS_STREAM_SCHEMA
+        )
+    except Exception as e:  # noqa: BLE001 — asserting on the failure class
+        msg = str(e)
+        assert "kafka" in msg.lower() and (
+            "DATA_SOURCE_NOT_FOUND" in msg or "Failed to find" in msg
+        ), f"unexpected failure mode: {msg[:300]}"
+        pytest.xfail("kafka connector not on classpath (expected here)")
+    assert df.isStreaming
+    assert set(EVENTS_STREAM_SCHEMA.fieldNames()) <= set(df.columns)
