@@ -187,6 +187,22 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "s STRING",
         "s rlike '^((25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)\\\\.){3}(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)$'",
     ),
+    "is_ip_address_in_range": (
+        "s STRING, cidr STRING",
+        # n(s) and n(prefix) inlined (SQL UDFs can't call each other at
+        # definition time); /0 works because (n >> 32) is 0 for any IPv4.
+        "CASE WHEN s rlike '^([0-9]{1,3}\\\\.){3}[0-9]{1,3}$' "
+        "AND split(cidr, '/')[0] rlike '^([0-9]{1,3}\\\\.){3}[0-9]{1,3}$' THEN "
+        "((CAST(split(s, '\\\\.')[0] AS BIGINT) * 16777216 + CAST(split(s, '\\\\.')[1] AS BIGINT) * 65536 "
+        "+ CAST(split(s, '\\\\.')[2] AS BIGINT) * 256 + CAST(split(s, '\\\\.')[3] AS BIGINT)) "
+        ">> (32 - CAST(split(cidr, '/')[1] AS INT))) = "
+        "((CAST(split(split(cidr, '/')[0], '\\\\.')[0] AS BIGINT) * 16777216 "
+        "+ CAST(split(split(cidr, '/')[0], '\\\\.')[1] AS BIGINT) * 65536 "
+        "+ CAST(split(split(cidr, '/')[0], '\\\\.')[2] AS BIGINT) * 256 "
+        "+ CAST(split(split(cidr, '/')[0], '\\\\.')[3] AS BIGINT)) "
+        ">> (32 - CAST(split(cidr, '/')[1] AS INT))) "
+        "ELSE NULL END",
+    ),
     "inet_aton": (
         "s STRING",
         "CASE WHEN s rlike '^([0-9]{1,3}\\\\.){3}[0-9]{1,3}$' THEN "

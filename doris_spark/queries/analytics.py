@@ -823,3 +823,46 @@ def null_edge_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("flag_or_null").asc_nulls_first())
     )
+
+
+@query(
+    "win_range_frames",
+    oracle="""
+SELECT * FROM (
+  SELECT o_orderkey,
+         round(CAST(sum(o_totalprice) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_totalprice
+             RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+           AS near_price_sum,
+         count(*) OVER (
+             PARTITION BY o_orderstatus ORDER BY o_orderdate
+             RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+           AS cnt_30d
+  FROM orders
+) x WHERE o_orderkey < 500 ORDER BY o_orderkey
+""",
+)
+def win_range_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RANGE frames, both flavors the reference executes
+    (TAnalyticWindowType RANGE, PlanNodes.thrift:1302-1308): value-offset
+    (1000.0 PRECEDING over a numeric order key) and time-interval offset
+    (INTERVAL 30 DAY over a timestamp). RANGE frames are value-bounded
+    sets, so results are order-stable across engines; the outer filter
+    runs after the window (QUALIFY-style)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT * FROM (
+          SELECT o_orderkey,
+                 round(sum(o_totalprice) OVER (
+                     PARTITION BY o_orderstatus ORDER BY o_totalprice
+                     RANGE BETWEEN 1000.0 PRECEDING AND CURRENT ROW), 2)
+                   AS near_price_sum,
+                 count(*) OVER (
+                     PARTITION BY o_orderstatus ORDER BY o_orderdate
+                     RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW)
+                   AS cnt_30d
+          FROM orders
+        ) x WHERE o_orderkey < 500 ORDER BY o_orderkey
+        """
+    )

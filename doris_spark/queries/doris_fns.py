@@ -57,3 +57,46 @@ def doris_fn_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE o_orderkey < 200
         """
     )
+
+
+@query(
+    "ip_fns",
+    oracle="""
+WITH ips AS (
+  SELECT c_custkey, (c_custkey * 2654435761) % 4294967296 AS n
+  FROM customer WHERE c_custkey < 200
+)
+SELECT c_custkey, n,
+       CAST((n >> 24) & 255 AS VARCHAR) || '.' || CAST((n >> 16) & 255 AS VARCHAR)
+         || '.' || CAST((n >> 8) & 255 AS VARCHAR) || '.' || CAST(n & 255 AS VARCHAR)
+         AS ip,
+       n AS roundtrip,
+       true AS valid,
+       false AS invalid,
+       ((n >> 24) & 255) = 10 AS in_10_8,
+       ((n >> 28)) = (CAST(160 AS BIGINT) >> 4) AS in_a0_4
+FROM ips ORDER BY c_custkey
+""",
+)
+def ip_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IPv4 family (be/src/exprs/function/function_ip.cpp):
+    num↔string round trip, validation, CIDR membership. IPs derived
+    deterministically from custkey (Knuth-hash spread over the full
+    address space); the oracle recomputes with shift arithmetic."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH ips AS (
+          SELECT c_custkey, (c_custkey * 2654435761) % 4294967296 AS n
+          FROM customer WHERE c_custkey < 200
+        )
+        SELECT c_custkey, n,
+               ipv4_num_to_string(n)                         AS ip,
+               ipv4_string_to_num(ipv4_num_to_string(n))     AS roundtrip,
+               is_ipv4_string(ipv4_num_to_string(n))         AS valid,
+               is_ipv4_string('999.1.1.1')                   AS invalid,
+               is_ip_address_in_range(ipv4_num_to_string(n), '10.0.0.0/8')  AS in_10_8,
+               is_ip_address_in_range(ipv4_num_to_string(n), '160.0.0.0/4') AS in_a0_4
+        FROM ips ORDER BY c_custkey
+        """
+    )
