@@ -186,3 +186,25 @@ def sample_frames(df: DataFrame, every_n: int = 10) -> DataFrame:
     return df.filter(F.col("kind") == "video").select("media_id", "payload").mapInPandas(
         frames, schema
     )
+
+
+def media_from_text(df: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Build a media table from a text corpus (each doc's UTF-8 bytes as
+    payload) — the ingestion half of the multimodal pipeline, same
+    mapInPandas/Arrow shape as decode_media."""
+
+    def build(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids = pdf[id_col].tolist()
+            yield pd.DataFrame(
+                {
+                    "media_id": ids,
+                    "kind": [_KINDS[i % 3] for i in ids],
+                    "payload": [
+                        encode_fake_media(i, _KINDS[i % 3], t.encode("utf-8"))
+                        for i, t in zip(ids, pdf[text_col])
+                    ],
+                }
+            )
+
+    return df.select(id_col, text_col).mapInPandas(build, MEDIA_SCHEMA)

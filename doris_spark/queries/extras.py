@@ -705,3 +705,73 @@ def scalar_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.array_intersect(toks, kw)).alias("n_kw"),
         F.size(F.array_distinct(F.concat(toks, F.array(F.lit("zzz"))))).alias("sz_with_sentinel"),
     ).orderBy("doc_id")
+
+
+# ------------------------------------------------------------- multimodal
+
+@query(
+    "mm_decode",
+    oracle="""
+SELECT doc_id AS media_id,
+       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+       CAST(64 + doc_id % 192 AS INT)        AS width,
+       CAST(64 + (doc_id * 7) % 192 AS INT)  AS height,
+       CAST(CASE WHEN doc_id % 3 = 0 THEN 3 ELSE 1 END AS INT) AS channels,
+       CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+       md5(text) AS content_digest
+FROM documents WHERE doc_id < 300 ORDER BY media_id
+""",
+)
+def mm_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal binary-column pipeline end-to-end: build media payloads
+    from the corpus (mapInPandas), decode them back (mapInPandas, Arrow
+    batches, fake codec per environment contract). Every decoded field —
+    dimensions, byte count, content digest — is value-checked by the
+    oracle recomputing the container arithmetic, so the whole
+    python-worker round trip is verified, not just row counts."""
+    from doris_spark.operators.multimodal import decode_media, media_from_text
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
+    return decode_media(media_from_text(docs)).orderBy("media_id")
+
+
+# ------------------------------------------------------------ schema scan
+
+@query(
+    "schema_scan",
+    oracle="""
+SELECT 'table' AS kind,
+       unnest(['region','nation','customer','supplier','part','orders',
+               'lineitem','events','documents','embeddings']) AS name,
+       'true' AS info
+UNION ALL
+SELECT 'column',
+       unnest(['event_id','ts','user_id','event_type','value','props']),
+       unnest(['bigint','timestamp','bigint','string','double','string'])
+ORDER BY kind, name
+""",
+)
+def schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SchemaScan (be/src/exec/operator/schema_scan_operator.h,
+    information_schema.*): catalog tables + one table's column schema
+    rendered as a queryable DataFrame. Doubles as the type-mapping check
+    for the events table (TIMESTAMP(NANOS) parquet surfaces as Spark
+    timestamp — SURVEY §1.3)."""
+    from doris_spark.session import TABLES
+
+    register_views(spark, sf_dir)
+    tabs = (
+        spark.sql("SHOW TABLES")
+        .filter(F.col("tableName").isin(list(TABLES)))
+        .select(
+            F.lit("table").alias("kind"),
+            F.col("tableName").alias("name"),
+            F.col("isTemporary").cast("string").alias("info"),
+        )
+    )
+    cols = spark.sql("DESCRIBE TABLE events").select(
+        F.lit("column").alias("kind"),
+        F.col("col_name").alias("name"),
+        F.col("data_type").alias("info"),
+    )
+    return tabs.unionByName(cols).orderBy("kind", "name")

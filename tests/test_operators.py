@@ -88,3 +88,18 @@ def test_recursive_union_all_mode(spark):
 
     out = recursive_union(anchor, step, distinct=False, max_iterations=10)
     assert sorted(r["n"] for r in out.collect()) == [1, 2, 3, 4, 5]
+
+
+def test_assert_num_rows_scalar_subquery(spark, sf_dir):
+    """Doris AssertNumRows (be/src/exec/operator/assert_num_rows_operator.h:36):
+    a scalar subquery returning more than one row must raise, not silently
+    pick a row. Spark enforces the same guard at runtime."""
+    import pytest
+
+    from doris_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    ok = spark.sql("SELECT (SELECT max(n_nationkey) FROM nation) AS v").collect()
+    assert ok[0]["v"] == 24
+    with pytest.raises(Exception, match="TOO_MANY_ROWS|[Mm]ore than one row"):
+        spark.sql("SELECT (SELECT n_nationkey FROM nation) AS v").collect()
