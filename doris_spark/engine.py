@@ -1,0 +1,104 @@
+"""Engine — the user-facing facade (the Doris "connection").
+
+A user of the reference talks to a FE over MySQL protocol: issues SQL,
+creates tables with a keys model (KeysType.java:25), loads data, queries.
+This class is that surface on Spark (SURVEY §7.0 design stance):
+
+    eng = Engine()                      # or Engine(existing_spark)
+    eng.register_parquet_dir(sf_dir)    # fixture tables as views
+    eng.sql("SELECT years_add(o_orderdate, 1) ... ")   # full fn surface
+    eng.create_table(df, "t", keys_type="UNIQUE_KEYS",
+                     keys=["id"], sequence_col="ver")
+    eng.table("t")                      # merge-on-read view
+
+Everything heavy is delegated: SQL goes straight to Spark SQL (Catalyst
+optimizes; the Doris-only function names are session-registered SQL/pandas
+UDFs — functions/registry.py), table models are merge-on-read views
+(operators/table_models.py), layout goes through sources/layout.py.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Mapping, Sequence
+
+from pyspark.sql import DataFrame, SparkSession
+
+from doris_spark.operators.table_models import agg_key_view, unique_key_view
+from doris_spark.session import get_spark, register_views
+
+
+class Engine:
+    """Session facade: SQL entry point + table-model-aware catalog."""
+
+    def __init__(self, spark: SparkSession | None = None, cpus: int | None = None):
+        if spark is None:
+            spark = get_spark(cpus=cpus)
+        else:
+            # An externally built session still needs the Doris function
+            # surface (idempotent CREATE OR REPLACE).
+            from doris_spark.functions import register_all
+
+            register_all(spark)
+        self.spark = spark
+        # table name -> merge-on-read view (DUP tables map to themselves)
+        self._views: dict[str, DataFrame] = {}
+
+    # ------------------------------------------------------------ queries
+
+    def sql(self, text: str) -> DataFrame:
+        """Run SQL with the full registered function surface. Table-model
+        views registered via create_table are visible as temp views."""
+        return self.spark.sql(text)
+
+    def table(self, name: str) -> DataFrame:
+        """DataFrame handle honoring the table's keys model (UNIQUE/AGG
+        tables resolve to their merge-on-read view)."""
+        if name in self._views:
+            return self._views[name]
+        return self.spark.table(name)
+
+    # ------------------------------------------------------------ catalog
+
+    def register_parquet_dir(self, sf_dir: str | None = None) -> dict[str, DataFrame]:
+        """Register the fixture parquet tables as queryable views
+        (OlapScan analog: predicate pushdown/column pruning at the scan)."""
+        return register_views(self.spark, sf_dir)
+
+    def create_table(
+        self,
+        df: DataFrame,
+        name: str,
+        keys_type: str = "DUP_KEYS",
+        keys: Sequence[str] = (),
+        sequence_col: str | None = None,
+        delete_col: str | None = None,
+        agg_spec: Mapping[str, str] | None = None,
+    ) -> DataFrame:
+        """CREATE TABLE with a Doris keys model (KeysType.java:25-29).
+
+        DUP_KEYS: the DataFrame as-is. UNIQUE_KEYS: merge-on-read latest-
+        row-per-key view (sequence_col orders versions; delete_col drops
+        keys). AGG_KEYS: per-column pre-aggregation view (agg_spec maps
+        value column -> SUM/MIN/MAX/REPLACE/REPLACE_IF_NOT_NULL). The view
+        is registered as a temp view under `name` so sql() sees merged
+        semantics — exactly what a Doris reader gets."""
+        kt = keys_type.upper()
+        if kt == "DUP_KEYS":
+            view = df
+        elif kt == "UNIQUE_KEYS":
+            if not keys or sequence_col is None:
+                raise ValueError("UNIQUE_KEYS requires keys and sequence_col")
+            view = unique_key_view(df, keys, sequence_col, delete_col=delete_col)
+        elif kt == "AGG_KEYS":
+            if not keys or not agg_spec:
+                raise ValueError("AGG_KEYS requires keys and agg_spec")
+            view = agg_key_view(df, keys, agg_spec, sequence_col=sequence_col)
+        else:
+            raise ValueError(f"unknown keys_type {keys_type}")
+        view.createOrReplaceTempView(name)
+        self._views[name] = view
+        return view
+
+    def drop_table(self, name: str) -> None:
+        self.spark.catalog.dropTempView(name)
+        self._views.pop(name, None)

@@ -93,3 +93,39 @@ def test_agg_model_matches_direct_groupby(spark, sf_dir):
     got = [(r["l_returnflag"], r["l_linestatus"], round(r["sq"], 6), r["mx"], r["mn"]) for r in rolled.collect()]
     want = [(r["l_returnflag"], r["l_linestatus"], round(r["sq"], 6), r["mx"], r["mn"]) for r in direct.collect()]
     assert got == want
+
+
+def test_engine_facade(spark, sf_dir):
+    """Engine: SQL entry point + keys-model-aware create_table/table."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from doris_spark import Engine
+
+    eng = Engine(spark)
+    eng.register_parquet_dir(sf_dir)
+    assert eng.sql("SELECT years_add(TIMESTAMP '2000-01-01', 1) AS t").collect()[0][
+        "t"
+    ].year == 2001
+
+    raw = spark.createDataFrame(
+        [(1, 1, "a", 10.0), (1, 2, "b", 20.0), (2, 1, "c", 5.0)],
+        "id BIGINT, ver INT, name STRING, score DOUBLE",
+    )
+    eng.create_table(raw, "u_t", keys_type="UNIQUE_KEYS", keys=["id"], sequence_col="ver")
+    got = {r["id"]: r["name"] for r in eng.table("u_t").collect()}
+    assert got == {1: "b", 2: "c"}
+    # sql() sees merged semantics
+    assert eng.sql("SELECT count(*) AS n FROM u_t").collect()[0]["n"] == 2
+
+    eng.create_table(
+        raw, "a_t", keys_type="AGG_KEYS", keys=["id"],
+        agg_spec={"score": "SUM", "name": "REPLACE"}, sequence_col="ver",
+    )
+    agg = {r["id"]: (r["score"], r["name"]) for r in eng.table("a_t").collect()}
+    assert agg == {1: (30.0, "b"), 2: (5.0, "c")}
+
+    with pytest.raises(ValueError):
+        eng.create_table(raw, "bad", keys_type="UNIQUE_KEYS")
+    eng.drop_table("u_t")
+    eng.drop_table("a_t")
