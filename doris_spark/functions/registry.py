@@ -170,6 +170,37 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     "bit_shift_left": ("a BIGINT, n INT", "shiftleft(a, n)"),
     "bit_shift_right": ("a BIGINT, n INT", "shiftright(a, n)"),
     "bit_test": ("a BIGINT, pos INT", "CAST((a >> pos) & 1 AS TINYINT)"),
+    # ---- URL (be/src/exprs/function/function_string_url.cpp)
+    "protocol": ("u STRING", "regexp_extract(u, '^([a-zA-Z0-9.+-]+)://', 1)"),
+    "domain": (
+        "u STRING",
+        "regexp_extract(u, '^(?:[a-zA-Z0-9.+-]+://)?(?:[^/@]*@)?([^/:?#]+)', 1)",
+    ),
+    "domain_without_www": (
+        "u STRING",
+        "regexp_replace(regexp_extract(u, '^(?:[a-zA-Z0-9.+-]+://)?(?:[^/@]*@)?([^/:?#]+)', 1), "
+        "'^www\\\\.', '')",
+    ),
+    "extract_url_parameter": (
+        "u STRING, p STRING",
+        "regexp_extract(u, concat('[?&]', p, '=([^&#]*)'), 1)",
+    ),
+    "top_level_domain": (
+        "u STRING",
+        "regexp_extract(regexp_extract(u, '^(?:[a-zA-Z0-9.+-]+://)?(?:[^/@]*@)?([^/:?#]+)', 1), "
+        "'\\\\.([a-zA-Z0-9-]+)$', 1)",
+    ),
+    # ---- mask family (function_string.cpp mask/mask_first_n/mask_last_n;
+    #      Spark's mask() has the same X/x/n defaults)
+    "mask_first_n": (
+        "s STRING, n INT",
+        "concat(mask(substring(s, 1, n)), substring(s, n + 1))",
+    ),
+    "mask_last_n": (
+        "s STRING, n INT",
+        "concat(substring(s, 1, greatest(length(s) - n, 0)), "
+        "mask(substring(s, greatest(length(s) - n, 0) + 1)))",
+    ),
     # ---- IP (function_ip.cpp) — IPv4 stored as BIGINT
     "ipv4_num_to_string": (
         "n BIGINT",

@@ -100,3 +100,63 @@ def ip_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ips ORDER BY c_custkey
         """
     )
+
+
+_MASK_DUCK = ("regexp_replace(regexp_replace(regexp_replace({c}, '[A-Z]', 'X', 'g'), "
+              "'[a-z]', 'x', 'g'), '[0-9]', 'n', 'g')")
+
+
+@query(
+    "url_mask_fns",
+    oracle=f"""
+WITH u AS (
+  SELECT c_custkey, c_name,
+         'https://www.' || lower(c_mktsegment) || '.example.com/p?id='
+           || CAST(c_custkey AS VARCHAR) || '&seg=' || lower(c_mktsegment)
+           || '#frag' AS url,
+         lower(c_mktsegment) AS seg
+  FROM customer WHERE c_custkey < 200
+)
+SELECT c_custkey,
+       'https'                      AS proto,
+       'www.' || seg || '.example.com' AS dom,
+       seg || '.example.com'        AS dom_no_www,
+       'com'                        AS tld,
+       CAST(c_custkey AS VARCHAR)   AS id_param,
+       seg                          AS seg_param,
+       {_MASK_DUCK.format(c='c_name')} AS masked,
+       {_MASK_DUCK.format(c="substr(c_name, 1, 4)")} || substr(c_name, 5) AS mask4,
+       substr(c_name, 1, greatest(length(c_name) - 3, 0))
+         || {_MASK_DUCK.format(c="substr(c_name, greatest(length(c_name) - 3, 0) + 1)")}
+         AS mask_last3
+FROM u ORDER BY c_custkey
+""",
+)
+def url_mask_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL family (function_string_url.cpp: protocol/domain/
+    domain_without_www/top_level_domain/extract_url_parameter) and mask
+    family (mask/mask_first_n/mask_last_n) over synthesized URLs; the
+    oracle derives every expected value from the construction."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH u AS (
+          SELECT c_custkey, c_name,
+                 concat('https://www.', lower(c_mktsegment), '.example.com/p?id=',
+                        CAST(c_custkey AS STRING), '&seg=', lower(c_mktsegment),
+                        '#frag') AS url
+          FROM customer WHERE c_custkey < 200
+        )
+        SELECT c_custkey,
+               protocol(url)                        AS proto,
+               domain(url)                          AS dom,
+               domain_without_www(url)              AS dom_no_www,
+               top_level_domain(url)                AS tld,
+               extract_url_parameter(url, 'id')     AS id_param,
+               extract_url_parameter(url, 'seg')    AS seg_param,
+               mask(c_name)                         AS masked,
+               mask_first_n(c_name, 4)              AS mask4,
+               mask_last_n(c_name, 3)               AS mask_last3
+        FROM u ORDER BY c_custkey
+        """
+    )
