@@ -775,3 +775,36 @@ def schema_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("data_type").alias("info"),
     )
     return tabs.unionByName(cols).orderBy("kind", "name")
+
+
+# ---------------------------------------------------------------- sampling
+
+@query(
+    "tablesample_det",
+    oracle="""
+WITH s AS (
+  SELECT * FROM orders
+  WHERE substr(md5(CAST(o_orderkey AS VARCHAR)), 1, 4) < '1999'
+)
+SELECT count(*) AS n,
+       round(sum(o_totalprice), 2) AS total,
+       min(o_orderkey) AS min_key,
+       max(o_orderkey) AS max_key
+FROM s
+""",
+)
+def tablesample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TABLESAMPLE re-expressed as a deterministic hash sample (~10%,
+    operators/sampling.py): reproducible across engines and reruns, no
+    shuffle — the auditable form of Doris's stats-collection sampling.
+    0x1999/0x10000 = 9.99%."""
+    from doris_spark.operators.sampling import deterministic_sample
+
+    o = load_tables(spark, sf_dir)["orders"]
+    s = deterministic_sample(o, "o_orderkey", 0.1)
+    return s.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("o_totalprice"), 2).alias("total"),
+        F.min("o_orderkey").alias("min_key"),
+        F.max("o_orderkey").alias("max_key"),
+    )
