@@ -178,3 +178,16 @@ def embed(col, dim: int = 16) -> Column:
         return pd.Series(adapter.embed(s.tolist(), d))
 
     return _f(col)
+
+
+def ai_agg(df, group_cols: Sequence[str], text_col: str, prompt: str = "summarize"):
+    """ai_agg (aggregate_function_ai_agg.h): ONE model call per group over
+    the gathered member texts. Two-phase: the wide shuffle carries only the
+    collect_list partial states; the LLM batch call runs over the (small)
+    grouped table — at scale that's |groups| calls, never |rows|."""
+    joined = F.array_join(F.array_sort(F.collect_list(text_col)), "\n")
+    g = df.groupBy(*group_cols).agg(joined.alias("__joined"))
+    return g.select(
+        *group_cols,
+        ai_generate(F.concat(F.lit(prompt + ":"), F.col("__joined"))).alias("ai_agg"),
+    )

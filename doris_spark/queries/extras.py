@@ -808,3 +808,86 @@ def tablesample_det(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_orderkey").alias("min_key"),
         F.max("o_orderkey").alias("max_key"),
     )
+
+
+# -------------------------------------------------------------- AI family
+
+def _hex32_sql(s: str, start: int) -> str:
+    """DuckDB: unsigned 32-bit int from 8 hex chars of `s` (1-based
+    start). Fits signed-64 comfortably."""
+    return (
+        f"CAST(list_sum(list_transform(range(8), i -> "
+        f"(strpos('0123456789abcdef', substr({s}, {start} + i, 1)) - 1)::BIGINT"
+        f" << (4 * (7 - i)))) AS BIGINT)"
+    )
+
+
+_AI_TOKS = (
+    "list_filter(string_split_regex(lower(text), '\\s+'), x -> x <> '')"
+)
+
+_AI_ORACLE = f"""
+WITH h AS (
+  SELECT doc_id, text,
+         md5('cls' || text) AS ch
+  FROM documents WHERE doc_id < 100
+), m AS (
+  SELECT doc_id, text,
+         {_hex32_sql('ch', 1)} AS hi,
+         {_hex32_sql('ch', 9)} AS lo
+  FROM h
+)
+SELECT doc_id,
+       ['tech','news','story','misc'][CAST(lo % 4 AS INT) + 1]            AS cls,
+       ['positive','neutral','negative'][CAST((hi % 3 + lo % 3) % 3 AS INT) + 1] AS sent,
+       '[gen:' || substr(md5(text), 1, 12) || ']'                          AS gen,
+       CASE WHEN len(list_distinct(list_concat({_AI_TOKS}, ['spark','join','query']))) = 0
+            THEN 0.0
+            ELSE CAST(len(list_intersect(list_distinct({_AI_TOKS}),
+                                         ['spark','join','query'])) AS DOUBLE)
+                 / len(list_distinct(list_concat({_AI_TOKS}, ['spark','join','query'])))
+       END AS sim
+FROM m ORDER BY doc_id
+"""
+
+
+@query("ai_fns", oracle=_AI_ORACLE)
+def ai_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AI scalar family (be/src/exprs/function/ai/): classify, sentiment,
+    generate, similarity as Arrow-batched pandas UDFs over the pluggable
+    adapter. The deterministic fake adapter is md5-seeded, so the oracle
+    recomputes the exact outputs (u64 % n done in 32-bit halves — DuckDB
+    bigint is signed): full value verification of the UDF batch path."""
+    from doris_spark.functions import ai as AI
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+    return docs.select(
+        "doc_id",
+        AI.ai_classify(F.col("text"), ["tech", "news", "story", "misc"]).alias("cls"),
+        AI.ai_sentiment(F.col("text")).alias("sent"),
+        AI.ai_generate(F.col("text")).alias("gen"),
+        AI.ai_similarity(F.col("text"), F.lit("spark join query")).alias("sim"),
+    ).orderBy("doc_id")
+
+
+@query(
+    "ai_agg_groups",
+    oracle="""
+WITH g AS (
+  SELECT lang, string_agg(text, chr(10) ORDER BY text) AS joined
+  FROM documents WHERE doc_id < 100 GROUP BY lang
+)
+SELECT lang,
+       '[gen:' || substr(md5('summarize:' || joined), 1, 12) || ']' AS ai_agg
+FROM g ORDER BY lang
+""",
+)
+def ai_agg_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ai_agg (aggregate_function_ai_agg.h): one generate call per lang
+    group over the sorted concatenated member texts — |groups| model
+    calls after a collect_list shuffle, verified byte-for-byte against
+    the oracle's recomputation."""
+    from doris_spark.functions.ai import ai_agg
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
+    return ai_agg(docs, ["lang"], "text").orderBy("lang")
