@@ -31,14 +31,23 @@ def window_funnel(
     type_col: str,
     steps: Sequence[str],
     window_seconds: int,
+    mode: str = "increase",
 ) -> DataFrame:
     """Per-user funnel level: (user, level) where level = number of steps
     completed in order within `window_seconds` of the first step-1 event.
+
+    `mode` mirrors the reference's window_funnel modes
+    (aggregate_function_window_funnel_v2.h): "increase" requires strictly
+    increasing timestamps between consecutive steps; "default" lets a
+    same-timestamp event advance the funnel. (fixed/deduplication modes
+    are not implemented — declared gap, COVERAGE.md.)
 
     Plan: one filtered aggregate per step, each a (user → min ts) row,
     chained by equi-joins on user — k-1 small shuffles on the user key
     (AQE coalesces), linear in events.
     """
+    if mode not in ("increase", "default"):
+        raise ValueError(f"unsupported window_funnel mode {mode}")
     u = F.col(user_col)
     win = F.expr(f"INTERVAL {window_seconds} SECOND")
 
@@ -56,7 +65,14 @@ def window_funnel(
                 result.filter(F.col("level") == i - 1).select("user", "t1", "t_prev"),
                 F.col("nuser") == F.col("user"),
             )
-            .filter((F.col("nts") > F.col("t_prev")) & (F.col("nts") <= F.col("t1") + win))
+            .filter(
+                (
+                    (F.col("nts") > F.col("t_prev"))
+                    if mode == "increase"
+                    else (F.col("nts") >= F.col("t_prev"))
+                )
+                & (F.col("nts") <= F.col("t1") + win)
+            )
             .groupBy("user")
             .agg(F.min("t1").alias("t1"), F.min("nts").alias("t_next"))
         )

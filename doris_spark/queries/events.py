@@ -341,3 +341,93 @@ def ev_unique_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("ts").alias("last_ts"),
         F.col("value").alias("last_value"),
     ).orderBy("user_id", "event_type")
+
+
+@query(
+    "ev_funnel_default",
+    oracle=f"""
+WITH s1 AS (
+  SELECT user_id, min({_TS}) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(s1.t1) AS t1, min({_TS}) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND {_TS} >= s1.t1
+    AND {_TS} <= s1.t1 + INTERVAL '24 hours'
+  GROUP BY e.user_id
+), s3 AS (
+  SELECT e.user_id, min({_TS}) AS t3
+  FROM events e JOIN s2 ON e.user_id = s2.user_id
+  WHERE e.event_type = 'purchase' AND {_TS} >= s2.t2
+    AND {_TS} <= s2.t1 + INTERVAL '24 hours'
+  GROUP BY e.user_id
+)
+SELECT level, count(*) AS n_users FROM (
+  SELECT s1.user_id,
+         CASE WHEN s3.user_id IS NOT NULL THEN 3
+              WHEN s2.user_id IS NOT NULL THEN 2
+              ELSE 1 END AS level
+  FROM s1 LEFT JOIN s2 ON s1.user_id = s2.user_id
+          LEFT JOIN s3 ON s1.user_id = s3.user_id
+) lv
+GROUP BY level ORDER BY level
+""",
+)
+def ev_funnel_default(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window_funnel in 'default' mode (same-timestamp events may advance
+    the funnel) — contrast with ev_funnel's strict 'increase' mode; the
+    two oracles differ only in > vs >=."""
+    ev = load_tables(spark, sf_dir)["events"]
+    lv = window_funnel(
+        ev, "user_id", "ts", "event_type",
+        steps=["signup", "view", "purchase"], window_seconds=24 * 3600,
+        mode="default",
+    )
+    return (
+        lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_users")).orderBy("level")
+    )
+
+
+@query(
+    "ev_orthogonal_bitmap",
+    oracle="""
+SELECT
+  (SELECT count(DISTINCT e1.user_id) FROM events e1
+   WHERE e1.event_type = 'click'
+     AND EXISTS (SELECT 1 FROM events e2
+                 WHERE e2.user_id = e1.user_id AND e2.event_type = 'purchase'))
+    AS and_count,
+  (SELECT count(DISTINCT user_id) FROM events
+   WHERE event_type IN ('click', 'purchase')) AS or_count,
+  (SELECT count(DISTINCT e1.user_id) FROM events e1
+   WHERE e1.event_type = 'click'
+     AND NOT EXISTS (SELECT 1 FROM events e2
+                     WHERE e2.user_id = e1.user_id AND e2.event_type = 'purchase'))
+    AS andnot_count
+""",
+)
+def ev_orthogonal_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orthogonal_bitmap_intersect_count / union_count / andnot
+    (orthogonal_bitmap_* family, be/src/exprs/aggregate/): audience
+    overlap between event types via per-type user bitmaps. The partial
+    bitmap_agg per (type) is exactly the orthogonal scheme — per-bucket
+    bitmaps built in parallel, tiny final merge."""
+    from doris_spark.functions import sketches as SK
+
+    ev = load_tables(spark, sf_dir)["events"]
+    per_type = (
+        ev.filter(F.col("event_type").isin("click", "purchase"))
+        .groupBy("event_type")
+        .agg(SK.bitmap_agg("user_id").alias("bm"))
+    )
+    click = per_type.filter(F.col("event_type") == "click").select(
+        F.col("bm").alias("bm_click")
+    )
+    buy = per_type.filter(F.col("event_type") == "purchase").select(
+        F.col("bm").alias("bm_buy")
+    )
+    both = click.crossJoin(buy)
+    return both.select(
+        SK.bitmap_count(SK.bitmap_and("bm_click", "bm_buy")).alias("and_count"),
+        SK.bitmap_count(SK.bitmap_or("bm_click", "bm_buy")).alias("or_count"),
+        SK.bitmap_count(SK.bitmap_andnot("bm_click", "bm_buy")).alias("andnot_count"),
+    )
