@@ -115,3 +115,41 @@ def test_kafka_routine_load_wiring(spark):
         pytest.xfail("kafka connector not on classpath (expected here)")
     assert df.isStreaming
     assert set(EVENTS_STREAM_SCHEMA.fieldNames()) <= set(df.columns)
+
+
+def test_stream_dedup_within_watermark(spark, sf_dir, events_dir):
+    """Streaming dedup (routine-load duplicate suppression analog):
+    dropDuplicatesWithinWatermark collapses replays of the same event_id
+    across micro-batches into one row."""
+    from doris_spark.streaming.ingest import read_event_stream
+
+    # Duplicate every file: same events arrive twice across micro-batches.
+    import shutil as _sh
+
+    for f in list(os.listdir(events_dir)):
+        if f.endswith(".parquet"):
+            _sh.copy(f"{events_dir}/{f}", f"{events_dir}/dup_{f}")
+
+    stream = read_event_stream(spark, events_dir)
+    deduped = stream.withWatermark("ts", "10 minutes").dropDuplicatesWithinWatermark(
+        ["event_id"]
+    )
+    run_stream_to_memory(
+        deduped.groupBy().agg(F.count(F.lit(1)).alias("n")), "dedup_cnt",
+        output_mode="complete",
+    )
+    got = spark.sql("SELECT n FROM dedup_cnt").collect()[0]["n"]
+    want = load_tables(spark, sf_dir)["events"].count()
+    assert got == want
+
+
+def test_arrow_out(spark, sf_dir):
+    """MemoryScratchSink / Arrow Flight SQL analog
+    (be/src/exec/operator/memory_scratch_sink_operator.h): results leave
+    the engine as Arrow, zero-copy into the Python ecosystem."""
+    import pyarrow as pa
+
+    t = load_tables(spark, sf_dir)["nation"].orderBy("n_nationkey").toArrow()
+    assert isinstance(t, pa.Table)
+    assert t.num_rows == 25
+    assert t.column("n_name")[0].as_py() == "NATION_0"
