@@ -891,3 +891,49 @@ def ai_agg_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 100)
     return ai_agg(docs, ["lang"], "text").orderBy("lang")
+
+
+# -------------------------------------------------------------- decimal
+
+@query(
+    "decimal_semantics",
+    oracle="""
+WITH d AS (
+  SELECT CAST(round(l_extendedprice, 2) AS DECIMAL(12,2)) AS p,
+         CAST(round(l_quantity, 2)      AS DECIMAL(12,2)) AS q
+  FROM lineitem WHERE l_orderkey < 500
+)
+SELECT CAST(sum(p) AS DECIMAL(20,2))            AS sum_p,
+       avg(CAST(p AS DOUBLE))                   AS avg_p,
+       CAST(sum(p * q) AS DECIMAL(24,4))        AS sum_pq,
+       CAST(min(p) AS DECIMAL(12,2))            AS min_p,
+       CAST(round(max(p), 1) AS DECIMAL(12,1))  AS max_p_r1,
+       CAST(CAST(sum(p) AS DOUBLE) / CAST(sum(q) AS DOUBLE) AS DOUBLE) AS ratio,
+       CAST(sum(p) % 7 AS DECIMAL(12,2))        AS mod_p
+FROM d
+""",
+)
+def decimal_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DECIMALV3 money math (SURVEY §7.3 tier-1 risk): exact decimal sums
+    and products at pinned precision/scale, HALF_UP rounding, modulo on
+    decimals. Every output type is pinned by explicit CAST on BOTH sides
+    because the engines' implicit result-type rules differ (DuckDB decimal
+    division yields DOUBLE; Spark yields a rescaled decimal)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        WITH d AS (
+          SELECT CAST(round(l_extendedprice, 2) AS DECIMAL(12,2)) AS p,
+                 CAST(round(l_quantity, 2)      AS DECIMAL(12,2)) AS q
+          FROM lineitem WHERE l_orderkey < 500
+        )
+        SELECT CAST(sum(p) AS DECIMAL(20,2))            AS sum_p,
+               avg(CAST(p AS DOUBLE))                   AS avg_p,
+               CAST(sum(p * q) AS DECIMAL(24,4))        AS sum_pq,
+               CAST(min(p) AS DECIMAL(12,2))            AS min_p,
+               CAST(round(max(p), 1) AS DECIMAL(12,1))  AS max_p_r1,
+               CAST(CAST(sum(p) AS DOUBLE) / CAST(sum(q) AS DOUBLE) AS DOUBLE) AS ratio,
+               CAST(sum(p) % 7 AS DECIMAL(12,2))        AS mod_p
+        FROM d
+        """
+    )
