@@ -170,6 +170,15 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     "bit_shift_left": ("a BIGINT, n INT", "shiftleft(a, n)"),
     "bit_shift_right": ("a BIGINT, n INT", "shiftright(a, n)"),
     "bit_test": ("a BIGINT, pos INT", "CAST((a >> pos) & 1 AS TINYINT)"),
+    # ---- timezone + calendar names
+    #      (function_date_or_datetime_computation.cpp convert_tz;
+    #       function_date_or_datetime_to_string.cpp dayname/monthname)
+    "convert_tz": (
+        "t TIMESTAMP_NTZ, src STRING, dst STRING",
+        "convert_timezone(src, dst, t)",
+    ),
+    # dayname/monthname: Spark 4 built-ins (not re-registered per the
+    # ~85%-overlap rule); note Spark returns abbreviated names.
     # ---- URL (be/src/exprs/function/function_string_url.cpp)
     "protocol": ("u STRING", "regexp_extract(u, '^([a-zA-Z0-9.+-]+)://', 1)"),
     "domain": (
