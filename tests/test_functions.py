@@ -9,6 +9,7 @@ from doris_spark.functions import DORIS_SQL_FUNCTIONS
 
 SMOKE_ARGS = {
     "TIMESTAMP": "TIMESTAMP '1997-06-15 10:30:45'",
+    "TIMESTAMP_NTZ": "TIMESTAMP_NTZ '1997-06-15 10:30:45'",
     "DATE": "DATE '1997-06-15'",
     "INT": "3",
     "BIGINT": "7",
@@ -24,6 +25,11 @@ SMOKE_ARGS = {
 # Functions whose generic smoke args would be semantically invalid.
 SMOKE_OVERRIDES = {
     "str_to_date": ["'1997-06-15'", "'yyyy-MM-dd'"],
+    "convert_tz": [
+        "TIMESTAMP_NTZ '1997-06-15 10:30:45'",
+        "'UTC'",
+        "'Asia/Tokyo'",
+    ],
 }
 
 
