@@ -213,3 +213,40 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@query(
+    "sketch_bitmap_string",
+    oracle="""
+WITH per AS (
+  SELECT l_returnflag, list_sort(list(DISTINCT l_suppkey % 40)) AS bm
+  FROM lineitem GROUP BY l_returnflag
+)
+SELECT l_returnflag,
+       array_to_string(bm, ',') AS bm_str,
+       len(bm) AS card,
+       bm[1:5] AS first5,
+       '1,3,5' AS parsed,
+       bm[1] AS bm_min,
+       bm[len(bm)] AS bm_max
+FROM per ORDER BY l_returnflag
+""",
+)
+def sketch_bitmap_string(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bitmap_to_string / bitmap_from_string / sub_bitmap / bitmap_min/max
+    (function_bitmap.cpp string+subset surface) over per-flag supplier
+    bitmaps; from_string round trip pinned on a literal with dups and
+    out-of-order input."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    per = li.groupBy("l_returnflag").agg(
+        SK.bitmap_agg(F.col("l_suppkey") % 40).alias("bm")
+    )
+    return per.select(
+        "l_returnflag",
+        SK.bitmap_to_string("bm").alias("bm_str"),
+        SK.bitmap_count("bm").alias("card"),
+        SK.sub_bitmap("bm", 0, 5).alias("first5"),
+        SK.bitmap_to_string(SK.bitmap_from_string(F.lit("5,1,3,5"))).alias("parsed"),
+        SK.bitmap_min("bm").alias("bm_min"),
+        SK.bitmap_max("bm").alias("bm_max"),
+    ).orderBy("l_returnflag")
