@@ -61,6 +61,33 @@ def bitmap_count(b) -> Column:
     return F.size(_c(b))
 
 
+def orthogonal_bitmap_union_count(bm) -> Column:
+    """Aggregate: count of the union of pre-built bitmap columns
+    (Doris orthogonal_bitmap_union_count,
+    be/src/exprs/aggregate/aggregate_function_orthogonal_bitmap.h).
+    The reference exploits orthogonal tablet partitioning; in Spark the
+    same two-level partial/final merge falls out of hash aggregation."""
+    return F.size(bitmap_union_agg(bm))
+
+
+def orthogonal_bitmap_intersect(bm, filter_col, values) -> Column:
+    """Aggregate: per filter value v, union the bitmaps of rows where
+    filter_col = v, then intersect those unions (Doris
+    orthogonal_bitmap_intersect(bitmap, col, v1, v2, ...)). One
+    conditional partial aggregate per value — a single shuffle, no
+    self-joins."""
+    branches = [bitmap_union_agg(F.when(_c(filter_col) == v, _c(bm))) for v in values]
+    out = branches[0]
+    for b in branches[1:]:
+        out = F.array_intersect(out, b)
+    return F.array_sort(out)
+
+
+def orthogonal_bitmap_intersect_count(bm, filter_col, values) -> Column:
+    """Aggregate: cardinality of orthogonal_bitmap_intersect."""
+    return F.size(orthogonal_bitmap_intersect(bm, filter_col, values))
+
+
 def bitmap_and(a, b) -> Column:
     return F.array_sort(F.array_intersect(_c(a), _c(b)))
 

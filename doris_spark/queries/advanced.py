@@ -125,6 +125,95 @@ def sketch_bitmap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_orthogonal_bitmap",
+    oracle="""
+SELECT l_linestatus,
+       count(DISTINCT l_suppkey) AS union_count,
+       len(list_intersect(
+             list_intersect(
+               list(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'A'),
+               list(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'N')),
+             list(DISTINCT l_suppkey) FILTER (WHERE l_returnflag = 'R')))
+         AS intersect_count
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def sketch_orthogonal_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """orthogonal_bitmap_union_count / _intersect_count over a stored
+    bitmap table (the Doris UV pattern: pre-aggregated bitmaps keyed by a
+    filter dimension, rolled up at query time). Base = per
+    (l_linestatus, l_returnflag) supplier bitmaps; suppliers active under
+    all three return flags per status."""
+    li = load_tables(spark, sf_dir)["lineitem"]
+    base = li.groupBy("l_linestatus", "l_returnflag").agg(
+        SK.bitmap_agg("l_suppkey").alias("bm")
+    )
+    flags = ["A", "N", "R"]
+    return (
+        base.groupBy("l_linestatus")
+        .agg(
+            SK.orthogonal_bitmap_union_count("bm").alias("union_count"),
+            SK.orthogonal_bitmap_intersect_count("bm", "l_returnflag", flags).alias(
+                "intersect_count"
+            ),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
+    "agg_state_combinators",
+    oracle="""
+SELECT l_returnflag,
+       CAST(sum(l_quantity) AS DOUBLE) AS sum_qty,
+       count(l_extendedprice) AS cnt_price,
+       CAST(min(l_discount) AS DOUBLE) AS min_disc,
+       CAST(max(l_tax) AS DOUBLE) AS max_tax,
+       CAST(sum(l_quantity) AS DOUBLE) / count(l_quantity) AS avg_qty
+FROM lineitem
+GROUP BY l_returnflag
+ORDER BY l_returnflag
+""",
+)
+def agg_state_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """AGG_STATE combinators: _state at fine grain, _union regroup,
+    _merge finalize (functions/combinators.py). Mirrors an AGG_KEYS
+    table holding stored partial states that are rolled up at query
+    time; states are struct columns with exact (decimal) partials, so
+    the three-level rollup is bit-identical to a direct aggregate."""
+    from doris_spark.functions import combinators as C
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    fine = li.groupBy("l_returnflag", "l_linestatus", "l_suppkey").agg(
+        C.sum_state("l_quantity").alias("qty_st"),
+        C.count_state("l_extendedprice").alias("price_ct"),
+        C.min_state("l_discount").alias("disc_st"),
+        C.max_state("l_tax").alias("tax_st"),
+        C.avg_state("l_quantity").alias("qty_avg_st"),
+    )
+    mid = fine.groupBy("l_returnflag", "l_linestatus").agg(
+        C.sum_union("qty_st").alias("qty_st"),
+        C.count_union("price_ct").alias("price_ct"),
+        C.min_union("disc_st").alias("disc_st"),
+        C.max_union("tax_st").alias("tax_st"),
+        C.avg_union("qty_avg_st").alias("qty_avg_st"),
+    )
+    return (
+        mid.groupBy("l_returnflag")
+        .agg(
+            C.sum_merge("qty_st").cast("double").alias("sum_qty"),
+            C.count_merge("price_ct").alias("cnt_price"),
+            C.min_merge("disc_st").cast("double").alias("min_disc"),
+            C.max_merge("tax_st").cast("double").alias("max_tax"),
+            C.avg_merge("qty_avg_st").alias("avg_qty"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@query(
     "sketch_hll",
     oracle="""
 SELECT o_orderstatus,
