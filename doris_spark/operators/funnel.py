@@ -39,14 +39,18 @@ def window_funnel(
     `mode` mirrors the reference's window_funnel modes
     (aggregate_function_window_funnel_v2.h): "increase" requires strictly
     increasing timestamps between consecutive steps; "default" lets a
-    same-timestamp event advance the funnel. (fixed/deduplication modes
-    are not implemented — declared gap, COVERAGE.md.)
+    same-timestamp event advance the funnel; "deduplication" is
+    strict-increase plus: the funnel stops at level i if an event of an
+    already-matched step type recurs strictly between the step-i match
+    and the candidate step-(i+1) match. ("fixed" mode is not
+    implemented — declared gap, COVERAGE.md.)
 
     Plan: one filtered aggregate per step, each a (user → min ts) row,
     chained by equi-joins on user — k-1 small shuffles on the user key
-    (AQE coalesces), linear in events.
+    (AQE coalesces), linear in events. Deduplication adds one anti-join
+    per step against the (already filtered) repeat events.
     """
-    if mode not in ("increase", "default"):
+    if mode not in ("increase", "default", "deduplication"):
         raise ValueError(f"unsupported window_funnel mode {mode}")
     u = F.col(user_col)
     win = F.expr(f"INTERVAL {window_seconds} SECOND")
@@ -67,15 +71,30 @@ def window_funnel(
             )
             .filter(
                 (
-                    (F.col("nts") > F.col("t_prev"))
-                    if mode == "increase"
-                    else (F.col("nts") >= F.col("t_prev"))
+                    (F.col("nts") >= F.col("t_prev"))
+                    if mode == "default"
+                    else (F.col("nts") > F.col("t_prev"))
                 )
                 & (F.col("nts") <= F.col("t1") + win)
             )
             .groupBy("user")
-            .agg(F.min("t1").alias("t1"), F.min("nts").alias("t_next"))
+            .agg(
+                F.min("t1").alias("t1"),
+                F.min("nts").alias("t_next"),
+                F.min("t_prev").alias("t_from"),
+            )
         )
+        if mode == "deduplication":
+            viol = events.filter(F.col(type_col).isin(list(steps[: i - 1]))).select(
+                u.alias("vuser"), F.col(ts_col).alias("vts")
+            )
+            nxt = nxt.join(
+                viol,
+                (F.col("vuser") == F.col("user"))
+                & (F.col("vts") > F.col("t_from"))
+                & (F.col("vts") < F.col("t_next")),
+                "left_anti",
+            )
         advanced = nxt.select(
             "user", F.lit(i).alias("level"), "t1", F.col("t_next").alias("t_prev")
         )

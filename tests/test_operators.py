@@ -103,3 +103,34 @@ def test_assert_num_rows_scalar_subquery(spark, sf_dir):
     assert ok[0]["v"] == 24
     with pytest.raises(Exception, match="TOO_MANY_ROWS|[Mm]ore than one row"):
         spark.sql("SELECT (SELECT n_nationkey FROM nation) AS v").collect()
+
+
+def test_window_funnel_dedup_mode(spark):
+    from doris_spark.operators.funnel import window_funnel
+
+    # user 1: s@10, v@11, p@12 — clean chain, level 3 in every mode.
+    # user 2: s@10, s@10:30, v@11, p@12 — repeat signup between t1 and the
+    #   view match: dedup stops at level 1; increase still reaches 3.
+    # user 3: s@10, v@11, v@11:30, p@12 — repeat view between view match
+    #   and purchase match: dedup stops at level 2.
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), "s"), (1, _ts("2024-01-01T11:00:00"), "v"),
+        (1, _ts("2024-01-01T12:00:00"), "p"),
+        (2, _ts("2024-01-01T10:00:00"), "s"), (2, _ts("2024-01-01T10:30:00"), "s"),
+        (2, _ts("2024-01-01T11:00:00"), "v"), (2, _ts("2024-01-01T12:00:00"), "p"),
+        (3, _ts("2024-01-01T10:00:00"), "s"), (3, _ts("2024-01-01T11:00:00"), "v"),
+        (3, _ts("2024-01-01T11:30:00"), "v"), (3, _ts("2024-01-01T12:00:00"), "p"),
+    ]
+    ev = spark.createDataFrame(rows, "u INT, ts TIMESTAMP, et STRING")
+    args = (ev, "u", "ts", "et")
+    steps = ["s", "v", "p"]
+    dedup = {
+        r["user"]: r["level"]
+        for r in window_funnel(*args, steps=steps, window_seconds=86400, mode="deduplication").collect()
+    }
+    assert dedup == {1: 3, 2: 1, 3: 2}
+    inc = {
+        r["user"]: r["level"]
+        for r in window_funnel(*args, steps=steps, window_seconds=86400, mode="increase").collect()
+    }
+    assert inc == {1: 3, 2: 3, 3: 3}
