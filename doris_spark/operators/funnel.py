@@ -42,15 +42,17 @@ def window_funnel(
     same-timestamp event advance the funnel; "deduplication" is
     strict-increase plus: the funnel stops at level i if an event of an
     already-matched step type recurs strictly between the step-i match
-    and the candidate step-(i+1) match. ("fixed" mode is not
-    implemented — declared gap, COVERAGE.md.)
+    and the candidate step-(i+1) match. "fixed" is strict-increase plus:
+    any funnel-step event other than the expected next step occurring
+    strictly between the matches stops the funnel (non-step events may
+    interleave freely in both modes).
 
     Plan: one filtered aggregate per step, each a (user → min ts) row,
     chained by equi-joins on user — k-1 small shuffles on the user key
-    (AQE coalesces), linear in events. Deduplication adds one anti-join
-    per step against the (already filtered) repeat events.
+    (AQE coalesces), linear in events. Deduplication/fixed add one
+    anti-join per step against the (already filtered) violating events.
     """
-    if mode not in ("increase", "default", "deduplication"):
+    if mode not in ("increase", "default", "deduplication", "fixed"):
         raise ValueError(f"unsupported window_funnel mode {mode}")
     u = F.col(user_col)
     win = F.expr(f"INTERVAL {window_seconds} SECOND")
@@ -84,8 +86,13 @@ def window_funnel(
                 F.min("t_prev").alias("t_from"),
             )
         )
-        if mode == "deduplication":
-            viol = events.filter(F.col(type_col).isin(list(steps[: i - 1]))).select(
+        if mode in ("deduplication", "fixed"):
+            viol_types = (
+                list(steps[: i - 1])
+                if mode == "deduplication"
+                else [s for s in steps if s != step]
+            )
+            viol = events.filter(F.col(type_col).isin(viol_types)).select(
                 u.alias("vuser"), F.col(ts_col).alias("vts")
             )
             nxt = nxt.join(

@@ -446,6 +446,64 @@ def ev_funnel_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_funnel_fixed",
+    oracle=f"""
+WITH s1 AS (
+  SELECT user_id, min({_TS}) AS t1 FROM events WHERE event_type = 'signup' GROUP BY user_id
+), s2 AS (
+  SELECT e.user_id, min(s1.t1) AS t1, min({_TS}) AS t2
+  FROM events e JOIN s1 ON e.user_id = s1.user_id
+  WHERE e.event_type = 'view' AND {_TS} > s1.t1
+    AND {_TS} <= s1.t1 + INTERVAL '24 hours'
+  GROUP BY e.user_id
+), s2ok AS (
+  SELECT s2.* FROM s2
+  WHERE NOT EXISTS (
+    SELECT 1 FROM events r
+    WHERE r.user_id = s2.user_id AND r.event_type IN ('signup', 'purchase')
+      AND {_TS.replace('(ts)', '(r.ts)')} > s2.t1 AND {_TS.replace('(ts)', '(r.ts)')} < s2.t2)
+), s3 AS (
+  SELECT e.user_id, min(s2ok.t2) AS t2, min({_TS}) AS t3
+  FROM events e JOIN s2ok ON e.user_id = s2ok.user_id
+  WHERE e.event_type = 'purchase' AND {_TS} > s2ok.t2
+    AND {_TS} <= s2ok.t1 + INTERVAL '24 hours'
+  GROUP BY e.user_id
+), s3ok AS (
+  SELECT s3.* FROM s3
+  WHERE NOT EXISTS (
+    SELECT 1 FROM events r
+    WHERE r.user_id = s3.user_id AND r.event_type IN ('signup', 'view')
+      AND {_TS.replace('(ts)', '(r.ts)')} > s3.t2 AND {_TS.replace('(ts)', '(r.ts)')} < s3.t3)
+)
+SELECT level, count(*) AS n_users FROM (
+  SELECT s1.user_id,
+         CASE WHEN s3ok.user_id IS NOT NULL THEN 3
+              WHEN s2ok.user_id IS NOT NULL THEN 2
+              ELSE 1 END AS level
+  FROM s1 LEFT JOIN s2ok ON s1.user_id = s2ok.user_id
+          LEFT JOIN s3ok ON s1.user_id = s3ok.user_id
+) lv
+GROUP BY level ORDER BY level
+""",
+)
+def ev_funnel_fixed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """window_funnel in 'fixed' mode: strict-increase chain that stops
+    when any funnel-step event other than the expected next step occurs
+    strictly between consecutive matches (non-step events interleave
+    freely). Oracle: per-advancement NOT EXISTS over the off-sequence
+    step types."""
+    ev = load_tables(spark, sf_dir)["events"]
+    lv = window_funnel(
+        ev, "user_id", "ts", "event_type",
+        steps=["signup", "view", "purchase"], window_seconds=24 * 3600,
+        mode="fixed",
+    )
+    return (
+        lv.groupBy("level").agg(F.count(F.lit(1)).alias("n_users")).orderBy("level")
+    )
+
+
+@query(
     "ev_orthogonal_bitmap",
     oracle="""
 SELECT

@@ -134,3 +134,32 @@ def test_window_funnel_dedup_mode(spark):
         for r in window_funnel(*args, steps=steps, window_seconds=86400, mode="increase").collect()
     }
     assert inc == {1: 3, 2: 3, 3: 3}
+
+
+def test_window_funnel_fixed_mode(spark):
+    from doris_spark.operators.funnel import window_funnel
+
+    # user 1: s@10, p@10:30, v@11, p@12 — an out-of-sequence purchase
+    #   between signup and the view match: fixed stops at level 1, but
+    #   dedup allows it (purchase is not yet matched) → level 3.
+    # user 2: s@10, x@10:30, v@11, p@12 — a NON-step event interleaves:
+    #   both modes still reach level 3.
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), "s"), (1, _ts("2024-01-01T10:30:00"), "p"),
+        (1, _ts("2024-01-01T11:00:00"), "v"), (1, _ts("2024-01-01T12:00:00"), "p"),
+        (2, _ts("2024-01-01T10:00:00"), "s"), (2, _ts("2024-01-01T10:30:00"), "x"),
+        (2, _ts("2024-01-01T11:00:00"), "v"), (2, _ts("2024-01-01T12:00:00"), "p"),
+    ]
+    ev = spark.createDataFrame(rows, "u INT, ts TIMESTAMP, et STRING")
+    args = (ev, "u", "ts", "et")
+    steps = ["s", "v", "p"]
+    fixed = {
+        r["user"]: r["level"]
+        for r in window_funnel(*args, steps=steps, window_seconds=86400, mode="fixed").collect()
+    }
+    assert fixed == {1: 1, 2: 3}
+    dedup = {
+        r["user"]: r["level"]
+        for r in window_funnel(*args, steps=steps, window_seconds=86400, mode="deduplication").collect()
+    }
+    assert dedup == {1: 3, 2: 3}
