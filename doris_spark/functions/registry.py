@@ -339,6 +339,37 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(radians(lon2 - lon1) / 2), 2))))",
     ),
     # ---- misc/system (SURVEY §2.8 misc tier)
+    # ---- straggler batch (round 2)
+    # multi_search_all_positions / multi_match_any
+    # (be/src/exprs/function/function_multi_match.cpp): 1-based position per
+    # needle (0 = absent), any-regexp-matches.
+    "multi_search_all_positions": (
+        "h STRING, needles ARRAY<STRING>",
+        "transform(needles, n -> locate(n, h))",
+    ),
+    "multi_match_any": (
+        "h STRING, patterns ARRAY<STRING>",
+        "exists(patterns, p -> h rlike p)",
+    ),
+    # array_enumerate_uniq (be/src/exprs/function/array/): occurrence index
+    # (1-based) of each element among its equals so far.
+    "array_enumerate_uniq": (
+        "a ARRAY<STRING>",
+        "transform(a, (x, i) -> size(filter(slice(a, 1, i + 1), y -> y = x)))",
+    ),
+    # ISO8601 (function_date_or_datetime_to_string.cpp)
+    "to_iso8601": ("t TIMESTAMP", "date_format(t, \"yyyy-MM-dd'T'HH:mm:ss.SSSSSS\")"),
+    "from_iso8601_date": ("s STRING", "try_to_date(s)"),
+    # bitmap scalar stragglers (function_bitmap.cpp); bitmap = sorted
+    # array<bigint> per functions/sketches.py. bitmap_hash uses Spark's
+    # murmur3-32 (hash) / xxhash64 — same family as Doris, different seed;
+    # internally consistent across this engine.
+    "bitmap_empty": ("", "CAST(array() AS ARRAY<BIGINT>)"),
+    "bitmap_hash": ("s STRING", "array(CAST(hash(s) AS BIGINT) & 4294967295)"),
+    "bitmap_hash64": ("s STRING", "array(xxhash64(s))"),
+    # json_exists_path (function_jsonb.cpp). Caveat: a path holding JSON null
+    # reads as absent (get_json_object collapses both to NULL).
+    "json_exists_path": ("j STRING, p STRING", "get_json_object(j, p) IS NOT NULL"),
 }
 
 

@@ -84,18 +84,68 @@ def get_spark(app_name: str = "doris_spark", cpus: int | None = None) -> SparkSe
         .config("spark.ui.enabled", "false")
     )
     spark = builder.getOrCreate()
-    # Install the Doris-only function-name surface (SQL UDFs, §2.8) so Doris
-    # SQL runs unmodified against this session.
-    from doris_spark.functions import register_all
-
-    register_all(spark)
-    return spark
+    # Runtime confs + Doris function-name surface (§2.8) — same path a
+    # driver-provided foreign session goes through.
+    return prepare_session(spark)
 
 
 # (SparkSession id, sf_dir) -> table DataFrames. DataFrames are lazy plan
 # handles — memoizing them skips repeated footer/schema reads per query
 # without pinning any data.
 _TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+
+# Sessions already passed through prepare_session (by id; same lifetime
+# assumption as _TABLE_CACHE).
+_PREPARED: set[int] = set()
+
+# Runtime confs every entry path needs regardless of who built the session.
+# All of these are SQLConf runtime-settable (not static/core confs).
+_REQUIRED_RUNTIME_CONFS = {
+    # events.parquet carries TIMESTAMP(NANOS); the vectorized reader throws
+    # PARQUET_TYPE_ILLEGAL without this. Values arrive as long and are
+    # floor-converted in _read_parquet.
+    "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Naive event-time in fixtures: pin UTC so Spark and DuckDB agree.
+    "spark.sql.session.timeZone": "UTC",
+    # Vectorized Arrow exchange for the pandas-UDF boundary.
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    "spark.sql.parquet.filterPushdown": "true",
+    "spark.sql.adaptive.enabled": "true",
+}
+
+
+def prepare_session(spark: SparkSession) -> SparkSession:
+    """Make ANY SparkSession able to run this engine — including a vanilla one
+    the driver built itself (the queries()/entry() contract passes us an
+    arbitrary session; nothing guarantees it came from get_spark()).
+
+    Sets the runtime confs the fixture data requires and installs the Doris
+    function-name surface. Idempotent and cheap per session.
+    """
+    if id(spark) in _PREPARED:
+        return spark
+    for k, v in _REQUIRED_RUNTIME_CONFS.items():
+        try:
+            spark.conf.set(k, v)
+        except Exception:
+            # Read-only on some builds — get_spark() already sets it at
+            # builder time; a foreign session without it will surface a
+            # clear read error rather than a silent wrong answer.
+            pass
+    try:
+        # A foreign session typically has the 200-partition default; size
+        # shuffles to the actual core count (AQE coalesces upward cases).
+        spark.conf.set(
+            "spark.sql.shuffle.partitions",
+            str(spark.sparkContext.defaultParallelism),
+        )
+    except Exception:
+        pass
+    from doris_spark.functions import register_all
+
+    register_all(spark)
+    _PREPARED.add(id(spark))
+    return spark
 
 
 def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, DataFrame]:
@@ -105,6 +155,7 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
     in Spark the parquet scan already gives predicate pushdown, column pruning,
     and row-group stats pruning (zone-map analog) for free.
     """
+    prepare_session(spark)
     sf_dir = sf_dir or default_sf_dir()
     key = (id(spark), sf_dir)
     if key in _TABLE_CACHE:

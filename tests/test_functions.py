@@ -81,6 +81,17 @@ PINNED = [
     ("jsonb_extract_bigint('{\"k\": 87}', '$.k')", 87),
     ("to_days(DATE '1970-01-01')", 719528),
     ("split_by_string('a.b.c', '.')", ["a", "b", "c"]),
+    # round-2 stragglers
+    ("multi_search_all_positions('hello world', array('world', 'xyz', 'h'))", [7, 0, 1]),
+    ("multi_match_any('hello', array('^x', 'l+o$'))", True),
+    ("multi_match_any('hello', array('^x', '^y'))", False),
+    ("array_enumerate_uniq(array('a','b','a','a','b'))", [1, 1, 2, 3, 2]),
+    ("to_iso8601(TIMESTAMP '2023-10-10 10:10:10.5')", "2023-10-10T10:10:10.500000"),
+    ("size(bitmap_empty())", 0),
+    ("size(bitmap_hash('ab'))", 1),
+    ("size(bitmap_hash64('ab'))", 1),
+    ('json_exists_path(\'{"a": {"b": 5}}\', \'$.a.b\')', True),
+    ('json_exists_path(\'{"a": {"b": 5}}\', \'$.a.c\')', False),
 ]
 
 
