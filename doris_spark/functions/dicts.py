@@ -1,0 +1,63 @@
+"""Dictionary lookup — Doris dict_get / dict_get_many over dictionary tables.
+
+Reference: be/src/exprs/function/function_dict_get.cpp and the FE
+dictionary DDL (fe/fe-core/.../dictionary/). Doris materializes a
+dictionary table fully in memory on every BE and resolves
+dict_get("db.d", "value_col", key) as a node-local hash lookup.
+
+Spark-first mapping, two tiers (both keep the probe side shuffle-free —
+the same distribution property that makes Doris dictionaries fast):
+
+- dict_get_expr: the dictionary is collected once and inlined as a literal
+  MAP expression (`F.create_map`). Pure Column expression — composes inside
+  any select/filter, stays in whole-stage codegen, no join at all. Right for
+  genuinely bounded dictionaries (enum decode, country/nation codes).
+- dict_get_join: a broadcast left join against the dictionary DataFrame —
+  the executor-replicated hash-map analog for dictionaries too big to
+  inline in a plan literal but small enough to broadcast.
+
+At 100 TB the fact side never moves in either tier; only the dictionary is
+replicated, which is exactly Doris's layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# Above this, a literal map bloats the plan (analysis cost is O(entries) per
+# query); switch to dict_get_join.
+MAX_INLINE_ENTRIES = 10_000
+
+
+def dict_get_expr(dict_df: DataFrame, key_col: str, value_col: str, key: Column) -> Column:
+    """dict_get as a literal-map lookup Column. Missing key → NULL."""
+    pairs = dict_df.select(key_col, value_col).collect()
+    if len(pairs) > MAX_INLINE_ENTRIES:
+        raise ValueError(
+            f"dictionary has {len(pairs)} entries (> {MAX_INLINE_ENTRIES}); "
+            "use dict_get_join (broadcast) instead"
+        )
+    items: list[Column] = []
+    for r in pairs:
+        items.append(F.lit(r[0]))
+        items.append(F.lit(r[1]))
+    return F.element_at(F.create_map(*items), key)
+
+
+def dict_get_join(
+    df: DataFrame,
+    dict_df: DataFrame,
+    key: Column,
+    key_col: str,
+    value_cols: list[str],
+    prefix: str = "dict_",
+) -> DataFrame:
+    """dict_get_many as a broadcast left join: adds `{prefix}{value_col}`
+    columns resolved via `key`. The dictionary side is deduplicated on the
+    key (last-write-wins is NOT emulated — dictionaries are keyed tables)."""
+    d = dict_df.select(
+        F.col(key_col).alias("__dict_key"),
+        *[F.col(v).alias(f"{prefix}{v}") for v in value_cols],
+    ).dropDuplicates(["__dict_key"])
+    return df.join(F.broadcast(d), key == F.col("__dict_key"), "left").drop("__dict_key")

@@ -380,7 +380,8 @@ def register_all(spark: SparkSession) -> int:
     for name, (params, body) in DORIS_SQL_FUNCTIONS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) RETURN {body}")
         n += 1
-    from doris_spark.functions import json_mut
+    from doris_spark.functions import json_mut, textdist
 
     n += json_mut.register(spark)
+    n += textdist.register(spark)
     return n

@@ -153,3 +153,46 @@ def sequence_match(
             .agg(F.min("nts").alias("t"))
         )
     return cur.select("user", F.lit(True).alias("matched"))
+
+
+def sequence_count(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    conds: Sequence,
+) -> DataFrame:
+    """Doris sequence_count('(?1).*(?2)...') per user: how many
+    NON-OVERLAPPING chains cond1 → cond2 → ... occur in timestamp order
+    (arbitrary events allowed between steps)? Greedy left-to-right scan —
+    the standard sequence_count semantics
+    (be/src/exprs/aggregate/aggregate_function_sequence_match.h).
+
+    Plan: one condition-bitmask projection, rows matching no condition are
+    dropped BEFORE the per-user collect (the per-user array holds only
+    participating events, bounded by funnel activity, not raw event volume),
+    then a single JVM-side `aggregate` fold. State is one BIGINT encoding
+    count * (k+1) + stage — no Python in the loop, one shuffle total.
+
+    Returns (user, n_matches) with n_matches >= 0 for every user that has
+    at least one condition-matching event.
+    """
+    k = len(conds)
+    # Bitwise OR (not sum): an event may satisfy several conditions.
+    mask = None
+    for i, c in enumerate(conds):
+        term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+        mask = term if mask is None else mask.bitwiseOR(term)
+    per_user = (
+        events.withColumn("__m", mask.cast("bigint"))
+        .filter(F.col("__m") > 0)
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(F.sort_array(F.collect_list(F.struct(F.col(ts_col).alias("t"), F.col("__m").alias("m")))).alias("evs"))
+    )
+    mod = k + 1
+    fold = (
+        f"aggregate(evs, CAST(0 AS BIGINT), (s, e) -> "
+        f"CASE WHEN ((e.m >> CAST(s % {mod} AS INT)) & 1) = 1 THEN "
+        f"CASE WHEN s % {mod} = {k - 1} THEN s - (s % {mod}) + {mod} ELSE s + 1 END "
+        f"ELSE s END)"
+    )
+    return per_user.select("user", (F.expr(fold) / mod).cast("bigint").alias("n_matches"))

@@ -202,3 +202,77 @@ def tz_datefmt_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events WHERE event_id < 100 ORDER BY event_id
         """
     )
+
+
+@query(
+    "fn_stragglers",
+    # Each semantic recomputed independently in DuckDB: strpos per needle,
+    # explicit regexp alternation, the 3-element enumerate-uniq closed form,
+    # DuckDB's native damerau_levenshtein (same unrestricted variant), and
+    # json_extract presence.
+    oracle="""
+SELECT c_custkey,
+       list_transform(['Customer', '00', 'zzz'], n -> strpos(c_name, n)) AS msap,
+       (regexp_matches(c_name, '0$') OR regexp_matches(c_name, '5$')) AS mma,
+       list_value(1,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 2 ELSE 1 END,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 3 ELSE 2 END) AS enu,
+       damerau_levenshtein(c_mktsegment, 'BUILDINGS') AS dl,
+       json_extract(concat('{"seg": "', c_mktsegment, '"}'), '$.seg') IS NOT NULL AS jep
+FROM customer
+WHERE c_custkey < 500
+ORDER BY c_custkey
+""",
+)
+def fn_stragglers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-2 straggler functions end-to-end through spark.sql:
+    multi_search_all_positions / multi_match_any
+    (be/src/exprs/function/function_multi_match.cpp), array_enumerate_uniq,
+    damerau_levenshtein (function_levenshtein.cpp; pandas-UDF DP kernel),
+    json_exists_path (function_jsonb.cpp)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               multi_search_all_positions(c_name, array('Customer', '00', 'zzz')) AS msap,
+               multi_match_any(c_name, array('0$', '5$'))                         AS mma,
+               array_enumerate_uniq(array(c_mktsegment, 'BUILDING', c_mktsegment)) AS enu,
+               damerau_levenshtein(c_mktsegment, 'BUILDINGS')                     AS dl,
+               json_exists_path(concat('{"seg": "', c_mktsegment, '"}'), '$.seg') AS jep
+        FROM customer
+        WHERE c_custkey < 500
+        ORDER BY c_custkey
+        """
+    )
+
+
+@query(
+    "dict_lookup",
+    oracle="""
+SELECT n.n_name AS nation_name, count(*) AS n_customers,
+       sum(c.c_acctbal) AS total_bal
+FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+GROUP BY n.n_name
+ORDER BY n.n_name
+""",
+)
+def dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doris dictionary lookup (function_dict_get.cpp): nation is
+    materialized as an inline literal-map dictionary (dict_get_expr), so the
+    customer aggregation runs with ZERO joins — the lookup is a pure
+    whole-stage-codegen expression, the Spark analog of Doris's
+    BE-replicated dictionary hash table."""
+    from pyspark.sql import functions as F
+
+    from doris_spark.functions.dicts import dict_get_expr
+    from doris_spark.session import load_tables
+
+    t = load_tables(spark, sf_dir)
+    name_of = dict_get_expr(t["nation"], "n_nationkey", "n_name", F.col("c_nationkey"))
+    return (
+        t["customer"]
+        .select(name_of.alias("nation_name"), "c_acctbal")
+        .groupBy("nation_name")
+        .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("c_acctbal").alias("total_bal"))
+        .orderBy("nation_name")
+    )

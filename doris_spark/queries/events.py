@@ -18,7 +18,12 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from doris_spark.operators.asof import asof_join
-from doris_spark.operators.funnel import retention, sequence_match, window_funnel
+from doris_spark.operators.funnel import (
+    retention,
+    sequence_count,
+    sequence_match,
+    window_funnel,
+)
 from doris_spark.operators.table_models import unique_key_view
 from doris_spark.queries import query
 from doris_spark.session import load_tables
@@ -239,6 +244,45 @@ def ev_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return m.agg(F.count(F.lit(1)).alias("n_matched"))
+
+
+@query(
+    "ev_sequence_count",
+    # Same greedy fold, recomputed in DuckDB: state = count*(k+1)+stage over
+    # the per-user time-ordered bitmask list (list_reduce has no init arg, so
+    # a 0 is prepended as the seed element).
+    oracle=f"""
+WITH marked AS (
+  SELECT user_id,
+         {_TS} AS ts2,
+         (CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END
+          | CASE WHEN event_type = 'purchase' THEN 2 ELSE 0 END) AS m
+  FROM events
+), ue AS (
+  SELECT user_id, list(m ORDER BY ts2, m) AS evs
+  FROM marked WHERE m > 0 GROUP BY user_id
+)
+SELECT user_id,
+       CAST(list_reduce(list_prepend(CAST(0 AS BIGINT), evs),
+            (s, e) -> CASE WHEN ((e >> CAST(s % 3 AS INT)) & 1) = 1
+                      THEN CASE WHEN s % 3 = 1 THEN s - (s % 3) + 3 ELSE s + 1 END
+                      ELSE s END) // 3 AS BIGINT) AS n_matches
+FROM ue
+ORDER BY user_id
+""",
+)
+def ev_sequence_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence_count('(?1).*(?2)', signup→purchase): per-user count of
+    non-overlapping signup→purchase chains (greedy scan; Doris
+    aggregate_function_sequence_match.h COUNT mode)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    out = sequence_count(
+        ev,
+        "user_id",
+        "ts",
+        [F.col("event_type") == "signup", F.col("event_type") == "purchase"],
+    )
+    return out.select(F.col("user").alias("user_id"), "n_matches").orderBy("user_id")
 
 
 @query(

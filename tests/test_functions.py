@@ -92,6 +92,12 @@ PINNED = [
     ("size(bitmap_hash64('ab'))", 1),
     ('json_exists_path(\'{"a": {"b": 5}}\', \'$.a.b\')', True),
     ('json_exists_path(\'{"a": {"b": 5}}\', \'$.a.c\')', False),
+    # unrestricted damerau (transposition then further edits: CA->AC->ABC)
+    ("damerau_levenshtein('CA', 'ABC')", 2),
+    ("damerau_levenshtein('ab', 'ba')", 1),
+    ("damerau_levenshtein('abcdef', 'abdcef')", 1),
+    ("damerau_levenshtein('', 'abc')", 3),
+    ("damerau_levenshtein('kitten', 'sitting')", 3),
 ]
 
 

@@ -136,6 +136,37 @@ def test_window_funnel_dedup_mode(spark):
     assert inc == {1: 3, 2: 3, 3: 3}
 
 
+def test_sequence_count_greedy(spark):
+    from pyspark.sql import functions as F
+
+    from doris_spark.operators.funnel import sequence_count
+
+    # user 1: s, p          → 1 chain
+    # user 2: s, s, p, p    → greedy left-to-right = 1 (after the first
+    #   chain completes at the first p, no later s remains); the maximum
+    #   non-overlapping matching (2) is NOT sequence_count semantics.
+    # user 3: s, p, s, p    → 2 chains
+    # user 4: p, s          → 0 chains (order matters); still emitted.
+    # user 5: x only        → no condition-matching events, not emitted.
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), "s"), (1, _ts("2024-01-01T11:00:00"), "p"),
+        (2, _ts("2024-01-01T10:00:00"), "s"), (2, _ts("2024-01-01T10:30:00"), "s"),
+        (2, _ts("2024-01-01T11:00:00"), "p"), (2, _ts("2024-01-01T11:30:00"), "p"),
+        (3, _ts("2024-01-01T10:00:00"), "s"), (3, _ts("2024-01-01T10:30:00"), "p"),
+        (3, _ts("2024-01-01T11:00:00"), "s"), (3, _ts("2024-01-01T11:30:00"), "p"),
+        (4, _ts("2024-01-01T10:00:00"), "p"), (4, _ts("2024-01-01T11:00:00"), "s"),
+        (5, _ts("2024-01-01T10:00:00"), "x"),
+    ]
+    ev = spark.createDataFrame(rows, "u INT, ts TIMESTAMP, et STRING")
+    got = {
+        r["user"]: r["n_matches"]
+        for r in sequence_count(
+            ev, "u", "ts", [F.col("et") == "s", F.col("et") == "p"]
+        ).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 2, 4: 0}
+
+
 def test_window_funnel_fixed_mode(spark):
     from doris_spark.operators.funnel import window_funnel
 
