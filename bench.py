@@ -34,6 +34,9 @@ def main() -> None:
         t0 = time.perf_counter()
         Q.QUERIES[name](spark, sf_dir).collect()
         timings[name] = round(time.perf_counter() - t0, 3)
+        # Queries may persist() intermediates for their own execution; drop
+        # them so later timings aren't skewed by eviction/GC of dead blocks.
+        spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {

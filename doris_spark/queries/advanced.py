@@ -57,7 +57,10 @@ def rec_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(F.col("dst").alias("node"), (F.col("depth") + 1).alias("depth"))
         )
 
-    reach = recursive_union(anchor, step, distinct=True, max_iterations=30)
+    # 25-node graph: the frontier is bounded, size iteration shuffles to 1.
+    reach = recursive_union(
+        anchor, step, distinct=True, max_iterations=30, shuffle_partitions=1
+    )
     return reach.groupBy("node").agg(F.min("depth").alias("min_depth")).orderBy("node")
 
 
@@ -283,22 +286,24 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     # scan across cores: exact percentile buffers every value, so the
     # partial-agg stage is compute-heavy.
     li = ensure_parallelism(li.select("l_returnflag", "l_extendedprice"))
+    # Aggregate each percentile ONCE (the exact percentile buffers + sorts
+    # every group value — referencing it twice in the agg doubles that
+    # work); the within-5% comparison is a cheap post-projection.
     return (
         li.groupBy("l_returnflag")
         .agg(
-            F.when(
-                F.abs(
-                    SK.quantile_percent("l_extendedprice", 0.5)
-                    - F.percentile("l_extendedprice", 0.5)
-                )
-                <= 0.05 * F.percentile("l_extendedprice", 0.5),
-                1,
-            )
-            .otherwise(0)
-            .alias("p50_within_5pct"),
+            SK.quantile_percent("l_extendedprice", 0.5).alias("__pa"),
+            F.percentile("l_extendedprice", 0.5).alias("__pe"),
             F.expr(
                 "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
             ).alias("p50_disc"),
+        )
+        .select(
+            "l_returnflag",
+            F.when(F.abs(F.col("__pa") - F.col("__pe")) <= 0.05 * F.col("__pe"), 1)
+            .otherwise(0)
+            .alias("p50_within_5pct"),
+            "p50_disc",
         )
         .orderBy("l_returnflag")
     )
