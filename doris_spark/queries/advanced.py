@@ -344,3 +344,49 @@ def sketch_bitmap_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         SK.bitmap_min("bm").alias("bm_min"),
         SK.bitmap_max("bm").alias("bm_max"),
     ).orderBy("l_returnflag")
+
+
+@query(
+    "mtmv_refresh",
+    oracle="""
+SELECT year(o_orderdate) AS yr, o_orderstatus,
+       count(*) AS cnt, sum(o_totalprice) AS total
+FROM orders GROUP BY 1, 2 ORDER BY yr, o_orderstatus
+""",
+)
+def mtmv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MTMV end-to-end through the driver gate (streaming/mtmv.py;
+    fe/.../mtmv/MTMVPartitionUtil.java analog): materialize orders rolled
+    up by (year, status) partitioned by year, then refresh AGAIN against
+    the unchanged base and assert the snapshot reports zero stale
+    partitions — the partition-incremental contract. Returns the MV
+    content, which must equal the direct aggregate."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from doris_spark.streaming.mtmv import MaterializedView
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    base = orders.withColumn("yr", F.year("o_orderdate"))
+    storage = _os.path.join(
+        tempfile.gettempdir(), f"doris_spark_mtmv_{abs(hash(sf_dir))}"
+    )
+    shutil.rmtree(storage, ignore_errors=True)
+    mv = MaterializedView(
+        spark,
+        "orders_by_year",
+        storage,
+        lambda b: b.groupBy("yr", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("cnt"), F.sum("o_totalprice").alias("total")
+        ),
+        "yr",
+    )
+    mv.refresh(base)
+    second = mv.refresh(base)
+    assert second["refreshed"] == [], "unchanged base must refresh nothing"
+    return (
+        mv.read()
+        .select(F.col("yr").cast("int").alias("yr"), "o_orderstatus", "cnt", "total")
+        .orderBy("yr", "o_orderstatus")
+    )
