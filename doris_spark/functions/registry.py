@@ -380,8 +380,9 @@ def register_all(spark: SparkSession) -> int:
     for name, (params, body) in DORIS_SQL_FUNCTIONS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) RETURN {body}")
         n += 1
-    from doris_spark.functions import json_mut, textdist
+    from doris_spark.functions import json_mut, textdist, udtf
 
     n += json_mut.register(spark)
     n += textdist.register(spark)
+    n += udtf.register(spark)
     return n

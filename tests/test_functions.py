@@ -148,3 +148,34 @@ def test_json_mutate_semantics():
     assert _mutate('{"a":1}', "a.b", "1", "set") is None
     assert _mutate('{"a":1}', "$", "1", "set") is None
     assert _mutate(None, "$.a", "1", "set") is None
+
+
+# ---------------------------------------------------------- python UDTF
+
+def test_udtf_sentences_lateral(spark):
+    """Python UDTF surface (SURVEY §2.9): registered table function used
+    both standalone and in a LATERAL join over a table."""
+    rows = spark.sql(
+        "SELECT * FROM sentences('One two. Three! Four five six?')"
+    ).collect()
+    assert [(r.sentence_idx, r.n_tokens) for r in rows] == [(0, 2), (1, 1), (2, 3)]
+
+    spark.createDataFrame(
+        [(1, "Hello there. Bye."), (2, "Single sentence")], "id INT, txt STRING"
+    ).createOrReplaceTempView("udtf_docs")
+    out = spark.sql(
+        """
+        SELECT d.id, s.sentence_idx, s.sentence
+        FROM udtf_docs d, LATERAL sentences(d.txt) s
+        ORDER BY d.id, s.sentence_idx
+        """
+    ).collect()
+    assert [(r.id, r.sentence_idx) for r in out] == [(1, 0), (1, 1), (2, 0)]
+
+
+def test_udtf_numbers_gap(spark):
+    got = [r.n for r in spark.sql("SELECT * FROM numbers_gap(0, 10, 3)").collect()]
+    assert got == [0, 3, 6, 9]
+    got_desc = [r.n for r in spark.sql("SELECT * FROM numbers_gap(5, 0, -2)").collect()]
+    assert got_desc == [5, 3, 1]
+    assert spark.sql("SELECT * FROM numbers_gap(0, 5, 0)").count() == 0
