@@ -120,10 +120,121 @@ def _json_remove(j: pd.Series, p: pd.Series) -> pd.Series:
     )
 
 
+# ---- search / reshape family (function_jsonb.cpp: json_search,
+#      sort_json_object_keys, json_object_flatten) -----------------------
+
+
+def _like_to_re(pattern: str):
+    """MySQL LIKE pattern (% _, \\ escape) -> compiled regex."""
+    out, i = [], 0
+    while i < len(pattern):
+        c = pattern[i]
+        if c == "\\" and i + 1 < len(pattern):
+            out.append(re.escape(pattern[i + 1]))
+            i += 2
+            continue
+        if c == "%":
+            out.append(".*")
+        elif c == "_":
+            out.append(".")
+        else:
+            out.append(re.escape(c))
+        i += 1
+    return re.compile("^" + "".join(out) + "$", re.DOTALL)
+
+
+def _search(doc_text, one_or_all, pattern):
+    """json_search: path(s) whose STRING value matches the LIKE pattern.
+    Returns a JSON-quoted path, a JSON array of paths (mode 'all'), or
+    NULL (MySQL semantics)."""
+    if doc_text is None or one_or_all is None or pattern is None:
+        return None
+    mode = one_or_all.lower()
+    if mode not in ("one", "all"):
+        return None
+    try:
+        doc = json.loads(doc_text)
+    except ValueError:
+        return None
+    rx = _like_to_re(pattern)
+    hits: list[str] = []
+
+    def walk(node, path):
+        if isinstance(node, str):
+            if rx.match(node):
+                hits.append(path)
+        elif isinstance(node, dict):
+            for k, v in node.items():
+                walk(v, f"{path}.{k}")
+        elif isinstance(node, list):
+            for i, v in enumerate(node):
+                walk(v, f"{path}[{i}]")
+
+    walk(doc, "$")
+    if not hits:
+        return None
+    if mode == "one":
+        return json.dumps(hits[0])
+    return json.dumps(hits if len(hits) > 1 else hits[0], separators=(",", ":"))
+
+
+def _sort_keys(doc_text):
+    if doc_text is None:
+        return None
+    try:
+        doc = json.loads(doc_text)
+    except ValueError:
+        return None
+    return json.dumps(doc, sort_keys=True, separators=(",", ":"))
+
+
+def _flatten(doc_text):
+    """json_object_flatten: {'a': {'b': 1}, 'c': [2]} -> {'a.b': 1, 'c': [2]}
+    (nested OBJECTS flatten to dotted keys; arrays stay values)."""
+    if doc_text is None:
+        return None
+    try:
+        doc = json.loads(doc_text)
+    except ValueError:
+        return None
+    if not isinstance(doc, dict):
+        return _dump(doc)
+    flat: dict = {}
+
+    def walk(node, prefix):
+        for k, v in node.items():
+            key = f"{prefix}.{k}" if prefix else k
+            if isinstance(v, dict) and v:
+                walk(v, key)
+            else:
+                flat[key] = v
+
+    walk(doc, "")
+    return _dump(flat)
+
+
+@pandas_udf(StringType())
+def _json_search(j: pd.Series, m: pd.Series, p: pd.Series) -> pd.Series:
+    return pd.Series([_search(a, b, c) for a, b, c in zip(j, m, p)], dtype=object)
+
+
+@pandas_udf(StringType())
+def _sort_json_object_keys(j: pd.Series) -> pd.Series:
+    return pd.Series([_sort_keys(a) for a in j], dtype=object)
+
+
+@pandas_udf(StringType())
+def _json_object_flatten(j: pd.Series) -> pd.Series:
+    return pd.Series([_flatten(a) for a in j], dtype=object)
+
+
 def register(spark: SparkSession) -> int:
-    """Register the four mutation functions; returns the count."""
+    """Register the jsonb mutation/search/reshape functions."""
     spark.udf.register("json_insert", _make3("insert"))
     spark.udf.register("json_replace", _make3("replace"))
     spark.udf.register("json_set", _make3("set"))
     spark.udf.register("json_remove", _json_remove)
-    return 4
+    spark.udf.register("json_search", _json_search)
+    spark.udf.register("sort_json_object_keys", _sort_json_object_keys)
+    spark.udf.register("json_object_flatten", _json_object_flatten)
+    return 7

@@ -179,3 +179,40 @@ def test_udtf_numbers_gap(spark):
     got_desc = [r.n for r in spark.sql("SELECT * FROM numbers_gap(5, 0, -2)").collect()]
     assert got_desc == [5, 3, 1]
     assert spark.sql("SELECT * FROM numbers_gap(0, 5, 0)").count() == 0
+
+
+def test_json_search_semantics():
+    from doris_spark.functions.json_mut import _flatten, _search, _sort_keys
+
+    doc = '{"a": "abc", "b": {"c": "abd"}, "d": ["abc", 5]}'
+    assert _search(doc, "one", "abc") == '"$.a"'
+    assert _search(doc, "all", "abc") == '["$.a","$.d[0]"]'
+    assert _search(doc, "all", "ab_") == '["$.a","$.b.c","$.d[0]"]'
+    assert _search(doc, "all", "ab%") == '["$.a","$.b.c","$.d[0]"]'
+    assert _search(doc, "one", "zzz") is None
+    assert _search(doc, "bogus", "abc") is None
+    assert _search("not json", "one", "a") is None
+    # numbers are not searched (MySQL: string values only)
+    assert _search('{"x": 5}', "one", "5") is None
+
+    assert _sort_keys('{"b": 1, "a": {"d": 2, "c": 3}}') == '{"a":{"c":3,"d":2},"b":1}'
+    assert _sort_keys("nope") is None
+
+    assert _flatten('{"a": {"b": 1}, "c": [2], "e": {}}') == '{"a.b":1,"c":[2],"e":{}}'
+    assert _flatten('{"a": {"b": {"c": 9}}}') == '{"a.b.c":9}'
+    assert _flatten("[1,2]") == "[1,2]"
+
+
+def test_json_search_spark_path(spark):
+    got = spark.sql(
+        'SELECT json_search(\'{"k": "hit", "l": "miss"}\', \'one\', \'hit\') AS v'
+    ).collect()[0][0]
+    assert got == '"$.k"'
+    got2 = spark.sql(
+        'SELECT sort_json_object_keys(\'{"b":1,"a":2}\') AS v'
+    ).collect()[0][0]
+    assert got2 == '{"a":1,"b":2}'.replace('"a":1,"b":2', '"a":2,"b":1')
+    got3 = spark.sql(
+        'SELECT json_object_flatten(\'{"a":{"b":1}}\') AS v'
+    ).collect()[0][0]
+    assert got3 == '{"a.b":1}'
