@@ -67,3 +67,50 @@ def agg_key_view(
         else:
             raise ValueError(f"unsupported aggregate type {how}")
     return df.groupBy(*[F.col(k) for k in keys]).agg(*aggs)
+
+
+def partial_update(
+    base: DataFrame,
+    updates: DataFrame,
+    keys: Sequence[str],
+) -> DataFrame:
+    """Doris partial column update on a UNIQUE_KEYS table
+    (be/src/olap/partial_update_info.h; enable_unique_key_partial_update):
+    `updates` carries the key columns plus any SUBSET of value columns.
+
+    - keys present in base: supplied columns take the update's value
+      (including an explicit NULL — this is overwrite, not
+      REPLACE_IF_NOT_NULL); unsupplied columns keep their base values.
+    - keys only in updates: become new rows; unsupplied columns are NULL
+      (the reference fills column defaults; NULL is Spark's default
+      default).
+
+    One shuffle on the key for each side (a broadcast of `updates` when
+    small is chosen by AQE automatically — the common case, since partial
+    updates are incremental batches)."""
+    upd_value_cols = [c for c in updates.columns if c not in keys]
+    unknown = [c for c in updates.columns if c not in base.columns]
+    if unknown:
+        raise ValueError(f"update columns not in table schema: {unknown}")
+    u = updates.withColumn("__in_u", F.lit(True)).alias("u")
+    b = base.alias("b")
+    cond = None
+    for k in keys:
+        c = F.col(f"b.{k}").eqNullSafe(F.col(f"u.{k}"))
+        cond = c if cond is None else cond & c
+    joined = b.join(u, cond, "full_outer")
+    out = []
+    for k in keys:
+        out.append(F.coalesce(F.col(f"b.{k}"), F.col(f"u.{k}")).alias(k))
+    for c in base.columns:
+        if c in keys:
+            continue
+        if c in upd_value_cols:
+            out.append(
+                F.when(F.coalesce(F.col("u.__in_u"), F.lit(False)), F.col(f"u.{c}"))
+                .otherwise(F.col(f"b.{c}"))
+                .alias(c)
+            )
+        else:
+            out.append(F.col(f"b.{c}").alias(c))
+    return joined.select(*out)

@@ -129,3 +129,38 @@ def test_engine_facade(spark, sf_dir):
         eng.create_table(raw, "bad", keys_type="UNIQUE_KEYS")
     eng.drop_table("u_t")
     eng.drop_table("a_t")
+
+
+def test_partial_update(spark):
+    from doris_spark.operators.table_models import partial_update
+
+    base = spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id INT, name STRING, score DOUBLE",
+    )
+    # update carries only (id, score); one existing key gets an explicit
+    # NULL (overwrite), one new key appears.
+    updates = spark.createDataFrame(
+        [(2, 99.0), (3, None), (4, 44.0)], "id INT, score DOUBLE"
+    )
+    got = {
+        r["id"]: (r["name"], r["score"])
+        for r in partial_update(base, updates, ["id"]).collect()
+    }
+    assert got == {
+        1: ("a", 10.0),    # untouched
+        2: ("b", 99.0),    # score updated, name kept
+        3: ("c", None),    # explicit NULL overwrites
+        4: (None, 44.0),   # new key, unsupplied column NULL
+    }
+
+
+def test_partial_update_rejects_unknown_columns(spark):
+    import pytest
+
+    from doris_spark.operators.table_models import partial_update
+
+    base = spark.createDataFrame([(1, 1.0)], "id INT, v DOUBLE")
+    upd = spark.createDataFrame([(1, 2.0)], "id INT, nope DOUBLE")
+    with pytest.raises(ValueError, match="nope"):
+        partial_update(base, upd, ["id"])
