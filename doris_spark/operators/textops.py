@@ -48,11 +48,28 @@ def match_all(text_col, terms: Sequence[str]):
     return cond
 
 
-def match_phrase(text_col, phrase: str):
-    """True if the normalized text contains the token phrase contiguously."""
+def _norm(text_col):
     c = F.col(text_col) if isinstance(text_col, str) else text_col
-    norm = F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
-    return norm.contains(" ".join(phrase.lower().split()))
+    return F.regexp_replace(F.lower(F.trim(c)), r"\s+", " ")
+
+
+def match_phrase(text_col, phrase: str):
+    """True if the text contains the token phrase contiguously at token
+    boundaries (Doris match_phrase; ' cat dog ' does not match 'bobcat
+    dog'). Pure substring test on the space-padded normalized text — stays
+    in whole-stage codegen, no token explosion."""
+    needle = " " + " ".join(phrase.lower().split()) + " "
+    return F.concat(F.lit(" "), _norm(text_col), F.lit(" ")).contains(needle)
+
+
+def match_phrase_prefix(text_col, phrase: str):
+    """Doris match_phrase_prefix: all terms match exactly except the LAST,
+    which matches as a prefix ('spark jo' matches 'spark join'/'spark
+    journal'). Same padded-substring trick without the trailing pad — the
+    last term may continue arbitrarily, and the leading space enforces the
+    boundary before every term."""
+    needle = " " + " ".join(phrase.lower().split())
+    return F.concat(F.lit(" "), _norm(text_col)).contains(needle)
 
 
 # Small multilingual stopword table for the heuristic language classifier.

@@ -162,13 +162,15 @@ SELECT lang,
                 THEN 1 ELSE 0 END) AS n_any,
        sum(CASE WHEN list_contains(toks, 'spark') AND list_contains(toks, 'join')
                 THEN 1 ELSE 0 END) AS n_all,
-       sum(CASE WHEN contains(norm, 'spark join') THEN 1 ELSE 0 END) AS n_phrase
+       sum(CASE WHEN contains(' ' || norm || ' ', ' spark join ') THEN 1 ELSE 0 END) AS n_phrase,
+       sum(CASE WHEN contains(' ' || norm, ' spark jo') THEN 1 ELSE 0 END) AS n_phrase_prefix
 FROM t GROUP BY lang ORDER BY lang
 """,
 )
 def txt_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """match_any / match_all / match_phrase semantics (inverted-index
-    predicates re-expressed as token-set predicates)."""
+    """match_any / match_all / match_phrase / match_phrase_prefix semantics
+    (inverted-index predicates re-expressed as token-set / padded-substring
+    predicates; be/src/exprs/function/match.h:54-59)."""
     docs = load_tables(spark, sf_dir)["documents"]
     return (
         docs.groupBy("lang")
@@ -176,6 +178,9 @@ def txt_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(T.match_any("text", ["spark", "join"]), 1).otherwise(0)).alias("n_any"),
             F.sum(F.when(T.match_all("text", ["spark", "join"]), 1).otherwise(0)).alias("n_all"),
             F.sum(F.when(T.match_phrase("text", "spark join"), 1).otherwise(0)).alias("n_phrase"),
+            F.sum(
+                F.when(T.match_phrase_prefix("text", "spark jo"), 1).otherwise(0)
+            ).alias("n_phrase_prefix"),
         )
         .orderBy("lang")
     )

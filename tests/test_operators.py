@@ -194,3 +194,26 @@ def test_window_funnel_fixed_mode(spark):
         for r in window_funnel(*args, steps=steps, window_seconds=86400, mode="deduplication").collect()
     }
     assert dedup == {1: 3, 2: 3}
+
+
+def test_match_phrase_token_boundaries(spark):
+    from doris_spark.operators import textops as T
+
+    df = spark.createDataFrame(
+        [("bobcat dog",), ("cat dog here",), ("spark journal",), ("spark ajo",)],
+        "txt STRING",
+    )
+    got = {
+        r["txt"]: (r["p"], r["pp"])
+        for r in df.select(
+            "txt",
+            T.match_phrase("txt", "cat dog").alias("p"),
+            T.match_phrase_prefix("txt", "spark jo").alias("pp"),
+        ).collect()
+    }
+    assert got == {
+        "bobcat dog": (False, False),   # boundary: 'bobcat' != 'cat'
+        "cat dog here": (True, False),
+        "spark journal": (False, True), # last term matches as prefix
+        "spark ajo": (False, False),    # 'ajo' does not start with 'jo'
+    }
