@@ -370,6 +370,13 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     # json_exists_path (function_jsonb.cpp). Caveat: a path holding JSON null
     # reads as absent (get_json_object collapses both to NULL).
     "json_exists_path": ("j STRING, p STRING", "get_json_object(j, p) IS NOT NULL"),
+    # regexp_extract_or_null (function_regexp.cpp): NULL instead of '' when
+    # the pattern does not match. (An empty CAPTURE also maps to NULL —
+    # acceptable divergence, documented.)
+    "regexp_extract_or_null": (
+        "s STRING, p STRING, idx INT",
+        "nullif(regexp_extract(s, p, idx), '')",
+    ),
 }
 
 
@@ -380,9 +387,10 @@ def register_all(spark: SparkSession) -> int:
     for name, (params, body) in DORIS_SQL_FUNCTIONS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) RETURN {body}")
         n += 1
-    from doris_spark.functions import json_mut, textdist, udtf
+    from doris_spark.functions import json_mut, regexps, textdist, udtf
 
     n += json_mut.register(spark)
     n += textdist.register(spark)
+    n += regexps.register(spark)
     n += udtf.register(spark)
     return n

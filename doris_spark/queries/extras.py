@@ -937,3 +937,45 @@ def decimal_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM d
         """
     )
+
+
+@query(
+    "agg_topn_weighted",
+    oracle="""
+SELECT o_orderstatus, o_orderpriority, w, rnk FROM (
+  SELECT o_orderstatus, o_orderpriority,
+         round(sum(o_totalprice), 2) AS w,
+         row_number() OVER (PARTITION BY o_orderstatus
+                            ORDER BY sum(o_totalprice) DESC, o_orderpriority) AS rnk
+  FROM orders
+  GROUP BY o_orderstatus, o_orderpriority
+) x
+WHERE rnk <= 2
+ORDER BY o_orderstatus, rnk
+""",
+)
+def agg_topn_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """topn_weighted(col, weight, k)
+    (be/src/exprs/aggregate/aggregate_function_topn.h weighted variant):
+    values ranked by SUM of weights instead of occurrence count. Same
+    distributed-safe shape as agg_topn — partial weighted sums shuffle
+    once, then partition top-k (InferWindowGroupLimit prunes per
+    partition)."""
+    orders = load_tables(spark, sf_dir)["orders"]
+    sums = orders.groupBy("o_orderstatus", "o_orderpriority").agg(
+        F.sum("o_totalprice").alias("w_raw")
+    )
+    w = Window.partitionBy("o_orderstatus").orderBy(
+        F.desc("w_raw"), F.asc("o_orderpriority")
+    )
+    return (
+        sums.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 2)
+        .select(
+            "o_orderstatus",
+            "o_orderpriority",
+            F.round(F.col("w_raw"), 2).alias("w"),
+            "rnk",
+        )
+        .orderBy("o_orderstatus", "rnk")
+    )

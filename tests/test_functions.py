@@ -30,6 +30,8 @@ SMOKE_OVERRIDES = {
         "'UTC'",
         "'Asia/Tokyo'",
     ],
+    # generic idx=3 exceeds the pattern's group count (ANSI error)
+    "regexp_extract_or_null": ["'ab'", "'(a)(b)'", "1"],
 }
 
 
@@ -216,3 +218,20 @@ def test_json_search_spark_path(spark):
         'SELECT json_object_flatten(\'{"a":{"b":1}}\') AS v'
     ).collect()[0][0]
     assert got3 == '{"a.b":1}'
+
+
+def test_regexp_variants(spark):
+    rows = spark.sql(
+        """
+        SELECT regexp_replace_one('a1b2c3', '[0-9]', 'X')      AS one,
+               regexp_replace('a1b2c3', '[0-9]', 'X')          AS al,
+               regexp_replace_one('aaa', 'a$', 'X')            AS anchored,
+               regexp_extract_or_null('abc', '([0-9]+)', 1)    AS no_match,
+               regexp_extract_or_null('x42', '([0-9]+)', 1)    AS hit
+        """
+    ).collect()[0]
+    assert rows["one"] == "aXb2c3"
+    assert rows["al"] == "aXbXcX"
+    assert rows["anchored"] == "aaX"   # first match of 'a$' is the LAST char
+    assert rows["no_match"] is None
+    assert rows["hit"] == "42"
