@@ -385,3 +385,31 @@ def txt_bm25(spark: SparkSession, sf_dir: str) -> DataFrame:
     return T.bm25_rank(
         docs, "text", "doc_id", ["spark", "vector"], k1=_BM25_K1, b=_BM25_B, limit=10
     )
+
+
+@query(
+    "txt_search_dsl",
+    oracle=f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks, {_NORM} AS norm FROM documents)
+SELECT lang,
+       sum(CASE WHEN list_contains(toks, 'spark')
+                 AND (list_contains(toks, 'join')
+                      OR contains(' ' || norm || ' ', ' shuffle join '))
+                 AND NOT list_contains(toks, 'broken')
+            THEN 1 ELSE 0 END) AS n_hits
+FROM t GROUP BY lang ORDER BY lang
+""",
+)
+def txt_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """search() DSL (function_search.h / SearchParser.g4): the boolean
+    query compiles to pure Column predicates (operators/search_dsl.py) —
+    the oracle spells out the same boolean structure explicitly."""
+    from doris_spark.operators.search_dsl import search
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    hit = search('spark AND (join OR "shuffle join") AND NOT broken', "text")
+    return (
+        docs.groupBy("lang")
+        .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("n_hits"))
+        .orderBy("lang")
+    )

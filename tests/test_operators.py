@@ -217,3 +217,53 @@ def test_match_phrase_token_boundaries(spark):
         "spark journal": (False, True), # last term matches as prefix
         "spark ajo": (False, False),    # 'ajo' does not start with 'jo'
     }
+
+
+def test_search_dsl(spark):
+    from doris_spark.operators.search_dsl import search
+
+    df = spark.createDataFrame(
+        [
+            (1, "spark hash join internals"),
+            (2, "merge join strategies"),
+            (3, "spark streaming watermark"),
+            (4, "broken spark join"),
+            (5, "sparkle joint"),
+        ],
+        "id INT, body STRING",
+    )
+
+    def ids(q):
+        return sorted(
+            r["id"] for r in df.filter(search(q, "body")).collect()
+        )
+
+    assert ids("spark AND join") == [1, 4]
+    assert ids("spark join") == [1, 4]            # adjacency = AND
+    assert ids("spark OR merge") == [1, 2, 3, 4]
+    assert ids('"hash join"') == [1]
+    assert ids('"hash join" OR "merge join"') == [1, 2]
+    assert ids("spark AND NOT broken") == [1, 3]
+    assert ids("(spark OR merge) AND join") == [1, 2, 4]
+    assert ids("joi*") == [1, 2, 4, 5]            # prefix matches joint too
+    assert ids('"spark jo"*') == [4]              # phrase-prefix (contiguous)
+
+    # field-qualified clause with a field map
+    df2 = spark.createDataFrame(
+        [(1, "intro to spark", "covers joins"), (2, "duck talk", "spark unrelated")],
+        "id INT, title STRING, body STRING",
+    )
+    got = sorted(
+        r["id"]
+        for r in df2.filter(
+            search("title:spark AND body:joins", "body", {"title": "title", "body": "body"})
+        ).collect()
+    )
+    assert got == [1]
+
+    import pytest
+
+    with pytest.raises(ValueError, match="unknown field"):
+        search("nope:x", "body", {"body": "body"})
+    with pytest.raises(ValueError, match="unbalanced|trailing|clause"):
+        search("(spark AND", "body")
