@@ -282,6 +282,12 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     "array_concat": ("a ARRAY<STRING>, b ARRAY<STRING>", "concat(a, b)"),
     "array_slice": ("a ARRAY<STRING>, off INT, len INT", "slice(a, off, len)"),
     "array_reverse_sort": ("a ARRAY<STRING>", "reverse(array_sort(a))"),
+    # array_sortby (function_array_sortby.cpp): sort `a` by parallel key
+    # array `k` (stable via struct lexicographic sort on (key, value)).
+    "array_sortby": (
+        "a ARRAY<STRING>, k ARRAY<DOUBLE>",
+        "transform(array_sort(zip_with(k, a, (x, y) -> named_struct('k', x, 'v', y))), s -> s.v)",
+    ),
     "l2_distance": (
         "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
         "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))",

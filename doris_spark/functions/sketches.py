@@ -142,6 +142,41 @@ def sub_bitmap(b, offset, cardinality) -> Column:
     return F.slice(_c(b), offset + 1, cardinality)
 
 
+def bitmap_to_array(b) -> Column:
+    """Identity under this representation (bitmap IS a sorted array)."""
+    return _c(b)
+
+
+def bitmap_remove(b, x) -> Column:
+    return F.array_remove(_c(b), F.lit(x) if not isinstance(x, Column) else x)
+
+
+def bitmap_subset_in_range(b, lo, hi) -> Column:
+    """Elements in [lo, hi) — Doris bitmap_subset_in_range."""
+    return F.filter(_c(b), lambda v: (v >= F.lit(lo)) & (v < F.lit(hi)))
+
+
+def bitmap_subset_limit(b, start, limit) -> Column:
+    """First `limit` elements with value >= start (function_bitmap.cpp)."""
+    return F.slice(F.filter(_c(b), lambda v: v >= F.lit(start)), 1, limit)
+
+
+def bitmap_and_count(a, b) -> Column:
+    return F.size(bitmap_and(a, b))
+
+
+def bitmap_or_count(a, b) -> Column:
+    return F.size(bitmap_or(a, b))
+
+
+def bitmap_xor_count(a, b) -> Column:
+    return F.size(bitmap_xor(a, b))
+
+
+def bitmap_andnot_count(a, b) -> Column:
+    return F.size(bitmap_andnot(a, b))
+
+
 # --------------------------------------------------------------------- HLL
 
 

@@ -322,15 +322,20 @@ SELECT l_returnflag,
        bm[1:5] AS first5,
        '1,3,5' AS parsed,
        bm[1] AS bm_min,
-       bm[len(bm)] AS bm_max
+       bm[len(bm)] AS bm_max,
+       list_filter(bm, v -> v >= 10 AND v < 20) AS in_range,
+       list_filter(bm, v -> v >= 30)[1:3] AS lim3,
+       list_filter(bm, v -> v <> 7) AS removed7,
+       len(list_filter(bm, v -> v >= 10 AND v < 20)) AS in_range_cnt
 FROM per ORDER BY l_returnflag
 """,
 )
 def sketch_bitmap_string(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """bitmap_to_string / bitmap_from_string / sub_bitmap / bitmap_min/max
-    (function_bitmap.cpp string+subset surface) over per-flag supplier
-    bitmaps; from_string round trip pinned on a literal with dups and
-    out-of-order input."""
+    """bitmap_to_string / bitmap_from_string / sub_bitmap /
+    bitmap_subset_in_range / bitmap_subset_limit / bitmap_remove /
+    bitmap_min/max (function_bitmap.cpp string+subset surface) over
+    per-flag supplier bitmaps; from_string round trip pinned on a literal
+    with dups and out-of-order input."""
     li = load_tables(spark, sf_dir)["lineitem"]
     per = li.groupBy("l_returnflag").agg(
         SK.bitmap_agg(F.col("l_suppkey") % 40).alias("bm")
@@ -343,6 +348,10 @@ def sketch_bitmap_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         SK.bitmap_to_string(SK.bitmap_from_string(F.lit("5,1,3,5"))).alias("parsed"),
         SK.bitmap_min("bm").alias("bm_min"),
         SK.bitmap_max("bm").alias("bm_max"),
+        SK.bitmap_subset_in_range("bm", 10, 20).alias("in_range"),
+        SK.bitmap_subset_limit("bm", 30, 3).alias("lim3"),
+        SK.bitmap_remove("bm", 7).alias("removed7"),
+        F.size(SK.bitmap_subset_in_range("bm", 10, 20)).alias("in_range_cnt"),
     ).orderBy("l_returnflag")
 
 

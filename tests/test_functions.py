@@ -100,6 +100,7 @@ PINNED = [
     ("damerau_levenshtein('abcdef', 'abdcef')", 1),
     ("damerau_levenshtein('', 'abc')", 3),
     ("damerau_levenshtein('kitten', 'sitting')", 3),
+    ("array_sortby(array('b', 'a', 'c'), array(2.0d, 3.0d, 1.0d))", ["c", "b", "a"]),
 ]
 
 
