@@ -20,7 +20,7 @@ from __future__ import annotations
 
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -153,6 +153,88 @@ def sequence_match(
             .agg(F.min("nts").alias("t"))
         )
     return cur.select("user", F.lit(True).alias("matched"))
+
+
+def sequence_match_gaps(
+    events: DataFrame,
+    user_col: str,
+    ts_col: str,
+    conds: Sequence,
+    gaps: Sequence,
+) -> DataFrame:
+    """sequence_match with per-step time conditions — Doris pattern
+    '(?1)(?t>=3600)(?2)' (aggregate_function_sequence_match.h time
+    operators). `gaps[i]` constrains the gap between the step-i match and
+    the step-i+1 match: None (any positive gap) or (op, seconds) with op
+    in > >= < <=.
+
+    EXACT set-semantics DP, not greedy: S_i = every timestamp at which
+    step i can complete with all prefix constraints satisfied; step i+1
+    checks each candidate against the running min/max of S_i that is
+    STRICTLY earlier (a lower-bounded gap is easiest against the earliest
+    predecessor, an upper-bounded gap against the latest — checking both
+    extremes decides existence exactly). Greedy earliest-match (the plan
+    used by plain sequence_match) is WRONG for upper-bounded gaps: with
+    events s@0 s@50 p@60 and (?t<=30), the earliest s fails but s@50
+    matches.
+
+    Plan shape: one union + window pass per step (range frame on epoch
+    micros enforces strict precedence) — k-1 shuffles on the user key for
+    a k-step pattern, no joins, no explosion.
+
+    Returns (user, matched=true) for users whose stream matches.
+    """
+    ops = {
+        ">": lambda gap, n: gap > n,
+        ">=": lambda gap, n: gap >= n,
+        "<": lambda gap, n: gap < n,
+        "<=": lambda gap, n: gap <= n,
+    }
+    if len(gaps) != len(conds) - 1:
+        raise ValueError("need exactly len(conds)-1 gap constraints (None allowed)")
+    cur = (
+        events.filter(conds[0])
+        .select(F.col(user_col).alias("user"), F.col(ts_col).alias("t"))
+        .distinct()
+    )
+    for cond, gap in zip(conds[1:], gaps):
+        prev = cur.select(
+            "user",
+            F.col("t").alias("ts"),
+            F.lit(0).alias("is_cand"),
+            F.col("t").alias("pt"),
+        )
+        cand = events.filter(cond).select(
+            F.col(user_col).alias("user"),
+            F.col(ts_col).alias("ts"),
+            F.lit(1).alias("is_cand"),
+            F.lit(None).cast(prev.schema["pt"].dataType).alias("pt"),
+        )
+        u = prev.unionByName(cand).withColumn("us", F.unix_micros(F.col("ts")))
+        # RANGE frame on epoch-micros: strictly-earlier rows only.
+        w = (
+            Window.partitionBy("user")
+            .orderBy("us")
+            .rangeBetween(Window.unboundedPreceding, -1)
+        )
+        scanned = u.select(
+            "user",
+            "ts",
+            "is_cand",
+            "us",
+            F.min(F.when(F.col("is_cand") == 0, F.col("us"))).over(w).alias("mn"),
+            F.max(F.when(F.col("is_cand") == 0, F.col("us"))).over(w).alias("mx"),
+        ).filter((F.col("is_cand") == 1) & F.col("mn").isNotNull())
+        if gap is not None:
+            op, secs = gap
+            if op not in ops:
+                raise ValueError(f"unsupported gap operator {op!r}")
+            micros = int(secs * 1_000_000)
+            # lower bounds test the EARLIEST predecessor, upper the LATEST
+            ref = F.col("mn") if op in (">", ">=") else F.col("mx")
+            scanned = scanned.filter(ops[op](F.col("us") - ref, F.lit(micros)))
+        cur = scanned.select("user", F.col("ts").alias("t")).distinct()
+    return cur.select("user").distinct().withColumn("matched", F.lit(True))
 
 
 def sequence_count(

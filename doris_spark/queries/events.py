@@ -22,6 +22,7 @@ from doris_spark.operators.funnel import (
     retention,
     sequence_count,
     sequence_match,
+    sequence_match_gaps,
     window_funnel,
 )
 from doris_spark.operators.table_models import unique_key_view
@@ -244,6 +245,48 @@ def ev_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         ],
     )
     return m.agg(F.count(F.lit(1)).alias("n_matched"))
+
+
+@query(
+    "ev_sequence_match_gap",
+    # Same set-DP in DuckDB: union step-1 times with candidates, running
+    # min over a strictly-earlier RANGE frame, gap test in micros.
+    oracle=f"""
+WITH s1 AS (
+  SELECT DISTINCT user_id, {_TS} AS t FROM events WHERE event_type = 'signup'
+), u AS (
+  SELECT user_id, 0 AS is_cand, epoch_us(t) AS us FROM s1
+  UNION ALL
+  SELECT user_id, 1 AS is_cand, epoch_us({_TS}) AS us
+  FROM events WHERE event_type = 'purchase'
+), scan AS (
+  SELECT user_id, is_cand, us,
+         min(CASE WHEN is_cand = 0 THEN us END) OVER (
+           PARTITION BY user_id ORDER BY us
+           RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS mn
+  FROM u
+)
+SELECT user_id, true AS matched
+FROM scan
+WHERE is_cand = 1 AND mn IS NOT NULL AND us - mn >= 3600000000
+GROUP BY user_id
+ORDER BY user_id
+""",
+)
+def ev_sequence_match_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequence_match('(?1)(?t>=3600)(?2)', signup→purchase at least an
+    hour later): exact set-DP (operators/funnel.sequence_match_gaps) —
+    greedy earliest-match is wrong for time-bounded patterns, so both
+    sides run the same window DP."""
+    ev = load_tables(spark, sf_dir)["events"]
+    m = sequence_match_gaps(
+        ev,
+        "user_id",
+        "ts",
+        [F.col("event_type") == "signup", F.col("event_type") == "purchase"],
+        [(">=", 3600)],
+    )
+    return m.select(F.col("user").alias("user_id"), "matched").orderBy("user_id")
 
 
 @query(

@@ -267,3 +267,40 @@ def test_search_dsl(spark):
         search("nope:x", "body", {"body": "body"})
     with pytest.raises(ValueError, match="unbalanced|trailing|clause"):
         search("(spark AND", "body")
+
+
+def test_sequence_match_gaps(spark):
+    from pyspark.sql import functions as F
+
+    from doris_spark.operators.funnel import sequence_match_gaps
+
+    # user 1: s@0s, p@60s            -> gap 60
+    # user 2: s@0s, s@50s, p@60s     -> gaps 60 (from s@0) or 10 (from s@50)
+    # user 3: s@0s, p@5s             -> gap 5
+    base = _ts("2024-01-01T00:00:00")
+    import datetime as dtm
+
+    def at(sec):
+        return base + dtm.timedelta(seconds=sec)
+
+    rows = [
+        (1, at(0), "s"), (1, at(60), "p"),
+        (2, at(0), "s"), (2, at(50), "s"), (2, at(60), "p"),
+        (3, at(0), "s"), (3, at(5), "p"),
+    ]
+    ev = spark.createDataFrame(rows, "u INT, ts TIMESTAMP, et STRING")
+    conds = [F.col("et") == "s", F.col("et") == "p"]
+
+    def users(gap):
+        return sorted(
+            r["user"]
+            for r in sequence_match_gaps(ev, "u", "ts", conds, [gap]).collect()
+        )
+
+    assert users(None) == [1, 2, 3]
+    assert users((">=", 30)) == [1, 2]       # vs earliest s
+    # upper bound: user 2 matches ONLY via the later s@50 — the case where
+    # greedy earliest-match gives a false negative.
+    assert users(("<=", 30)) == [2, 3]
+    assert users(("<", 5)) == []
+    assert users((">", 59)) == [1, 2]
