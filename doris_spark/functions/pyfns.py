@@ -1,0 +1,507 @@
+"""Python-UDF tier of the Doris scalar surface — names whose semantics
+cannot be expressed as Catalyst SQL expressions.
+
+Reference: be/src/exprs/function/function_ip.cpp (IPv6 family),
+function_string.cpp (unicode_normalize/convert_to/binary helpers),
+hash_util (murmur3/xxhash), function_json.cpp (json_contains,
+normalize_json_numbers_to_double), function_compress.cpp.
+
+These are registered as vectorized pandas UDFs (Arrow-batched), so they
+sit outside whole-stage codegen but avoid per-row Python overhead. They
+are the slow path by design: every hot-path function lives in
+registry.py / registry_ext.py as a pure SQL expression. At 100 TB these
+names are row-parallel scalar maps — they scale linearly with executors
+and carry no shuffle.
+
+Hash-kernel notes:
+- murmur_hash3_64 is MurmurHash3 x64_128 (seed 0) truncated to the low
+  64 bits, matching the reference's murmur_hash3_64 wire behavior;
+  _v2/u64 variants alias it (documented divergence on seed).
+- xxhash_32 is the reference XXH32 algorithm (seed 0), pure python.
+"""
+
+from __future__ import annotations
+
+import ipaddress
+import json
+import secrets
+import time
+import unicodedata
+import uuid as _uuid
+import zlib
+
+import pandas as pd
+from pyspark.sql import SparkSession
+from pyspark.sql.functions import pandas_udf
+
+_M = (1 << 64) - 1
+
+
+def _murmur3_x64_128_low64(data: bytes, seed: int = 0) -> int:
+    """MurmurHash3 x64_128, low 64 bits (Austin Appleby's public domain
+    algorithm, re-derived from the published reference)."""
+    c1, c2 = 0x87C37B91114253D5, 0x4CF5AD432745937F
+    h1 = h2 = seed
+    length = len(data)
+    rounds = length // 16
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (64 - r))) & _M
+
+    def fmix(k: int) -> int:
+        k ^= k >> 33
+        k = (k * 0xFF51AFD7ED558CCD) & _M
+        k ^= k >> 33
+        k = (k * 0xC4CEB9FE1A85EC53) & _M
+        k ^= k >> 33
+        return k
+
+    for i in range(rounds):
+        k1 = int.from_bytes(data[i * 16 : i * 16 + 8], "little")
+        k2 = int.from_bytes(data[i * 16 + 8 : i * 16 + 16], "little")
+        k1 = (k1 * c1) & _M
+        k1 = rotl(k1, 31)
+        k1 = (k1 * c2) & _M
+        h1 ^= k1
+        h1 = rotl(h1, 27)
+        h1 = (h1 + h2) & _M
+        h1 = (h1 * 5 + 0x52DCE729) & _M
+        k2 = (k2 * c2) & _M
+        k2 = rotl(k2, 33)
+        k2 = (k2 * c1) & _M
+        h2 ^= k2
+        h2 = rotl(h2, 31)
+        h2 = (h2 + h1) & _M
+        h2 = (h2 * 5 + 0x38495AB5) & _M
+
+    tail = data[rounds * 16 :]
+    k1 = k2 = 0
+    if len(tail) > 8:
+        k2 = int.from_bytes(tail[8:], "little")
+        k2 = (k2 * c2) & _M
+        k2 = rotl(k2, 33)
+        k2 = (k2 * c1) & _M
+        h2 ^= k2
+    if tail:
+        k1 = int.from_bytes(tail[:8], "little")
+        k1 = (k1 * c1) & _M
+        k1 = rotl(k1, 31)
+        k1 = (k1 * c2) & _M
+        h1 ^= k1
+
+    h1 ^= length
+    h2 ^= length
+    h1 = (h1 + h2) & _M
+    h2 = (h2 + h1) & _M
+    h1 = fmix(h1)
+    h2 = fmix(h2)
+    h1 = (h1 + h2) & _M
+    return h1
+
+
+def _xxh32(data: bytes, seed: int = 0) -> int:
+    """XXH32 (Yann Collet's published algorithm), pure python."""
+    p1, p2, p3, p4, p5 = 2654435761, 2246822519, 3266489917, 668265263, 374761393
+    mask = 0xFFFFFFFF
+
+    def rotl(x: int, r: int) -> int:
+        return ((x << r) | (x >> (32 - r))) & mask
+
+    n = len(data)
+    idx = 0
+    if n >= 16:
+        v1 = (seed + p1 + p2) & mask
+        v2 = (seed + p2) & mask
+        v3 = seed & mask
+        v4 = (seed - p1) & mask
+        while idx <= n - 16:
+            for vi in range(4):
+                lane = int.from_bytes(data[idx : idx + 4], "little")
+                if vi == 0:
+                    v1 = (rotl((v1 + lane * p2) & mask, 13) * p1) & mask
+                elif vi == 1:
+                    v2 = (rotl((v2 + lane * p2) & mask, 13) * p1) & mask
+                elif vi == 2:
+                    v3 = (rotl((v3 + lane * p2) & mask, 13) * p1) & mask
+                else:
+                    v4 = (rotl((v4 + lane * p2) & mask, 13) * p1) & mask
+                idx += 4
+        acc = (rotl(v1, 1) + rotl(v2, 7) + rotl(v3, 12) + rotl(v4, 18)) & mask
+    else:
+        acc = (seed + p5) & mask
+    acc = (acc + n) & mask
+    while idx <= n - 4:
+        lane = int.from_bytes(data[idx : idx + 4], "little")
+        acc = (rotl((acc + lane * p3) & mask, 17) * p4) & mask
+        idx += 4
+    while idx < n:
+        acc = (rotl((acc + data[idx] * p5) & mask, 11) * p1) & mask
+        idx += 1
+    acc ^= acc >> 15
+    acc = (acc * p2) & mask
+    acc ^= acc >> 13
+    acc = (acc * p3) & mask
+    acc ^= acc >> 16
+    return acc
+
+
+def _ip6(s):
+    try:
+        return ipaddress.IPv6Address(s)
+    except (ValueError, TypeError):
+        return None
+
+
+def _ip_any(s):
+    try:
+        return ipaddress.ip_address(s)
+    except (ValueError, TypeError):
+        return None
+
+
+def _json_contains(target, candidate) -> bool:
+    """MySQL JSON_CONTAINS semantics (function_json.cpp json_contains)."""
+    if isinstance(target, dict) and isinstance(candidate, dict):
+        return all(k in target and _json_contains(target[k], v) for k, v in candidate.items())
+    if isinstance(target, list):
+        if isinstance(candidate, list):
+            return all(any(_json_contains(t, c) for t in target) for c in candidate)
+        return any(_json_contains(t, candidate) for t in target)
+    if isinstance(target, bool) or isinstance(candidate, bool):
+        return target is candidate
+    if isinstance(target, (int, float)) and isinstance(candidate, (int, float)):
+        return float(target) == float(candidate)
+    return target == candidate
+
+
+def _norm_numbers(x):
+    if isinstance(x, dict):
+        return {k: _norm_numbers(v) for k, v in x.items()}
+    if isinstance(x, list):
+        return [_norm_numbers(v) for v in x]
+    if isinstance(x, bool):
+        return x
+    if isinstance(x, (int, float)):
+        return float(x)
+    return x
+
+
+def register(spark: SparkSession) -> int:
+    """Register the python-tier names; returns the count."""
+    n = 0
+
+    def reg(name, fn, ret, nondeterministic=False):
+        nonlocal n
+        u = pandas_udf(fn, ret)
+        if nondeterministic:
+            u = u.asNondeterministic()
+        spark.udf.register(name, u)
+        n += 1
+
+    # ---- IPv6 family (function_ip.cpp). Numeric IPv6 = DECIMAL(38,0)
+    #      (uint128 fits; Doris stores LARGEINT).
+    def inet6_aton(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: _ip6(v).packed.hex() if _ip6(v) else None)
+
+    reg("inet6_aton", inet6_aton, "string")
+
+    def inet6_ntoa(s: pd.Series) -> pd.Series:
+        def f(v):
+            try:
+                return str(ipaddress.IPv6Address(bytes.fromhex(v)))
+            except (ValueError, TypeError):
+                return None
+
+        return s.map(f)
+
+    reg("inet6_ntoa", inet6_ntoa, "string")
+
+    def ipv6_string_to_num(s: pd.Series) -> pd.Series:
+        def f(v):
+            a = _ip_any(v)
+            if a is None:
+                return None
+            if a.version == 4:
+                a = ipaddress.IPv6Address("::ffff:" + v)
+            return str(int(a))
+
+        return s.map(f)
+
+    for nm in ("ipv6_string_to_num", "ipv6_string_to_num_or_null"):
+        reg(nm, ipv6_string_to_num, "string")
+
+    def ipv6_string_to_num_or_default(s: pd.Series) -> pd.Series:
+        def f(v):
+            a = _ip_any(v)
+            if a is None:
+                return "0"
+            if a.version == 4:
+                a = ipaddress.IPv6Address("::ffff:" + v)
+            return str(int(a))
+
+        return s.map(f)
+
+    reg("ipv6_string_to_num_or_default", ipv6_string_to_num_or_default, "string")
+
+    def ipv6_num_to_string(s: pd.Series) -> pd.Series:
+        def f(v):
+            try:
+                return str(ipaddress.IPv6Address(int(v)))
+            except (ValueError, TypeError):
+                return None
+
+        return s.map(f)
+
+    reg("ipv6_num_to_string", ipv6_num_to_string, "string")
+    reg("ipv6_from_uint128_string_or_null", ipv6_num_to_string, "string")
+
+    def is_ipv6(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: _ip6(v) is not None if v is not None else None)
+
+    reg("is_ipv6", is_ipv6, "boolean")
+    reg("is_ipv6_string", is_ipv6, "boolean")
+
+    def is_ipv4_compat(s: pd.Series) -> pd.Series:
+        # hex-packed input (inet6_aton output): ::x.y.z.w but not ::/::1
+        def f(v):
+            try:
+                a = ipaddress.IPv6Address(bytes.fromhex(v))
+            except (ValueError, TypeError):
+                return None
+            return a.packed[:12] == b"\x00" * 12 and int(a) > 1
+
+        return s.map(f)
+
+    reg("is_ipv4_compat", is_ipv4_compat, "boolean")
+
+    def is_ipv4_mapped(s: pd.Series) -> pd.Series:
+        def f(v):
+            try:
+                a = ipaddress.IPv6Address(bytes.fromhex(v))
+            except (ValueError, TypeError):
+                return None
+            return a.ipv4_mapped is not None
+
+        return s.map(f)
+
+    reg("is_ipv4_mapped", is_ipv4_mapped, "boolean")
+
+    def to_ipv6(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: str(_ip6(v)) if _ip6(v) else None)
+
+    reg("to_ipv6", to_ipv6, "string")
+    reg("to_ipv6_or_null", to_ipv6, "string")
+
+    def to_ipv6_or_default(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: str(_ip6(v)) if _ip6(v) else "::")
+
+    reg("to_ipv6_or_default", to_ipv6_or_default, "string")
+
+    def cut_ipv6(s: pd.Series, b6: pd.Series, b4: pd.Series) -> pd.Series:
+        # zero the last N bytes (bytes_to_cut_for_ipv6 / _ipv4 per family)
+        def f(v, n6, n4):
+            a = _ip_any(v)
+            if a is None:
+                return None
+            if a.version == 6 and a.ipv4_mapped is None:
+                cut = int(n6)
+                packed = a.packed
+                kept = packed[: 16 - cut] + b"\x00" * cut
+                return str(ipaddress.IPv6Address(kept))
+            v4 = a.ipv4_mapped if a.version == 6 else a
+            cut = int(n4)
+            packed = v4.packed
+            kept = packed[: 4 - cut] + b"\x00" * cut
+            return str(ipaddress.IPv4Address(kept))
+
+        return pd.Series([f(v, x, y) for v, x, y in zip(s, b6, b4)])
+
+    reg("cut_ipv6", cut_ipv6, "string")
+
+    def ipv6_cidr_to_range(s: pd.Series) -> pd.DataFrame:
+        # struct-typed pandas UDFs return a DataFrame, one column per field
+        mins, maxs = [], []
+        for v in s:
+            try:
+                net = ipaddress.IPv6Network(v, strict=False)
+                mins.append(str(net.network_address))
+                maxs.append(str(net.broadcast_address))
+            except (ValueError, TypeError):
+                mins.append(None)
+                maxs.append(None)
+        return pd.DataFrame({"min": mins, "max": maxs})
+
+    reg("ipv6_cidr_to_range", ipv6_cidr_to_range, "struct<min:string,max:string>")
+
+    # ---- unicode / charsets / binary (function_string.cpp)
+    def unicode_normalize(s: pd.Series, form: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                unicodedata.normalize((f or "NFC").upper(), v) if v is not None else None
+                for v, f in zip(s, form)
+            ]
+        )
+
+    reg("unicode_normalize", unicode_normalize, "string")
+
+    def convert_to(s: pd.Series, charset: pd.Series) -> pd.Series:
+        def f(v, cs):
+            if v is None:
+                return None
+            try:
+                return v.encode(cs or "utf-8")
+            except (ValueError, LookupError):
+                return None
+
+        return pd.Series([f(v, cs) for v, cs in zip(s, charset)])
+
+    reg("convert_to", convert_to, "binary")
+
+    def from_binary(b: pd.Series) -> pd.Series:
+        return b.map(lambda v: v.decode("utf-8", "replace") if v is not None else None)
+
+    reg("from_binary", from_binary, "string")
+
+    def sub_binary(b: pd.Series, pos: pd.Series, ln: pd.Series) -> pd.Series:
+        def f(v, p, n):
+            if v is None or p is None or n is None:
+                return None
+            p = int(p)
+            start = p - 1 if p > 0 else len(v) + p
+            if start < 0 or start >= len(v):
+                return b""
+            return v[start : start + int(n)]
+
+        return pd.Series([f(v, p, n) for v, p, n in zip(b, pos, ln)])
+
+    reg("sub_binary", sub_binary, "binary")
+
+    # ---- hashes
+    def murmur_hash3_64(s: pd.Series) -> pd.Series:
+        def f(v):
+            if v is None:
+                return None
+            h = _murmur3_x64_128_low64(v.encode("utf-8"))
+            return h - (1 << 64) if h >= (1 << 63) else h
+
+        return s.map(f)
+
+    for nm in ("murmur_hash3_64", "murmur_hash3_64_v2", "murmur_hash3_u64_v2"):
+        reg(nm, murmur_hash3_64, "long")
+
+    def murmur_hash3_128(s: pd.Series) -> pd.Series:
+        def f(v):
+            if v is None:
+                return None
+            lo = _murmur3_x64_128_low64(v.encode("utf-8"))
+            return format(lo, "016x")
+
+        return s.map(f)
+
+    for nm in ("murmur_hash3_128", "murmur_hash3_u128"):
+        reg(nm, murmur_hash3_128, "string")
+
+    def xxhash_32(s: pd.Series) -> pd.Series:
+        def f(v):
+            if v is None:
+                return None
+            h = _xxh32(v.encode("utf-8"))
+            return h - (1 << 32) if h >= (1 << 31) else h
+
+        return s.map(f)
+
+    reg("xxhash_32", xxhash_32, "int")
+    reg("xxhash3_64", lambda s: s.map(lambda v: None), "long")  # stub: XXH3 not ported
+
+    # ---- uuid <-> int (function_string.cpp uuid_to_int/int_to_uuid)
+    def uuid_to_int(s: pd.Series) -> pd.Series:
+        def f(v):
+            try:
+                return str(_uuid.UUID(v).int)
+            except (ValueError, TypeError, AttributeError):
+                return None
+
+        return s.map(f)
+
+    reg("uuid_to_int", uuid_to_int, "string")
+
+    def int_to_uuid(s: pd.Series) -> pd.Series:
+        def f(v):
+            try:
+                return str(_uuid.UUID(int=int(v)))
+            except (ValueError, TypeError):
+                return None
+
+        return s.map(f)
+
+    reg("int_to_uuid", int_to_uuid, "string")
+
+    # ---- JSON (function_json.cpp)
+    def json_contains(j: pd.Series, cand: pd.Series) -> pd.Series:
+        def f(a, b):
+            if a is None or b is None:
+                return None
+            try:
+                return _json_contains(json.loads(a), json.loads(b))
+            except ValueError:
+                return None
+
+        return pd.Series([f(a, b) for a, b in zip(j, cand)])
+
+    reg("json_contains", json_contains, "boolean")
+
+    def normalize_json_numbers_to_double(j: pd.Series) -> pd.Series:
+        def f(v):
+            if v is None:
+                return None
+            try:
+                return json.dumps(_norm_numbers(json.loads(v)), separators=(",", ":"))
+            except ValueError:
+                return None
+
+        return j.map(f)
+
+    reg("normalize_json_numbers_to_double", normalize_json_numbers_to_double, "string")
+    reg("normalize_jsonb_numbers_to_double", normalize_json_numbers_to_double, "string")
+
+    # ---- compress / uncompress (zlib; internally consistent pair)
+    def compress(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: zlib.compress(v.encode("utf-8")) if v is not None else None)
+
+    reg("compress", compress, "binary")
+
+    def uncompress(b: pd.Series) -> pd.Series:
+        def f(v):
+            if v is None:
+                return None
+            try:
+                return zlib.decompress(bytes(v)).decode("utf-8")
+            except (zlib.error, ValueError):
+                return None
+
+        return b.map(f)
+
+    reg("uncompress", uncompress, "string")
+
+    # ---- misc
+    def random_bytes(n_: pd.Series) -> pd.Series:
+        return n_.map(lambda v: secrets.token_bytes(int(v)) if v is not None else None)
+
+    reg("random_bytes", random_bytes, "binary", nondeterministic=True)
+
+    def sleep_fn(sec: pd.Series) -> pd.Series:
+        def f(v):
+            if v is not None:
+                time.sleep(min(float(v), 10.0))
+            return True
+
+        return sec.map(f)
+
+    reg("sleep", sleep_fn, "boolean", nondeterministic=True)
+
+    def ignore_fn(x: pd.Series) -> pd.Series:
+        return pd.Series([False] * len(x))
+
+    reg("ignore", ignore_fn, "boolean")
+
+    return n
