@@ -979,3 +979,54 @@ def agg_topn_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderstatus", "rnk")
     )
+
+
+@query(
+    "geo_predicates",
+    oracle="""
+SELECT c_custkey,
+       (c_custkey % 100) BETWEEN 10 AND 70 AND ((c_custkey * 7) % 100) BETWEEN 10 AND 70
+           AS inside,
+       round(sqrt((c_custkey % 100) * (c_custkey % 100)
+             + ((c_custkey * 7) % 100) * ((c_custkey * 7) % 100)), 6) AS dist0,
+       CASE WHEN (c_custkey % 100) = 0 AND ((c_custkey * 7) % 100) = 0 THEN NULL
+            ELSE round(CASE WHEN atan2(CAST(c_custkey % 100 AS DOUBLE),
+                                       CAST((c_custkey * 7) % 100 AS DOUBLE)) < 0
+                            THEN atan2(CAST(c_custkey % 100 AS DOUBLE),
+                                       CAST((c_custkey * 7) % 100 AS DOUBLE)) + 2 * pi()
+                            ELSE atan2(CAST(c_custkey % 100 AS DOUBLE),
+                                       CAST((c_custkey * 7) % 100 AS DOUBLE)) END, 6) END
+           AS az,
+       'ST_Polygon' AS gtype,
+       4 AS np
+FROM customer
+WHERE c_custkey <= 400
+ORDER BY c_custkey
+""",
+)
+def geo_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WKT geometry predicates (functions/geo2.py; reference
+    be/src/exprs/function/geo/): st_contains / planar st_distance /
+    st_azimuth over derived points against a fixed rectangle, with the
+    DuckDB oracle recomputing each predicate in plain arithmetic
+    (axis-aligned rectangle => containment is two BETWEENs)."""
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey,
+               st_contains('POLYGON ((10 10, 70 10, 70 70, 10 70, 10 10))',
+                           concat('POINT (', CAST(c_custkey % 100 AS STRING), ' ',
+                                  CAST((c_custkey * 7) % 100 AS STRING), ')')) AS inside,
+               round(st_distance('POINT (0 0)',
+                                 concat('POINT (', CAST(c_custkey % 100 AS STRING), ' ',
+                                        CAST((c_custkey * 7) % 100 AS STRING), ')')), 6) AS dist0,
+               round(st_azimuth('POINT (0 0)',
+                                concat('POINT (', CAST(c_custkey % 100 AS STRING), ' ',
+                                       CAST((c_custkey * 7) % 100 AS STRING), ')')), 6) AS az,
+               st_geometrytype('POLYGON ((10 10, 70 10, 70 70, 10 70, 10 10))') AS gtype,
+               st_numpoints('POLYGON ((10 10, 70 10, 70 70, 10 70, 10 10))') AS np
+        FROM customer
+        WHERE c_custkey <= 400
+        ORDER BY c_custkey
+        """
+    )
