@@ -46,9 +46,14 @@ class Engine:
     # ------------------------------------------------------------ queries
 
     def sql(self, text: str) -> DataFrame:
-        """Run SQL with the full registered function surface. Table-model
-        views registered via create_table are visible as temp views."""
-        return self.spark.sql(text)
+        """Run SQL with the full registered function surface. Doris-only
+        aggregate spellings and lambda-first array calls are expanded to
+        Spark SQL first (plans/sql_macros.py — the FE's name-resolution
+        step); table-model views from create_table are visible as temp
+        views."""
+        from doris_spark.plans.sql_macros import rewrite
+
+        return self.spark.sql(rewrite(text))
 
     def table(self, name: str) -> DataFrame:
         """DataFrame handle honoring the table's keys model (UNIQUE/AGG

@@ -393,11 +393,21 @@ def register_all(spark: SparkSession) -> int:
     for name, (params, body) in DORIS_SQL_FUNCTIONS.items():
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) RETURN {body}")
         n += 1
-    from doris_spark.functions import geo2, json_mut, pyfns, regexps, registry_ext, textdist, udtf
+    from doris_spark.functions import (
+        geo2,
+        json_mut,
+        pyfns,
+        regexps,
+        registry_ext,
+        textdist,
+        tvf,
+        udtf,
+    )
 
     n += registry_ext.register_all(spark)
     n += pyfns.register(spark)
     n += geo2.register(spark)
+    n += tvf.register(spark)
     n += json_mut.register(spark)
     n += textdist.register(spark)
     n += regexps.register(spark)

@@ -1,0 +1,277 @@
+"""SQL macro layer: Doris aggregate/lambda spellings -> Spark SQL.
+
+The reference FE resolves function names before planning
+(BuiltinAggregateFunctions.java, ExpressionAnalyzer); this module is the
+same resolution step for the names Spark spells differently or that
+expand to composite expressions. Engine.sql() runs every statement
+through rewrite() before handing it to Catalyst, so a Doris user's SQL
+works verbatim — and the expansion is a plain Spark expression, fully
+visible to the optimizer (no UDFs introduced).
+
+Two macro kinds:
+- rename: `ndv(x)` -> `approx_count_distinct(x)`
+- template/callable: `avg_weighted(x, w)` -> `(sum((x) * (w)) / sum(w))`,
+  variadic `retention(c1, .., cn)` -> bool_or array expression.
+
+Lambda-first Doris spellings (`array_map(x -> x + 1, arr)`) are
+re-ordered to Spark's higher-order functions (`transform(arr, x -> x +
+1)`); the mask-form registrations in registry_ext.py keep working because
+the macro only fires when an argument contains `->`.
+
+The rewriter is quote- and paren-aware but deliberately NOT a full SQL
+parser: names are matched as identifiers followed by `(`, arguments are
+split on top-level commas, inner calls are rewritten first.
+"""
+
+from __future__ import annotations
+
+import re
+from collections.abc import Callable, Sequence
+
+Macro = Callable[[Sequence[str]], str]
+
+
+def _rename(new: str) -> Macro:
+    return lambda args: f"{new}({', '.join(args)})"
+
+
+def _tpl(template: str) -> Macro:
+    return lambda args: template.format(*args)
+
+
+def _retention(args: Sequence[str]) -> str:
+    """ClickHouse/Doris retention: r[0] = bool_or(c1); r[k] = bool_or(c1)
+    AND bool_or(ck), as 0/1 tinyints (aggregate_function_retention.h)."""
+    first = f"bool_or({args[0]})"
+    elems = [f"CAST({first} AS INT)"] + [
+        f"CAST({first} AND bool_or({a}) AS INT)" for a in args[1:]
+    ]
+    return f"array({', '.join(elems)})"
+
+
+def _lambda_first(spark_name: str) -> Macro:
+    """Doris lambda-first form -> Spark hof (lambda last). Non-lambda
+    first arg falls through to the registered mask-form SQL UDF."""
+
+    def m(args: Sequence[str]) -> str:
+        if len(args) >= 2 and "->" in args[0]:
+            rest = ", ".join(args[1:])
+            return f"{spark_name}({rest}, {args[0]})"
+        return f"__KEEP__({', '.join(args)})"
+
+    return m
+
+
+MACROS: dict[str, Macro] = {
+    # ---- plain renames (BuiltinAggregateFunctions.java name -> Spark)
+    "ndv": _rename("approx_count_distinct"),
+    "group_array": _rename("collect_list"),
+    "group_uniq_array": _rename("collect_set"),
+    "group_concat": _rename("listagg"),
+    "variance_pop": _rename("var_pop"),
+    "variance_samp": _rename("var_samp"),
+    "skew": _rename("skewness"),
+    "skew_pop": _rename("skewness"),
+    "kurt": _rename("kurtosis"),
+    "kurt_pop": _rename("kurtosis"),
+    "covar": _rename("covar_pop"),
+    "corr_welford": _rename("corr"),
+    "booland_agg": _rename("bool_and"),
+    "boolor_agg": _rename("bool_or"),
+    "group_bit_and": _rename("bit_and"),
+    "group_bit_or": _rename("bit_or"),
+    "group_bit_xor": _rename("bit_xor"),
+    "ds_hll_estimate": _rename("approx_count_distinct"),
+    "datasketches_hll_estimate": _rename("approx_count_distinct"),
+    "percentile_array": _rename("percentile"),
+    "percentile_reservoir": _rename("percentile_approx"),
+    "hist": _rename("histogram_numeric"),
+    "linear_histogram": _rename("histogram_numeric"),
+    # ---- composite expansions
+    "sum0": _tpl("coalesce(sum({0}), 0)"),
+    "multi_distinct_count": _tpl("count(DISTINCT {0})"),
+    "multi_distinct_sum": _tpl("sum(DISTINCT {0})"),
+    "multi_distinct_sum0": _tpl("coalesce(sum(DISTINCT {0}), 0)"),
+    "multi_distinct_group_concat": _tpl("listagg(DISTINCT {0})"),
+    "bool_xor": _tpl("(count_if({0}) % 2 = 1)"),
+    "boolxor_agg": _tpl("(count_if({0}) % 2 = 1)"),
+    "avg_weighted": _tpl("(sum(({0}) * ({1})) / sum({1}))"),
+    "sem": _tpl("(stddev_samp({0}) / sqrt(count({0})))"),
+    "bitmap_agg": _tpl("array_sort(collect_set(CAST({0} AS BIGINT)))"),
+    "bitmap_union": _tpl("array_sort(array_distinct(flatten(collect_list({0}))))"),
+    "bitmap_union_count": _tpl(
+        "CAST(size(array_distinct(flatten(collect_list({0})))) AS BIGINT)"
+    ),
+    "bitmap_union_int": _tpl("count(DISTINCT {0})"),
+    "group_bitmap_xor": _tpl(
+        # element survives iff it appears in an odd number of group bitmaps
+        "array_sort(filter(array_distinct(flatten(collect_list({0}))), "
+        "e -> size(filter(flatten(collect_list({0})), x -> x = e)) % 2 = 1))"
+    ),
+    "quantile_union": _tpl("flatten(collect_list({0}))"),
+    "hll_union_agg": _tpl(
+        "aggregate(collect_list({0}), array_repeat(0, 1024), "
+        "(acc, h) -> zip_with(acc, h, (a, b) -> greatest(a, b)))"
+    ),
+    "hll_raw_agg": _tpl(
+        "aggregate(collect_list({0}), array_repeat(0, 1024), "
+        "(acc, h) -> zip_with(acc, h, (a, b) -> greatest(a, b)))"
+    ),
+    "datasketches_hll_union_agg": _tpl(
+        "aggregate(collect_list({0}), array_repeat(0, 1024), "
+        "(acc, h) -> zip_with(acc, h, (a, b) -> greatest(a, b)))"
+    ),
+    "map_agg": _tpl("map_from_entries(collect_list(struct({0}, {1})))"),
+    "map_agg_v1": _tpl("map_from_entries(collect_list(struct({0}, {1})))"),
+    "map_agg_v2": _tpl("map_from_entries(collect_list(struct({0}, {1})))"),
+    "percentile_approx_weighted": _tpl(
+        "percentile({0}, {2}, CAST({1} AS BIGINT))"
+    ),
+    "retention": _retention,
+    # ---- lambda-first scalar spellings -> Spark hofs
+    "array_map": _lambda_first("transform"),
+    "array_filter": _lambda_first("filter"),
+    "array_exists": _lambda_first("exists"),
+    "array_match_all": _lambda_first("forall"),
+}
+
+
+def _array_count(args: Sequence[str]) -> str:
+    if len(args) >= 2 and "->" in args[0]:
+        return f"size(filter({args[1]}, {args[0]}))"
+    return f"__KEEP__({', '.join(args)})"
+
+
+def _array_first(args: Sequence[str]) -> str:
+    if len(args) >= 2 and "->" in args[0]:
+        return f"element_at(filter({args[1]}, {args[0]}), 1)"
+    return f"__KEEP__({', '.join(args)})"
+
+
+def _array_last(args: Sequence[str]) -> str:
+    if len(args) >= 2 and "->" in args[0]:
+        return f"element_at(filter({args[1]}, {args[0]}), -1)"
+    return f"__KEEP__({', '.join(args)})"
+
+
+def _array_first_index(args: Sequence[str]) -> str:
+    if len(args) >= 2 and "->" in args[0]:
+        return f"coalesce(array_position(transform({args[1]}, {args[0]}), true), 0)"
+    return f"__KEEP__({', '.join(args)})"
+
+
+def _array_last_index(args: Sequence[str]) -> str:
+    if len(args) >= 2 and "->" in args[0]:
+        inner = f"array_position(transform(reverse({args[1]}), {args[0]}), true)"
+        return (
+            f"CASE WHEN {inner} IS NULL THEN 0 "
+            f"ELSE size({args[1]}) - CAST({inner} AS INT) + 1 END"
+        )
+    return f"__KEEP__({', '.join(args)})"
+
+
+def _array_sortby(args: Sequence[str]) -> str:
+    if len(args) >= 2 and "->" in args[0]:
+        # sort arr by key(x): decorate-sort-undecorate
+        lam = args[0]
+        var = lam.split("->")[0].strip().strip("()")
+        body = lam.split("->", 1)[1].strip()
+        return (
+            f"transform(array_sort(transform({args[1]}, {var} -> "
+            f"named_struct('k', {body}, 'v', {var}))), s -> s.v)"
+        )
+    return f"__KEEP__({', '.join(args)})"
+
+
+MACROS["array_count"] = _array_count
+MACROS["array_first"] = _array_first
+MACROS["array_last"] = _array_last
+MACROS["array_first_index"] = _array_first_index
+MACROS["array_last_index"] = _array_last_index
+MACROS["array_sortby"] = _array_sortby
+
+_IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
+
+
+def _split_top(s: str) -> list[str]:
+    out, depth, cur, i = [], 0, [], 0
+    in_str = None
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        elif ch in "([":
+            depth += 1
+        elif ch in ")]":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+            i += 1
+            continue
+        cur.append(ch)
+        i += 1
+    tail = "".join(cur).strip()
+    if tail or out:
+        out.append(tail)
+    return out
+
+
+def rewrite(sql: str) -> str:
+    """Expand Doris-spelling calls into Spark SQL (recursive, innermost
+    args first, string literals untouched)."""
+    out = []
+    i = 0
+    n = len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        m = _IDENT.match(sql, i)
+        if m:
+            name = m.group(0)
+            j = m.end()
+            while j < n and sql[j] in " \t\n":
+                j += 1
+            if j < n and sql[j] == "(" and name.lower() in MACROS:
+                # balanced close paren, quote-aware
+                depth, k, in_str = 0, j, None
+                while k < n:
+                    c = sql[k]
+                    if in_str:
+                        if c == in_str:
+                            in_str = None
+                    elif c in ("'", '"'):
+                        in_str = c
+                    elif c == "(":
+                        depth += 1
+                    elif c == ")":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k += 1
+                inner = sql[j + 1 : k]
+                args = [rewrite(a) for a in _split_top(inner)]
+                expansion = MACROS[name.lower()](args)
+                if expansion.startswith("__KEEP__("):
+                    expansion = name + expansion[len("__KEEP__") :]
+                out.append(expansion)
+                i = k + 1
+                continue
+            out.append(name)
+            i = m.end()
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
