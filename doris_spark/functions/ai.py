@@ -191,3 +191,91 @@ def ai_agg(df, group_cols: Sequence[str], text_col: str, prompt: str = "summariz
         *group_cols,
         ai_generate(F.concat(F.lit(prompt + ":"), F.col("__joined"))).alias("ai_agg"),
     )
+
+
+def register(spark) -> int:
+    """SQL-callable registrations of the AI family (the reference resolves
+    these to an AI resource endpoint, ai_adapter.h; here the session
+    adapter). Labels/kinds arrive as comma-separated strings at the SQL
+    surface since Doris passes them as varchar literals too."""
+    adapter = _adapter
+    n = 0
+
+    def reg(name, fn, ret):
+        nonlocal n
+        spark.udf.register(name, F.pandas_udf(fn, ret))
+        n += 1
+
+    def _classify(s: pd.Series, labels: pd.Series) -> pd.Series:
+        out = []
+        for text, lab in zip(s, labels):
+            out.append(adapter.classify([text], (lab or "").split(","))[0])
+        return pd.Series(out)
+
+    reg("ai_classify", _classify, "string")
+    reg("ai_extract", _classify, "string")
+
+    reg("ai_sentiment", lambda s: pd.Series(adapter.sentiment(s.tolist())), "string")
+    reg("ai_generate", lambda s: pd.Series(adapter.generate(s.tolist())), "string")
+    reg(
+        "ai_summarize",
+        lambda s: pd.Series(adapter.generate([f"summarize: {t}" for t in s.tolist()])),
+        "string",
+    )
+
+    def _translate(s: pd.Series, lang: pd.Series) -> pd.Series:
+        return pd.Series(
+            adapter.generate([f"translate[{g}]: {t}" for t, g in zip(s, lang)])
+        )
+
+    reg("ai_translate", _translate, "string")
+    reg(
+        "ai_fixgrammar",
+        lambda s: pd.Series(adapter.generate([f"fixgrammar: {t}" for t in s.tolist()])),
+        "string",
+    )
+
+    def _mask(s: pd.Series, kinds: pd.Series) -> pd.Series:
+        import re as _re
+
+        out = []
+        for text, k in zip(s, kinds):
+            masked = text
+            ks = (k or "email,phone").split(",")
+            if masked is not None:
+                if "email" in ks:
+                    masked = _re.sub(r"[\w.+-]+@[\w-]+\.[\w.]+", "[MASKED]", masked)
+                if "phone" in ks:
+                    masked = _re.sub(r"\+?\d[\d\s().-]{7,}\d", "[MASKED]", masked)
+            out.append(masked)
+        return pd.Series(out)
+
+    reg("ai_mask", _mask, "string")
+
+    def _similarity(a: pd.Series, b: pd.Series) -> pd.Series:
+        return pd.Series(adapter.similarity(a.tolist(), b.tolist()))
+
+    reg("ai_similarity", _similarity, "double")
+
+    def _filter(s: pd.Series, prompt: pd.Series) -> pd.Series:
+        sims = adapter.similarity(s.tolist(), prompt.tolist())
+        return pd.Series([v >= 0.5 for v in sims])
+
+    reg("ai_filter", _filter, "boolean")
+
+    def _embed(s: pd.Series) -> pd.Series:
+        return pd.Series(adapter.embed(s.tolist(), 16))
+
+    reg("embed", _embed, "array<float>")
+
+    # ai_agg: grouped aggregate (one endpoint call per group) — usable in
+    # SQL GROUP BY; Series -> scalar type hints make this a GROUPED_AGG
+    # pandas UDF
+    @F.pandas_udf("string")
+    def _ai_agg(texts: pd.Series) -> str:
+        joined = " | ".join(t for t in texts.tolist() if t)
+        return adapter.generate([f"agg: {joined}"])[0]
+
+    spark.udf.register("ai_agg", _ai_agg)
+    n += 1
+    return n

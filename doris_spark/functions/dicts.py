@@ -61,3 +61,60 @@ def dict_get_join(
         *[F.col(v).alias(f"{prefix}{v}") for v in value_cols],
     ).dropDuplicates(["__dict_key"])
     return df.join(F.broadcast(d), key == F.col("__dict_key"), "left").drop("__dict_key")
+
+
+# ---------------------------------------------------------------- SQL tier
+
+# Session dictionary registry backing the SQL-callable dict_get name. The
+# UDF closure snapshots the registry at (re-)registration time, so the
+# mapping ships to executors inside the serialized function — the same
+# "replicated to every node" contract as Doris dictionaries.
+_DICTS: dict[tuple[str, str], dict] = {}
+
+
+def create_dictionary(
+    spark, name: str, dict_df: DataFrame, key_col: str, value_cols: list[str]
+) -> None:
+    """CREATE DICTIONARY analog: collect the dictionary table and make it
+    resolvable via SQL dict_get('name', 'value_col', key). Bounded by
+    MAX_INLINE_ENTRIES — larger dictionaries belong in dict_get_join."""
+    rows = dict_df.select(key_col, *value_cols).collect()
+    if len(rows) > MAX_INLINE_ENTRIES:
+        raise ValueError(
+            f"dictionary {name} has {len(rows)} entries (> {MAX_INLINE_ENTRIES}); "
+            "use dict_get_join (broadcast) instead"
+        )
+    for i, vc in enumerate(value_cols):
+        _DICTS[(name, vc)] = {str(r[0]): r[i + 1] for r in rows}
+    _register_sql(spark)
+
+
+def _register_sql(spark) -> int:
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    snapshot = {k: dict(v) for k, v in _DICTS.items()}
+
+    def _dict_get(dname, vcol, key):
+        return pd.Series(
+            [
+                snapshot.get((d, c), {}).get(None if k is None else str(k))
+                for d, c, k in zip(dname, vcol, key)
+            ]
+        )
+
+    spark.udf.register("dict_get", pandas_udf(_dict_get, "string"))
+
+    def _dict_get_many(dname, vcol, keys):
+        out = []
+        for d, c, ks in zip(dname, vcol, keys):
+            m = snapshot.get((d, c), {})
+            out.append(None if ks is None else [m.get(str(k)) for k in ks])
+        return pd.Series(out)
+
+    spark.udf.register("dict_get_many", pandas_udf(_dict_get_many, "array<string>"))
+    return 2
+
+
+def register(spark) -> int:
+    return _register_sql(spark)

@@ -238,3 +238,13 @@ def register(spark: SparkSession) -> int:
     spark.udf.register("sort_json_object_keys", _sort_json_object_keys)
     spark.udf.register("json_object_flatten", _json_object_flatten)
     return 7
+
+
+def register_aliases(spark: SparkSession) -> int:
+    """jsonb_* spellings of the mutation family (function_jsonb.cpp
+    registers both name sets)."""
+    spark.udf.register("jsonb_insert", _make3("insert"))
+    spark.udf.register("jsonb_replace", _make3("replace"))
+    spark.udf.register("jsonb_set", _make3("set"))
+    spark.udf.register("sort_jsonb_object_keys", _sort_json_object_keys)
+    return 4

@@ -394,6 +394,8 @@ def register_all(spark: SparkSession) -> int:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) RETURN {body}")
         n += 1
     from doris_spark.functions import (
+        ai,
+        dicts,
         geo2,
         json_mut,
         pyfns,
@@ -408,6 +410,9 @@ def register_all(spark: SparkSession) -> int:
     n += pyfns.register(spark)
     n += geo2.register(spark)
     n += tvf.register(spark)
+    n += ai.register(spark)
+    n += dicts.register(spark)
+    n += json_mut.register_aliases(spark)
     n += json_mut.register(spark)
     n += textdist.register(spark)
     n += regexps.register(spark)

@@ -808,3 +808,75 @@ def register_all(spark: SparkSession) -> int:
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) RETURN {body}")
         n += 1
     return n
+
+
+# Batch 2: straggler names surfaced by tools/fn_audit.py after the main
+# extension landed.
+DORIS_SQL_FUNCTIONS_EXT.update(
+    {
+        "edit_distance": ("a STRING, b STRING", "levenshtein(a, b)"),
+        "levenshtein_distance": ("a STRING, b STRING", "levenshtein(a, b)"),
+        # Spark maps are key-unique by construction (last wins in
+        # map_from_entries) — Doris deduplicate_map is the identity here
+        "deduplicate_map": ("m MAP<STRING, STRING>", "m"),
+        "map_size": ("m MAP<STRING, STRING>", "CAST(size(m) AS BIGINT)"),
+        "map_contains_value": ("m MAP<STRING, STRING>, v STRING", "array_contains(map_values(m), v)"),
+        "map_contains_entry": (
+            "m MAP<STRING, STRING>, k STRING, v STRING",
+            "CASE WHEN NOT array_contains(map_keys(m), k) THEN false ELSE m[k] <=> v END",
+        ),
+        "l1_distance": (
+            "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+            "aggregate(zip_with(a, b, (x, y) -> abs(x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+        ),
+        # *_approximate are the ANN-index variants (faiss_ann_index.h);
+        # exact math is the semantic contract, the index is a perf detail
+        "l2_distance_approximate": (
+            "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+            "sqrt(aggregate(zip_with(a, b, (x, y) -> (x - y) * (x - y)), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))",
+        ),
+        "inner_product_approximate": (
+            "a ARRAY<DOUBLE>, b ARRAY<DOUBLE>",
+            "aggregate(zip_with(a, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)",
+        ),
+        "regexp_extract_all_array": ("s STRING, p STRING", "regexp_extract_all(s, p, 1)"),
+        "regexp_split_to_array": ("s STRING, p STRING", "split(s, p)"),
+        # trim-by-charset: Spark's TRIM(... trimStr ...) treats trimStr as
+        # a character SET — exactly Doris' *_in semantics
+        "trim_in": ("s STRING, cs STRING DEFAULT ' '", "trim(BOTH cs FROM s)"),
+        "ltrim_in": ("s STRING, cs STRING DEFAULT ' '", "trim(LEADING cs FROM s)"),
+        "rtrim_in": ("s STRING, cs STRING DEFAULT ' '", "trim(TRAILING cs FROM s)"),
+        # whitespace tokenizer — same normalization as operators/textops.py
+        "tokenize": (
+            "s STRING",
+            "split(regexp_replace(lower(trim(s)), '\\\\s+', ' '), ' ')",
+        ),
+        "bit_test_all": (
+            "x BIGINT, p1 INT, p2 INT DEFAULT NULL, p3 INT DEFAULT NULL, p4 INT DEFAULT NULL",
+            "CAST(CASE WHEN ((x >> p1) & 1) = 1 "
+            "AND (p2 IS NULL OR ((x >> p2) & 1) = 1) "
+            "AND (p3 IS NULL OR ((x >> p3) & 1) = 1) "
+            "AND (p4 IS NULL OR ((x >> p4) & 1) = 1) THEN 1 ELSE 0 END AS TINYINT)",
+        ),
+        # ClickHouse-lineage URL helpers (function_string_url.cpp): the
+        # first significant subdomain is the label left of the public
+        # suffix, where a short second-level label (com/net/org/co/gov/
+        # edu/mil) folds into the suffix
+        "first_significant_subdomain": (
+            "u STRING",
+            "CASE WHEN size(split(regexp_extract(u, '^(?:[a-zA-Z0-9.+-]+://)?(?:[^/@]*@)?([^/:?#]+)', 1), '\\\\.')) >= 3 "
+            "AND element_at(split(regexp_extract(u, '^(?:[a-zA-Z0-9.+-]+://)?(?:[^/@]*@)?([^/:?#]+)', 1), '\\\\.'), -2) "
+            "IN ('com', 'net', 'org', 'co', 'gov', 'edu', 'mil') "
+            "THEN element_at(split(regexp_extract(u, '^(?:[a-zA-Z0-9.+-]+://)?(?:[^/@]*@)?([^/:?#]+)', 1), '\\\\.'), -3) "
+            "ELSE element_at(split(regexp_extract(u, '^(?:[a-zA-Z0-9.+-]+://)?(?:[^/@]*@)?([^/:?#]+)', 1), '\\\\.'), -2) END",
+        ),
+        "cut_to_first_significant_subdomain": (
+            "u STRING",
+            "CASE WHEN size(split(regexp_extract(u, '^(?:[a-zA-Z0-9.+-]+://)?(?:[^/@]*@)?([^/:?#]+)', 1), '\\\\.')) >= 3 "
+            "AND element_at(split(regexp_extract(u, '^(?:[a-zA-Z0-9.+-]+://)?(?:[^/@]*@)?([^/:?#]+)', 1), '\\\\.'), -2) "
+            "IN ('com', 'net', 'org', 'co', 'gov', 'edu', 'mil') "
+            "THEN array_join(slice(split(regexp_extract(u, '^(?:[a-zA-Z0-9.+-]+://)?(?:[^/@]*@)?([^/:?#]+)', 1), '\\\\.'), -3, 3), '.') "
+            "ELSE array_join(slice(split(regexp_extract(u, '^(?:[a-zA-Z0-9.+-]+://)?(?:[^/@]*@)?([^/:?#]+)', 1), '\\\\.'), -2, 2), '.') END",
+        ),
+    }
+)

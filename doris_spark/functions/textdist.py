@@ -63,4 +63,5 @@ def _damerau_udf(a: pd.Series, b: pd.Series) -> pd.Series:
 
 def register(spark: SparkSession) -> int:
     spark.udf.register("damerau_levenshtein", _damerau_udf)
-    return 1
+    spark.udf.register("damerau_levenshtein_distance", _damerau_udf)
+    return 2

@@ -128,6 +128,7 @@ MACROS: dict[str, Macro] = {
         "percentile({0}, {2}, CAST({1} AS BIGINT))"
     ),
     "retention": _retention,
+    "group_array_union": _tpl("array_distinct(flatten(collect_list({0})))"),
     # ---- lambda-first scalar spellings -> Spark hofs
     "array_map": _lambda_first("transform"),
     "array_filter": _lambda_first("filter"),
@@ -183,6 +184,18 @@ def _array_sortby(args: Sequence[str]) -> str:
     return f"__KEEP__({', '.join(args)})"
 
 
+def _struct_element(args: Sequence[str]) -> str:
+    """struct_element(s, 'name') -> s.name; struct_element(s, k) with a
+    positional literal -> s.colk is schema-dependent — fall through to the
+    native dot/bracket syntax."""
+    if len(args) == 2:
+        a1 = args[1].strip()
+        if len(a1) >= 2 and a1[0] == a1[-1] == "'":
+            return f"({args[0]}).{a1[1:-1]}"
+    return f"__KEEP__({', '.join(args)})"
+
+
+MACROS["struct_element"] = _struct_element
 MACROS["array_count"] = _array_count
 MACROS["array_first"] = _array_first
 MACROS["array_last"] = _array_last
