@@ -40,6 +40,7 @@ def load_all() -> None:
     from doris_spark.queries import (  # noqa: F401
         advanced,
         analytics,
+        clickbench,
         doris_fns,
         events,
         extras,
