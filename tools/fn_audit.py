@@ -44,6 +44,20 @@ NON_GOALS = {
     "esquery", "encode_as_bigint", "encode_as_int",
     "encode_as_largeint", "encode_as_smallint", "decode_as_varchar",
     "auto_partition_name", "interval", "g", "xxhash3_64",
+    # TVF non-goals: binlog/CDC covered by the streaming-source note in
+    # COVERAGE §2.11; hudi_meta needs the Hudi connector absent here
+    "binlog", "cdc_stream", "hudi_meta",
+}
+
+# Table-valued functions are python APIs in sources/tvfs.py (plus the
+# streaming-ingest surface for group_commit/http_stream); numbers() is
+# also SQL-callable via explode_numbers.
+TVF_MODULE = {
+    "numbers", "file", "local", "s3", "hdfs", "http", "http_stream",
+    "parquet_meta", "parquet_file_metadata", "parquet_kv_metadata",
+    "parquet_bloom_probe", "catalogs", "partitions", "partition_values",
+    "jobs", "tasks", "backends", "frontends", "frontends_disks",
+    "mv_infos", "query", "group_commit",
 }
 
 
@@ -77,13 +91,15 @@ def main() -> None:
         ("agg", "BuiltinAggregateFunctions.java"),
         ("generating", "BuiltinTableGeneratingFunctions.java"),
         ("window", "BuiltinWindowFunctions.java"),
+        ("tvf", "BuiltinTableValuedFunctions.java"),
     ):
         ref = ref_names(fname)
+        covered_extra = OPERATOR_LEVEL | (TVF_MODULE if cat == "tvf" else set())
         missing = sorted(
-            n for n in ref if n not in have and n not in NON_GOALS and n not in OPERATOR_LEVEL
+            n for n in ref if n not in have and n not in NON_GOALS and n not in covered_extra
         )
         declared = sorted(n for n in ref if n in NON_GOALS)
-        op_level = sorted(n for n in ref if n in OPERATOR_LEVEL)
+        op_level = sorted(n for n in ref if n in covered_extra)
         report[cat] = {
             "total": len(ref),
             "sql_callable": len(ref) - len(missing) - len(declared) - len(op_level),
