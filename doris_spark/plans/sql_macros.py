@@ -184,6 +184,59 @@ def _array_sortby(args: Sequence[str]) -> str:
     return f"__KEEP__({', '.join(args)})"
 
 
+def _topn_entries(x: str, neg_count: str) -> str:
+    """Sorted (count desc, value asc) struct entries over a group."""
+    return (
+        f"array_sort(transform(array_distinct(collect_list({x})), "
+        f"v -> named_struct('c', {neg_count}, 'v', v)))"
+    )
+
+
+def _topn(args: Sequence[str]) -> str:
+    """Doris topn(x, k) -> JSON {value: count} of the k most frequent
+    values (aggregate_function_topn.h). Pure expression: count-per-value
+    via filter over the collected group, sort by (count desc, value)."""
+    x, k = args[0], args[1]
+    entries = _topn_entries(x, f"-size(filter(collect_list({x}), e -> e <=> v))")
+    return (
+        f"to_json(map_from_entries(transform(slice({entries}, 1, {k}), "
+        f"s -> struct(s.v, -s.c))))"
+    )
+
+
+def _topn_array(args: Sequence[str]) -> str:
+    x, k = args[0], args[1]
+    entries = _topn_entries(x, f"-size(filter(collect_list({x}), e -> e <=> v))")
+    return f"transform(slice({entries}, 1, {k}), s -> s.v)"
+
+
+def _topn_weighted(args: Sequence[str]) -> str:
+    x, w, k = args[0], args[1], args[2]
+    pairs = f"zip_with(collect_list({x}), collect_list({w}), (a, b) -> named_struct('k', a, 'w', b))"
+    entries = _topn_entries(
+        x,
+        f"-aggregate(filter({pairs}, p -> p.k <=> v), CAST(0 AS DOUBLE), (acc, p) -> acc + p.w)",
+    )
+    return f"transform(slice({entries}, 1, {k}), s -> s.v)"
+
+
+def _map_merge(agg_body: str) -> Macro:
+    """ClickHouse-lineage *Map aggregates: (keys_arr, values_arr) pairs
+    merged across the group, one output entry per distinct key."""
+
+    def m(args: Sequence[str]) -> str:
+        ks, vs = args[0], args[1]
+        pairs = (
+            f"flatten(collect_list(zip_with({ks}, {vs}, "
+            f"(a, b) -> named_struct('k', a, 'v', b))))"
+        )
+        keys = f"array_sort(array_distinct(transform({pairs}, p -> p.k)))"
+        body = agg_body.replace("{PAIRS}", pairs)
+        return f"map_from_entries(transform({keys}, k -> struct(k, {body})))"
+
+    return m
+
+
 def _struct_element(args: Sequence[str]) -> str:
     """struct_element(s, 'name') -> s.name; struct_element(s, k) with a
     positional literal -> s.colk is schema-dependent — fall through to the
@@ -196,6 +249,23 @@ def _struct_element(args: Sequence[str]) -> str:
 
 
 MACROS["struct_element"] = _struct_element
+MACROS["topn"] = _topn
+MACROS["topn_array"] = _topn_array
+MACROS["topn_weighted"] = _topn_weighted
+MACROS["sum_map"] = _map_merge(
+    "aggregate(filter({PAIRS}, p -> p.k <=> k), CAST(0 AS DOUBLE), (acc, p) -> acc + p.v)"
+)
+MACROS["min_map"] = _map_merge(
+    "array_min(transform(filter({PAIRS}, p -> p.k <=> k), p -> p.v))"
+)
+MACROS["max_map"] = _map_merge(
+    "array_max(transform(filter({PAIRS}, p -> p.k <=> k), p -> p.v))"
+)
+MACROS["avg_map"] = _map_merge(
+    "aggregate(filter({PAIRS}, p -> p.k <=> k), CAST(0 AS DOUBLE), (acc, p) -> acc + p.v) "
+    "/ size(filter({PAIRS}, p -> p.k <=> k))"
+)
+MACROS["count_map"] = _map_merge("CAST(size(filter({PAIRS}, p -> p.k <=> k)) AS BIGINT)")
 MACROS["array_count"] = _array_count
 MACROS["array_first"] = _array_first
 MACROS["array_last"] = _array_last

@@ -144,3 +144,36 @@ def test_macros_execute(spark):
         "(SELECT hll_hash(CAST(id AS STRING)) h FROM range(50))"
     ).collect()[0]
     assert 40 <= hll["c"] <= 60
+
+
+def test_topn_and_map_macros(spark):
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW tm AS SELECT * FROM VALUES "
+        "('a'), ('a'), ('a'), ('b'), ('b'), ('c') AS v(x)"
+    )
+    r = eng.sql(
+        "SELECT topn(x, 2) AS t, topn_array(x, 2) AS ta FROM tm"
+    ).collect()[0]
+    assert r["t"] == '{"a":3,"b":2}'
+    assert list(r["ta"]) == ["a", "b"]
+
+    r = eng.sql(
+        "SELECT topn_weighted(x, w, 2) AS tw FROM VALUES "
+        "('a', 1.0), ('b', 5.0), ('a', 1.0), ('c', 3.0) AS v(x, w)"
+    ).collect()[0]
+    assert list(r["tw"]) == ["b", "c"]
+
+    r = eng.sql(
+        "SELECT sum_map(ks, vs) AS s, min_map(ks, vs) AS mn, "
+        "max_map(ks, vs) AS mx, avg_map(ks, vs) AS av, count_map(ks, vs) AS c "
+        "FROM VALUES (array('x', 'y'), array(1.0, 10.0)), "
+        "(array('x'), array(3.0)) AS v(ks, vs)"
+    ).collect()[0]
+    assert dict(r["s"]) == {"x": 4.0, "y": 10.0}
+    assert dict(r["mn"]) == {"x": 1.0, "y": 10.0}
+    assert dict(r["mx"]) == {"x": 3.0, "y": 10.0}
+    assert dict(r["av"]) == {"x": 2.0, "y": 10.0}
+    assert dict(r["c"]) == {"x": 2, "y": 1}

@@ -31,8 +31,7 @@ OPERATOR_LEVEL = {
     "group_array_intersect", "orthogonal_bitmap_expr_calculate",
     "orthogonal_bitmap_expr_calculate_count", "orthogonal_bitmap_intersect",
     "orthogonal_bitmap_intersect_count", "orthogonal_bitmap_union_count",
-    "topn", "topn_array", "topn_weighted", "histogram", "bitmap_intersect",
-    "intersect_count", "sum_map", "min_map", "max_map", "avg_map", "count_map",
+    "histogram", "bitmap_intersect", "intersect_count",
     "score", "search", "multi_match",
 }
 
