@@ -1,0 +1,130 @@
+"""Property-based tests (hypothesis) for the pure-python kernels —
+mirrors the reference's fuzz-style regression strategy (SURVEY §5) on
+the components where we own the algorithm: WKT geometry, the geo
+predicate kernel, and the SQL macro rewriter. Plus a fixed-seed batched
+equivalence check of the SQL gcd/lcm fold against python math."""
+
+from __future__ import annotations
+
+import math
+import random
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from doris_spark.functions.geo2 import (
+    Geom,
+    contains,
+    intersects,
+    parse_wkt,
+    to_wkt,
+    touches,
+)
+from doris_spark.plans.sql_macros import MACROS, rewrite
+
+coord = st.floats(
+    min_value=-180, max_value=180, allow_nan=False, allow_infinity=False
+).map(lambda v: round(v, 6))
+
+
+@st.composite
+def points(draw):
+    return Geom("POINT", [(draw(coord), draw(coord))])
+
+
+@st.composite
+def linestrings(draw):
+    n = draw(st.integers(min_value=2, max_value=6))
+    return Geom("LINESTRING", [(draw(coord), draw(coord)) for _ in range(n)])
+
+
+@st.composite
+def convex_polygons(draw):
+    """Convex ring: random radii at sorted angles around a center."""
+    cx, cy = draw(coord), draw(coord)
+    n = draw(st.integers(min_value=3, max_value=8))
+    angles = sorted(draw(st.floats(0, 2 * math.pi)) for _ in range(n))
+    if len(set(angles)) < 3:
+        angles = [i * 2 * math.pi / n for i in range(n)]
+    r = draw(st.floats(min_value=0.5, max_value=10))
+    ring = [(round(cx + r * math.cos(a), 6), round(cy + r * math.sin(a), 6)) for a in angles]
+    ring.append(ring[0])
+    return Geom("POLYGON", [ring]), (cx, cy), r
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.one_of(points(), linestrings()))
+def test_wkt_roundtrip(g):
+    g2 = parse_wkt(to_wkt(g))
+    assert g2 is not None and g2.typ == g.typ
+    assert g2.parts == [
+        [(float(x), float(y)) for x, y in part] if isinstance(part, list) else part
+        for part in g.parts
+    ] or g2.parts == g.parts
+
+
+@settings(max_examples=100, deadline=None)
+@given(convex_polygons())
+def test_convex_contains_center(poly_center_r):
+    poly, (cx, cy), r = poly_center_r
+    # centroid of the ring vertices is inside any convex polygon
+    ring = poly.parts[0][:-1]
+    mx = sum(p[0] for p in ring) / len(ring)
+    my = sum(p[1] for p in ring) / len(ring)
+    assert contains(poly, Geom("POINT", [(mx, my)])) is True
+    # a point far outside the circumscribed radius is not contained
+    far = Geom("POINT", [(cx + 3 * r + 1, cy)])
+    assert contains(poly, far) is False
+    assert intersects(poly, far) is False
+
+
+@settings(max_examples=100, deadline=None)
+@given(convex_polygons(), points())
+def test_predicate_consistency(poly_center_r, p):
+    poly, _, _ = poly_center_r
+    inter = intersects(poly, p)
+    # touches implies intersects; contains implies intersects
+    if touches(poly, p):
+        assert inter
+    if contains(poly, p):
+        assert inter
+    # a point that intersects a polygon is inside or on it — containment
+    # must agree for convex polygons
+    if inter:
+        assert contains(poly, p) is True
+
+
+IDENT = st.from_regex(r"[a-z_][a-z0-9_]{0,8}", fullmatch=True).filter(
+    lambda s: s.lower() not in MACROS
+)
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.lists(IDENT, min_size=1, max_size=6), st.sampled_from(["x", "a + b", "'lit,eral'"]))
+def test_rewrite_leaves_nonmacro_sql_alone(names, arg):
+    sql = "SELECT " + ", ".join(f"{n}({arg})" for n in names) + " FROM t"
+    assert rewrite(sql) == sql
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.sampled_from(["ndv", "group_array", "variance_pop", "sum0"]), IDENT)
+def test_rewrite_balanced_and_stable(macro, col):
+    out = rewrite(f"SELECT {macro}({col}) FROM t")
+    assert out.count("(") == out.count(")")
+    # expansions of pure renames / simple templates are fixpoints
+    assert rewrite(out) == out
+
+
+def test_sql_gcd_lcm_vs_python(spark):
+    rng = random.Random(7)
+    pairs = [(rng.randint(-10**9, 10**9), rng.randint(-10**9, 10**9)) for _ in range(200)]
+    pairs += [(0, 0), (0, 5), (5, 0), (1, 1), (2**62, 2**31)]
+    values = ", ".join(f"({a}, {b})" for a, b in pairs)
+    rows = spark.sql(
+        f"SELECT a, b, gcd(a, b) g, lcm(a, b) l FROM VALUES {values} AS v(a, b)"
+    ).collect()
+    for r in rows:
+        assert r["g"] == math.gcd(r["a"], r["b"]), (r["a"], r["b"], r["g"])
+        if r["a"] != 0 and r["b"] != 0:
+            expected = abs(r["a"] // math.gcd(r["a"], r["b"]) * r["b"])
+            assert r["l"] == expected, (r["a"], r["b"], r["l"])
