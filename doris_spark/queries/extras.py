@@ -1030,3 +1030,81 @@ def geo_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY c_custkey
         """
     )
+
+
+@query(
+    "mm_codec_real",
+    oracle="""
+WITH ids AS (SELECT range AS id FROM range(40)),
+img AS (
+  SELECT id,
+         8 + id % 8 AS width,
+         8 + (id * 3) % 8 AS height,
+         round(avg(CASE WHEN i % 3 = 0 THEN (id * 7 + i) % 256 END), 3) AS mean_r,
+         round(avg(CASE WHEN i % 3 = 1 THEN (id * 7 + i) % 256 END), 3) AS mean_g
+  FROM ids, (SELECT range AS i FROM range(1024)) t
+  WHERE i < (8 + id % 8) * (8 + (id * 3) % 8) * 3
+  GROUP BY id
+),
+aud AS (
+  SELECT id,
+         512 + (id % 16) * 32 AS n_frames,
+         round(sqrt(avg(pow((CAST((id * 31 + i * 7) % 256 AS DOUBLE) - 128) / 128, 2))), 3) AS rms
+  FROM ids, (SELECT range AS i FROM range(1024)) t
+  WHERE i < 512 + (id % 16) * 32
+  GROUP BY id
+)
+SELECT img.id AS media_id, img.width, img.height, img.mean_r, img.mean_g,
+       aud.n_frames, aud.rms
+FROM img JOIN aud ON img.id = aud.id
+ORDER BY media_id
+""",
+)
+def mm_codec_real(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL multimodal codecs end-to-end: formulaic pixels/samples are
+    packed into genuine P6 PPM and RIFF/WAV containers in one
+    mapInPandas pass, decoded back by the pure-python kernels
+    (operators/multimodal.decode_images_ppm / decode_audio_wav), and the
+    DuckDB oracle recomputes the same statistics numerically — the
+    decode path is verified value-for-value against closed-form math."""
+    from collections.abc import Iterator as _It
+
+    import pandas as pd
+
+    from doris_spark.operators import multimodal as MM
+
+    ids = spark.range(40).withColumnRenamed("id", "media_id")
+
+    def build(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
+        for pdf in batches:
+            imgs, wavs = [], []
+            for mid in pdf["media_id"]:
+                w, h = 8 + mid % 8, 8 + (mid * 3) % 8
+                rgb = bytes((mid * 7 + i) % 256 for i in range(w * h * 3))
+                imgs.append(MM.encode_ppm(int(w), int(h), rgb))
+                n = 512 + (mid % 16) * 32
+                samples = bytes((mid * 31 + i * 7) % 256 for i in range(n))
+                wavs.append(MM.encode_wav(8000, samples))
+            yield pd.DataFrame(
+                {"media_id": pdf["media_id"], "ppm": imgs, "wav": wavs}
+            )
+
+    media = ids.mapInPandas(
+        build, "media_id long, ppm binary, wav binary"
+    )
+
+    img = MM.decode_images_ppm(media.select("media_id", F.col("ppm").alias("payload")))
+    aud = MM.decode_audio_wav(media.select("media_id", F.col("wav").alias("payload")))
+    return (
+        img.join(aud, "media_id")
+        .select(
+            "media_id",
+            "width",
+            "height",
+            F.round(F.col("mean_r").cast("double"), 3).alias("mean_r"),
+            F.round(F.col("mean_g").cast("double"), 3).alias("mean_g"),
+            "n_frames",
+            F.round(F.col("rms").cast("double"), 3).alias("rms"),
+        )
+        .orderBy("media_id")
+    )

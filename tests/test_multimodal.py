@@ -78,3 +78,39 @@ def test_feature_join_with_embeddings_shape(spark, media_df):
     pairs = a.join(b, F.col("ida") < F.col("idb")).limit(50)
     out = pairs.select(cosine_similarity("fa", "fb").alias("sim")).collect()
     assert all(r["sim"] is not None and -1.001 <= r["sim"] <= 1.001 for r in out)
+
+
+def test_real_ppm_codec_roundtrip(spark):
+    import numpy as np
+
+    from doris_spark.operators import multimodal as MM
+
+    w, h = 6, 4
+    rgb = bytes(range(w * h * 3))
+    payload = MM.encode_ppm(w, h, rgb)
+    df = spark.createDataFrame([(1, bytearray(payload))], "media_id long, payload binary")
+    dec = MM.decode_images_ppm(df).collect()[0]
+    assert (dec["width"], dec["height"]) == (w, h)
+    a = np.frombuffer(rgb, dtype=np.uint8).reshape(-1, 3)
+    assert abs(dec["mean_r"] - a[:, 0].mean()) < 1e-4
+
+    small = MM.resize_images_ppm(df, 3, 2).collect()[0]
+    parsed = MM._parse_ppm(bytes(small["payload"]))
+    assert parsed is not None and parsed[0] == 3 and parsed[1] == 2
+    # nearest-neighbor: top-left pixel survives
+    assert parsed[2][:3] == rgb[:3]
+
+
+def test_real_wav_codec(spark):
+    import math
+
+    from doris_spark.operators import multimodal as MM
+
+    samples = bytes((128 + (i % 4) * 10) % 256 for i in range(1000))
+    payload = MM.encode_wav(8000, samples)
+    df = spark.createDataFrame([(7, bytearray(payload))], "media_id long, payload binary")
+    dec = MM.decode_audio_wav(df).collect()[0]
+    assert dec["sample_rate"] == 8000 and dec["n_frames"] == 1000
+    exp = math.sqrt(sum(((s - 128) / 128.0) ** 2 for s in samples) / 1000)
+    assert abs(dec["rms"] - exp) < 1e-4
+    assert abs(dec["duration_s"] - 0.125) < 1e-6
