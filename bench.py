@@ -30,13 +30,19 @@ def main() -> None:
     Q.QUERIES["tpch_q1"](spark, sf_dir).collect()
 
     timings: dict[str, float] = {}
+    failures: list[str] = []
     for name in sorted(Q.QUERIES):
         t0 = time.perf_counter()
-        Q.QUERIES[name](spark, sf_dir).collect()
-        timings[name] = round(time.perf_counter() - t0, 3)
-        # Queries may persist() intermediates for their own execution; drop
-        # them so later timings aren't skewed by eviction/GC of dead blocks.
-        spark.catalog.clearCache()
+        try:
+            Q.QUERIES[name](spark, sf_dir).collect()
+        except Exception as exc:  # one broken query must not cost the run
+            failures.append(f"{name}: {type(exc).__name__}")
+            continue
+        finally:
+            timings[name] = round(time.perf_counter() - t0, 3)
+            # Queries may persist() intermediates for their own execution;
+            # drop them so later timings aren't skewed by dead-block GC.
+            spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     out = {
@@ -46,6 +52,8 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
+    if failures:
+        out["failures"] = failures
     print(json.dumps(out))
 
 

@@ -73,6 +73,10 @@ def hdfs(spark: SparkSession, uri: str, format: str | None = None, **options) ->
     return _read(spark, uri, format, **options)
 
 
+def http(spark: SparkSession, url: str, format: str | None = None, **options) -> DataFrame:
+    return http_stream(spark, url, format, **options)
+
+
 def http_stream(spark: SparkSession, url: str, format: str | None = None, **options) -> DataFrame:
     """The reference's http_stream pulls a URL server-side. Spark has no
     HTTP filesystem by default; SparkContext.addFile + local read covers
