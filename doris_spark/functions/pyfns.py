@@ -505,3 +505,21 @@ def register(spark: SparkSession) -> int:
     reg("ignore", ignore_fn, "boolean")
 
     return n
+
+
+def register_apn_helper(spark: SparkSession) -> int:
+    """auto_partition_name list-mode value encoder (AutoPartitionName.java):
+    ascii alphanumerics verbatim, any other character as the lowercase hex
+    of its codepoint, then the value's character count appended."""
+
+    def _apn_encode(s: pd.Series) -> pd.Series:
+        def f(v):
+            if v is None:
+                return None
+            enc = "".join(ch if ch.isascii() and ch.isalnum() else format(ord(ch), "x") for ch in v)
+            return f"{enc}{len(v)}"
+
+        return s.map(f)
+
+    spark.udf.register("__apn_encode", pandas_udf(_apn_encode, "string"))
+    return 1

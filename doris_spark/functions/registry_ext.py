@@ -321,7 +321,12 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
         "x BIGINT",
         "concat(left(CAST(x AS STRING), 3), '****', right(CAST(x AS STRING), 4))",
     ),
-    "from_base64": ("s STRING", "CAST(unbase64(s) AS STRING)"),
+    "from_base64": (
+        # Doris: NULL for malformed input (validate alphabet + length)
+        "s STRING",
+        "CASE WHEN regexp_replace(s, '\\s', '') rlike '^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$' "
+        "THEN CAST(unbase64(s) AS STRING) ELSE NULL END",
+    ),
     "to_base64": ("s STRING", "base64(CAST(s AS BINARY))"),
     "from_base64_binary": ("s STRING", "unbase64(s)"),
     "to_base64_binary": ("b BINARY", "base64(b)"),
@@ -877,6 +882,126 @@ DORIS_SQL_FUNCTIONS_EXT.update(
             "IN ('com', 'net', 'org', 'co', 'gov', 'edu', 'mil') "
             "THEN array_join(slice(split(regexp_extract(u, '^(?:[a-zA-Z0-9.+-]+://)?(?:[^/@]*@)?([^/:?#]+)', 1), '\\\\.'), -3, 3), '.') "
             "ELSE array_join(slice(split(regexp_extract(u, '^(?:[a-zA-Z0-9.+-]+://)?(?:[^/@]*@)?([^/:?#]+)', 1), '\\\\.'), -2, 2), '.') END",
+        ),
+    }
+)
+
+
+# Batch 3: reference regression-suite parity upgrades (the doc-function
+# suites call these with period/origin arguments and MySQL modes).
+
+def _time_floor_ceil(unit_micros: int) -> tuple[str, str]:
+    """Doris {unit}_floor/{unit}_ceil(dt[, period[, origin]]) for linear
+    time units: pmod arithmetic on microseconds since the origin
+    (function_datetime_floor_ceil.cpp; origin defaults to 0001-01-01)."""
+    params = (
+        "t TIMESTAMP, p INT DEFAULT 1, "
+        "origin TIMESTAMP DEFAULT TIMESTAMP '0001-01-01 00:00:00'"
+    )
+    d = "(unix_micros(t) - unix_micros(origin))"
+    length = f"(CAST(p AS BIGINT) * {unit_micros})"
+    fl = f"timestamp_micros(unix_micros(origin) + ({d} - pmod({d}, {length})))"
+    ce = (
+        f"timestamp_micros(unix_micros(origin) + ({d} - pmod({d}, {length}) "
+        f"+ IF(pmod({d}, {length}) = 0, 0, {length})))"
+    )
+    return (params, fl), (params, ce)
+
+
+def _month_floor_ceil(unit_months: int) -> tuple[str, str]:
+    """Month-granularity floor/ceil via month-index arithmetic, carrying
+    the origin's day-of-month and time-of-day."""
+    params = (
+        "t TIMESTAMP, p INT DEFAULT 1, "
+        "origin TIMESTAMP DEFAULT TIMESTAMP '0001-01-01 00:00:00'"
+    )
+    k = f"(p * {unit_months})"
+    mi_t = "(year(t) * 12 + month(t) - 1)"
+    mi_o = "(year(origin) * 12 + month(origin) - 1)"
+    dm = f"({mi_t} - {mi_o})"
+    cand_m = f"({mi_o} + {dm} - pmod({dm}, {k}))"
+
+    def rebuild(m: str) -> str:
+        return (
+            f"make_timestamp(CAST({m} div 12 AS INT), CAST({m} % 12 + 1 AS INT), day(origin), "
+            "hour(origin), minute(origin), second(origin))"
+        )
+
+    cand = rebuild(cand_m)
+    fl = f"CASE WHEN {cand} > t THEN {rebuild(f'({cand_m} - {k})')} ELSE {cand} END"
+    # ceil = t when on a boundary, else floor's month index + k months
+    fl_m = f"(CASE WHEN {cand} > t THEN {cand_m} - {k} ELSE {cand_m} END)"
+    ce = f"CASE WHEN {cand} = t THEN t ELSE {rebuild(f'({fl_m} + {k})')} END"
+    return (params, fl), (params, ce)
+
+
+for _unit, _micros in (
+    ("second", 1_000_000),
+    ("minute", 60_000_000),
+    ("hour", 3_600_000_000),
+    ("day", 86_400_000_000),
+    ("week", 604_800_000_000),
+):
+    _f, _c = _time_floor_ceil(_micros)
+    DORIS_SQL_FUNCTIONS_EXT[f"{_unit}_floor"] = _f
+    DORIS_SQL_FUNCTIONS_EXT[f"{_unit}_ceil"] = _c
+
+for _unit, _months in (("month", 1), ("quarter", 3), ("year", 12)):
+    _f, _c = _month_floor_ceil(_months)
+    DORIS_SQL_FUNCTIONS_EXT[f"{_unit}_floor"] = _f
+    DORIS_SQL_FUNCTIONS_EXT[f"{_unit}_ceil"] = _c
+
+# MySQL WEEK mode 5 (Monday-start, week 1 = week of the first Monday).
+_W5 = (
+    "(CASE WHEN dayofyear({d}) < ((9 - dayofweek(trunc({d}, 'YEAR'))) % 7) + 1 THEN 0 "
+    "ELSE CAST((dayofyear({d}) - (((9 - dayofweek(trunc({d}, 'YEAR'))) % 7) + 1)) / 7 AS INT) + 1 END)"
+)
+
+DORIS_SQL_FUNCTIONS_EXT.update(
+    {
+        # yearweek(d[, mode]): YYYYWW; week-0 dates roll into the previous
+        # year's last week (modes 0/5); mode 1 = ISO week-year pairing
+        "yearweek": (
+            "t TIMESTAMP, mode INT DEFAULT 0",
+            "CASE "
+            f"WHEN mode = 0 THEN CASE WHEN {_W0.format(d='t')} = 0 "
+            f"THEN (year(t) - 1) * 100 + {_W0.format(d=chr(39) + chr(39) + ' || (year(t) - 1) || ' + chr(39) + '-12-31' + chr(39))} "
+            f"ELSE year(t) * 100 + {_W0.format(d='t')} END "
+            "WHEN mode IN (1, 3) THEN year(date_add(date_trunc('WEEK', t), 3)) * 100 + weekofyear(t) "
+            f"WHEN mode = 5 THEN CASE WHEN {_W5.format(d='t')} = 0 "
+            f"THEN (year(t) - 1) * 100 + {_W5.format(d=chr(39) + chr(39) + ' || (year(t) - 1) || ' + chr(39) + '-12-31' + chr(39))} "
+            f"ELSE year(t) * 100 + {_W5.format(d='t')} END "
+            "ELSE NULL END",
+        ),
+        # multi-path json_extract returns a JSON array of the extractions
+        "json_extract": (
+            f"j STRING, p1 STRING, p2 STRING DEFAULT '{OMIT}', p3 STRING DEFAULT '{OMIT}', "
+            f"p4 STRING DEFAULT '{OMIT}'",
+            # multi-path: non-matching paths are dropped; all-miss -> NULL
+            # (concat_ws skips NULL operands)
+            f"CASE WHEN p2 = '{OMIT}' THEN to_json(try_variant_get(try_parse_json(j), p1)) "
+            "WHEN concat_ws(',', to_json(try_variant_get(try_parse_json(j), p1)), "
+            f"CASE WHEN p2 = '{OMIT}' THEN NULL ELSE to_json(try_variant_get(try_parse_json(j), p2)) END, "
+            f"CASE WHEN p3 = '{OMIT}' THEN NULL ELSE to_json(try_variant_get(try_parse_json(j), p3)) END, "
+            f"CASE WHEN p4 = '{OMIT}' THEN NULL ELSE to_json(try_variant_get(try_parse_json(j), p4)) END) = '' THEN NULL "
+            "ELSE concat('[', concat_ws(',', to_json(try_variant_get(try_parse_json(j), p1)), "
+            f"CASE WHEN p2 = '{OMIT}' THEN NULL ELSE to_json(try_variant_get(try_parse_json(j), p2)) END, "
+            f"CASE WHEN p3 = '{OMIT}' THEN NULL ELSE to_json(try_variant_get(try_parse_json(j), p3)) END, "
+            f"CASE WHEN p4 = '{OMIT}' THEN NULL ELSE to_json(try_variant_get(try_parse_json(j), p4)) END"
+            "), ']') END",
+        ),
+        # auto_partition_name (AutoPartitionName.java): range -> 'p' +
+        # unit-truncated yyyyMMddHHmmss; list -> 'p' + per-value encoding
+        # (ascii alnum verbatim, other codepoints as lowercase hex) + the
+        # value's character count
+        "auto_partition_name": (
+            f"mode STRING, a STRING, b STRING DEFAULT '{OMIT}', c STRING DEFAULT '{OMIT}'",
+            "CASE lower(mode) "
+            "WHEN 'range' THEN 'p' || date_format(date_trunc(a, CAST(b AS TIMESTAMP)), 'yyyyMMddHHmmss') "
+            "WHEN 'list' THEN 'p' || __apn_encode(a) "
+            f"|| CASE WHEN b = '{OMIT}' THEN '' ELSE __apn_encode(b) END "
+            f"|| CASE WHEN c = '{OMIT}' THEN '' ELSE __apn_encode(c) END "
+            "END",
         ),
     }
 )

@@ -128,7 +128,24 @@ MACROS: dict[str, Macro] = {
         "percentile({0}, {2}, CAST({1} AS BIGINT))"
     ),
     "retention": _retention,
+    # Doris prints full month/day names (lc_time_names=en_US); Spark 4's
+    # builtins abbreviate and cannot be shadowed by SQL UDFs
+    "monthname": _tpl("date_format({0}, 'MMMM')"),
+    "dayname": _tpl("date_format({0}, 'EEEE')"),
     "group_array_union": _tpl("array_distinct(flatten(collect_list({0})))"),
+    # MySQL-compat scalar semantics (mysql_compatibility.md divergences):
+    # LENGTH is byte length (char_length stays characters); variadic
+    # array_concat; type-preserving pop/cum ops; locate with empty needle
+    # returns the start position; lpad/rpad edge semantics
+    "length": _tpl("octet_length({0})"),
+    "array_concat": _rename("concat"),
+    "array_popback": _tpl("slice({0}, 1, greatest(size({0}) - 1, 0))"),
+    "array_popfront": _tpl("CASE WHEN size({0}) <= 1 THEN slice({0}, 1, 0) ELSE slice({0}, 2, size({0}) - 1) END"),
+    "array_cum_sum": _tpl(
+        "transform(sequence(1, size({0})), i -> CASE WHEN ({0})[i - 1] IS NULL THEN NULL "
+        "ELSE aggregate(filter(slice({0}, 1, i), x -> x IS NOT NULL), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + x) END)"
+    ),
     # ---- lambda-first scalar spellings -> Spark hofs
     "array_map": _lambda_first("transform"),
     "array_filter": _lambda_first("filter"),
@@ -247,6 +264,34 @@ def _struct_element(args: Sequence[str]) -> str:
             return f"({args[0]}).{a1[1:-1]}"
     return f"__KEEP__({', '.join(args)})"
 
+
+
+def _locate(args: Sequence[str]) -> str:
+    if len(args) == 3:
+        return (
+            f"CASE WHEN {args[0]} = '' THEN IF({args[2]} <= length({args[1]}) + 1, {args[2]}, 0) "
+            f"ELSE locate({args[0]}, {args[1]}, {args[2]}) END"
+        )
+    return f"__KEEP__({', '.join(args)})"
+
+
+def _pad(which: str) -> Macro:
+    def m(args: Sequence[str]) -> str:
+        if len(args) != 3:
+            return f"__KEEP__({', '.join(args)})"
+        s, ln, p = args
+        return (
+            f"CASE WHEN {ln} < 0 THEN NULL "
+            f"WHEN {p} = '' THEN IF({ln} > length({s}), '', left({s}, {ln})) "
+            f"ELSE {which}({s}, {ln}, {p}) END"
+        )
+
+    return m
+
+
+MACROS["locate"] = _locate
+MACROS["lpad"] = _pad("lpad")
+MACROS["rpad"] = _pad("rpad")
 
 MACROS["struct_element"] = _struct_element
 MACROS["topn"] = _topn

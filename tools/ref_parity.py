@@ -1,0 +1,374 @@
+"""Run the reference's own regression test queries against this engine.
+
+Parses the qt_<name> '''SQL''' cases from the reference's doc-function
+suites (regression-test/suites/doc/sql-manual/sql-functions/*.groovy)
+and their expected results (.out files, `-- !name --` blocks), executes
+each statement through Engine.sql (macro layer + the dialect shim
+below), and compares semantically: numerics by tolerance, datetimes by
+parsed instant, arrays by JSON value, NULL as \\N.
+
+This is the "a reference user can run their queries here" proof: the
+SQL text is the reference's own, byte-for-byte (we only translate
+dialect type names the way any MySQL-compatible FE does).
+
+Usage: python tools/ref_parity.py [suite ...]  (default: all suites)
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+import json
+import math
+import re
+import sys
+
+sys.path.insert(0, ".")
+
+SUITE_DIR = "/root/reference/regression-test/suites/doc/sql-manual/sql-functions"
+DATA_DIR = "/root/reference/regression-test/data/doc/sql-manual/sql-functions"
+SUITES = ["numeric", "string", "date", "json", "array", "bitmap"]
+
+_QT = re.compile(
+    r"(?:qt_([A-Za-z0-9_]+)\s+|\bsql\s*\(?\s*)(?:'''|\"\"\")(.*?)(?:'''|\"\"\")", re.S
+)
+
+
+def parse_suite(name: str):
+    src = open(f"{SUITE_DIR}/doc_{name}_functions_test.groovy").read()
+    # ordered stream of (qt_name | None for setup-sql, statement)
+    cases = [
+        (m.group(1), m.group(2).strip().rstrip(";")) for m in _QT.finditer(src)
+    ]
+
+    out: dict[str, list[str]] = {}
+    cur = None
+    for line in open(f"{DATA_DIR}/doc_{name}_functions_test.out"):
+        line = line.rstrip("\n")
+        m = re.match(r"-- !([A-Za-z0-9_]+) --", line)
+        if m:
+            cur = m.group(1)
+            out[cur] = []
+        elif cur is not None:
+            if line == "" :
+                cur = None
+            else:
+                out[cur].append(line)
+    return [
+        (n, sql, out.get(n))
+        for n, sql in cases
+        if n is None or out.get(n) is not None
+    ]
+
+
+_MYSQL_FMT = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
+    "H": "HH", "k": "H", "h": "hh", "I": "hh", "l": "h", "i": "mm",
+    "s": "ss", "S": "ss", "f": "SSSSSS", "p": "a", "b": "MMM", "M": "MMMM",
+    "a": "EEE", "W": "EEEE", "j": "DDD", "T": "HH:mm:ss", "r": "hh:mm:ss a",
+    "%": "%",
+}
+
+
+def _xlate_fmt(fmt: str) -> str:
+    """MySQL %-pattern -> Java datetime pattern; literal text quoted."""
+    out, lit = [], []
+
+    def flush():
+        if lit:
+            text = "".join(lit)
+            out.append("'" + text.replace("'", "''") + "'" if re.search(r"[A-Za-z']", text) else text)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = _MYSQL_FMT.get(fmt[i + 1])
+            if tok is not None:
+                flush()
+                out.append(tok)
+                i += 2
+                continue
+        lit.append(fmt[i])
+        i += 1
+    flush()
+    return "".join(out)
+
+
+def _bracket_arrays(s: str) -> str:
+    """Doris array literal [a, b] -> array(a, b); subscripts (x[1]) kept."""
+    out, stack = [], []
+    prev = ""
+    in_str = None
+    for ch in s:
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            prev = ch
+            continue
+        if ch == "[":
+            is_literal = not (prev.isalnum() or prev in ")]_'\"")
+            stack.append(is_literal)
+            out.append("array(" if is_literal else "[")
+        elif ch == "]" and stack:
+            out.append(")" if stack.pop() else "]")
+        else:
+            out.append(ch)
+        if not ch.isspace():
+            prev = ch
+    return "".join(out)
+
+
+_DATE_UNITS_MICROS = {
+    "second": 1_000_000,
+    "minute": 60_000_000,
+    "hour": 3_600_000_000,
+    "day": 86_400_000_000,
+    "week": 604_800_000_000,
+}
+
+
+def dialect(sql: str) -> str:
+    """MySQL/Doris spellings -> Spark SQL (the FE's dialect layer)."""
+    s = re.sub(r"\bAS\s+DATETIMEV2\b", "AS TIMESTAMP", sql, flags=re.I)
+    s = re.sub(r"\bAS\s+DATETIME\s*\(\s*\d+\s*\)", "AS TIMESTAMP", s, flags=re.I)
+    s = re.sub(r"\bAS\s+DATETIME\b", "AS TIMESTAMP", s, flags=re.I)
+    s = re.sub(r"\bAS\s+DATEV2\b", "AS DATE", s, flags=re.I)
+    s = re.sub(r"\bAS\s+SIGNED\b", "AS BIGINT", s, flags=re.I)
+    s = re.sub(r"\bAS\s+UNSIGNED\b", "AS BIGINT", s, flags=re.I)
+    s = re.sub(r"\bINTERVAL\s+(-?\d+)\s+QUARTER\b", lambda m: f"INTERVAL {int(m.group(1)) * 3} MONTH", s, flags=re.I)
+    # date_floor/date_ceil(x, INTERVAL n unit) -> the registered
+    # {unit}_floor/{unit}_ceil period form
+    s = re.sub(
+        r"\bdate_(floor|ceil)\s*\(\s*(.*?),\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)",
+        lambda m: f"{m.group(4).lower()}_{m.group(1)}({m.group(2)}, {m.group(3)})",
+        s,
+        flags=re.I | re.S,
+    )
+    # date_add(x, INTERVAL n unit) -> x + INTERVAL n unit; sub-day units
+    # force a timestamp operand (Spark rejects DATE + hour intervals)
+    def _interval_arith(sign: str):
+        def repl(m):
+            expr, n, unit = m.group(1), m.group(2), m.group(3)
+            if unit.lower() in _DATE_UNITS_MICROS and unit.lower() != "day":
+                expr = f"CAST({expr} AS TIMESTAMP)"
+            return f"({expr} {sign} INTERVAL {n} {unit})"
+
+        return repl
+
+    s = re.sub(
+        r"\b(?:date_add|adddate|days_add)\s*\(\s*(.*?),\s*INTERVAL\s+(-?\w+)\s+(\w+)\s*\)",
+        _interval_arith("+"),
+        s,
+        flags=re.I | re.S,
+    )
+    s = re.sub(
+        r"\b(?:date_sub|subdate|days_sub)\s*\(\s*(.*?),\s*INTERVAL\s+(-?\w+)\s+(\w+)\s*\)",
+        _interval_arith("-"),
+        s,
+        flags=re.I | re.S,
+    )
+    # MySQL format strings in date_format/from_unixtime/time_format
+    s = re.sub(
+        r"\b(date_format|from_unixtime|time_format)\s*\(([^;]*?),\s*'([^']*)'\s*\)",
+        lambda m: f"{m.group(1)}({m.group(2)}, '{_xlate_fmt(m.group(3))}')",
+        s,
+        flags=re.I | re.S,
+    )
+    s = _bracket_arrays(s)
+    return s
+
+
+_DT_FORMATS = (
+    "%Y-%m-%dT%H:%M:%S.%f",
+    "%Y-%m-%dT%H:%M:%S",
+    "%Y-%m-%dT%H:%M",
+    "%Y-%m-%d %H:%M:%S.%f",
+    "%Y-%m-%d %H:%M:%S",
+    "%Y-%m-%d",
+)
+
+
+def _parse_dt(s: str):
+    s = re.sub(r"([+-]\d{2}:\d{2})$", "", s.strip())
+    for f in _DT_FORMATS:
+        try:
+            return dt.datetime.strptime(s, f)
+        except ValueError:
+            continue
+    return None
+
+
+def _cell_matches(exp: str, got) -> bool:
+    if exp == "\\N":
+        return got is None
+    if got is None:
+        return False
+    if isinstance(got, bool):
+        return exp in (("true", "1") if got else ("false", "0"))
+    if isinstance(got, (dt.datetime, dt.date)):
+        e = _parse_dt(exp)
+        if e is None:
+            return False
+        g = got if isinstance(got, dt.datetime) else dt.datetime(got.year, got.month, got.day)
+        return e == g
+    if isinstance(got, float) or re.fullmatch(r"-?\d+(\.\d+)?([eE][-+]?\d+)?", exp or ""):
+        try:
+            e, g = float(exp), float(got)
+        except (ValueError, TypeError):
+            return str(got) == exp
+        if math.isnan(e) or math.isnan(g):
+            return math.isnan(e) and math.isnan(g)
+        return math.isclose(e, g, rel_tol=1e-6, abs_tol=1e-9)
+    if isinstance(got, (list, tuple)):
+        def norm(x):
+            if isinstance(x, list):
+                return [norm(v) for v in x]
+            if isinstance(x, str):
+                try:
+                    return float(x)
+                except ValueError:
+                    return x
+            if isinstance(x, (int, float)) and not isinstance(x, bool):
+                return float(x)
+            return x
+
+        try:
+            return norm(json.loads(exp)) == norm(json.loads(json.dumps(list(got), default=str)))
+        except (ValueError, TypeError):
+            return False
+    gs = str(got)
+    if gs == exp:
+        return True
+    e = _parse_dt(exp)
+    if e is not None:
+        g = _parse_dt(gs)
+        return g == e
+    return False
+
+
+_SETUP_OK = re.compile(r"^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|TRUNCATE)", re.I)
+
+
+def translate_ddl(sql: str) -> str | None:
+    """Doris CREATE TABLE -> Spark: keep the column list, map type names,
+    drop engine/keys/distribution/properties clauses."""
+    m = re.match(r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\((.*)", sql, re.I | re.S)
+    if not m:
+        return None
+    name = m.group(2)
+    rest = m.group(3)
+    depth, i = 1, 0
+    while i < len(rest) and depth:
+        if rest[i] == "(":
+            depth += 1
+        elif rest[i] == ")":
+            depth -= 1
+        i += 1
+    cols_src = rest[: i - 1]
+    cols = []
+    for part in re.split(r",(?![^(<]*[)>])", cols_src):
+        part = part.strip()
+        cm = re.match(r"`?(\w+)`?\s+([A-Za-z0-9_<>(),\s]+?)(\s+(NOT\s+)?NULL|\s+COMMENT.*|\s+DEFAULT.*)?$", part, re.S)
+        if not cm:
+            continue
+        typ = cm.group(2).strip()
+        typ = re.sub(r"\bDATETIMEV?2?\b", "TIMESTAMP", typ, flags=re.I)
+        typ = re.sub(r"\bVARCHAR\s*\(\d+\)", "STRING", typ, flags=re.I)
+        typ = re.sub(r"\bCHAR\s*\(\d+\)", "STRING", typ, flags=re.I)
+        typ = re.sub(r"\bTEXT\b", "STRING", typ, flags=re.I)
+        typ = re.sub(r"\bLARGEINT\b", "DECIMAL(38,0)", typ, flags=re.I)
+        cols.append(f"{cm.group(1)} {typ}")
+    if not cols:
+        return None
+    return f"CREATE OR REPLACE TEMPORARY VIEW __def_{name} AS SELECT * FROM VALUES (NULL) t(x) LIMIT 0", name, cols
+
+
+def run_setup(eng, sql: str) -> None:
+    if not _SETUP_OK.match(sql):
+        return
+    if re.match(r"\s*CREATE\s+TABLE", sql, re.I):
+        t = translate_ddl(sql)
+        if t is None:
+            return
+        _, name, cols = t
+        eng.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        eng.spark.sql(f"CREATE TABLE {name} ({', '.join(cols)}) USING parquet")
+        return
+    if re.match(r"\s*DROP\s+TABLE", sql, re.I):
+        eng.spark.sql(re.sub(r"\bFORCE\b", "", sql, flags=re.I))
+        return
+    eng.sql(dialect(sql))
+
+
+def run_case(eng, sql: str, expected: list[str]):
+    from doris_spark.plans.sql_macros import rewrite
+
+    df = eng.sql(dialect(sql))
+    rows = df.collect()
+    if len(expected) == 0:
+        # .out empty block = a single empty-string cell
+        ok = len(rows) == 1 and all(v in (None, "") for v in rows[0])
+        return ok, "" if ok else f"expected empty, got {list(rows[0])!r}"
+    if len(rows) != len(expected):
+        return False, f"rowcount {len(rows)} != {len(expected)}"
+    for row, exp_line in zip(rows, expected):
+        cells = exp_line.split("\t")
+        if len(cells) != len(row):
+            return False, f"colcount {len(row)} != {len(cells)}: {exp_line!r}"
+        for exp, got in zip(cells, row):
+            if not _cell_matches(exp, got):
+                return False, f"value {got!r} != {exp!r}"
+    return True, ""
+
+
+def main() -> None:
+    from doris_spark.engine import Engine
+
+    suites = sys.argv[1:] or SUITES
+    eng = Engine()
+    eng.spark.sparkContext.setLogLevel("ERROR")
+    # The reference CI runs with a China-zone session (expected outputs
+    # carry +08:00); evaluate under the same session timezone.
+    eng.spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    # Doris casts are permissive (invalid input -> NULL), i.e. non-ANSI
+    eng.spark.conf.set("spark.sql.ansi.enabled", "false")
+    total = passed = 0
+    failures = []
+    for suite in suites:
+        try:
+            cases = parse_suite(suite)
+        except FileNotFoundError:
+            continue
+        for name, sql, expected in cases:
+            if name is None:
+                try:
+                    run_setup(eng, sql)
+                except Exception:
+                    pass
+                continue
+            total += 1
+            try:
+                ok, why = run_case(eng, sql, expected)
+            except Exception as exc:
+                ok, why = False, f"{type(exc).__name__}: {str(exc)[:110]}"
+            if ok:
+                passed += 1
+            else:
+                failures.append((suite, name, why))
+    print(f"reference-parity: {passed}/{total} passed")
+    for suite, name, why in failures:
+        print(f"  FAIL {suite}/{name}: {why}")
+    json.dump(
+        {"passed": passed, "total": total, "failures": [list(f) for f in failures]},
+        open("/tmp/ref_parity.json", "w"),
+        indent=1,
+    )
+
+
+if __name__ == "__main__":
+    main()
