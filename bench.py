@@ -45,15 +45,32 @@ def main() -> None:
             spark.catalog.clearCache()
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    # The driver captures a bounded tail of stdout; keep the printed JSON
+    # line short (22 TPC-H timings + per-family rollups) and write the full
+    # per-query map to bench_full.json beside this script.
+    groups: dict[str, float] = {}
+    for name, sec in timings.items():
+        g = name.split("_", 1)[0]
+        groups[g] = round(groups.get(g, 0.0) + sec, 3)
     out = {
         "metric": "headline_queries_total_hot",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
-        "queries": timings,
+        "n_queries": len(timings),
+        "queries": {k: v for k, v in timings.items() if k.startswith("tpch_")},
+        "groups": groups,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }
     if failures:
         out["failures"] = failures
+    full = dict(out)
+    full["queries"] = timings
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "bench_full.json"), "w") as fh:
+            json.dump(full, fh)
+    except OSError:
+        pass
     print(json.dumps(out))
 
 

@@ -319,13 +319,13 @@ WITH per AS (
 SELECT l_returnflag,
        array_to_string(bm, ',') AS bm_str,
        len(bm) AS card,
-       bm[1:5] AS first5,
+       array_to_string(bm[1:5], ',') AS first5,
        '1,3,5' AS parsed,
        bm[1] AS bm_min,
        bm[len(bm)] AS bm_max,
-       list_filter(bm, v -> v >= 10 AND v < 20) AS in_range,
-       list_filter(bm, v -> v >= 30)[1:3] AS lim3,
-       list_filter(bm, v -> v <> 7) AS removed7,
+       array_to_string(list_filter(bm, v -> v >= 10 AND v < 20), ',') AS in_range,
+       array_to_string(list_filter(bm, v -> v >= 30)[1:3], ',') AS lim3,
+       array_to_string(list_filter(bm, v -> v <> 7), ',') AS removed7,
        len(list_filter(bm, v -> v >= 10 AND v < 20)) AS in_range_cnt
 FROM per ORDER BY l_returnflag
 """,
@@ -344,13 +344,13 @@ def sketch_bitmap_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         "l_returnflag",
         SK.bitmap_to_string("bm").alias("bm_str"),
         SK.bitmap_count("bm").alias("card"),
-        SK.sub_bitmap("bm", 0, 5).alias("first5"),
+        SK.bitmap_to_string(SK.sub_bitmap("bm", 0, 5)).alias("first5"),
         SK.bitmap_to_string(SK.bitmap_from_string(F.lit("5,1,3,5"))).alias("parsed"),
         SK.bitmap_min("bm").alias("bm_min"),
         SK.bitmap_max("bm").alias("bm_max"),
-        SK.bitmap_subset_in_range("bm", 10, 20).alias("in_range"),
-        SK.bitmap_subset_limit("bm", 30, 3).alias("lim3"),
-        SK.bitmap_remove("bm", 7).alias("removed7"),
+        SK.bitmap_to_string(SK.bitmap_subset_in_range("bm", 10, 20)).alias("in_range"),
+        SK.bitmap_to_string(SK.bitmap_subset_limit("bm", 30, 3)).alias("lim3"),
+        SK.bitmap_to_string(SK.bitmap_remove("bm", 7)).alias("removed7"),
         F.size(SK.bitmap_subset_in_range("bm", 10, 20)).alias("in_range_cnt"),
     ).orderBy("l_returnflag")
 

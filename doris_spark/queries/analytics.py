@@ -359,7 +359,8 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT l_linestatus,
        quantile_cont(l_quantity, 0.5)  AS p50,
-       quantile_cont(l_quantity, [0.25, 0.5, 0.75]) AS quartiles,
+       quantile_cont(l_quantity, 0.25) AS q25,
+       quantile_cont(l_quantity, 0.75) AS q75,
        quantile_disc(l_quantity, 0.9)  AS p90_disc,
        min(l_quantity) AS qmin, max(l_quantity) AS qmax
 FROM lineitem
@@ -376,7 +377,10 @@ def percentile_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.groupBy("l_linestatus")
         .agg(
             F.percentile("l_quantity", 0.5).alias("p50"),
-            F.percentile("l_quantity", [0.25, 0.5, 0.75]).alias("quartiles"),
+            # percentile_array surface: one pass computes the array, then
+            # scalar projections (driver canonicalizer can't sort arrays)
+            F.element_at(F.percentile("l_quantity", [0.25, 0.5, 0.75]), 1).alias("q25"),
+            F.element_at(F.percentile("l_quantity", [0.25, 0.5, 0.75]), 3).alias("q75"),
             F.expr("percentile_disc(0.9) WITHIN GROUP (ORDER BY l_quantity)").alias("p90_disc"),
             F.min("l_quantity").alias("qmin"),
             F.max("l_quantity").alias("qmax"),
@@ -424,7 +428,7 @@ def skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
     "collect_agg",
     oracle="""
 SELECT n_name,
-       list_sort(list(DISTINCT c_mktsegment)) AS segments,
+       array_to_string(list_sort(list(DISTINCT c_mktsegment)), ',') AS segments,
        string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment) AS seg_concat,
        count(*) AS cnt
 FROM customer JOIN nation ON c_nationkey = n_nationkey
@@ -442,7 +446,8 @@ def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
         .groupBy("n_name")
         .agg(
-            seg_set.alias("segments"),
+            # collect_set exercised; serialized for the driver canonicalizer
+            F.array_join(seg_set, ",").alias("segments"),
             F.array_join(seg_set, "|").alias("seg_concat"),
             F.count(F.lit(1)).alias("cnt"),
         )

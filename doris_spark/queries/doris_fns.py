@@ -32,7 +32,15 @@ SELECT o_orderkey,
          CAST((o_orderkey * 65536 >> 16) & 255 AS VARCHAR),
          CAST((o_orderkey * 65536 >> 8) & 255 AS VARCHAR),
          CAST(o_orderkey * 65536 & 255 AS VARCHAR)) AS ip,
-       year(o_orderdate) * 100 + weekofyear(o_orderdate) AS yw,
+       CASE WHEN dayofyear(o_orderdate)
+              >= 1 + (7 - dayofweek(date_trunc('year', o_orderdate))) % 7
+            THEN year(o_orderdate) * 100
+                 + (dayofyear(o_orderdate)
+                    - (1 + (7 - dayofweek(date_trunc('year', o_orderdate))) % 7)) // 7 + 1
+            ELSE (year(o_orderdate) - 1) * 100
+                 + (dayofyear(CAST((year(o_orderdate) - 1) || '-12-31' AS DATE))
+                    - (1 + (7 - dayofweek(CAST((year(o_orderdate) - 1) || '-01-01' AS DATE))) % 7)) // 7 + 1
+       END AS yw,
        CASE WHEN o_orderpriority = '' OR o_orderpriority IS NULL
             THEN true ELSE false END AS noe
 FROM orders
@@ -212,11 +220,12 @@ def tz_datefmt_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
     # json_extract presence.
     oracle="""
 SELECT c_custkey,
-       list_transform(['Customer', '00', 'zzz'], n -> strpos(c_name, n)) AS msap,
+       array_to_string(list_transform(['Customer', '00', 'zzz'],
+                                      n -> strpos(c_name, n)), ',') AS msap,
        (regexp_matches(c_name, '0$') OR regexp_matches(c_name, '5$')) AS mma,
-       list_value(1,
+       array_to_string(list_value(1,
          CASE WHEN c_mktsegment = 'BUILDING' THEN 2 ELSE 1 END,
-         CASE WHEN c_mktsegment = 'BUILDING' THEN 3 ELSE 2 END) AS enu,
+         CASE WHEN c_mktsegment = 'BUILDING' THEN 3 ELSE 2 END), ',') AS enu,
        damerau_levenshtein(c_mktsegment, 'BUILDINGS') AS dl,
        json_extract(concat('{"seg": "', c_mktsegment, '"}'), '$.seg') IS NOT NULL AS jep
 FROM customer
@@ -234,9 +243,11 @@ def fn_stragglers(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(
         """
         SELECT c_custkey,
-               multi_search_all_positions(c_name, array('Customer', '00', 'zzz')) AS msap,
+               array_join(multi_search_all_positions(
+                 c_name, array('Customer', '00', 'zzz')), ',')                    AS msap,
                multi_match_any(c_name, array('0$', '5$'))                         AS mma,
-               array_enumerate_uniq(array(c_mktsegment, 'BUILDING', c_mktsegment)) AS enu,
+               array_join(array_enumerate_uniq(
+                 array(c_mktsegment, 'BUILDING', c_mktsegment)), ',')             AS enu,
                damerau_levenshtein(c_mktsegment, 'BUILDINGS')                     AS dl,
                json_exists_path(concat('{"seg": "', c_mktsegment, '"}'), '$.seg') AS jep
         FROM customer

@@ -1073,7 +1073,10 @@ def mm_codec_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from doris_spark.operators import multimodal as MM
 
-    ids = spark.range(40).withColumnRenamed("id", "media_id")
+    # 40 rows: a handful of partitions keeps the Python-worker fan-out
+    # proportional to the data (32 one-row pandas tasks × 3 stages was
+    # pure startup overhead); at real scale numPartitions tracks input.
+    ids = spark.range(0, 40, 1, 4).withColumnRenamed("id", "media_id")
 
     def build(batches: _It[pd.DataFrame]) -> _It[pd.DataFrame]:
         for pdf in batches:
@@ -1091,7 +1094,7 @@ def mm_codec_real(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     media = ids.mapInPandas(
         build, "media_id long, ppm binary, wav binary"
-    )
+    ).persist()  # consumed by both decode branches; bench clears cache after
 
     img = MM.decode_images_ppm(media.select("media_id", F.col("ppm").alias("payload")))
     aud = MM.decode_audio_wav(media.select("media_id", F.col("wav").alias("payload")))

@@ -26,5 +26,15 @@ def test_bench_json_contract():
     d = json.loads(lines[0])
     assert set(d) >= {"metric", "value", "unit", "queries", "sf"}
     assert d["unit"] == "sec" and d["value"] > 0
-    assert len(d["queries"]) >= 80
+    # The printed line must stay within the driver's bounded stdout tail
+    # (~3000 chars): TPC-H per-query timings + per-family rollups only.
+    assert len(lines[0]) < 2500, f"JSON line too long: {len(lines[0])}"
+    assert len(d["queries"]) == 22  # tpch_q1..q22
+    assert all(k.startswith("tpch_") for k in d["queries"])
+    assert d["n_queries"] >= 80
     assert d["sf"] == 0.001
+    # Full per-query map goes to the sidecar file.
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    with open(os.path.join(repo, "bench_full.json")) as fh:
+        full = json.load(fh)
+    assert len(full["queries"]) == d["n_queries"]
