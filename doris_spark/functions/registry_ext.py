@@ -324,7 +324,7 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     "from_base64": (
         # Doris: NULL for malformed input (validate alphabet + length)
         "s STRING",
-        "CASE WHEN regexp_replace(s, '\\s', '') rlike '^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$' "
+        "CASE WHEN regexp_replace(s, '\\\\s', '') rlike '^([A-Za-z0-9+/]{4})*([A-Za-z0-9+/]{2}==|[A-Za-z0-9+/]{3}=)?$' "
         "THEN CAST(unbase64(s) AS STRING) ELSE NULL END",
     ),
     "to_base64": ("s STRING", "base64(CAST(s AS BINARY))"),

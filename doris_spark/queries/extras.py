@@ -382,12 +382,12 @@ WITH c AS (
   FROM orders GROUP BY 1, 2
 )
 SELECT o_orderstatus,
-       list_transform(list_sort(list(struct_pack(k := e, v := cnt))
+       coalesce(array_to_string(list_transform(list_sort(list(struct_pack(k := e, v := cnt))
                                 FILTER (WHERE e IS NOT NULL)),
-                      x -> x.k) AS enum_keys,
-       list_transform(list_sort(list(struct_pack(k := e, v := cnt))
+                      x -> x.k), ','), '') AS enum_keys,
+       coalesce(array_to_string(list_transform(list_sort(list(struct_pack(k := e, v := cnt))
                                 FILTER (WHERE e IS NOT NULL)),
-                      x -> x.v) AS enum_counts,
+                      x -> x.v), ','), '') AS enum_counts,
        sum(CASE WHEN e IS NULL THEN cnt ELSE 0 END) AS null_cnt
 FROM c GROUP BY o_orderstatus ORDER BY o_orderstatus
 """,
@@ -415,8 +415,13 @@ def agg_count_by_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inner.groupBy("o_orderstatus")
         .agg(
-            F.transform(entries, lambda x: x.getField("k")).alias("enum_keys"),
-            F.transform(entries, lambda x: x.getField("v")).alias("enum_counts"),
+            # Serialized for the driver canonicalizer (can't sort raw arrays).
+            F.array_join(
+                F.transform(entries, lambda x: x.getField("k")), ","
+            ).alias("enum_keys"),
+            F.array_join(
+                F.transform(entries, lambda x: x.getField("v").cast("string")), ","
+            ).alias("enum_counts"),
             F.sum(F.when(F.col("e").isNull(), F.col("cnt")).otherwise(0)).alias(
                 "null_cnt"
             ),
@@ -437,7 +442,7 @@ WITH sets AS (
   SELECT flag, v, count(DISTINCT st) AS c FROM sets GROUP BY flag, v
 )
 SELECT cnt.flag AS l_returnflag,
-       list_sort(list(cnt.v)) AS common_vals
+       coalesce(array_to_string(list_sort(list(cnt.v)), ','), '') AS common_vals
 FROM cnt JOIN m ON cnt.flag = m.flag
 WHERE cnt.c = m.n_members
 GROUP BY cnt.flag ORDER BY l_returnflag
@@ -464,7 +469,16 @@ def agg_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
         cnt.join(F.broadcast(m), "flag")
         .filter(F.col("c") == F.col("n_members"))
         .groupBy(F.col("flag").alias("l_returnflag"))
-        .agg(F.array_sort(F.collect_list("v")).alias("common_vals"))
+        .agg(
+            # Numeric sort first, THEN stringify — string sort would put
+            # "10" before "2" and diverge from the oracle's list_sort.
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list("v")), lambda x: x.cast("string")
+                ),
+                ",",
+            ).alias("common_vals")
+        )
         .orderBy("l_returnflag")
     )
 
@@ -579,10 +593,10 @@ WITH inner_c AS (
   FROM orders GROUP BY 1, 2
 )
 SELECT o_orderstatus,
-       list_transform(list_sort(list(struct_pack(k := o_orderpriority, v := cnt))),
-                      e -> e.k) AS prio_keys,
-       list_transform(list_sort(list(struct_pack(k := o_orderpriority, v := cnt))),
-                      e -> e.v) AS prio_vals
+       array_to_string(list_transform(list_sort(list(struct_pack(k := o_orderpriority, v := cnt))),
+                      e -> e.k), ',') AS prio_keys,
+       array_to_string(list_transform(list_sort(list(struct_pack(k := o_orderpriority, v := cnt))),
+                      e -> e.v), ',') AS prio_vals
 FROM inner_c
 GROUP BY o_orderstatus
 ORDER BY o_orderstatus
@@ -602,8 +616,13 @@ def agg_map(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         inner.groupBy("o_orderstatus")
         .agg(
-            F.transform(entries, lambda e: e.getField("o_orderpriority")).alias("prio_keys"),
-            F.transform(entries, lambda e: e.getField("cnt")).alias("prio_vals"),
+            # Serialized for the driver canonicalizer (can't sort raw arrays).
+            F.array_join(
+                F.transform(entries, lambda e: e.getField("o_orderpriority")), ","
+            ).alias("prio_keys"),
+            F.array_join(
+                F.transform(entries, lambda e: e.getField("cnt").cast("string")), ","
+            ).alias("prio_vals"),
         )
         .orderBy("o_orderstatus")
     )
@@ -668,11 +687,11 @@ SELECT doc_id,
        list_sort(list_distinct(toks))[1]            AS min_tok,
        list_contains(toks, 'spark')                 AS has_spark,
        coalesce(list_position(toks, 'spark'), 0)    AS spark_pos,
-       list_sort(list_distinct(toks))               AS sorted_distinct,
-       list_reverse(list_sort(list_distinct(toks))) AS rev_sorted,
-       toks[1:3]                                    AS first3,
+       array_to_string(list_sort(list_distinct(toks)), ',')               AS sorted_distinct,
+       array_to_string(list_reverse(list_sort(list_distinct(toks))), ',') AS rev_sorted,
+       array_to_string(toks[1:3], ',')              AS first3,
        len(list_filter(toks, x -> length(x) > 4))   AS n_long,
-       list_transform(toks[1:3], x -> upper(x))     AS up3,
+       array_to_string(list_transform(toks[1:3], x -> upper(x)), ',')     AS up3,
        array_to_string(toks[1:3], '-')              AS joined3,
        len(list_intersect(toks, ['spark', 'join', 'query'])) AS n_kw,
        len(list_distinct(list_concat(toks, ['zzz']))) AS sz_with_sentinel
@@ -696,11 +715,12 @@ def scalar_array_fns(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.array_distinct(toks)).alias("min_tok"),
         F.array_contains(toks, "spark").alias("has_spark"),
         F.coalesce(F.array_position(toks, "spark"), F.lit(0)).alias("spark_pos"),
-        F.array_sort(F.array_distinct(toks)).alias("sorted_distinct"),
-        F.reverse(F.array_sort(F.array_distinct(toks))).alias("rev_sorted"),
-        F.slice(toks, 1, 3).alias("first3"),
+        # Array results serialized for the driver canonicalizer.
+        F.array_join(F.array_sort(F.array_distinct(toks)), ",").alias("sorted_distinct"),
+        F.array_join(F.reverse(F.array_sort(F.array_distinct(toks))), ",").alias("rev_sorted"),
+        F.array_join(F.slice(toks, 1, 3), ",").alias("first3"),
         F.size(F.filter(toks, lambda x: F.length(x) > 4)).alias("n_long"),
-        F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)).alias("up3"),
+        F.array_join(F.transform(F.slice(toks, 1, 3), lambda x: F.upper(x)), ",").alias("up3"),
         F.array_join(F.slice(toks, 1, 3), "-").alias("joined3"),
         F.size(F.array_intersect(toks, kw)).alias("n_kw"),
         F.size(F.array_distinct(F.concat(toks, F.array(F.lit("zzz"))))).alias("sz_with_sentinel"),

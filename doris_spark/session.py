@@ -196,14 +196,21 @@ def _read_parquet(spark: SparkSession, path: str) -> DataFrame:
 
     df = spark.read.parquet(path)
     arrow_schema = pq.read_schema(path)
+    casts = {}
     for field in arrow_schema:
-        t = field.type
-        if str(t).startswith("timestamp[ns"):
+        t = str(field.type)
+        if t.startswith("timestamp[ns"):
             # Integer division — double division loses precision at 1e18 ns.
-            df = df.withColumn(
-                field.name,
-                F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
-            )
+            casts[field.name] = F.timestamp_micros(F.expr(f"`{field.name}` div 1000"))
+        elif t.startswith("timestamp[") and "tz=" not in t:
+            # Naive parquet timestamps infer as TIMESTAMP_NTZ on Spark 4,
+            # which many chrono functions (unix_micros, numeric casts,
+            # window ranges) reject. Session tz is pinned UTC, so casting
+            # to the LTZ TimestampType is value-preserving and matches how
+            # DuckDB surfaces the same column to the oracle.
+            casts[field.name] = F.col(field.name).cast("timestamp")
+    if casts:
+        df = df.withColumns(casts)
     return df
 
 

@@ -32,29 +32,67 @@ from pyspark.sql.types import (
     StructType,
 )
 
-# events.parquet stores ts as TIMESTAMP(NANOS); the streaming reader takes
-# it as long (nanosAsLong) and converts like the batch path.
-EVENTS_STREAM_SCHEMA = StructType(
-    [
-        StructField("event_id", LongType()),
-        StructField("ts", LongType()),
-        StructField("user_id", LongType()),
-        StructField("event_type", StringType()),
-        StructField("value", DoubleType()),
-        StructField("props", StringType()),
-    ]
-)
+def _events_stream_schema(ts_type) -> StructType:
+    return StructType(
+        [
+            StructField("event_id", LongType()),
+            StructField("ts", ts_type),
+            StructField("user_id", LongType()),
+            StructField("event_type", StringType()),
+            StructField("value", DoubleType()),
+            StructField("props", StringType()),
+        ]
+    )
+
+
+# Default wire schema (current fixture encoding: naive micros). Kafka
+# JSON payloads also parse cleanly into this shape.
+from pyspark.sql.types import TimestampNTZType as _TimestampNTZType
+
+EVENTS_STREAM_SCHEMA = _events_stream_schema(_TimestampNTZType())
+
+
+def _ts_physical_type(path: str) -> str:
+    """Arrow type string of `ts` in the first parquet file under `path`
+    ('' if none exist yet — callers then assume microsecond timestamps,
+    the current fixture encoding)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(os.path.join(path, "*.parquet")))
+    if os.path.isfile(path):
+        files = [path]
+    if not files:
+        return ""
+    return str(pq.read_schema(files[0]).field("ts").type)
 
 
 def read_event_stream(spark: SparkSession, path: str) -> DataFrame:
     """File streaming source over the events fixture (stream-load parity:
-    every new file in `path` becomes a micro-batch)."""
+    every new file in `path` becomes a micro-batch).
+
+    The fixture's `ts` encoding has shipped both as TIMESTAMP(NANOS)
+    (read as long via nanosAsLong, floor-converted like the batch path)
+    and as naive TIMESTAMP(MICROS) (read as TIMESTAMP_NTZ, cast to the
+    session-UTC TimestampType) — detect per-directory instead of
+    hard-coding either."""
+    from pyspark.sql.types import TimestampNTZType
+
+    t = _ts_physical_type(path)
+    if t.startswith("timestamp[ns"):
+        raw = (
+            spark.readStream.schema(_events_stream_schema(LongType()))
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     raw = (
-        spark.readStream.schema(EVENTS_STREAM_SCHEMA)
+        spark.readStream.schema(_events_stream_schema(TimestampNTZType()))
         .option("maxFilesPerTrigger", 1)
         .parquet(path)
     )
-    return raw.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return raw.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_counts(events: DataFrame, window: str = "1 hour", watermark: str = "2 hours") -> DataFrame:
