@@ -186,6 +186,367 @@ def _norm_numbers(x):
     return x
 
 
+# ---- MySQL %-pattern datetime kernel (function_date_or_datetime_*.cpp,
+#      str_to_date / date_format / time_format semantics). Rendering is
+#      done manually token-by-token (no platform strftime extensions);
+#      parsing translates to Python strptime directives, which accept
+#      non-zero-padded fields and support week-based years (%U/%V/%G).
+
+_STRPTIME_MAP = {
+    "a": "%a", "b": "%b", "c": "%m", "d": "%d", "e": "%d", "f": "%f",
+    "H": "%H", "h": "%I", "I": "%I", "i": "%M", "j": "%j", "k": "%H",
+    "l": "%I", "M": "%B", "m": "%m", "p": "%p", "r": "%I:%M:%S %p",
+    "S": "%S", "s": "%S", "T": "%H:%M:%S", "U": "%U", "u": "%W",
+    "V": "%U", "v": "%V", "W": "%A", "w": "%w", "X": "%Y", "x": "%G",
+    "Y": "%Y", "y": "%y", "%": "%%",
+}
+
+
+def _mysql_to_strptime(fmt: str) -> str:
+    out, i = [], 0
+    while i < len(fmt):
+        if fmt[i] == "%" and i + 1 < len(fmt):
+            tok = _STRPTIME_MAP.get(fmt[i + 1])
+            if tok is not None:
+                out.append(tok)
+                i += 2
+                continue
+            out.append(fmt[i + 1])
+            i += 2
+            continue
+        out.append(fmt[i])
+        i += 1
+    return "".join(out)
+
+
+# tokens that carry date (vs pure time-of-day) information: a MySQL parse
+# with no date part yields a TIME in MySQL but NULL DATETIME in Doris
+_DATE_TOKENS = set("YyXxVvUuMmbDdejWaw")
+
+
+def _mysql_strptime_one(s, fmt):
+    import datetime as _dt
+    import re as _r
+
+    if _isnull(s) or _isnull(fmt):
+        return None
+    fmt = str(fmt)
+    if not any(t in _DATE_TOKENS for t in _r.findall(r"%(.)", fmt)):
+        return None
+    text = str(s).strip()
+    pat = _mysql_to_strptime(fmt)
+    try:
+        return _dt.datetime.strptime(text, pat)
+    except (ValueError, TypeError) as e:
+        # MySQL permits trailing garbage after a successful prefix parse
+        m = _r.search(r"unconverted data remains: (.*)$", str(e), _r.S)
+        if m:
+            try:
+                return _dt.datetime.strptime(text[: len(text) - len(m.group(1))], pat)
+            except (ValueError, TypeError):
+                return None
+        return None
+
+
+def _ordinal(n: int) -> str:
+    if 11 <= n % 100 <= 13:
+        return f"{n}th"
+    return f"{n}{ {1: 'st', 2: 'nd', 3: 'rd'}.get(n % 10, 'th') }"
+
+
+def _isnull(v) -> bool:
+    if v is None:
+        return True
+    try:
+        return bool(pd.isna(v))
+    except (TypeError, ValueError):
+        return False
+
+
+def _mysql_strftime_one(t, fmt):
+    if _isnull(t) or _isnull(fmt):
+        return None
+    d = t
+    iso_y, iso_w, _ = d.isocalendar()
+    sunday_w = int(d.strftime("%U"))
+
+    def mode2():  # %V/%X: Sunday-based, weeks 1..53 rolling into prior year
+        if sunday_w > 0:
+            return d.year, sunday_w
+        import datetime as _dt
+
+        prev = _dt.date(d.year - 1, 12, 31)
+        return prev.year, int(prev.strftime("%U"))
+
+    out, i = [], 0
+    while i < len(fmt):
+        c = fmt[i]
+        if c != "%" or i + 1 >= len(fmt):
+            out.append(c)
+            i += 1
+            continue
+        t2 = fmt[i + 1]
+        i += 2
+        if t2 == "a":
+            out.append(d.strftime("%a"))
+        elif t2 == "b":
+            out.append(d.strftime("%b"))
+        elif t2 == "c":
+            out.append(str(d.month))
+        elif t2 == "D":
+            out.append(_ordinal(d.day))
+        elif t2 == "d":
+            out.append(f"{d.day:02d}")
+        elif t2 == "e":
+            out.append(str(d.day))
+        elif t2 == "f":
+            out.append(f"{d.microsecond:06d}")
+        elif t2 == "H":
+            out.append(f"{d.hour:02d}")
+        elif t2 in ("h", "I"):
+            out.append(f"{(d.hour % 12) or 12:02d}")
+        elif t2 == "i":
+            out.append(f"{d.minute:02d}")
+        elif t2 == "j":
+            out.append(d.strftime("%j"))
+        elif t2 == "k":
+            out.append(str(d.hour))
+        elif t2 == "l":
+            out.append(str((d.hour % 12) or 12))
+        elif t2 == "M":
+            out.append(d.strftime("%B"))
+        elif t2 == "m":
+            out.append(f"{d.month:02d}")
+        elif t2 == "p":
+            out.append("AM" if d.hour < 12 else "PM")
+        elif t2 == "r":
+            out.append(
+                f"{(d.hour % 12) or 12:02d}:{d.minute:02d}:{d.second:02d} "
+                + ("AM" if d.hour < 12 else "PM")
+            )
+        elif t2 in ("S", "s"):
+            out.append(f"{d.second:02d}")
+        elif t2 == "T":
+            out.append(f"{d.hour:02d}:{d.minute:02d}:{d.second:02d}")
+        elif t2 == "U":
+            out.append(f"{sunday_w:02d}")
+        elif t2 == "u":
+            out.append(d.strftime("%W"))
+        elif t2 == "V":
+            out.append(f"{mode2()[1]:02d}")
+        elif t2 == "v":
+            out.append(f"{iso_w:02d}")
+        elif t2 == "W":
+            out.append(d.strftime("%A"))
+        elif t2 == "w":
+            out.append(str((d.weekday() + 1) % 7))
+        elif t2 == "X":
+            out.append(f"{mode2()[0]:04d}")
+        elif t2 == "x":
+            out.append(f"{iso_y:04d}")
+        elif t2 == "Y":
+            out.append(f"{d.year:04d}")
+        elif t2 == "y":
+            out.append(f"{d.year % 100:02d}")
+        elif t2 == "%":
+            out.append("%")
+        else:
+            out.append(t2)
+    return "".join(out)
+
+
+def _mysql_week_one(d, mode) -> int | None:
+    """MySQL WEEK(date, mode) — the documented 8-mode table (modes 0-7;
+    negative/overflow modes reduce mod 8). Pure calendar math, session-tz
+    independent (operates on the already-localized datetime value)."""
+    if _isnull(d) or _isnull(mode):
+        return None
+    import datetime as _dt
+
+    mode = int(mode) & 7
+    monday_first = bool(mode & 1)
+    week_year = bool(mode & 2)
+    first_weekday = bool(mode & 4)
+    if not monday_first:
+        first_weekday = not first_weekday
+
+    def week_of(dd: _dt.date) -> int:
+        jan1 = _dt.date(dd.year, 1, 1)
+        # weekday of Jan 1 with 0 = the week's first day
+        wd = jan1.weekday() if monday_first else (jan1.weekday() + 1) % 7
+        yday = (dd - jan1).days  # 0-based
+        if first_weekday:
+            # week 1 = first FULL week (starts on the week's first day)
+            days_before = 0 if wd == 0 else 7 - wd
+        else:
+            # week 1 = the week holding >= 4 days of this year
+            days_before = -wd if wd <= 3 else 7 - wd
+        if yday < days_before:
+            return 0
+        return (yday - days_before) // 7 + 1
+
+    if hasattr(d, "date"):
+        d = d.date()
+    w = week_of(d)
+    if w == 0 and week_year:
+        return week_of(_dt.date(d.year - 1, 12, 31))
+    return w
+
+
+_TIME_RE = None
+
+
+def _parse_time_str(s):
+    """Doris TIME domain: [-838:59:59, 838:59:59], optional fraction.
+    Datetime-shaped strings are NOT valid TIME input (Doris yields NULL)."""
+    global _TIME_RE
+    import re as _r
+
+    if _TIME_RE is None:
+        _TIME_RE = _r.compile(r"^(-)?(\d{1,3}):(\d{1,2}):(\d{1,2})(\.\d+)?$")
+    txt = str(s).strip()
+    m = _TIME_RE.match(txt)
+    if not m:
+        # MySQL TIME() of a datetime string takes the time-of-day part
+        dm = _r.match(
+            r"^\d{4}-\d{1,2}-\d{1,2}[ T](\d{1,2}):(\d{1,2}):(\d{1,2})(\.\d+)?$", txt
+        )
+        if dm and int(dm.group(1)) < 24:
+            h, mi, sec, frac = dm.groups()
+            if int(mi) > 59 or int(sec) > 59:
+                return None
+            return 1, int(h), int(mi), int(sec), int(
+                round(float(frac or 0) * 1_000_000)
+            )
+        return None
+    neg, h, mi, sec, frac = m.groups()
+    h, mi, sec = int(h), int(mi), int(sec)
+    if h > 838 or mi > 59 or sec > 59:
+        return None
+    micros = int(round(float(frac or 0) * 1_000_000))
+    return (-1 if neg else 1), h, mi, sec, micros
+
+
+def _mysql_timefmt_one(t, fmt):
+    """TIME_FORMAT: date-valued tokens render as zeros; name/ordinal/week
+    tokens have no TIME meaning and NULL the whole result (MySQL/Doris)."""
+    if _isnull(t) or _isnull(fmt):
+        return None
+    parsed = _parse_time_str(t)
+    if parsed is None:
+        return None
+    sign, h, mi, sec, micros = parsed
+    out, i = [], 0
+    fmt = str(fmt)
+    while i < len(fmt):
+        c = fmt[i]
+        if c != "%" or i + 1 >= len(fmt):
+            out.append(c)
+            i += 1
+            continue
+        t2 = fmt[i + 1]
+        i += 2
+        if t2 == "H":
+            out.append(f"{h:02d}")
+        elif t2 == "k":
+            out.append(str(h))
+        elif t2 in ("h", "I"):
+            out.append(f"{(h % 12) or 12:02d}")
+        elif t2 == "l":
+            out.append(str((h % 12) or 12))
+        elif t2 == "i":
+            out.append(f"{mi:02d}")
+        elif t2 in ("S", "s"):
+            out.append(f"{sec:02d}")
+        elif t2 == "f":
+            out.append(f"{micros:06d}")
+        elif t2 == "p":
+            out.append("AM" if (h % 24) < 12 else "PM")
+        elif t2 == "r":
+            out.append(
+                f"{(h % 12) or 12:02d}:{mi:02d}:{sec:02d} "
+                + ("AM" if (h % 24) < 12 else "PM")
+            )
+        elif t2 == "T":
+            out.append(f"{h:02d}:{mi:02d}:{sec:02d}")
+        elif t2 == "Y":
+            out.append("0000")
+        elif t2 == "y":
+            out.append("00")
+        elif t2 in ("m", "d"):
+            out.append("00")
+        elif t2 in ("c", "e"):
+            out.append("0")
+        elif t2 == "%":
+            out.append("%")
+        elif t2 in "abDjMUuVvWwXx":
+            return None  # no TIME rendering exists for these
+        else:
+            out.append(t2)
+    return ("-" if sign < 0 else "") + "".join(out)
+
+
+def register_mysql_datetime(spark: SparkSession) -> int:
+    """__mysql_strptime/__mysql_strftime/__mysql_week helpers — must be
+    installed before any SQL UDF whose body references them (str_to_date,
+    time_format, week): CREATE FUNCTION analyzes the body eagerly.
+
+    __mysql_strptime returns an ISO STRING, not a timestamp: a naive
+    datetime handed back through Arrow would be re-keyed by the Python
+    worker's zone, which need not match the session zone. The SQL wrapper
+    casts JVM-side, which always follows the session timezone."""
+
+    def _strptime(s: pd.Series, fmt: pd.Series) -> pd.Series:
+        def iso(a, b):
+            v = _mysql_strptime_one(a, b)
+            return None if v is None else v.strftime("%Y-%m-%d %H:%M:%S.%f")
+
+        return pd.Series([iso(a, b) for a, b in zip(s, fmt)], dtype=object)
+
+    def _strftime(t: pd.Series, fmt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_mysql_strftime_one(a, b) for a, b in zip(t, fmt)], dtype=object
+        )
+
+    def _week(t: pd.Series, mode: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_mysql_week_one(a, b) for a, b in zip(t, mode)], dtype=object
+        )
+
+    from doris_spark.functions.locale_names import LOCALE_NAMES
+
+    def _name_lookup(kind: str):
+        def look(t: pd.Series, loc: pd.Series) -> pd.Series:
+            def one(d, lc):
+                if _isnull(d):
+                    return None
+                tab = LOCALE_NAMES.get((lc or "en_us").lower())
+                if tab is None:
+                    tab = LOCALE_NAMES["en_us"]
+                if kind == "days":
+                    return tab["days"][d.weekday()]
+                return tab["months"][d.month - 1]
+
+            return pd.Series([one(a, b) for a, b in zip(t, loc)], dtype=object)
+
+        return look
+
+    def _timefmt(t: pd.Series, fmt: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_mysql_timefmt_one(a, b) for a, b in zip(t, fmt)], dtype=object
+        )
+
+    spark.udf.register("__mysql_strptime", pandas_udf(_strptime, "string"))
+    spark.udf.register("__mysql_strftime", pandas_udf(_strftime, "string"))
+    spark.udf.register("__mysql_timefmt", pandas_udf(_timefmt, "string"))
+    spark.udf.register("__mysql_week", pandas_udf(_week, "int"))
+    spark.udf.register("__locale_dayname", pandas_udf(_name_lookup("days"), "string"))
+    spark.udf.register(
+        "__locale_monthname", pandas_udf(_name_lookup("months"), "string")
+    )
+    return 6
+
+
 def register(spark: SparkSession) -> int:
     """Register the python-tier names; returns the count."""
     n = 0

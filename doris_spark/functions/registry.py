@@ -32,10 +32,24 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     "days_sub": ("t TIMESTAMP, n INT", "t - make_interval(0, 0, 0, n)"),
     "hours_add": ("t TIMESTAMP, n INT", "t + make_interval(0, 0, 0, 0, n)"),
     "hours_sub": ("t TIMESTAMP, n INT", "t - make_interval(0, 0, 0, 0, n)"),
-    "minutes_add": ("t TIMESTAMP, n INT", "t + make_interval(0, 0, 0, 0, 0, n)"),
-    "minutes_sub": ("t TIMESTAMP, n INT", "t - make_interval(0, 0, 0, 0, 0, n)"),
-    "seconds_add": ("t TIMESTAMP, n INT", "t + make_interval(0, 0, 0, 0, 0, 0, n)"),
-    "seconds_sub": ("t TIMESTAMP, n INT", "t - make_interval(0, 0, 0, 0, 0, 0, n)"),
+    # BIGINT shift counts (MySQL accepts >2^31 minutes); routed through the
+    # DECIMAL seconds arg of make_interval, whose INT fields would overflow
+    "minutes_add": (
+        "t TIMESTAMP, n BIGINT",
+        "t + make_interval(0, 0, 0, 0, 0, 0, CAST(n AS DECIMAL(18,6)) * 60)",
+    ),
+    "minutes_sub": (
+        "t TIMESTAMP, n BIGINT",
+        "t - make_interval(0, 0, 0, 0, 0, 0, CAST(n AS DECIMAL(18,6)) * 60)",
+    ),
+    "seconds_add": (
+        "t TIMESTAMP, n BIGINT",
+        "t + make_interval(0, 0, 0, 0, 0, 0, CAST(n AS DECIMAL(18,6)))",
+    ),
+    "seconds_sub": (
+        "t TIMESTAMP, n BIGINT",
+        "t - make_interval(0, 0, 0, 0, 0, 0, CAST(n AS DECIMAL(18,6)))",
+    ),
     "years_diff": ("a TIMESTAMP, b TIMESTAMP", "timestampdiff(YEAR, b, a)"),
     "months_diff": ("a TIMESTAMP, b TIMESTAMP", "timestampdiff(MONTH, b, a)"),
     "weeks_diff": ("a TIMESTAMP, b TIMESTAMP", "timestampdiff(WEEK, b, a)"),
@@ -76,13 +90,44 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "CASE WHEN t = date_trunc('SECOND', t) THEN t ELSE date_trunc('SECOND', t) + make_interval(0, 0, 0, 0, 0, 0, 1) END",
     ),
     "yearweek": ("t TIMESTAMP", "year(t) * 100 + weekofyear(t)"),
-    "to_monday": ("t TIMESTAMP", "CAST(date_trunc('WEEK', t) AS DATE)"),
-    "time_to_sec": ("t TIMESTAMP", "hour(t) * 3600 + minute(t) * 60 + second(t)"),
+    # MySQL/Doris quirk: the Monday of 1970-01-01..03 would fall in 1969,
+    # which TO_MONDAY clamps to the epoch date itself.
+    "to_monday": (
+        "t TIMESTAMP",
+        "CASE WHEN CAST(t AS DATE) BETWEEN DATE '1970-01-01' AND DATE '1970-01-04' "
+        "THEN DATE '1970-01-01' ELSE CAST(date_trunc('WEEK', t) AS DATE) END",
+    ),
+    # Accepts TIME-shaped strings (signed, hours may exceed 23 — the Doris
+    # TIME domain) and datetime-castable strings (time-of-day taken).
+    # TIME-shaped strings only (signed, hours to 838 — the Doris TIME
+    # domain); datetime strings are NOT a valid TIME cast -> NULL.
+    "time_to_sec": (
+        "t STRING",
+        "CASE WHEN t RLIKE '^-?[0-9]{1,3}:[0-9]{1,2}:[0-9]{1,2}(\\\\.[0-9]+)?$' "
+        "AND CAST(split(regexp_replace(t, '^-', ''), ':')[0] AS INT) <= 838 "
+        "AND CAST(split(regexp_replace(t, '^-', ''), ':')[1] AS INT) <= 59 "
+        "AND CAST(CAST(split(regexp_replace(t, '^-', ''), ':')[2] AS DOUBLE) AS INT) <= 59 THEN "
+        "  IF(t RLIKE '^-', -1, 1) * ("
+        "    CAST(split(regexp_replace(t, '^-', ''), ':')[0] AS INT) * 3600 "
+        "    + CAST(split(regexp_replace(t, '^-', ''), ':')[1] AS INT) * 60 "
+        "    + CAST(CAST(split(regexp_replace(t, '^-', ''), ':')[2] AS DOUBLE) AS INT)) "
+        "ELSE NULL END",
+    ),
+    # TIME rendering: sign handled explicitly (lpad would eat it), hours
+    # zero-padded to 2 but allowed beyond 24, fractional seconds rendered
+    # at micro precision when present (Doris TIME(6) semantics).
     "sec_to_time": (
-        "s BIGINT",
-        "lpad(CAST(s div 3600 AS STRING), 2, '0') || ':' || "
-        "lpad(CAST((s % 3600) div 60 AS STRING), 2, '0') || ':' || "
-        "lpad(CAST(s % 60 AS STRING), 2, '0')",
+        "x DECIMAL(24,6)",
+        # lpad TRUNCATES beyond its length — hours can exceed 99, so the
+        # zero-pad is conditional instead
+        "CASE WHEN x IS NULL THEN NULL ELSE "
+        "IF(x < 0, '-', '') || "
+        "IF(CAST(abs(x) AS BIGINT) div 3600 < 10, '0', '') || "
+        "CAST(CAST(abs(x) AS BIGINT) div 3600 AS STRING) || ':' || "
+        "lpad(CAST((CAST(abs(x) AS BIGINT) % 3600) div 60 AS STRING), 2, '0') || ':' || "
+        "lpad(CAST(CAST(abs(x) AS BIGINT) % 60 AS STRING), 2, '0') || "
+        "IF(abs(x) % 1 = 0, '', '.' || lpad(CAST(CAST((abs(x) % 1) * 1000000 AS BIGINT) AS STRING), 6, '0')) "
+        "END",
     ),
     # Doris to_days: days since year 0 (proleptic); Spark min date is 0001-01-01,
     # offset 719528 = to_days('1970-01-01').
@@ -95,7 +140,16 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "ELSE date_add(DATE '1970-01-01', CAST(n - 719528 AS INT)) END",
     ),
     "datev2": ("s STRING", "try_cast(s AS DATE)"),
-    "str_to_date": ("s STRING, fmt STRING", "try_to_timestamp(s, fmt)"),
+    # MySQL %-patterns route to the Python kernel (pyfns), Java patterns
+    # stay on the codegen path.
+    "str_to_date": (
+        "s STRING, fmt STRING",
+        # the kernel returns an ISO string; the cast runs JVM-side in the
+        # session timezone (a naive timestamp via Arrow would be re-keyed
+        # by the Python worker's zone)
+        "CASE WHEN contains(fmt, '%') THEN CAST(__mysql_strptime(s, fmt) AS TIMESTAMP) "
+        "ELSE try_to_timestamp(s, fmt) END",
+    ),
     "utc_timestamp": ("", "to_utc_timestamp(current_timestamp(), current_timezone())"),
     # ---- numeric (be/src/exprs/function/math.cpp, round.cpp)
     "round_bankers": ("x DOUBLE, d INT", "bround(x * pow(10, d)) / pow(10, d)"),
@@ -365,7 +419,25 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     ),
     # ISO8601 (function_date_or_datetime_to_string.cpp)
     "to_iso8601": ("t TIMESTAMP", "date_format(t, \"yyyy-MM-dd'T'HH:mm:ss.SSSSSS\")"),
-    "from_iso8601_date": ("s STRING", "try_to_date(s)"),
+    # Strict ISO-8601 date forms only (Presto-derived semantics): calendar
+    # date, year-month, year, ordinal date (YYYY-DDD), and week date
+    # (YYYY-Www[-D], ISO week anchored on Jan 4). Anything else -> NULL.
+    "from_iso8601_date": (
+        "s STRING",
+        "CASE "
+        "WHEN s RLIKE '^[0-9]{4}-[0-9]{2}-[0-9]{2}$' THEN try_to_date(s) "
+        "WHEN s RLIKE '^[0-9]{4}-[0-9]{2}$' THEN try_to_date(s || '-01') "
+        "WHEN s RLIKE '^[0-9]{4}$' THEN try_to_date(s || '-01-01') "
+        "WHEN s RLIKE '^[0-9]{4}-[0-9]{3}$' THEN "
+        "  CASE WHEN CAST(substr(s, 6, 3) AS INT) BETWEEN 1 AND 366 THEN "
+        "    date_add(make_date(CAST(substr(s, 1, 4) AS INT), 1, 1), CAST(substr(s, 6, 3) AS INT) - 1) END "
+        "WHEN s RLIKE '^[0-9]{4}-W[0-9]{2}(-[1-7])?$' THEN "
+        "  date_add(date_sub(make_date(CAST(substr(s, 1, 4) AS INT), 1, 4), "
+        "                    pmod(dayofweek(make_date(CAST(substr(s, 1, 4) AS INT), 1, 4)) + 5, 7)), "
+        "           (CAST(substr(s, 7, 2) AS INT) - 1) * 7 "
+        "           + IF(length(s) = 10, CAST(substr(s, 10, 1) AS INT) - 1, 0)) "
+        "ELSE NULL END",
+    ),
     # bitmap scalar stragglers (function_bitmap.cpp); bitmap = sorted
     # array<bigint> per functions/sketches.py. bitmap_hash uses Spark's
     # murmur3-32 (hash) / xxhash64 — same family as Doris, different seed;
@@ -386,11 +458,39 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
 }
 
 
+import re as _re
+
+# Date-shift functions whose result must stay inside the Doris datetime
+# domain [0001-01-01, 9999-12-31]; outside it Doris yields NULL, while a
+# raw Spark interval add happily produces year 12023 (which then breaks
+# any Python-side consumer of the value).
+_DATE_SHIFT = _re.compile(
+    r"^(years|quarters|months|weeks|days|hours|minutes|seconds|"
+    r"milliseconds|microseconds)_(add|sub)$"
+)
+
+
+def clamp_datetime_domain(name: str, body: str) -> str:
+    """Wrap a date-shift SQL body so out-of-domain INPUTS and results
+    become NULL (every shift function names its operand `t`)."""
+    if not _DATE_SHIFT.match(name):
+        return body
+    return (
+        f"CASE WHEN year(t) BETWEEN 1 AND 9999 "
+        f"AND year({body}) BETWEEN 1 AND 9999 THEN ({body}) ELSE NULL END"
+    )
+
+
 def register_all(spark: SparkSession) -> int:
     """Install the Doris-only function names as SQL temporary functions.
     Returns the number registered. Idempotent (CREATE OR REPLACE)."""
-    n = 0
+    from doris_spark.functions import pyfns as _pyfns
+
+    # MySQL datetime kernel first: str_to_date/time_format bodies below
+    # reference __mysql_strptime/__mysql_strftime at analysis time.
+    n = _pyfns.register_mysql_datetime(spark)
     for name, (params, body) in DORIS_SQL_FUNCTIONS.items():
+        body = clamp_datetime_domain(name, body)
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) RETURN {body}")
         n += 1
     from doris_spark.functions import (

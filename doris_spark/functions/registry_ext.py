@@ -86,24 +86,29 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     "year_of_week": ("t TIMESTAMP", "year(date_add(date_trunc('WEEK', t), 3))"),
     "yow": ("t TIMESTAMP", "year(date_add(date_trunc('WEEK', t), 3))"),
     "week": (
+        # all 8 MySQL modes via the calendar kernel (pyfns._mysql_week_one);
+        # ISO mode 3 stays on the codegen weekofyear fast path
         "t TIMESTAMP, mode INT DEFAULT 0",
-        "CASE "
-        f"WHEN mode = 0 THEN {_W0.format(d='t')} "
-        "WHEN mode = 1 THEN CASE WHEN month(t) = 1 AND weekofyear(t) >= 52 THEN 0 ELSE weekofyear(t) END "
-        f"WHEN mode = 2 THEN CASE WHEN {_W0.format(d='t')} > 0 THEN {_W0.format(d='t')} "
-        f"ELSE {_W0.format(d=chr(39) + chr(39) + ' || (year(t) - 1) || ' + chr(39) + '-12-31' + chr(39))} END "
-        "WHEN mode = 3 THEN weekofyear(t) "
-        "ELSE NULL END",
+        "CASE WHEN mode = 3 THEN weekofyear(t) "
+        "ELSE __mysql_week(t, pmod(mode, 8)) END",
     ),
     "makedate": (
         "y INT, doy INT",
         "CASE WHEN doy < 1 THEN NULL ELSE date_add(make_date(y, 1, 1), doy - 1) END",
     ),
     "maketime": (
-        "h INT, m INT, s INT",
-        "CASE WHEN m < 0 OR m > 59 OR s < 0 OR s > 59 THEN NULL ELSE "
-        "lpad(CAST(h AS STRING), 2, '0') || ':' || lpad(CAST(m AS STRING), 2, '0') "
-        "|| ':' || lpad(CAST(s AS STRING), 2, '0') END",
+        # seconds arrive as a string so decimal-typed input keeps its
+        # fraction marker: a fractional seconds column renders TIME(6)
+        # ('12:15:30.000000'), an integer literal renders TIME(0). Hours
+        # beyond 24 are legal TIME (to 838) and never zero-truncated.
+        "h INT, m INT, s STRING",
+        "CASE WHEN m < 0 OR m > 59 OR CAST(s AS DECIMAL(16,6)) < 0 "
+        "OR CAST(s AS DECIMAL(16,6)) >= 60 OR h < -838 OR h > 838 THEN NULL ELSE "
+        "IF(abs(h) < 10, IF(h < 0, '-0' || CAST(abs(h) AS STRING), '0' || CAST(h AS STRING)), CAST(h AS STRING)) "
+        "|| ':' || lpad(CAST(m AS STRING), 2, '0') || ':' || "
+        "lpad(CAST(CAST(CAST(s AS DECIMAL(16,6)) AS BIGINT) AS STRING), 2, '0') || "
+        "IF(contains(s, '.'), '.' || rpad(coalesce(nullif(split(s, '\\\\.')[1], ''), '0'), 6, '0'), '') "
+        "END",
     ),
     "microsecond": ("t TIMESTAMP", "CAST(date_format(t, 'SSSSSS') AS INT)"),
     "hour_from_unixtime": ("x BIGINT", "hour(from_unixtime(x))"),
@@ -163,23 +168,43 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     ),
     "previous_day": ("t TIMESTAMP, dw STRING", "date_sub(next_day(t, dw), 7)"),
     "time_format": (
-        "t TIMESTAMP, fmt STRING",
-        # MySQL %-patterns -> Java pattern, common subset
-        "date_format(t, replace(replace(replace(replace(replace(replace(fmt, "
-        "'%H', 'HH'), '%i', 'mm'), '%s', 'ss'), '%f', 'SSSSSS'), '%h', 'hh'), '%p', 'a'))",
+        # TIME semantics: argument stays a string so the [-838:59:59,
+        # 838:59:59] domain survives; date tokens render as zeros
+        "t STRING, fmt STRING",
+        "__mysql_timefmt(t, fmt)",
     ),
     "timediff": (
         "a TIMESTAMP, b TIMESTAMP",
+        # TIME rendering: hours zero-padded to >= 2 digits, sign explicit,
+        # micro remainder appended with trailing zeros trimmed (Doris
+        # prints a TIME scaled to the operands' precision).
         "CASE WHEN a IS NULL OR b IS NULL THEN NULL ELSE "
-        "CASE WHEN unix_timestamp(a) < unix_timestamp(b) THEN '-' ELSE '' END || "
-        "CAST(abs(unix_timestamp(a) - unix_timestamp(b)) div 3600 AS STRING) || ':' || "
-        "lpad(CAST(abs(unix_timestamp(a) - unix_timestamp(b)) % 3600 div 60 AS STRING), 2, '0') || ':' || "
-        "lpad(CAST(abs(unix_timestamp(a) - unix_timestamp(b)) % 60 AS STRING), 2, '0') END",
+        "IF(unix_micros(a) < unix_micros(b), '-', '') || "
+        "IF(abs(unix_micros(a) - unix_micros(b)) div 3600000000 < 10, '0', '') || "
+        "CAST(abs(unix_micros(a) - unix_micros(b)) div 3600000000 AS STRING) || ':' || "
+        "lpad(CAST(abs(unix_micros(a) - unix_micros(b)) % 3600000000 div 60000000 AS STRING), 2, '0') || ':' || "
+        "lpad(CAST(abs(unix_micros(a) - unix_micros(b)) % 60000000 div 1000000 AS STRING), 2, '0') || "
+        "IF(abs(unix_micros(a) - unix_micros(b)) % 1000000 = 0, '', "
+        "   regexp_replace('.' || lpad(CAST(abs(unix_micros(a) - unix_micros(b)) % 1000000 AS STRING), 6, '0'), '0+$', '')) "
+        "END",
     ),
+    # MySQL TO_SECONDS: seconds since year 0. Accepts datetime strings and
+    # the numeric YYYYMMDD / YYYYMMDDhhmmss forms; pure times -> NULL.
     "to_seconds": (
-        "t TIMESTAMP",
-        "(CAST(datediff(CAST(t AS DATE), DATE '1970-01-01') AS BIGINT) + 719528) * 86400 "
-        "+ hour(t) * 3600 + minute(t) * 60 + second(t)",
+        "s STRING",
+        "CASE "
+        "WHEN s RLIKE '^[0-9]{8}$' THEN "
+        "  (CAST(datediff(try_to_date(s, 'yyyyMMdd'), DATE '1970-01-01') AS BIGINT) + 719528) * 86400 "
+        "WHEN s RLIKE '^[0-9]{14}$' THEN "
+        "  (CAST(datediff(CAST(try_to_timestamp(s, 'yyyyMMddHHmmss') AS DATE), DATE '1970-01-01') AS BIGINT) + 719528) * 86400 "
+        "  + CAST(hour(try_to_timestamp(s, 'yyyyMMddHHmmss')) * 3600 "
+        "        + minute(try_to_timestamp(s, 'yyyyMMddHHmmss')) * 60 "
+        "        + second(try_to_timestamp(s, 'yyyyMMddHHmmss')) AS BIGINT) "
+        "WHEN s RLIKE '^[0-9]{3,4}-' AND try_cast(s AS TIMESTAMP) IS NOT NULL THEN "
+        "  (CAST(datediff(CAST(try_cast(s AS TIMESTAMP) AS DATE), DATE '1970-01-01') AS BIGINT) + 719528) * 86400 "
+        "  + CAST(hour(try_cast(s AS TIMESTAMP)) * 3600 + minute(try_cast(s AS TIMESTAMP)) * 60 "
+        "        + second(try_cast(s AS TIMESTAMP)) AS BIGINT) "
+        "ELSE NULL END",
     ),
     "to_datev2": ("s STRING", "try_cast(s AS DATE)"),
     "get_format": (
@@ -808,8 +833,11 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
 
 
 def register_all(spark: SparkSession) -> int:
+    from doris_spark.functions.registry import clamp_datetime_domain
+
     n = 0
     for name, (params, body) in DORIS_SQL_FUNCTIONS_EXT.items():
+        body = clamp_datetime_domain(name, body)
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) RETURN {body}")
         n += 1
     return n
@@ -893,17 +921,48 @@ DORIS_SQL_FUNCTIONS_EXT.update(
 def _time_floor_ceil(unit_micros: int) -> tuple[str, str]:
     """Doris {unit}_floor/{unit}_ceil(dt[, period[, origin]]) for linear
     time units: pmod arithmetic on microseconds since the origin
-    (function_datetime_floor_ceil.cpp; origin defaults to 0001-01-01)."""
+    (function_datetime_floor_ceil.cpp; origin defaults to 0001-01-01).
+
+    The arithmetic runs on WALL-CLOCK time, not instants: Doris floors the
+    session's naive datetime. Naive micros are assembled from calendar
+    FIELDS (datediff on the date part + session-local time-of-day), never
+    via to_utc_timestamp round trips — zone conversion at the year-1
+    origin would drag in pre-standard LMT offsets (e.g. Asia/Shanghai
+    +08:05:43). Field extraction and make_timestamp both follow the
+    session timezone, so the result is correct under any session zone
+    (and bit-identical to the previous instant math under the engine's
+    pinned UTC default)."""
     params = (
         "t TIMESTAMP, p INT DEFAULT 1, "
         "origin TIMESTAMP DEFAULT TIMESTAMP '0001-01-01 00:00:00'"
     )
-    d = "(unix_micros(t) - unix_micros(origin))"
+
+    def naive(x: str) -> str:
+        # wall-clock micros since 0001-01-01 00:00:00 (proleptic)
+        return (
+            f"(CAST(datediff(CAST({x} AS DATE), DATE '0001-01-01') AS BIGINT)"
+            f" * {86_400_000_000}"
+            f" + CAST(hour({x}) * 3600 + minute({x}) * 60 + second({x}) AS BIGINT) * 1000000"
+            f" + (unix_micros({x}) - unix_micros(date_trunc('SECOND', {x}))))"
+        )
+
+    def rebuild(m: str) -> str:
+        # naive micros -> session-local timestamp, by fields
+        d = f"date_add(DATE '0001-01-01', CAST({m} div {86_400_000_000} AS INT))"
+        rem = f"pmod({m}, {86_400_000_000})"
+        return (
+            f"make_timestamp(year({d}), month({d}), day({d}), "
+            f"CAST({rem} div 3600000000 AS INT), "
+            f"CAST(pmod({rem}, 3600000000) div 60000000 AS INT), "
+            f"CAST(pmod({rem}, 60000000) AS DECIMAL(16,6)) / 1000000)"
+        )
+
+    nt, no = naive("t"), naive("origin")
+    d = f"({nt} - {no})"
     length = f"(CAST(p AS BIGINT) * {unit_micros})"
-    fl = f"timestamp_micros(unix_micros(origin) + ({d} - pmod({d}, {length})))"
-    ce = (
-        f"timestamp_micros(unix_micros(origin) + ({d} - pmod({d}, {length}) "
-        f"+ IF(pmod({d}, {length}) = 0, 0, {length})))"
+    fl = rebuild(f"({no} + ({d} - pmod({d}, {length})))")
+    ce = rebuild(
+        f"({no} + ({d} - pmod({d}, {length}) + IF(pmod({d}, {length}) = 0, 0, {length})))"
     )
     return (params, fl), (params, ce)
 

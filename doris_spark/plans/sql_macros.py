@@ -30,6 +30,29 @@ from collections.abc import Callable, Sequence
 
 Macro = Callable[[Sequence[str]], str]
 
+# lc_time_names session variable (MySQL semantics; the reference resolves
+# it per-connection). One value per Python process — the Engine facade
+# routes SET statements here via rewrite(); dayname/monthname expansions
+# read it at macro-expansion time.
+_LC_TIME_NAMES = "en_US"
+
+
+def set_lc_time_names(value: str) -> None:
+    global _LC_TIME_NAMES
+    _LC_TIME_NAMES = value
+
+
+def _locale_name(kind: str) -> Macro:
+    def mk(args: Sequence[str]) -> str:
+        lc = _LC_TIME_NAMES.lower()
+        if lc in ("en_us", "en", "en_gb", "en_ca", "en_au"):
+            pat = "MMMM" if kind == "months" else "EEEE"
+            return f"date_format({args[0]}, '{pat}')"
+        fn = "__locale_monthname" if kind == "months" else "__locale_dayname"
+        return f"{fn}(CAST({args[0]} AS TIMESTAMP), '{lc}')"
+
+    return mk
+
 
 def _rename(new: str) -> Macro:
     return lambda args: f"{new}({', '.join(args)})"
@@ -128,10 +151,11 @@ MACROS: dict[str, Macro] = {
         "percentile({0}, {2}, CAST({1} AS BIGINT))"
     ),
     "retention": _retention,
-    # Doris prints full month/day names (lc_time_names=en_US); Spark 4's
-    # builtins abbreviate and cannot be shadowed by SQL UDFs
-    "monthname": _tpl("date_format({0}, 'MMMM')"),
-    "dayname": _tpl("date_format({0}, 'EEEE')"),
+    # Doris prints full month/day names in the lc_time_names locale;
+    # Spark 4's builtins abbreviate and cannot be shadowed by SQL UDFs.
+    # Non-English locales resolve through the frozen CLDR table (pyfns).
+    "monthname": _locale_name("months"),
+    "dayname": _locale_name("days"),
     "group_array_union": _tpl("array_distinct(flatten(collect_list({0})))"),
     # MySQL-compat scalar semantics (mysql_compatibility.md divergences):
     # LENGTH is byte length (char_length stays characters); variadic
@@ -351,9 +375,19 @@ def _split_top(s: str) -> list[str]:
     return out
 
 
+_SET_LC = re.compile(
+    r"^\s*SET\s+lc_time_names\s*=\s*'?([A-Za-z_]+)'?\s*;?\s*$", re.I
+)
+
+
 def rewrite(sql: str) -> str:
     """Expand Doris-spelling calls into Spark SQL (recursive, innermost
-    args first, string literals untouched)."""
+    args first, string literals untouched). SET lc_time_names is captured
+    as session-variable state and forwarded as a harmless Spark SET."""
+    m = _SET_LC.match(sql)
+    if m:
+        set_lc_time_names(m.group(1))
+        return f"SET doris_spark.lc_time_names={m.group(1)}"
     out = []
     i = 0
     n = len(sql)

@@ -19,6 +19,7 @@ SMOKE_ARGS = {
     "ARRAY<DOUBLE>": "array(1.0d, 2.0d)",
     "ARRAY<BOOLEAN>": "array(true, false)",
     "STRUCT<X: DOUBLE, Y: DOUBLE>": "named_struct('x', 1.0d, 'y', 2.0d)",
+    "DECIMAL(24,6)": "3725.5",
 }
 
 
@@ -41,12 +42,13 @@ def test_function_callable(name, spark):
     if name in SMOKE_OVERRIDES:
         args = SMOKE_OVERRIDES[name]
     else:
-        # split params on commas not nested inside <...> generics
+        # split params on commas not nested inside <...> generics or
+        # (...) type arguments (DECIMAL(p,s))
         parts, depth, cur = [], 0, ""
         for ch in params:
-            if ch == "<":
+            if ch in "<(":
                 depth += 1
-            elif ch == ">":
+            elif ch in ">)":
                 depth -= 1
             if ch == "," and depth == 0:
                 parts.append(cur)

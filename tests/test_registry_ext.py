@@ -35,7 +35,7 @@ CASES = [
     ("period_add(202401, 13)", 202502),
     ("period_diff(202502, 202401)", 13),
     ("previous_day(TIMESTAMP '2024-01-10', 'MO')", "2024-01-08"),
-    ("timediff(TIMESTAMP '2024-01-01 01:00:00', TIMESTAMP '2024-01-01 00:58:30')", "0:01:30"),
+    ("timediff(TIMESTAMP '2024-01-01 01:00:00', TIMESTAMP '2024-01-01 00:58:30')", "00:01:30"),
     ("timediff(TIMESTAMP '2024-01-01 00:00:00', TIMESTAMP '2024-01-02 02:00:00')", "-26:00:00"),
     ("to_seconds(TIMESTAMP '1970-01-01 00:00:01')", 62167219201),
     ("day_hour(TIMESTAMP '2024-01-05 13:00:00')", 513),

@@ -29,15 +29,23 @@ DATA_DIR = "/root/reference/regression-test/data/doc/sql-manual/sql-functions"
 SUITES = ["numeric", "string", "date", "json", "array", "bitmap"]
 
 _QT = re.compile(
-    r"(?:qt_([A-Za-z0-9_]+)\s+|\bsql\s*\(?\s*)(?:'''|\"\"\")(.*?)(?:'''|\"\"\")", re.S
+    r"(?:qt_([A-Za-z0-9_]+)\s+|\bsql\s*\(?\s*)"
+    r"(?:'''(.*?)'''|\"\"\"(.*?)\"\"\"|\"([^\"\n]*)\"|'([^'\n]*)')",
+    re.S,
 )
 
 
 def parse_suite(name: str):
     src = open(f"{SUITE_DIR}/doc_{name}_functions_test.groovy").read()
-    # ordered stream of (qt_name | None for setup-sql, statement)
+    # ordered stream of (qt_name | None for setup-sql, statement); setup
+    # statements appear both triple-quoted and single-line quoted.
     cases = [
-        (m.group(1), m.group(2).strip().rstrip(";")) for m in _QT.finditer(src)
+        (
+            m.group(1),
+            next(g for g in m.groups()[1:] if g is not None).strip().rstrip(";"),
+        )
+        for m in _QT.finditer(src)
+        if any(g is not None for g in m.groups()[1:])
     ]
 
     out: dict[str, list[str]] = {}
@@ -132,6 +140,23 @@ _DATE_UNITS_MICROS = {
 }
 
 
+# MySQL composite interval units -> ANSI range intervals (the literal
+# formats coincide: '1 2:3:4' DAY_SECOND == ANSI DAY TO SECOND).
+_COMPOSITE_UNITS = {
+    "DAY_HOUR": "DAY TO HOUR",
+    "DAY_MINUTE": "DAY TO MINUTE",
+    "DAY_SECOND": "DAY TO SECOND",
+    "DAY_MICROSECOND": "DAY TO SECOND",
+    "HOUR_MINUTE": "HOUR TO MINUTE",
+    "HOUR_SECOND": "HOUR TO SECOND",
+    "HOUR_MICROSECOND": "HOUR TO SECOND",
+    "MINUTE_SECOND": "MINUTE TO SECOND",
+    "MINUTE_MICROSECOND": "MINUTE TO SECOND",
+    "SECOND_MICROSECOND": "SECOND",
+    "YEAR_MONTH": "YEAR TO MONTH",
+}
+
+
 def dialect(sql: str) -> str:
     """MySQL/Doris spellings -> Spark SQL (the FE's dialect layer)."""
     s = re.sub(r"\bAS\s+DATETIMEV2\b", "AS TIMESTAMP", sql, flags=re.I)
@@ -142,40 +167,120 @@ def dialect(sql: str) -> str:
     s = re.sub(r"\bAS\s+UNSIGNED\b", "AS BIGINT", s, flags=re.I)
     s = re.sub(r"\bINTERVAL\s+(-?\d+)\s+QUARTER\b", lambda m: f"INTERVAL {int(m.group(1)) * 3} MONTH", s, flags=re.I)
     # date_floor/date_ceil(x, INTERVAL n unit) -> the registered
-    # {unit}_floor/{unit}_ceil period form
+    # {unit}_floor/{unit}_ceil period form (NULL period -> NULL result,
+    # carried through the UDF's INT parameter)
     s = re.sub(
-        r"\bdate_(floor|ceil)\s*\(\s*(.*?),\s*INTERVAL\s+(\d+)\s+(\w+)\s*\)",
+        r"\bdate_(floor|ceil)\s*\(\s*(.*?),\s*INTERVAL\s+(\d+|NULL)\s+(\w+)\s*\)",
         lambda m: f"{m.group(4).lower()}_{m.group(1)}({m.group(2)}, {m.group(3)})",
         s,
         flags=re.I | re.S,
+    )
+    # Doris EXTRACT(WEEK ...) follows MySQL WEEK() mode 0, not ISO
+    s = re.sub(
+        r"\bextract\s*\(\s*week\s+from\s+(.*?)\)",
+        lambda m: f"week(CAST({m.group(1)} AS TIMESTAMP), 0)",
+        s,
+        flags=re.I | re.S,
+    )
+    # unix_timestamp: MySQL %-format -> parse via str_to_date; plain form
+    # clamps to 0 outside the MySQL epoch range (pre-1970 -> 0)
+    def _uts(expr: str) -> str:
+        # MySQL clamps pre-epoch to 0 but keeps NULL for unparseable input
+        return (
+            f"CASE WHEN unix_timestamp({expr}) IS NULL THEN NULL "
+            f"ELSE greatest(0, unix_timestamp({expr})) END"
+        )
+
+    s = re.sub(
+        r"\bunix_timestamp\s*\(\s*('[^']*')\s*,\s*('[^']*%[^']*')\s*\)",
+        lambda m: _uts(f"str_to_date({m.group(1)}, {m.group(2)})"),
+        s,
+        flags=re.I,
+    )
+    s = re.sub(
+        r"\bunix_timestamp\s*\(\s*('[^']*')\s*\)",
+        lambda m: _uts(f"try_cast({m.group(1)} AS TIMESTAMP)"),
+        s,
+        flags=re.I,
     )
     # date_add(x, INTERVAL n unit) -> x + INTERVAL n unit; sub-day units
     # force a timestamp operand (Spark rejects DATE + hour intervals)
     def _interval_arith(sign: str):
         def repl(m):
             expr, n, unit = m.group(1), m.group(2), m.group(3)
-            if unit.lower() in _DATE_UNITS_MICROS and unit.lower() != "day":
+            cu = _COMPOSITE_UNITS.get(unit.upper())
+            if cu is not None or (
+                unit.lower() in _DATE_UNITS_MICROS and unit.lower() != "day"
+            ) or re.match(r"^\s*'", expr):
+                # Doris coerces string datetime literals; Spark needs the
+                # cast (also required for sub-day/composite units on DATE).
                 expr = f"CAST({expr} AS TIMESTAMP)"
-            return f"({expr} {sign} INTERVAL {n} {unit})"
+            return f"({expr} {sign} INTERVAL {n} {cu or unit})"
 
         return repl
 
     s = re.sub(
-        r"\b(?:date_add|adddate|days_add)\s*\(\s*(.*?),\s*INTERVAL\s+(-?\w+)\s+(\w+)\s*\)",
+        r"\b(?:date_add|adddate|days_add)\s*\(\s*(.*?),\s*INTERVAL\s+(-?[\w.'\: ]+?)\s+(\w+)\s*\)",
         _interval_arith("+"),
         s,
         flags=re.I | re.S,
     )
     s = re.sub(
-        r"\b(?:date_sub|subdate|days_sub)\s*\(\s*(.*?),\s*INTERVAL\s+(-?\w+)\s+(\w+)\s*\)",
+        r"\b(?:date_sub|subdate|days_sub)\s*\(\s*(.*?),\s*INTERVAL\s+(-?[\w.'\: ]+?)\s+(\w+)\s*\)",
         _interval_arith("-"),
         s,
         flags=re.I | re.S,
     )
-    # MySQL format strings in date_format/from_unixtime/time_format
+    # Bare interval arithmetic with composite units:  x + INTERVAL '1 1:1:1' DAY_SECOND
     s = re.sub(
-        r"\b(date_format|from_unixtime|time_format)\s*\(([^;]*?),\s*'([^']*)'\s*\)",
-        lambda m: f"{m.group(1)}({m.group(2)}, '{_xlate_fmt(m.group(3))}')",
+        r"\bINTERVAL\s+('[^']*'|-?\w+)\s+(%s)\b" % "|".join(_COMPOSITE_UNITS),
+        lambda m: f"INTERVAL {m.group(1)} {_COMPOSITE_UNITS[m.group(2).upper()]}",
+        s,
+        flags=re.I,
+    )
+    # Doris date_trunc(datetime, unit) -> Spark date_trunc(unit, datetime)
+    # (swap only when the SECOND argument is the unit keyword).
+    _UNITS = ("year", "quarter", "month", "week", "day", "hour", "minute", "second")
+    s = re.sub(
+        r"\bdate_trunc\s*\(\s*(.+?)\s*,\s*'(%s)'\s*\)" % "|".join(_UNITS),
+        lambda m: f"date_trunc('{m.group(2)}', {m.group(1)})",
+        s,
+        flags=re.I | re.S,
+    )
+    # MySQL %-format strings in date_format/from_unixtime route to the
+    # engine's __mysql_strftime kernel (exact token surface incl. %D/%l/
+    # %V; Doris additionally skips leading format whitespace -> ltrim).
+    # Java-pattern literals — no '%' — pass through untouched, as the
+    # reference also accepts them. time_format is not rewritten: it
+    # already IS the kernel.
+    s = re.sub(
+        r"\bdate_format\s*\(([^;]*?),\s*'([^']*%[^']*)'\s*\)",
+        lambda m: f"ltrim(__mysql_strftime(CAST({m.group(1)} AS TIMESTAMP), '{m.group(2)}'))",
+        s,
+        flags=re.I | re.S,
+    )
+    s = re.sub(
+        r"\bfrom_unixtime\s*\(([^;]*?),\s*'([^']*%[^']*)'\s*\)",
+        lambda m: f"__mysql_strftime(timestamp_seconds({m.group(1)}), '{m.group(2)}')",
+        s,
+        flags=re.I | re.S,
+    )
+    # %-less format that is not a recognizable Java pattern: MySQL renders
+    # its characters literally -> the kernel does too
+    s = re.sub(
+        r"\bfrom_unixtime\s*\(([^;]*?),\s*'([^'%]*)'\s*\)",
+        lambda m: (
+            f"__mysql_strftime(timestamp_seconds({m.group(1)}), '{m.group(2)}')"
+            if not re.fullmatch(r"[yMdHhmsSaET\-/:., ]*", m.group(2))
+            else m.group(0)
+        ),
+        s,
+        flags=re.I | re.S,
+    )
+    # Spark's EXTRACT has no MICROSECOND field; Doris does.
+    s = re.sub(
+        r"\bextract\s*\(\s*microsecond\s+from\s+(.*?)\)",
+        lambda m: f"microsecond({m.group(1)})",
         s,
         flags=re.I | re.S,
     )
@@ -224,10 +329,12 @@ def _cell_matches(exp: str, got) -> bool:
         if math.isnan(e) or math.isnan(g):
             return math.isnan(e) and math.isnan(g)
         return math.isclose(e, g, rel_tol=1e-6, abs_tol=1e-9)
-    if isinstance(got, (list, tuple)):
+    if isinstance(got, (list, tuple, dict)):
         def norm(x):
             if isinstance(x, list):
                 return [norm(v) for v in x]
+            if isinstance(x, dict):
+                return {k: norm(v) for k, v in x.items()}
             if isinstance(x, str):
                 try:
                     return float(x)
@@ -237,8 +344,19 @@ def _cell_matches(exp: str, got) -> bool:
                 return float(x)
             return x
 
+        def to_plain(x):
+            if hasattr(x, "asDict"):  # pyspark Row (struct values)
+                return {k: to_plain(v) for k, v in x.asDict().items()}
+            if isinstance(x, dict):
+                return {k: to_plain(v) for k, v in x.items()}
+            if isinstance(x, (list, tuple)):
+                return [to_plain(v) for v in x]
+            return x
+
         try:
-            return norm(json.loads(exp)) == norm(json.loads(json.dumps(list(got), default=str)))
+            return norm(json.loads(exp)) == norm(
+                json.loads(json.dumps(to_plain(got), default=str))
+            )
         except (ValueError, TypeError):
             return False
     gs = str(got)
@@ -251,7 +369,10 @@ def _cell_matches(exp: str, got) -> bool:
     return False
 
 
-_SETUP_OK = re.compile(r"^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|TRUNCATE)", re.I)
+_SETUP_OK = re.compile(
+    r"^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|TRUNCATE|SET\s+lc_time_names)",
+    re.I,
+)
 
 
 def translate_ddl(sql: str) -> str | None:
@@ -282,6 +403,9 @@ def translate_ddl(sql: str) -> str | None:
         typ = re.sub(r"\bCHAR\s*\(\d+\)", "STRING", typ, flags=re.I)
         typ = re.sub(r"\bTEXT\b", "STRING", typ, flags=re.I)
         typ = re.sub(r"\bLARGEINT\b", "DECIMAL(38,0)", typ, flags=re.I)
+        # bare DECIMAL defaults to (38,9) in the reference (DecimalV3),
+        # not Spark's scale-0 default
+        typ = re.sub(r"\bDECIMAL\b(?!\s*\()", "DECIMAL(38,9)", typ, flags=re.I)
         cols.append(f"{cm.group(1)} {typ}")
     if not cols:
         return None
@@ -297,6 +421,12 @@ def run_setup(eng, sql: str) -> None:
             return
         _, name, cols = t
         eng.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        # DROP on a fresh session's catalog is a no-op for a previous run's
+        # managed table, but the warehouse directory survives and blocks
+        # CREATE with LOCATION_ALREADY_EXISTS — clear it explicitly.
+        import shutil
+
+        shutil.rmtree(f"spark-warehouse/{name.lower()}", ignore_errors=True)
         eng.spark.sql(f"CREATE TABLE {name} ({', '.join(cols)}) USING parquet")
         return
     if re.match(r"\s*DROP\s+TABLE", sql, re.I):
@@ -327,6 +457,15 @@ def run_case(eng, sql: str, expected: list[str]):
 
 
 def main() -> None:
+    # PySpark's collect() renders TimestampType through the PYTHON
+    # process's local zone — align it with the session zone BEFORE the
+    # JVM starts, or every timestamp arrives shifted by UTC-vs-+08:00.
+    import os
+    import time as _time
+
+    os.environ["TZ"] = "Asia/Shanghai"
+    _time.tzset()
+
     from doris_spark.engine import Engine
 
     suites = sys.argv[1:] or SUITES
@@ -337,6 +476,15 @@ def main() -> None:
     eng.spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
     # Doris casts are permissive (invalid input -> NULL), i.e. non-ANSI
     eng.spark.conf.set("spark.sql.ansi.enabled", "false")
+    # MySQL-permissive INSERT coercion (string -> timestamp etc.) for the
+    # suites' setup tables.
+    eng.spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    # SQL-UDF bodies freeze analysis-time conf (timezone included): the
+    # Engine registered them under the pinned-UTC bootstrap, so re-create
+    # the function surface now that the session runs in +08:00.
+    from doris_spark.functions import register_all
+
+    register_all(eng.spark)
     total = passed = 0
     failures = []
     for suite in suites:
