@@ -486,6 +486,119 @@ def _mysql_timefmt_one(t, fmt):
     return ("-" if sign < 0 else "") + "".join(out)
 
 
+def _jsonpath_tokens(path: str):
+    """Tokenize a Doris/MySQL JSON path: $, .key, .*, [i], [*], [last],
+    leading-dot index (.[i]), and recursive descent **.key."""
+    import re as _r
+
+    p = path.strip()
+    if not p.startswith("$"):
+        return None
+    p = p[1:]
+    toks = []
+    i = 0
+    while i < len(p):
+        c = p[i]
+        if c == ".":
+            if p[i : i + 2] == ".[":  # $.[1] — dotted index
+                i += 1
+                continue
+            m = _r.match(r"\.(\*|\*\*|[^.\[\]*]+)", p[i:])
+            if not m:
+                return None
+            toks.append(("key", m.group(1)))
+            i += m.end()
+        elif c == "[":
+            m = _r.match(r"\[(\*|-?\d+|last)\]", p[i:])
+            if not m:
+                return None
+            toks.append(("idx", m.group(1)))
+            i += m.end()
+        elif c == "*" and p[i : i + 2] == "**":
+            # '$**.k' (no leading dot)
+            toks.append(("key", "**"))
+            i += 2
+        else:
+            return None
+    return toks
+
+
+def _jsonpath_match(doc, toks) -> list:
+    if toks is None:
+        return []
+    if not toks:
+        return [doc]
+    kind, val = toks[0]
+    rest = toks[1:]
+    out = []
+    if kind == "key":
+        if val == "**":
+            # recursive descent: next token must be a key to collect
+            if not rest or rest[0][0] != "key":
+                return []
+            want = rest[0][1]
+            after = rest[1:]
+
+            def walk(node):
+                if isinstance(node, dict):
+                    for k, v in node.items():
+                        if k == want:
+                            out.extend(_jsonpath_match(v, after))
+                        walk(v)
+                elif isinstance(node, list):
+                    for v in node:
+                        walk(v)
+
+            walk(doc)
+            return out
+        if val == "*":
+            if isinstance(doc, dict):
+                for v in doc.values():
+                    out.extend(_jsonpath_match(v, rest))
+            return out
+        if isinstance(doc, dict) and val in doc:
+            return _jsonpath_match(doc[val], rest)
+        return []
+    # index
+    if not isinstance(doc, list):
+        # MySQL: $[0] on a scalar selects the scalar itself
+        if val in ("0", "last", "*"):
+            return _jsonpath_match(doc, rest)
+        return []
+    if val == "*":
+        for v in doc:
+            out.extend(_jsonpath_match(v, rest))
+        return out
+    idx = len(doc) - 1 if val == "last" else int(val)
+    if -len(doc) <= idx < len(doc):
+        return _jsonpath_match(doc[idx], rest)
+    return []
+
+
+def _json_extract_multi_one(j, paths_packed):
+    """Doris json_extract: one path without wildcards -> that value as
+    JSON text (NULL on miss); otherwise every match across all paths in
+    order, as a JSON array (NULL when nothing matched)."""
+    if _isnull(j) or _isnull(paths_packed):
+        return None
+    try:
+        doc = json.loads(str(j))
+    except (ValueError, TypeError):
+        return None
+    # registry_ext.OMIT is "\x01__OMIT__" (control-char-prefixed so user
+    # strings can't collide); match by suffix to avoid a module cycle
+    paths = [p for p in str(paths_packed).split("\x1f") if not p.endswith("__OMIT__")]
+    wildcarded = any("*" in p for p in paths)
+    matches = []
+    for p in paths:
+        matches.extend(_jsonpath_match(doc, _jsonpath_tokens(p)))
+    if not matches:
+        return None
+    if len(paths) == 1 and not wildcarded:
+        return json.dumps(matches[0], separators=(",", ":"), ensure_ascii=False)
+    return json.dumps(matches, separators=(",", ":"), ensure_ascii=False)
+
+
 def register_mysql_datetime(spark: SparkSession) -> int:
     """__mysql_strptime/__mysql_strftime/__mysql_week helpers — must be
     installed before any SQL UDF whose body references them (str_to_date,
@@ -536,10 +649,16 @@ def register_mysql_datetime(spark: SparkSession) -> int:
             [_mysql_timefmt_one(a, b) for a, b in zip(t, fmt)], dtype=object
         )
 
+    def _jext(j: pd.Series, paths: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_json_extract_multi_one(a, b) for a, b in zip(j, paths)], dtype=object
+        )
+
     spark.udf.register("__mysql_strptime", pandas_udf(_strptime, "string"))
     spark.udf.register("__mysql_strftime", pandas_udf(_strftime, "string"))
     spark.udf.register("__mysql_timefmt", pandas_udf(_timefmt, "string"))
     spark.udf.register("__mysql_week", pandas_udf(_week, "int"))
+    spark.udf.register("__json_extract", pandas_udf(_jext, "string"))
     spark.udf.register("__locale_dayname", pandas_udf(_name_lookup("days"), "string"))
     spark.udf.register(
         "__locale_monthname", pandas_udf(_name_lookup("months"), "string")

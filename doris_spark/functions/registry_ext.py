@@ -630,7 +630,13 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     "json_extract_bigint": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS BIGINT)"),
     "json_extract_largeint": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS DECIMAL(38, 0))"),
     "json_extract_double": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS DOUBLE)"),
-    "json_extract_bool": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS BOOLEAN)"),
+    # booleans per MySQL JSON coercion: true/false literals, else any
+    # non-zero numeric is true
+    "json_extract_bool": (
+        "j STRING, p STRING",
+        "CASE lower(get_json_object(j, p)) WHEN 'true' THEN true WHEN 'false' THEN false "
+        "ELSE try_cast(get_json_object(j, p) AS DOUBLE) <> 0 END",
+    ),
     "json_extract_isnull": (
         "j STRING, p STRING",
         "CASE WHEN to_json(try_variant_get(try_parse_json(j), p)) IS NULL THEN NULL "
@@ -1032,22 +1038,14 @@ DORIS_SQL_FUNCTIONS_EXT.update(
             f"ELSE year(t) * 100 + {_W5.format(d='t')} END "
             "ELSE NULL END",
         ),
-        # multi-path json_extract returns a JSON array of the extractions
+        # json_extract: full Doris path surface (wildcards $.k[*]/$.*,
+        # recursive $**.k, [last], dotted index) via the python JSON-path
+        # kernel; single plain-path extraction and multi-path array
+        # semantics both live in the kernel (pyfns._json_extract_multi_one)
         "json_extract": (
             f"j STRING, p1 STRING, p2 STRING DEFAULT '{OMIT}', p3 STRING DEFAULT '{OMIT}', "
             f"p4 STRING DEFAULT '{OMIT}'",
-            # multi-path: non-matching paths are dropped; all-miss -> NULL
-            # (concat_ws skips NULL operands)
-            f"CASE WHEN p2 = '{OMIT}' THEN to_json(try_variant_get(try_parse_json(j), p1)) "
-            "WHEN concat_ws(',', to_json(try_variant_get(try_parse_json(j), p1)), "
-            f"CASE WHEN p2 = '{OMIT}' THEN NULL ELSE to_json(try_variant_get(try_parse_json(j), p2)) END, "
-            f"CASE WHEN p3 = '{OMIT}' THEN NULL ELSE to_json(try_variant_get(try_parse_json(j), p3)) END, "
-            f"CASE WHEN p4 = '{OMIT}' THEN NULL ELSE to_json(try_variant_get(try_parse_json(j), p4)) END) = '' THEN NULL "
-            "ELSE concat('[', concat_ws(',', to_json(try_variant_get(try_parse_json(j), p1)), "
-            f"CASE WHEN p2 = '{OMIT}' THEN NULL ELSE to_json(try_variant_get(try_parse_json(j), p2)) END, "
-            f"CASE WHEN p3 = '{OMIT}' THEN NULL ELSE to_json(try_variant_get(try_parse_json(j), p3)) END, "
-            f"CASE WHEN p4 = '{OMIT}' THEN NULL ELSE to_json(try_variant_get(try_parse_json(j), p4)) END"
-            "), ']') END",
+            "__json_extract(j, concat_ws(chr(31), p1, p2, p3, p4))",
         ),
         # auto_partition_name (AutoPartitionName.java): range -> 'p' +
         # unit-truncated yyyyMMddHHmmss; list -> 'p' + per-value encoding

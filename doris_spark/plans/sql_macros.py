@@ -165,17 +165,72 @@ MACROS: dict[str, Macro] = {
     "array_concat": _rename("concat"),
     "array_popback": _tpl("slice({0}, 1, greatest(size({0}) - 1, 0))"),
     "array_popfront": _tpl("CASE WHEN size({0}) <= 1 THEN slice({0}, 1, 0) ELSE slice({0}, 2, size({0}) - 1) END"),
+    # Doris array_cum_sum: nulls (and non-numeric strings) don't reset the
+    # running sum — each position emits the sum of the numeric prefix, or
+    # NULL while the prefix is all-null. NULL array -> NULL, [] -> [].
     "array_cum_sum": _tpl(
-        "transform(sequence(1, size({0})), i -> CASE WHEN ({0})[i - 1] IS NULL THEN NULL "
-        "ELSE aggregate(filter(slice({0}, 1, i), x -> x IS NOT NULL), "
-        "CAST(0 AS DOUBLE), (acc, x) -> acc + x) END)"
+        "CASE WHEN ({0}) IS NULL THEN NULL WHEN size({0}) = 0 THEN array() ELSE "
+        "transform(sequence(1, size({0})), i -> "
+        "CASE WHEN size(filter(slice({0}, 1, i), x -> try_cast(x AS DOUBLE) IS NOT NULL)) = 0 THEN NULL "
+        "ELSE aggregate(filter(slice({0}, 1, i), x -> try_cast(x AS DOUBLE) IS NOT NULL), "
+        "CAST(0 AS DOUBLE), (acc, x) -> acc + try_cast(x AS DOUBLE)) END) END"
     ),
     # ---- lambda-first scalar spellings -> Spark hofs
     "array_map": _lambda_first("transform"),
     "array_filter": _lambda_first("filter"),
-    "array_exists": _lambda_first("exists"),
     "array_match_all": _lambda_first("forall"),
 }
+
+
+def _bool01(expr: str) -> str:
+    return f"IF(coalesce(CAST(({expr}) AS BOOLEAN), false), 1, 0)"
+
+
+def _array_exists(args: Sequence[str]) -> str:
+    """Doris array_exists is ELEMENTWISE: it returns array<tinyint> of 0/1
+    per element (docs suite doc_array_functions; ClickHouse-lineage form),
+    in three spellings: (lambda, arr), ((x,y) -> .., arr1, arr2), (arr)."""
+    if args and "->" in args[0]:
+        params, _, body = args[0].partition("->")
+        params = params.strip()
+        body = body.strip()
+        if len(args) >= 3:
+            return f"zip_with({args[1]}, {args[2]}, {params} -> {_bool01(body)})"
+        return f"transform({args[1]}, {params} -> {_bool01(body)})"
+    if len(args) == 1:
+        return f"transform({args[0]}, __x -> {_bool01('__x')})"
+    return f"__KEEP__({', '.join(args)})"
+
+
+def _array_split(args: Sequence[str]) -> str:
+    """Doris/ClickHouse array_split: cut the array into consecutive groups,
+    starting a new group at every element whose mark is true (the first
+    element always opens a group). Forms: (arr, flag_arr), (lambda, arr),
+    ((x,y) -> .., arr, arr2)."""
+    if args and "->" in args[0]:
+        params, _, body = args[0].partition("->")
+        params, body = params.strip(), body.strip()
+        arr = args[1]
+        if len(args) >= 3:
+            marks = f"zip_with({args[1]}, {args[2]}, {params} -> {_bool01(body)})"
+        else:
+            marks = f"transform({args[1]}, {params} -> {_bool01(body)})"
+    else:
+        arr = args[0]
+        marks = f"transform({args[1]}, __f -> {_bool01('__f')})"
+    starts = (
+        f"filter(sequence(1, size({arr})), "
+        f"__i -> __i = 1 OR try_element_at({marks}, __i) = 1)"
+    )
+    return (
+        f"CASE WHEN ({arr}) IS NULL THEN NULL WHEN size({arr}) = 0 THEN array() ELSE "
+        f"transform({starts}, (__s, __g) -> slice({arr}, __s, "
+        f"coalesce(try_element_at({starts}, __g + 2), size({arr}) + 1) - __s)) END"
+    )
+
+
+MACROS["array_exists"] = _array_exists
+MACROS["array_split"] = _array_split
 
 
 def _array_count(args: Sequence[str]) -> str:
@@ -291,9 +346,13 @@ def _struct_element(args: Sequence[str]) -> str:
 
 
 def _locate(args: Sequence[str]) -> str:
+    # Doris empty-needle bound is length(str) (not MySQL's length+1),
+    # except the ('','',1) identity
     if len(args) == 3:
         return (
-            f"CASE WHEN {args[0]} = '' THEN IF({args[2]} <= length({args[1]}) + 1, {args[2]}, 0) "
+            f"CASE WHEN {args[0]} = '' THEN "
+            f"IF({args[2]} <= length({args[1]}), {args[2]}, "
+            f"IF({args[1]} = '' AND {args[2]} = 1, 1, 0)) "
             f"ELSE locate({args[0]}, {args[1]}, {args[2]}) END"
         )
     return f"__KEEP__({', '.join(args)})"

@@ -164,6 +164,14 @@ def dialect(sql: str) -> str:
     s = re.sub(r"\bAS\s+DATETIME\b", "AS TIMESTAMP", s, flags=re.I)
     s = re.sub(r"\bAS\s+DATEV2\b", "AS DATE", s, flags=re.I)
     s = re.sub(r"\bAS\s+SIGNED\b", "AS BIGINT", s, flags=re.I)
+    s = re.sub(r"\bAS\s+IPV[46]\b", "AS STRING", s, flags=re.I)
+    s = re.sub(r"<\s*IPV[46]\s*>", "<STRING>", s, flags=re.I)
+    # Doris map literal {'k': v, ...} -> map('k', v, ...)
+    s = re.sub(
+        r"\{\s*('[^']*'\s*:\s*[^,{}]+(?:\s*,\s*'[^']*'\s*:\s*[^,{}]+)*)\s*\}",
+        lambda m: "map(" + re.sub(r"('[^']*')\s*:", r"\1,", m.group(1)) + ")",
+        s,
+    )
     s = re.sub(r"\bAS\s+UNSIGNED\b", "AS BIGINT", s, flags=re.I)
     s = re.sub(r"\bINTERVAL\s+(-?\d+)\s+QUARTER\b", lambda m: f"INTERVAL {int(m.group(1)) * 3} MONTH", s, flags=re.I)
     # date_floor/date_ceil(x, INTERVAL n unit) -> the registered
@@ -341,7 +349,10 @@ def _cell_matches(exp: str, got) -> bool:
                 except ValueError:
                     return x
             if isinstance(x, (int, float)) and not isinstance(x, bool):
-                return float(x)
+                # 12-sig-digit rounding: float repr noise (3.3000000000000003)
+                # must not fail an elementwise compare
+                f = float(x)
+                return float(f"{f:.12g}") if math.isfinite(f) else f
             return x
 
         def to_plain(x):
