@@ -25,7 +25,7 @@ REF = "/root/reference/regression-test/suites/doc/sql-manual/sql-functions"
 
 # floor = last locked score minus a small flake budget
 PASS_FLOOR = 970
-TOTAL_EXPECTED = 1028
+TOTAL_EXPECTED = 1030
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")

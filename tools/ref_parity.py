@@ -26,7 +26,7 @@ sys.path.insert(0, ".")
 
 SUITE_DIR = "/root/reference/regression-test/suites/doc/sql-manual/sql-functions"
 DATA_DIR = "/root/reference/regression-test/data/doc/sql-manual/sql-functions"
-SUITES = ["numeric", "string", "date", "json", "array", "bitmap"]
+SUITES = ["numeric", "string", "date", "json", "array", "bitmap", "ai_distance"]
 
 _QT = re.compile(
     r"(?:qt_([A-Za-z0-9_]+)\s+|\bsql\s*\(?\s*)"
@@ -336,7 +336,8 @@ def _cell_matches(exp: str, got) -> bool:
             return str(got) == exp
         if math.isnan(e) or math.isnan(g):
             return math.isnan(e) and math.isnan(g)
-        return math.isclose(e, g, rel_tol=1e-6, abs_tol=1e-9)
+        # 5e-6 rel: the reference accumulates vector distances in float32
+        return math.isclose(e, g, rel_tol=5e-6, abs_tol=1e-9)
     if isinstance(got, (list, tuple, dict)):
         def norm(x):
             if isinstance(x, list):
