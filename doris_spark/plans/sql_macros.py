@@ -447,6 +447,10 @@ def rewrite(sql: str) -> str:
     if m:
         set_lc_time_names(m.group(1))
         return f"SET doris_spark.lc_time_names={m.group(1)}"
+    if "asof" in sql.lower():
+        from doris_spark.plans.asof_sql import rewrite_asof
+
+        sql = rewrite_asof(sql)
     out = []
     i = 0
     n = len(sql)

@@ -373,6 +373,59 @@ def ev_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "ev_asof_sql",
+    oracle=f"""
+WITH purchases AS (
+  SELECT user_id, event_id, {_TS} AS pts, value
+  FROM events WHERE event_type = 'purchase'
+), views AS (
+  SELECT user_id, {_TS} AS vts, max(value) AS vvalue
+  FROM events WHERE event_type = 'view'
+  GROUP BY user_id, {_TS}
+)
+SELECT p.user_id, p.event_id, p.value AS purchase_value,
+       v.vts AS view_ts, v.vvalue AS view_value
+FROM purchases p
+ASOF JOIN views v ON p.user_id = v.user_id AND v.vts <= p.pts
+ORDER BY p.user_id, p.event_id
+""",
+)
+def ev_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL surface of the ASOF join: Doris `ASOF INNER JOIN ...
+    MATCH_CONDITION(...) ON ...` syntax (DorisParser.g4:1467) run
+    verbatim through Engine.sql — plans/asof_sql.py rewrites it to a
+    correlated LATERAL LIMIT-1 subquery that Catalyst decorrelates into
+    a ranked window join (same ev_asof semantics, SQL entry point).
+    Oracle: DuckDB's native ASOF JOIN."""
+    from doris_spark.engine import Engine
+    from doris_spark.session import register_views
+
+    register_views(spark, sf_dir)
+    eng = Engine(spark)
+    ev = load_tables(spark, sf_dir)["events"]
+    ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "event_id", F.col("ts").alias("pts"), "value"
+    ).createOrReplaceTempView("__asof_purchases")
+    (
+        ev.filter(F.col("event_type") == "view")
+        .groupBy("user_id", F.col("ts").alias("vts"))
+        .agg(F.max("value").alias("vvalue"))
+        .createOrReplaceTempView("__asof_views")
+    )
+    return eng.sql(
+        """
+        SELECT p.user_id, p.event_id, p.value AS purchase_value,
+               v.vts AS view_ts, v.vvalue AS view_value
+        FROM __asof_purchases p
+        ASOF INNER JOIN __asof_views v
+            MATCH_CONDITION(p.pts >= v.vts)
+            ON p.user_id = v.user_id
+        ORDER BY p.user_id, p.event_id
+        """
+    )
+
+
+@query(
     "ev_json",
     oracle="""
 SELECT CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_mod,

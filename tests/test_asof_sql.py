@@ -1,0 +1,80 @@
+"""ASOF JOIN SQL surface: rewrite unit tests + end-to-end semantics.
+
+Reference: DorisParser.g4 ASOF joins with MATCH_CONDITION;
+be/src/exec/operator/join/asof_*_impl.cpp probe semantics.
+"""
+
+from __future__ import annotations
+
+from doris_spark.plans.asof_sql import rewrite_asof
+
+
+def test_rewrite_backward_left():
+    out = rewrite_asof(
+        "SELECT * FROM t ASOF LEFT JOIN q ON t.sym = q.sym AND t.ts >= q.ts"
+    )
+    assert "LEFT JOIN LATERAL" in out
+    assert "ORDER BY q.ts DESC LIMIT 1" in out
+
+
+def test_rewrite_match_condition_form():
+    out = rewrite_asof(
+        "SELECT * FROM t ASOF INNER JOIN q MATCH_CONDITION(t.ts >= q.ts) "
+        "ON t.sym = q.sym"
+    )
+    assert "JOIN LATERAL" in out and "LEFT JOIN" not in out
+    assert "t.sym = q.sym" in out and "t.ts >= q.ts" in out
+    assert "ORDER BY q.ts DESC LIMIT 1" in out
+
+
+def test_rewrite_forward_direction():
+    out = rewrite_asof(
+        "SELECT * FROM l ASOF LEFT JOIN r ON l.k = r.k AND r.ts >= l.ts"
+    )
+    assert "ORDER BY r.ts ASC LIMIT 1" in out
+
+
+def test_rewrite_multi_level_chain():
+    out = rewrite_asof(
+        "SELECT * FROM o "
+        "ASOF LEFT JOIN p ON o.pid = p.pid AND o.t >= p.t "
+        "ASOF LEFT JOIN i ON o.pid = i.pid AND o.t >= i.t "
+        "WHERE o.region = 'X'"
+    )
+    assert out.count("LEFT JOIN LATERAL") == 2
+    assert "ASOF" not in out
+
+
+def test_non_asof_untouched():
+    sql = "SELECT * FROM a JOIN b ON a.x = b.x"
+    assert rewrite_asof(sql) == sql
+
+
+def test_end_to_end_semantics(spark):
+    from doris_spark.engine import Engine
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW __a_t AS "
+        "SELECT * FROM VALUES (1,'A',10),(2,'A',25),(3,'B',7) v(id,sym,ts)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW __a_q AS "
+        "SELECT * FROM VALUES ('A',5,1.0),('A',20,2.0),('B',30,3.0) v(sym,ts,px)"
+    )
+    eng = Engine(spark)
+    rows = eng.sql(
+        "SELECT t.id, q.ts AS qts, q.px FROM __a_t t "
+        "ASOF LEFT JOIN __a_q q MATCH_CONDITION(t.ts >= q.ts) ON t.sym = q.sym "
+        "ORDER BY t.id"
+    ).collect()
+    assert [(r.id, r.qts, float(r.px) if r.px is not None else None) for r in rows] == [
+        (1, 5, 1.0),
+        (2, 20, 2.0),
+        (3, None, None),
+    ]
+    inner = eng.sql(
+        "SELECT t.id FROM __a_t t "
+        "ASOF INNER JOIN __a_q q MATCH_CONDITION(t.ts >= q.ts) ON t.sym = q.sym "
+        "ORDER BY t.id"
+    ).collect()
+    assert [r.id for r in inner] == [1, 2]

@@ -29,43 +29,61 @@ DATA_DIR = "/root/reference/regression-test/data/doc/sql-manual/sql-functions"
 SUITES = ["numeric", "string", "date", "json", "array", "bitmap", "ai_distance"]
 
 _QT = re.compile(
-    r"(?:qt_([A-Za-z0-9_]+)\s+|\bsql\s*\(?\s*)"
+    r"(?:(order_qt_|qt_)([A-Za-z0-9_]+)\s+|\bsql\s*\(?\s*)"
     r"(?:'''(.*?)'''|\"\"\"(.*?)\"\"\"|\"([^\"\n]*)\"|'([^'\n]*)')",
     re.S,
 )
 
+# suites outside the sql-functions dir: (label, groovy path, .out path).
+# order_qt_ cases in these compare as sorted multisets, like the
+# reference harness does.
+EXTRA_SUITES = [
+    (
+        "asof_join",
+        "/root/reference/regression-test/suites/doc/query-data/asof-join.md.groovy",
+        "/root/reference/regression-test/data/doc/query-data/asof-join.md.out",
+    ),
+]
 
-def parse_suite(name: str):
-    src = open(f"{SUITE_DIR}/doc_{name}_functions_test.groovy").read()
-    # ordered stream of (qt_name | None for setup-sql, statement); setup
-    # statements appear both triple-quoted and single-line quoted.
-    cases = [
-        (
-            m.group(1),
-            next(g for g in m.groups()[1:] if g is not None).strip().rstrip(";"),
+
+def parse_suite_files(groovy_path: str, out_path: str):
+    src = open(groovy_path).read()
+    # ordered stream of (qt_name | None for setup-sql, statement, ordered);
+    # setup statements appear both triple-quoted and single-line quoted.
+    cases = []
+    for m in _QT.finditer(src):
+        body = next((g for g in m.groups()[2:] if g is not None), None)
+        if body is None:
+            continue
+        cases.append(
+            (m.group(2), body.strip().rstrip(";"), m.group(1) == "order_qt_")
         )
-        for m in _QT.finditer(src)
-        if any(g is not None for g in m.groups()[1:])
-    ]
 
     out: dict[str, list[str]] = {}
     cur = None
-    for line in open(f"{DATA_DIR}/doc_{name}_functions_test.out"):
+    for line in open(out_path):
         line = line.rstrip("\n")
         m = re.match(r"-- !([A-Za-z0-9_]+) --", line)
         if m:
             cur = m.group(1)
             out[cur] = []
         elif cur is not None:
-            if line == "" :
+            if line == "":
                 cur = None
             else:
                 out[cur].append(line)
     return [
-        (n, sql, out.get(n))
-        for n, sql in cases
+        (n, sql, out.get(n), ordered)
+        for n, sql, ordered in cases
         if n is None or out.get(n) is not None
     ]
+
+
+def parse_suite(name: str):
+    return parse_suite_files(
+        f"{SUITE_DIR}/doc_{name}_functions_test.groovy",
+        f"{DATA_DIR}/doc_{name}_functions_test.out",
+    )
 
 
 _MYSQL_FMT = {
@@ -447,9 +465,17 @@ def run_setup(eng, sql: str) -> None:
     eng.sql(dialect(sql))
 
 
-def run_case(eng, sql: str, expected: list[str]):
-    from doris_spark.plans.sql_macros import rewrite
+def _row_matches(row, exp_line: str):
+    cells = exp_line.split("\t")
+    if len(cells) != len(row):
+        return False, f"colcount {len(row)} != {len(cells)}: {exp_line!r}"
+    for exp, got in zip(cells, row):
+        if not _cell_matches(exp, got):
+            return False, f"value {got!r} != {exp!r}"
+    return True, ""
 
+
+def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
     df = eng.sql(dialect(sql))
     rows = df.collect()
     if len(expected) == 0:
@@ -458,13 +484,25 @@ def run_case(eng, sql: str, expected: list[str]):
         return ok, "" if ok else f"expected empty, got {list(rows[0])!r}"
     if len(rows) != len(expected):
         return False, f"rowcount {len(rows)} != {len(expected)}"
+    if ordered:
+        # order_qt_: the reference harness diffs SORTED output — compare
+        # as a multiset (each golden line consumes one matching row)
+        remaining = list(rows)
+        for exp_line in expected:
+            hit = None
+            for i, row in enumerate(remaining):
+                ok, _ = _row_matches(row, exp_line)
+                if ok:
+                    hit = i
+                    break
+            if hit is None:
+                return False, f"no row matches {exp_line!r}"
+            remaining.pop(hit)
+        return True, ""
     for row, exp_line in zip(rows, expected):
-        cells = exp_line.split("\t")
-        if len(cells) != len(row):
-            return False, f"colcount {len(row)} != {len(cells)}: {exp_line!r}"
-        for exp, got in zip(cells, row):
-            if not _cell_matches(exp, got):
-                return False, f"value {got!r} != {exp!r}"
+        ok, why = _row_matches(row, exp_line)
+        if not ok:
+            return False, why
     return True, ""
 
 
@@ -499,12 +537,14 @@ def main() -> None:
     register_all(eng.spark)
     total = passed = 0
     failures = []
-    for suite in suites:
+    extra = [e for e in EXTRA_SUITES if not sys.argv[1:] or e[0] in sys.argv[1:]]
+    jobs = [(s, None) for s in suites] + [(lbl, (g, o)) for lbl, g, o in extra]
+    for suite, paths in jobs:
         try:
-            cases = parse_suite(suite)
+            cases = parse_suite(suite) if paths is None else parse_suite_files(*paths)
         except FileNotFoundError:
             continue
-        for name, sql, expected in cases:
+        for name, sql, expected, ordered in cases:
             if name is None:
                 try:
                     run_setup(eng, sql)
@@ -513,7 +553,7 @@ def main() -> None:
                 continue
             total += 1
             try:
-                ok, why = run_case(eng, sql, expected)
+                ok, why = run_case(eng, sql, expected, ordered)
             except Exception as exc:
                 ok, why = False, f"{type(exc).__name__}: {str(exc)[:110]}"
             if ok:
