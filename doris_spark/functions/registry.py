@@ -310,21 +310,45 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "CAST((n >> 8) & 255 AS STRING), CAST(n & 255 AS STRING)) END",
     ),
     # ---- array family (be/src/exprs/function/array/)
-    "array_sum": ("a ARRAY<DOUBLE>", "aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)"),
+    # numeric folds SKIP null elements (SQL-aggregate semantics); all-null
+    # or empty input -> NULL
+    "array_sum": (
+        "a ARRAY<DOUBLE>",
+        "CASE WHEN size(filter(a, x -> x IS NOT NULL)) = 0 THEN NULL ELSE "
+        "aggregate(filter(a, x -> x IS NOT NULL), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) END",
+    ),
     "array_avg": (
         "a ARRAY<DOUBLE>",
-        "CASE WHEN size(a) = 0 THEN NULL ELSE aggregate(a, CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) / size(a) END",
+        "CASE WHEN size(filter(a, x -> x IS NOT NULL)) = 0 THEN NULL ELSE "
+        "aggregate(filter(a, x -> x IS NOT NULL), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x) "
+        "/ size(filter(a, x -> x IS NOT NULL)) END",
     ),
-    "array_product": ("a ARRAY<DOUBLE>", "aggregate(a, CAST(1.0 AS DOUBLE), (acc, x) -> acc * x)"),
+    "array_product": (
+        "a ARRAY<DOUBLE>",
+        "CASE WHEN size(filter(a, x -> x IS NOT NULL)) = 0 THEN NULL ELSE "
+        "aggregate(filter(a, x -> x IS NOT NULL), CAST(1.0 AS DOUBLE), (acc, x) -> acc * x) END",
+    ),
     "array_cum_sum": (
         "a ARRAY<DOUBLE>",
         "transform(sequence(1, size(a)), i -> aggregate(slice(a, 1, i), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x))",
     ),
+    # sequence(1, 0) is a DESCENDING range in Spark — every index-driven
+    # array kernel needs the explicit empty guard
     "array_difference": (
         "a ARRAY<DOUBLE>",
-        "transform(sequence(1, size(a)), i -> CASE WHEN i = 1 THEN CAST(0.0 AS DOUBLE) ELSE a[i-1] - a[i-2] END)",
+        # null neighbors (incl. non-numeric input cast to null) yield null,
+        # and a null head keeps the leading 0 null too
+        "CASE WHEN a IS NULL THEN NULL WHEN size(a) = 0 THEN CAST(array() AS ARRAY<DOUBLE>) ELSE "
+        "transform(sequence(1, size(a)), i -> "
+        "CASE WHEN i = 1 THEN IF(a[0] IS NULL, CAST(NULL AS DOUBLE), CAST(0.0 AS DOUBLE)) "
+        "WHEN a[i-1] IS NULL OR a[i-2] IS NULL THEN CAST(NULL AS DOUBLE) "
+        "ELSE a[i-1] - a[i-2] END) END",
     ),
-    "array_enumerate": ("a ARRAY<STRING>", "sequence(1, size(a))"),
+    "array_enumerate": (
+        "a ARRAY<STRING>",
+        "CASE WHEN a IS NULL THEN NULL WHEN size(a) = 0 THEN CAST(array() AS ARRAY<INT>) "
+        "ELSE sequence(1, size(a)) END",
+    ),
     "array_first": ("a ARRAY<STRING>", "a[0]"),
     "array_last": ("a ARRAY<STRING>", "a[size(a) - 1]"),
     "array_count": ("a ARRAY<BOOLEAN>", "size(filter(a, x -> x))"),
@@ -415,7 +439,8 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     # (1-based) of each element among its equals so far.
     "array_enumerate_uniq": (
         "a ARRAY<STRING>",
-        "transform(a, (x, i) -> size(filter(slice(a, 1, i + 1), y -> y = x)))",
+        # null-safe equality: null elements enumerate among themselves
+        "transform(a, (x, i) -> size(filter(slice(a, 1, i + 1), y -> y <=> x)))",
     ),
     # ISO8601 (function_date_or_datetime_to_string.cpp)
     "to_iso8601": ("t TIMESTAMP", "date_format(t, \"yyyy-MM-dd'T'HH:mm:ss.SSSSSS\")"),

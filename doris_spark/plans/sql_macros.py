@@ -162,7 +162,6 @@ MACROS: dict[str, Macro] = {
     # array_concat; type-preserving pop/cum ops; locate with empty needle
     # returns the start position; lpad/rpad edge semantics
     "length": _tpl("octet_length({0})"),
-    "array_concat": _rename("concat"),
     "array_popback": _tpl("slice({0}, 1, greatest(size({0}) - 1, 0))"),
     "array_popfront": _tpl("CASE WHEN size({0}) <= 1 THEN slice({0}, 1, 0) ELSE slice({0}, 2, size({0}) - 1) END"),
     # Doris array_cum_sum: nulls (and non-numeric strings) don't reset the
@@ -234,8 +233,32 @@ MACROS["array_split"] = _array_split
 
 
 def _array_count(args: Sequence[str]) -> str:
+    # NULL array counts 0 (size() yields -1/NULL on NULL input)
     if len(args) >= 2 and "->" in args[0]:
-        return f"size(filter({args[1]}, {args[0]}))"
+        return f"greatest(coalesce(size(filter({args[1]}, {args[0]})), 0), 0)"
+    return f"__KEEP__({', '.join(args)})"
+
+
+def _array_compact(args: Sequence[str]) -> str:
+    """Doris array_compact removes CONSECUTIVE duplicates (null-safe) and
+    KEEPS nulls — Spark's builtin of the same name strips nulls instead."""
+    a = args[0]
+    return (
+        f"CASE WHEN ({a}) IS NULL THEN NULL WHEN size({a}) = 0 THEN ({a}) ELSE "
+        f"transform(filter(sequence(1, size({a})), "
+        f"__i -> __i = 1 OR NOT (try_element_at({a}, __i) <=> try_element_at({a}, __i - 1))), "
+        f"__i -> try_element_at({a}, __i)) END"
+    )
+
+
+def _array_contains(args: Sequence[str]) -> str:
+    # array_contains(arr, NULL): does the array hold a null element
+    # (Spark rejects the untyped NULL literal outright)
+    if len(args) == 2 and args[1].strip().upper() == "NULL":
+        return (
+            f"coalesce(array_max(transform({args[0]}, __x -> __x IS NULL)), "
+            f"IF(({args[0]}) IS NULL, CAST(NULL AS BOOLEAN), false))"
+        )
     return f"__KEEP__({', '.join(args)})"
 
 
@@ -258,10 +281,11 @@ def _array_first_index(args: Sequence[str]) -> str:
 
 
 def _array_last_index(args: Sequence[str]) -> str:
+    # array_position returns 0 (not NULL) when the value is absent
     if len(args) >= 2 and "->" in args[0]:
         inner = f"array_position(transform(reverse({args[1]}), {args[0]}), true)"
         return (
-            f"CASE WHEN {inner} IS NULL THEN 0 "
+            f"CASE WHEN coalesce({inner}, 0) = 0 THEN 0 "
             f"ELSE size({args[1]}) - CAST({inner} AS INT) + 1 END"
         )
     return f"__KEEP__({', '.join(args)})"
@@ -277,7 +301,46 @@ def _array_sortby(args: Sequence[str]) -> str:
             f"transform(array_sort(transform({args[1]}, {var} -> "
             f"named_struct('k', {body}, 'v', {var}))), s -> s.v)"
         )
+    if len(args) == 2:
+        # (arr, key_arr) form as a macro: type-preserving (the registered
+        # SQL UDF's STRING params stringify the elements)
+        return (
+            f"transform(array_sort(zip_with({args[1]}, {args[0]}, "
+            f"(__k, __v) -> named_struct('k', __k, 'v', __v))), __s -> __s.v)"
+        )
     return f"__KEEP__({', '.join(args)})"
+
+
+def _array_sort_macro(args: Sequence[str]) -> str:
+    """Doris array_sort: ascending with NULLs FIRST (sort_array default);
+    the lambda-first spelling sorts by a key function."""
+    if len(args) >= 2 and "->" in args[0]:
+        lam = args[0]
+        var = lam.split("->")[0].strip().strip("()")
+        body = lam.split("->", 1)[1].strip()
+        return (
+            f"transform(array_sort(transform({args[1]}, {var} -> "
+            f"named_struct('k', {body}, 'v', {var}))), __s -> __s.v)"
+        )
+    if len(args) == 1:
+        return f"sort_array({args[0]})"
+    return f"__KEEP__({', '.join(args)})"
+
+
+def _array_range(args: Sequence[str]) -> str:
+    """Doris array_range: [0, end) / [start, end) / [start, end) by step —
+    end-EXCLUSIVE, empty when start >= end (Spark's sequence is inclusive
+    and descends when start > end)."""
+    if len(args) == 1:
+        s, e, st = "0", args[0], "1"
+    elif len(args) == 2:
+        s, e, st = args[0], args[1], "1"
+    else:
+        s, e, st = args[0], args[1], args[2]
+    return (
+        f"IF(({s}) >= ({e}), array(), "
+        f"sequence(CAST({s} AS INT), CAST(({e}) - 1 AS INT), CAST({st} AS INT)))"
+    )
 
 
 def _topn_entries(x: str, neg_count: str) -> str:
@@ -395,6 +458,73 @@ MACROS["avg_map"] = _map_merge(
 )
 MACROS["count_map"] = _map_merge("CAST(size(filter({PAIRS}, p -> p.k <=> k)) AS BIGINT)")
 MACROS["array_count"] = _array_count
+# type-preserving macro form (the registered SQL UDF's STRING parameter
+# would stringify map/struct/array elements)
+MACROS["array_with_constant"] = _tpl("array_repeat({1}, CAST({0} AS INT))")
+
+
+def _null_absorbing(spark_name: str) -> Macro:
+    """Doris array set-ops with a NULL literal operand return NULL; Spark
+    rejects the untyped NULL outright. The IF(false, ...) keeps the
+    non-null operand's type."""
+
+    def m(args: Sequence[str]) -> str:
+        live = [a for a in args if a.strip().upper() != "NULL"]
+        if len(live) == len(args):
+            return f"{spark_name}({', '.join(args)})"
+        if not live:
+            return "NULL"
+        # result type == operand type for these ops, so the first live
+        # operand alone carries the typing
+        return f"IF(false, {live[0]}, NULL)"
+
+    return m
+
+
+MACROS["array_concat"] = _null_absorbing("concat")
+MACROS["array_except"] = _null_absorbing("array_except")
+MACROS["array_intersect"] = _null_absorbing("array_intersect")
+MACROS["array_union"] = _null_absorbing("array_union")
+MACROS["array_sort"] = _array_sort_macro
+MACROS["array_range"] = _array_range
+MACROS["array_reverse_sort"] = _tpl("reverse(sort_array({0}))")
+
+
+def _null_second_arg(template_null: str, passthrough: str) -> Macro:
+    """Special-case a NULL literal second argument (Doris null semantics;
+    Spark rejects or NULL-propagates)."""
+
+    def m(args: Sequence[str]) -> str:
+        if len(args) == 2 and args[1].strip().upper() == "NULL":
+            return template_null.format(args[0])
+        return passthrough.format(*args) if passthrough else f"__KEEP__({', '.join(args)})"
+
+    return m
+
+
+# array_remove(arr, NULL) removes the null elements
+MACROS["array_remove"] = _null_second_arg(
+    "filter({0}, __x -> __x IS NOT NULL)", ""
+)
+# array_position(arr, NULL) finds the first null element (0 when none)
+MACROS["array_position"] = _null_second_arg(
+    "coalesce(CAST(array_position(transform({0}, __x -> __x IS NULL), true) AS BIGINT), 0)",
+    "",
+)
+# null-safe overlap: null elements match each other (array_intersect is
+# null-safe, Spark's arrays_overlap is not); NULL arrays stay NULL
+MACROS["arrays_overlap"] = _tpl(
+    "IF(({0}) IS NULL OR ({1}) IS NULL, CAST(NULL AS BOOLEAN), "
+    "size(array_intersect({0}, {1})) > 0)"
+)
+# NULL repeat counts produce an empty array, not NULL
+MACROS["array_repeat"] = _tpl("array_repeat({0}, coalesce(CAST({1} AS INT), 0))")
+MACROS["array_with_constant"] = _tpl(
+    "array_repeat({1}, coalesce(CAST({0} AS INT), 0))"
+)
+MACROS["array_compact"] = _array_compact
+MACROS["array_contains"] = _array_contains
+MACROS["array_zip"] = _rename("arrays_zip")
 MACROS["array_first"] = _array_first
 MACROS["array_last"] = _array_last
 MACROS["array_first_index"] = _array_first_index

@@ -24,8 +24,8 @@ import pytest
 REF = "/root/reference/regression-test/suites/doc/sql-manual/sql-functions"
 
 # floor = last locked score minus a small flake budget
-PASS_FLOOR = 980
-TOTAL_EXPECTED = 1041
+PASS_FLOOR = 1345
+TOTAL_EXPECTED = 1483
 
 
 @pytest.mark.skipif(not os.path.isdir(REF), reason="reference checkout absent")

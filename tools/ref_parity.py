@@ -37,17 +37,55 @@ _QT = re.compile(
 # suites outside the sql-functions dir: (label, groovy path, .out path).
 # order_qt_ cases in these compare as sorted multisets, like the
 # reference harness does.
+_DOC = "/root/reference/regression-test"
 EXTRA_SUITES = [
     (
         "asof_join",
-        "/root/reference/regression-test/suites/doc/query-data/asof-join.md.groovy",
-        "/root/reference/regression-test/data/doc/query-data/asof-join.md.out",
+        f"{_DOC}/suites/doc/query-data/asof-join.md.groovy",
+        f"{_DOC}/data/doc/query-data/asof-join.md.out",
+    ),
+    (
+        "array_nullsafe",
+        f"{_DOC}/suites/doc/sql-manual/ArrayNullsafe.groovy",
+        f"{_DOC}/data/doc/sql-manual/ArrayNullsafe.out",
+    ),
+    (
+        "struct_nullsafe",
+        f"{_DOC}/suites/doc/sql-manual/StructNullsafe.groovy",
+        f"{_DOC}/data/doc/sql-manual/StructNullsafe.out",
+    ),
+    (
+        "array_fn2",
+        f"{_DOC}/suites/doc/sql-manual/sql-function/test_array_function.groovy",
+        f"{_DOC}/data/doc/sql-manual/sql-function/test_array_function.out",
+    ),
+    (
+        "type_array",
+        f"{_DOC}/suites/doc/sql-manual/basic-elements/data-types/array-md.groovy",
+        f"{_DOC}/data/doc/sql-manual/basic-elements/data-types/array-md.out",
+    ),
+    (
+        "type_map",
+        f"{_DOC}/suites/doc/sql-manual/basic-elements/data-types/map-md.groovy",
+        f"{_DOC}/data/doc/sql-manual/basic-elements/data-types/map-md.out",
+    ),
+    (
+        "type_struct",
+        f"{_DOC}/suites/doc/sql-manual/basic-elements/data-types/struct-md.groovy",
+        f"{_DOC}/data/doc/sql-manual/basic-elements/data-types/struct-md.out",
     ),
 ]
 
 
 def parse_suite_files(groovy_path: str, out_path: str):
     src = open(groovy_path).read()
+    # groovy string interpolation: def name = "value" ... ${name}
+    gvars = dict(
+        re.findall(r"def\s+(\w+)\s*=\s*[\"']([^\"'\n]*)[\"']", src)
+    )
+    src = re.sub(
+        r"\$\{(\w+)\}", lambda m: gvars.get(m.group(1), m.group(0)), src
+    )
     # ordered stream of (qt_name | None for setup-sql, statement, ordered);
     # setup statements appear both triple-quoted and single-line quoted.
     cases = []
@@ -59,24 +97,33 @@ def parse_suite_files(groovy_path: str, out_path: str):
             (m.group(2), body.strip().rstrip(";"), m.group(1) == "order_qt_")
         )
 
-    out: dict[str, list[str]] = {}
-    cur = None
+    # golden blocks, in file order; duplicate qt names (suites reuse
+    # qt_sql) pair with their Nth occurrence
+    from collections import deque
+
+    blocks: dict[str, deque] = {}
+    cur_lines = None
     for line in open(out_path):
         line = line.rstrip("\n")
         m = re.match(r"-- !([A-Za-z0-9_]+) --", line)
         if m:
-            cur = m.group(1)
-            out[cur] = []
-        elif cur is not None:
+            cur_lines = []
+            blocks.setdefault(m.group(1), deque()).append(cur_lines)
+        elif cur_lines is not None:
             if line == "":
-                cur = None
+                cur_lines = None
             else:
-                out[cur].append(line)
-    return [
-        (n, sql, out.get(n), ordered)
-        for n, sql, ordered in cases
-        if n is None or out.get(n) is not None
-    ]
+                cur_lines.append(line)
+
+    result = []
+    for n, sql, ordered in cases:
+        if n is None:
+            result.append((None, sql, None, ordered))
+            continue
+        q = blocks.get(n)
+        if q:
+            result.append((n, sql, q.popleft(), ordered))
+    return result
 
 
 def parse_suite(name: str):
@@ -184,11 +231,72 @@ def dialect(sql: str) -> str:
     s = re.sub(r"\bAS\s+SIGNED\b", "AS BIGINT", s, flags=re.I)
     s = re.sub(r"\bAS\s+IPV[46]\b", "AS STRING", s, flags=re.I)
     s = re.sub(r"<\s*IPV[46]\s*>", "<STRING>", s, flags=re.I)
-    # Doris map literal {'k': v, ...} -> map('k', v, ...)
+    # Doris map literal {'k': v, ...} / {"k": v, ...} -> map('k', v, ...)
+    # (innermost-first so nested maps resolve). Quote-aware: a JSON text
+    # literal '{"a": 1}' must stay a string.
+    _ml = re.compile(
+        r"\{\s*(['\"][^'\"]*['\"]\s*:\s*[^,{}]+(?:\s*,\s*['\"][^'\"]*['\"]\s*:\s*[^,{}]+)*)\s*\}"
+    )
+
+    def _convert_maps(text: str) -> str:
+        # find top-level {..} spans that are OUTSIDE string literals
+        # (map literals contain quoted keys, so a plain quote-split fails)
+        out, i, n, in_str = [], 0, len(text), None
+        while i < n:
+            c = text[i]
+            if in_str:
+                out.append(c)
+                if c == in_str:
+                    in_str = None
+                i += 1
+                continue
+            if c in ("'", '"'):
+                in_str = c
+                out.append(c)
+                i += 1
+                continue
+            if c == "{":
+                depth, j, instr2 = 0, i, None
+                while j < n:
+                    cj = text[j]
+                    if instr2:
+                        if cj == instr2:
+                            instr2 = None
+                    elif cj in ("'", '"'):
+                        instr2 = cj
+                    elif cj == "{":
+                        depth += 1
+                    elif cj == "}":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j += 1
+                span = text[i : j + 1]
+                converted = span
+                while True:
+                    s2 = _ml.sub(
+                        lambda m: "map("
+                        + re.sub(r"(['\"][^'\"]*['\"])\s*:", r"\1,", m.group(1))
+                        + ")",
+                        converted,
+                    )
+                    if s2 == converted:
+                        break
+                    converted = s2
+                out.append(converted)
+                i = j + 1
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    s = _convert_maps(s)
+    # Doris element_at(struct, field) with a bare identifier -> field access
     s = re.sub(
-        r"\{\s*('[^']*'\s*:\s*[^,{}]+(?:\s*,\s*'[^']*'\s*:\s*[^,{}]+)*)\s*\}",
-        lambda m: "map(" + re.sub(r"('[^']*')\s*:", r"\1,", m.group(1)) + ")",
+        r"\belement_at\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*([A-Za-z_]\w*)\s*\)",
+        r"(\1).\2",
         s,
+        flags=re.I,
     )
     s = re.sub(r"\bAS\s+UNSIGNED\b", "AS BIGINT", s, flags=re.I)
     s = re.sub(r"\bINTERVAL\s+(-?\d+)\s+QUARTER\b", lambda m: f"INTERVAL {int(m.group(1)) * 3} MONTH", s, flags=re.I)
@@ -303,6 +411,8 @@ def dialect(sql: str) -> str:
         s,
         flags=re.I | re.S,
     )
+    # MySQL zero-arg COUNT() == COUNT(*)
+    s = re.sub(r"\bcount\s*\(\s*\)", "count(*)", s, flags=re.I)
     # Spark's EXTRACT has no MICROSECOND field; Doris does.
     s = re.sub(
         r"\bextract\s*\(\s*microsecond\s+from\s+(.*?)\)",
@@ -368,10 +478,11 @@ def _cell_matches(exp: str, got) -> bool:
                 except ValueError:
                     return x
             if isinstance(x, (int, float)) and not isinstance(x, bool):
-                # 12-sig-digit rounding: float repr noise (3.3000000000000003)
-                # must not fail an elementwise compare
+                # 7-sig-digit rounding: float32-typed columns surface as
+                # doubles (1.100000023841858 for 1.1f) and float64 repr
+                # noise (3.3000000000000003) must not fail the compare
                 f = float(x)
-                return float(f"{f:.12g}") if math.isfinite(f) else f
+                return float(f"{f:.7g}") if math.isfinite(f) else f
             return x
 
         def to_plain(x):
@@ -383,9 +494,24 @@ def _cell_matches(exp: str, got) -> bool:
                 return [to_plain(v) for v in x]
             return x
 
+        def eq(a, b):
+            if isinstance(a, dict) and isinstance(b, dict):
+                if set(a) != set(b):
+                    # Doris names synthesized struct fields col1..colN;
+                    # Spark keeps source names / positional keys —
+                    # compare field values positionally
+                    if len(a) != len(b):
+                        return False
+                    return all(eq(x, y) for x, y in zip(a.values(), b.values()))
+                return all(eq(a[k], b[k]) for k in a)
+            if isinstance(a, list) and isinstance(b, list):
+                return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+            return a == b
+
         try:
-            return norm(json.loads(exp)) == norm(
-                json.loads(json.dumps(to_plain(got), default=str))
+            return eq(
+                norm(json.loads(exp)),
+                norm(json.loads(json.dumps(to_plain(got), default=str))),
             )
         except (ValueError, TypeError):
             return False
@@ -421,18 +547,65 @@ def translate_ddl(sql: str) -> str | None:
             depth -= 1
         i += 1
     cols_src = rest[: i - 1]
+    # depth-aware split: generics (<>) and type args (()) both nest
+    parts, depth, cur = [], 0, []
+    for ch in cols_src:
+        if ch in "<(":
+            depth += 1
+        elif ch in ">)":
+            depth -= 1
+        if ch == "," and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur))
+
     cols = []
-    for part in re.split(r",(?![^(<]*[)>])", cols_src):
-        part = part.strip()
-        cm = re.match(r"`?(\w+)`?\s+([A-Za-z0-9_<>(),\s]+?)(\s+(NOT\s+)?NULL|\s+COMMENT.*|\s+DEFAULT.*)?$", part, re.S)
+    for part in parts:
+        part = " ".join(part.split())
+        # constraint/index clauses are not columns
+        if re.match(r"(INDEX|KEY|PRIMARY|CONSTRAINT|DUPLICATE|UNIQUE|AGGREGATE)\b", part, re.I):
+            continue
+        cm = re.match(r"`?(\w+)`?\s+(.+)$", part, re.S)
         if not cm:
             continue
         typ = cm.group(2).strip()
-        typ = re.sub(r"\bDATETIMEV?2?\b", "TIMESTAMP", typ, flags=re.I)
+        # strip per-column AGG_KEYS aggregate type and column attributes
+        typ = re.sub(
+            r"\s+(SUM|MIN|MAX|REPLACE(_IF_NOT_NULL)?|HLL_UNION|BITMAP_UNION|"
+            r"QUANTILE_UNION|GENERIC)\b.*$",
+            "",
+            typ,
+            flags=re.I,
+        )
+        # COMMENT may sit INSIDE a struct field (before the closing '>'):
+        # strip the quoted form wherever it appears, then tail attributes
+        typ = re.sub(r"\s+COMMENT\s+(\"[^\"]*\"|'[^']*')", "", typ, flags=re.I)
+        typ = re.sub(r"\s+(NOT\s+)?NULL\b.*$", "", typ, flags=re.I)
+        typ = re.sub(r"\s+(COMMENT|DEFAULT)\b.*$", "", typ, flags=re.I | re.S)
+        typ = re.sub(r"\bDATETIMEV?2?\s*(\(\s*\d+\s*\))?", "TIMESTAMP", typ, flags=re.I)
+        typ = re.sub(r"\bDATEV2\b", "DATE", typ, flags=re.I)
+        typ = re.sub(r"\bHLL\b", "BINARY", typ, flags=re.I)
+        typ = re.sub(r"\bBITMAP\b", "BINARY", typ, flags=re.I)
+        typ = re.sub(r"\bQUANTILE_STATE\b", "BINARY", typ, flags=re.I)
         typ = re.sub(r"\bVARCHAR\s*\(\d+\)", "STRING", typ, flags=re.I)
         typ = re.sub(r"\bCHAR\s*\(\d+\)", "STRING", typ, flags=re.I)
         typ = re.sub(r"\bTEXT\b", "STRING", typ, flags=re.I)
         typ = re.sub(r"\bLARGEINT\b", "DECIMAL(38,0)", typ, flags=re.I)
+        typ = re.sub(r"\bIPV[46]\b", "STRING", typ, flags=re.I)
+        # JSON/VARIANT columns: string-backed (the engine's JSON functions
+        # operate on JSON text; Doris JSONB wire format is internal)
+        typ = re.sub(r"\bJSONB?\b", "STRING", typ, flags=re.I)
+        typ = re.sub(r"\bVARIANT\b", "STRING", typ, flags=re.I)
+        # DECIMAL256 (p > 38) narrows to the Spark max precision
+        typ = re.sub(
+            r"\bDECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
+            lambda m: f"DECIMAL({min(int(m.group(1)), 38)},{m.group(2)})",
+            typ,
+            flags=re.I,
+        )
         # bare DECIMAL defaults to (38,9) in the reference (DecimalV3),
         # not Spark's scale-0 default
         typ = re.sub(r"\bDECIMAL\b(?!\s*\()", "DECIMAL(38,9)", typ, flags=re.I)
@@ -442,9 +615,17 @@ def translate_ddl(sql: str) -> str | None:
     return f"CREATE OR REPLACE TEMPORARY VIEW __def_{name} AS SELECT * FROM VALUES (NULL) t(x) LIMIT 0", name, cols
 
 
+# LARGEINT maps to DECIMAL(38,0) (documented narrowing): integer literals
+# beyond 38 digits cannot be stored — NULL them so the rest of the row
+# (and suite) still loads; largeint-specific goldens diverge and count as
+# known narrowing losses.
+_HUGE_INT = re.compile(r"(?<![\w.])-?\d{39,}(?![\w.])")
+
+
 def run_setup(eng, sql: str) -> None:
     if not _SETUP_OK.match(sql):
         return
+    sql = _HUGE_INT.sub("NULL", sql)
     if re.match(r"\s*CREATE\s+TABLE", sql, re.I):
         t = translate_ddl(sql)
         if t is None:
@@ -462,7 +643,27 @@ def run_setup(eng, sql: str) -> None:
     if re.match(r"\s*DROP\s+TABLE", sql, re.I):
         eng.spark.sql(re.sub(r"\bFORCE\b", "", sql, flags=re.I))
         return
-    eng.sql(dialect(sql))
+    try:
+        eng.sql(dialect(sql))
+    except Exception:
+        # Doris INSERT matches nested struct fields positionally; Spark
+        # SQL INSERT matches them by name (STRUCT(1,'x') produces col1/
+        # col2). DataFrameWriter.insertInto is positional all the way
+        # down — route the VALUES through it.
+        im = re.match(
+            r"\s*INSERT\s+INTO\s+`?(\w+)`?\s*(\([^)]*\))?\s*(VALUES.*)$",
+            sql,
+            re.I | re.S,
+        )
+        if im is None:
+            raise
+        name, collist, values = im.group(1), im.group(2), im.group(3)
+        if collist:
+            ncols = len(collist.split(","))
+            if ncols != len(eng.spark.table(name).columns):
+                raise  # partial-column insert: positional write misaligns
+        df = eng.spark.sql(dialect(f"SELECT * FROM {values}"))
+        df.write.insertInto(name)
 
 
 def _row_matches(row, exp_line: str):
@@ -476,8 +677,20 @@ def _row_matches(row, exp_line: str):
 
 
 def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
-    df = eng.sql(dialect(sql))
-    rows = df.collect()
+    try:
+        df = eng.sql(dialect(sql))
+        rows = df.collect()
+    except Exception as exc:
+        # Doris can ORDER BY map/complex columns; Spark cannot. The golden
+        # is a deterministic row set either way — drop the ORDER BY and
+        # compare as a multiset.
+        if "INVALID_ORDERING_TYPE" in str(exc):
+            stripped = re.sub(r"(?is)\bORDER\s+BY\b(?:(?!\bLIMIT\b).)*$", "", dialect(sql))
+            df = eng.sql(stripped)
+            rows = df.collect()
+            ordered = True
+        else:
+            raise
     if len(expected) == 0:
         # .out empty block = a single empty-string cell
         ok = len(rows) == 1 and all(v in (None, "") for v in rows[0])
@@ -559,9 +772,9 @@ def main() -> None:
             if ok:
                 passed += 1
             else:
-                failures.append((suite, name, why))
+                failures.append((suite, name, why, " ".join(sql.split())[:220]))
     print(f"reference-parity: {passed}/{total} passed")
-    for suite, name, why in failures:
+    for suite, name, why, _sql in failures:
         print(f"  FAIL {suite}/{name}: {why}")
     json.dump(
         {"passed": passed, "total": total, "failures": [list(f) for f in failures]},
