@@ -506,17 +506,57 @@ def _null_second_arg(template_null: str, passthrough: str) -> Macro:
 MACROS["array_remove"] = _null_second_arg(
     "filter({0}, __x -> __x IS NOT NULL)", ""
 )
-# array_position(arr, NULL) finds the first null element (0 when none)
+# array_position(arr, NULL) finds the first null element (0 when none,
+# NULL for a NULL array)
 MACROS["array_position"] = _null_second_arg(
-    "coalesce(CAST(array_position(transform({0}, __x -> __x IS NULL), true) AS BIGINT), 0)",
+    "IF(({0}) IS NULL, CAST(NULL AS BIGINT), "
+    "coalesce(CAST(array_position(transform({0}, __x -> __x IS NULL), true) AS BIGINT), 0))",
     "",
 )
-# null-safe overlap: null elements match each other (array_intersect is
-# null-safe, Spark's arrays_overlap is not); NULL arrays stay NULL
-MACROS["arrays_overlap"] = _tpl(
-    "IF(({0}) IS NULL OR ({1}) IS NULL, CAST(NULL AS BOOLEAN), "
-    "size(array_intersect({0}, {1})) > 0)"
-)
+
+
+def _arrays_overlap(args: Sequence[str]) -> str:
+    # null-safe overlap: null elements match each other (array_intersect
+    # is null-safe, Spark's arrays_overlap is not); NULL operands —
+    # literal or value — stay NULL
+    if any(a.strip().upper() == "NULL" for a in args):
+        return "CAST(NULL AS BOOLEAN)"
+    return (
+        f"IF(({args[0]}) IS NULL OR ({args[1]}) IS NULL, CAST(NULL AS BOOLEAN), "
+        f"size(array_intersect({args[0]}, {args[1]})) > 0)"
+    )
+
+
+MACROS["arrays_overlap"] = _arrays_overlap
+
+
+def _array_reverse_split(args: Sequence[str]) -> str:
+    """array_reverse_split: marked elements END their group (the mirror of
+    array_split's group-starting marks)."""
+    if args and "->" in args[0]:
+        params, _, body = args[0].partition("->")
+        params, body = params.strip(), body.strip()
+        arr = args[1]
+        if len(args) >= 3:
+            marks = f"zip_with({args[1]}, {args[2]}, {params} -> {_bool01(body)})"
+        else:
+            marks = f"transform({args[1]}, {params} -> {_bool01(body)})"
+    else:
+        arr = args[0]
+        marks = f"transform({args[1]}, __f -> {_bool01('__f')})"
+    ends = (
+        f"filter(sequence(1, size({arr})), "
+        f"__i -> __i = size({arr}) OR try_element_at({marks}, __i) = 1)"
+    )
+    return (
+        f"CASE WHEN ({arr}) IS NULL THEN NULL WHEN size({arr}) = 0 THEN array() ELSE "
+        f"transform({ends}, (__e, __g) -> slice({arr}, "
+        f"coalesce(try_element_at({ends}, __g), 0) + 1, "
+        f"__e - coalesce(try_element_at({ends}, __g), 0))) END"
+    )
+
+
+MACROS["array_reverse_split"] = _array_reverse_split
 # NULL repeat counts produce an empty array, not NULL
 MACROS["array_repeat"] = _tpl("array_repeat({0}, coalesce(CAST({1} AS INT), 0))")
 MACROS["array_with_constant"] = _tpl(

@@ -298,6 +298,95 @@ def dialect(sql: str) -> str:
         s,
         flags=re.I,
     )
+    # Doris CAST('<json>' AS ARRAY/MAP/STRUCT<...>) parses JSON text;
+    # Spark's equivalent is from_json
+    def _cast_complex(text: str) -> str:
+        out, i, n = [], 0, len(text)
+        pat = re.compile(r"CAST\s*\(", re.I)
+        while i < n:
+            m = pat.search(text, i)
+            if m is None:
+                out.append(text[i:])
+                break
+            # find the matching close paren of this CAST
+            j, depth, in_str = m.end() - 1, 0, None
+            while j < n:
+                c = text[j]
+                if in_str:
+                    if c == in_str:
+                        in_str = None
+                elif c in ("'", '"'):
+                    in_str = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j += 1
+            body = text[m.end() : j]
+            am = re.search(
+                r"\s+AS\s+((?:ARRAY|MAP|STRUCT)\s*<.*>)\s*$", body, re.I | re.S
+            )
+            if am:
+                expr = _cast_complex(body[: am.start()])
+                typ = " ".join(am.group(1).split())
+                out.append(text[i : m.start()])
+                out.append(f"from_json({expr}, '{typ}')")
+            else:
+                out.append(text[i : m.start()])
+                out.append(text[m.start() : j + 1])
+            i = j + 1
+        return "".join(out)
+
+    s = _cast_complex(s)
+
+    # Doris array subscripts are 1-based and out-of-range-safe; rewrite
+    # integer-literal subscripts to try_element_at (chains walk back over
+    # balanced parens/brackets)
+    def _subscripts(text: str) -> str:
+        sub = re.compile(r"\[\s*(-?\d+)\s*\]")
+        changed = True
+        while changed:
+            changed = False
+            for m in sub.finditer(text):
+                k = m.start() - 1
+                if k < 0:
+                    continue
+                # walk back over the base expression
+                end = m.start()
+                j = k
+                while j >= 0:
+                    c = text[j]
+                    if c in ")]":
+                        depth = 0
+                        while j >= 0:
+                            if text[j] in ")]":
+                                depth += 1
+                            elif text[j] in "([":
+                                depth -= 1
+                                if depth == 0:
+                                    break
+                            j -= 1
+                        j -= 1
+                    elif c.isalnum() or c in "_.`":
+                        j -= 1
+                    else:
+                        break
+                start = j + 1
+                base = text[start:end].strip()
+                if not base or not re.search(r"[A-Za-z_)\]]", base):
+                    continue
+                text = (
+                    text[:start]
+                    + f"try_element_at({base}, {m.group(1)})"
+                    + text[m.end() :]
+                )
+                changed = True
+                break
+        return text
+
+    s = _subscripts(s)
     s = re.sub(r"\bAS\s+UNSIGNED\b", "AS BIGINT", s, flags=re.I)
     s = re.sub(r"\bINTERVAL\s+(-?\d+)\s+QUARTER\b", lambda m: f"INTERVAL {int(m.group(1)) * 3} MONTH", s, flags=re.I)
     # date_floor/date_ceil(x, INTERVAL n unit) -> the registered
@@ -495,6 +584,18 @@ def _cell_matches(exp: str, got) -> bool:
             return x
 
         def eq(a, b):
+            # a JSON-text value on one side vs a parsed structure on the
+            # other (VARIANT columns surface as strings here)
+            if isinstance(a, (dict, list)) and isinstance(b, str):
+                try:
+                    b = norm(json.loads(b))
+                except (ValueError, TypeError):
+                    return False
+            elif isinstance(b, (dict, list)) and isinstance(a, str):
+                try:
+                    a = norm(json.loads(a))
+                except (ValueError, TypeError):
+                    return False
             if isinstance(a, dict) and isinstance(b, dict):
                 if set(a) != set(b):
                     # Doris names synthesized struct fields col1..colN;
@@ -689,6 +790,26 @@ def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
             df = eng.sql(stripped)
             rows = df.collect()
             ordered = True
+        elif "UNEXPECTED_INPUT_TYPE" in str(exc) and re.search(
+            r"element_at", sql, re.I
+        ):
+            # element_at(struct, 'field') — same spelling Doris uses for
+            # maps, so only rewritten to field access when the typed run
+            # proves the operand is a struct
+            retry = dialect(sql)
+            for _ in range(8):
+                r2 = re.sub(
+                    r"\belement_at\s*\(\s*((?:[^(),']|\([^()]*\)|'[^']*')+?)\s*,\s*'(\w+)'\s*\)",
+                    r"(\1).\2",
+                    retry,
+                    count=1,
+                    flags=re.I,
+                )
+                if r2 == retry:
+                    break
+                retry = r2
+            df = eng.sql(retry)
+            rows = df.collect()
         else:
             raise
     if len(expected) == 0:
