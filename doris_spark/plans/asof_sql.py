@@ -17,15 +17,19 @@ match per left row:
         ORDER BY q.ts DESC LIMIT 1
     ) q ON true
 
-Catalyst decorrelates the LIMIT-1 subquery into a ranked window join
-(DecorrelateInnerQuery), i.e. the same shuffle-on-equality-keys +
-per-key ordered pick the reference's hash-probe ASOF performs — no
-per-row re-execution, scales with the equality-key partitioning.
+Catalyst decorrelates the LIMIT-1 subquery into a window-ranked join
+(DecorrelateInnerQuery) — no per-row re-execution. PLAN CAVEAT
+(measured, see PLANS.md): the decorrelated domain join pairs
+DISTINCT(left time values) with the right side through a
+BroadcastNestedLoopJoin on the inequality BEFORE the per-key window
+prune, so the intermediate is |distinct left times| x |right rows| —
+fine at doc/test scale, quadratic-ish at 100 TB. The SQL surface exists
+for dialect compatibility (the reference's asof-join.md suite runs
+verbatim); large-scale pipelines should use the operator-level
+DataFrame implementation (operators/asof.py), whose union+window plan
+is a single shuffle on the equality keys with no cross product.
 Multi-level ASOF chains compose: each join is rewritten independently
 and later laterals may reference any earlier relation.
-
-The operator-level DataFrame implementation (operators/asof.py) remains
-the API path; this module is the SQL surface.
 """
 
 from __future__ import annotations
