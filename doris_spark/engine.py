@@ -19,9 +19,20 @@ UDFs — functions/registry.py), table models are merge-on-read views
 
 from __future__ import annotations
 
+import re as _re
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
+
+_UPDATE_RE = _re.compile(
+    r"^\s*UPDATE\s+`?(\w+)`?\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    _re.I | _re.S,
+)
+_DELETE_RE = _re.compile(
+    r"^\s*DELETE\s+FROM\s+`?(\w+)`?(?:\s+PARTITION\s*\([^)]*\))?"
+    r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
+    _re.I | _re.S,
+)
 
 from doris_spark.operators.table_models import agg_key_view, unique_key_view
 from doris_spark.session import get_spark, register_views
@@ -50,10 +61,102 @@ class Engine:
         aggregate spellings and lambda-first array calls are expanded to
         Spark SQL first (plans/sql_macros.py — the FE's name-resolution
         step); table-model views from create_table are visible as temp
-        views."""
+        views. UPDATE/DELETE statements (Doris DML,
+        fe/.../nereids/trees/plans/commands/UpdateCommand.java /
+        DeleteFromCommand.java) are executed as snapshot rewrites of the
+        backing DataFrame — see _dml()."""
         from doris_spark.plans.sql_macros import rewrite
 
+        dml = self._dml(text)
+        if dml is not None:
+            return dml
         return self.spark.sql(rewrite(text))
+
+    def _dml(self, text: str) -> DataFrame | None:
+        """UPDATE t SET c = e, ... [WHERE p] / DELETE FROM t WHERE p.
+
+        Executed as a snapshot rewrite: the table's (merged) view is
+        transformed and pinned with localCheckpoint, then re-registered —
+        the same observable semantics as Doris's merge-on-write update
+        (UpdateCommand plans an INSERT of the changed rows; here the
+        whole snapshot is the transaction). At lakehouse scale the same
+        statement maps to Delta/Iceberg MERGE INTO / DELETE FROM — this
+        path is the engine-internal table implementation. Returns a
+        1-row DataFrame with the affected-row count (the MySQL-protocol
+        OK packet's rows-matched), or None if `text` is not DML."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        from doris_spark.plans.sql_macros import rewrite
+
+        md = _DELETE_RE.match(text)
+        mu = None if md else _UPDATE_RE.match(text)
+        if md is None and mu is None:
+            return None
+        name = (md or mu).group(1)
+        cur = self.table(name)
+
+        if md is not None:
+            where = md.group(2)
+            if where is None:
+                raise ValueError("DELETE requires a WHERE clause (Doris semantics)")
+            cond = rewrite(where)
+            affected = cur.filter(F.expr(cond)).count()
+            new = cur.filter(~F.coalesce(F.expr(cond), F.lit(False)))
+        else:
+            assigns_src, where = mu.group(2), mu.group(3)
+            # split assignments on top-level commas (quote/paren aware)
+            parts, depth, buf, in_str = [], 0, [], None
+            for ch in assigns_src:
+                if in_str:
+                    buf.append(ch)
+                    if ch == in_str:
+                        in_str = None
+                    continue
+                if ch in ("'", '"'):
+                    in_str = ch
+                elif ch == "(":
+                    depth += 1
+                elif ch == ")":
+                    depth -= 1
+                if ch == "," and depth == 0:
+                    parts.append("".join(buf))
+                    buf = []
+                    continue
+                buf.append(ch)
+            if "".join(buf).strip():
+                parts.append("".join(buf))
+            assigns = {}
+            for p in parts:
+                m = re.match(r"\s*`?(\w+)`?\s*=\s*(.*)$", p, re.S)
+                if m is None:
+                    raise ValueError(f"cannot parse SET assignment: {p!r}")
+                assigns[m.group(1)] = rewrite(m.group(2).strip())
+            unknown = set(assigns) - set(cur.columns)
+            if unknown:
+                raise ValueError(f"UPDATE of unknown column(s): {sorted(unknown)}")
+            cond = rewrite(where) if where is not None else "true"
+            affected = cur.filter(F.expr(cond)).count()
+            new = cur.select(
+                *[
+                    F.expr(
+                        f"CASE WHEN coalesce({cond}, false) THEN ({assigns[c]}) "
+                        f"ELSE `{c}` END"
+                    )
+                    .cast(cur.schema[c].dataType)
+                    .alias(c)
+                    if c in assigns
+                    else F.col(c)
+                    for c in cur.columns
+                ]
+            )
+        # pin the new snapshot: breaks the self-referential lineage and
+        # keeps repeated DML from stacking plan depth
+        new = new.localCheckpoint(eager=True)
+        new.createOrReplaceTempView(name)
+        self._views[name] = new
+        return self.spark.createDataFrame([(affected,)], "affected BIGINT")
 
     def table(self, name: str) -> DataFrame:
         """DataFrame handle honoring the table's keys model (UNIQUE/AGG

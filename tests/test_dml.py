@@ -1,0 +1,101 @@
+"""Engine.sql UPDATE / DELETE (Doris DML surface).
+
+Reference: fe/fe-core/.../nereids/trees/plans/commands/UpdateCommand.java
+and DeleteFromCommand.java — UPDATE plans an insert of rewritten rows on
+a UNIQUE table; DELETE filters by predicate. Here both are snapshot
+rewrites of the backing view (engine.Engine._dml); at lakehouse scale
+the same statements map to Delta/Iceberg MERGE/DELETE.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from doris_spark.engine import Engine
+
+
+@pytest.fixture
+def eng(spark):
+    e = Engine(spark)
+    df = spark.createDataFrame(
+        [
+            (1, 100.0, "Pending", 1),
+            (2, 250.0, "Pending", 1),
+            (3, 75.5, "Shipped", 1),
+        ],
+        "order_id INT, order_amount DOUBLE, order_status STRING, ver INT",
+    )
+    e.create_table(df, "dml_orders", keys_type="UNIQUE_KEYS",
+                   keys=["order_id"], sequence_col="ver")
+    return e
+
+
+def _rows(e):
+    return {
+        (r.order_id, r.order_amount, r.order_status)
+        for r in e.sql("SELECT order_id, order_amount, order_status FROM dml_orders").collect()
+    }
+
+
+def test_update_with_where(eng):
+    res = eng.sql(
+        "UPDATE dml_orders SET order_status = 'To be shipped' WHERE order_id = 1"
+    ).collect()
+    assert res[0].affected == 1
+    assert (1, 100.0, "To be shipped") in _rows(eng)
+    assert (2, 250.0, "Pending") in _rows(eng)
+
+
+def test_update_expression_and_multi_assign(eng):
+    eng.sql(
+        "UPDATE dml_orders SET order_amount = order_amount * 2, "
+        "order_status = concat(order_status, '!') WHERE order_amount < 200"
+    )
+    rows = _rows(eng)
+    assert (1, 200.0, "Pending!") in rows
+    assert (3, 151.0, "Shipped!") in rows
+    assert (2, 250.0, "Pending") in rows
+
+
+def test_update_without_where_touches_all(eng):
+    res = eng.sql("UPDATE dml_orders SET order_status = 'X'").collect()
+    assert res[0].affected == 3
+    assert {s for (_, _, s) in _rows(eng)} == {"X"}
+
+
+def test_update_preserves_column_type(eng):
+    eng.sql("UPDATE dml_orders SET order_amount = 1 WHERE order_id = 2")
+    schema = {f.name: f.dataType.simpleString()
+              for f in eng.table("dml_orders").schema.fields}
+    assert schema["order_amount"] == "double"
+
+
+def test_delete_where(eng):
+    res = eng.sql("DELETE FROM dml_orders WHERE order_status = 'Pending'").collect()
+    assert res[0].affected == 2
+    assert _rows(eng) == {(3, 75.5, "Shipped")}
+
+
+def test_delete_requires_where(eng):
+    with pytest.raises(ValueError):
+        eng.sql("DELETE FROM dml_orders")
+
+
+def test_update_unknown_column_rejected(eng):
+    with pytest.raises(ValueError):
+        eng.sql("UPDATE dml_orders SET nope = 1")
+
+
+def test_dml_chain_then_query(eng):
+    eng.sql("UPDATE dml_orders SET order_amount = order_amount + 1")
+    eng.sql("DELETE FROM dml_orders WHERE order_id = 3")
+    eng.sql("UPDATE dml_orders SET order_status = 'done' WHERE order_amount > 200")
+    assert _rows(eng) == {(1, 101.0, "Pending"), (2, 251.0, "done")}
+
+
+def test_doris_function_in_dml(eng):
+    # the SET/WHERE fragments pass through the macro layer: Doris-only
+    # spellings work inside DML
+    eng.sql("UPDATE dml_orders SET order_status = 'L' "
+            "WHERE length(order_status) > 6")
+    assert (1, 100.0, "L") in _rows(eng)
