@@ -57,20 +57,24 @@ class Engine:
     # ------------------------------------------------------------ queries
 
     def sql(self, text: str) -> DataFrame:
-        """Run SQL with the full registered function surface. Doris-only
-        aggregate spellings and lambda-first array calls are expanded to
-        Spark SQL first (plans/sql_macros.py — the FE's name-resolution
-        step); table-model views from create_table are visible as temp
-        views. UPDATE/DELETE statements (Doris DML,
+        """Run Doris SQL: the MySQL dialect layer (plans/dialect.py —
+        %-format strings, 1-based subscripts, map/array literals,
+        composite interval units, JSON-text casts) runs first, then the
+        macro layer (plans/sql_macros.py — Doris-only aggregate
+        spellings, lambda-first array calls, lc_time_names); both
+        validated against the reference's own golden suites
+        (tools/ref_parity.py). Table-model views from create_table are
+        visible as temp views. UPDATE/DELETE statements (Doris DML,
         fe/.../nereids/trees/plans/commands/UpdateCommand.java /
-        DeleteFromCommand.java) are executed as snapshot rewrites of the
+        DeleteFromCommand.java) execute as snapshot rewrites of the
         backing DataFrame — see _dml()."""
+        from doris_spark.plans.dialect import dialect
         from doris_spark.plans.sql_macros import rewrite
 
         dml = self._dml(text)
         if dml is not None:
             return dml
-        return self.spark.sql(rewrite(text))
+        return self.spark.sql(rewrite(dialect(text)))
 
     def _dml(self, text: str) -> DataFrame | None:
         """UPDATE t SET c = e, ... [WHERE p] / DELETE FROM t WHERE p.

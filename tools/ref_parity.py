@@ -133,384 +133,7 @@ def parse_suite(name: str):
     )
 
 
-_MYSQL_FMT = {
-    "Y": "yyyy", "y": "yy", "m": "MM", "c": "M", "d": "dd", "e": "d",
-    "H": "HH", "k": "H", "h": "hh", "I": "hh", "l": "h", "i": "mm",
-    "s": "ss", "S": "ss", "f": "SSSSSS", "p": "a", "b": "MMM", "M": "MMMM",
-    "a": "EEE", "W": "EEEE", "j": "DDD", "T": "HH:mm:ss", "r": "hh:mm:ss a",
-    "%": "%",
-}
-
-
-def _xlate_fmt(fmt: str) -> str:
-    """MySQL %-pattern -> Java datetime pattern; literal text quoted."""
-    out, lit = [], []
-
-    def flush():
-        if lit:
-            text = "".join(lit)
-            out.append("'" + text.replace("'", "''") + "'" if re.search(r"[A-Za-z']", text) else text)
-            lit.clear()
-
-    i = 0
-    while i < len(fmt):
-        if fmt[i] == "%" and i + 1 < len(fmt):
-            tok = _MYSQL_FMT.get(fmt[i + 1])
-            if tok is not None:
-                flush()
-                out.append(tok)
-                i += 2
-                continue
-        lit.append(fmt[i])
-        i += 1
-    flush()
-    return "".join(out)
-
-
-def _bracket_arrays(s: str) -> str:
-    """Doris array literal [a, b] -> array(a, b); subscripts (x[1]) kept."""
-    out, stack = [], []
-    prev = ""
-    in_str = None
-    for ch in s:
-        if in_str:
-            out.append(ch)
-            if ch == in_str:
-                in_str = None
-            continue
-        if ch in ("'", '"'):
-            in_str = ch
-            out.append(ch)
-            prev = ch
-            continue
-        if ch == "[":
-            is_literal = not (prev.isalnum() or prev in ")]_'\"")
-            stack.append(is_literal)
-            out.append("array(" if is_literal else "[")
-        elif ch == "]" and stack:
-            out.append(")" if stack.pop() else "]")
-        else:
-            out.append(ch)
-        if not ch.isspace():
-            prev = ch
-    return "".join(out)
-
-
-_DATE_UNITS_MICROS = {
-    "second": 1_000_000,
-    "minute": 60_000_000,
-    "hour": 3_600_000_000,
-    "day": 86_400_000_000,
-    "week": 604_800_000_000,
-}
-
-
-# MySQL composite interval units -> ANSI range intervals (the literal
-# formats coincide: '1 2:3:4' DAY_SECOND == ANSI DAY TO SECOND).
-_COMPOSITE_UNITS = {
-    "DAY_HOUR": "DAY TO HOUR",
-    "DAY_MINUTE": "DAY TO MINUTE",
-    "DAY_SECOND": "DAY TO SECOND",
-    "DAY_MICROSECOND": "DAY TO SECOND",
-    "HOUR_MINUTE": "HOUR TO MINUTE",
-    "HOUR_SECOND": "HOUR TO SECOND",
-    "HOUR_MICROSECOND": "HOUR TO SECOND",
-    "MINUTE_SECOND": "MINUTE TO SECOND",
-    "MINUTE_MICROSECOND": "MINUTE TO SECOND",
-    "SECOND_MICROSECOND": "SECOND",
-    "YEAR_MONTH": "YEAR TO MONTH",
-}
-
-
-def dialect(sql: str) -> str:
-    """MySQL/Doris spellings -> Spark SQL (the FE's dialect layer)."""
-    s = re.sub(r"\bAS\s+DATETIMEV2\b", "AS TIMESTAMP", sql, flags=re.I)
-    s = re.sub(r"\bAS\s+DATETIME\s*\(\s*\d+\s*\)", "AS TIMESTAMP", s, flags=re.I)
-    s = re.sub(r"\bAS\s+DATETIME\b", "AS TIMESTAMP", s, flags=re.I)
-    s = re.sub(r"\bAS\s+DATEV2\b", "AS DATE", s, flags=re.I)
-    s = re.sub(r"\bAS\s+SIGNED\b", "AS BIGINT", s, flags=re.I)
-    s = re.sub(r"\bAS\s+IPV[46]\b", "AS STRING", s, flags=re.I)
-    s = re.sub(r"<\s*IPV[46]\s*>", "<STRING>", s, flags=re.I)
-    # Doris map literal {'k': v, ...} / {"k": v, ...} -> map('k', v, ...)
-    # (innermost-first so nested maps resolve). Quote-aware: a JSON text
-    # literal '{"a": 1}' must stay a string.
-    _ml = re.compile(
-        r"\{\s*(['\"][^'\"]*['\"]\s*:\s*[^,{}]+(?:\s*,\s*['\"][^'\"]*['\"]\s*:\s*[^,{}]+)*)\s*\}"
-    )
-
-    def _convert_maps(text: str) -> str:
-        # find top-level {..} spans that are OUTSIDE string literals
-        # (map literals contain quoted keys, so a plain quote-split fails)
-        out, i, n, in_str = [], 0, len(text), None
-        while i < n:
-            c = text[i]
-            if in_str:
-                out.append(c)
-                if c == in_str:
-                    in_str = None
-                i += 1
-                continue
-            if c in ("'", '"'):
-                in_str = c
-                out.append(c)
-                i += 1
-                continue
-            if c == "{":
-                depth, j, instr2 = 0, i, None
-                while j < n:
-                    cj = text[j]
-                    if instr2:
-                        if cj == instr2:
-                            instr2 = None
-                    elif cj in ("'", '"'):
-                        instr2 = cj
-                    elif cj == "{":
-                        depth += 1
-                    elif cj == "}":
-                        depth -= 1
-                        if depth == 0:
-                            break
-                    j += 1
-                span = text[i : j + 1]
-                converted = span
-                while True:
-                    s2 = _ml.sub(
-                        lambda m: "map("
-                        + re.sub(r"(['\"][^'\"]*['\"])\s*:", r"\1,", m.group(1))
-                        + ")",
-                        converted,
-                    )
-                    if s2 == converted:
-                        break
-                    converted = s2
-                out.append(converted)
-                i = j + 1
-                continue
-            out.append(c)
-            i += 1
-        return "".join(out)
-
-    s = _convert_maps(s)
-    # Doris element_at(struct, field) with a bare identifier -> field access
-    s = re.sub(
-        r"\belement_at\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*([A-Za-z_]\w*)\s*\)",
-        r"(\1).\2",
-        s,
-        flags=re.I,
-    )
-    # Doris CAST('<json>' AS ARRAY/MAP/STRUCT<...>) parses JSON text;
-    # Spark's equivalent is from_json
-    def _cast_complex(text: str) -> str:
-        out, i, n = [], 0, len(text)
-        pat = re.compile(r"CAST\s*\(", re.I)
-        while i < n:
-            m = pat.search(text, i)
-            if m is None:
-                out.append(text[i:])
-                break
-            # find the matching close paren of this CAST
-            j, depth, in_str = m.end() - 1, 0, None
-            while j < n:
-                c = text[j]
-                if in_str:
-                    if c == in_str:
-                        in_str = None
-                elif c in ("'", '"'):
-                    in_str = c
-                elif c == "(":
-                    depth += 1
-                elif c == ")":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                j += 1
-            body = text[m.end() : j]
-            am = re.search(
-                r"\s+AS\s+((?:ARRAY|MAP|STRUCT)\s*<.*>)\s*$", body, re.I | re.S
-            )
-            if am:
-                expr = _cast_complex(body[: am.start()])
-                typ = " ".join(am.group(1).split())
-                out.append(text[i : m.start()])
-                out.append(f"from_json({expr}, '{typ}')")
-            else:
-                out.append(text[i : m.start()])
-                out.append(text[m.start() : j + 1])
-            i = j + 1
-        return "".join(out)
-
-    s = _cast_complex(s)
-
-    # Doris array subscripts are 1-based and out-of-range-safe; rewrite
-    # integer-literal subscripts to try_element_at (chains walk back over
-    # balanced parens/brackets)
-    def _subscripts(text: str) -> str:
-        sub = re.compile(r"\[\s*(-?\d+)\s*\]")
-        changed = True
-        while changed:
-            changed = False
-            for m in sub.finditer(text):
-                k = m.start() - 1
-                if k < 0:
-                    continue
-                # walk back over the base expression
-                end = m.start()
-                j = k
-                while j >= 0:
-                    c = text[j]
-                    if c in ")]":
-                        depth = 0
-                        while j >= 0:
-                            if text[j] in ")]":
-                                depth += 1
-                            elif text[j] in "([":
-                                depth -= 1
-                                if depth == 0:
-                                    break
-                            j -= 1
-                        j -= 1
-                    elif c.isalnum() or c in "_.`":
-                        j -= 1
-                    else:
-                        break
-                start = j + 1
-                base = text[start:end].strip()
-                if not base or not re.search(r"[A-Za-z_)\]]", base):
-                    continue
-                text = (
-                    text[:start]
-                    + f"try_element_at({base}, {m.group(1)})"
-                    + text[m.end() :]
-                )
-                changed = True
-                break
-        return text
-
-    s = _subscripts(s)
-    s = re.sub(r"\bAS\s+UNSIGNED\b", "AS BIGINT", s, flags=re.I)
-    s = re.sub(r"\bINTERVAL\s+(-?\d+)\s+QUARTER\b", lambda m: f"INTERVAL {int(m.group(1)) * 3} MONTH", s, flags=re.I)
-    # date_floor/date_ceil(x, INTERVAL n unit) -> the registered
-    # {unit}_floor/{unit}_ceil period form (NULL period -> NULL result,
-    # carried through the UDF's INT parameter)
-    s = re.sub(
-        r"\bdate_(floor|ceil)\s*\(\s*(.*?),\s*INTERVAL\s+(\d+|NULL)\s+(\w+)\s*\)",
-        lambda m: f"{m.group(4).lower()}_{m.group(1)}({m.group(2)}, {m.group(3)})",
-        s,
-        flags=re.I | re.S,
-    )
-    # Doris EXTRACT(WEEK ...) follows MySQL WEEK() mode 0, not ISO
-    s = re.sub(
-        r"\bextract\s*\(\s*week\s+from\s+(.*?)\)",
-        lambda m: f"week(CAST({m.group(1)} AS TIMESTAMP), 0)",
-        s,
-        flags=re.I | re.S,
-    )
-    # unix_timestamp: MySQL %-format -> parse via str_to_date; plain form
-    # clamps to 0 outside the MySQL epoch range (pre-1970 -> 0)
-    def _uts(expr: str) -> str:
-        # MySQL clamps pre-epoch to 0 but keeps NULL for unparseable input
-        return (
-            f"CASE WHEN unix_timestamp({expr}) IS NULL THEN NULL "
-            f"ELSE greatest(0, unix_timestamp({expr})) END"
-        )
-
-    s = re.sub(
-        r"\bunix_timestamp\s*\(\s*('[^']*')\s*,\s*('[^']*%[^']*')\s*\)",
-        lambda m: _uts(f"str_to_date({m.group(1)}, {m.group(2)})"),
-        s,
-        flags=re.I,
-    )
-    s = re.sub(
-        r"\bunix_timestamp\s*\(\s*('[^']*')\s*\)",
-        lambda m: _uts(f"try_cast({m.group(1)} AS TIMESTAMP)"),
-        s,
-        flags=re.I,
-    )
-    # date_add(x, INTERVAL n unit) -> x + INTERVAL n unit; sub-day units
-    # force a timestamp operand (Spark rejects DATE + hour intervals)
-    def _interval_arith(sign: str):
-        def repl(m):
-            expr, n, unit = m.group(1), m.group(2), m.group(3)
-            cu = _COMPOSITE_UNITS.get(unit.upper())
-            if cu is not None or (
-                unit.lower() in _DATE_UNITS_MICROS and unit.lower() != "day"
-            ) or re.match(r"^\s*'", expr):
-                # Doris coerces string datetime literals; Spark needs the
-                # cast (also required for sub-day/composite units on DATE).
-                expr = f"CAST({expr} AS TIMESTAMP)"
-            return f"({expr} {sign} INTERVAL {n} {cu or unit})"
-
-        return repl
-
-    s = re.sub(
-        r"\b(?:date_add|adddate|days_add)\s*\(\s*(.*?),\s*INTERVAL\s+(-?[\w.'\: ]+?)\s+(\w+)\s*\)",
-        _interval_arith("+"),
-        s,
-        flags=re.I | re.S,
-    )
-    s = re.sub(
-        r"\b(?:date_sub|subdate|days_sub)\s*\(\s*(.*?),\s*INTERVAL\s+(-?[\w.'\: ]+?)\s+(\w+)\s*\)",
-        _interval_arith("-"),
-        s,
-        flags=re.I | re.S,
-    )
-    # Bare interval arithmetic with composite units:  x + INTERVAL '1 1:1:1' DAY_SECOND
-    s = re.sub(
-        r"\bINTERVAL\s+('[^']*'|-?\w+)\s+(%s)\b" % "|".join(_COMPOSITE_UNITS),
-        lambda m: f"INTERVAL {m.group(1)} {_COMPOSITE_UNITS[m.group(2).upper()]}",
-        s,
-        flags=re.I,
-    )
-    # Doris date_trunc(datetime, unit) -> Spark date_trunc(unit, datetime)
-    # (swap only when the SECOND argument is the unit keyword).
-    _UNITS = ("year", "quarter", "month", "week", "day", "hour", "minute", "second")
-    s = re.sub(
-        r"\bdate_trunc\s*\(\s*(.+?)\s*,\s*'(%s)'\s*\)" % "|".join(_UNITS),
-        lambda m: f"date_trunc('{m.group(2)}', {m.group(1)})",
-        s,
-        flags=re.I | re.S,
-    )
-    # MySQL %-format strings in date_format/from_unixtime route to the
-    # engine's __mysql_strftime kernel (exact token surface incl. %D/%l/
-    # %V; Doris additionally skips leading format whitespace -> ltrim).
-    # Java-pattern literals — no '%' — pass through untouched, as the
-    # reference also accepts them. time_format is not rewritten: it
-    # already IS the kernel.
-    s = re.sub(
-        r"\bdate_format\s*\(([^;]*?),\s*'([^']*%[^']*)'\s*\)",
-        lambda m: f"ltrim(__mysql_strftime(CAST({m.group(1)} AS TIMESTAMP), '{m.group(2)}'))",
-        s,
-        flags=re.I | re.S,
-    )
-    s = re.sub(
-        r"\bfrom_unixtime\s*\(([^;]*?),\s*'([^']*%[^']*)'\s*\)",
-        lambda m: f"__mysql_strftime(timestamp_seconds({m.group(1)}), '{m.group(2)}')",
-        s,
-        flags=re.I | re.S,
-    )
-    # %-less format that is not a recognizable Java pattern: MySQL renders
-    # its characters literally -> the kernel does too
-    s = re.sub(
-        r"\bfrom_unixtime\s*\(([^;]*?),\s*'([^'%]*)'\s*\)",
-        lambda m: (
-            f"__mysql_strftime(timestamp_seconds({m.group(1)}), '{m.group(2)}')"
-            if not re.fullmatch(r"[yMdHhmsSaET\-/:., ]*", m.group(2))
-            else m.group(0)
-        ),
-        s,
-        flags=re.I | re.S,
-    )
-    # MySQL zero-arg COUNT() == COUNT(*)
-    s = re.sub(r"\bcount\s*\(\s*\)", "count(*)", s, flags=re.I)
-    # Spark's EXTRACT has no MICROSECOND field; Doris does.
-    s = re.sub(
-        r"\bextract\s*\(\s*microsecond\s+from\s+(.*?)\)",
-        lambda m: f"microsecond({m.group(1)})",
-        s,
-        flags=re.I | re.S,
-    )
-    s = _bracket_arrays(s)
-    return s
+from doris_spark.plans.dialect import dialect  # noqa: E402  (engine dialect layer)
 
 
 _DT_FORMATS = (
