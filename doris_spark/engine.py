@@ -46,10 +46,12 @@ class Engine:
             spark = get_spark(cpus=cpus)
         else:
             # An externally built session still needs the Doris function
-            # surface (idempotent CREATE OR REPLACE).
-            from doris_spark.functions import register_all
+            # surface — prepare_session is idempotent per session, so
+            # repeated Engine construction doesn't re-pay the ~5 s
+            # registration.
+            from doris_spark.session import prepare_session
 
-            register_all(spark)
+            prepare_session(spark)
         self.spark = spark
         # table name -> merge-on-read view (DUP tables map to themselves)
         self._views: dict[str, DataFrame] = {}

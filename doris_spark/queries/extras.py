@@ -1131,3 +1131,58 @@ def mm_codec_real(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_id")
     )
+
+
+# ------------------------------------------------------------------ DML
+
+@query(
+    "dml_update_delete",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice
+  FROM orders WHERE o_orderkey < 2000
+), updated AS (
+  SELECT o_orderkey,
+         CASE WHEN o_totalprice > 150000 THEN 'H' ELSE o_orderstatus END
+           AS o_orderstatus,
+         CASE WHEN o_totalprice > 150000 THEN o_totalprice * 1.1
+              ELSE o_totalprice END AS o_totalprice
+  FROM base
+)
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(o_totalprice) AS DECIMAL(24,2)) AS total
+FROM updated
+WHERE NOT o_orderstatus = 'F'
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UPDATE/DELETE DML surface (UpdateCommand.java / DeleteFromCommand
+    .java) end-to-end through Engine.sql: snapshot a slice of orders as a
+    managed table, UPDATE with an expression SET + WHERE, DELETE a
+    status class, then aggregate the surviving snapshot. The oracle
+    recomputes the same transform as pure SELECT algebra."""
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    base = (
+        load_tables(spark, sf_dir)["orders"]
+        .filter(F.col("o_orderkey") < 2000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    eng.create_table(base, "__dml_orders")
+    eng.sql(
+        "UPDATE __dml_orders SET o_orderstatus = 'H', "
+        "o_totalprice = o_totalprice * 1.1 WHERE o_totalprice > 150000"
+    )
+    eng.sql("DELETE FROM __dml_orders WHERE o_orderstatus = 'F'")
+    return eng.sql(
+        """
+        SELECT o_orderstatus, count(*) AS cnt,
+               CAST(sum(o_totalprice) AS DECIMAL(24,2)) AS total
+        FROM __dml_orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )
