@@ -179,6 +179,16 @@ def dialect(sql: str) -> str:
         s,
         flags=re.I,
     )
+    # numeric element_at is out-of-range-safe in Doris; index 0 is NULL
+    # (a hard error even for Spark's try_element_at — probe past the end)
+    s = re.sub(
+        r"\belement_at\s*\(\s*([^,()]+(?:\([^()]*\))?)\s*,\s*(-?\d+)\s*\)",
+        lambda m: f"try_element_at({m.group(1)}, "
+        + ("2147483647" if m.group(2) == "0" else m.group(2))
+        + ")",
+        s,
+        flags=re.I,
+    )
     # Doris CAST('<json>' AS ARRAY/MAP/STRUCT<...>) parses JSON text;
     # Spark's equivalent is from_json
     def _cast_complex(text: str) -> str:
@@ -209,11 +219,15 @@ def dialect(sql: str) -> str:
             am = re.search(
                 r"\s+AS\s+((?:ARRAY|MAP|STRUCT)\s*<.*>)\s*$", body, re.I | re.S
             )
-            if am:
-                expr = _cast_complex(body[: am.start()])
+            # JSON-text parse only applies to string-valued sources: a
+            # quoted literal, or a bare column that the native CAST path
+            # can't be (complex-to-complex casts stay native CAST — the
+            # fallback retry in tools/ref_parity handles string columns)
+            src_expr = body[: am.start()].strip() if am else ""
+            if am and re.fullmatch(r"'(?:[^']|'')*'|\"[^\"]*\"", src_expr):
                 typ = " ".join(am.group(1).split())
                 out.append(text[i : m.start()])
-                out.append(f"from_json({expr}, '{typ}')")
+                out.append(f"from_json({src_expr}, '{typ}')")
             else:
                 out.append(text[i : m.start()])
                 out.append(text[m.start() : j + 1])
@@ -260,7 +274,13 @@ def dialect(sql: str) -> str:
                     continue
                 text = (
                     text[:start]
-                    + f"try_element_at({base}, {m.group(1)})"
+                    # index 0 is an ERROR even for try_element_at; Doris
+                    # yields NULL — probe past the end instead
+                    + (
+                        f"try_element_at({base}, 2147483647)"
+                        if m.group(1) == "0"
+                        else f"try_element_at({base}, {m.group(1)})"
+                    )
                     + text[m.end() :]
                 )
                 changed = True

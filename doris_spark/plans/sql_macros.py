@@ -548,11 +548,11 @@ def _array_reverse_split(args: Sequence[str]) -> str:
         f"filter(sequence(1, size({arr})), "
         f"__i -> __i = size({arr}) OR try_element_at({marks}, __i) = 1)"
     )
+    prev_end = f"IF(__g = 0, 0, coalesce(try_element_at({ends}, __g), 0))"
     return (
         f"CASE WHEN ({arr}) IS NULL THEN NULL WHEN size({arr}) = 0 THEN array() ELSE "
         f"transform({ends}, (__e, __g) -> slice({arr}, "
-        f"coalesce(try_element_at({ends}, __g), 0) + 1, "
-        f"__e - coalesce(try_element_at({ends}, __g), 0))) END"
+        f"{prev_end} + 1, __e - {prev_end})) END"
     )
 
 

@@ -413,6 +413,19 @@ def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
             df = eng.sql(stripped)
             rows = df.collect()
             ordered = True
+        elif 'cannot cast "STRING"' in str(exc) and re.search(
+            r"\bCAST\s*\(", sql, re.I
+        ):
+            # string COLUMN cast to a complex type: JSON-text parse
+            # (dialect only rewrites quoted literals eagerly)
+            retry = re.sub(
+                r"\bCAST\s*\(\s*([A-Za-z_][\w.]*)\s+AS\s+((?:ARRAY|MAP|STRUCT)\s*<[^<>]*(?:<[^<>]*>[^<>]*)*>)\s*\)",
+                lambda m: f"from_json({m.group(1)}, '{' '.join(m.group(2).split())}')",
+                dialect(sql),
+                flags=re.I,
+            )
+            df = eng.sql(retry)
+            rows = df.collect()
         elif "UNEXPECTED_INPUT_TYPE" in str(exc) and re.search(
             r"element_at", sql, re.I
         ):
