@@ -24,15 +24,36 @@ from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame, SparkSession
 
-_UPDATE_RE = _re.compile(
-    r"^\s*UPDATE\s+`?(\w+)`?\s+SET\s+(.*?)(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
-    _re.I | _re.S,
+_UPDATE_HEAD_RE = _re.compile(r"^\s*UPDATE\s+`?(\w+)`?\s+SET\s+", _re.I | _re.S)
+_DELETE_HEAD_RE = _re.compile(
+    r"^\s*DELETE\s+FROM\s+`?(\w+)`?(?:\s+PARTITION\s*\([^)]*\))?\s*", _re.I | _re.S
 )
-_DELETE_RE = _re.compile(
-    r"^\s*DELETE\s+FROM\s+`?(\w+)`?(?:\s+PARTITION\s*\([^)]*\))?"
-    r"(?:\s+WHERE\s+(.*?))?\s*;?\s*$",
-    _re.I | _re.S,
-)
+
+
+def _split_where(text: str) -> tuple[str, str | None]:
+    """Split `text` on the first top-level WHERE (outside quotes/parens).
+
+    A single regex split breaks when WHERE occurs inside a string literal
+    in the SET list (`SET note = 'call where needed'`); scan instead.
+    """
+    i, n, depth, in_str = 0, len(text), 0, None
+    while i < n:
+        c = text[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c in "wW":
+            m = _re.match(r"WHERE\b", text[i:], _re.I)
+            if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_`")):
+                return text[:i].rstrip(), text[i + m.end() :].strip()
+        i += 1
+    return text.rstrip(), None
 
 from doris_spark.operators.table_models import agg_key_view, unique_key_view
 from doris_spark.session import get_spark, register_views
@@ -55,6 +76,9 @@ class Engine:
         self.spark = spark
         # table name -> merge-on-read view (DUP tables map to themselves)
         self._views: dict[str, DataFrame] = {}
+        # transparent MV rewrite catalog (plans/mv_rewrite.py)
+        self._mvs: list = []
+        self.last_mv_rewrite: str | None = None
 
     # ------------------------------------------------------------ queries
 
@@ -76,6 +100,13 @@ class Engine:
         dml = self._dml(text)
         if dml is not None:
             return dml
+        self.last_mv_rewrite = None
+        if self._mvs:
+            from doris_spark.plans.mv_rewrite import try_rewrite
+
+            hit = try_rewrite(text, self._mvs)
+            if hit is not None:
+                text, self.last_mv_rewrite = hit
         return self.spark.sql(rewrite(dialect(text)))
 
     def _dml(self, text: str) -> DataFrame | None:
@@ -94,24 +125,35 @@ class Engine:
 
         from pyspark.sql import functions as F
 
-        from doris_spark.plans.sql_macros import rewrite
+        from doris_spark.plans.dialect import dialect
+        from doris_spark.plans.sql_macros import rewrite as _rw
 
-        md = _DELETE_RE.match(text)
-        mu = None if md else _UPDATE_RE.match(text)
+        def rewrite(fragment: str) -> str:
+            # DML predicates/assignments get the SAME dialect as queries
+            # (1-based subscripts, MySQL %-formats, map/array literals) —
+            # DELETE ... WHERE arr[1]='x' must test the element that
+            # SELECT ... WHERE arr[1]='x' tests.
+            return _rw(dialect(fragment))
+
+        md = _DELETE_HEAD_RE.match(text)
+        mu = None if md else _UPDATE_HEAD_RE.match(text)
         if md is None and mu is None:
             return None
         name = (md or mu).group(1)
+        tail = text[(md or mu).end() :].rstrip().rstrip(";").rstrip()
         cur = self.table(name)
 
         if md is not None:
-            where = md.group(2)
+            rest, where = _split_where(tail)
+            if rest.strip():
+                return None  # unrecognized DELETE tail — not our DML shape
             if where is None:
                 raise ValueError("DELETE requires a WHERE clause (Doris semantics)")
             cond = rewrite(where)
             affected = cur.filter(F.expr(cond)).count()
             new = cur.filter(~F.coalesce(F.expr(cond), F.lit(False)))
         else:
-            assigns_src, where = mu.group(2), mu.group(3)
+            assigns_src, where = _split_where(tail)
             # split assignments on top-level commas (quote/paren aware)
             parts, depth, buf, in_str = [], 0, [], None
             for ch in assigns_src:
@@ -212,6 +254,28 @@ class Engine:
         view.createOrReplaceTempView(name)
         self._views[name] = view
         return view
+
+    def register_mv(
+        self,
+        name: str,
+        base_table: str,
+        dims: Sequence[str],
+        measures: Mapping[str, str],
+        view: DataFrame | None = None,
+    ) -> None:
+        """Register `name` for TRANSPARENT rewrite (Nereids
+        MaterializedViewProjectAggregateRule analog): aggregate queries
+        over `base_table` whose group-by/filters use only `dims` and
+        whose aggregates are derivable from `measures` (mv column ->
+        "fn(expr)" partial spec) are redirected onto the MV by
+        Engine.sql — the user keeps querying the base table. `view`
+        (e.g. MaterializedView.read()) is registered under `name` if
+        given; otherwise `name` must already resolve."""
+        from doris_spark.plans.mv_rewrite import MVDef
+
+        if view is not None:
+            view.createOrReplaceTempView(name)
+        self._mvs.append(MVDef.build(name, base_table, dims, dict(measures)))
 
     def drop_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)

@@ -663,7 +663,7 @@ def register_mysql_datetime(spark: SparkSession) -> int:
     spark.udf.register(
         "__locale_monthname", pandas_udf(_name_lookup("months"), "string")
     )
-    return 6
+    return 7
 
 
 def register(spark: SparkSession) -> int:

@@ -172,13 +172,11 @@ def dialect(sql: str) -> str:
         return "".join(out)
 
     s = _convert_maps(s)
-    # Doris element_at(struct, field) with a bare identifier -> field access
-    s = re.sub(
-        r"\belement_at\s*\(\s*([A-Za-z_][\w.]*)\s*,\s*([A-Za-z_]\w*)\s*\)",
-        r"(\1).\2",
-        s,
-        flags=re.I,
-    )
+    # NOTE: element_at(expr, bare_identifier) is deliberately NOT rewritten
+    # to struct field access here — a map/array lookup with a column-valued
+    # key (element_at(m, key_col)) is the common case and must stay native.
+    # Struct element_at is resolved by the typed retry in tools/ref_parity.py
+    # (only when Spark's analyzer proves the operand is a struct).
     # numeric element_at is out-of-range-safe in Doris; index 0 is NULL
     # (a hard error even for Spark's try_element_at — probe past the end)
     s = re.sub(
@@ -239,12 +237,33 @@ def dialect(sql: str) -> str:
     # Doris array subscripts are 1-based and out-of-range-safe; rewrite
     # integer-literal subscripts to try_element_at (chains walk back over
     # balanced parens/brackets)
+    def _literal_spans(text: str) -> list[tuple[int, int]]:
+        """[start, end) spans of '...'/"..." string literals."""
+        spans, i, n = [], 0, len(text)
+        while i < n:
+            c = text[i]
+            if c in ("'", '"'):
+                j = i + 1
+                while j < n and text[j] != c:
+                    j += 1
+                spans.append((i, j + 1))
+                i = j + 1
+            else:
+                i += 1
+        return spans
+
     def _subscripts(text: str) -> str:
         sub = re.compile(r"\[\s*(-?\d+)\s*\]")
         changed = True
         while changed:
             changed = False
+            spans = _literal_spans(text)
             for m in sub.finditer(text):
+                # quoted text of the form ident[N] (JSON paths, LIKE
+                # patterns) must never be rewritten (spans recomputed
+                # after each mutation)
+                if any(a <= m.start() < b for a, b in spans):
+                    continue
                 k = m.start() - 1
                 if k < 0:
                     continue

@@ -134,6 +134,42 @@ def sketch_bitmap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "sketch_bitmap_roaring",
+    oracle="""
+SELECT l_linestatus,
+       count(DISTINCT l_suppkey) AS supp_ndv,
+       min(l_suppkey) AS min_supp,
+       max(l_suppkey) AS max_supp
+FROM lineitem
+GROUP BY l_linestatus
+ORDER BY l_linestatus
+""",
+)
+def sketch_bitmap_roaring(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """bitmap_union over the COMPRESSED Roaring tier
+    (functions/roaring.py; Doris BitmapValue/Roaring64Map analog,
+    be/src/util/bitmap_value.h). Two-level plan: mapInPandas partial
+    bitmaps per input partition, one shuffle of compressed partials,
+    grouped merge — task memory bounded by the compressed union size,
+    not the raw distinct count (the array tier's collect_list would
+    materialize every value per group)."""
+    from doris_spark.functions import roaring as RB
+
+    li = load_tables(spark, sf_dir)["lineitem"]
+    bm = RB.bitmap_union_compressed(li, ["l_linestatus"], "l_suppkey")
+    arr = RB.bitmap_to_array_col(F.col("bm"))
+    return (
+        bm.select(
+            "l_linestatus",
+            RB.bitmap_count_col(F.col("bm")).alias("supp_ndv"),
+            F.array_min(arr).alias("min_supp"),
+            F.array_max(arr).alias("max_supp"),
+        )
+        .orderBy("l_linestatus")
+    )
+
+
+@query(
     "sketch_orthogonal_bitmap",
     oracle="""
 SELECT l_linestatus,
@@ -405,3 +441,73 @@ def mtmv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("yr").cast("int").alias("yr"), "o_orderstatus", "cnt", "total")
         .orderBy("yr", "o_orderstatus")
     )
+
+
+@query(
+    "mv_transparent_rewrite",
+    oracle="""
+SELECT o_orderstatus,
+       count(*) AS n,
+       sum(o_totalprice) AS total,
+       max(o_totalprice) AS mx
+FROM orders
+WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def mv_transparent_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRANSPARENT MV rewrite (plans/mv_rewrite.py; Nereids
+    MaterializedViewProjectAggregateRule.java analog): the query below
+    is issued against the BASE `orders` table; Engine.sql redirects it
+    onto a registered (priority, status) rollup MV — asserted via
+    last_mv_rewrite — and re-aggregates the partials (rollup
+    containment: group-by is a subset of MV dims, filter on a dim,
+    count->sum, sum->sum, max->max). At 100 TB the scan reads the
+    few-thousand-row MV, not the fact table."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from doris_spark.engine import Engine
+    from doris_spark.session import register_views
+    from doris_spark.streaming.mtmv import MaterializedView
+
+    register_views(spark, sf_dir)
+    eng = Engine(spark)
+    orders = load_tables(spark, sf_dir)["orders"]
+    storage = _os.path.join(
+        tempfile.gettempdir(), f"doris_spark_mvrw_{abs(hash(sf_dir))}"
+    )
+    shutil.rmtree(storage, ignore_errors=True)
+    mv = MaterializedView(
+        spark,
+        "orders_prio_rollup",
+        storage,
+        lambda b: b.groupBy("o_orderpriority", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_totalprice").alias("sum_price"),
+            F.max("o_totalprice").alias("max_price"),
+        ),
+        "o_orderpriority",
+    )
+    mv.refresh(orders)
+    eng.register_mv(
+        "orders_prio_rollup",
+        "orders",
+        dims=["o_orderpriority", "o_orderstatus"],
+        measures={
+            "cnt": "count(*)",
+            "sum_price": "sum(o_totalprice)",
+            "max_price": "max(o_totalprice)",
+        },
+        view=mv.read(),
+    )
+    out = eng.sql(
+        "SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total, "
+        "max(o_totalprice) AS mx "
+        "FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') "
+        "GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    )
+    assert eng.last_mv_rewrite == "orders_prio_rollup", "MV rewrite must fire"
+    return out

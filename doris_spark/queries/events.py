@@ -377,10 +377,10 @@ def ev_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
 WITH purchases AS (
   SELECT user_id, event_id, {_TS} AS pts, value
-  FROM events WHERE event_type = 'purchase' AND user_id % 200 = 0
+  FROM events WHERE event_type = 'purchase'
 ), views AS (
   SELECT user_id, {_TS} AS vts, max(value) AS vvalue
-  FROM events WHERE event_type = 'view' AND user_id % 200 = 0
+  FROM events WHERE event_type = 'view'
   GROUP BY user_id, {_TS}
 )
 SELECT p.user_id, p.event_id, p.value AS purchase_value,
@@ -393,19 +393,18 @@ ORDER BY p.user_id, p.event_id
 def ev_asof_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The SQL surface of the ASOF join: Doris `ASOF INNER JOIN ...
     MATCH_CONDITION(...) ON ...` syntax (DorisParser.g4:1467) run
-    verbatim through Engine.sql — plans/asof_sql.py rewrites it to a
-    correlated LATERAL LIMIT-1 subquery. Oracle: DuckDB's native ASOF
-    JOIN. Restricted to a deterministic 0.5% user slice: this query
-    exercises the SQL dialect path, whose decorrelated plan pairs
-    distinct(left times) with the right side before pruning (see
-    PLANS.md) — full-scale ASOF runs are ev_asof via the DataFrame
-    operator's single-shuffle union+window plan."""
+    verbatim through Engine.sql — plans/asof_sql.py rewrites it to the
+    same union+window pick plan as the DataFrame operator
+    (operators/asof.py): one shuffle on the equality keys plus an
+    equi-join back, no BroadcastNestedLoopJoin, linear in input. Runs
+    FULL-SIZE (the r4 0.5% bench slice is gone with the lateral plan).
+    Oracle: DuckDB's native ASOF JOIN."""
     from doris_spark.engine import Engine
     from doris_spark.session import register_views
 
     register_views(spark, sf_dir)
     eng = Engine(spark)
-    ev = load_tables(spark, sf_dir)["events"].filter(F.col("user_id") % 200 == 0)
+    ev = load_tables(spark, sf_dir)["events"]
     ev.filter(F.col("event_type") == "purchase").select(
         "user_id", "event_id", F.col("ts").alias("pts"), "value"
     ).createOrReplaceTempView("__asof_purchases")

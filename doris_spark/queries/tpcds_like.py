@@ -355,3 +355,499 @@ def ds_monthly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mon", "mau",
         F.round(F.col("mau") / F.lag("mau").over(w), 6).alias("mom_ratio"),
     ).orderBy("mon")
+
+
+@query(
+    "ds_q5_channel_rollup",
+    oracle="""
+WITH per AS (
+  SELECT l_linestatus AS channel, p_brand,
+         sum(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END) AS sales,
+         sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END) AS returns_amt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY l_linestatus, p_brand
+)
+SELECT coalesce(channel, 'ALL') AS channel,
+       coalesce(p_brand, 'ALL') AS brand,
+       round(sum(sales), 2) AS sales,
+       round(sum(returns_amt), 2) AS returns_amt,
+       round(sum(sales) - sum(returns_amt), 2) AS profit
+FROM per
+GROUP BY ROLLUP(channel, p_brand)
+ORDER BY channel, brand
+""",
+)
+def ds_q5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q5 shape (tools/tpcds-tools/queries/query5.sql): per-channel
+    sales/returns report with a ROLLUP over (channel, brand). Channel =
+    l_linestatus on the fixture (no shipmode column). One shuffle to (channel, brand); the
+    rollup's grand totals ride the same Expand-based aggregate."""
+    t = load_tables(spark, sf_dir)
+    per = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_linestatus").alias("channel"), "p_brand")
+        .agg(
+            F.sum(F.when(F.col("l_returnflag") != "R", F.col("l_extendedprice")).otherwise(0)).alias("sales"),
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0)).alias("returns_amt"),
+        )
+    )
+    return (
+        per.rollup("channel", "p_brand")
+        .agg(
+            F.round(F.sum("sales"), 2).alias("sales"),
+            F.round(F.sum("returns_amt"), 2).alias("returns_amt"),
+            F.round(F.sum("sales") - F.sum("returns_amt"), 2).alias("profit"),
+        )
+        .select(
+            F.coalesce("channel", F.lit("ALL")).alias("channel"),
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            "sales", "returns_amt", "profit",
+        )
+        .orderBy("channel", "brand")
+    )
+
+
+@query(
+    "ds_q11_yoy_two_channel",
+    oracle="""
+WITH spend AS (
+  SELECT o_custkey, year(o_orderdate) AS yr,
+         sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN o_totalprice ELSE 0 END) AS hi,
+         sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN o_totalprice ELSE 0 END) AS lo
+  FROM orders GROUP BY o_custkey, year(o_orderdate)
+),
+pairs AS (
+  SELECT c.o_custkey, c.yr,
+         c.hi AS hi_cur, p.hi AS hi_prev, c.lo AS lo_cur, p.lo AS lo_prev
+  FROM spend c JOIN spend p
+    ON c.o_custkey = p.o_custkey AND c.yr = p.yr + 1
+  WHERE p.hi > 0 AND p.lo > 0
+)
+SELECT o_custkey, yr
+FROM pairs
+WHERE hi_cur / hi_prev > lo_cur / lo_prev
+ORDER BY o_custkey, yr
+""",
+)
+def ds_q11_yoy_two_channel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q11/q74 shape: customers whose year-over-year growth in the
+    'high-priority' channel beats their growth in the other channel.
+    Single aggregate to (custkey, yr), then a lag window per customer —
+    NOT a self-join — so the comparison is one shuffle total."""
+    t = load_tables(spark, sf_dir)
+    hi = F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), F.col("o_totalprice")).otherwise(0)
+    spend = t["orders"].groupBy(
+        "o_custkey", F.year("o_orderdate").alias("yr")
+    ).agg(
+        F.sum(hi).alias("hi"),
+        F.sum(F.col("o_totalprice") - hi).alias("lo"),
+    )
+    w = Window.partitionBy("o_custkey").orderBy("yr")
+    lag_yr = F.lag("yr").over(w)
+    out = spend.select(
+        "o_custkey", "yr", "hi", "lo",
+        F.lag("hi").over(w).alias("hi_prev"),
+        F.lag("lo").over(w).alias("lo_prev"),
+        lag_yr.alias("yr_prev"),
+    ).filter(
+        (F.col("yr_prev") == F.col("yr") - 1)
+        & (F.col("hi_prev") > 0) & (F.col("lo_prev") > 0)
+        & (F.col("hi") / F.col("hi_prev") > F.col("lo") / F.col("lo_prev"))
+    )
+    return out.select("o_custkey", "yr").orderBy("o_custkey", "yr")
+
+
+@query(
+    "ds_q14_cross_channel_parts",
+    oracle="""
+WITH all3 AS (
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'A'
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'N'
+  INTERSECT
+  SELECT l_partkey FROM lineitem WHERE l_returnflag = 'R'
+)
+SELECT p_brand, count(*) AS n_lines,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS rev
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE l_partkey IN (SELECT l_partkey FROM all3)
+GROUP BY p_brand
+ORDER BY p_brand
+""",
+)
+def ds_q14_cross_channel_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q14 shape: parts sold through ALL THREE channels
+    (INTERSECT chain), then revenue by brand restricted to that set via
+    a left-semi join (no row duplication, runtime-filterable)."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"]
+    chan = lambda m: li.filter(F.col("l_returnflag") == m).select("l_partkey")
+    all3 = chan("A").intersect(chan("N")).intersect(chan("R"))
+    return (
+        li.join(all3, "l_partkey", "left_semi")
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.count(F.lit(1)).alias("n_lines"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "ds_q47_monthly_deviation",
+    oracle="""
+WITH m AS (
+  SELECT p_brand, year(l_shipdate) AS yr, month(l_shipdate) AS mon,
+         round(sum(l_extendedprice), 2) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_brand, year(l_shipdate), month(l_shipdate)
+),
+v AS (
+  SELECT p_brand, yr, mon, rev,
+         sum(rev) OVER (PARTITION BY p_brand, yr) AS sum_year,
+         count(*) OVER (PARTITION BY p_brand, yr) AS n_months,
+         lag(rev) OVER (PARTITION BY p_brand ORDER BY yr, mon) AS prev_rev,
+         lead(rev) OVER (PARTITION BY p_brand ORDER BY yr, mon) AS next_rev
+  FROM m
+)
+SELECT p_brand, yr, mon, rev, round(sum_year, 2) AS sum_year, n_months,
+       prev_rev, next_rev
+FROM v
+WHERE sum_year > 0 AND abs(rev - sum_year / n_months) / (sum_year / n_months) > 0.3
+ORDER BY p_brand, yr, mon
+""",
+)
+def ds_q47_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q47 shape: monthly revenue per brand vs the brand-year
+    average, with lag/lead context months, keeping months deviating
+    >30%. Two windows share the (p_brand) partitioning — one shuffle
+    feeds both (Catalyst reuses the exchange)."""
+    t = load_tables(spark, sf_dir)
+    m = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mon"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+    )
+    wa = Window.partitionBy("p_brand", "yr")
+    ws = Window.partitionBy("p_brand").orderBy("yr", "mon")
+    v = m.select(
+        "p_brand", "yr", "mon", "rev",
+        F.sum("rev").over(wa).alias("sum_year_raw"),
+        F.count(F.lit(1)).over(wa).alias("n_months"),
+        F.lag("rev").over(ws).alias("prev_rev"),
+        F.lead("rev").over(ws).alias("next_rev"),
+    )
+    avg = F.col("sum_year_raw") / F.col("n_months")
+    return (
+        v.filter((F.col("sum_year_raw") > 0) & (F.abs(F.col("rev") - avg) / avg > 0.3))
+        .select(
+            "p_brand", "yr", "mon", "rev",
+            F.round("sum_year_raw", 2).alias("sum_year"),
+            "n_months",
+            "prev_rev", "next_rev",
+        )
+        .orderBy("p_brand", "yr", "mon")
+    )
+
+
+@query(
+    "ds_q57_nation_deviation",
+    oracle="""
+WITH m AS (
+  SELECT n_name, year(l_shipdate) AS yr, month(l_shipdate) AS mon,
+         round(sum(l_extendedprice), 2) AS rev
+  FROM lineitem
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation ON s_nationkey = n_nationkey
+  GROUP BY n_name, year(l_shipdate), month(l_shipdate)
+),
+v AS (
+  SELECT n_name, yr, mon, rev,
+         sum(rev) OVER (PARTITION BY n_name, yr) AS sum_year,
+         rank() OVER (PARTITION BY n_name ORDER BY rev DESC) AS rev_rank
+  FROM m
+)
+SELECT n_name, yr, mon, rev, round(sum_year, 2) AS sum_year, rev_rank
+FROM v WHERE rev_rank <= 3
+ORDER BY n_name, rev_rank, yr, mon
+""",
+)
+def ds_q57_nation_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q57 shape on the supplier-nation dimension: top-3 revenue
+    months per nation plus the nation-year average. The rank window
+    prunes through WindowGroupLimit before the final sort."""
+    t = load_tables(spark, sf_dir)
+    m = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mon"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+    )
+    wa = Window.partitionBy("n_name", "yr")
+    wr = Window.partitionBy("n_name").orderBy(F.desc("rev"))
+    v = m.select(
+        "n_name", "yr", "mon", "rev",
+        F.sum("rev").over(wa).alias("sum_year_raw"),
+        F.rank().over(wr).alias("rev_rank"),
+    )
+    return (
+        v.filter(F.col("rev_rank") <= 3)
+        .select("n_name", "yr", "mon", "rev",
+                F.round("sum_year_raw", 2).alias("sum_year"), "rev_rank")
+        .orderBy("n_name", "rev_rank", "yr", "mon")
+    )
+
+
+@query(
+    "ds_q33_mfgr_channels",
+    oracle="""
+WITH u AS (
+  SELECT p_type, 'A' AS channel, l_extendedprice AS amt
+  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_returnflag = 'A'
+  UNION ALL
+  SELECT p_type, 'N' AS channel, l_extendedprice AS amt
+  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_returnflag = 'N'
+  UNION ALL
+  SELECT p_type, 'R' AS channel, l_extendedprice AS amt
+  FROM lineitem JOIN part ON l_partkey = p_partkey WHERE l_returnflag = 'R'
+)
+SELECT p_type, round(sum(amt), 2) AS total_amt, count(*) AS n
+FROM u GROUP BY p_type ORDER BY total_amt DESC, p_type
+""",
+)
+def ds_q33_mfgr_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q33 shape: part-type revenue unioned across three
+    channels then re-aggregated. The union branches share one scan
+    shape; filters push to parquet; final agg is partial+final."""
+    t = load_tables(spark, sf_dir)
+    li = t["lineitem"].join(
+        F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
+    )
+    branch = lambda m: li.filter(F.col("l_returnflag") == m).select(
+        "p_type", F.lit(m).alias("channel"), F.col("l_extendedprice").alias("amt")
+    )
+    u = branch("A").unionByName(branch("N")).unionByName(branch("R"))
+    return (
+        u.groupBy("p_type")
+        .agg(F.round(F.sum("amt"), 2).alias("total_amt"), F.count(F.lit(1)).alias("n"))
+        .orderBy(F.desc("total_amt"), "p_type")
+    )
+
+
+@query(
+    "ds_q35_customer_stats",
+    oracle="""
+SELECT n_name, c_mktsegment,
+       count(*) AS cnt,
+       round(sum(c_acctbal), 2) AS sum_bal,
+       round(max(c_acctbal), 2) AS max_bal,
+       round(min(c_acctbal), 2) AS min_bal
+FROM customer
+JOIN nation ON c_nationkey = n_nationkey
+WHERE EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey
+              AND year(o_orderdate) = 1995)
+GROUP BY n_name, c_mktsegment
+ORDER BY n_name, c_mktsegment
+""",
+)
+def ds_q35_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q35 shape: demographic stats over customers active in a
+    year — EXISTS becomes a left-semi join on the filtered fact."""
+    t = load_tables(spark, sf_dir)
+    active = t["orders"].filter(F.year("o_orderdate") == 1995).select(
+        F.col("o_custkey").alias("c_custkey")
+    )
+    return (
+        t["customer"]
+        .join(active, "c_custkey", "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.round(F.sum("c_acctbal"), 2).alias("sum_bal"),
+            F.round(F.max("c_acctbal"), 2).alias("max_bal"),
+            F.round(F.min("c_acctbal"), 2).alias("min_bal"),
+        )
+        .orderBy("n_name", "c_mktsegment")
+    )
+
+
+@query(
+    "ds_q65_low_revenue_pairs",
+    oracle="""
+WITH sp AS (
+  SELECT l_suppkey, l_partkey, sum(l_extendedprice) AS rev
+  FROM lineitem GROUP BY l_suppkey, l_partkey
+),
+sa AS (
+  SELECT l_suppkey, avg(rev) AS avg_rev
+  FROM sp GROUP BY l_suppkey
+)
+SELECT s_name, p_name, round(sp.rev, 2) AS rev, round(sa.avg_rev, 2) AS avg_rev
+FROM sp
+JOIN sa ON sp.l_suppkey = sa.l_suppkey
+JOIN supplier ON sp.l_suppkey = s_suppkey
+JOIN part ON sp.l_partkey = p_partkey
+WHERE sp.rev <= 0.1 * sa.avg_rev
+ORDER BY s_name, p_name
+""",
+)
+def ds_q65_low_revenue_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q65 shape: (supplier, part) pairs whose revenue is <=10%
+    of the supplier's average pair revenue. The per-supplier average is
+    a window over the FIRST aggregate's output — no re-scan, no
+    self-join of the fact table."""
+    t = load_tables(spark, sf_dir)
+    sp = t["lineitem"].groupBy("l_suppkey", "l_partkey").agg(
+        F.sum("l_extendedprice").alias("rev")
+    )
+    w = Window.partitionBy("l_suppkey")
+    low = sp.withColumn("avg_rev_raw", F.avg("rev").over(w)).filter(
+        F.col("rev") <= 0.1 * F.col("avg_rev_raw")
+    )
+    return (
+        low.join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .select(
+            "s_name", "p_name",
+            F.round("rev", 2).alias("rev"),
+            F.round("avg_rev_raw", 2).alias("avg_rev"),
+        )
+        .orderBy("s_name", "p_name")
+    )
+
+
+@query(
+    "ds_q75_yoy_decline",
+    oracle="""
+WITH by_year AS (
+  SELECT p_brand, year(l_shipdate) AS yr,
+         sum(l_quantity) AS qty, sum(l_extendedprice) AS amt
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag IN ('A', 'N')
+  GROUP BY p_brand, year(l_shipdate)
+)
+SELECT c.p_brand, c.yr, c.qty AS qty_cur, p.qty AS qty_prev,
+       round(c.amt - p.amt, 2) AS amt_delta
+FROM by_year c JOIN by_year p
+  ON c.p_brand = p.p_brand AND c.yr = p.yr + 1
+WHERE c.qty < p.qty
+ORDER BY amt_delta, c.p_brand, c.yr
+""",
+)
+def ds_q75_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q75 shape: brands whose unit volume DECLINED year over
+    year across the selected channels, with the revenue delta. The
+    prev-year comparison is a lag window per brand (one shuffle), not
+    the spec's self-join."""
+    t = load_tables(spark, sf_dir)
+    by_year = (
+        t["lineitem"]
+        .filter(F.col("l_returnflag").isin("A", "N"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.year("l_shipdate").alias("yr"))
+        .agg(F.sum("l_quantity").alias("qty"), F.sum("l_extendedprice").alias("amt"))
+    )
+    w = Window.partitionBy("p_brand").orderBy("yr")
+    out = by_year.select(
+        "p_brand", "yr", "qty", "amt",
+        F.lag("yr").over(w).alias("yr_prev"),
+        F.lag("qty").over(w).alias("qty_prev"),
+        F.lag("amt").over(w).alias("amt_prev"),
+    ).filter((F.col("yr_prev") == F.col("yr") - 1) & (F.col("qty") < F.col("qty_prev")))
+    return out.select(
+        "p_brand", "yr",
+        F.col("qty").alias("qty_cur"),
+        "qty_prev",
+        F.round(F.col("amt") - F.col("amt_prev"), 2).alias("amt_delta"),
+    ).orderBy("amt_delta", "p_brand", "yr")
+
+
+@query(
+    "ds_q89_rolling_brand_avg",
+    oracle="""
+WITH m AS (
+  SELECT p_brand, l_linestatus, year(l_shipdate) AS yr, month(l_shipdate) AS mon,
+         round(sum(l_extendedprice), 2) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1995
+  GROUP BY p_brand, l_linestatus, year(l_shipdate), month(l_shipdate)
+)
+, v AS (
+  SELECT p_brand, l_linestatus, yr, mon, rev,
+         sum(rev) OVER (PARTITION BY p_brand, l_linestatus) AS sum_m,
+         count(*) OVER (PARTITION BY p_brand, l_linestatus) AS n_m
+  FROM m
+)
+SELECT p_brand, l_linestatus, yr, mon, rev,
+       round(sum_m, 2) AS sum_monthly, n_m
+FROM v
+WHERE abs(rev - sum_m / n_m) > 0.2 * (sum_m / n_m)
+ORDER BY p_brand, l_linestatus, yr, mon
+""",
+)
+def ds_q89_rolling_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q89 shape: months whose revenue deviates >20% from the
+    (brand, linestatus) average within a year. Single aggregate + one
+    window on the same keys."""
+    t = load_tables(spark, sf_dir)
+    m = (
+        t["lineitem"]
+        .filter(F.year("l_shipdate") == 1995)
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", "l_linestatus", F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mon"))
+        .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
+    )
+    w = Window.partitionBy("p_brand", "l_linestatus")
+    v = m.withColumn("sum_m", F.sum("rev").over(w)).withColumn(
+        "n_m", F.count(F.lit(1)).over(w)
+    )
+    avg = F.col("sum_m") / F.col("n_m")
+    return (
+        v.filter(F.abs(F.col("rev") - avg) > 0.2 * avg)
+        .select("p_brand", "l_linestatus", "yr", "mon", "rev",
+                F.round("sum_m", 2).alias("sum_monthly"),
+                F.col("n_m").alias("n_m"))
+        .orderBy("p_brand", "l_linestatus", "yr", "mon")
+    )
+
+
+@query(
+    "ds_q34_order_buckets",
+    oracle="""
+WITH per_order AS (
+  SELECT o_orderkey, o_custkey, count(*) AS n_items
+  FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  GROUP BY o_orderkey, o_custkey
+)
+SELECT c_name, o_orderkey, n_items
+FROM per_order JOIN customer ON o_custkey = c_custkey
+WHERE n_items BETWEEN 5 AND 7
+ORDER BY c_name, o_orderkey
+""",
+)
+def ds_q34_order_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q34 shape: orders whose item count falls in a bucket,
+    joined back to the customer dimension. The count aggregates on the
+    join key the fact already shuffles on."""
+    t = load_tables(spark, sf_dir)
+    per_order = (
+        t["orders"]
+        .join(t["lineitem"], F.col("o_orderkey") == F.col("l_orderkey"))
+        .groupBy("o_orderkey", "o_custkey")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    return (
+        per_order.filter(F.col("n_items").between(5, 7))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "n_items")
+        .orderBy("c_name", "o_orderkey")
+    )

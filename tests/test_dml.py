@@ -99,3 +99,27 @@ def test_doris_function_in_dml(eng):
     eng.sql("UPDATE dml_orders SET order_status = 'L' "
             "WHERE length(order_status) > 6")
     assert (1, 100.0, "L") in _rows(eng)
+
+
+def test_update_string_literal_containing_where(eng):
+    # ADVICE r4: a WHERE inside a SET string literal must not split the
+    # statement (quote-aware scanner, not a bare regex)
+    res = eng.sql(
+        "UPDATE dml_orders SET order_status = 'call where needed' "
+        "WHERE order_id = 1"
+    ).collect()
+    assert res[0].affected == 1
+    assert (1, 100.0, "call where needed") in _rows(eng)
+
+
+def test_dml_fragment_gets_dialect(eng, spark):
+    # ADVICE r4: DML predicates share the query dialect — arr[1] is the
+    # FIRST element in both DELETE and SELECT
+    e = Engine(spark)
+    df = spark.createDataFrame(
+        [(1, ["x", "y"]), (2, ["y", "x"])], "id INT, arr ARRAY<STRING>"
+    )
+    e.create_table(df, "dml_arr")
+    res = e.sql("DELETE FROM dml_arr WHERE arr[1] = 'x'").collect()
+    assert res[0].affected == 1
+    assert [r.id for r in e.sql("SELECT id FROM dml_arr").collect()] == [2]

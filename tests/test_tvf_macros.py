@@ -177,3 +177,25 @@ def test_topn_and_map_macros(spark):
     assert dict(r["mx"]) == {"x": 3.0, "y": 10.0}
     assert dict(r["av"]) == {"x": 2.0, "y": 10.0}
     assert dict(r["c"]) == {"x": 2, "y": 1}
+
+
+def test_dialect_subscript_skips_string_literals():
+    # ADVICE r4: quoted ident[N] text (JSON paths, LIKE patterns) must
+    # survive the 1-based-subscript rewrite untouched
+    from doris_spark.plans.dialect import dialect
+
+    s = dialect("SELECT get_json_object(j, '$.a[1]') FROM t")
+    assert "'$.a[1]'" in s
+    s = dialect("SELECT c FROM t WHERE c LIKE 'a[1]%'")
+    assert "'a[1]%'" in s
+    # real subscripts outside literals still rewrite
+    s = dialect("SELECT arr[1] FROM t WHERE note = 'arr[2]'")
+    assert "try_element_at(arr, 1)" in s and "'arr[2]'" in s
+
+
+def test_dialect_element_at_map_column_key_preserved():
+    # ADVICE r4: element_at(m, key_col) is a map lookup, not struct access
+    from doris_spark.plans.dialect import dialect
+
+    s = dialect("SELECT element_at(m, key_col) FROM t")
+    assert "element_at(m, key_col)" in s

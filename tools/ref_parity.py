@@ -426,16 +426,20 @@ def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
             )
             df = eng.sql(retry)
             rows = df.collect()
-        elif "UNEXPECTED_INPUT_TYPE" in str(exc) and re.search(
-            r"element_at", sql, re.I
-        ):
-            # element_at(struct, 'field') — same spelling Doris uses for
-            # maps, so only rewritten to field access when the typed run
-            # proves the operand is a struct
+        elif (
+            "UNEXPECTED_INPUT_TYPE" in str(exc)
+            or "UNRESOLVED_MAP_KEY" in str(exc)
+            or "DATATYPE_MISMATCH" in str(exc)
+        ) and re.search(r"element_at", sql, re.I):
+            # element_at(struct, 'field') / element_at(struct, field) —
+            # same spelling Doris uses for maps, so only rewritten to
+            # field access when the typed run proves the operand is a
+            # struct (the dialect layer deliberately never rewrites this:
+            # map lookups with column keys are the common case)
             retry = dialect(sql)
             for _ in range(8):
                 r2 = re.sub(
-                    r"\belement_at\s*\(\s*((?:[^(),']|\([^()]*\)|'[^']*')+?)\s*,\s*'(\w+)'\s*\)",
+                    r"\belement_at\s*\(\s*((?:[^(),']|\([^()]*\)|'[^']*')+?)\s*,\s*'?(\w+)'?\s*\)",
                     r"(\1).\2",
                     retry,
                     count=1,
