@@ -424,6 +424,10 @@ def _parse_time_str(s):
     if h > 838 or mi > 59 or sec > 59:
         return None
     micros = int(round(float(frac or 0) * 1_000_000))
+    # MySQL TIME range tops at 838:59:59.000000 — any fraction at the
+    # boundary overflows (838:59:59.999999 -> NULL)
+    if h == 838 and mi == 59 and sec == 59 and micros > 0:
+        return None
     return (-1 if neg else 1), h, mi, sec, micros
 
 
@@ -654,6 +658,47 @@ def register_mysql_datetime(spark: SparkSession) -> int:
             [_json_extract_multi_one(a, b) for a, b in zip(j, paths)], dtype=object
         )
 
+    def _doris_time(s: pd.Series) -> pd.Series:
+        """CAST(x AS TIME) / TIME(x): canonical TIME(0) string — fraction
+        ROUNDED to seconds, magnitude clamped to 838:59:59 (MySQL cast
+        clamp), sign kept. Invalid input -> NULL."""
+
+        def one(v):
+            if _isnull(v):
+                return None
+            p = _parse_time_str(v)
+            if p is None:
+                return None
+            sign, h, mi, sec, micros = p
+            if micros >= 500_000:
+                sec += 1
+                if sec == 60:
+                    sec, mi = 0, mi + 1
+                    if mi == 60:
+                        mi, h = 0, h + 1
+            if h > 838:
+                h, mi, sec = 838, 59, 59
+            return f"{'-' if sign < 0 else ''}{h:02d}:{mi:02d}:{sec:02d}"
+
+        return pd.Series([one(v) for v in s], dtype=object)
+
+    def _time_part(part: pd.Series, s: pd.Series) -> pd.Series:
+        def one(p, v):
+            if _isnull(v) or _isnull(p):
+                return None
+            t = _parse_time_str(v)
+            if t is None:
+                return None
+            _, h, mi, sec, micros = t
+            return {"hour": h, "minute": mi, "second": sec,
+                    "microsecond": micros}.get(str(p))
+
+        return pd.Series(
+            [one(a, b) for a, b in zip(part, s)], dtype=object
+        )
+
+    spark.udf.register("__doris_time", pandas_udf(_doris_time, "string"))
+    spark.udf.register("__time_part", pandas_udf(_time_part, "int"))
     spark.udf.register("__mysql_strptime", pandas_udf(_strptime, "string"))
     spark.udf.register("__mysql_strftime", pandas_udf(_strftime, "string"))
     spark.udf.register("__mysql_timefmt", pandas_udf(_timefmt, "string"))
@@ -663,7 +708,7 @@ def register_mysql_datetime(spark: SparkSession) -> int:
     spark.udf.register(
         "__locale_monthname", pandas_udf(_name_lookup("months"), "string")
     )
-    return 7
+    return 9
 
 
 def register(spark: SparkSession) -> int:

@@ -456,7 +456,8 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "WHEN s RLIKE '^[0-9]{4}-[0-9]{3}$' THEN "
         "  CASE WHEN CAST(substr(s, 6, 3) AS INT) BETWEEN 1 AND 366 THEN "
         "    date_add(make_date(CAST(substr(s, 1, 4) AS INT), 1, 1), CAST(substr(s, 6, 3) AS INT) - 1) END "
-        "WHEN s RLIKE '^[0-9]{4}-W[0-9]{2}(-[1-7])?$' THEN "
+        "WHEN s RLIKE '^[0-9]{4}-W[0-9]{2}(-[1-7])?$' "
+        "AND CAST(substr(s, 7, 2) AS INT) BETWEEN 1 AND 53 THEN "
         "  date_add(date_sub(make_date(CAST(substr(s, 1, 4) AS INT), 1, 4), "
         "                    pmod(dayofweek(make_date(CAST(substr(s, 1, 4) AS INT), 1, 4)) + 5, 7)), "
         "           (CAST(substr(s, 7, 2) AS INT) - 1) * 7 "

@@ -100,15 +100,36 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
         # seconds arrive as a string so decimal-typed input keeps its
         # fraction marker: a fractional seconds column renders TIME(6)
         # ('12:15:30.000000'), an integer literal renders TIME(0). Hours
-        # beyond 24 are legal TIME (to 838) and never zero-truncated.
+        # beyond 24 are legal TIME (to 838); beyond +-838 MySQL CLAMPS to
+        # +-838:59:59 (invalid minute/second still NULLs).
         "h INT, m INT, s STRING",
         "CASE WHEN m < 0 OR m > 59 OR CAST(s AS DECIMAL(16,6)) < 0 "
-        "OR CAST(s AS DECIMAL(16,6)) >= 60 OR h < -838 OR h > 838 THEN NULL ELSE "
+        "OR CAST(s AS DECIMAL(16,6)) >= 60 THEN NULL "
+        "WHEN h > 838 THEN '838:59:59' || IF(contains(s, '.'), '.000000', '') "
+        "WHEN h < -838 THEN '-838:59:59' || IF(contains(s, '.'), '.000000', '') "
+        "ELSE "
         "IF(abs(h) < 10, IF(h < 0, '-0' || CAST(abs(h) AS STRING), '0' || CAST(h AS STRING)), CAST(h AS STRING)) "
         "|| ':' || lpad(CAST(m AS STRING), 2, '0') || ':' || "
         "lpad(CAST(CAST(CAST(s AS DECIMAL(16,6)) AS BIGINT) AS STRING), 2, '0') || "
         "IF(contains(s, '.'), '.' || rpad(coalesce(nullif(split(s, '\\\\.')[1], ''), '0'), 6, '0'), '') "
         "END",
+    ),
+    "__add_time": (
+        # MySQL 2-arg TIMESTAMP / add_time kernel: parse a TIME string
+        # (signed, hours may exceed 24) and add it to a timestamp
+        # (reference function_date_or_datetime_computation add_time)
+        "t TIMESTAMP, b STRING",
+        "CASE WHEN t IS NULL OR b IS NULL THEN NULL "
+        "WHEN b LIKE '-%' THEN "
+        "t - make_interval(0, 0, 0, 0, "
+        "CAST(split(substr(b, 2), ':')[0] AS INT), "
+        "CAST(split(substr(b, 2), ':')[1] AS INT), "
+        "CAST(split(substr(b, 2), ':')[2] AS DECIMAL(16,6))) "
+        "ELSE "
+        "t + make_interval(0, 0, 0, 0, "
+        "CAST(split(b, ':')[0] AS INT), "
+        "CAST(split(b, ':')[1] AS INT), "
+        "CAST(split(b, ':')[2] AS DECIMAL(16,6))) END",
     ),
     "microsecond": ("t TIMESTAMP", "CAST(date_format(t, 'SSSSSS') AS INT)"),
     "hour_from_unixtime": ("x BIGINT", "hour(from_unixtime(x))"),
@@ -472,7 +493,13 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
         "ELSE array_sort(array_distinct(transform(split(s, ','), x -> CAST(trim(x) AS BIGINT)))) END",
     ),
     "bitmap_from_array": ("a ARRAY<BIGINT>", "array_sort(array_distinct(a))"),
-    "bitmap_to_base64": ("b ARRAY<BIGINT>", "base64(CAST(array_join(b, ',') AS BINARY))"),
+    "bitmap_to_base64": (
+        # empty bitmap serializes to the spec's single type byte 0x00
+        # ('AA=='); non-empty keeps the engine's array form (byte-level
+        # Roaring compat is a declared non-goal, COVERAGE.md)
+        "b ARRAY<BIGINT>",
+        "IF(size(b) = 0, 'AA==', base64(CAST(array_join(b, ',') AS BINARY)))",
+    ),
     "bitmap_from_base64": (
         "s STRING",
         "CASE WHEN CAST(unbase64(s) AS STRING) = '' THEN CAST(array() AS ARRAY<BIGINT>) "

@@ -150,3 +150,70 @@ def lsh_bucketed_knn(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ---------------------------------------------------- persisted ANN index
+
+
+def python_rhp_signature(vec, dim: int, n_planes: int = 8, seed: int = 42) -> int:
+    """Driver-side signature of a literal query vector — pure math on the
+    same deterministic hyperplanes, no Spark job."""
+    sig = 0
+    for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
+        if sum(float(x) * p for x, p in zip(vec, plane)) >= 0:
+            sig |= 1 << i
+    return sig
+
+
+def build_ann_index(
+    df: DataFrame,
+    path: str,
+    vec_col: str,
+    dim: int,
+    n_planes: int = 8,
+    seed: int = 42,
+) -> None:
+    """Write the corpus PARTITIONED BY its RHP signature — the persisted
+    ANN index layout (reference: write-time index build
+    be/src/storage/index/ann/faiss_ann_index.h; scan-side pushdown
+    PushDownVectorTopNIntoOlapScan.java). A probe filters sig = <literal>
+    so the parquet scan prunes ~(2^planes - 1)/2^planes of the corpus at
+    PLANNING time (PartitionFilters, no file reads outside the bucket).
+
+    Build cost is one pass over the corpus; at 100 TB the index is built
+    once and probed millions of times, amortizing the write."""
+    sig = rhp_signature(vec_col, dim, n_planes, seed)
+    (
+        df.withColumn("sig", sig)
+        .repartition("sig")  # one file set per bucket, no small-file spray
+        .write.mode("overwrite")
+        .partitionBy("sig")
+        .parquet(path)
+    )
+
+
+def ann_index_probe(
+    spark,
+    path: str,
+    query_vec,
+    dim: int,
+    k: int = 10,
+    n_planes: int = 8,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k cosine probe against a build_ann_index layout. The query
+    signature is computed driver-side (literal arithmetic, no job); the
+    scan carries PartitionFilters [sig = <literal>] — static partition
+    pruning, then exact cosine + TakeOrderedAndProject inside the bucket."""
+    qsig = python_rhp_signature(query_vec, dim, n_planes, seed)
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    idx = spark.read.parquet(path).filter(F.col("sig") == qsig)
+    return (
+        idx.select(
+            F.col(id_col), cosine_similarity(vec_col, qv).alias("score")
+        )
+        .orderBy(F.desc("score"), F.asc(id_col))
+        .limit(k)
+    )

@@ -103,9 +103,122 @@ _COMPOSITE_UNITS = {
 }
 
 
+def _cast_time_dt0(text: str) -> str:
+    """CAST(x AS TIME[(n)]) -> __doris_time(x)  (TIME shim: canonical
+    'H:MM:SS' string, Doris TimeV2 domain); bare CAST(x AS DATETIME) ->
+    second-ROUNDED timestamp (MySQL/Doris DATETIME(0) rounds, not
+    truncates). Runs before the plain AS-DATETIME regexes so the
+    no-precision form can wrap its source expression."""
+    out, i, n = [], 0, len(text)
+    pat = re.compile(r"CAST\s*\(", re.I)
+    while i < n:
+        m = pat.search(text, i)
+        if m is None:
+            out.append(text[i:])
+            break
+        j, depth, in_str = m.end() - 1, 0, None
+        while j < n:
+            c = text[j]
+            if in_str:
+                if c == in_str:
+                    in_str = None
+            elif c in ("'", '"'):
+                in_str = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        body = text[m.end() : j]
+        tm = re.search(r"\s+AS\s+TIME(?:V2)?\s*(?:\(\s*\d+\s*\))?\s*$", body, re.I)
+        dm = re.search(r"\s+AS\s+DATETIME(?:V2)?\s*$", body, re.I)
+        out.append(text[i : m.start()])
+        if tm:
+            src = _cast_time_dt0(body[: tm.start()].strip())
+            out.append(f"__doris_time({src})")
+        elif dm:
+            src = _cast_time_dt0(body[: dm.start()].strip())
+            out.append(
+                "timestamp_micros(CAST(round(unix_micros(CAST("
+                f"({src}) AS TIMESTAMP)) / 1000000e0) AS BIGINT) * 1000000)"
+            )
+        else:
+            out.append("CAST(" + _cast_time_dt0(body) + ")")
+        i = j + 1
+    return "".join(out)
+
+
 def dialect(sql: str) -> str:
     """MySQL/Doris spellings -> Spark SQL (the FE's dialect layer)."""
-    s = re.sub(r"\bAS\s+DATETIMEV2\b", "AS TIMESTAMP", sql, flags=re.I)
+    s = _cast_time_dt0(sql)
+    # hour/minute/second/microsecond over the TIME shim route to the
+    # time-part kernel (prefix swap keeps parens balanced)
+    s = re.sub(
+        r"\b(hour|minute|second|microsecond)\s*\(\s*(__doris_time\()",
+        lambda m: f"__time_part('{m.group(1).lower()}', {m.group(2)}",
+        s,
+        flags=re.I,
+    )
+    # MySQL TIME(x) extracts the time part (TIME shim string). Quote-aware:
+    # never rewrite inside string literals; never match word-suffixed
+    # names (maketime, current_time have a word char before TIME).
+    def _time_fn(text: str) -> str:
+        out, i, n, in_str = [], 0, len(text), None
+        pat = re.compile(r"TIME\s*\(", re.I)
+        while i < n:
+            c = text[i]
+            if in_str:
+                out.append(c)
+                if c == in_str:
+                    in_str = None
+                i += 1
+                continue
+            if c in ("'", '"'):
+                in_str = c
+                out.append(c)
+                i += 1
+                continue
+            m = pat.match(text, i)
+            if m and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_.")):
+                out.append("__doris_time(")
+                i = m.end()
+                continue
+            out.append(c)
+            i += 1
+        return "".join(out)
+
+    s = _time_fn(s)
+    # months/quarters/years_add|_sub on an OFFSET-suffixed literal: Doris
+    # adds calendar months in the literal's own zone, THEN converts to the
+    # session zone (the reverse order clamps end-of-month differently —
+    # e.g. months_add('2024-02-29 15:45-05:00', 1) is Mar 30 in +08:00).
+    def _tz_month_arith(m):
+        unit_mult = {"months": 1, "quarters": 3, "years": 12}
+        fn, kind = m.group(1).lower(), m.group(2).lower()
+        naive, tz, cnt = m.group(3), m.group(4), int(m.group(5))
+        n_months = unit_mult[fn] * cnt * (1 if kind == "add" else -1)
+        mx = "TIMESTAMP '9999-12-31 23:59:59.999999'"
+        inp = (
+            f"from_utc_timestamp(to_utc_timestamp(CAST('{naive.strip()}' AS "
+            f"TIMESTAMP), '{tz}'), current_timezone())"
+        )
+        res = (
+            f"from_utc_timestamp(to_utc_timestamp(timestampadd(MONTH, {n_months}, "
+            f"CAST('{naive.strip()}' AS TIMESTAMP)), '{tz}'), current_timezone())"
+        )
+        # Doris's DATETIME tops at 9999-12-31: an input whose session-zone
+        # rendering (or result) passes the ceiling is NULL, not an error
+        return f"CASE WHEN {inp} > {mx} OR {res} > {mx} THEN NULL ELSE {res} END"
+
+    s = re.sub(
+        r"\b(months|quarters|years)_(add|sub)\s*\(\s*'([^']*?)\s*([+-]\d{2}:\d{2})'\s*,\s*(-?\d+)\s*\)",
+        _tz_month_arith,
+        s,
+        flags=re.I,
+    )
+    s = re.sub(r"\bAS\s+DATETIMEV2\b", "AS TIMESTAMP", s, flags=re.I)
     s = re.sub(r"\bAS\s+DATETIME\s*\(\s*\d+\s*\)", "AS TIMESTAMP", s, flags=re.I)
     s = re.sub(r"\bAS\s+DATETIME\b", "AS TIMESTAMP", s, flags=re.I)
     s = re.sub(r"\bAS\s+DATEV2\b", "AS DATE", s, flags=re.I)
@@ -224,6 +337,21 @@ def dialect(sql: str) -> str:
             src_expr = body[: am.start()].strip() if am else ""
             if am and re.fullmatch(r"'(?:[^']|'')*'|\"[^\"]*\"", src_expr):
                 typ = " ".join(am.group(1).split())
+                # Doris JSONB normalizes on parse: duplicate object keys
+                # keep the LAST value (json.loads does the same); also
+                # drops insignificant whitespace
+                try:
+                    import json as _json
+
+                    raw = src_expr[1:-1]
+                    if src_expr[0] == "'":
+                        raw = raw.replace("''", "'")
+                    normalized = _json.dumps(
+                        _json.loads(raw), separators=(",", ":")
+                    )
+                    src_expr = "'" + normalized.replace("'", "''") + "'"
+                except (ValueError, TypeError):
+                    pass
                 out.append(text[i : m.start()])
                 out.append(f"from_json({src_expr}, '{typ}')")
             else:
@@ -354,7 +482,9 @@ def dialect(sql: str) -> str:
             cu = _COMPOSITE_UNITS.get(unit.upper())
             if cu is not None or (
                 unit.lower() in _DATE_UNITS_MICROS and unit.lower() != "day"
-            ) or re.match(r"^\s*'", expr):
+            ) or re.match(r"^\s*'", expr) or expr.strip().upper() == "NULL":
+                # a bare NULL operand must type as TIMESTAMP: NULL +
+                # INTERVAL yields an interval-typed column otherwise
                 # Doris coerces string datetime literals; Spark needs the
                 # cast (also required for sub-day/composite units on DATE).
                 expr = f"CAST({expr} AS TIMESTAMP)"

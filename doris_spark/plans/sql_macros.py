@@ -458,6 +458,59 @@ MACROS["avg_map"] = _map_merge(
 )
 MACROS["count_map"] = _map_merge("CAST(size(filter({PAIRS}, p -> p.k <=> k)) AS BIGINT)")
 MACROS["array_count"] = _array_count
+
+
+def _timestamp2(args: Sequence[str]) -> str:
+    """MySQL 2-arg TIMESTAMP(expr, time): add a TIME value (may exceed
+    24h, may be negative) to a datetime (reference add_time,
+    function_date_or_datetime_computation). 1-arg form stays native."""
+    if len(args) != 2:
+        return "__KEEP__(" + ", ".join(args) + ")"
+    # time-only strings ('12:13:14') cast to a timestamp-of-today in
+    # Spark but are NULL datetimes in Doris — require a parseable DATE
+    return (
+        f"CASE WHEN CAST({args[0]} AS DATE) IS NULL THEN NULL "
+        f"ELSE __add_time(CAST({args[0]} AS TIMESTAMP), {args[1]}) END"
+    )
+
+
+MACROS["timestamp"] = _timestamp2
+
+
+def _months_between_macro(args: Sequence[str]) -> str:
+    """Doris months_between works on the DATE portion only (full months
+    + remainder-days/31; time-of-day ignored), vs Spark's day+time
+    fraction."""
+    a, b = args[0], args[1]
+    tail = f", {args[2]}" if len(args) > 2 else ""
+    return f"months_between(CAST({a} AS DATE), CAST({b} AS DATE){tail})"
+
+
+MACROS["months_between"] = _months_between_macro
+
+
+def _next_day_macro(args: Sequence[str]) -> str:
+    """Doris clamps next_day past the calendar ceiling to 9999-12-31
+    (Spark's raw result overflows Python datetime on collect)."""
+    nd = f"next_day(CAST({args[0]} AS DATE), {args[1]})"
+    return f"CASE WHEN {nd} > DATE '9999-12-31' THEN DATE '9999-12-31' ELSE {nd} END"
+
+
+MACROS["next_day"] = _next_day_macro
+
+
+def _date_format_macro(args: Sequence[str]) -> str:
+    """date_format with a NON-literal format expression routes to the
+    MySQL strftime kernel (the dialect layer already rewrote literal
+    %-formats; a runtime-built format string — e.g. repeat('%l', 51) —
+    must also get MySQL token semantics, which Spark's Java-pattern
+    date_format rejects)."""
+    if len(args) != 2 or args[1].lstrip().startswith(("'", '"')):
+        return "__KEEP__(" + ", ".join(args) + ")"
+    return f"ltrim(__mysql_strftime(CAST({args[0]} AS TIMESTAMP), {args[1]}))"
+
+
+MACROS["date_format"] = _date_format_macro
 # type-preserving macro form (the registered SQL UDF's STRING parameter
 # would stringify map/struct/array elements)
 MACROS["array_with_constant"] = _tpl("array_repeat({1}, CAST({0} AS INT))")

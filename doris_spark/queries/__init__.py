@@ -44,6 +44,7 @@ def load_all() -> None:
         doris_fns,
         events,
         extras,
+        ssb,
         text,
         tpcds_like,
         tpch,

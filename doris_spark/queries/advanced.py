@@ -511,3 +511,35 @@ def mv_transparent_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     assert eng.last_mv_rewrite == "orders_prio_rollup", "MV rewrite must fire"
     return out
+
+
+@query(
+    "meta_scan_partitions",
+    oracle="""
+SELECT o_orderpriority, count(*) AS n_rows
+FROM orders
+GROUP BY o_orderpriority
+ORDER BY o_orderpriority
+""",
+)
+def meta_scan_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MetaScan (sources/metascan.py; be/src/exec/operator/
+    meta_scan_operator.h + SHOW PARTITIONS analog): write orders
+    partitioned by priority, then read the table's PARTITION METADATA —
+    per-partition row counts via the hidden `_metadata` file struct.
+    The row counts must equal the base aggregate (the oracle); file
+    counts are layout-dependent and asserted >=1 rather than compared."""
+    import os as _os
+    import tempfile
+
+    from doris_spark.sources.metascan import table_partitions
+
+    orders = load_tables(spark, sf_dir)["orders"]
+    path = _os.path.join(
+        tempfile.gettempdir(), f"doris_spark_meta_{abs(hash(sf_dir))}.parquet"
+    )
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
+    parts = table_partitions(spark, path, ["o_orderpriority"])
+    assert parts.filter(F.col("n_files") < 1).count() == 0
+    return parts.select("o_orderpriority", "n_rows").orderBy("o_orderpriority")

@@ -175,3 +175,274 @@ def cb_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy(F.desc("n"), "lang")
     )
+
+
+@query(
+    "cb_sum_count_avg",
+    oracle="""
+SELECT round(sum(value), 4) AS sv, count(*) AS c, round(avg(value), 8) AS av
+FROM events
+""",
+)
+def cb_sum_count_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q2 shape (queries.sql:20): three aggregates in one
+    full-scan pass — single partial+final aggregate, 1-column scan."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.agg(
+        F.round(F.sum("value"), 4).alias("sv"),
+        F.count(F.lit(1)).alias("c"),
+        F.round(F.avg("value"), 8).alias("av"),
+    )
+
+
+@query(
+    "cb_grouped_multi_agg",
+    oracle="""
+SELECT event_type, round(sum(value), 4) AS sv, count(*) AS c,
+       count(DISTINCT user_id) AS u
+FROM events
+GROUP BY event_type ORDER BY c DESC, event_type
+""",
+)
+def cb_grouped_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q9 shape (queries.sql:26): per-group sum/count/NDV in
+    one aggregate (distinct handled by Expand, still one shuffle set)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("event_type")
+        .agg(
+            F.round(F.sum("value"), 4).alias("sv"),
+            F.count(F.lit(1)).alias("c"),
+            F.countDistinct("user_id").alias("u"),
+        )
+        .orderBy(F.desc("c"), "event_type")
+    )
+
+
+@query(
+    "cb_two_key_topk",
+    oracle="""
+SELECT user_id, event_type, count(*) AS c
+FROM events
+GROUP BY user_id, event_type
+ORDER BY c DESC, user_id, event_type LIMIT 10
+""",
+)
+def cb_two_key_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q16 shape (queries.sql:33): two-key heavy-hitter —
+    high-cardinality groupBy then TopK (TakeOrderedAndProject, no full
+    sort)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "user_id", "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_minute_group",
+    oracle="""
+SELECT user_id, minute(ts) AS m, count(*) AS c
+FROM events
+GROUP BY user_id, minute(ts)
+ORDER BY c DESC, user_id, m LIMIT 10
+""",
+)
+def cb_minute_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q18 shape (queries.sql:35): per-(user, minute) counts
+    with TopK."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id", F.minute("ts").alias("m"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "user_id", "m")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_point_lookup",
+    oracle="SELECT user_id, count(*) AS c FROM events WHERE user_id = 42 GROUP BY user_id",
+)
+def cb_point_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q19 shape (queries.sql:36): point predicate on a key
+    column — the filter must reach the parquet scan (PushedFilters) so
+    row groups without the key are skipped via min/max stats."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.filter(F.col("user_id") == 42).groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+
+
+@query(
+    "cb_like_min_text",
+    oracle="""
+SELECT lang, min(text) AS min_text, count(*) AS c
+FROM documents
+WHERE text LIKE '%merge%'
+GROUP BY lang ORDER BY c DESC, lang LIMIT 10
+""",
+)
+def cb_like_min_text(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q21 shape (queries.sql:38): substring filter + MIN of
+    a wide string column per group."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.filter(F.col("text").like("%merge%"))
+        .groupBy("lang")
+        .agg(F.min("text").alias("min_text"), F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "lang")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_scan_order_by_ts",
+    oracle="""
+SELECT event_id, user_id, event_type
+FROM events
+WHERE event_type = 'purchase'
+ORDER BY ts, event_id LIMIT 10
+""",
+)
+def cb_scan_order_by_ts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q23-25 shape (queries.sql:40-43): filtered scan ordered
+    by time, LIMIT — TakeOrderedAndProject, never a full sort."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter(F.col("event_type") == "purchase")
+        .orderBy("ts", "event_id")
+        .select("event_id", "user_id", "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_having_avg_len",
+    oracle="""
+SELECT source, round(avg(length(text)), 6) AS l, count(*) AS c
+FROM documents
+WHERE text <> ''
+GROUP BY source HAVING count(*) > 10
+ORDER BY l DESC, source LIMIT 25
+""",
+)
+def cb_having_avg_len(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q27 shape (queries.sql:44): avg(length(str)) per group
+    with a HAVING count threshold."""
+    d = load_tables(spark, sf_dir)["documents"]
+    return (
+        d.filter(F.col("text") != "")
+        .groupBy("source")
+        .agg(
+            F.round(F.avg(F.length("text")), 6).alias("l"),
+            F.count(F.lit(1)).alias("c"),
+        )
+        .filter(F.col("c") > 10)
+        .orderBy(F.desc("l"), "source")
+        .limit(25)
+    )
+
+
+@query(
+    "cb_regex_key_agg",
+    oracle="""
+SELECT regexp_replace(text, '^(\\w+)\\s.*$', '\\1') AS k,
+       round(avg(length(text)), 6) AS l, count(*) AS c, min(text) AS mn
+FROM documents
+WHERE text <> ''
+GROUP BY k HAVING count(*) > 20
+ORDER BY l DESC, k LIMIT 25
+""",
+)
+def cb_regex_key_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q28 shape (queries.sql:45): REGEXP_REPLACE-derived
+    grouping key with aggregates and HAVING (the Referer-host query)."""
+    d = load_tables(spark, sf_dir)["documents"]
+    k = F.regexp_replace("text", r"^(\w+)\s.*$", "$1")
+    return (
+        d.filter(F.col("text") != "")
+        .groupBy(k.alias("k"))
+        .agg(
+            F.round(F.avg(F.length("text")), 6).alias("l"),
+            F.count(F.lit(1)).alias("c"),
+            F.min("text").alias("mn"),
+        )
+        .filter(F.col("c") > 20)
+        .orderBy(F.desc("l"), "k")
+        .limit(25)
+    )
+
+
+@query(
+    "cb_sum_expr_batch",
+    oracle="""
+SELECT round(sum(value), 4) AS s0, round(sum(value + 1), 4) AS s1,
+       round(sum(value + 2), 4) AS s2, round(sum(value + 3), 4) AS s3,
+       round(sum(value + 4), 4) AS s4
+FROM events
+""",
+)
+def cb_sum_expr_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q29 shape (queries.sql:46, the 90-SUM column batch):
+    many arithmetic SUMs in one pass — whole-stage codegen evaluates the
+    expression batch without re-scanning."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.agg(
+        *[
+            F.round(F.sum(F.col("value") + i), 4).alias(f"s{i}")
+            for i in range(5)
+        ]
+    )
+
+
+@query(
+    "cb_group_offset_page",
+    oracle="""
+SELECT user_id % 1000 AS ub, count(*) AS pv
+FROM events
+WHERE event_type <> 'view'
+GROUP BY user_id % 1000
+ORDER BY pv DESC, ub LIMIT 10 OFFSET 100
+""",
+)
+def cb_group_offset_page(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q39-42 shape (queries.sql:49-52): grouped pageview
+    counts paged with LIMIT ... OFFSET."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter(F.col("event_type") != "view")
+        .groupBy((F.col("user_id") % 1000).alias("ub"))
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .orderBy(F.desc("pv"), "ub")
+        .offset(100)
+        .limit(10)
+    )
+
+
+@query(
+    "cb_minute_series",
+    oracle="""
+SELECT strftime(date_trunc('minute', ts), '%Y-%m-%d %H:%M:00') AS m,
+       count(*) AS pv
+FROM events
+WHERE event_type = 'click'
+GROUP BY date_trunc('minute', ts)
+ORDER BY m LIMIT 10 OFFSET 50
+""",
+)
+def cb_minute_series(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q43 shape (queries.sql:53): per-minute time series
+    via DATE_FORMAT with LIMIT/OFFSET paging."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy(F.date_trunc("minute", "ts").alias("mt"))
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .select(F.date_format("mt", "yyyy-MM-dd HH:mm:00").alias("m"), "pv")
+        .orderBy("m")
+        .offset(50)
+        .limit(10)
+    )

@@ -277,3 +277,41 @@ def vec_lsh_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@query("vec_lsh_knn_indexed", oracle=_rhp_oracle())
+def vec_lsh_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED ANN index probe (operators/vector.py build_ann_index):
+    the corpus is written partitioned by RHP signature; the probe
+    computes the query signature driver-side and filters sig=<literal>,
+    so the parquet scan shows PartitionFilters and reads ONE bucket
+    (~1/64 of the corpus at 6 planes) before exact cosine + top-k.
+    Same oracle as vec_lsh_knn — the index changes the ACCESS PATH,
+    not the result. Reference: faiss_ann_index.h build +
+    PushDownVectorTopNIntoOlapScan.java probe."""
+    import os
+    import tempfile
+
+    from doris_spark.operators.vector import ann_index_probe, build_ann_index
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = os.path.join(
+        tempfile.gettempdir(), f"doris_spark_ann_{abs(hash(sf_dir))}.parquet"
+    )
+    if not os.path.exists(os.path.join(path, "_SUCCESS")):
+        build_ann_index(emb, path, "embedding", dim=64, n_planes=6, seed=42)
+    qvec = (
+        emb.filter(F.col("vec_id") == 0).select("embedding").collect()[0][0]
+    )
+    # k+1: the query vector itself (score 1.0) is in the bucket and is
+    # filtered out below, matching the oracle's vec_id <> 0 predicate
+    probe = ann_index_probe(
+        spark, path, qvec, dim=64, k=6, n_planes=6, seed=42,
+        id_col="vec_id", vec_col="embedding",
+    )
+    return (
+        probe.filter(F.col("vec_id") != 0)
+        .select("vec_id", F.round("score", 8).alias("score"))
+        .orderBy(F.desc("score"), F.asc("vec_id"))
+        .limit(5)
+    )

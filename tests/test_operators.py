@@ -304,3 +304,43 @@ def test_sequence_match_gaps(spark):
     assert users(("<=", 30)) == [2, 3]
     assert users(("<", 5)) == []
     assert users((">", 59)) == [1, 2]
+
+
+def test_ann_index_partition_pruned_probe(spark, tmp_path):
+    # persisted ANN layout: probe must carry a static PartitionFilter on
+    # sig (reads one bucket), and match the unindexed bucket scan
+    from pyspark.sql import functions as F
+
+    from doris_spark.operators.vector import (
+        ann_index_probe,
+        build_ann_index,
+        python_rhp_signature,
+        rhp_signature,
+    )
+
+    import random
+
+    rnd = random.Random(7)
+    rows = [(i, [rnd.uniform(-1, 1) for _ in range(8)]) for i in range(200)]
+    df = spark.createDataFrame(rows, "vec_id INT, embedding ARRAY<DOUBLE>")
+    path = str(tmp_path / "ann.parquet")
+    build_ann_index(df, path, "embedding", dim=8, n_planes=4, seed=42)
+
+    qvec = rows[3][1]
+    probe = ann_index_probe(
+        spark, path, qvec, dim=8, k=5, n_planes=4, seed=42,
+        id_col="vec_id", vec_col="embedding",
+    )
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(sig" in plan or "PartitionFilters: [(sig" in plan or "sig#" in plan.split("PartitionFilters")[1][:120]
+    got = [r.vec_id for r in probe.collect()]
+
+    # signature agreement: driver-side python == Spark expression
+    qsig = python_rhp_signature(qvec, 8, 4, 42)
+    spark_sig = (
+        df.filter(F.col("vec_id") == 3)
+        .select(rhp_signature("embedding", 8, 4, 42).alias("s"))
+        .collect()[0].s
+    )
+    assert qsig == spark_sig
+    assert got[0] == 3  # the query vector itself tops its own bucket

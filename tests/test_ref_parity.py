@@ -24,7 +24,7 @@ import pytest
 REF = "/root/reference/regression-test/suites/doc/sql-manual/sql-functions"
 
 # floor = last locked score minus a small flake budget
-PASS_FLOOR = 1345
+PASS_FLOOR = 1400
 TOTAL_EXPECTED = 1483
 
 
