@@ -697,6 +697,88 @@ def register_mysql_datetime(spark: SparkSession) -> int:
             [one(a, b) for a, b in zip(part, s)], dtype=object
         )
 
+
+    class _MT19937:
+        """std::mt19937 (the reference array_shuffle PRNG,
+        function_array_shuffle.cpp:81) — pure python, exact."""
+
+        def __init__(self, seed):
+            self.mt = [0] * 624
+            self.mt[0] = seed & 0xFFFFFFFF
+            for i in range(1, 624):
+                self.mt[i] = (
+                    1812433253 * (self.mt[i - 1] ^ (self.mt[i - 1] >> 30)) + i
+                ) & 0xFFFFFFFF
+            self.idx = 624
+
+        def next(self):
+            if self.idx >= 624:
+                for i in range(624):
+                    y = (self.mt[i] & 0x80000000) + (
+                        self.mt[(i + 1) % 624] & 0x7FFFFFFF
+                    )
+                    self.mt[i] = self.mt[(i + 397) % 624] ^ (y >> 1)
+                    if y % 2:
+                        self.mt[i] ^= 2567483615
+                self.idx = 0
+            y = self.mt[self.idx]
+            self.idx += 1
+            y ^= y >> 11
+            y ^= (y << 7) & 2636928640
+            y ^= (y << 15) & 4022730752
+            y ^= y >> 18
+            return y
+
+    def _std_shuffle(arr, seed):
+        """libstdc++ std::shuffle(first, last, mt19937) — the exact
+        permutation the reference produces for a given seed (incl. the
+        two-uniform-ints-per-draw optimization for small ranges)."""
+        a = list(arr)
+        n = len(a)
+        if n <= 1:
+            return a
+        g = _MT19937(int(seed))
+
+        def uni(lo, hi):
+            uerange = hi - lo + 1
+            scaling = 0xFFFFFFFF // uerange
+            past = uerange * scaling
+            while True:
+                r = g.next()
+                if r < past:
+                    return lo + r // scaling
+
+        if 0xFFFFFFFF // n >= n:
+            i = 1
+            if n % 2 == 0:
+                d = uni(0, 1)
+                a[i], a[d] = a[d], a[i]
+                i += 1
+            while i < n:
+                sr = i + 1
+                x = uni(0, sr * (sr + 1) - 1)
+                p0, p1 = x // (sr + 1), x % (sr + 1)
+                a[i], a[p0] = a[p0], a[i]
+                i += 1
+                a[i], a[p1] = a[p1], a[i]
+                i += 1
+            return a
+        for i in range(1, n):
+            j = uni(0, i)
+            a[i], a[j] = a[j], a[i]
+        return a
+
+    def _mt_shuffle(arr: pd.Series, seed: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                None if _isnull(s) or a is None else _std_shuffle(a, s)
+                for a, s in zip(arr, seed)
+            ],
+            dtype=object,
+        )
+
+    spark.udf.register("__mt_shuffle", pandas_udf(_mt_shuffle, "array<string>"))
+
     spark.udf.register("__doris_time", pandas_udf(_doris_time, "string"))
     spark.udf.register("__time_part", pandas_udf(_time_part, "int"))
     spark.udf.register("__mysql_strptime", pandas_udf(_strptime, "string"))
@@ -708,7 +790,7 @@ def register_mysql_datetime(spark: SparkSession) -> int:
     spark.udf.register(
         "__locale_monthname", pandas_udf(_name_lookup("months"), "string")
     )
-    return 9
+    return 10
 
 
 def register(spark: SparkSession) -> int:

@@ -424,7 +424,13 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     ),
     "array_flatten": ("a ARRAY<ARRAY<STRING>>", "flatten(a)"),
     "array_push_front": ("a ARRAY<STRING>, x STRING", "concat(array(x), a)"),
-    "array_shuffle": ("a ARRAY<STRING>, seed BIGINT DEFAULT NULL", "shuffle(a)"),
+    "array_shuffle": (
+        # seeded form replicates the reference exactly (std::mt19937 +
+        # libstdc++ std::shuffle, function_array_shuffle.cpp); seedless
+        # stays on Spark's native nondeterministic shuffle
+        "a ARRAY<STRING>, seed BIGINT DEFAULT NULL",
+        "CASE WHEN seed IS NULL THEN shuffle(a) ELSE __mt_shuffle(a, seed) END",
+    ),
     "array_split": (
         # new group BEFORE each mask=true element (ArraySplit.java)
         "a ARRAY<STRING>, mask ARRAY<BOOLEAN>",

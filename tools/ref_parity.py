@@ -201,7 +201,17 @@ def _cell_matches(exp: str, got) -> bool:
                 try:
                     return float(x)
                 except ValueError:
-                    return x
+                    pass
+                # IPV6 values render compressed in Doris ('2001:db8::1')
+                # but full-form in the stored string — canonicalize both
+                if ":" in x:
+                    try:
+                        import ipaddress
+
+                        return str(ipaddress.IPv6Address(x))
+                    except ValueError:
+                        pass
+                return x
             if isinstance(x, (int, float)) and not isinstance(x, bool):
                 # 7-sig-digit rounding: float32-typed columns surface as
                 # doubles (1.100000023841858 for 1.1f) and float64 repr
