@@ -446,3 +446,199 @@ def cb_minute_series(spark: SparkSession, sf_dir: str) -> DataFrame:
         .offset(50)
         .limit(10)
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: the remaining ClickBench shapes
+# (tools/clickbench-tools/sql/queries.sql Q3, Q10/11, Q22, Q26, Q30, Q32,
+# Q35, Q38) mapped onto the events/documents fixtures.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "cb_avg_key",
+    oracle="SELECT round(avg(user_id), 6) AS a FROM events",
+)
+def cb_avg_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q3 shape (queries.sql:21): AVG over a raw key column —
+    pure single-column scan, partial+final average."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return ev.agg(F.round(F.avg("user_id"), 6).alias("a"))
+
+
+@query(
+    "cb_nonempty_two_key_ndv",
+    oracle="""
+SELECT lang, source, count(DISTINCT doc_id) AS u
+FROM documents WHERE lang <> ''
+GROUP BY lang, source ORDER BY u DESC, lang, source LIMIT 10
+""",
+)
+def cb_nonempty_two_key_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q10/Q11 shape (queries.sql:28-29): non-empty filter,
+    one- then two-key grouping with an NDV aggregate and top-10."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.filter(F.col("lang") != "")
+        .groupBy("lang", "source")
+        .agg(F.countDistinct("doc_id").alias("u"))
+        .orderBy(F.desc("u"), "lang", "source")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_multi_like_ndv",
+    oracle="""
+SELECT lang, min(text) AS first_text, count(*) AS c, count(DISTINCT doc_id) AS u
+FROM documents
+WHERE text LIKE '%data%' AND text NOT LIKE '%merge%' AND lang <> ''
+GROUP BY lang ORDER BY c DESC, lang LIMIT 10
+""",
+)
+def cb_multi_like_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q22 shape (queries.sql:40): positive + negative LIKE
+    filters with MIN(string) and NDV per group — both LIKEs evaluate in
+    the scan stage before any shuffle."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.filter(F.col("text").contains("data")
+                    & ~F.col("text").contains("merge")
+                    & (F.col("lang") != ""))
+        .groupBy("lang")
+        .agg(F.min("text").alias("first_text"),
+             F.count(F.lit(1)).alias("c"),
+             F.countDistinct("doc_id").alias("u"))
+        .orderBy(F.desc("c"), "lang")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_order_two_cols",
+    oracle="""
+SELECT ts, event_type FROM events
+WHERE event_type <> ''
+ORDER BY ts, event_type LIMIT 10
+""",
+)
+def cb_order_two_cols(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q26 shape (queries.sql:44): two-column ORDER BY with a
+    small LIMIT — TakeOrderedAndProject (per-partition top-10 heaps),
+    never a full sort."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter(F.col("event_type") != "")
+        .select("ts", "event_type")
+        .orderBy("ts", "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_ip_sum_avg",
+    oracle="""
+SELECT event_type, user_id, count(*) AS c,
+       sum(CASE WHEN value > 50 THEN 1 ELSE 0 END) AS hi,
+       round(avg(value), 6) AS av
+FROM events WHERE props <> ''
+GROUP BY event_type, user_id
+ORDER BY c DESC, event_type, user_id LIMIT 10
+""",
+)
+def cb_ip_sum_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q30 shape (queries.sql:48): (engine, ip)-style two-key
+    grouping with count + conditional sum + avg, top-10 heavy hitters."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter(F.col("props") != "")
+        .groupBy("event_type", "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("c"),
+            F.sum(F.when(F.col("value") > 50, 1).otherwise(0)).cast("long").alias("hi"),
+            F.round(F.avg("value"), 6).alias("av"),
+        )
+        .orderBy(F.desc("c"), "event_type", "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_two_key_heavy",
+    oracle="""
+SELECT event_id, user_id, count(*) AS c,
+       round(sum(value), 4) AS sv
+FROM events
+GROUP BY event_id, user_id
+ORDER BY c DESC, event_id, user_id LIMIT 10
+""",
+)
+def cb_two_key_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q32 shape (queries.sql:50): grouping on a near-unique
+    key pair — the suite's worst-case shuffle (every row is its own
+    group). Partial aggregation can't reduce it; the plan's cost IS the
+    exchange, which is the point of the benchmark entry. Top-10 still
+    avoids a full sort via TakeOrderedAndProject."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).alias("c"), F.round(F.sum("value"), 4).alias("sv"))
+        .orderBy(F.desc("c"), "event_id", "user_id")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_derived_keys",
+    oracle="""
+SELECT user_id AS u, user_id - 1 AS u1, user_id - 2 AS u2, user_id - 3 AS u3,
+       count(*) AS c
+FROM events
+GROUP BY user_id, user_id - 1, user_id - 2, user_id - 3
+ORDER BY c DESC, u LIMIT 10
+""",
+)
+def cb_derived_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q35 shape (queries.sql:53): grouping on arithmetic
+    derivations of one key — Catalyst recognizes the functional
+    dependency's cardinality (same hash distribution as user_id alone);
+    the derived columns are computed pre-shuffle, once."""
+    ev = load_tables(spark, sf_dir)["events"]
+    u = F.col("user_id")
+    return (
+        ev.groupBy(
+            u.alias("u"), (u - 1).alias("u1"), (u - 2).alias("u2"), (u - 3).alias("u3")
+        )
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "u")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_window_dims",
+    oracle="""
+SELECT CAST(round(value, -1) AS BIGINT) AS w, length(props) AS h, count(*) AS pv
+FROM events
+WHERE event_type = 'click' AND ts >= TIMESTAMP '2024-01-07 00:00:00'
+  AND ts <= TIMESTAMP '2024-01-21 00:00:00'
+GROUP BY w, h ORDER BY pv DESC, w, h LIMIT 10
+""",
+)
+def cb_window_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q38 shape (queries.sql:59): pageviews per client
+    window geometry under a compound filter — derived dimension pair,
+    filters all pushed to the scan, top-10."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter((F.col("event_type") == "click")
+                  & (F.col("ts") >= F.lit("2024-01-07 00:00:00").cast("timestamp"))
+                  & (F.col("ts") <= F.lit("2024-01-21 00:00:00").cast("timestamp")))
+        .groupBy(
+            F.round(F.col("value"), -1).cast("bigint").alias("w"),
+            F.length("props").alias("h"),
+        )
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .orderBy(F.desc("pv"), "w", "h")
+        .limit(10)
+    )

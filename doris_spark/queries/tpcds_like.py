@@ -851,3 +851,486 @@ def ds_q34_order_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("c_name", "o_orderkey", "n_items")
         .orderBy("c_name", "o_orderkey")
     )
+
+
+# --------------------------------------------------------------------------
+# Round-5 additions: 12 more real TPC-DS query shapes
+# (reference: tools/tpcds-tools/queries/sf100/query{1,2,31,36,41,46,54,88,
+# 90,93,95,97}.sql), adapted to the fixture star schema.
+# --------------------------------------------------------------------------
+
+
+@query(
+    "ds_q1_returns_above_avg",
+    oracle="""
+WITH ret AS (
+  SELECT o_custkey, c_nationkey, round(sum(l_extendedprice), 4) AS amt
+  FROM lineitem
+  JOIN orders   ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  WHERE l_returnflag = 'R'
+  GROUP BY o_custkey, c_nationkey
+)
+SELECT o_custkey AS custkey, amt
+FROM ret r1
+WHERE amt > (SELECT avg(amt) * 1.2 FROM ret r2
+             WHERE r2.c_nationkey = r1.c_nationkey)
+ORDER BY custkey
+""",
+)
+def ds_q1_returns_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q1 shape (tools/tpcds-tools/queries/sf100/query1.sql):
+    customers whose return total exceeds 1.2x the average of their
+    nation. The correlated subquery is expressed as a window average
+    over the SAME aggregate output (one shuffle to (custkey, nation),
+    window repartitions only the slim aggregated rows by nation) — not
+    a second scan + self-join as a literal translation would."""
+    t = load_tables(spark, sf_dir)
+    ret = (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("o_custkey", "c_nationkey")
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("amt"))
+    )
+    w = Window.partitionBy("c_nationkey")
+    return (
+        ret.withColumn("nation_avg", F.avg("amt").over(w))
+        .filter(F.col("amt") > F.col("nation_avg") * 1.2)
+        .select(F.col("o_custkey").alias("custkey"), "amt")
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "ds_q2_wow_ratio",
+    oracle="""
+WITH wk AS (
+  SELECT year(l_shipdate) AS yr, weekofyear(l_shipdate) AS wk,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+  FROM lineitem
+  WHERE year(l_shipdate) IN (1995, 1996)
+  GROUP BY year(l_shipdate), weekofyear(l_shipdate)
+)
+SELECT a.wk AS wk, a.rev AS rev_1995, b.rev AS rev_1996,
+       round(b.rev / a.rev, 6) AS ratio
+FROM wk a JOIN wk b ON a.wk = b.wk AND a.yr = 1995 AND b.yr = 1996
+ORDER BY wk
+""",
+)
+def ds_q2_wow_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q2 shape (query2.sql): weekly revenue aligned across two
+    consecutive years, ratio per ISO week. One scan aggregates both
+    years (partial+final); the year-on-year alignment joins the two
+    53-row slices of the SAME aggregate — Catalyst reuses the exchange,
+    and the join is trivially broadcast."""
+    t = load_tables(spark, sf_dir)
+    wk = (
+        t["lineitem"]
+        .filter(F.year("l_shipdate").isin(1995, 1996))
+        .groupBy(F.year("l_shipdate").alias("yr"), F.weekofyear("l_shipdate").alias("wk"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
+    )
+    a = wk.filter(F.col("yr") == 1995).select("wk", F.col("rev").alias("rev_1995"))
+    b = wk.filter(F.col("yr") == 1996).select(F.col("wk").alias("wk_b"), F.col("rev").alias("rev_1996"))
+    return (
+        a.join(F.broadcast(b), F.col("wk") == F.col("wk_b"))
+        .select("wk", "rev_1995", "rev_1996",
+                F.round(F.col("rev_1996") / F.col("rev_1995"), 6).alias("ratio"))
+        .orderBy("wk")
+    )
+
+
+@query(
+    "ds_q31_qoq_growth",
+    oracle="""
+WITH q AS (
+  SELECT c_nationkey,
+         sum(CASE WHEN quarter(o_orderdate) = 1 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN o_totalprice ELSE 0 END) AS hi_q1,
+         sum(CASE WHEN quarter(o_orderdate) = 2 AND o_orderpriority IN ('1-URGENT', '2-HIGH')
+                  THEN o_totalprice ELSE 0 END) AS hi_q2,
+         sum(CASE WHEN quarter(o_orderdate) = 1 AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN o_totalprice ELSE 0 END) AS lo_q1,
+         sum(CASE WHEN quarter(o_orderdate) = 2 AND o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                  THEN o_totalprice ELSE 0 END) AS lo_q2
+  FROM orders JOIN customer ON o_custkey = c_custkey
+  WHERE year(o_orderdate) = 1996
+  GROUP BY c_nationkey
+)
+SELECT n_name, round(hi_q2 / hi_q1, 6) AS hi_growth,
+       round(lo_q2 / lo_q1, 6) AS lo_growth
+FROM q JOIN nation ON c_nationkey = n_nationkey
+WHERE hi_q1 > 0 AND lo_q1 > 0 AND hi_q2 / hi_q1 > lo_q2 / lo_q1
+ORDER BY n_name
+""",
+)
+def ds_q31_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q31 shape (query31.sql): nations whose quarter-over-quarter
+    growth in the high-priority channel beats the other channel. The
+    literal TPC-DS form is six CTEs self-joined five times; here the
+    quarter x channel matrix is one conditional aggregate over a single
+    scan — one shuffle to c_nationkey (25 rows), nation broadcast."""
+    t = load_tables(spark, sf_dir)
+    hi = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+    qn = F.quarter("o_orderdate")
+
+    def band(q, is_hi):
+        cond = (qn == q) & (hi if is_hi else ~hi)
+        return F.sum(F.when(cond, F.col("o_totalprice")).otherwise(0))
+
+    q = (
+        t["orders"].filter(F.year("o_orderdate") == 1996)
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_nationkey")
+        .agg(
+            band(1, True).alias("hi_q1"), band(2, True).alias("hi_q2"),
+            band(1, False).alias("lo_q1"), band(2, False).alias("lo_q2"),
+        )
+    )
+    return (
+        q.filter((F.col("hi_q1") > 0) & (F.col("lo_q1") > 0)
+                 & (F.col("hi_q2") / F.col("hi_q1") > F.col("lo_q2") / F.col("lo_q1")))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .select("n_name",
+                F.round(F.col("hi_q2") / F.col("hi_q1"), 6).alias("hi_growth"),
+                F.round(F.col("lo_q2") / F.col("lo_q1"), 6).alias("lo_growth"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "ds_q36_margin_rollup",
+    oracle="""
+WITH base AS (
+  SELECT n_name, p_brand,
+         sum(l_extendedprice * (1 - l_discount) - l_quantity * p_retailprice * 0.5) AS profit,
+         sum(l_extendedprice * (1 - l_discount)) AS rev,
+         grouping(n_name) + grouping(p_brand) AS lochierarchy,
+         grouping(p_brand) AS g_brand,
+         CASE WHEN grouping(p_brand) = 0 THEN n_name END AS parent
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY ROLLUP(n_name, p_brand)
+)
+SELECT round(profit / rev, 6) AS margin,
+       coalesce(n_name, 'ALL') AS nation,
+       coalesce(p_brand, 'ALL') AS brand,
+       lochierarchy,
+       rank() OVER (PARTITION BY lochierarchy, parent
+                    ORDER BY round(profit / rev, 6)) AS rnk
+FROM base
+ORDER BY lochierarchy DESC, nation, rnk, brand
+""",
+)
+def ds_q36_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q36 shape (query36.sql): gross-margin report over
+    ROLLUP(nation, brand) with the classic lochierarchy rank — rank of
+    each node among its siblings at the same rollup level. grouping()
+    flags are computed inside the Expand-based aggregate; the rank
+    window partitions on (level, parent), so sibling ranking reuses the
+    aggregated rows without another pass over the fact."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    base = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .rollup("n_name", "p_brand")
+        .agg(
+            F.sum(rev - F.col("l_quantity") * F.col("p_retailprice") * 0.5).alias("profit"),
+            F.sum(rev).alias("rev"),
+            (F.grouping("n_name") + F.grouping("p_brand")).alias("lochierarchy"),
+            F.when(F.grouping("p_brand") == 0, F.col("n_name")).alias("parent"),
+        )
+    )
+    margin = F.round(F.col("profit") / F.col("rev"), 6)
+    w = Window.partitionBy("lochierarchy", "parent").orderBy(margin)
+    return (
+        base.select(
+            margin.alias("margin"),
+            F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+            F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+            "lochierarchy",
+            F.rank().over(w).alias("rnk"),
+        )
+        .orderBy(F.desc("lochierarchy"), "nation", "rnk", "brand")
+    )
+
+
+@query(
+    "ds_q41_distinct_or",
+    oracle="""
+SELECT DISTINCT p_name
+FROM part
+WHERE (p_brand LIKE 'Brand#1%' AND p_size BETWEEN 1 AND 20 AND p_type LIKE '%BRASS%')
+   OR (p_brand LIKE 'Brand#2%' AND p_size BETWEEN 25 AND 40 AND p_type LIKE '%STEEL%')
+   OR (p_brand LIKE 'Brand#3%' AND p_size BETWEEN 10 AND 30 AND p_type LIKE '%COPPER%')
+ORDER BY p_name
+LIMIT 100
+""",
+)
+def ds_q41_distinct_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q41 shape (query41.sql): DISTINCT product names under an
+    OR-of-ANDs predicate battery. The whole disjunction is one scan
+    predicate (no union of scans); distinct + top-100 plans as partial
+    distinct -> TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    p = t["part"]
+    cond = (
+        (F.col("p_brand").like("Brand#1%") & F.col("p_size").between(1, 20) & F.col("p_type").like("%BRASS%"))
+        | (F.col("p_brand").like("Brand#2%") & F.col("p_size").between(25, 40) & F.col("p_type").like("%STEEL%"))
+        | (F.col("p_brand").like("Brand#3%") & F.col("p_size").between(10, 30) & F.col("p_type").like("%COPPER%"))
+    )
+    return p.filter(cond).select("p_name").distinct().orderBy("p_name").limit(100)
+
+
+@query(
+    "ds_q46_nation_mismatch",
+    oracle="""
+SELECT c_name, o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS amt
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN supplier ON l_suppkey = s_suppkey
+WHERE c_nationkey <> s_nationkey
+GROUP BY c_name, o_orderkey
+ORDER BY amt DESC, c_name, o_orderkey
+LIMIT 100
+""",
+)
+def ds_q46_nation_mismatch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q46 shape (query46.sql, bought-in-a-different-city): order
+    totals where the supplier sits in a different nation than the
+    customer. supplier is broadcast (bounded dim); the order-grain
+    aggregate shuffles once on the orderkey the lineitem join already
+    colocated; top-100 is TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("c_name", "o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("amt"))
+        .orderBy(F.desc("amt"), "c_name", "o_orderkey")
+        .limit(100)
+    )
+
+
+@query(
+    "ds_q54_segment_histogram",
+    oracle="""
+WITH buyers AS (
+  SELECT DISTINCT o_custkey
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN part   ON l_partkey = p_partkey
+  WHERE p_brand = 'Brand#12' AND year(o_orderdate) = 1995
+),
+tot AS (
+  SELECT o.o_custkey, sum(o_totalprice) AS t
+  FROM orders o JOIN buyers b ON o.o_custkey = b.o_custkey
+  GROUP BY o.o_custkey
+)
+SELECT CAST(floor(t / 50000) AS INT) AS segment, count(*) AS num_customers
+FROM tot GROUP BY segment ORDER BY segment
+""",
+)
+def ds_q54_segment_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q54 shape (query54.sql): find customers who bought the
+    target brand, then histogram their lifetime spend into $50k
+    segments. buyers is a semi-join reduction (DISTINCT custkeys only —
+    slim enough to broadcast back against orders); the histogram
+    aggregates the per-customer totals, not the fact rows."""
+    t = load_tables(spark, sf_dir)
+    buyers = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#12")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .filter(F.year("o_orderdate") == 1995)
+        .select("o_custkey").distinct()
+    )
+    tot = (
+        t["orders"]
+        .join(buyers.withColumnRenamed("o_custkey", "b_custkey"),
+              F.col("o_custkey") == F.col("b_custkey"))
+        .groupBy("o_custkey")
+        .agg(F.sum("o_totalprice").alias("t"))
+    )
+    return (
+        tot.groupBy(F.floor(F.col("t") / 50000).cast("int").alias("segment"))
+        .agg(F.count(F.lit(1)).alias("num_customers"))
+        .orderBy("segment")
+    )
+
+
+@query(
+    "ds_q88_time_bands",
+    oracle="""
+SELECT * FROM
+  (SELECT count(*) AS h8  FROM events WHERE hour(ts) = 8)  a,
+  (SELECT count(*) AS h9  FROM events WHERE hour(ts) = 9)  b,
+  (SELECT count(*) AS h10 FROM events WHERE hour(ts) = 10) c,
+  (SELECT count(*) AS h11 FROM events WHERE hour(ts) = 11) d,
+  (SELECT count(*) AS h12 FROM events WHERE hour(ts) = 12) e,
+  (SELECT count(*) AS h13 FROM events WHERE hour(ts) = 13) f,
+  (SELECT count(*) AS h14 FROM events WHERE hour(ts) = 14) g,
+  (SELECT count(*) AS h15 FROM events WHERE hour(ts) = 15) h
+""",
+)
+def ds_q88_time_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q88 shape (query88.sql): the 8-way time-band census. The
+    literal form is eight scalar subqueries cross-joined — eight scans.
+    Here all eight bands are one conditional aggregate over a single
+    scan (the oracle keeps the literal 8-subquery form to prove value
+    equivalence)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    h = F.hour("ts")
+    return ev.agg(*[
+        F.sum(F.when(h == hh, 1).otherwise(0)).cast("long").alias(f"h{hh}")
+        for hh in range(8, 16)
+    ])
+
+
+@query(
+    "ds_q90_ampm_ratio",
+    oracle="""
+SELECT round(am.c * 1.0 / pm.c, 6) AS am_pm_ratio
+FROM (SELECT count(*) AS c FROM events
+      WHERE hour(ts) BETWEEN 6 AND 11 AND event_type = 'view') am,
+     (SELECT count(*) AS c FROM events
+      WHERE hour(ts) BETWEEN 18 AND 23 AND event_type = 'view') pm
+""",
+)
+def ds_q90_ampm_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q90 shape (query90.sql): ratio of morning to evening
+    traffic — two scalar counts folded into one conditional aggregate
+    (single scan; the reference plans two scans + nested-loop join)."""
+    ev = load_tables(spark, sf_dir)["events"]
+    h = F.hour("ts")
+    am = F.sum(F.when(h.between(6, 11), 1).otherwise(0))
+    pm = F.sum(F.when(h.between(18, 23), 1).otherwise(0))
+    return (
+        ev.filter(F.col("event_type") == "view")
+        .agg(F.round(am * 1.0 / pm, 6).alias("am_pm_ratio"))
+    )
+
+
+@query(
+    "ds_q93_returns_adjust",
+    oracle="""
+SELECT c_custkey,
+       round(sum(CASE WHEN l_returnflag = 'R'
+                      THEN -l_extendedprice * (1 - l_discount)
+                      ELSE  l_extendedprice * (1 - l_discount) END), 2) AS net_sales
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+GROUP BY c_custkey
+ORDER BY net_sales, c_custkey
+LIMIT 100
+""",
+)
+def ds_q93_returns_adjust(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q93 shape (query93.sql): net customer value after backing
+    out returned merchandise. The reference left-joins store_returns to
+    store_sales; the fixture folds the return flag into a signed sum —
+    one fact scan, one shuffle to custkey, bottom-100 via
+    TakeOrderedAndProject."""
+    t = load_tables(spark, sf_dir)
+    rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    signed = F.when(F.col("l_returnflag") == "R", -rev).otherwise(rev)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey")
+        .agg(F.round(F.sum(signed), 2).alias("net_sales"))
+        .orderBy("net_sales", "c_custkey")
+        .limit(100)
+    )
+
+
+@query(
+    "ds_q95_multi_supplier",
+    oracle="""
+WITH per AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS ns,
+         max(CASE WHEN l_shipdate > o_orderdate + INTERVAL 90 DAY THEN 1 ELSE 0 END) AS late,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY l_orderkey
+)
+SELECT count(*) AS n_orders, round(sum(rev), 2) AS total_rev
+FROM per WHERE ns >= 2 AND late = 1
+""",
+)
+def ds_q95_multi_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q95 shape (query95.sql, ws_wh two-warehouse orders): count
+    orders fulfilled from >= 2 distinct suppliers with at least one
+    late line. The reference expresses this with two EXISTS self-joins
+    of web_sales; here the per-order supplier NDV and lateness flag come
+    from the one order-grain aggregate the revenue sum already needs."""
+    t = load_tables(spark, sf_dir)
+    per = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("ns"),
+            F.max(F.when(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1).otherwise(0)).alias("late"),
+            F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
+        )
+    )
+    return (
+        per.filter((F.col("ns") >= 2) & (F.col("late") == 1))
+        .agg(F.count(F.lit(1)).alias("n_orders"),
+             F.round(F.sum("rev"), 2).alias("total_rev"))
+    )
+
+
+@query(
+    "ds_q97_channel_overlap",
+    oracle="""
+WITH a AS (
+  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linestatus = 'O'
+),
+b AS (
+  SELECT DISTINCT o_custkey AS ck, l_partkey AS pk
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE l_linestatus = 'F'
+)
+SELECT sum(CASE WHEN a.ck IS NOT NULL AND b.ck IS NOT NULL THEN 1 ELSE 0 END) AS both_channels,
+       sum(CASE WHEN a.ck IS NOT NULL AND b.ck IS NULL THEN 1 ELSE 0 END) AS only_open,
+       sum(CASE WHEN a.ck IS NULL AND b.ck IS NOT NULL THEN 1 ELSE 0 END) AS only_finished
+FROM a FULL OUTER JOIN b ON a.ck = b.ck AND a.pk = b.pk
+""",
+)
+def ds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q97 shape (query97.sql): customer-part overlap between two
+    sales channels via FULL OUTER JOIN over the distinct key sets. Both
+    distinct sets shuffle on the same (custkey, partkey) key, so the
+    full-outer join colocates with the distincts (no extra exchange);
+    the 3-way census is one final aggregate."""
+    t = load_tables(spark, sf_dir)
+    li_o = t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+    a = (li_o.filter(F.col("l_linestatus") == "O")
+         .select(F.col("o_custkey").alias("a_ck"), F.col("l_partkey").alias("a_pk")).distinct())
+    b = (li_o.filter(F.col("l_linestatus") == "F")
+         .select(F.col("o_custkey").alias("b_ck"), F.col("l_partkey").alias("b_pk")).distinct())
+    j = a.join(b, (F.col("a_ck") == F.col("b_ck")) & (F.col("a_pk") == F.col("b_pk")), "full_outer")
+    return j.agg(
+        F.sum(F.when(F.col("a_ck").isNotNull() & F.col("b_ck").isNotNull(), 1).otherwise(0)).alias("both_channels"),
+        F.sum(F.when(F.col("a_ck").isNotNull() & F.col("b_ck").isNull(), 1).otherwise(0)).alias("only_open"),
+        F.sum(F.when(F.col("a_ck").isNull() & F.col("b_ck").isNotNull(), 1).otherwise(0)).alias("only_finished"),
+    )
