@@ -129,15 +129,26 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "IF(abs(x) % 1 = 0, '', '.' || lpad(CAST(CAST((abs(x) % 1) * 1000000 AS BIGINT) AS STRING), 6, '0')) "
         "END",
     ),
-    # Doris to_days: days since year 0 (proleptic); Spark min date is 0001-01-01,
-    # offset 719528 = to_days('1970-01-01').
-    "to_days": ("d DATE", "datediff(d, DATE '1970-01-01') + 719528"),
+    # Doris to_days: days since year 0; offset 719528 = to_days('1970-01-01').
+    # MySQL's year 0 is NOT a leap year (365 days, day 1 = 0000-01-01,
+    # 0000-02-29 invalid), while the ISO proleptic calendar Spark uses gives
+    # year 0 a Feb 29 — so Jan/Feb of year 0 sit one day later in MySQL's
+    # count and the two calendars re-align from 0000-03-01 onward.
+    "to_days": (
+        "d DATE",
+        "CASE WHEN year(d) = 0 AND month(d) = 2 AND day(d) = 29 THEN NULL "
+        "WHEN year(d) = 0 AND month(d) <= 2 THEN datediff(d, DATE '1970-01-01') + 719529 "
+        "ELSE datediff(d, DATE '1970-01-01') + 719528 END",
+    ),
     "from_days": (
-        # days-since-year-0; NULL outside Spark's proleptic range (Doris
-        # returns NULL for out-of-range dates)
+        # days-since-year-0, inverse of the MySQL count above (n <= 59 maps
+        # into MySQL's Feb-29-less year 0). Rendered as a string because
+        # year-0 dates exist JVM-side (java.time) but cannot materialize as
+        # Python datetime.date on collect.
         "n BIGINT",
-        "CASE WHEN n < 366 OR n > 4371587 THEN NULL "
-        "ELSE date_add(DATE '1970-01-01', CAST(n - 719528 AS INT)) END",
+        "CASE WHEN n < 1 OR n > 4371587 THEN NULL "
+        "WHEN n <= 59 THEN date_format(date_add(DATE '1970-01-01', CAST(n - 719529 AS INT)), 'yyyy-MM-dd') "
+        "ELSE date_format(date_add(DATE '1970-01-01', CAST(n - 719528 AS INT)), 'yyyy-MM-dd') END",
     ),
     "datev2": ("s STRING", "try_cast(s AS DATE)"),
     # MySQL %-patterns route to the Python kernel (pyfns), Java patterns
@@ -442,8 +453,18 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         # null-safe equality: null elements enumerate among themselves
         "transform(a, (x, i) -> size(filter(slice(a, 1, i + 1), y -> y <=> x)))",
     ),
-    # ISO8601 (function_date_or_datetime_to_string.cpp)
-    "to_iso8601": ("t TIMESTAMP", "date_format(t, \"yyyy-MM-dd'T'HH:mm:ss.SSSSSS\")"),
+    # ISO8601 (function_date_or_datetime_to_string.cpp). String-typed so a
+    # DATE argument keeps its date-only rendering and so sub-microsecond
+    # input can round (Doris rounds the 7th fractional digit half-up;
+    # Spark's string->timestamp cast truncates, so the lost digit is
+    # re-applied as +1us when it is >= 5).
+    "to_iso8601": (
+        "s STRING",
+        "CASE WHEN s RLIKE '^[0-9]{4}-[0-9]{2}-[0-9]{2}$' THEN date_format(try_cast(s AS DATE), 'yyyy-MM-dd') "
+        "ELSE date_format(try_cast(s AS TIMESTAMP) + make_interval(0, 0, 0, 0, 0, 0, "
+        "IF(coalesce(try_cast(regexp_extract(s, '\\\\.[0-9]{6}([0-9])', 1) AS INT), 0) >= 5, 0.000001, 0)), "
+        "\"yyyy-MM-dd'T'HH:mm:ss.SSSSSS\") END",
+    ),
     # Strict ISO-8601 date forms only (Presto-derived semantics): calendar
     # date, year-month, year, ordinal date (YYYY-DDD), and week date
     # (YYYY-Www[-D], ISO week anchored on Jan 4). Anything else -> NULL.

@@ -221,6 +221,13 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
         "  + CAST(hour(try_to_timestamp(s, 'yyyyMMddHHmmss')) * 3600 "
         "        + minute(try_to_timestamp(s, 'yyyyMMddHHmmss')) * 60 "
         "        + second(try_to_timestamp(s, 'yyyyMMddHHmmss')) AS BIGINT) "
+        "WHEN s RLIKE '^0000-02-29' THEN NULL "
+        "WHEN s RLIKE '^0000-0[12]-' AND try_cast(s AS TIMESTAMP) IS NOT NULL THEN "
+        # MySQL's year 0 has no Feb 29 and starts at day 1 (see to_days):
+        # Jan/Feb of year 0 count one day ahead of the ISO proleptic diff
+        "  (CAST(datediff(CAST(try_cast(s AS TIMESTAMP) AS DATE), DATE '1970-01-01') AS BIGINT) + 719529) * 86400 "
+        "  + CAST(hour(try_cast(s AS TIMESTAMP)) * 3600 + minute(try_cast(s AS TIMESTAMP)) * 60 "
+        "        + second(try_cast(s AS TIMESTAMP)) AS BIGINT) "
         "WHEN s RLIKE '^[0-9]{3,4}-' AND try_cast(s AS TIMESTAMP) IS NOT NULL THEN "
         "  (CAST(datediff(CAST(try_cast(s AS TIMESTAMP) AS DATE), DATE '1970-01-01') AS BIGINT) + 719528) * 86400 "
         "  + CAST(hour(try_cast(s AS TIMESTAMP)) * 3600 + minute(try_cast(s AS TIMESTAMP)) * 60 "

@@ -1278,14 +1278,18 @@ def ds_q95_multi_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders fulfilled from >= 2 distinct suppliers with at least one
     late line. The reference expresses this with two EXISTS self-joins
     of web_sales; here the per-order supplier NDV and lateness flag come
-    from the one order-grain aggregate the revenue sum already needs."""
+    from the one order-grain aggregate the revenue sum already needs.
+    Supplier NDV is size(collect_set(...)), not countDistinct: an order
+    has a bounded line count, so the set state is tiny and the aggregate
+    stays single-shuffle (countDistinct plans a second exchange keyed on
+    (orderkey, suppkey) — 2x the shuffled bytes for no benefit here)."""
     t = load_tables(spark, sf_dir)
     per = (
         t["lineitem"]
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy("l_orderkey")
         .agg(
-            F.countDistinct("l_suppkey").alias("ns"),
+            F.size(F.collect_set("l_suppkey")).cast("long").alias("ns"),
             F.max(F.when(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 90 DAYS"), 1).otherwise(0)).alias("late"),
             F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"),
         )
@@ -1333,4 +1337,308 @@ def ds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("a_ck").isNotNull() & F.col("b_ck").isNotNull(), 1).otherwise(0)).alias("both_channels"),
         F.sum(F.when(F.col("a_ck").isNotNull() & F.col("b_ck").isNull(), 1).otherwise(0)).alias("only_open"),
         F.sum(F.when(F.col("a_ck").isNull() & F.col("b_ck").isNotNull(), 1).otherwise(0)).alias("only_finished"),
+    )
+
+
+@query(
+    "ds_q6_above_avg_price",
+    oracle="""
+WITH ap AS (SELECT p_type, avg(p_retailprice) AS a FROM part GROUP BY p_type)
+SELECT n_name, count(*) AS cnt
+FROM lineitem
+JOIN part     ON l_partkey = p_partkey
+JOIN ap       ON part.p_type = ap.p_type
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE p_retailprice > 1.2 * a AND year(o_orderdate) = 1995
+GROUP BY n_name HAVING count(*) >= 10
+ORDER BY cnt, n_name
+""",
+)
+def ds_q6_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q6 shape (query6.sql): customers' nations buying items priced
+    >= 1.2x their category average. The category average is a window over
+    the part dimension (200k rows at SF100k — no fact scan), joined back
+    broadcast; one fact aggregate to n_name."""
+    t = load_tables(spark, sf_dir)
+    w = Window.partitionBy("p_type")
+    part_avg = t["part"].withColumn("a", F.avg("p_retailprice").over(w))
+    return (
+        t["lineitem"]
+        .join(F.broadcast(part_avg.filter(F.col("p_retailprice") > 1.2 * F.col("a"))),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .join(t["orders"].filter(F.year("o_orderdate") == 1995),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 10)
+        .orderBy("cnt", "n_name")
+    )
+
+
+@query(
+    "ds_q15_or_predicates",
+    oracle="""
+SELECT n_name, round(sum(o_totalprice), 2) AS total
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation   ON c_nationkey = n_nationkey
+WHERE (c_acctbal > 9000 OR c_mktsegment IN ('BUILDING', 'MACHINERY'))
+  AND year(o_orderdate) = 1996 AND quarter(o_orderdate) = 1
+GROUP BY n_name HAVING sum(o_totalprice) > 50000
+ORDER BY n_name
+""",
+)
+def ds_q15_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q15 shape (query15.sql): sales by geography where the
+    customer qualifies by EITHER balance or segment (the zip-list OR
+    balance disjunction). The OR stays one scan predicate on the
+    customer dim; no union-of-scans."""
+    t = load_tables(spark, sf_dir)
+    cust = t["customer"].filter(
+        (F.col("c_acctbal") > 9000) | F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
+    )
+    return (
+        t["orders"].filter((F.year("o_orderdate") == 1996) & (F.quarter("o_orderdate") == 1))
+        .join(cust, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
+        .filter(F.col("total") > 50000)
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "ds_q23_frequent_best",
+    oracle="""
+WITH freq AS (
+  SELECT l_partkey FROM lineitem WHERE year(l_shipdate) = 1995
+  GROUP BY l_partkey HAVING count(*) > 4
+),
+best AS (
+  SELECT o_custkey FROM orders
+  GROUP BY o_custkey HAVING sum(o_totalprice) > 500000
+)
+SELECT round(sum(l_extendedprice * (1 - l_discount)), 2) AS total
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN freq   ON lineitem.l_partkey = freq.l_partkey
+JOIN best   ON orders.o_custkey = best.o_custkey
+WHERE year(l_shipdate) = 1996
+""",
+)
+def ds_q23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q23 shape (query23.sql): sales of frequently-bought items to
+    best customers. Both qualifying sets are aggregates reduced to bare
+    keys — semi-join reductions that broadcast back against the fact
+    (the heavy CROSS of TPC-DS's CTEs never materializes)."""
+    t = load_tables(spark, sf_dir)
+    freq = (
+        t["lineitem"].filter(F.year("l_shipdate") == 1995)
+        .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") > 4).select(F.col("l_partkey").alias("f_partkey"))
+    )
+    best = (
+        t["orders"].groupBy("o_custkey").agg(F.sum("o_totalprice").alias("tot"))
+        .filter(F.col("tot") > 500000).select(F.col("o_custkey").alias("b_custkey"))
+    )
+    return (
+        t["lineitem"].filter(F.year("l_shipdate") == 1996)
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(freq, F.col("l_partkey") == F.col("f_partkey"), "left_semi")
+        .join(best, F.col("o_custkey") == F.col("b_custkey"), "left_semi")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("total"))
+    )
+
+
+@query(
+    "ds_q29_quantity_flow",
+    oracle="""
+SELECT p_brand,
+       round(sum(CASE WHEN l_returnflag = 'N' THEN l_quantity ELSE 0 END), 2) AS sold_qty,
+       round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END), 2) AS returned_qty,
+       round(sum(CASE WHEN l_returnflag = 'A' THEN l_quantity ELSE 0 END), 2) AS ack_qty
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) BETWEEN 1995 AND 1997
+GROUP BY p_brand ORDER BY p_brand LIMIT 100
+""",
+)
+def ds_q29_quantity_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q29 shape (query29.sql): quantity sold / returned / re-flowed
+    per brand across a 3-year window. TPC-DS joins store_sales x
+    store_returns x catalog_sales; the fixture folds the flow states into
+    one conditional aggregate — one scan, one shuffle."""
+    t = load_tables(spark, sf_dir)
+
+    def flow(flag):
+        return F.round(F.sum(F.when(F.col("l_returnflag") == flag, F.col("l_quantity")).otherwise(0)), 2)
+
+    return (
+        t["lineitem"].filter(F.year("l_shipdate").between(1995, 1997))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(flow("N").alias("sold_qty"), flow("R").alias("returned_qty"), flow("A").alias("ack_qty"))
+        .orderBy("p_brand")
+        .limit(100)
+    )
+
+
+@query(
+    "ds_q48_band_or",
+    oracle="""
+SELECT round(sum(l_quantity), 2) AS total_qty
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE (c_mktsegment = 'BUILDING'   AND c_acctbal BETWEEN 0    AND 3000  AND l_quantity BETWEEN 1  AND 20)
+   OR (c_mktsegment = 'MACHINERY'  AND c_acctbal BETWEEN 3000 AND 6000  AND l_quantity BETWEEN 21 AND 35)
+   OR (c_mktsegment = 'AUTOMOBILE' AND c_acctbal BETWEEN 6000 AND 10000 AND l_quantity BETWEEN 36 AND 50)
+""",
+)
+def ds_q48_band_or(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q48 shape (query48.sql): a single scalar sum under an
+    OR-of-band-predicates battery spanning fact and dimension columns.
+    The disjunction evaluates post-join in one pass (no per-branch
+    subplans)."""
+    t = load_tables(spark, sf_dir)
+    q, bal, seg = F.col("l_quantity"), F.col("c_acctbal"), F.col("c_mktsegment")
+    cond = (
+        ((seg == "BUILDING") & bal.between(0, 3000) & q.between(1, 20))
+        | ((seg == "MACHINERY") & bal.between(3000, 6000) & q.between(21, 35))
+        | ((seg == "AUTOMOBILE") & bal.between(6000, 10000) & q.between(36, 50))
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .filter(cond)
+        .agg(F.round(F.sum("l_quantity"), 2).alias("total_qty"))
+    )
+
+
+@query(
+    "ds_q59_dow_pivot",
+    oracle="""
+WITH w AS (
+  SELECT year(l_shipdate) AS y, weekofyear(l_shipdate) AS wk,
+         sum(CASE WHEN isodow(l_shipdate) = 1 THEN l_extendedprice END) AS mon,
+         sum(CASE WHEN isodow(l_shipdate) = 3 THEN l_extendedprice END) AS wed,
+         sum(CASE WHEN isodow(l_shipdate) = 5 THEN l_extendedprice END) AS fri,
+         sum(CASE WHEN isodow(l_shipdate) = 7 THEN l_extendedprice END) AS sun
+  FROM lineitem WHERE year(l_shipdate) IN (1995, 1996)
+  GROUP BY year(l_shipdate), weekofyear(l_shipdate)
+)
+SELECT a.wk AS wk, round(b.mon / a.mon, 6) AS mon_ratio,
+       round(b.wed / a.wed, 6) AS wed_ratio,
+       round(b.fri / a.fri, 6) AS fri_ratio,
+       round(b.sun / a.sun, 6) AS sun_ratio
+FROM w a JOIN w b ON a.wk = b.wk AND a.y = 1995 AND b.y = 1996
+ORDER BY wk
+""",
+)
+def ds_q59_dow_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q59 shape (query59.sql): day-of-week revenue pivot per week,
+    ratio against the same week one year later. One conditional-aggregate
+    scan covers both years; the year alignment joins two 53-row slices of
+    the same aggregate (broadcast)."""
+    t = load_tables(spark, sf_dir)
+    dow = F.weekday("l_shipdate") + 1  # 1=Mon..7=Sun, matches DuckDB isodow
+
+    def band(d):
+        return F.sum(F.when(dow == d, F.col("l_extendedprice")))
+
+    w = (
+        t["lineitem"].filter(F.year("l_shipdate").isin(1995, 1996))
+        .groupBy(F.year("l_shipdate").alias("y"), F.weekofyear("l_shipdate").alias("wk"))
+        .agg(band(1).alias("mon"), band(3).alias("wed"), band(5).alias("fri"), band(7).alias("sun"))
+    )
+    a = w.filter(F.col("y") == 1995).select("wk", "mon", "wed", "fri", "sun")
+    b = w.filter(F.col("y") == 1996).select(
+        F.col("wk").alias("wk_b"), F.col("mon").alias("mon_b"), F.col("wed").alias("wed_b"),
+        F.col("fri").alias("fri_b"), F.col("sun").alias("sun_b"))
+    return (
+        a.join(F.broadcast(b), F.col("wk") == F.col("wk_b"))
+        .select(
+            "wk",
+            F.round(F.col("mon_b") / F.col("mon"), 6).alias("mon_ratio"),
+            F.round(F.col("wed_b") / F.col("wed"), 6).alias("wed_ratio"),
+            F.round(F.col("fri_b") / F.col("fri"), 6).alias("fri_ratio"),
+            F.round(F.col("sun_b") / F.col("sun"), 6).alias("sun_ratio"),
+        )
+        .orderBy("wk")
+    )
+
+
+@query(
+    "ds_q63_above_trend",
+    oracle="""
+WITH m AS (
+  SELECT p_type, year(l_shipdate) * 100 + month(l_shipdate) AS ym,
+         sum(l_extendedprice * (1 - l_discount)) AS s
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY p_type, year(l_shipdate) * 100 + month(l_shipdate)
+)
+SELECT p_type, ym, round(s, 2) AS monthly, round(a, 2) AS trend
+FROM (SELECT p_type, ym, s, avg(s) OVER (PARTITION BY p_type) AS a FROM m)
+WHERE s > 1.1 * a
+ORDER BY p_type, ym
+""",
+)
+def ds_q63_above_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q63 shape (query63.sql): months where a category's sales
+    exceed 1.1x its own long-run average. The window average partitions
+    on the same key the aggregate grouped by — Catalyst reuses the
+    aggregate's exchange for the window."""
+    t = load_tables(spark, sf_dir)
+    m = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", (F.year("l_shipdate") * 100 + F.month("l_shipdate")).alias("ym"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("s"))
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        m.withColumn("a", F.avg("s").over(w))
+        .filter(F.col("s") > 1.1 * F.col("a"))
+        .select("p_type", "ym", F.round("s", 2).alias("monthly"), F.round("a", 2).alias("trend"))
+        .orderBy("p_type", "ym")
+    )
+
+
+@query(
+    "ds_q98_category_share",
+    oracle="""
+WITH r AS (
+  SELECT p_type, p_brand, sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1995
+  GROUP BY p_type, p_brand
+)
+SELECT p_type, p_brand, round(rev, 2) AS rev,
+       round(rev * 100 / sum(rev) OVER (PARTITION BY p_type), 4) AS share
+FROM r ORDER BY p_type, p_brand
+""",
+)
+def ds_q98_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q98 shape (query98.sql): revenue share of each item within
+    its category (ratio-to-report window over the category partition).
+    The share window repartitions only the slim aggregate output."""
+    t = load_tables(spark, sf_dir)
+    r = (
+        t["lineitem"].filter(F.year("l_shipdate") == 1995)
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    w = Window.partitionBy("p_type")
+    return (
+        r.select(
+            "p_type", "p_brand", F.round("rev", 2).alias("rev"),
+            F.round(F.col("rev") * 100 / F.sum("rev").over(w), 4).alias("share"),
+        )
+        .orderBy("p_type", "p_brand")
     )

@@ -7,10 +7,13 @@ they execute byte-for-byte through Engine.sql with only the MySQL
 dialect translation any FE performs. Skipped when the reference checkout
 is not present.
 
-Known-unreachable remainder (not counted against the floor): year-0
-dates (below Spark/Python's proleptic minimum), TIME-typed casts
-(declared shim), pre-1900 LMT zone offsets on ancient timestamps, and
-timezone-suffixed month arithmetic.
+Known-unreachable remainder (28 cases at the round-5 close, score
+1455/1483): pre-1901 Asia/Shanghai LMT offsets (+08:05:43) on ancient
+tz-suffixed timestamps and year-0 datetime results, neither of which can
+materialize through PySpark's collect (Python datetime has no year 0 and
+the JVM/tzdb render LMT), plus 6 int128 LARGEINT-array cases (values at
+2^127 exceed every Spark numeric type; backed by DOUBLE, the
+distinctness/overflow-wrap cases remain unrepresentable).
 """
 
 from __future__ import annotations
@@ -24,7 +27,7 @@ import pytest
 REF = "/root/reference/regression-test/suites/doc/sql-manual/sql-functions"
 
 # floor = last locked score minus a small flake budget
-PASS_FLOOR = 1400
+PASS_FLOOR = 1440
 TOTAL_EXPECTED = 1483
 
 
