@@ -642,3 +642,52 @@ def cb_window_dims(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pv"), "w", "h")
         .limit(10)
     )
+
+
+@query(
+    "cb_ndv_phrases",
+    oracle="SELECT count(DISTINCT source) AS s, count(DISTINCT lang) AS l FROM documents",
+)
+def cb_ndv_phrases(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q5 shape (queries.sql:23): NDV over a string column
+    (SearchPhrase analog) — partial distinct before the exchange."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.agg(
+        F.countDistinct("source").alias("s"),
+        F.countDistinct("lang").alias("l"),
+    )
+
+
+@query(
+    "cb_phrase_topk",
+    oracle="""
+SELECT source, count(*) AS c FROM documents
+WHERE source <> '' GROUP BY source
+ORDER BY c DESC, source LIMIT 10
+""",
+)
+def cb_phrase_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q12 shape (queries.sql:30): string-keyed heavy-hitter
+    count with a non-empty filter and top-10."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return (
+        docs.filter(F.col("source") != "")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "source")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_count_like",
+    oracle="SELECT count(*) AS n FROM documents WHERE text LIKE '%google%' OR text LIKE '%spark%'",
+)
+def cb_count_like(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q20 shape (queries.sql:38): bare COUNT under substring
+    predicates — the LIKEs evaluate in the scan stage; no shuffle beyond
+    the single-row final."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    return docs.filter(
+        F.col("text").contains("google") | F.col("text").contains("spark")
+    ).agg(F.count(F.lit(1)).alias("n"))
