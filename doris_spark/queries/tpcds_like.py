@@ -1642,3 +1642,126 @@ def ds_q98_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("p_type", "p_brand")
     )
+
+
+@query(
+    "ds_q9_bucket_ratios",
+    oracle="""
+SELECT round(avg(CASE WHEN l_quantity BETWEEN 1  AND 10 THEN l_extendedprice END), 4) AS b1,
+       round(avg(CASE WHEN l_quantity BETWEEN 11 AND 20 THEN l_extendedprice END), 4) AS b2,
+       round(avg(CASE WHEN l_quantity BETWEEN 21 AND 30 THEN l_extendedprice END), 4) AS b3,
+       round(avg(CASE WHEN l_quantity BETWEEN 31 AND 40 THEN l_extendedprice END), 4) AS b4,
+       round(avg(CASE WHEN l_quantity BETWEEN 41 AND 50 THEN l_extendedprice END), 4) AS b5
+FROM lineitem
+""",
+)
+def ds_q9_bucket_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q9 shape (query9.sql): per-quantity-bucket price statistics.
+    The literal form is 15 scalar subqueries (3 per bucket) each scanning
+    the fact; here all five buckets are conditional aggregates in ONE
+    scan — the same single-pass rewrite the reference's Nereids
+    MergeAggregate targets."""
+    t = load_tables(spark, sf_dir)
+
+    def bucket(lo, hi):
+        return F.round(
+            F.avg(F.when(F.col("l_quantity").between(lo, hi), F.col("l_extendedprice"))), 4
+        )
+
+    return t["lineitem"].agg(
+        bucket(1, 10).alias("b1"), bucket(11, 20).alias("b2"), bucket(21, 30).alias("b3"),
+        bucket(31, 40).alias("b4"), bucket(41, 50).alias("b5"),
+    )
+
+
+@query(
+    "ds_q17_variation",
+    oracle="""
+WITH s AS (
+  SELECT p_brand, n_name,
+         avg(l_quantity) AS mean_qty,
+         stddev_samp(l_quantity) AS std_qty,
+         count(*) AS cnt
+  FROM lineitem
+  JOIN part     ON l_partkey = p_partkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN nation   ON s_nationkey = n_nationkey
+  GROUP BY p_brand, n_name
+)
+SELECT p_brand, n_name, round(mean_qty, 4) AS mean_qty,
+       round(std_qty / mean_qty, 4) AS cov
+FROM s
+WHERE cnt >= 5 AND std_qty / mean_qty > 0.62
+ORDER BY p_brand, n_name
+""",
+)
+def ds_q17_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q17 shape (query17.sql): groups whose quantity coefficient
+    of variation exceeds a threshold. mean/stddev/count come from one
+    aggregate; the CoV filter runs on the aggregated rows."""
+    t = load_tables(spark, sf_dir)
+    s = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("p_brand", "n_name")
+        .agg(
+            F.avg("l_quantity").alias("mean_qty"),
+            F.stddev_samp("l_quantity").alias("std_qty"),
+            F.count(F.lit(1)).alias("cnt"),
+        )
+    )
+    cov = F.col("std_qty") / F.col("mean_qty")
+    return (
+        s.filter((F.col("cnt") >= 5) & (cov > 0.62))
+        .select("p_brand", "n_name", F.round("mean_qty", 4).alias("mean_qty"),
+                F.round(cov, 4).alias("cov"))
+        .orderBy("p_brand", "n_name")
+    )
+
+
+@query(
+    "ds_q62_latency_bands",
+    oracle="""
+SELECT n_name,
+       sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 1 ELSE 0 END) AS d30,
+       sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS d60,
+       sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) BETWEEN 61 AND 90 THEN 1 ELSE 0 END) AS d90,
+       sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) BETWEEN 91 AND 120 THEN 1 ELSE 0 END) AS d120,
+       sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 120 THEN 1 ELSE 0 END) AS dmore
+FROM lineitem
+JOIN orders   ON l_orderkey = o_orderkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation   ON s_nationkey = n_nationkey
+WHERE year(o_orderdate) = 1996
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def ds_q62_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q62/q99 shape (query62.sql): shipping-latency band matrix
+    per carrier/warehouse — here per supplier nation (the fixture has no
+    shipmode). One conditional-aggregate pass; the band CASEs share the
+    datediff subexpression."""
+    t = load_tables(spark, sf_dir)
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def band(cond):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long")
+
+    return (
+        t["lineitem"]
+        .join(t["orders"].filter(F.year("o_orderdate") == 1996),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(
+            band(lat <= 30).alias("d30"),
+            band(lat.between(31, 60)).alias("d60"),
+            band(lat.between(61, 90)).alias("d90"),
+            band(lat.between(91, 120)).alias("d120"),
+            band(lat > 120).alias("dmore"),
+        )
+        .orderBy("n_name")
+    )
