@@ -1765,3 +1765,390 @@ def ds_q62_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("n_name")
     )
+
+
+@query(
+    "ds_q3_brand_year",
+    oracle="""
+SELECT year(l_shipdate) AS yr, p_brand,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type = 'STANDARD'
+GROUP BY yr, p_brand
+ORDER BY yr, rev DESC, p_brand
+""",
+)
+def ds_q3_brand_year(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q3 shape (query3.sql): brand revenue by year for one
+    manufacturer class. Part filter broadcasts; one partial+final agg."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_type") == "STANDARD")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("yr"), F.col("p_brand"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
+        .orderBy("yr", F.col("rev").desc(), "p_brand")
+    )
+
+
+@query(
+    "ds_q7_item_metrics",
+    oracle="""
+SELECT p_brand,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_extendedprice), 6) AS avg_price,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS cnt
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN part ON l_partkey = p_partkey
+WHERE c_mktsegment = 'BUILDING' AND o_orderpriority = '1-URGENT'
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def ds_q7_item_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q7/q26 shape (query7.sql): average item metrics under
+    demographic filters. Customer filter prunes before the fact join."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"].filter(F.col("o_orderpriority") == "1-URGENT"),
+              F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"].filter(F.col("c_mktsegment") == "BUILDING"),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 6).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count("*").alias("cnt"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "ds_q8_preferred_nations",
+    oracle="""
+WITH preferred AS (
+  SELECT c_nationkey FROM customer GROUP BY c_nationkey HAVING count(*) >= 25
+)
+SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE c_nationkey IN (SELECT c_nationkey FROM preferred)
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def ds_q8_preferred_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q8 shape (query8.sql): revenue restricted to 'preferred'
+    geographies found by a grouped-HAVING subquery (zip-substr analog).
+    The preferred set is tiny -> broadcast semi join."""
+    t = load_tables(spark, sf_dir)
+    preferred = (
+        t["customer"].groupBy("c_nationkey").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 25).select("c_nationkey")
+    )
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(preferred), "c_nationkey", "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "ds_q12_type_share",
+    oracle="""
+WITH itemrev AS (
+  SELECT p_type, p_brand, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_shipdate >= TIMESTAMP '1997-03-01' AND l_shipdate < TIMESTAMP '1997-03-31'
+  GROUP BY p_type, p_brand
+)
+SELECT p_type, p_brand, rev,
+       round(rev * 100.0 / sum(rev) OVER (PARTITION BY p_type), 6) AS revshare
+FROM itemrev ORDER BY p_type, p_brand
+""",
+)
+def ds_q12_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q12/q20 shape (query12.sql): 30-day revenue with
+    ratio_to_report share within the item class. The share window
+    partitions on p_type so it reuses the aggregate's shuffle."""
+    t = load_tables(spark, sf_dir)
+    itemrev = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= "1997-03-01") & (F.col("l_shipdate") < "1997-03-31"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_type", "p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
+    )
+    w = Window.partitionBy("p_type")
+    return itemrev.select(
+        "p_type", "p_brand", "rev",
+        F.round(F.col("rev") * 100.0 / F.sum("rev").over(w), 6).alias("revshare"),
+    ).orderBy("p_type", "p_brand")
+
+
+@query(
+    "ds_q13_band_averages",
+    oracle="""
+SELECT round(avg(CASE WHEN c_mktsegment = 'BUILDING'  AND o_totalprice BETWEEN 0     AND 50000  THEN o_totalprice END), 6) AS avg_low,
+       round(avg(CASE WHEN c_mktsegment = 'MACHINERY' AND o_totalprice BETWEEN 50000 AND 150000 THEN o_totalprice END), 6) AS avg_mid,
+       round(avg(CASE WHEN c_mktsegment = 'AUTOMOBILE' AND o_totalprice > 150000 THEN o_totalprice END), 6) AS avg_high,
+       CAST(sum(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS urgent_cnt
+FROM orders JOIN customer ON o_custkey = c_custkey
+""",
+)
+def ds_q13_band_averages(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q13 shape (query13.sql): single-row report of averages under
+    OR'd demographic+price band predicates — one conditional-aggregate
+    scan instead of three subqueries."""
+    t = load_tables(spark, sf_dir)
+    tp, seg = F.col("o_totalprice"), F.col("c_mktsegment")
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .agg(
+            F.round(F.avg(F.when((seg == "BUILDING") & tp.between(0, 50000), tp)), 6).alias("avg_low"),
+            F.round(F.avg(F.when((seg == "MACHINERY") & tp.between(50000, 150000), tp)), 6).alias("avg_mid"),
+            F.round(F.avg(F.when((seg == "AUTOMOBILE") & (tp > 150000), tp)), 6).alias("avg_high"),
+            F.sum(F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0)).cast("long").alias("urgent_cnt"),
+        )
+    )
+
+
+@query(
+    "ds_q16_ship_check",
+    oracle="""
+WITH per_order AS (
+  SELECT l_orderkey,
+         count(DISTINCT l_suppkey) AS nsupp,
+         max(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS has_return
+  FROM lineitem GROUP BY l_orderkey
+)
+SELECT count(*) AS order_cnt, round(sum(o_totalprice), 4) AS total_price
+FROM orders JOIN per_order ON o_orderkey = l_orderkey
+WHERE o_orderdate >= TIMESTAMP '1996-01-01' AND o_orderdate < TIMESTAMP '1997-01-01'
+  AND nsupp >= 2 AND has_return = 0
+""",
+)
+def ds_q16_ship_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q16/q94 shape (query16.sql): orders shipped from >=2
+    suppliers with no returned line — the EXISTS/NOT EXISTS pair folds
+    into one grouped pass over lineitem (single shuffle), like ds_q95."""
+    t = load_tables(spark, sf_dir)
+    per_order = (
+        t["lineitem"].groupBy("l_orderkey").agg(
+            F.size(F.collect_set("l_suppkey")).alias("nsupp"),
+            F.max(F.when(F.col("l_returnflag") == "R", 1).otherwise(0)).alias("has_return"),
+        )
+    )
+    return (
+        t["orders"]
+        .filter((F.col("o_orderdate") >= "1996-01-01") & (F.col("o_orderdate") < "1997-01-01"))
+        .join(per_order, F.col("o_orderkey") == F.col("l_orderkey"))
+        .filter((F.col("nsupp") >= 2) & (F.col("has_return") == 0))
+        .agg(F.count("*").alias("order_cnt"),
+             F.round(F.sum("o_totalprice"), 4).alias("total_price"))
+    )
+
+
+@query(
+    "ds_q19_cross_nation_brand",
+    oracle="""
+SELECT p_brand, round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_nationkey <> s_nationkey AND month(l_shipdate) = 12
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def ds_q19_cross_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q19 shape (query19.sql): brand revenue where the buyer and
+    the seller sit in different geographies (store zip <> customer zip)."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"].filter(F.month("l_shipdate") == 12)
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .filter(F.col("c_nationkey") != F.col("s_nationkey"))
+        .groupBy("p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "ds_q21_before_after",
+    oracle="""
+SELECT s_name,
+       CAST(sum(CASE WHEN l_shipdate <  TIMESTAMP '1998-06-01' THEN l_quantity ELSE 0 END) AS DOUBLE) AS qty_before,
+       CAST(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-06-01' THEN l_quantity ELSE 0 END) AS DOUBLE) AS qty_after
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE l_shipdate BETWEEN TIMESTAMP '1998-04-02' AND TIMESTAMP '1998-07-31'
+GROUP BY s_name
+HAVING qty_before > 0 AND qty_after > 0
+   AND qty_after / qty_before BETWEEN 2.0/3.0 AND 3.0/2.0
+ORDER BY s_name
+""",
+)
+def ds_q21_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q21 shape (query21.sql): inventory before/after a cutoff
+    within a +/-60-day window, kept when the ratio stays in [2/3, 3/2]."""
+    t = load_tables(spark, sf_dir)
+    sd = F.col("l_shipdate")
+    g = (
+        t["lineitem"]
+        .filter(sd.between("1998-04-02", "1998-07-31"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(
+            F.sum(F.when(sd < "1998-06-01", F.col("l_quantity")).otherwise(0.0)).alias("qty_before"),
+            F.sum(F.when(sd >= "1998-06-01", F.col("l_quantity")).otherwise(0.0)).alias("qty_after"),
+        )
+    )
+    return (
+        g.filter((F.col("qty_before") > 0) & (F.col("qty_after") > 0))
+        .filter((F.col("qty_after") / F.col("qty_before")).between(2.0 / 3.0, 3.0 / 2.0))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "ds_q22_qty_rollup",
+    oracle="""
+SELECT coalesce(p_type, 'ALL') AS ptype,
+       coalesce(p_brand, 'ALL') AS brand,
+       CAST(grouping(p_type) * 2 + grouping(p_brand) AS BIGINT) AS gid,
+       round(avg(l_quantity), 6) AS avg_qty,
+       count(*) AS cnt
+FROM lineitem JOIN part ON l_partkey = p_partkey
+GROUP BY ROLLUP (p_type, p_brand)
+ORDER BY gid, ptype, brand
+""",
+)
+def ds_q22_qty_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q22 shape (query22.sql): average quantity-on-hand over the
+    product hierarchy ROLLUP, ordered coarse-to-fine."""
+    t = load_tables(spark, sf_dir)
+    g = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .rollup("p_type", "p_brand")
+        .agg(
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.count("*").alias("cnt"),
+            (F.grouping("p_type") * 2 + F.grouping("p_brand")).cast("bigint").alias("gid"),
+        )
+    )
+    return g.select(
+        F.coalesce("p_type", F.lit("ALL")).alias("ptype"),
+        F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+        "gid", "avg_qty", "cnt",
+    ).orderBy("gid", "ptype", "brand")
+
+
+@query(
+    "ds_q28_bucket_distinct",
+    oracle="""
+SELECT round(avg(CASE WHEN l_quantity BETWEEN 0  AND 15 THEN l_extendedprice END), 6) AS avg_b1,
+       count(DISTINCT CASE WHEN l_quantity BETWEEN 0  AND 15 THEN l_extendedprice END) AS ndv_b1,
+       round(avg(CASE WHEN l_quantity BETWEEN 16 AND 30 THEN l_extendedprice END), 6) AS avg_b2,
+       count(DISTINCT CASE WHEN l_quantity BETWEEN 16 AND 30 THEN l_extendedprice END) AS ndv_b2,
+       round(avg(CASE WHEN l_quantity BETWEEN 31 AND 50 THEN l_extendedprice END), 6) AS avg_b3,
+       count(DISTINCT CASE WHEN l_quantity BETWEEN 31 AND 50 THEN l_extendedprice END) AS ndv_b3
+FROM lineitem
+WHERE l_discount BETWEEN 0.02 AND 0.09
+""",
+)
+def ds_q28_bucket_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q28 shape (query28.sql): avg + exact NDV of list price in
+    quantity buckets — the six subqueries fold into one multi-distinct
+    conditional aggregate (Catalyst expand, one scan)."""
+    t = load_tables(spark, sf_dir)
+    q, ep = F.col("l_quantity"), F.col("l_extendedprice")
+    li = t["lineitem"].filter(F.col("l_discount").between(0.02, 0.09))
+    return li.agg(
+        F.round(F.avg(F.when(q.between(0, 15), ep)), 6).alias("avg_b1"),
+        F.countDistinct(F.when(q.between(0, 15), ep)).alias("ndv_b1"),
+        F.round(F.avg(F.when(q.between(16, 30), ep)), 6).alias("avg_b2"),
+        F.countDistinct(F.when(q.between(16, 30), ep)).alias("ndv_b2"),
+        F.round(F.avg(F.when(q.between(31, 50), ep)), 6).alias("avg_b3"),
+        F.countDistinct(F.when(q.between(31, 50), ep)).alias("ndv_b3"),
+    )
+
+
+@query(
+    "ds_q30_user_above_avg",
+    oracle="""
+WITH per_user AS (
+  SELECT user_id, round(sum(value), 4) AS total
+  FROM events WHERE event_type = 'purchase' GROUP BY user_id
+)
+SELECT user_id, total FROM per_user
+WHERE total > 1.2 * (SELECT avg(total) FROM per_user)
+ORDER BY user_id
+""",
+)
+def ds_q30_user_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q30/q81 shape (query30.sql): per-customer return totals kept
+    above 1.2x the cohort average — grouped agg + scalar-subquery filter
+    (the 1-row average broadcasts)."""
+    t = load_tables(spark, sf_dir)
+    per_user = (
+        t["events"].filter(F.col("event_type") == "purchase")
+        .groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("total"))
+    )
+    avg_total = per_user.agg(F.avg("total").alias("avg_total"))
+    return (
+        per_user.join(F.broadcast(avg_total))
+        .filter(F.col("total") > 1.2 * F.col("avg_total"))
+        .select("user_id", "total")
+        .orderBy("user_id")
+    )
+
+
+@query(
+    "ds_q32_excess_discount",
+    oracle="""
+WITH per_part AS (
+  SELECT l_partkey AS pk, avg(l_discount) AS avg_disc
+  FROM lineitem
+  WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  GROUP BY l_partkey
+)
+SELECT round(sum(l_extendedprice), 4) AS excess_rev
+FROM lineitem JOIN per_part ON l_partkey = pk
+WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-01'
+  AND l_discount > 1.3 * avg_disc
+""",
+)
+def ds_q32_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q32/q92 shape (query32.sql): revenue from lines discounted
+    more than 1.3x the item's window average — the correlated scalar
+    subquery decorrelates to a per-part aggregate join on l_partkey."""
+    t = load_tables(spark, sf_dir)
+    win = t["lineitem"].filter(
+        (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
+    )
+    per_part = win.groupBy(F.col("l_partkey").alias("pk")).agg(F.avg("l_discount").alias("avg_disc"))
+    return (
+        win.join(per_part, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("l_discount") > 1.3 * F.col("avg_disc"))
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("excess_rev"))
+    )
