@@ -2152,3 +2152,490 @@ def ds_q32_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_discount") > 1.3 * F.col("avg_disc"))
         .agg(F.round(F.sum("l_extendedprice"), 4).alias("excess_rev"))
     )
+
+
+@query(
+    "ds_q37_inventory_range",
+    oracle="""
+WITH partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         CAST((p_partkey * 4 + i.i) % s.s_cnt + 1 AS BIGINT) AS ps_suppkey,
+         CAST(1 + (p_partkey * 13
+             + ((p_partkey * 4 + i.i) % s.s_cnt + 1) * 3) % 100 AS INT)
+           AS ps_availqty
+  FROM part,
+       (SELECT count(*) AS s_cnt FROM supplier) s,
+       generate_series(0, 3) i(i)
+)
+SELECT p_brand, count(*) AS sold_lines,
+       round(sum(l_extendedprice), 4) AS rev
+FROM lineitem
+JOIN part ON l_partkey = p_partkey
+WHERE p_partkey IN (
+    SELECT ps_partkey FROM partsupp WHERE ps_availqty BETWEEN 20 AND 40)
+  AND l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-07-01'
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def ds_q37_inventory_range(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q37/q82 shape (query37.sql): items whose on-hand inventory
+    sits in a band AND sold in a 6-month window. The availqty IN-set is a
+    broadcast semi join against the linear partsupp generator."""
+    from doris_spark.queries.tpch import _partsupp
+
+    t = load_tables(spark, sf_dir)
+    in_band = (
+        _partsupp(t)
+        .filter(F.col("ps_availqty").between(20, 40))
+        .select(F.col("ps_partkey").alias("p_partkey")).distinct()
+    )
+    return (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .join(F.broadcast(in_band), "p_partkey", "left_semi")
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("sold_lines"),
+             F.round(F.sum("l_extendedprice"), 4).alias("rev"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "ds_q39_monthly_outliers",
+    oracle="""
+WITH monthly AS (
+  SELECT l_suppkey, month(l_shipdate) AS mon,
+         round(sum(l_quantity), 4) AS qty
+  FROM lineitem WHERE year(l_shipdate) = 1997
+  GROUP BY l_suppkey, mon
+), stats AS (
+  SELECT l_suppkey, mon, qty,
+         avg(qty)    OVER (PARTITION BY l_suppkey) AS mean_qty,
+         stddev_samp(qty) OVER (PARTITION BY l_suppkey) AS sd_qty
+  FROM monthly
+)
+SELECT l_suppkey, mon, qty,
+       round(mean_qty, 6) AS mean_qty, round(sd_qty, 6) AS sd_qty
+FROM stats
+WHERE sd_qty IS NOT NULL AND abs(qty - mean_qty) > sd_qty
+ORDER BY l_suppkey, mon
+""",
+)
+def ds_q39_monthly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q39 shape (query39.sql): monthly inventory whose deviation
+    from the item-warehouse mean exceeds one stddev. The stats window
+    partitions on the aggregate's own key — shuffle reused."""
+    t = load_tables(spark, sf_dir)
+    monthly = (
+        t["lineitem"].filter(F.year("l_shipdate") == 1997)
+        .groupBy("l_suppkey", F.month("l_shipdate").alias("mon"))
+        .agg(F.round(F.sum("l_quantity"), 4).alias("qty"))
+    )
+    w = Window.partitionBy("l_suppkey")
+    stats = monthly.select(
+        "l_suppkey", "mon", "qty",
+        F.avg("qty").over(w).alias("mean_raw"),
+        F.stddev_samp("qty").over(w).alias("sd_raw"),
+    )
+    return (
+        stats.filter(F.col("sd_raw").isNotNull()
+                     & (F.abs(F.col("qty") - F.col("mean_raw")) > F.col("sd_raw")))
+        .select("l_suppkey", "mon", "qty",
+                F.round("mean_raw", 6).alias("mean_qty"),
+                F.round("sd_raw", 6).alias("sd_qty"))
+        .orderBy("l_suppkey", "mon")
+    )
+
+
+@query(
+    "ds_q40_net_before_after",
+    oracle="""
+SELECT p_brand,
+       round(sum(CASE WHEN l_shipdate <  TIMESTAMP '1998-01-01'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS rev_before,
+       round(sum(CASE WHEN l_shipdate >= TIMESTAMP '1998-01-01'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS rev_after
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_returnflag <> 'R'
+  AND l_shipdate BETWEEN TIMESTAMP '1997-12-02' AND TIMESTAMP '1998-01-31'
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def ds_q40_net_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q40 shape (query40.sql): net (returns excluded) revenue by
+    item before/after a cutoff within a +/-30-day window."""
+    t = load_tables(spark, sf_dir)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sd = F.col("l_shipdate")
+    return (
+        t["lineitem"]
+        .filter((F.col("l_returnflag") != "R") & sd.between("1997-12-02", "1998-01-31"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            F.round(F.sum(F.when(sd < "1998-01-01", net).otherwise(0.0)), 4).alias("rev_before"),
+            F.round(F.sum(F.when(sd >= "1998-01-01", net).otherwise(0.0)), 4).alias("rev_after"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "ds_q42_category_month",
+    oracle="""
+SELECT year(l_shipdate) AS yr, p_type,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE month(l_shipdate) = 11
+GROUP BY yr, p_type
+ORDER BY rev DESC, yr, p_type
+""",
+)
+def ds_q42_category_month(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q42/q52/q55 shape (query42.sql): category revenue for one
+    calendar month across years, highest revenue first."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"].filter(F.month("l_shipdate") == 11)
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.year("l_shipdate").alias("yr"), F.col("p_type"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
+        .orderBy(F.col("rev").desc(), "yr", "p_type")
+    )
+
+
+@query(
+    "ds_q43_supplier_dow",
+    oracle="""
+SELECT s_name,
+       round(sum(CASE WHEN dayofweek(l_shipdate) + 1 = 1 THEN l_extendedprice ELSE 0 END), 4) AS sun_rev,
+       round(sum(CASE WHEN dayofweek(l_shipdate) + 1 = 2 THEN l_extendedprice ELSE 0 END), 4) AS mon_rev,
+       round(sum(CASE WHEN dayofweek(l_shipdate) + 1 = 3 THEN l_extendedprice ELSE 0 END), 4) AS tue_rev,
+       round(sum(CASE WHEN dayofweek(l_shipdate) + 1 = 4 THEN l_extendedprice ELSE 0 END), 4) AS wed_rev,
+       round(sum(CASE WHEN dayofweek(l_shipdate) + 1 = 5 THEN l_extendedprice ELSE 0 END), 4) AS thu_rev,
+       round(sum(CASE WHEN dayofweek(l_shipdate) + 1 = 6 THEN l_extendedprice ELSE 0 END), 4) AS fri_rev,
+       round(sum(CASE WHEN dayofweek(l_shipdate) + 1 = 7 THEN l_extendedprice ELSE 0 END), 4) AS sat_rev
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+WHERE year(l_shipdate) = 1997
+GROUP BY s_name ORDER BY s_name
+""",
+)
+def ds_q43_supplier_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q43 shape (query43.sql): day-of-week revenue pivot per
+    store (supplier) for one year — one conditional-aggregate pass.
+
+    DuckDB dayofweek() is 0=Sunday..6; Spark dayofweek() is 1=Sunday..7,
+    so the oracle uses DuckDB's 1-based ISO-adjusted form below."""
+    t = load_tables(spark, sf_dir)
+    dow = F.dayofweek("l_shipdate")
+
+    def day(n, name):
+        return F.round(F.sum(F.when(dow == n, F.col("l_extendedprice")).otherwise(0.0)), 4).alias(name)
+
+    return (
+        t["lineitem"].filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .groupBy("s_name")
+        .agg(day(1, "sun_rev"), day(2, "mon_rev"), day(3, "tue_rev"),
+             day(4, "wed_rev"), day(5, "thu_rev"), day(6, "fri_rev"),
+             day(7, "sat_rev"))
+        .orderBy("s_name")
+    )
+
+
+@query(
+    "ds_q44_best_worst",
+    oracle="""
+WITH perf AS (
+  SELECT l_partkey, round(avg(l_extendedprice * (1 - l_discount)), 4) AS avg_net
+  FROM lineitem GROUP BY l_partkey
+), best AS (
+  SELECT row_number() OVER (ORDER BY avg_net DESC, l_partkey) AS rnk, l_partkey AS best_pk
+  FROM perf
+), worst AS (
+  SELECT row_number() OVER (ORDER BY avg_net ASC, l_partkey) AS rnk, l_partkey AS worst_pk
+  FROM perf
+)
+SELECT b.rnk AS rnk, pb.p_name AS best_name, pw.p_name AS worst_name
+FROM best b JOIN worst w ON b.rnk = w.rnk
+JOIN part pb ON b.best_pk = pb.p_partkey
+JOIN part pw ON w.worst_pk = pw.p_partkey
+WHERE b.rnk <= 10 ORDER BY rnk
+""",
+)
+def ds_q44_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q44 shape (query44.sql): best and worst performing items by
+    average net revenue, paired by rank. Both rankings come from ONE
+    grouped aggregate; the two global TopN sorts run on its output."""
+    t = load_tables(spark, sf_dir)
+    perf = (
+        t["lineitem"].groupBy("l_partkey")
+        .agg(F.round(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("avg_net"))
+    )
+    # TakeOrderedAndProject pulls only 10 rows to the driver side of the
+    # sort; the row_number window then runs on a 10-row set (no global
+    # single-partition window over the full aggregate).
+    top_b = perf.orderBy(F.col("avg_net").desc(), F.col("l_partkey")).limit(10)
+    top_w = perf.orderBy(F.col("avg_net").asc(), F.col("l_partkey")).limit(10)
+    wb = Window.orderBy(F.col("avg_net").desc(), F.col("l_partkey"))
+    ww = Window.orderBy(F.col("avg_net").asc(), F.col("l_partkey"))
+    best = top_b.select(F.row_number().over(wb).alias("rnk"),
+                        F.col("l_partkey").alias("best_pk"))
+    worst = top_w.select(F.row_number().over(ww).alias("rnk"),
+                         F.col("l_partkey").alias("worst_pk"))
+    part = t["part"]
+    return (
+        best.join(worst, "rnk")
+        .join(F.broadcast(part.select(F.col("p_partkey").alias("best_pk"),
+                                      F.col("p_name").alias("best_name"))), "best_pk")
+        .join(F.broadcast(part.select(F.col("p_partkey").alias("worst_pk"),
+                                      F.col("p_name").alias("worst_name"))), "worst_pk")
+        .select("rnk", "best_name", "worst_name")
+        .orderBy("rnk")
+    )
+
+
+@query(
+    "ds_q45_list_or_subquery",
+    oracle="""
+WITH big_buyers AS (
+  SELECT o_custkey FROM orders GROUP BY o_custkey HAVING count(*) > 30
+)
+SELECT n_name, round(sum(o_totalprice), 4) AS rev
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name IN ('NATION_1', 'NATION_3', 'NATION_7')
+   OR o_custkey IN (SELECT o_custkey FROM big_buyers)
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def ds_q45_list_or_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q45 shape (query45.sql): revenue kept when EITHER a dim
+    attribute is in a literal list OR the key is in a grouped subquery.
+    The OR of a predicate and a semi join becomes a left join against the
+    (small, broadcast) subquery plus a disjunctive filter."""
+    t = load_tables(spark, sf_dir)
+    big = (
+        t["orders"].groupBy("o_custkey").agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") > 30)
+        .select("o_custkey", F.lit(1).alias("is_big"))
+    )
+    return (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(big), "o_custkey", "left")
+        .filter(F.col("n_name").isin("NATION_1", "NATION_3", "NATION_7")
+                | F.col("is_big").isNotNull())
+        .groupBy("n_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "ds_q49_return_ratios",
+    oracle="""
+WITH ratios AS (
+  SELECT l_linestatus AS channel, p_brand,
+         round(sum(CASE WHEN l_returnflag = 'R' THEN l_quantity ELSE 0 END)
+               / sum(l_quantity), 6) AS ret_ratio
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY channel, p_brand
+)
+SELECT channel, p_brand, ret_ratio,
+       row_number() OVER (PARTITION BY channel
+                          ORDER BY ret_ratio DESC, p_brand) AS rnk
+FROM ratios
+QUALIFY rnk <= 10
+ORDER BY channel, rnk
+""",
+)
+def ds_q49_return_ratios(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q49 shape (query49.sql): worst return ratios per channel,
+    top-10 each — WindowGroupLimit prunes before the final sort."""
+    t = load_tables(spark, sf_dir)
+    ratios = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy(F.col("l_linestatus").alias("channel"), F.col("p_brand"))
+        .agg(F.round(
+            F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_quantity")).otherwise(0.0))
+            / F.sum("l_quantity"), 6).alias("ret_ratio"))
+    )
+    w = Window.partitionBy("channel").orderBy(F.col("ret_ratio").desc(), F.col("p_brand"))
+    return (
+        ratios.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 10)
+        .orderBy("channel", "rnk")
+    )
+
+
+@query(
+    "ds_q50_return_latency",
+    oracle="""
+SELECT n_name,
+       CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) <= 30 THEN 1 ELSE 0 END) AS BIGINT) AS d30,
+       CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) BETWEEN 31 AND 60 THEN 1 ELSE 0 END) AS BIGINT) AS d60,
+       CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) BETWEEN 61 AND 90 THEN 1 ELSE 0 END) AS BIGINT) AS d90,
+       CAST(sum(CASE WHEN datediff('day', o_orderdate, l_shipdate) > 90 THEN 1 ELSE 0 END) AS BIGINT) AS dmore
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def ds_q50_return_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q50 shape (query50.sql): days-until-return band matrix —
+    returned lines only, banded per customer nation (q62 bands the full
+    flow per supplier nation; this is the returns path)."""
+    t = load_tables(spark, sf_dir)
+    lat = F.datediff(F.col("l_shipdate"), F.col("o_orderdate"))
+
+    def band(cond, name):
+        return F.sum(F.when(cond, 1).otherwise(0)).cast("long").alias(name)
+
+    return (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(band(lat <= 30, "d30"), band(lat.between(31, 60), "d60"),
+             band(lat.between(61, 90), "d90"), band(lat > 90, "dmore"))
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "ds_q53_quarterly_deviation",
+    oracle="""
+WITH q AS (
+  SELECT p_brand, quarter(l_shipdate) AS qtr,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE year(l_shipdate) = 1997
+  GROUP BY p_brand, qtr
+)
+SELECT p_brand, qtr, rev, round(avg_rev, 6) AS avg_rev
+FROM (
+  SELECT p_brand, qtr, rev, avg(rev) OVER (PARTITION BY p_brand) AS avg_rev
+  FROM q
+)
+WHERE avg_rev > 0 AND abs(rev - avg_rev) / avg_rev > 0.1
+ORDER BY p_brand, qtr
+""",
+)
+def ds_q53_quarterly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q53 shape (query53.sql): quarterly brand revenue kept when
+    it deviates >10% from the brand's own quarterly average."""
+    t = load_tables(spark, sf_dir)
+    q = (
+        t["lineitem"].filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.quarter("l_shipdate").alias("qtr"))
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
+    )
+    w = Window.partitionBy("p_brand")
+    return (
+        q.withColumn("avg_raw", F.avg("rev").over(w))
+        .filter((F.col("avg_raw") > 0)
+                & (F.abs(F.col("rev") - F.col("avg_raw")) / F.col("avg_raw") > 0.1))
+        .select("p_brand", "qtr", "rev", F.round("avg_raw", 6).alias("avg_rev"))
+        .orderBy("p_brand", "qtr")
+    )
+
+
+@query(
+    "ds_q56_channel_items",
+    oracle="""
+WITH chan AS (
+  SELECT p_brand, l_returnflag AS channel,
+         sum(l_extendedprice * (1 - l_discount)) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_size < 10
+  GROUP BY p_brand, channel
+)
+SELECT p_brand, round(sum(rev), 4) AS total_rev
+FROM chan GROUP BY p_brand ORDER BY total_rev DESC, p_brand
+""",
+)
+def ds_q56_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q56/q60 shape (query56.sql): item revenue unioned across
+    the three channels then re-totaled per item. The union is a single
+    two-key aggregate followed by a roll-up to the item."""
+    t = load_tables(spark, sf_dir)
+    chan = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"].filter(F.col("p_size") < 10)),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand", F.col("l_returnflag").alias("channel"))
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+    )
+    return (
+        chan.groupBy("p_brand")
+        .agg(F.round(F.sum("rev"), 4).alias("total_rev"))
+        .orderBy(F.col("total_rev").desc(), "p_brand")
+    )
+
+
+@query(
+    "ds_q58_equal_channels",
+    oracle="""
+WITH chan AS (
+  SELECT l_partkey,
+         sum(CASE WHEN l_returnflag = 'A' THEN l_extendedprice ELSE 0 END) AS rev_a,
+         sum(CASE WHEN l_returnflag = 'N' THEN l_extendedprice ELSE 0 END) AS rev_n,
+         sum(CASE WHEN l_returnflag = 'R' THEN l_extendedprice ELSE 0 END) AS rev_r
+  FROM lineitem GROUP BY l_partkey
+), bal AS (
+  SELECT l_partkey, rev_a, rev_n, rev_r
+  FROM chan
+  WHERE rev_a + rev_n + rev_r > 0
+    AND rev_a BETWEEN 0.7 * ((rev_a + rev_n + rev_r) / 3.0) AND 1.3 * ((rev_a + rev_n + rev_r) / 3.0)
+    AND rev_n BETWEEN 0.7 * ((rev_a + rev_n + rev_r) / 3.0) AND 1.3 * ((rev_a + rev_n + rev_r) / 3.0)
+    AND rev_r BETWEEN 0.7 * ((rev_a + rev_n + rev_r) / 3.0) AND 1.3 * ((rev_a + rev_n + rev_r) / 3.0)
+)
+SELECT p_brand, count(*) AS balanced_items,
+       round(sum(rev_a), 4) AS tot_a,
+       round(sum(rev_n), 4) AS tot_n,
+       round(sum(rev_r), 4) AS tot_r
+FROM bal JOIN part ON l_partkey = p_partkey
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def ds_q58_equal_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q58 shape (query58.sql): items whose revenue is balanced
+    across the three channels (each within 30% of the item's channel
+    average) — the three channel sums come from ONE conditional
+    aggregate, not three subqueries, so one shuffle total."""
+    t = load_tables(spark, sf_dir)
+
+    def chan_sum(flag, name):
+        return F.sum(
+            F.when(F.col("l_returnflag") == flag, F.col("l_extendedprice")).otherwise(0.0)
+        ).alias(name)
+
+    chan = t["lineitem"].groupBy("l_partkey").agg(
+        chan_sum("A", "rev_a"), chan_sum("N", "rev_n"), chan_sum("R", "rev_r")
+    )
+    avg3 = (F.col("rev_a") + F.col("rev_n") + F.col("rev_r")) / 3.0
+    bal = chan.filter(
+        ((F.col("rev_a") + F.col("rev_n") + F.col("rev_r")) > 0)
+        & F.col("rev_a").between(0.7 * avg3, 1.3 * avg3)
+        & F.col("rev_n").between(0.7 * avg3, 1.3 * avg3)
+        & F.col("rev_r").between(0.7 * avg3, 1.3 * avg3)
+    )
+    return (
+        bal.join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("balanced_items"),
+             F.round(F.sum("rev_a"), 4).alias("tot_a"),
+             F.round(F.sum("rev_n"), 4).alias("tot_n"),
+             F.round(F.sum("rev_r"), 4).alias("tot_r"))
+        .orderBy("p_brand")
+    )
