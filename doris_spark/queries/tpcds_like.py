@@ -2639,3 +2639,477 @@ def ds_q58_equal_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("rev_r"), 4).alias("tot_r"))
         .orderBy("p_brand")
     )
+
+
+@query(
+    "ds_q61_promo_ratio",
+    oracle="""
+SELECT round(sum(CASE WHEN p_type = 'PROMO' AND l_discount >= 0.05
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS promo_rev,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS total_rev,
+       round(sum(CASE WHEN p_type = 'PROMO' AND l_discount >= 0.05
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+             * 100.0 / sum(l_extendedprice * (1 - l_discount)), 6) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE year(l_shipdate) = 1998
+""",
+)
+def ds_q61_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q61 shape (query61.sql): promotional revenue share — the
+    promo and total legs fold into one conditional-aggregate scan
+    instead of two subqueries joined on a cross."""
+    t = load_tables(spark, sf_dir)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    is_promo = (F.col("p_type") == "PROMO") & (F.col("l_discount") >= 0.05)
+    return (
+        t["lineitem"].filter(F.year("l_shipdate") == 1998)
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .agg(
+            F.round(F.sum(F.when(is_promo, net).otherwise(0.0)), 4).alias("promo_rev"),
+            F.round(F.sum(net), 4).alias("total_rev"),
+            F.round(F.sum(F.when(is_promo, net).otherwise(0.0)) * 100.0 / F.sum(net), 6).alias("promo_pct"),
+        )
+    )
+
+
+@query(
+    "ds_q64_price_drop_pairs",
+    oracle="""
+WITH py AS (
+  SELECT l_partkey, year(l_shipdate) AS yr, avg(l_extendedprice) AS avg_price
+  FROM lineitem GROUP BY l_partkey, yr
+), seq AS (
+  SELECT l_partkey, yr, avg_price,
+         lag(avg_price) OVER (PARTITION BY l_partkey ORDER BY yr) AS prev_price,
+         lag(yr)        OVER (PARTITION BY l_partkey ORDER BY yr) AS prev_yr
+  FROM py
+)
+SELECT p_brand, count(*) AS drop_pairs,
+       round(avg(prev_price - avg_price), 6) AS avg_drop
+FROM seq JOIN part ON l_partkey = p_partkey
+WHERE prev_yr = yr - 1 AND avg_price < prev_price * 0.9
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def ds_q64_price_drop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q64 shape (query64.sql): items sold in consecutive years
+    whose average price dropped >10% — the cross-year self-join becomes
+    a lag window over the per-item-year aggregate (one shuffle)."""
+    t = load_tables(spark, sf_dir)
+    py = (
+        t["lineitem"]
+        .groupBy("l_partkey", F.year("l_shipdate").alias("yr"))
+        .agg(F.avg("l_extendedprice").alias("avg_price"))
+    )
+    w = Window.partitionBy("l_partkey").orderBy("yr")
+    seq = py.select(
+        "l_partkey", "yr", "avg_price",
+        F.lag("avg_price").over(w).alias("prev_price"),
+        F.lag("yr").over(w).alias("prev_yr"),
+    )
+    return (
+        seq.filter((F.col("prev_yr") == F.col("yr") - 1)
+                   & (F.col("avg_price") < F.col("prev_price") * 0.9))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("drop_pairs"),
+             F.round(F.avg(F.col("prev_price") - F.col("avg_price")), 6).alias("avg_drop"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "ds_q66_monthly_pivot",
+    oracle="""
+SELECT n_name,
+       round(sum(CASE WHEN month(l_shipdate) = 1  THEN l_extendedprice ELSE 0 END), 4) AS m1,
+       round(sum(CASE WHEN month(l_shipdate) = 2  THEN l_extendedprice ELSE 0 END), 4) AS m2,
+       round(sum(CASE WHEN month(l_shipdate) = 3  THEN l_extendedprice ELSE 0 END), 4) AS m3,
+       round(sum(CASE WHEN month(l_shipdate) = 4  THEN l_extendedprice ELSE 0 END), 4) AS m4,
+       round(sum(CASE WHEN month(l_shipdate) = 5  THEN l_extendedprice ELSE 0 END), 4) AS m5,
+       round(sum(CASE WHEN month(l_shipdate) = 6  THEN l_extendedprice ELSE 0 END), 4) AS m6,
+       round(sum(CASE WHEN month(l_shipdate) = 7  THEN l_extendedprice ELSE 0 END), 4) AS m7,
+       round(sum(CASE WHEN month(l_shipdate) = 8  THEN l_extendedprice ELSE 0 END), 4) AS m8,
+       round(sum(CASE WHEN month(l_shipdate) = 9  THEN l_extendedprice ELSE 0 END), 4) AS m9,
+       round(sum(CASE WHEN month(l_shipdate) = 10 THEN l_extendedprice ELSE 0 END), 4) AS m10,
+       round(sum(CASE WHEN month(l_shipdate) = 11 THEN l_extendedprice ELSE 0 END), 4) AS m11,
+       round(sum(CASE WHEN month(l_shipdate) = 12 THEN l_extendedprice ELSE 0 END), 4) AS m12
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+WHERE year(l_shipdate) = 1997
+GROUP BY n_name ORDER BY n_name
+""",
+)
+def ds_q66_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q66 shape (query66.sql): warehouse monthly shipping pivot —
+    12 month columns from one conditional-aggregate pass."""
+    t = load_tables(spark, sf_dir)
+    mon = F.month("l_shipdate")
+
+    def m(n):
+        return F.round(F.sum(F.when(mon == n, F.col("l_extendedprice")).otherwise(0.0)), 4).alias(f"m{n}")
+
+    return (
+        t["lineitem"].filter(F.year("l_shipdate") == 1997)
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(*[m(n) for n in range(1, 13)])
+        .orderBy("n_name")
+    )
+
+
+@query(
+    "ds_q68_high_value_trips",
+    oracle="""
+SELECT c_name, o_orderkey,
+       round(sum(l_extendedprice * (1 - l_discount)), 4) AS trip_total
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE c_mktsegment IN ('BUILDING', 'AUTOMOBILE')
+GROUP BY c_name, o_orderkey
+HAVING trip_total > 350000
+ORDER BY c_name, o_orderkey
+""",
+)
+def ds_q68_high_value_trips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q68 shape (query68.sql): high-ticket shopping trips for two
+    demographic segments — order-grain aggregate with a HAVING cut."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"].filter(F.col("c_mktsegment").isin("BUILDING", "AUTOMOBILE")),
+              F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_name", "o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("trip_total"))
+        .filter(F.col("trip_total") > 350000)
+        .orderBy("c_name", "o_orderkey")
+    )
+
+
+@query(
+    "ds_q69_exclusive_customers",
+    oracle="""
+SELECT c_mktsegment, count(*) AS customers
+FROM customer
+WHERE c_custkey IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+  AND c_custkey NOT IN (
+    SELECT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    WHERE l_returnflag = 'R'
+      AND o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+GROUP BY c_mktsegment ORDER BY c_mktsegment
+""",
+)
+def ds_q69_exclusive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q69 shape (query69.sql): customers active in one channel
+    and absent from another — a semi join plus an anti join on the same
+    fact, then a demographic count."""
+    t = load_tables(spark, sf_dir)
+    in_window = t["orders"].filter(
+        (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+    active = in_window.select(F.col("o_custkey").alias("c_custkey")).distinct()
+    returned = (
+        in_window.join(t["lineitem"].filter(F.col("l_returnflag") == "R"),
+                       F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c_custkey")).distinct()
+    )
+    return (
+        t["customer"]
+        .join(active, "c_custkey", "left_semi")
+        .join(returned, "c_custkey", "left_anti")
+        .groupBy("c_mktsegment")
+        .agg(F.count("*").alias("customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@query(
+    "ds_q70_top_nations_rollup",
+    oracle="""
+WITH nat_rev AS (
+  SELECT r_name, n_name, sum(o_totalprice) AS rev
+  FROM orders
+  JOIN customer ON o_custkey = c_custkey
+  JOIN nation ON c_nationkey = n_nationkey
+  JOIN region ON n_regionkey = r_regionkey
+  GROUP BY r_name, n_name
+), top5 AS (
+  SELECT n_name FROM (
+    SELECT n_name, row_number() OVER (PARTITION BY r_name ORDER BY rev DESC, n_name) AS rnk
+    FROM nat_rev
+  ) WHERE rnk <= 5
+)
+SELECT coalesce(r_name, 'ALL') AS region,
+       coalesce(n_name, 'ALL') AS nation,
+       CAST(grouping(r_name) * 2 + grouping(n_name) AS BIGINT) AS gid,
+       round(sum(o_totalprice), 4) AS rev
+FROM orders
+JOIN customer ON o_custkey = c_custkey
+JOIN nation ON c_nationkey = n_nationkey
+JOIN region ON n_regionkey = r_regionkey
+WHERE n_name IN (SELECT n_name FROM top5)
+GROUP BY ROLLUP (r_name, n_name)
+ORDER BY gid, region, nation
+""",
+)
+def ds_q70_top_nations_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q70 shape (query70.sql): profit ROLLUP over the geography
+    hierarchy, restricted to each region's top-5 states found by a
+    ranked subquery (WindowGroupLimit inside the semi join build side)."""
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["orders"]
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+    )
+    nat_rev = base.groupBy("r_name", "n_name").agg(F.sum("o_totalprice").alias("rev"))
+    w = Window.partitionBy("r_name").orderBy(F.col("rev").desc(), F.col("n_name"))
+    top5 = (
+        nat_rev.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= 5).select("n_name")
+    )
+    g = (
+        base.join(F.broadcast(top5), "n_name", "left_semi")
+        .rollup("r_name", "n_name")
+        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"),
+             (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("bigint").alias("gid"))
+    )
+    return g.select(
+        F.coalesce("r_name", F.lit("ALL")).alias("region"),
+        F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+        "gid", "rev",
+    ).orderBy("gid", "region", "nation")
+
+
+@query(
+    "ds_q72_inventory_shortfall",
+    oracle="""
+WITH partsupp AS (
+  SELECT p_partkey AS ps_partkey,
+         CAST((p_partkey * 4 + i.i) % s.s_cnt + 1 AS BIGINT) AS ps_suppkey,
+         CAST(1 + (p_partkey * 13
+             + ((p_partkey * 4 + i.i) % s.s_cnt + 1) * 3) % 100 AS INT)
+           AS ps_availqty
+  FROM part,
+       (SELECT count(*) AS s_cnt FROM supplier) s,
+       generate_series(0, 3) i(i)
+)
+SELECT p_brand, count(*) AS short_lines
+FROM lineitem
+JOIN partsupp ON l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+JOIN part ON l_partkey = p_partkey
+WHERE ps_availqty < l_quantity
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def ds_q72_inventory_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q72 shape (query72.sql): order lines whose on-hand
+    inventory can't cover the ordered quantity — fact x partsupp join on
+    (part, supplier) with the shortfall predicate."""
+    from doris_spark.queries.tpch import _partsupp
+
+    t = load_tables(spark, sf_dir)
+    ps = _partsupp(t).select("ps_partkey", "ps_suppkey", "ps_availqty")
+    return (
+        t["lineitem"]
+        .join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
+              & (F.col("l_suppkey") == F.col("ps_suppkey")))
+        .filter(F.col("ps_availqty") < F.col("l_quantity"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(F.count("*").alias("short_lines"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "ds_q76_null_channel_counts",
+    oracle="""
+SELECT l_returnflag AS channel,
+       year(l_shipdate) AS yr,
+       coalesce(big.p_brand, 'UNKNOWN') AS brand,
+       count(*) AS cnt,
+       round(sum(l_extendedprice), 4) AS rev
+FROM lineitem
+LEFT JOIN (SELECT p_partkey, p_brand FROM part WHERE p_size > 45) big
+       ON l_partkey = big.p_partkey
+GROUP BY channel, yr, brand
+ORDER BY channel, yr, brand
+""",
+)
+def ds_q76_null_channel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q76 shape (query76.sql): per-channel counts where a
+    dimension key failed to resolve (NULL dim attribute bucketed as
+    UNKNOWN) — left join against the sparse dim slice."""
+    t = load_tables(spark, sf_dir)
+    big = t["part"].filter(F.col("p_size") > 45).select("p_partkey", "p_brand")
+    return (
+        t["lineitem"]
+        .join(F.broadcast(big), F.col("l_partkey") == F.col("p_partkey"), "left")
+        .groupBy(F.col("l_returnflag").alias("channel"),
+                 F.year("l_shipdate").alias("yr"),
+                 F.coalesce("p_brand", F.lit("UNKNOWN")).alias("brand"))
+        .agg(F.count("*").alias("cnt"),
+             F.round(F.sum("l_extendedprice"), 4).alias("rev"))
+        .orderBy("channel", "yr", "brand")
+    )
+
+
+@query(
+    "ds_q77_sales_returns_rollup",
+    oracle="""
+SELECT coalesce(l_linestatus, 'ALL') AS channel,
+       coalesce(n_name, 'ALL') AS nation,
+       CAST(grouping(l_linestatus) * 2 + grouping(n_name) AS BIGINT) AS gid,
+       round(sum(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice ELSE 0 END), 4) AS sales_rev,
+       round(sum(CASE WHEN l_returnflag =  'R' THEN l_extendedprice ELSE 0 END), 4) AS returns_rev
+FROM lineitem
+JOIN supplier ON l_suppkey = s_suppkey
+JOIN nation ON s_nationkey = n_nationkey
+GROUP BY ROLLUP (l_linestatus, n_name)
+ORDER BY gid, channel, nation
+""",
+)
+def ds_q77_sales_returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q77 shape (query77.sql): sales vs returns per channel and
+    location with ROLLUP totals — the sales/returns UNION legs fold into
+    conditional aggregates over one scan."""
+    t = load_tables(spark, sf_dir)
+    g = (
+        t["lineitem"]
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .rollup("l_linestatus", "n_name")
+        .agg(
+            F.round(F.sum(F.when(F.col("l_returnflag") != "R", F.col("l_extendedprice")).otherwise(0.0)), 4).alias("sales_rev"),
+            F.round(F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")).otherwise(0.0)), 4).alias("returns_rev"),
+            (F.grouping("l_linestatus") * 2 + F.grouping("n_name")).cast("bigint").alias("gid"),
+        )
+    )
+    return g.select(
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("channel"),
+        F.coalesce("n_name", F.lit("ALL")).alias("nation"),
+        "gid", "sales_rev", "returns_rev",
+    ).orderBy("gid", "channel", "nation")
+
+
+@query(
+    "ds_q78_channel_ratio",
+    oracle="""
+SELECT o_custkey AS custkey, year(l_shipdate) AS yr,
+       CAST(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END) AS DOUBLE) AS open_qty,
+       CAST(sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END) AS DOUBLE) AS filled_qty,
+       round(sum(CASE WHEN l_linestatus = 'O' THEN l_quantity ELSE 0 END)
+             / sum(CASE WHEN l_linestatus = 'F' THEN l_quantity ELSE 0 END), 6) AS ratio
+FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+GROUP BY custkey, yr
+HAVING open_qty > 0 AND filled_qty > 0 AND open_qty / filled_qty > 2.0
+ORDER BY custkey, yr
+""",
+)
+def ds_q78_channel_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q78 shape (query78.sql): per customer-year ratio of one
+    channel's quantity to another's, kept when heavily skewed — the
+    channel split is conditional aggregation, not a self-join."""
+    t = load_tables(spark, sf_dir)
+    oq = F.sum(F.when(F.col("l_linestatus") == "O", F.col("l_quantity")).otherwise(0.0))
+    fq = F.sum(F.when(F.col("l_linestatus") == "F", F.col("l_quantity")).otherwise(0.0))
+    return (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("custkey"), F.year("l_shipdate").alias("yr"))
+        .agg(oq.alias("open_qty"), fq.alias("filled_qty"),
+             F.round(oq / fq, 6).alias("ratio"))
+        .filter((F.col("open_qty") > 0) & (F.col("filled_qty") > 0)
+                & (F.col("open_qty") / F.col("filled_qty") > 2.0))
+        .orderBy("custkey", "yr")
+    )
+
+
+@query(
+    "ds_q79_best_trip",
+    oracle="""
+WITH trips AS (
+  SELECT o_custkey, o_orderkey,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS trip_net
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  GROUP BY o_custkey, o_orderkey
+)
+SELECT c_name, o_orderkey, trip_net
+FROM (
+  SELECT o_custkey, o_orderkey, trip_net,
+         row_number() OVER (PARTITION BY o_custkey
+                            ORDER BY trip_net DESC, o_orderkey) AS rnk
+  FROM trips
+) ranked
+JOIN customer ON o_custkey = c_custkey
+WHERE rnk = 1 AND trip_net > 400000
+ORDER BY c_name, o_orderkey
+""",
+)
+def ds_q79_best_trip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q79 shape (query79.sql): each customer's single biggest
+    shopping trip — per-customer top-1 via WindowGroupLimit, then a
+    threshold cut before the dim join."""
+    t = load_tables(spark, sf_dir)
+    trips = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy("o_custkey", "o_orderkey")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("trip_net"))
+    )
+    w = Window.partitionBy("o_custkey").orderBy(F.col("trip_net").desc(), F.col("o_orderkey"))
+    return (
+        trips.withColumn("rnk", F.row_number().over(w))
+        .filter((F.col("rnk") == 1) & (F.col("trip_net") > 400000))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .select("c_name", "o_orderkey", "trip_net")
+        .orderBy("c_name", "o_orderkey")
+    )
+
+
+@query(
+    "ds_q80_channel_net",
+    oracle="""
+SELECT coalesce(l_linestatus, 'ALL') AS channel,
+       CAST(grouping(l_linestatus) AS BIGINT) AS gid,
+       round(sum(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS gross_rev,
+       round(sum(CASE WHEN l_returnflag =  'R' THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS returned_rev,
+       round(sum(CASE WHEN l_returnflag <> 'R' THEN l_extendedprice * (1 - l_discount)
+                      ELSE -(l_extendedprice * (1 - l_discount)) END), 4) AS net_rev
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE p_type <> 'PROMO'
+  AND l_shipdate >= TIMESTAMP '1997-06-01' AND l_shipdate < TIMESTAMP '1997-08-01'
+GROUP BY ROLLUP (l_linestatus)
+ORDER BY gid, channel
+""",
+)
+def ds_q80_channel_net(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q80 shape (query80.sql): channel gross / returned / net
+    revenue with a ROLLUP grand total, promo items excluded."""
+    t = load_tables(spark, sf_dir)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    is_ret = F.col("l_returnflag") == "R"
+    g = (
+        t["lineitem"]
+        .filter((F.col("l_shipdate") >= "1997-06-01") & (F.col("l_shipdate") < "1997-08-01"))
+        .join(F.broadcast(t["part"].filter(F.col("p_type") != "PROMO")),
+              F.col("l_partkey") == F.col("p_partkey"))
+        .rollup("l_linestatus")
+        .agg(
+            F.round(F.sum(F.when(~is_ret, net).otherwise(0.0)), 4).alias("gross_rev"),
+            F.round(F.sum(F.when(is_ret, net).otherwise(0.0)), 4).alias("returned_rev"),
+            F.round(F.sum(F.when(~is_ret, net).otherwise(-net)), 4).alias("net_rev"),
+            F.grouping("l_linestatus").cast("bigint").alias("gid"),
+        )
+    )
+    return g.select(
+        F.coalesce("l_linestatus", F.lit("ALL")).alias("channel"),
+        "gid", "gross_rev", "returned_rev", "net_rev",
+    ).orderBy("gid", "channel")
