@@ -3113,3 +3113,424 @@ def ds_q80_channel_net(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("l_linestatus", F.lit("ALL")).alias("channel"),
         "gid", "gross_rev", "returned_rev", "net_rev",
     ).orderBy("gid", "channel")
+
+
+@query(
+    "ds_q4_three_channel_growth",
+    oracle="""
+WITH per AS (
+  SELECT o_custkey AS custkey,
+         sum(CASE WHEN l_linestatus = 'O' AND year(l_shipdate) = 1997 THEN l_extendedprice ELSE 0 END) AS o_97,
+         sum(CASE WHEN l_linestatus = 'O' AND year(l_shipdate) = 1998 THEN l_extendedprice ELSE 0 END) AS o_98,
+         sum(CASE WHEN l_linestatus = 'F' AND year(l_shipdate) = 1997 THEN l_extendedprice ELSE 0 END) AS f_97,
+         sum(CASE WHEN l_linestatus = 'F' AND year(l_shipdate) = 1998 THEN l_extendedprice ELSE 0 END) AS f_98
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE year(l_shipdate) IN (1997, 1998)
+  GROUP BY custkey
+)
+SELECT custkey,
+       round(o_98 / o_97, 6) AS open_growth,
+       round(f_98 / f_97, 6) AS filled_growth
+FROM per
+WHERE o_97 > 0 AND f_97 > 0 AND o_98 / o_97 > f_98 / f_97
+ORDER BY custkey
+""",
+)
+def ds_q4_three_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q4 shape (query4.sql): customers whose year-over-year
+    growth in one channel outpaces another — the per-channel-per-year
+    CTEs fold into ONE conditional aggregate keyed by customer."""
+    t = load_tables(spark, sf_dir)
+
+    def leg(status, yr):
+        return F.sum(F.when((F.col("l_linestatus") == status)
+                            & (F.year("l_shipdate") == yr),
+                            F.col("l_extendedprice")).otherwise(0.0))
+
+    per = (
+        t["lineitem"].filter(F.year("l_shipdate").isin(1997, 1998))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .groupBy(F.col("o_custkey").alias("custkey"))
+        .agg(leg("O", 1997).alias("o_97"), leg("O", 1998).alias("o_98"),
+             leg("F", 1997).alias("f_97"), leg("F", 1998).alias("f_98"))
+    )
+    return (
+        per.filter((F.col("o_97") > 0) & (F.col("f_97") > 0)
+                   & (F.col("o_98") / F.col("o_97") > F.col("f_98") / F.col("f_97")))
+        .select("custkey",
+                F.round(F.col("o_98") / F.col("o_97"), 6).alias("open_growth"),
+                F.round(F.col("f_98") / F.col("f_97"), 6).alias("filled_growth"))
+        .orderBy("custkey")
+    )
+
+
+@query(
+    "ds_q10_active_demographics",
+    oracle="""
+SELECT c_mktsegment, n_name, count(*) AS customers
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE c_custkey IN (
+    SELECT o_custkey FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01')
+  AND (c_custkey IN (
+         SELECT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+         WHERE l_returnflag = 'R')
+       OR c_custkey IN (
+         SELECT o_custkey FROM orders WHERE o_orderpriority = '1-URGENT'))
+GROUP BY c_mktsegment, n_name
+ORDER BY c_mktsegment, n_name
+""",
+)
+def ds_q10_active_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q10 shape (query10.sql): demographic counts of customers
+    active in one channel AND present in at least one of two others —
+    the OR of two IN-subqueries is a semi join against their union."""
+    t = load_tables(spark, sf_dir)
+    active = (
+        t["orders"]
+        .filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+        .select(F.col("o_custkey").alias("c_custkey")).distinct()
+    )
+    returned = (
+        t["orders"].join(t["lineitem"].filter(F.col("l_returnflag") == "R"),
+                         F.col("o_orderkey") == F.col("l_orderkey"))
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    urgent = (
+        t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_custkey").alias("c_custkey"))
+    )
+    either = returned.unionByName(urgent).distinct()
+    return (
+        t["customer"]
+        .join(active, "c_custkey", "left_semi")
+        .join(either, "c_custkey", "left_semi")
+        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .groupBy("c_mktsegment", "n_name")
+        .agg(F.count("*").alias("customers"))
+        .orderBy("c_mktsegment", "n_name")
+    )
+
+
+@query(
+    "ds_q24_same_nation_spend",
+    oracle="""
+WITH spend AS (
+  SELECT c_name, p_brand, sum(l_extendedprice * (1 - l_discount)) AS net
+  FROM lineitem
+  JOIN orders ON l_orderkey = o_orderkey
+  JOIN customer ON o_custkey = c_custkey
+  JOIN supplier ON l_suppkey = s_suppkey
+  JOIN part ON l_partkey = p_partkey
+  WHERE c_nationkey = s_nationkey
+  GROUP BY c_name, p_brand
+)
+SELECT c_name, p_brand, round(net, 4) AS net
+FROM spend
+WHERE net > 1.3 * (SELECT avg(net) FROM spend)
+ORDER BY c_name, p_brand
+""",
+)
+def ds_q24_same_nation_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q24 shape (query24.sql): customer+item spend where buyer
+    and seller share a market, kept above 1.3x the cohort average
+    (scalar-subquery threshold broadcast)."""
+    t = load_tables(spark, sf_dir)
+    spend = (
+        t["lineitem"]
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
+        .filter(F.col("c_nationkey") == F.col("s_nationkey"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("c_name", "p_brand")
+        .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_raw"))
+    )
+    thr = spend.agg((1.3 * F.avg("net_raw")).alias("thr"))
+    return (
+        spend.join(F.broadcast(thr))
+        .filter(F.col("net_raw") > F.col("thr"))
+        .select("c_name", "p_brand", F.round("net_raw", 4).alias("net"))
+        .orderBy("c_name", "p_brand")
+    )
+
+
+@query(
+    "ds_q25_profit_flow",
+    oracle="""
+SELECT p_brand,
+       round(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-04-01' AND l_shipdate < TIMESTAMP '1997-05-01'
+                       AND l_returnflag <> 'R'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS sold_net,
+       round(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-05-01' AND l_shipdate < TIMESTAMP '1997-08-01'
+                       AND l_returnflag = 'R'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS returned_net,
+       round(sum(CASE WHEN l_shipdate >= TIMESTAMP '1997-08-01' AND l_shipdate < TIMESTAMP '1997-11-01'
+                       AND l_returnflag <> 'R'
+                      THEN l_extendedprice * (1 - l_discount) ELSE 0 END), 4) AS resold_net
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1997-04-01' AND l_shipdate < TIMESTAMP '1997-11-01'
+GROUP BY p_brand ORDER BY p_brand
+""",
+)
+def ds_q25_profit_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q25 shape (query25.sql): sell -> return -> re-sell net
+    profit flow across three consecutive windows, one scan."""
+    t = load_tables(spark, sf_dir)
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    sd, rf = F.col("l_shipdate"), F.col("l_returnflag")
+
+    def leg(lo, hi, returned, name):
+        cond = (sd >= lo) & (sd < hi) & ((rf == "R") if returned else (rf != "R"))
+        return F.round(F.sum(F.when(cond, net).otherwise(0.0)), 4).alias(name)
+
+    return (
+        t["lineitem"].filter((sd >= "1997-04-01") & (sd < "1997-11-01"))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(leg("1997-04-01", "1997-05-01", False, "sold_net"),
+             leg("1997-05-01", "1997-08-01", True, "returned_net"),
+             leg("1997-08-01", "1997-11-01", False, "resold_net"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "ds_q83_return_windows",
+    oracle="""
+WITH r AS (
+  SELECT p_brand,
+         sum(CASE WHEN month(l_shipdate) = 1 THEN l_quantity ELSE 0 END) AS w1,
+         sum(CASE WHEN month(l_shipdate) = 2 THEN l_quantity ELSE 0 END) AS w2,
+         sum(CASE WHEN month(l_shipdate) = 3 THEN l_quantity ELSE 0 END) AS w3
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE l_returnflag = 'R' AND year(l_shipdate) = 1998 AND month(l_shipdate) <= 3
+  GROUP BY p_brand
+)
+SELECT p_brand,
+       CAST(w1 AS DOUBLE) AS w1, CAST(w2 AS DOUBLE) AS w2, CAST(w3 AS DOUBLE) AS w3,
+       round(w1 * 100.0 / (w1 + w2 + w3), 6) AS w1_pct,
+       round(w2 * 100.0 / (w1 + w2 + w3), 6) AS w2_pct,
+       round(w3 * 100.0 / (w1 + w2 + w3), 6) AS w3_pct
+FROM r WHERE w1 + w2 + w3 > 0
+ORDER BY p_brand
+""",
+)
+def ds_q83_return_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q83 shape (query83.sql): returned quantity split across
+    three date windows with each window's share of the total."""
+    t = load_tables(spark, sf_dir)
+
+    def w(n):
+        return F.sum(F.when(F.month("l_shipdate") == n, F.col("l_quantity")).otherwise(0.0)).alias(f"w{n}")
+
+    r = (
+        t["lineitem"]
+        .filter((F.col("l_returnflag") == "R") & (F.year("l_shipdate") == 1998)
+                & (F.month("l_shipdate") <= 3))
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand").agg(w(1), w(2), w(3))
+    )
+    tot = F.col("w1") + F.col("w2") + F.col("w3")
+    return (
+        r.filter(tot > 0)
+        .select("p_brand", "w1", "w2", "w3",
+                F.round(F.col("w1") * 100.0 / tot, 6).alias("w1_pct"),
+                F.round(F.col("w2") * 100.0 / tot, 6).alias("w2_pct"),
+                F.round(F.col("w3") * 100.0 / tot, 6).alias("w3_pct"))
+        .orderBy("p_brand")
+    )
+
+
+@query(
+    "ds_q84_customer_lookup",
+    oracle="""
+SELECT c_custkey AS customer_id,
+       c_name || ', ' || c_mktsegment AS customername,
+       round(c_acctbal, 4) AS acctbal
+FROM customer JOIN nation ON c_nationkey = n_nationkey
+WHERE n_name = 'NATION_5' AND c_acctbal BETWEEN 1000 AND 3000
+ORDER BY customer_id
+""",
+)
+def ds_q84_customer_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q84 shape (query84.sql): point lookup of customers in one
+    geography and income band, rendered as a formatted id — dim filters
+    prune before the (broadcast) join."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["customer"].filter(F.col("c_acctbal").between(1000, 3000))
+        .join(F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_5")),
+              F.col("c_nationkey") == F.col("n_nationkey"))
+        .select(F.col("c_custkey").alias("customer_id"),
+                F.concat_ws(", ", "c_name", "c_mktsegment").alias("customername"),
+                F.round("c_acctbal", 4).alias("acctbal"))
+        .orderBy("customer_id")
+    )
+
+
+@query(
+    "ds_q85_reason_bands",
+    oracle="""
+SELECT CASE WHEN l_quantity <= 15 THEN 'small'
+            WHEN l_quantity <= 35 THEN 'medium'
+            ELSE 'large' END AS reason_band,
+       round(avg(l_extendedprice), 6) AS avg_refund,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*) AS cnt
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R'
+  AND ((c_mktsegment = 'BUILDING' AND o_totalprice < 150000)
+       OR (c_mktsegment = 'MACHINERY' AND o_totalprice >= 150000)
+       OR (c_mktsegment = 'FURNITURE'))
+GROUP BY reason_band ORDER BY reason_band
+""",
+)
+def ds_q85_reason_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q85 shape (query85.sql): refund averages over reason bands
+    under OR'd demographic+price predicates."""
+    t = load_tables(spark, sf_dir)
+    seg, tp = F.col("c_mktsegment"), F.col("o_totalprice")
+    band = (
+        F.when(F.col("l_quantity") <= 15, "small")
+        .when(F.col("l_quantity") <= 35, "medium")
+        .otherwise("large")
+    )
+    return (
+        t["lineitem"].filter(F.col("l_returnflag") == "R")
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .filter(((seg == "BUILDING") & (tp < 150000))
+                | ((seg == "MACHINERY") & (tp >= 150000))
+                | (seg == "FURNITURE"))
+        .groupBy(band.alias("reason_band"))
+        .agg(F.round(F.avg("l_extendedprice"), 6).alias("avg_refund"),
+             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+             F.count("*").alias("cnt"))
+        .orderBy("reason_band")
+    )
+
+
+@query(
+    "ds_q86_hierarchy_rank",
+    oracle="""
+WITH g AS (
+  SELECT coalesce(p_type, 'ALL') AS ptype,
+         coalesce(p_brand, 'ALL') AS brand,
+         CAST(grouping(p_type) * 2 + grouping(p_brand) AS BIGINT) AS gid,
+         round(sum(l_extendedprice * (1 - l_discount)), 4) AS rev
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  GROUP BY ROLLUP (p_type, p_brand)
+)
+SELECT ptype, brand, gid, rev,
+       row_number() OVER (PARTITION BY gid, CASE WHEN gid = 0 THEN ptype END
+                          ORDER BY rev DESC, ptype, brand) AS rank_in_parent
+FROM g ORDER BY gid, ptype, brand
+""",
+)
+def ds_q86_hierarchy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q86 shape (query86.sql): ROLLUP over the product hierarchy
+    with each row ranked inside its parent grouping level."""
+    t = load_tables(spark, sf_dir)
+    g = (
+        t["lineitem"]
+        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
+        .rollup("p_type", "p_brand")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"),
+             (F.grouping("p_type") * 2 + F.grouping("p_brand")).cast("bigint").alias("gid"))
+        .select(F.coalesce("p_type", F.lit("ALL")).alias("ptype"),
+                F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
+                "gid", "rev")
+    )
+    w = Window.partitionBy(
+        "gid", F.when(F.col("gid") == 0, F.col("ptype"))
+    ).orderBy(F.col("rev").desc(), "ptype", "brand")
+    return g.withColumn("rank_in_parent", F.row_number().over(w)).orderBy("gid", "ptype", "brand")
+
+
+@query(
+    "ds_q87_channel_except",
+    oracle="""
+SELECT count(*) AS exclusive_customers FROM (
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1997-01-01' AND o_orderdate < TIMESTAMP '1998-01-01'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders
+  WHERE o_orderdate >= TIMESTAMP '1998-01-01' AND o_orderdate < TIMESTAMP '1999-01-01'
+  EXCEPT
+  SELECT DISTINCT o_custkey FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+  WHERE l_returnflag = 'R'
+)
+""",
+)
+def ds_q87_channel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q87 shape (query87.sql): customers in the first channel
+    and neither of the other two — chained EXCEPT DISTINCT, counted."""
+    t = load_tables(spark, sf_dir)
+    y97 = (
+        t["orders"]
+        .filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
+        .select("o_custkey").distinct()
+    )
+    y98 = (
+        t["orders"]
+        .filter((F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01"))
+        .select("o_custkey").distinct()
+    )
+    ret = (
+        t["orders"].join(t["lineitem"].filter(F.col("l_returnflag") == "R"),
+                         F.col("o_orderkey") == F.col("l_orderkey"))
+        .select("o_custkey").distinct()
+    )
+    return y97.subtract(y98).subtract(ret).agg(F.count("*").alias("exclusive_customers"))
+
+
+@query(
+    "ds_q91_returns_report",
+    oracle="""
+SELECT month(l_shipdate) AS mon, c_mktsegment, o_orderpriority,
+       round(sum(l_extendedprice), 4) AS loss
+FROM lineitem
+JOIN orders ON l_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+WHERE l_returnflag = 'R' AND year(l_shipdate) = 1997
+GROUP BY mon, c_mktsegment, o_orderpriority
+ORDER BY mon, c_mktsegment, o_orderpriority
+""",
+)
+def ds_q91_returns_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q91 shape (query91.sql): call-center returns loss report
+    by month, demographic, and priority."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["lineitem"].filter((F.col("l_returnflag") == "R") & (F.year("l_shipdate") == 1997))
+        .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(F.month("l_shipdate").alias("mon"), F.col("c_mktsegment"),
+                 F.col("o_orderpriority"))
+        .agg(F.round(F.sum("l_extendedprice"), 4).alias("loss"))
+        .orderBy("mon", "c_mktsegment", "o_orderpriority")
+    )
+
+
+@query(
+    "ds_q96_time_band_count",
+    oracle="""
+SELECT count(*) AS cnt
+FROM events
+WHERE event_type = 'view' AND hour(ts) = 20 AND value > 0.5
+""",
+)
+def ds_q96_time_band_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-DS q96 shape (query96.sql): count of store traffic in one
+    time-of-day band under dimension filters — a single filtered count
+    whose predicates all reach the scan."""
+    t = load_tables(spark, sf_dir)
+    return (
+        t["events"]
+        .filter((F.col("event_type") == "view") & (F.hour("ts") == 20)
+                & (F.col("value") > 0.5))
+        .agg(F.count("*").alias("cnt"))
+    )
