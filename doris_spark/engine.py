@@ -262,6 +262,7 @@ class Engine:
         dims: Sequence[str],
         measures: Mapping[str, str],
         view: DataFrame | None = None,
+        where: str | None = None,
     ) -> None:
         """Register `name` for TRANSPARENT rewrite (Nereids
         MaterializedViewProjectAggregateRule analog): aggregate queries
@@ -275,7 +276,7 @@ class Engine:
 
         if view is not None:
             view.createOrReplaceTempView(name)
-        self._mvs.append(MVDef.build(name, base_table, dims, dict(measures)))
+        self._mvs.append(MVDef.build(name, base_table, dims, dict(measures), where))
 
     def drop_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)

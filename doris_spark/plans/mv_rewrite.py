@@ -31,8 +31,15 @@ import re
 from dataclasses import dataclass, field
 
 _AGG = re.compile(r"^(sum|count|min|max|avg)\s*\((.+)\)$", re.I | re.S)
+# FROM accepts a single table or an equi-join chain
+# (t1 JOIN t2 ON a = b [AND c = d] [JOIN ...]) for join-aware MVs.
+_FROM_PAT = (
+    r"[A-Za-z_]\w*"
+    r"(?:\s+(?:INNER\s+)?JOIN\s+[A-Za-z_]\w*\s+ON\s+"
+    r"[\w.]+\s*=\s*[\w.]+(?:\s+AND\s+[\w.]+\s*=\s*[\w.]+)*)*"
+)
 _SHAPE = re.compile(
-    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<from>[A-Za-z_]\w*)\s*"
+    r"^\s*SELECT\s+(?P<select>.*?)\s+FROM\s+(?P<from>" + _FROM_PAT + r")\s*"
     r"(?:\s+(?:AS\s+)?(?P<alias>[A-Za-z_]\w*))?"
     r"(?:\s+WHERE\s+(?P<where>.*?))?"
     r"(?:\s+GROUP\s+BY\s+(?P<group>.*?))?"
@@ -46,6 +53,52 @@ _RESERVED = {"where", "group", "having", "order", "limit"}
 
 def _norm(e: str) -> str:
     return re.sub(r"\s+", "", e.lower()).replace("`", "")
+
+
+def _norm_join(text: str) -> str:
+    """Canonical form of a FROM clause: lowercased, single-spaced,
+    INNER JOIN -> JOIN, each ON equality's sides sorted (a=b == b=a)."""
+    t = re.sub(r"\s+", " ", text.strip().lower()).replace("`", "")
+    t = re.sub(r"\binner join\b", "join", t)
+
+    def fix(m: re.Match) -> str:
+        a, b = sorted([m.group(1), m.group(2)])
+        return f"{a} = {b}"
+
+    return re.sub(r"([\w.]+)\s*=\s*([\w.]+)", fix, t)
+
+
+def _split_conjuncts(text: str) -> list[str]:
+    """Split a predicate on top-level AND (outside parens/strings)."""
+    out: list[str] = []
+    depth, in_str, last, i = 0, None, 0, 0
+    up = text.upper()
+    while i < len(text):
+        ch = text[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and up.startswith("AND", i)
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] == "_"))
+            and (i + 3 >= len(text) or not (text[i + 3].isalnum() or text[i + 3] == "_"))
+        ):
+            out.append(text[last:i].strip())
+            last = i + 3
+            i += 3
+            continue
+        i += 1
+    tail = text[last:].strip()
+    if tail:
+        out.append(tail)
+    return [p for p in out if p]
 
 
 def _split_top(text: str, sep: str = ",") -> list[str]:
@@ -85,9 +138,16 @@ class MVDef:
     base: str
     dims: set[str]
     measures: dict[tuple[str, str], str] = field(default_factory=dict)
+    # Optional MV-side filter, stored as normalized conjuncts: the query
+    # must repeat each of them verbatim (textual implication — the
+    # conservative subset of Nereids' predicate compensation).
+    where_conj: frozenset = frozenset()
 
     @classmethod
-    def build(cls, name: str, base: str, dims, measures: dict[str, str]) -> MVDef:
+    def build(
+        cls, name: str, base: str, dims, measures: dict[str, str],
+        where: str | None = None,
+    ) -> MVDef:
         m: dict[tuple[str, str], str] = {}
         for col, spec in measures.items():
             am = _AGG.match(spec.strip())
@@ -98,7 +158,8 @@ class MVDef:
             if fn == "count" and arg in ("*", "1"):
                 arg = "*"
             m[(fn, arg)] = col
-        return cls(name, base.lower(), {d.lower() for d in dims}, m)
+        wc = frozenset(_norm(c) for c in _split_conjuncts(where)) if where else frozenset()
+        return cls(name, _norm_join(base), {d.lower() for d in dims}, m, wc)
 
 
 def _strip_alias(item: str) -> tuple[str, str | None]:
@@ -157,7 +218,7 @@ def try_rewrite(sql: str, mvs: list[MVDef]) -> tuple[str, str] | None:
     m = _SHAPE.match(sql)
     if m is None:
         return None
-    base = m.group("from").lower()
+    base = _norm_join(m.group("from"))
     if "(" in (m.group("select") or "") and not re.search(
         r"\b(sum|count|min|max|avg)\s*\(", m.group("select"), re.I
     ):
@@ -175,11 +236,16 @@ def _try_one(sql: str, m: re.Match, mv: MVDef) -> str | None:
     alias = m.group("alias")
     if alias and alias.lower() in _RESERVED:
         alias = None
+    from_text = m.group("from")
+    is_join = re.search(r"\bjoin\b", from_text, re.I) is not None
+    if is_join:
+        alias = None  # join-chain MVs take no table alias
 
     def unqualify(text: str) -> str:
         if not text:
             return text
-        pfx = [p for p in (alias, m.group("from")) if p]
+        tables = re.findall(r"(?:^|\bjoin\s+)([A-Za-z_]\w*)", from_text, flags=re.I)
+        pfx = [p for p in ([alias] + tables) if p]
         for p in pfx:
             text = re.sub(rf"\b{re.escape(p)}\s*\.\s*", "", text)
         return text
@@ -195,8 +261,20 @@ def _try_one(sql: str, m: re.Match, mv: MVDef) -> str | None:
         return None  # pure-scan queries are out of scope (SPJG only)
     if not set(group_cols) <= mv.dims:
         return None
-    if where and not _idents(where) <= mv.dims:
-        return None
+    # Filter compensation: the query must repeat every MV-side conjunct
+    # verbatim; leftover conjuncts become the residual WHERE and may only
+    # touch dims (they evaluate against MV rows).
+    q_conj = _split_conjuncts(where) if where else []
+    if mv.where_conj:
+        if not mv.where_conj <= {_norm(c) for c in q_conj}:
+            return None
+        residual = [c for c in q_conj if _norm(c) not in mv.where_conj]
+    else:
+        residual = q_conj
+    for c in residual:
+        if not _idents(c) <= mv.dims:
+            return None
+    where = " AND ".join(residual)
 
     new_select = []
     out_aliases: set[str] = set()

@@ -543,3 +543,75 @@ def meta_scan_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
     parts = table_partitions(spark, path, ["o_orderpriority"])
     assert parts.filter(F.col("n_files") < 1).count() == 0
     return parts.select("o_orderpriority", "n_rows").orderBy("o_orderpriority")
+
+
+@query(
+    "mv_join_rewrite",
+    oracle="""
+SELECT c_mktsegment,
+       count(*) AS n,
+       sum(o_totalprice) AS total
+FROM orders JOIN customer ON o_custkey = c_custkey
+WHERE o_orderdate >= TIMESTAMP '1997-01-01'
+  AND c_mktsegment <> 'MACHINERY'
+GROUP BY c_mktsegment
+ORDER BY c_mktsegment
+""",
+)
+def mv_join_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-aware + filter-compensated TRANSPARENT MV rewrite
+    (plans/mv_rewrite.py round-5 extension; Nereids
+    MaterializedViewProjectJoinRule.java / predicate-compensation
+    analog): the query is issued against the BASE join
+    `orders JOIN customer` with the MV's own date filter repeated plus a
+    dim residual; Engine.sql redirects onto the (segment, status) rollup
+    MV built over the filtered join — asserted via last_mv_rewrite. The
+    ON condition is written commuted (c_custkey = o_custkey) to prove
+    equality-side canonicalization."""
+    import os as _os
+    import shutil
+    import tempfile
+
+    from doris_spark.engine import Engine
+    from doris_spark.session import register_views
+    from doris_spark.streaming.mtmv import MaterializedView
+
+    register_views(spark, sf_dir)
+    eng = Engine(spark)
+    t = load_tables(spark, sf_dir)
+    base = (
+        t["orders"].filter(F.col("o_orderdate") >= "1997-01-01")
+        .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
+    )
+    storage = _os.path.join(
+        tempfile.gettempdir(), f"doris_spark_mvjn_{abs(hash(sf_dir))}"
+    )
+    shutil.rmtree(storage, ignore_errors=True)
+    mv = MaterializedView(
+        spark,
+        "orders_cust_97_mv",
+        storage,
+        lambda b: b.groupBy("c_mktsegment", "o_orderstatus").agg(
+            F.count(F.lit(1)).alias("cnt"),
+            F.sum("o_totalprice").alias("sum_price"),
+        ),
+        "c_mktsegment",
+    )
+    mv.refresh(base)
+    eng.register_mv(
+        "orders_cust_97_mv",
+        "orders JOIN customer ON o_custkey = c_custkey",
+        dims=["c_mktsegment", "o_orderstatus"],
+        measures={"cnt": "count(*)", "sum_price": "sum(o_totalprice)"},
+        view=mv.read(),
+        where="o_orderdate >= TIMESTAMP '1997-01-01'",
+    )
+    out = eng.sql(
+        "SELECT c_mktsegment, count(*) AS n, sum(o_totalprice) AS total "
+        "FROM orders JOIN customer ON c_custkey = o_custkey "
+        "WHERE o_orderdate >= TIMESTAMP '1997-01-01' "
+        "AND c_mktsegment <> 'MACHINERY' "
+        "GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    )
+    assert eng.last_mv_rewrite == "orders_cust_97_mv", "join-MV rewrite must fire"
+    return out
