@@ -217,3 +217,70 @@ def ann_index_probe(
         .orderBy(F.desc("score"), F.asc(id_col))
         .limit(k)
     )
+
+
+# ------------------------------------------------------------------ IVF ANN
+
+
+def ivf_knn(
+    corpus: DataFrame,
+    query: DataFrame,
+    vec_col: str,
+    id_col: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 4,
+) -> DataFrame:
+    """IVF-style approximate top-k (reference:
+    be/src/storage/index/ann/faiss_ann_index.h IVF-Flat family): a small
+    coarse-quantizer codebook partitions the corpus into inverted lists;
+    the probe searches only the `nprobe` lists nearest the query.
+
+    Codebook = the `n_centroids` corpus rows with the smallest ids — a
+    deterministic placeholder for a sampled/k-means codebook (the
+    codebook is O(n_centroids) and lives on the driver/broadcast at any
+    scale; training it is an offline job). Everything per-row stays
+    JVM-side: the assignment is an array_min over literal-array distance
+    structs inside whole-stage codegen, the probe filter prunes before
+    the distance projection, and the final top-k is
+    TakeOrderedAndProject. At 100 TB the corpus would be written
+    partitioned by __cid (sources/layout.py) so the probe prunes
+    partitions — same contract as build_ann_index/ann_index_probe."""
+    cents = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    cent_vecs = [(int(r[0]), [float(x) for x in r[1]]) for r in cents]
+    qrow = query.select(vec_col).first()
+    qvec = [float(x) for x in qrow[0]]
+
+    def _l2sq(a, b):
+        s = 0.0
+        for x, y in zip(a, b):
+            d = x - y
+            s += d * d
+        return s
+
+    probe = [
+        cid
+        for cid, _ in sorted(
+            ((cid, _l2sq(cv, qvec)) for cid, cv in cent_vecs),
+            key=lambda t: (t[1], t[0]),
+        )[:nprobe]
+    ]
+
+    structs = []
+    for cid, cv in cent_vecs:
+        lit = F.array(*[F.lit(x) for x in cv])
+        diff = F.zip_with(_c(vec_col), lit, lambda x, y: x.cast("double") - y)
+        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+        structs.append(F.struct(d2.alias("d"), F.lit(cid).alias("cid")))
+    assigned = F.array_min(F.array(*structs)).getField("cid")
+
+    corp = corpus.withColumn("__cid", assigned).filter(F.col("__cid").isin(probe))
+    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    return (
+        corp.crossJoin(q)
+        .select(F.col(id_col), l2_distance(vec_col, "__qvec").alias("score"))
+        .orderBy(F.asc("score"), F.asc(id_col))
+        .limit(k)
+    )

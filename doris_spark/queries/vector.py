@@ -315,3 +315,43 @@ def vec_lsh_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("score"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+@query(
+    "vec_ivf_knn",
+    oracle=f"""
+WITH cent AS (
+  SELECT vec_id AS cid, {_DVEC} AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 16
+), q AS (SELECT {_DVEC} AS qv FROM embeddings WHERE vec_id = 0),
+probe AS (
+  SELECT cid FROM cent, q
+  ORDER BY list_sum(list_transform(list_zip(cv, qv), p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, cid
+  LIMIT 4
+),
+assigned AS (
+  SELECT vec_id,
+         arg_min(cid, list_sum(list_transform(list_zip(cv, ev),
+                 p -> (p[1] - p[2]) * (p[1] - p[2])))) AS cid
+  FROM (SELECT vec_id, {_DVEC} AS ev FROM embeddings WHERE vec_id <> 0) e, cent
+  GROUP BY vec_id
+)
+SELECT e.vec_id,
+       sqrt(list_sum(list_transform(list_zip({_DVEC}, qv),
+            p -> (p[1] - p[2]) * (p[1] - p[2])))) AS score
+FROM embeddings e
+JOIN assigned a ON e.vec_id = a.vec_id, q
+WHERE a.cid IN (SELECT cid FROM probe)
+ORDER BY score ASC, e.vec_id
+LIMIT 10
+""",
+)
+def vec_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-Flat approximate top-10 (operators/vector.py ivf_knn):
+    16-entry coarse codebook, 4 probed lists, exact L2 within the probe.
+    The oracle recomputes codebook, assignment, probe, and search in
+    DuckDB list algebra — the approximation itself is verified, not just
+    the output shape."""
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    return V.ivf_knn(corpus, _query_vec(spark, sf_dir), "embedding", "vec_id",
+                     k=10, n_centroids=16, nprobe=4)

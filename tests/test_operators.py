@@ -344,3 +344,29 @@ def test_ann_index_partition_pruned_probe(spark, tmp_path):
     )
     assert qsig == spark_sig
     assert got[0] == 3  # the query vector itself tops its own bucket
+
+
+def test_ivf_knn_matches_bruteforce_within_probed_lists(spark):
+    """IVF with nprobe == n_centroids degenerates to exact search: the
+    probe covers every inverted list, so the result must equal the exact
+    brute-force top-k."""
+    from doris_spark.operators import vector as V
+    from doris_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0)
+    exact = V.knn(corpus, query, "embedding", "vec_id", k=5, metric="l2").collect()
+    full_probe = V.ivf_knn(corpus, query, "embedding", "vec_id",
+                           k=5, n_centroids=8, nprobe=8).collect()
+    assert [r["vec_id"] for r in full_probe] == [r["vec_id"] for r in exact]
+
+    # narrow probe returns a subset drawn only from probed lists, still
+    # ordered by distance
+    narrow = V.ivf_knn(corpus, query, "embedding", "vec_id",
+                       k=5, n_centroids=8, nprobe=2).collect()
+    scores = [r["score"] for r in narrow]
+    assert scores == sorted(scores)
+    assert set(r["vec_id"] for r in narrow) <= set(
+        r["vec_id"] for r in V.ivf_knn(corpus, query, "embedding", "vec_id",
+                                       k=500, n_centroids=8, nprobe=2).collect())
