@@ -218,3 +218,84 @@ def simhash64(text_col, shingle_n: int = 2):
     bigint column expression. Reference analog: SimHash near-dup for corpus
     cleaning; pure higher-order-function expression (no UDF)."""
     return simhash_from_hashes(shingle_hashes60(text_col, shingle_n))
+
+
+# ------------------------------------------------- duplicate clustering
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Connected components over an undirected edge list by min-label
+    propagation: every node's label converges to the smallest node id in
+    its component. Returns (id, component).
+
+    The dedup use (reference: the segment-compaction dedup path around
+    be/src/olap/merger.* keeps one row per key; here we keep one doc per
+    near-dup cluster) has tiny cluster diameters — candidate pairs come
+    from LSH buckets — so plain propagation converges in a few rounds.
+    Each round is one shuffle (groupBy u) plus a broadcast-size check;
+    labels are localCheckpoint'ed per round to truncate lineage (the
+    recursive-CTE lesson: checkpoint the accumulator, never unroll).
+    For adversarial diameters at 100 TB swap in large-star/small-star
+    (alternating min-propagation that halves diameter per round) — same
+    loop skeleton, different neighbor expansion."""
+    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
+        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    )
+    sym = sym.localCheckpoint(eager=True)
+    labels = (
+        sym.select(F.col("u").alias("id")).distinct()
+        .withColumn("label", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_iter):
+        neigh = (
+            sym.alias("e")
+            .join(labels.alias("l"), F.col("e.v") == F.col("l.id"))
+            .groupBy(F.col("e.u").alias("id"))
+            .agg(F.min("l.label").alias("nlabel"))
+        )
+        # Min-propagation only ever lowers a label, so "changed" is just
+        # new < old — computed inline, no extra join-and-count job.
+        lowered = F.least(
+            F.col("l.label"), F.coalesce(F.col("n.nlabel"), F.col("l.label"))
+        )
+        new = (
+            labels.alias("l")
+            .join(neigh.alias("n"), "id", "left")
+            .select(
+                F.col("id"),
+                lowered.alias("label"),
+                (lowered < F.col("l.label")).cast("int").alias("chg"),
+            )
+            .localCheckpoint(eager=True)
+        )
+        changed = new.agg(F.sum("chg")).first()[0]
+        labels = new.drop("chg")
+        if not changed:
+            break
+    return labels.select("id", F.col("label").alias("component"))
+
+
+def dedup_clusters(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str,
+    src: str = "doc_a",
+    dst: str = "doc_b",
+) -> DataFrame:
+    """Cluster near-duplicate candidate pairs into components and pick
+    the canonical (smallest-id) doc per cluster. Returns every clustered
+    doc with (id, component, keep); docs in no pair are implicitly
+    canonical and not emitted (at scale: anti-join them back untouched,
+    which never shuffles the full corpus through the CC loop)."""
+    cc = connected_components(pairs, src, dst)
+    return cc.select(
+        F.col("id").alias(id_col),
+        "component",
+        (F.col("id") == F.col("component")).cast("int").alias("keep"),
+    )

@@ -413,3 +413,49 @@ def txt_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("n_hits"))
         .orderBy("lang")
     )
+
+
+_CLUSTER_ORACLE = f"""
+WITH RECURSIVE sh AS (
+  SELECT doc_id AS doc, unnest({_shingle_sql(3)}) AS shingle FROM documents
+), sig AS (
+  SELECT doc,
+         {", ".join(
+             f"min(substr(md5('{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS sig_{i}"
+             for i in range(8)
+         )}
+  FROM sh GROUP BY doc
+), buckets AS (
+  {" UNION ALL ".join(
+    f"SELECT doc, {b} AS band, sig_{2 * b} || '|' || sig_{2 * b + 1} AS key FROM sig"
+    for b in range(4)
+  )}
+), pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(id, r) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.id
+)
+SELECT id AS doc_id, min(r) AS component,
+       CAST(CASE WHEN id = min(r) THEN 1 ELSE 0 END AS INT) AS keep
+FROM reach GROUP BY id
+ORDER BY component, doc_id
+"""
+
+
+@query("txt_dedup_clusters", oracle=_CLUSTER_ORACLE)
+def txt_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-duplicate CLUSTERS: MinHash+LSH candidate pairs -> connected
+    components (min-label propagation, operators/dedup.py) -> canonical
+    doc per cluster (smallest id keeps). The oracle recomputes the
+    entire pipeline in DuckDB, components via recursive reachability —
+    the clustering itself is value-checked, not just the pair list."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3)
+    return D.dedup_clusters(docs, pairs, "doc_id").orderBy("component", "doc_id")

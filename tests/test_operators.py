@@ -370,3 +370,35 @@ def test_ivf_knn_matches_bruteforce_within_probed_lists(spark):
     assert set(r["vec_id"] for r in narrow) <= set(
         r["vec_id"] for r in V.ivf_knn(corpus, query, "embedding", "vec_id",
                                        k=500, n_centroids=8, nprobe=2).collect())
+
+
+def test_connected_components_known_graph(spark):
+    from doris_spark.operators.dedup import connected_components, dedup_clusters
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (5, 6), (9, 9)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r["id"]: r["component"]
+        for r in connected_components(edges).collect()
+    }
+    # {1,2,3} -> 1, {5,6} -> 5, {9} self-loop -> 9
+    assert got == {1: 1, 2: 1, 3: 1, 5: 5, 6: 5, 9: 9}
+
+    docs = spark.createDataFrame([(i, f"d{i}") for i in range(1, 10)], ["doc_id", "text"])
+    clusters = dedup_clusters(docs, edges, "doc_id").collect()
+    keep = {r["doc_id"]: r["keep"] for r in clusters}
+    assert keep == {1: 1, 2: 0, 3: 0, 5: 1, 6: 0, 9: 1}
+
+
+def test_connected_components_long_chain(spark):
+    """A 12-node path needs multiple propagation rounds — exercises the
+    convergence loop, not just one step."""
+    from doris_spark.operators.dedup import connected_components
+
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(12)], ["doc_a", "doc_b"]
+    )
+    got = connected_components(edges).collect()
+    assert all(r["component"] == 0 for r in got)
+    assert len(got) == 13
