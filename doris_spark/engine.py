@@ -76,6 +76,8 @@ class Engine:
         self.spark = spark
         # table name -> merge-on-read view (DUP tables map to themselves)
         self._views: dict[str, DataFrame] = {}
+        # table name -> keys-model metadata (for INSERT re-merge)
+        self._meta: dict[str, dict] = {}
         # transparent MV rewrite catalog (plans/mv_rewrite.py)
         self._mvs: list = []
         self.last_mv_rewrite: str | None = None
@@ -97,9 +99,30 @@ class Engine:
         from doris_spark.plans.dialect import dialect
         from doris_spark.plans.sql_macros import rewrite
 
+        ex = _re.match(r"^\s*EXPLAIN\b(\s+(?:VERBOSE|EXTENDED|FORMATTED|CODEGEN|COST))?\s+", text, _re.I)
+        if ex is not None:
+            # Doris EXPLAIN [VERBOSE] (StmtExecutor explain path): the
+            # inner statement goes through the SAME dialect/macro/MV
+            # pipeline, so EXPLAIN shows the plan that sql() would run —
+            # including a transparent-MV scan when the rewrite fires.
+            mode = (ex.group(1) or "").strip().upper()
+            mode = {"VERBOSE": "EXTENDED"}.get(mode, mode)
+            inner = text[ex.end():]
+            self.last_mv_rewrite = None
+            if self._mvs:
+                from doris_spark.plans.mv_rewrite import try_rewrite
+
+                hit = try_rewrite(inner, self._mvs)
+                if hit is not None:
+                    inner, self.last_mv_rewrite = hit
+            stmt = rewrite(dialect(inner))
+            return self.spark.sql(f"EXPLAIN {mode} {stmt}" if mode else f"EXPLAIN {stmt}")
         dml = self._dml(text)
         if dml is not None:
             return dml
+        ins = self._insert(text)
+        if ins is not None:
+            return ins
         self.last_mv_rewrite = None
         if self._mvs:
             from doris_spark.plans.mv_rewrite import try_rewrite
@@ -220,6 +243,88 @@ class Engine:
         (OlapScan analog: predicate pushdown/column pruning at the scan)."""
         return register_views(self.spark, sf_dir)
 
+    def _insert(self, text: str) -> DataFrame | None:
+        """INSERT INTO t [(cols)] VALUES (...), ... | SELECT ...
+
+        Doris InsertIntoTableCommand analog on the keys-model catalog:
+        new rows are appended to the table snapshot and the keys model
+        re-applies — UNIQUE tables upsert (latest sequence_col wins),
+        AGG tables re-aggregate, DUP tables append. The snapshot is
+        pinned with localCheckpoint like the UPDATE/DELETE path (one
+        statement = one visible transaction). Returns the 1-row
+        affected-count DataFrame (the MySQL OK packet). Tables created
+        outside create_table (plain views) are not insert targets."""
+        import re
+
+        from pyspark.sql import functions as F
+
+        m = re.match(
+            r"^\s*INSERT\s+INTO\s+`?(\w+)`?\s*(\(([^)]*)\))?\s*", text, re.I | re.S
+        )
+        if m is None:
+            return None
+        name = m.group(1)
+        if name not in self._meta:
+            raise ValueError(f"{name} is not an insertable keys-model table")
+        cols = (
+            [c.strip().strip("`") for c in m.group(3).split(",")]
+            if m.group(3)
+            else None
+        )
+        tail = text[m.end():].rstrip().rstrip(";")
+        cur = self._views[name]
+        target_cols = cur.columns
+        use_cols = cols or target_cols
+
+        from doris_spark.plans.dialect import dialect
+        from doris_spark.plans.sql_macros import rewrite as _rw
+
+        if re.match(r"^VALUES\b", tail, re.I):
+            body = _rw(dialect(tail[len("VALUES"):]))
+            new = self.spark.sql(
+                f"SELECT * FROM VALUES {body} AS __ins({', '.join(use_cols)})"
+            )
+        elif re.match(r"^SELECT\b|^WITH\b", tail, re.I):
+            new = self.spark.sql(_rw(dialect(tail)))
+            if len(new.columns) != len(use_cols):
+                raise ValueError(
+                    f"INSERT column count mismatch: {len(new.columns)} vs {len(use_cols)}"
+                )
+            new = new.toDF(*use_cols)
+        else:
+            raise ValueError("INSERT tail must be VALUES or SELECT")
+
+        # align to the full target schema: missing columns -> NULL, every
+        # column cast to the target type (Doris's implicit insert casts)
+        sch = {f.name: f.dataType for f in cur.schema.fields}
+        aligned = new.select(
+            *[
+                (F.col(c) if c in new.columns else F.lit(None)).cast(sch[c]).alias(c)
+                for c in target_cols
+            ]
+        )
+        n_new = aligned.count()
+
+        meta = self._meta[name]
+        combined = cur.unionByName(aligned)
+        kt = meta["keys_type"]
+        if kt == "UNIQUE_KEYS":
+            view = unique_key_view(
+                combined, meta["keys"], meta["sequence_col"],
+                delete_col=meta["delete_col"],
+            )
+        elif kt == "AGG_KEYS":
+            view = agg_key_view(
+                combined, meta["keys"], meta["agg_spec"],
+                sequence_col=meta["sequence_col"],
+            )
+        else:
+            view = combined
+        view = view.localCheckpoint(eager=True)
+        view.createOrReplaceTempView(name)
+        self._views[name] = view
+        return self.spark.createDataFrame([(n_new,)], "affected_rows bigint")
+
     def create_table(
         self,
         df: DataFrame,
@@ -253,6 +358,13 @@ class Engine:
             raise ValueError(f"unknown keys_type {keys_type}")
         view.createOrReplaceTempView(name)
         self._views[name] = view
+        self._meta[name] = {
+            "keys_type": kt,
+            "keys": list(keys),
+            "sequence_col": sequence_col,
+            "delete_col": delete_col,
+            "agg_spec": dict(agg_spec) if agg_spec else None,
+        }
         return view
 
     def register_mv(

@@ -1186,3 +1186,66 @@ def dml_update_delete(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus
         """
     )
+
+
+@query(
+    "dml_insert_upsert",
+    oracle="""
+WITH base AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice,
+         CAST(1 AS BIGINT) AS ver
+  FROM orders WHERE o_orderkey < 1000
+), inserted AS (
+  SELECT * FROM base
+  UNION ALL
+  SELECT o_orderkey, 'X' AS o_orderstatus, o_totalprice * 2 AS o_totalprice,
+         CAST(2 AS BIGINT) AS ver
+  FROM base WHERE o_totalprice > 200000
+  UNION ALL
+  SELECT 999999999, 'Z', 42.0, CAST(2 AS BIGINT)
+), merged AS (
+  SELECT o_orderkey, o_orderstatus, o_totalprice, ver,
+         row_number() OVER (PARTITION BY o_orderkey
+                            ORDER BY ver DESC) AS rn
+  FROM inserted
+)
+SELECT o_orderstatus, count(*) AS cnt,
+       CAST(sum(o_totalprice) AS DECIMAL(24,2)) AS total
+FROM merged WHERE rn = 1
+GROUP BY o_orderstatus
+ORDER BY o_orderstatus
+""",
+)
+def dml_insert_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INSERT INTO DML surface (InsertIntoTableCommand analog) through
+    Engine.sql on a UNIQUE-keys table: an INSERT..SELECT upserts new
+    versions of the high-price orders (sequence column 2 beats 1) and an
+    INSERT..VALUES adds a brand-new key; the merge-on-read view shows
+    latest-version rows. The oracle recomputes the upsert as a
+    row_number window over the unioned versions."""
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    base = (
+        load_tables(spark, sf_dir)["orders"]
+        .filter(F.col("o_orderkey") < 1000)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice",
+                F.lit(1).cast("bigint").alias("ver"))
+    )
+    eng.create_table(base, "__ins_orders", keys_type="UNIQUE_KEYS",
+                     keys=["o_orderkey"], sequence_col="ver")
+    eng.sql(
+        "INSERT INTO __ins_orders "
+        "SELECT o_orderkey, 'X', o_totalprice * 2, CAST(2 AS BIGINT) "
+        "FROM __ins_orders WHERE o_totalprice > 200000"
+    )
+    eng.sql("INSERT INTO __ins_orders VALUES (999999999, 'Z', 42.0, CAST(2 AS BIGINT))")
+    return eng.sql(
+        """
+        SELECT o_orderstatus, count(*) AS cnt,
+               CAST(sum(o_totalprice) AS DECIMAL(24,2)) AS total
+        FROM __ins_orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+        """
+    )

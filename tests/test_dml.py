@@ -123,3 +123,87 @@ def test_dml_fragment_gets_dialect(eng, spark):
     res = e.sql("DELETE FROM dml_arr WHERE arr[1] = 'x'").collect()
     assert res[0].affected == 1
     assert [r.id for r in e.sql("SELECT id FROM dml_arr").collect()] == [2]
+
+
+# ---------------------------------------------------- INSERT INTO / EXPLAIN
+
+
+def test_insert_values_dup_table(spark):
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    eng.create_table(base, "ins_dup")
+    ok = eng.sql("INSERT INTO ins_dup VALUES (3, 'c'), (4, 'd')").collect()
+    assert ok[0]["affected_rows"] == 2
+    got = sorted(tuple(r) for r in eng.sql("SELECT * FROM ins_dup").collect())
+    assert got == [(1, "a"), (2, "b"), (3, "c"), (4, "d")]
+
+
+def test_insert_values_unique_upsert(spark):
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    base = spark.createDataFrame(
+        [(1, 10, "old"), (2, 10, "keep")], "id bigint, ver int, v string"
+    )
+    eng.create_table(base, "ins_uni", keys_type="UNIQUE_KEYS",
+                     keys=["id"], sequence_col="ver")
+    eng.sql("INSERT INTO ins_uni VALUES (1, 20, 'new'), (3, 5, 'ins')")
+    got = {r["id"]: r["v"] for r in eng.sql("SELECT * FROM ins_uni").collect()}
+    assert got == {1: "new", 2: "keep", 3: "ins"}
+    # lower sequence than current must NOT win
+    eng.sql("INSERT INTO ins_uni VALUES (1, 15, 'stale')")
+    got = {r["id"]: r["v"] for r in eng.sql("SELECT * FROM ins_uni").collect()}
+    assert got[1] == "new"
+
+
+def test_insert_select_and_partial_columns(spark):
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    base = spark.createDataFrame([(1, "a", 5)], "id bigint, v string, n int")
+    eng.create_table(base, "ins_sel")
+    eng.sql("INSERT INTO ins_sel (id, v) VALUES (9, 'z')")
+    row = [r for r in eng.sql("SELECT * FROM ins_sel").collect() if r["id"] == 9][0]
+    assert row["v"] == "z" and row["n"] is None
+    eng.sql("INSERT INTO ins_sel SELECT id + 100, v, n FROM ins_sel WHERE id = 1")
+    ids = sorted(r["id"] for r in eng.sql("SELECT * FROM ins_sel").collect())
+    assert ids == [1, 9, 101]
+
+
+def test_explain_shows_mv_scan(spark):
+    from pyspark.sql import functions as F
+
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    base = spark.createDataFrame(
+        [(1, "F", 10.0), (2, "O", 20.0), (3, "F", 30.0)],
+        "id bigint, st string, price double",
+    )
+    base.createOrReplaceTempView("exp_base")
+    mv = base.groupBy("st").agg(
+        F.count(F.lit(1)).alias("cnt"), F.sum("price").alias("sum_price")
+    )
+    eng.register_mv("exp_mv", "exp_base", dims=["st"],
+                    measures={"cnt": "count(*)", "sum_price": "sum(price)"},
+                    view=mv)
+    plan = "\n".join(
+        r[0] for r in eng.sql(
+            "EXPLAIN SELECT st, count(*) AS n FROM exp_base GROUP BY st"
+        ).collect()
+    )
+    assert eng.last_mv_rewrite == "exp_mv"
+    # the planned aggregate re-aggregates the MV partial (sum over cnt),
+    # not count(1) over the base relation (temp-view names don't surface
+    # in physical plans; the partial-column reference is the tell)
+    assert "sum(cnt" in plan
+
+
+def test_explain_plain_query(spark):
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    rows = eng.sql("EXPLAIN VERBOSE SELECT 1 + 1 AS x").collect()
+    assert rows and "Physical Plan" in "\n".join(r[0] for r in rows)
