@@ -117,6 +117,19 @@ class Engine:
                     inner, self.last_mv_rewrite = hit
             stmt = rewrite(dialect(inner))
             return self.spark.sql(f"EXPLAIN {mode} {stmt}" if mode else f"EXPLAIN {stmt}")
+        ctas = _re.match(
+            r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+AS\s+(SELECT\b.*|WITH\b.*)$",
+            text, _re.I | _re.S,
+        )
+        if ctas is not None:
+            # Doris CTAS (CreateTableAsSelectCommand): materialize the
+            # query snapshot and register it as a DUP-keys table so
+            # subsequent INSERT/UPDATE/DELETE statements work on it.
+            snap = self.sql(ctas.group(2)).localCheckpoint(eager=True)
+            self.create_table(snap, ctas.group(1))
+            return self.spark.createDataFrame(
+                [(snap.count(),)], "affected_rows bigint"
+            )
         dml = self._dml(text)
         if dml is not None:
             return dml

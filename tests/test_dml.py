@@ -207,3 +207,32 @@ def test_explain_plain_query(spark):
     eng = Engine(spark)
     rows = eng.sql("EXPLAIN VERBOSE SELECT 1 + 1 AS x").collect()
     assert rows and "Physical Plan" in "\n".join(r[0] for r in rows)
+
+
+def test_ctas_then_dml_roundtrip(spark):
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame(
+        [(1, "a", 10.0), (2, "b", 20.0), (3, "c", 30.0)],
+        "id bigint, v string, price double",
+    ).createOrReplaceTempView("ctas_src")
+    ok = eng.sql("CREATE TABLE ctas_t AS SELECT id, v, price FROM ctas_src WHERE id < 3")
+    assert ok.collect()[0]["affected_rows"] == 2
+    eng.sql("INSERT INTO ctas_t VALUES (9, 'z', 90.0)")
+    eng.sql("UPDATE ctas_t SET price = price + 1 WHERE id = 1")
+    got = sorted(tuple(r) for r in eng.sql("SELECT * FROM ctas_t").collect())
+    assert got == [(1, "a", 11.0), (2, "b", 20.0), (9, "z", 90.0)]
+
+
+def test_show_statements_passthrough(spark):
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.createDataFrame([(1,)], "id bigint").createOrReplaceTempView("show_t")
+    tables = [r["tableName"] for r in eng.sql("SHOW TABLES").collect()]
+    assert "show_t" in tables
+    fns = eng.sql("SHOW FUNCTIONS LIKE 'bitmap*'").count()
+    assert fns > 10  # the registered Doris bitmap surface
+    desc = eng.sql("DESCRIBE show_t").collect()
+    assert desc[0]["col_name"] == "id"
