@@ -21,7 +21,7 @@ from __future__ import annotations
 import math
 from collections.abc import Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Whitespace tokenizer over normalized text (lower + trim + collapse).
@@ -207,4 +207,92 @@ def bm25_rank(
         .filter(F.col("score") > 0)
         .orderBy(F.desc("score"), F.asc("doc"))
         .limit(limit)
+    )
+
+
+# ------------------------------------------------ pipeline curation ops
+
+
+def chunk_documents(
+    df: DataFrame,
+    text_col: str,
+    id_col: str,
+    chunk_tokens: int = 32,
+    overlap: int = 8,
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard pre-embedding step of a training/RAG pipeline. Pure column
+    algebra: tokenize -> slice windows with stride (chunk_tokens -
+    overlap) -> posexplode. One narrow pass, no shuffle, no UDF; chunk
+    counts scale with doc length so long docs fan out naturally across
+    partitions. Returns (id, chunk_id, chunk_text, n_tokens)."""
+    if overlap >= chunk_tokens:
+        raise ValueError("overlap must be < chunk_tokens")
+    stride = chunk_tokens - overlap
+    toks = tokenize(text_col)
+    n = F.size(toks)
+    # window start indices: 0, stride, 2*stride, ... while start < n
+    # (a doc shorter than one chunk still yields its single short chunk)
+    starts = F.sequence(
+        F.lit(0),
+        F.greatest(F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)).cast("int"), F.lit(0)),
+    )
+    chunks = F.transform(
+        starts,
+        lambda i: F.slice(toks, i * stride + 1, chunk_tokens),
+    )
+    return (
+        df.select(
+            F.col(id_col),
+            F.posexplode(F.filter(chunks, lambda c: F.size(c) > 0)).alias(
+                "chunk_id", "__toks"
+            ),
+        )
+        .select(
+            id_col,
+            "chunk_id",
+            F.array_join("__toks", " ").alias("chunk_text"),
+            F.size("__toks").alias("n_tokens"),
+        )
+    )
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+?\d{3}[- .]\d{3}[- .]\d{4}"
+_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def scrub_pii(text_col):
+    """Mask common PII patterns (emails, phone numbers, IPv4 literals)
+    with typed placeholders — the standard scrubbing pass before a
+    corpus ships to training. Chained regexp_replace, fully JVM-side."""
+    c = F.regexp_replace(_c_text(text_col), _EMAIL_RE, "<EMAIL>")
+    c = F.regexp_replace(c, _PHONE_RE, "<PHONE>")
+    return F.regexp_replace(c, _IPV4_RE, "<IP>")
+
+
+def _c_text(col):
+    return F.col(col) if isinstance(col, str) else col
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_cols: Sequence[str],
+    n_per_stratum: int,
+    order_col: str,
+    rank_expr=None,
+) -> DataFrame:
+    """Deterministic N-per-group sampling: rank rows inside each stratum
+    by a stable pseudo-random key (xxhash64 of the order column — NOT a
+    volatile rand(), so resampling is reproducible and the oracle can
+    recompute it) and keep the first N. One shuffle on the strata key;
+    WindowGroupLimit prunes to N per group before the filter at scale.
+    The curation use: balance a corpus per (language, source) before
+    training."""
+    key = rank_expr if rank_expr is not None else F.xxhash64(_c_text(order_col))
+    w = Window.partitionBy(*strata_cols).orderBy(key, F.col(order_col))
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_per_stratum)
+        .drop("__rn")
     )

@@ -459,3 +459,97 @@ def txt_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_tables(spark, sf_dir)["documents"]
     pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3)
     return D.dedup_clusters(docs, pairs, "doc_id").orderBy("component", "doc_id")
+
+
+@query(
+    "txt_chunking",
+    oracle=f"""
+WITH t AS (SELECT doc_id, {_TOKS} AS toks FROM documents WHERE doc_id < 200),
+e AS (
+  SELECT doc_id, toks,
+         unnest(generate_series(0,
+             greatest(CAST(ceil((len(toks) - 32) / 24.0) AS BIGINT), 0))) AS i
+  FROM t
+)
+SELECT doc_id, CAST(i AS INT) AS chunk_id,
+       array_to_string(toks[i * 24 + 1 : least(i * 24 + 32, len(toks))], ' ') AS chunk_text,
+       CAST(least(i * 24 + 32, len(toks)) - i * 24 AS INT) AS n_tokens
+FROM e ORDER BY doc_id, chunk_id
+""",
+)
+def txt_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking (operators/textops.py chunk_documents): 32-token
+    windows, 8-token overlap, full coverage (the last window always
+    reaches the document tail). Pure column algebra — tokenize, slice
+    windows, posexplode; no shuffle, no UDF. The oracle recomputes the
+    same windows with DuckDB list slicing."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 200)
+    return T.chunk_documents(docs, "text", "doc_id",
+                             chunk_tokens=32, overlap=8).orderBy("doc_id", "chunk_id")
+
+
+@query(
+    "txt_pii_scrub",
+    oracle="""
+WITH t AS (
+  SELECT doc_id,
+         substr(text, 1, 40) || ' reach me: user' || doc_id ||
+         '@mail.example.org or 555-123-4567 (backup 10.0.' ||
+         CAST(doc_id % 256 AS VARCHAR) || '.7)' AS raw
+  FROM documents WHERE doc_id < 300
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(raw,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\+?\\d{3}[- .]\\d{3}[- .]\\d{4}', '<PHONE>', 'g'),
+         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS clean
+FROM t ORDER BY doc_id
+""",
+)
+def txt_pii_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing (operators/textops.py scrub_pii): emails, phone
+    numbers, and IPv4 literals masked with typed placeholders — chained
+    JVM-side regexp_replace, the standard pre-training scrub. PII is
+    synthesized onto the fixture text (the corpus has none) so every row
+    exercises all three masks."""
+    docs = load_tables(spark, sf_dir)["documents"].filter(F.col("doc_id") < 300)
+    raw = F.concat(
+        F.substring("text", 1, 40),
+        F.lit(" reach me: user"), F.col("doc_id").cast("string"),
+        F.lit("@mail.example.org or 555-123-4567 (backup 10.0."),
+        (F.col("doc_id") % 256).cast("string"), F.lit(".7)"),
+    )
+    from doris_spark.operators.textops import scrub_pii
+
+    return docs.select("doc_id", scrub_pii(raw).alias("clean")).orderBy("doc_id")
+
+
+@query(
+    "doc_stratified_sample",
+    oracle="""
+SELECT lang, source, doc_id FROM (
+  SELECT lang, source, doc_id,
+         row_number() OVER (PARTITION BY lang, source
+                            ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+  FROM documents
+) x WHERE rn <= 5
+ORDER BY lang, source, doc_id
+""",
+)
+def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified corpus sampling (operators/textops.py
+    stratified_sample): 5 docs per (lang, source) stratum ranked by a
+    deterministic md5 key — reproducible balancing before training, one
+    shuffle, WindowGroupLimit prunes to N per stratum. (The operator's
+    default key is xxhash64; md5 here so the DuckDB oracle can recompute
+    the identical ordering.)"""
+    from doris_spark.operators.textops import stratified_sample
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    out = stratified_sample(
+        docs, ["lang", "source"], 5, "doc_id",
+        rank_expr=F.md5(F.col("doc_id").cast("string")),
+    )
+    return out.select("lang", "source", "doc_id").orderBy("lang", "source", "doc_id")
