@@ -133,10 +133,22 @@ def lsh_bucketed_knn(
     k: int = 10,
     n_planes: int = 8,
     seed: int = 42,
+    probe_bits: int = 0,
 ) -> DataFrame:
     """Approximate top-k: restrict the scan to the query's RHP bucket,
     then exact cosine within it. At scale the corpus would be written
-    bucketed/partitioned by signature so the probe prunes partitions."""
+    bucketed/partitioned by signature so the probe prunes partitions.
+
+    probe_bits > 0 enables MULTI-PROBE (the standard recall fix when the
+    bucket grid is finer than the corpus): buckets within Hamming
+    distance <= probe_bits of the query signature are searched too. The
+    scan fraction grows from 1/2^p to sum(C(p,i))/2^p — e.g. 8 planes,
+    probe_bits=1 scans ~9/256 of the corpus. Measured recall@10 on the
+    (uniform-random, clusterless — LSH's worst case) embeddings fixture:
+    0.01 exact-bucket -> 0.11 at 1 bit -> 0.31 at 2 bits
+    (tools/ann_recall_probe.py); IVF nprobe=8/16 reaches 0.73 on the
+    same data. The 1-row query side broadcasts either way, so the probe
+    stays a scan-side filter."""
     sig = rhp_signature(vec_col, dim, n_planes, seed)
     corp = corpus.withColumn("__sig", sig)
     q = F.broadcast(
@@ -144,7 +156,13 @@ def lsh_bucketed_knn(
             "__qsig", rhp_signature("__qvec", dim, n_planes, seed)
         )
     )
-    joined = corp.join(q, F.col("__sig") == F.col("__qsig"))
+    if probe_bits > 0:
+        cond = F.bit_count(
+            F.col("__sig").bitwiseXOR(F.col("__qsig"))
+        ) <= probe_bits
+    else:
+        cond = F.col("__sig") == F.col("__qsig")
+    joined = corp.join(q, cond)
     return (
         joined.select(F.col(id_col), cosine_similarity(vec_col, "__qvec").alias("score"))
         .orderBy(F.desc("score"), F.asc(id_col))

@@ -402,3 +402,32 @@ def test_connected_components_long_chain(spark):
     got = connected_components(edges).collect()
     assert all(r["component"] == 0 for r in got)
     assert len(got) == 13
+
+
+def test_lsh_multiprobe_superset_and_chunking_edges(spark):
+    from doris_spark.operators import vector as V
+    from doris_spark.operators.textops import chunk_documents
+    from doris_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0)
+    exact_bucket = {r["vec_id"] for r in V.lsh_bucketed_knn(
+        corpus, query, "embedding", "vec_id", dim=64, k=500).collect()}
+    probe1 = {r["vec_id"] for r in V.lsh_bucketed_knn(
+        corpus, query, "embedding", "vec_id", dim=64, k=500, probe_bits=1).collect()}
+    # multi-probe candidates strictly contain the exact-bucket candidates
+    assert exact_bucket <= probe1
+
+    # chunking edge cases: short doc -> one chunk; coverage is complete
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, " ".join(f"t{i}" for i in range(33)))],
+        ["doc_id", "text"],
+    )
+    out = chunk_documents(docs, "text", "doc_id", chunk_tokens=32, overlap=8)
+    rows = {(r["doc_id"], r["chunk_id"]): (r["n_tokens"], r["chunk_text"]) for r in out.collect()}
+    assert rows[(1, 0)] == (3, "a b c")
+    assert rows[(2, 0)][0] == 32
+    # chunk 1 starts at token 25 (stride 24) and covers the 33-token tail
+    assert rows[(2, 1)][0] == 9
+    assert rows[(2, 1)][1].startswith("t24")
