@@ -81,6 +81,10 @@ class Engine:
         # transparent MV rewrite catalog (plans/mv_rewrite.py)
         self._mvs: list = []
         self.last_mv_rewrite: str | None = None
+        # JOB scheduler catalog (streaming/jobs.py; clock-free ticks)
+        from doris_spark.streaming.jobs import JobScheduler
+
+        self.jobs = JobScheduler(self)
 
     # ------------------------------------------------------------ queries
 
@@ -117,6 +121,33 @@ class Engine:
                     inner, self.last_mv_rewrite = hit
             stmt = rewrite(dialect(inner))
             return self.spark.sql(f"EXPLAIN {mode} {stmt}" if mode else f"EXPLAIN {stmt}")
+        tr = _re.match(r"^\s*TRUNCATE\s+TABLE\s+`?(\w+)`?\s*;?\s*$", text, _re.I)
+        if tr is not None:
+            # Doris TRUNCATE TABLE: drop all rows, keep schema + keys model.
+            name = tr.group(1)
+            cur = self.table(name)
+            empty = cur.limit(0).localCheckpoint(eager=True)
+            empty.createOrReplaceTempView(name)
+            self._views[name] = empty
+            return self.spark.createDataFrame([(0,)], "affected_rows bigint")
+        jm = _re.match(
+            r"^\s*(CREATE\s+JOB|PAUSE\s+JOB|RESUME\s+JOB|DROP\s+JOB|SHOW\s+JOBS)\b\s*",
+            text, _re.I,
+        )
+        if jm is not None:
+            # Doris JOB scheduler statements (streaming/jobs.py). Ticks
+            # are explicit: eng.jobs.run_due(now).
+            verb = _re.sub(r"\s+", " ", jm.group(1).upper())
+            if verb == "SHOW JOBS":
+                return self.jobs.show()
+            if verb == "CREATE JOB":
+                job = self.jobs.create(text)
+                return self.spark.createDataFrame([(job.name,)], "created string")
+            name = text[jm.end():].strip().rstrip(";").strip("`")
+            {"PAUSE JOB": self.jobs.pause,
+             "RESUME JOB": self.jobs.resume,
+             "DROP JOB": self.jobs.drop}[verb](name)
+            return self.spark.createDataFrame([(name,)], "ok string")
         ctas = _re.match(
             r"^\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s+AS\s+(SELECT\b.*|WITH\b.*)$",
             text, _re.I | _re.S,
@@ -316,6 +347,22 @@ class Engine:
                 for c in target_cols
             ]
         )
+        ai = self._meta[name].get("auto_increment")
+        if ai:
+            # Doris AUTO_INCREMENT (table-design/auto-increment.md):
+            # NULL/omitted values get fresh ids above the current max.
+            # The row_number window runs over the INSERT BATCH only (the
+            # small side), never the stored table.
+            from pyspark.sql import Window as _W
+
+            start = cur.agg(F.max(ai)).first()[0] or 0
+            w = _W.orderBy(F.monotonically_increasing_id())
+            aligned = aligned.withColumn(
+                ai,
+                F.coalesce(
+                    F.col(ai), (F.lit(start) + F.row_number().over(w)).cast(sch[ai])
+                ),
+            )
         n_new = aligned.count()
 
         meta = self._meta[name]
@@ -347,6 +394,7 @@ class Engine:
         sequence_col: str | None = None,
         delete_col: str | None = None,
         agg_spec: Mapping[str, str] | None = None,
+        auto_increment: str | None = None,
     ) -> DataFrame:
         """CREATE TABLE with a Doris keys model (KeysType.java:25-29).
 
@@ -377,6 +425,7 @@ class Engine:
             "sequence_col": sequence_col,
             "delete_col": delete_col,
             "agg_spec": dict(agg_spec) if agg_spec else None,
+            "auto_increment": auto_increment,
         }
         return view
 

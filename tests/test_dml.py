@@ -236,3 +236,31 @@ def test_show_statements_passthrough(spark):
     assert fns > 10  # the registered Doris bitmap surface
     desc = eng.sql("DESCRIBE show_t").collect()
     assert desc[0]["col_name"] == "id"
+
+
+def test_truncate_table(spark):
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    eng.create_table(spark.createDataFrame([(1, "a")], "id bigint, v string"), "tr_t")
+    eng.sql("TRUNCATE TABLE tr_t")
+    assert eng.sql("SELECT * FROM tr_t").count() == 0
+    # schema + insertability survive
+    eng.sql("INSERT INTO tr_t VALUES (5, 'x')")
+    assert [tuple(r) for r in eng.sql("SELECT * FROM tr_t").collect()] == [(5, "x")]
+
+
+def test_auto_increment_insert(spark):
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    base = spark.createDataFrame([(1, "a"), (2, "b")], "id bigint, v string")
+    eng.create_table(base, "ai_t", auto_increment="id")
+    eng.sql("INSERT INTO ai_t (v) VALUES ('c'), ('d')")
+    got = {r["v"]: r["id"] for r in eng.sql("SELECT * FROM ai_t").collect()}
+    assert sorted(got.values()) == [1, 2, 3, 4]
+    # explicit ids still honored; next auto id rides above the new max
+    eng.sql("INSERT INTO ai_t VALUES (10, 'e')")
+    eng.sql("INSERT INTO ai_t (v) VALUES ('f')")
+    got = {r["v"]: r["id"] for r in eng.sql("SELECT * FROM ai_t").collect()}
+    assert got["e"] == 10 and got["f"] == 11
