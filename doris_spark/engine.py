@@ -121,6 +121,18 @@ class Engine:
                     inner, self.last_mv_rewrite = hit
             stmt = rewrite(dialect(inner))
             return self.spark.sql(f"EXPLAIN {mode} {stmt}" if mode else f"EXPLAIN {stmt}")
+        sv = _re.match(
+            r"^\s*SET\s+(?:SESSION\s+|GLOBAL\s+)?`?time_zone`?\s*=\s*'?([^';]+)'?\s*;?\s*$",
+            text, _re.I,
+        )
+        if sv is not None:
+            # Doris SET time_zone (SessionVariable.java): maps onto
+            # Spark's session zone, which drives every timestamp
+            # render/parse. Other session variables flow through as
+            # plain Spark SETs (lc_time_names is captured by the macro
+            # layer; unknown keys are harmless conf entries).
+            self.spark.conf.set("spark.sql.session.timeZone", sv.group(1).strip())
+            return self.spark.createDataFrame([(sv.group(1).strip(),)], "time_zone string")
         tr = _re.match(r"^\s*TRUNCATE\s+TABLE\s+`?(\w+)`?\s*;?\s*$", text, _re.I)
         if tr is not None:
             # Doris TRUNCATE TABLE: drop all rows, keep schema + keys model.

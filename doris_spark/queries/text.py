@@ -553,3 +553,98 @@ def doc_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         rank_expr=F.md5(F.col("doc_id").cast("string")),
     )
     return out.select("lang", "source", "doc_id").orderBy("lang", "source", "doc_id")
+
+
+_PIPELINE_ORACLE = f"""
+WITH RECURSIVE quality AS (
+  SELECT doc_id, text, lang, source
+  FROM documents
+  WHERE n_chars >= 40 AND len({_TOKS}) >= 5
+), sh AS (
+  SELECT doc_id AS doc, unnest({_shingle_sql(3)}) AS shingle
+  FROM quality
+), sig AS (
+  SELECT doc,
+         {", ".join(
+             f"min(substr(md5('{i // 4}:' || shingle), {1 + 8 * (i % 4)}, 8)) AS sig_{i}"
+             for i in range(8)
+         )}
+  FROM sh GROUP BY doc
+), buckets AS (
+  {" UNION ALL ".join(
+    f"SELECT doc, {b} AS band, sig_{2 * b} || '|' || sig_{2 * b + 1} AS key FROM sig"
+    for b in range(4)
+  )}
+), pairs AS (
+  SELECT DISTINCT a.doc AS doc_a, b.doc AS doc_b
+  FROM buckets a JOIN buckets b
+    ON a.band = b.band AND a.key = b.key AND a.doc < b.doc
+), sym AS (
+  SELECT doc_a AS u, doc_b AS v FROM pairs
+  UNION SELECT doc_b, doc_a FROM pairs
+), reach(id, r) AS (
+  SELECT u, u FROM sym
+  UNION
+  SELECT s.u, r.r FROM sym s JOIN reach r ON s.v = r.id
+), clustered AS (
+  SELECT id AS doc_id, min(r) AS component FROM reach GROUP BY id
+), canonical AS (
+  SELECT q.doc_id, q.text, q.lang, q.source
+  FROM quality q LEFT JOIN clustered c ON q.doc_id = c.doc_id
+  WHERE c.doc_id IS NULL OR c.component = q.doc_id
+), sampled AS (
+  SELECT doc_id, text, lang FROM (
+    SELECT doc_id, text, lang,
+           row_number() OVER (PARTITION BY lang
+                              ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+    FROM canonical
+  ) x WHERE rn <= 10
+)
+SELECT lang, count(*) AS kept_docs,
+       round(avg(len({_TOKS})), 6) AS avg_tokens,
+       CAST(sum(length(text)) AS BIGINT) AS total_chars
+FROM sampled
+GROUP BY lang ORDER BY lang
+"""
+
+
+@query("corpus_curation_pipeline", oracle=_PIPELINE_ORACLE)
+def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END training-corpus curation — the composition a 100 TB
+    pipeline actually runs, value-checked as one unit: quality gate
+    (length + token floor) -> MinHash+LSH near-dup clustering, keep
+    canonical docs -> deterministic stratified sample (10/language) ->
+    per-language stats. Every stage is the engine's own operator
+    (textops/dedup), and the oracle recomputes all of it in DuckDB,
+    components via recursive reachability. Plan shape: one shuffle for
+    the signature agg, bucket-join for pairs, bounded CC loop over
+    paired docs only, one WindowGroupLimit for the sample."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    quality = docs.filter(
+        (F.col("n_chars") >= 40) & (F.size(T.tokenize("text")) >= 5)
+    )
+    pairs = D.minhash_lsh_pairs(quality, "text", "doc_id",
+                                num_hashes=8, bands=4, shingle_n=3)
+    clusters = D.dedup_clusters(quality, pairs, "doc_id").withColumnRenamed(
+        "doc_id", "cl_doc"
+    )
+    canonical = (
+        quality.join(clusters, F.col("doc_id") == F.col("cl_doc"), "left")
+        .filter(F.col("cl_doc").isNull() | (F.col("component") == F.col("doc_id")))
+        .select("doc_id", "text", "lang")
+    )
+    from doris_spark.operators.textops import stratified_sample
+
+    sampled = stratified_sample(
+        canonical, ["lang"], 10, "doc_id",
+        rank_expr=F.md5(F.col("doc_id").cast("string")),
+    )
+    return (
+        sampled.groupBy("lang")
+        .agg(
+            F.count("*").alias("kept_docs"),
+            F.round(F.avg(F.size(T.tokenize("text"))), 6).alias("avg_tokens"),
+            F.sum(F.length("text")).cast("bigint").alias("total_chars"),
+        )
+        .orderBy("lang")
+    )

@@ -264,3 +264,20 @@ def test_auto_increment_insert(spark):
     eng.sql("INSERT INTO ai_t (v) VALUES ('f')")
     got = {r["v"]: r["id"] for r in eng.sql("SELECT * FROM ai_t").collect()}
     assert got["e"] == 10 and got["f"] == 11
+
+
+def test_set_time_zone_statement(spark):
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    old = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        eng.sql("SET time_zone = 'America/New_York'")
+        assert spark.conf.get("spark.sql.session.timeZone") == "America/New_York"
+        # the zone drives timestamp rendering through the engine
+        h = eng.sql("SELECT hour(cast('2024-01-01 00:00:00+00:00' as timestamp)) AS h").collect()[0]["h"]
+        assert h == 19  # UTC midnight = 19:00 EST
+        eng.sql("SET time_zone = '+08:00'")
+        assert spark.conf.get("spark.sql.session.timeZone") == "+08:00"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", old)
