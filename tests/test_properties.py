@@ -128,3 +128,43 @@ def test_sql_gcd_lcm_vs_python(spark):
         if r["a"] != 0 and r["b"] != 0:
             expected = abs(r["a"] // math.gcd(r["a"], r["b"]) * r["b"])
             assert r["l"] == expected, (r["a"], r["b"], r["l"])
+
+
+def test_civil_date_math_roundtrip_and_reference():
+    """tools/ref_parity.py tz-literal retry math: Hinnant civil-date
+    conversion with truncating division must round-trip across the
+    year-0/negative era and agree with Python datetime where both exist."""
+    import datetime as dt
+    import importlib.util
+    import sys
+
+    sys.path.insert(0, "/root/repo")
+    spec = importlib.util.spec_from_file_location("rp_math", "/root/repo/tools/ref_parity.py")
+    # import only the pure helpers (module import is heavy) — exec the defs
+    import re as _re
+
+    src = open("/root/repo/tools/ref_parity.py").read()
+    ns = {}
+    for fn in ("_tdiv", "_days_from_civil", "_civil_from_days", "_off_secs"):
+        m = _re.search(rf"def {fn}\(.*?(?=\n\ndef |\n\n\n)", src, _re.S)
+        exec(m.group(0), ns)
+
+    # agreement with Python datetime over a representable span
+    epoch = dt.date(1970, 1, 1)
+    for y, m, d in [(1, 1, 1), (4, 2, 29), (100, 3, 1), (400, 2, 29),
+                    (1582, 10, 15), (1899, 12, 31), (1970, 1, 1),
+                    (2024, 2, 29), (9999, 12, 31)]:
+        want = (dt.date(y, m, d) - epoch).days
+        assert ns["_days_from_civil"](y, m, d) == want, (y, m, d)
+
+    # round-trip through the unrepresentable years (incl. year 0)
+    for days in range(-719600, -719400):
+        y, m, d = ns["_civil_from_days"](days)
+        assert ns["_days_from_civil"](y, m, d) == days
+    # year 0 is leap in the proleptic Gregorian ISO calendar
+    assert ns["_civil_from_days"](ns["_days_from_civil"](0, 2, 29)) == (0, 2, 29)
+    # offset parsing
+    assert ns["_off_secs"]("Z") == 0
+    assert ns["_off_secs"]("+08:00") == 8 * 3600
+    assert ns["_off_secs"]("-05:00") == -5 * 3600
+    assert ns["_off_secs"]("+0930") == 9 * 3600 + 30 * 60
