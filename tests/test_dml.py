@@ -281,3 +281,19 @@ def test_set_time_zone_statement(spark):
         assert spark.conf.get("spark.sql.session.timeZone") == "+08:00"
     finally:
         spark.conf.set("spark.sql.session.timeZone", old)
+
+
+def test_insert_agg_keys_accumulates(spark):
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    base = spark.createDataFrame(
+        [(1, 5.0, 100), (1, 3.0, 101), (2, 7.0, 100)],
+        "id bigint, amount double, ver int",
+    )
+    eng.create_table(base, "agg_ins_t", keys_type="AGG_KEYS", keys=["id"],
+                     agg_spec={"amount": "SUM", "ver": "MAX"})
+    eng.sql("INSERT INTO agg_ins_t VALUES (1, 2.0, 102), (3, 9.0, 100)")
+    got = sorted(tuple(r) for r in eng.table("agg_ins_t").collect())
+    # SUM re-accumulates over the merged snapshot + new rows; MAX advances
+    assert got == [(1, 10.0, 102), (2, 7.0, 100), (3, 9.0, 100)]
