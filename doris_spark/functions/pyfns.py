@@ -403,7 +403,7 @@ def _parse_time_str(s):
     import re as _r
 
     if _TIME_RE is None:
-        _TIME_RE = _r.compile(r"^(-)?(\d{1,3}):(\d{1,2}):(\d{1,2})(\.\d+)?$")
+        _TIME_RE = _r.compile(r"^(-)?(\d{1,3}):(\d{1,2})(?::(\d{1,2}))?(\.\d+)?$")
     txt = str(s).strip()
     m = _TIME_RE.match(txt)
     if not m:
@@ -418,14 +418,36 @@ def _parse_time_str(s):
             return 1, int(h), int(mi), int(sec), int(
                 round(float(frac or 0) * 1_000_000)
             )
-        return None
+        # digit-only text packs as [±]HHMMSS ('400' -> 00:04:00)
+        return _parse_time_packed(txt)
     neg, h, mi, sec, frac = m.groups()
-    h, mi, sec = int(h), int(mi), int(sec)
+    h, mi, sec = int(h), int(mi), int(sec or 0)
     if h > 838 or mi > 59 or sec > 59:
         return None
     micros = int(round(float(frac or 0) * 1_000_000))
     # MySQL TIME range tops at 838:59:59.000000 — any fraction at the
     # boundary overflows (838:59:59.999999 -> NULL)
+    if h == 838 and mi == 59 and sec == 59 and micros > 0:
+        return None
+    return (-1 if neg else 1), h, mi, sec, micros
+
+
+def _parse_time_packed(s):
+    """MySQL/Doris numeric->TIME: the digits read as [±]HHMMSS
+    (cast(300 as time) = 00:03:00, cast(-121314 as time) = -12:13:14).
+    Also accepted for digit-only strings ('400' -> 00:04:00)."""
+    import re as _r
+
+    m = _r.match(r"^(-)?(\d+)(\.\d+)?$", str(s).strip())
+    if not m:
+        return None
+    neg, digits, frac = m.groups()
+    v = int(digits)
+    sec, v = v % 100, v // 100
+    mi, h = v % 100, v // 100
+    if mi > 59 or sec > 59 or h > 838:
+        return None
+    micros = int(round(float(frac or 0) * 1_000_000))
     if h == 838 and mi == 59 and sec == 59 and micros > 0:
         return None
     return (-1 if neg else 1), h, mi, sec, micros
@@ -682,6 +704,43 @@ def register_mysql_datetime(spark: SparkSession) -> int:
 
         return pd.Series([one(v) for v in s], dtype=object)
 
+    def _doris_time_cast(s: pd.Series, typ: pd.Series) -> pd.Series:
+        """CAST(x AS TIME), type-dispatched (the dialect layer passes
+        typeof(x)): numeric sources pack digits as ±HHMMSS; datetime
+        sources yield the time-of-day part; STRING sources accept
+        'H[H..]:MM[:SS]' / digit-packing but a datetime-SHAPED string is
+        NULL (reference cast-as-time suite: '2013-01-01 01:02:03' -> \\N,
+        while cast(datetime '2013-01-01 01:02:03' as time) = 01:02:03)."""
+
+        def one(v, t):
+            if _isnull(v):
+                return None
+            t = str(t or "")
+            if t.startswith(("timestamp", "date")):
+                p = _parse_time_str(v)
+            elif t in ("string",) or t.startswith(("varchar", "char")):
+                import re as _r
+
+                if _r.match(r"^\s*\d{4}-\d{1,2}-\d{1,2}([ T]|$)", str(v)):
+                    return None
+                p = _parse_time_str(v)
+            else:  # numeric
+                p = _parse_time_packed(v)
+            if p is None:
+                return None
+            sign, h, mi, sec, micros = p
+            if micros >= 500_000:
+                sec += 1
+                if sec == 60:
+                    sec, mi = 0, mi + 1
+                    if mi == 60:
+                        mi, h = 0, h + 1
+            if h > 838:
+                h, mi, sec = 838, 59, 59
+            return f"{'-' if sign < 0 else ''}{h:02d}:{mi:02d}:{sec:02d}"
+
+        return pd.Series([one(v, t) for v, t in zip(s, typ)], dtype=object)
+
     def _time_part(part: pd.Series, s: pd.Series) -> pd.Series:
         def one(p, v):
             if _isnull(v) or _isnull(p):
@@ -780,6 +839,7 @@ def register_mysql_datetime(spark: SparkSession) -> int:
     spark.udf.register("__mt_shuffle", pandas_udf(_mt_shuffle, "array<string>"))
 
     spark.udf.register("__doris_time", pandas_udf(_doris_time, "string"))
+    spark.udf.register("__doris_time_cast", pandas_udf(_doris_time_cast, "string"))
     spark.udf.register("__time_part", pandas_udf(_time_part, "int"))
     spark.udf.register("__mysql_strptime", pandas_udf(_strptime, "string"))
     spark.udf.register("__mysql_strftime", pandas_udf(_strftime, "string"))

@@ -116,17 +116,21 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     # TIME rendering: sign handled explicitly (lpad would eat it), hours
     # zero-padded to 2 but allowed beyond 24, fractional seconds rendered
     # at micro precision when present (Doris TIME(6) semantics).
+    # STRING param: the implicit cast renders the argument's ORIGINAL
+    # scale, which picks the render mode — integer input -> TIME(0)
+    # 'HH:MM:SS', any decimal input (even .00) -> TIME(6) with a full
+    # 6-digit fraction. Values clamp to the TimeV2 domain ±838:59:59
+    # (= ±3020399 s; the reference clamps the fraction to .000000 there).
     "sec_to_time": (
-        "x DECIMAL(24,6)",
-        # lpad TRUNCATES beyond its length — hours can exceed 99, so the
-        # zero-pad is conditional instead
-        "CASE WHEN x IS NULL THEN NULL ELSE "
-        "IF(x < 0, '-', '') || "
-        "IF(CAST(abs(x) AS BIGINT) div 3600 < 10, '0', '') || "
-        "CAST(CAST(abs(x) AS BIGINT) div 3600 AS STRING) || ':' || "
-        "lpad(CAST((CAST(abs(x) AS BIGINT) % 3600) div 60 AS STRING), 2, '0') || ':' || "
-        "lpad(CAST(CAST(abs(x) AS BIGINT) % 60 AS STRING), 2, '0') || "
-        "IF(abs(x) % 1 = 0, '', '.' || lpad(CAST(CAST((abs(x) % 1) * 1000000 AS BIGINT) AS STRING), 6, '0')) "
+        "x STRING",
+        "CASE WHEN try_cast(x AS DECIMAL(27,6)) IS NULL THEN NULL ELSE "
+        "IF(try_cast(x AS DECIMAL(27,6)) < 0, '-', '') || "
+        "IF(CAST(least(greatest(abs(try_cast(x AS DECIMAL(27,6))), 0), 3020399) AS BIGINT) div 3600 < 10, '0', '') || "
+        "CAST(CAST(least(abs(try_cast(x AS DECIMAL(27,6))), 3020399) AS BIGINT) div 3600 AS STRING) || ':' || "
+        "lpad(CAST((CAST(least(abs(try_cast(x AS DECIMAL(27,6))), 3020399) AS BIGINT) % 3600) div 60 AS STRING), 2, '0') || ':' || "
+        "lpad(CAST(CAST(least(abs(try_cast(x AS DECIMAL(27,6))), 3020399) AS BIGINT) % 60 AS STRING), 2, '0') || "
+        "IF(instr(x, '.') = 0, '', "
+        "'.' || lpad(CAST(CAST((least(abs(try_cast(x AS DECIMAL(27,6))), 3020399) % 1) * 1000000 AS BIGINT) AS STRING), 6, '0')) "
         "END",
     ),
     # Doris to_days: days since year 0; offset 719528 = to_days('1970-01-01').

@@ -103,6 +103,38 @@ _COMPOSITE_UNITS = {
 }
 
 
+_TZ_CANON: dict | None = None
+
+
+def _tz_canon(name: str) -> str:
+    """Case-insensitive canonical IANA zone name (Doris FE behavior)."""
+    global _TZ_CANON
+    if _TZ_CANON is None:
+        try:
+            import zoneinfo
+
+            _TZ_CANON = {z.lower(): z for z in zoneinfo.available_timezones()}
+        except Exception:
+            _TZ_CANON = {}
+    return _TZ_CANON.get(name.lower(), name)
+
+
+def _dt_round_expr(src: str, prec: int) -> str:
+    """Timestamp expression ROUNDED (half-up on the fraction) to `prec`
+    fractional digits, in exact BIGINT micros — a double round-trip loses
+    ~8us at year-1 instants (|unix_micros| ~ 6e16 > 2^53)."""
+    if prec >= 6:
+        return f"CAST(({src}) AS TIMESTAMP)"
+    unit = 10 ** (6 - prec)
+    y = f"(unix_micros(CAST(({src}) AS TIMESTAMP)) + {unit // 2})"
+    # floor division (Spark's `div` truncates toward zero)
+    q = (
+        f"({y} div {unit} + (CASE WHEN {y} < 0 AND {y} % {unit} != 0 "
+        f"THEN -1 ELSE 0 END))"
+    )
+    return f"timestamp_micros({q} * {unit})"
+
+
 def _cast_time_dt0(text: str) -> str:
     """CAST(x AS TIME[(n)]) -> __doris_time(x)  (TIME shim: canonical
     'H:MM:SS' string, Doris TimeV2 domain); bare CAST(x AS DATETIME) ->
@@ -133,30 +165,92 @@ def _cast_time_dt0(text: str) -> str:
             j += 1
         body = text[m.end() : j]
         tm = re.search(r"\s+AS\s+TIME(?:V2)?\s*(?:\(\s*\d+\s*\))?\s*$", body, re.I)
-        dm = re.search(r"\s+AS\s+DATETIME(?:V2)?\s*$", body, re.I)
+        dm = re.search(r"\s+AS\s+DATETIME(?:V2)?\s*(?:\(\s*(\d+)\s*\))?\s*$", body, re.I)
         out.append(text[i : m.start()])
         if tm:
+            # typed cast: typeof() dispatches numeric ±HHMMSS packing /
+            # datetime time-part extraction / strict string parse
             src = _cast_time_dt0(body[: tm.start()].strip())
-            out.append(f"__doris_time({src})")
-        elif dm:
-            src = _cast_time_dt0(body[: dm.start()].strip())
             out.append(
-                "timestamp_micros(CAST(round(unix_micros(CAST("
-                f"({src}) AS TIMESTAMP)) / 1000000e0) AS BIGINT) * 1000000)"
+                f"__doris_time_cast(CAST(({src}) AS STRING), typeof({src}))"
             )
+        elif dm:
+            # DATETIME(n)/DATETIMEV2(n) ROUNDS to n fractional digits
+            # (MySQL/Doris semantics; bare DATETIME is precision 0)
+            prec = int(dm.group(1) or 0)
+            unit = 10 ** (6 - prec)
+            src = _cast_time_dt0(body[: dm.start()].strip())
+            # MySQL parses a bare 'N:N:N' literal as yy-mm-dd (!) when
+            # cast to datetime: '10:10:10' -> 2010-10-10 00:00:00
+            lm = re.match(r"^(['\"])(\d{1,2}):(\d{1,2}):(\d{1,2})\1$", src)
+            if lm:
+                yy, mo, dd = (int(lm.group(i)) for i in (2, 3, 4))
+                year = 2000 + yy if yy < 70 else 1900 + yy
+                src = (
+                    f"'{year:04d}-{mo:02d}-{dd:02d} 00:00:00'"
+                    if 1 <= mo <= 12 and 1 <= dd <= 31
+                    else "NULL"
+                )
+            out.append(_dt_round_expr(src, prec))
         else:
             out.append("CAST(" + _cast_time_dt0(body) + ")")
         i = j + 1
     return "".join(out)
 
 
+def _timediff_scale(sql: str) -> str:
+    """Doris timediff returns a TIME scaled to max(operand precisions).
+    When the operands carry explicit DATETIME[V2](n) / DATE casts, the
+    scale is statically known — append it as a third argument (the macro
+    layer renders fixed-scale); bare DATE/DATETIME contribute scale 0."""
+    pat = re.compile(r"\btimediff\s*\(", re.I)
+    pos = 0
+    while True:
+        m = pat.search(sql, pos)
+        if m is None:
+            return sql
+        depth, k, in_str, n = 1, m.end(), None, len(sql)
+        top_commas = 0
+        while k < n and depth:
+            c = sql[k]
+            if in_str:
+                if c == in_str:
+                    in_str = None
+            elif c in ("'", '"'):
+                in_str = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif c == "," and depth == 1:
+                top_commas += 1
+            k += 1
+        args = sql[m.end() : k - 1]
+        scales = [
+            int(g) for g in re.findall(
+                r"\bAS\s+DATETIMEV?2?\s*\(\s*(\d)\s*\)", args, re.I
+            )
+        ]
+        typed = bool(
+            re.search(r"\bAS\s+(DATE(TIMEV?2?)?)\b", args, re.I)
+        )
+        if top_commas == 1 and typed:
+            scale = max(scales) if scales else 0
+            sql = sql[: k - 1] + f", {scale}" + sql[k - 1 :]
+            pos = k + 4
+        else:
+            pos = k
+    return sql
+
+
 def dialect(sql: str) -> str:
     """MySQL/Doris spellings -> Spark SQL (the FE's dialect layer)."""
+    sql = _timediff_scale(sql)
     s = _cast_time_dt0(sql)
     # hour/minute/second/microsecond over the TIME shim route to the
     # time-part kernel (prefix swap keeps parens balanced)
     s = re.sub(
-        r"\b(hour|minute|second|microsecond)\s*\(\s*(__doris_time\()",
+        r"\b(hour|minute|second|microsecond)\s*\(\s*(__doris_time(?:_cast)?\()",
         lambda m: f"__time_part('{m.group(1).lower()}', {m.group(2)}",
         s,
         flags=re.I,
@@ -215,6 +309,20 @@ def dialect(sql: str) -> str:
     s = re.sub(
         r"\b(months|quarters|years)_(add|sub)\s*\(\s*'([^']*?)\s*([+-]\d{2}:\d{2})'\s*,\s*(-?\d+)\s*\)",
         _tz_month_arith,
+        s,
+        flags=re.I,
+    )
+    # DECIMALV2/V3 are the reference's storage spellings of DECIMAL
+    s = re.sub(r"\bDECIMALV[23]\b", "DECIMAL", s, flags=re.I)
+    # Doris resolves timezone names case-insensitively ('pacific/galapagos');
+    # the JVM is strict — canonicalize literal zone names in convert_tz
+    s = re.sub(
+        r"(convert_tz\s*\()([^;]*?)(\))",
+        lambda m: m.group(1) + re.sub(
+            r"'([A-Za-z]+/[A-Za-z_+\-0-9]+)'",
+            lambda z: f"'{_tz_canon(z.group(1))}'",
+            m.group(2),
+        ) + m.group(3),
         s,
         flags=re.I,
     )
@@ -549,6 +657,16 @@ def dialect(sql: str) -> str:
         ),
         s,
         flags=re.I | re.S,
+    )
+    # 1-arg from_unixtime: Doris returns the rendered datetime WITH any
+    # fractional seconds the (double/decimal) input carries; Spark's
+    # builtin formats whole seconds only. CAST(timestamp AS STRING)
+    # renders '... HH:mm:ss[.fff]' exactly like the reference.
+    s = re.sub(
+        r"\bfrom_unixtime\s*\(([^(),]*(?:\([^()]*\)[^(),]*)*)\)",
+        lambda m: f"CAST(timestamp_seconds({m.group(1)}) AS STRING)",
+        s,
+        flags=re.I,
     )
     # MySQL zero-arg COUNT() == COUNT(*)
     s = re.sub(r"\bcount\s*\(\s*\)", "count(*)", s, flags=re.I)

@@ -132,6 +132,12 @@ MACROS: dict[str, Macro] = {
         "e -> size(filter(flatten(collect_list({0})), x -> x = e)) % 2 = 1))"
     ),
     "quantile_union": _tpl("flatten(collect_list({0}))"),
+    "bitmap_intersect": _tpl(
+        # element survives iff it appears in EVERY group bitmap
+        "array_sort(filter(array_distinct(flatten(collect_list({0}))), "
+        "e -> size(filter(collect_list({0}), b -> array_contains(b, e)))"
+        " = size(collect_list({0}))))"
+    ),
     "hll_union_agg": _tpl(
         "aggregate(collect_list({0}), array_repeat(0, 1024), "
         "(acc, h) -> zip_with(acc, h, (a, b) -> greatest(a, b)))"
@@ -151,6 +157,69 @@ MACROS: dict[str, Macro] = {
         "percentile({0}, {2}, CAST({1} AS BIGINT))"
     ),
     "retention": _retention,
+    # 3-arg timediff(a, b, scale) — internal spelling the dialect layer
+    # emits when operand DATETIME(n) precisions are statically known:
+    # renders the TIME at that fixed scale (trailing zeros kept, the way
+    # Doris prints a time scaled to max(operand precisions)). 2-arg falls
+    # through to the SQL-UDF (auto trim) registration.
+    "timediff": (
+        lambda args: (
+            "__KEEP__(" + ", ".join(args) + ")"
+            if len(args) != 3
+            else (
+                "CASE WHEN ({a}) IS NULL OR ({b}) IS NULL THEN NULL ELSE "
+                "IF(unix_micros(CAST(({a}) AS TIMESTAMP)) < unix_micros(CAST(({b}) AS TIMESTAMP)), '-', '') || "
+                "IF(abs(unix_micros(CAST(({a}) AS TIMESTAMP)) - unix_micros(CAST(({b}) AS TIMESTAMP))) div 3600000000 < 10, '0', '') || "
+                "CAST(abs(unix_micros(CAST(({a}) AS TIMESTAMP)) - unix_micros(CAST(({b}) AS TIMESTAMP))) div 3600000000 AS STRING) || ':' || "
+                "lpad(CAST(abs(unix_micros(CAST(({a}) AS TIMESTAMP)) - unix_micros(CAST(({b}) AS TIMESTAMP))) % 3600000000 div 60000000 AS STRING), 2, '0') || ':' || "
+                "lpad(CAST(abs(unix_micros(CAST(({a}) AS TIMESTAMP)) - unix_micros(CAST(({b}) AS TIMESTAMP))) % 60000000 div 1000000 AS STRING), 2, '0') || "
+                "{frac} END"
+            ).format(
+                a=args[0],
+                b=args[1],
+                frac=(
+                    "''"
+                    if int(args[2]) <= 0
+                    else (
+                        "'.' || substr(lpad(CAST(abs(unix_micros(CAST(({a}) AS TIMESTAMP)) - "
+                        "unix_micros(CAST(({b}) AS TIMESTAMP))) % 1000000 AS STRING), 6, '0'), 1, {s})"
+                    ).format(a=args[0], b=args[1], s=int(args[2]))
+                ),
+            )
+        )
+    ),
+    # Doris date_add/date_sub KEEP the time part for datetime/string
+    # inputs (date_add('2023-03-30 22:23:45.2345', 8) is a DATETIME) and
+    # return DATE for date inputs. Branch on typeof; render as STRING so
+    # both branches keep their reference rendering. INTERVAL forms and
+    # 3-arg spellings pass through untouched.
+    "date_add": (
+        lambda args: (
+            "__KEEP__(" + ", ".join(args) + ")"
+            if len(args) != 2 or re.match(r"\s*INTERVAL\b", args[1], re.I)
+            else (
+                "CASE WHEN ({0}) IS NULL THEN NULL WHEN typeof({0}) = 'date' "
+                "THEN CAST(date_add({0}, {1}) AS STRING) "
+                "ELSE CAST(CAST(({0}) AS TIMESTAMP) + make_interval(0, 0, 0, ({1})) AS STRING) END"
+            ).format(args[0], args[1])
+        )
+    ),
+    "date_sub": (
+        lambda args: (
+            "__KEEP__(" + ", ".join(args) + ")"
+            if len(args) != 2 or re.match(r"\s*INTERVAL\b", args[1], re.I)
+            else (
+                "CASE WHEN ({0}) IS NULL THEN NULL WHEN typeof({0}) = 'date' "
+                "THEN CAST(date_sub({0}, {1}) AS STRING) "
+                "ELSE CAST(CAST(({0}) AS TIMESTAMP) - make_interval(0, 0, 0, ({1})) AS STRING) END"
+            ).format(args[0], args[1])
+        )
+    ),
+    # 1-arg round_bankers defaults the scale to 0 (the SQL-UDF
+    # registration is fixed 2-arg)
+    "round_bankers": (
+        lambda args: "__KEEP__(" + ", ".join(args + ["0"] if len(args) == 1 else args) + ")"
+    ),
     # Doris prints full month/day names in the lc_time_names locale;
     # Spark 4's builtins abbreviate and cannot be shadowed by SQL UDFs.
     # Non-English locales resolve through the frozen CLDR table (pyfns).
@@ -662,6 +731,69 @@ _SET_LC = re.compile(
 )
 
 
+# TVFs backed by Python UDTFs (functions/tvf.py, functions/udtf.py):
+# Spark's LATERAL VIEW clause only accepts Generator expressions, so
+# these names must go through lateral table-function syntax instead
+# (`FROM t, LATERAL fn(args) alias (cols)`).
+_PY_UDTFS = {
+    "explode_json_object", "json_each", "json_each_text",
+    "explode_split", "explode_numbers", "explode_bitmap", "explode_map",
+    "explode_variant_array", "unnest", "sentences", "numbers_gap",
+}
+_PY_UDTFS |= {n + "_outer" for n in list(_PY_UDTFS)}
+
+_LATVIEW = re.compile(
+    r"\bLATERAL\s+VIEW\s+(OUTER\s+)?(\w+)\s*\(", re.I
+)
+
+
+def _lateral_view_udtfs(sql: str) -> str:
+    """`LATERAL VIEW [OUTER] py_udtf(args) alias AS c1[, c2]` ->
+    `, LATERAL py_udtf[_outer](args) alias (c1, c2)` — only for names
+    Spark cannot host in a LATERAL VIEW (Python UDTFs); builtin
+    generators (explode, posexplode, inline, ...) stay untouched."""
+    while True:
+        m = _LATVIEW.search(sql)
+        if m is None or m.group(2).lower() not in _PY_UDTFS:
+            if m is None:
+                return sql
+            # skip past a non-UDTF lateral view and keep scanning
+            nxt = _LATVIEW.search(sql, m.end())
+            if nxt is None:
+                return sql
+            # restart the loop anchored past this match by splitting
+            head, tail = sql[: m.end()], sql[m.end():]
+            return head + _lateral_view_udtfs(tail)
+        fn = m.group(2).lower()
+        if m.group(1) and not fn.endswith("_outer"):
+            fn += "_outer"
+        # balanced args
+        depth, k, in_str, n = 1, m.end(), None, len(sql)
+        while k < n and depth:
+            c = sql[k]
+            if in_str:
+                if c == in_str:
+                    in_str = None
+            elif c in ("'", '"'):
+                in_str = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        args = sql[m.end(): k - 1]
+        tail = sql[k:]
+        am = re.match(
+            r"\s*`?(\w+)`?\s+AS\s+((?:`?\w+`?\s*,\s*)*`?\w+`?)",
+            tail, re.I,
+        )
+        if am is None:
+            return sql  # unexpected shape; leave untouched
+        alias, cols = am.group(1), am.group(2).replace("`", "")
+        repl = f", LATERAL {fn}({args}) {alias} ({cols})"
+        sql = sql[: m.start()] + repl + tail[am.end():]
+
+
 def rewrite(sql: str) -> str:
     """Expand Doris-spelling calls into Spark SQL (recursive, innermost
     args first, string literals untouched). SET lc_time_names is captured
@@ -670,6 +802,8 @@ def rewrite(sql: str) -> str:
     if m:
         set_lc_time_names(m.group(1))
         return f"SET doris_spark.lc_time_names={m.group(1)}"
+    if _LATVIEW.search(sql):
+        sql = _lateral_view_udtfs(sql)
     if "asof" in sql.lower():
         from doris_spark.plans.asof_sql import rewrite_asof
 

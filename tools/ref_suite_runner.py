@@ -1,0 +1,125 @@
+"""Run whole reference regression-test suite DIRECTORIES against the engine.
+
+Generalizes tools/ref_parity.py (which targets the doc-function suites)
+to any `regression-test/suites/<dir>` tree: every `*.groovy` with a
+matching `regression-test/data/<dir>/*.out` golden is parsed with the
+same qt_/order_qt_ extractor, its setup DDL/DML replayed through
+Engine.sql, and each golden block compared with the same semantic
+comparator (numeric tolerance, datetime instants, JSON values, \\N).
+
+This is the breadth proof for "a reference user can run their queries
+here": the SQL text is the reference's own (reference files:
+regression-test/suites/{correctness,correctness_p0,...}/*.groovy).
+
+Usage:
+  python tools/ref_suite_runner.py correctness [correctness_p0 ...]
+  python tools/ref_suite_runner.py correctness/test_in_null.groovy  # one file
+
+Prints `suite-runner: <passed>/<total>` plus per-file failures, and
+writes /tmp/ref_suites.json for triage.
+"""
+
+from __future__ import annotations
+
+import glob
+import json
+import os
+import re
+import sys
+
+sys.path.insert(0, ".")
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+import ref_parity as rp  # noqa: E402
+
+SUITES_ROOT = "/root/reference/regression-test/suites"
+DATA_ROOT = "/root/reference/regression-test/data"
+
+
+def collect(target: str):
+    """Yield (label, groovy_path, out_path) for every goldens-backed file
+    under suites/<target> (target may be a directory or a single file)."""
+    if target.endswith(".groovy"):
+        paths = [os.path.join(SUITES_ROOT, target)]
+    else:
+        paths = sorted(
+            glob.glob(f"{SUITES_ROOT}/{target}/**/*.groovy", recursive=True)
+        )
+    for g in paths:
+        rel = os.path.relpath(g, SUITES_ROOT)
+        out = os.path.join(DATA_ROOT, rel[: -len(".groovy")] + ".out")
+        if os.path.exists(out):
+            yield rel, g, out
+
+
+def main() -> None:
+    import time as _time
+
+    os.environ["TZ"] = "Asia/Shanghai"
+    _time.tzset()
+
+    from doris_spark.engine import Engine
+
+    targets = sys.argv[1:] or ["correctness"]
+    eng = Engine()
+    eng.spark.sparkContext.setLogLevel("ERROR")
+    eng.spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
+    eng.spark.conf.set("spark.sql.ansi.enabled", "false")
+    eng.spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    from doris_spark.functions import register_all
+
+    register_all(eng.spark)
+
+    total = passed = 0
+    files_total = files_green = 0
+    failures = []
+    for target in targets:
+        for label, gpath, opath in collect(target):
+            try:
+                cases = rp.parse_suite_files(gpath, opath)
+            except Exception as exc:
+                failures.append([label, "<parse>", f"{type(exc).__name__}: {str(exc)[:110]}", ""])
+                continue
+            if not any(n for n, *_ in cases):
+                continue
+            files_total += 1
+            file_fail = 0
+            for name, sql, expected, ordered in cases:
+                if name is None:
+                    try:
+                        rp.run_setup(eng, sql)
+                    except Exception:
+                        pass
+                    continue
+                total += 1
+                try:
+                    ok, why = rp.run_case(eng, sql, expected, ordered)
+                except Exception as exc:
+                    ok, why = False, f"{type(exc).__name__}: {str(exc)[:160]}"
+                if ok:
+                    passed += 1
+                else:
+                    file_fail += 1
+                    failures.append(
+                        [label, name, why, " ".join(sql.split())[:200]]
+                    )
+            if file_fail == 0:
+                files_green += 1
+    print(f"suite-runner: {passed}/{total} cases, {files_green}/{files_total} files fully green")
+    for label, name, why, _sql in failures:
+        print(f"  FAIL {label} {name}: {why[:160]}")
+    json.dump(
+        {
+            "passed": passed,
+            "total": total,
+            "files_green": files_green,
+            "files_total": files_total,
+            "failures": failures,
+        },
+        open("/tmp/ref_suites.json", "w"),
+        indent=1,
+    )
+
+
+if __name__ == "__main__":
+    main()
