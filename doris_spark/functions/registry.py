@@ -230,14 +230,27 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         ")) AS DOUBLE) / size(array_distinct(transform(sequence(1, greatest(length(b) - 2, 0)), i -> substr(b, i, 3)))) END",
     ),
     # ---- conditional (if.cpp, function_ifnull.h)
-    "non_nullable": ("x STRING", "assert_true(x IS NOT NULL, 'non_nullable got NULL')"),
+    # returns the VALUE (with a non-nullable type in Doris); a NULL input
+    # is a runtime error
+    "non_nullable": (
+        "x STRING",
+        "IF(x IS NULL, CAST(assert_true(false, 'non_nullable got NULL') AS STRING), x)",
+    ),
     # ---- bit (function_bit.cpp, function_bit_shift.cpp)
     "bitand": ("a BIGINT, b BIGINT", "a & b"),
     "bitor": ("a BIGINT, b BIGINT", "a | b"),
     "bitxor": ("a BIGINT, b BIGINT", "a ^ b"),
     "bitnot": ("a BIGINT", "~a"),
-    "bit_shift_left": ("a BIGINT, n INT", "shiftleft(a, n)"),
-    "bit_shift_right": ("a BIGINT, n INT", "shiftright(a, n)"),
+    # Doris shifts are LOGICAL (zero-fill) and yield 0 once the count
+    # leaves [0, 63] (Java's shiftleft/shiftright wrap the count mod 64)
+    "bit_shift_left": (
+        "a BIGINT, n INT",
+        "IF(n < 0 OR n > 63, 0, shiftleft(a, n))",
+    ),
+    "bit_shift_right": (
+        "a BIGINT, n INT",
+        "IF(n < 0 OR n > 63, 0, shiftrightunsigned(a, n))",
+    ),
     "bit_test": ("a BIGINT, pos INT", "CAST((a >> pos) & 1 AS TINYINT)"),
     # ---- timezone + calendar names
     #      (function_date_or_datetime_computation.cpp convert_tz;

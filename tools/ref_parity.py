@@ -116,16 +116,118 @@ def _unroll_each(src: str) -> str:
     return src
 
 
+def _unroll_for(src: str) -> str:
+    """Unroll groovy counting loops: `for (i in range(a, b))` (half-open)
+    and `for (int i = a; i <= b; i++)` / `i < b`, substituting ${i}/$i."""
+    pats = [
+        (re.compile(r"for\s*\(\s*(?:int\s+)?(\w+)\s+in\s+range\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)\s*\)\s*\{"),
+         lambda m: range(int(m.group(2)), int(m.group(3)))),
+        (re.compile(r"for\s*\(\s*(?:int\s+)?(\w+)\s*=\s*(-?\d+)\s*;\s*\1\s*(<=?)\s*(-?\d+)\s*;\s*\1\s*\+\+\s*\)\s*\{"),
+         lambda m: range(int(m.group(2)), int(m.group(4)) + (1 if m.group(3) == "<=" else 0))),
+    ]
+    changed = True
+    while changed:
+        changed = False
+        for pat, rng in pats:
+            m = pat.search(src)
+            if m is None:
+                continue
+            start = src.index("{", m.end() - 1)
+            depth, k = 0, start
+            while k < len(src):
+                if src[k] == "{":
+                    depth += 1
+                elif src[k] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if k >= len(src):
+                return src
+            body, var = src[start + 1 : k], m.group(1)
+            vals = list(rng(m))
+            if len(vals) > 2000:
+                vals = vals[:2000]
+            unrolled = "".join(
+                body.replace("${" + var + "}", str(v)).replace("$" + var, str(v))
+                for v in vals
+            )
+            src = src[: m.start()] + unrolled + src[k + 1 :]
+            changed = True
+    return src
+
+
+def _extract_stream_loads(src: str, gvars: dict, data_dir: str) -> str:
+    """Replace each groovy `streamLoad { ... }` block with a synthetic
+    setup statement `sql '''__STREAM_LOAD__<b64 json>'''` that run_setup
+    executes as a Spark CSV/JSON read + positional insert (the harness's
+    stand-in for the reference's HTTP stream-load)."""
+    import base64
+
+    out = []
+    i = 0
+    while True:
+        m = re.search(r"\bstreamLoad\s*\{", src[i:])
+        if m is None:
+            out.append(src[i:])
+            return "".join(out)
+        start = i + m.end() - 1
+        depth, k = 0, start
+        while k < len(src):
+            if src[k] == "{":
+                depth += 1
+            elif src[k] == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        block = src[start + 1 : k]
+        tm = re.search(r"\btable\s+(?:'([^']*)'|\"([^\"]*)\"|(\w+))", block)
+        fm = re.search(r"\bfile\s+(?:'([^']*)'|\"([^\"]*)\")", block)
+        sets = dict(
+            (a or b, c or d)
+            for a, b, c, d in re.findall(
+                r"\bset\s+(?:'([^']*)'|\"([^\"]*)\")\s*,\s*(?:'([^']*)'|\"([^\"]*)\")",
+                block,
+            )
+        )
+        table = None
+        if tm:
+            table = tm.group(1) or tm.group(2) or gvars.get(tm.group(3))
+        fname = fm and (fm.group(1) or fm.group(2))
+        out.append(src[i : i + m.start()])
+        if table and fname:
+            spec = {
+                "table": table,
+                "path": f"{data_dir}/{fname}",
+                "sets": sets,
+            }
+            b64 = base64.b64encode(json.dumps(spec).encode()).decode()
+            out.append(f"\nsql '''__STREAM_LOAD__{b64}'''\n")
+        i = k + 1
+
+
 def parse_suite_files(groovy_path: str, out_path: str):
     src = open(groovy_path).read()
     src = _unroll_each(src)
-    # groovy string interpolation: def name = "value" ... ${name}
+    src = _unroll_for(src)
+    # groovy string interpolation: def name = "value" / def n = 123
     gvars = dict(
         re.findall(r"def\s+(\w+)\s*=\s*[\"']([^\"'\n]*)[\"']", src)
+    )
+    gvars.update(
+        re.findall(r"def\s+(\w+)\s*=\s*(-?\d+(?:\.\d+)?)\s*;?\s*$", src, re.M)
     )
     src = re.sub(
         r"\$\{(\w+)\}", lambda m: gvars.get(m.group(1), m.group(0)), src
     )
+    if "streamLoad" in src:
+        import os as _os
+
+        data_dir = _os.path.dirname(
+            groovy_path.replace("/suites/", "/data/", 1)
+        )
+        src = _extract_stream_loads(src, gvars, data_dir)
     # ordered stream of (qt_name | None for setup-sql, statement, ordered);
     # setup statements appear both triple-quoted and single-line quoted.
     cases = []
@@ -448,8 +550,8 @@ def translate_ddl(sql: str) -> str | None:
         typ = re.sub(r"\s+COMMENT\s+(\"[^\"]*\"|'[^']*')", "", typ, flags=re.I)
         typ = re.sub(r"\s+(NOT\s+)?NULL\b.*$", "", typ, flags=re.I)
         typ = re.sub(r"\s+(COMMENT|DEFAULT)\b.*$", "", typ, flags=re.I | re.S)
-        typ = re.sub(r"\bDATETIMEV?2?\s*(\(\s*\d+\s*\))?", "TIMESTAMP", typ, flags=re.I)
-        typ = re.sub(r"\bDATEV2\b", "DATE", typ, flags=re.I)
+        typ = re.sub(r"\bDATETIMEV?[12]?\s*(\(\s*\d+\s*\))?", "TIMESTAMP", typ, flags=re.I)
+        typ = re.sub(r"\bDATEV[12]\b", "DATE", typ, flags=re.I)
         typ = re.sub(r"\bHLL\b", "BINARY", typ, flags=re.I)
         # BITMAP columns back onto the engine's sorted-array representation
         typ = re.sub(r"\bBITMAP\b", "ARRAY<BIGINT>", typ, flags=re.I)
@@ -554,7 +656,86 @@ def _agg_remerge(eng, name: str) -> None:
     )
 
 
+def _stream_load(eng, spec: dict) -> None:
+    """Harness stand-in for the reference's HTTP stream load: read the
+    suite's data file (csv/json) and positionally insert into the table,
+    honoring column_separator / format / a simple `columns` mapping."""
+    import os
+
+    name = spec["table"]
+    path = spec["path"]
+    sets = spec.get("sets", {})
+    if not os.path.exists(path):
+        return
+    sp = eng.spark
+    tdf = sp.table(name)
+    fmt = sets.get("format", "csv").lower()
+    if fmt.startswith("json"):
+        df = sp.read.json(path)
+        # name-matched insert; missing table columns become NULL
+        sel = [
+            (f"`{c}`" if c in df.columns else "NULL") + f" AS `{c}`"
+            for c in tdf.columns
+        ]
+        df = df.selectExpr(*sel)
+    else:
+        sep = sets.get("column_separator", "\t")
+        df = (
+            sp.read.option("sep", sep)
+            .option("header", "false")
+            .option("quote", "")
+            .csv(path)
+        )
+        colspec = sets.get("columns")
+        if colspec:
+            names = [c.strip().strip("`") for c in colspec.split(",")]
+            plain = [n for n in names if "=" not in n]
+            ren = dict(zip(df.columns, plain))
+            df = df.select(
+                *[df[c].alias(ren.get(c, c)) for c in df.columns]
+            )
+            exprs = {}
+            for n in names:
+                if "=" in n:
+                    k, v = n.split("=", 1)
+                    exprs[k.strip()] = v.strip()
+            sel = []
+            for c in tdf.columns:
+                if c in df.columns:
+                    sel.append(f"`{c}`")
+                elif c in exprs:
+                    sel.append(f"{exprs[c]} AS `{c}`")
+                else:
+                    sel.append(f"NULL AS `{c}`")
+            df = df.selectExpr(*sel)
+        else:
+            # positional: pad/truncate to the table's width
+            cols = df.columns[: len(tdf.columns)]
+            sel = [
+                f"`{cols[i]}`" if i < len(cols) else "NULL"
+                for i in range(len(tdf.columns))
+            ]
+            df = df.selectExpr(
+                *[f"{e} AS `{c}`" for e, c in zip(sel, tdf.columns)]
+            )
+    # NULL markers: stream load renders \N as NULL
+    from pyspark.sql.functions import col, when
+
+    for c, dt_ in df.dtypes:
+        if dt_ == "string":
+            df = df.withColumn(
+                c, when(col(c) == "\\N", None).otherwise(col(c))
+            )
+    df.coalesce(1).write.insertInto(name)
+    _agg_remerge(eng, name)
+
+
 def run_setup(eng, sql: str) -> None:
+    if sql.lstrip().startswith("__STREAM_LOAD__"):
+        _stream_load(eng, json.loads(
+            __import__("base64").b64decode(sql.strip()[len("__STREAM_LOAD__"):])
+        ))
+        return
     if not _SETUP_OK.match(sql):
         return
     # >38-digit integer literals: keep the magnitude as a double (ARRAY
