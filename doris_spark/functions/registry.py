@@ -230,6 +230,17 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         ")) AS DOUBLE) / size(array_distinct(transform(sequence(1, greatest(length(b) - 2, 0)), i -> substr(b, i, 3)))) END",
     ),
     # ---- conditional (if.cpp, function_ifnull.h)
+    # MySQL packed-digit numeric -> datetime reading (20221111 is
+    # 2022-11-11; 14/12/6-digit forms carry a time part / 2-digit year)
+    "__dt_from_numeric": (
+        "x BIGINT",
+        "CASE WHEN x IS NULL THEN NULL "
+        "WHEN length(CAST(x AS STRING)) = 8 THEN to_timestamp(CAST(x AS STRING), 'yyyyMMdd') "
+        "WHEN length(CAST(x AS STRING)) = 14 THEN to_timestamp(CAST(x AS STRING), 'yyyyMMddHHmmss') "
+        "WHEN length(CAST(x AS STRING)) = 6 THEN to_timestamp(CAST(x AS STRING), 'yyMMdd') "
+        "WHEN length(CAST(x AS STRING)) = 12 THEN to_timestamp(CAST(x AS STRING), 'yyMMddHHmmss') "
+        "ELSE NULL END",
+    ),
     # returns the VALUE (with a non-nullable type in Doris); a NULL input
     # is a runtime error
     "non_nullable": (

@@ -498,6 +498,8 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
         "CASE WHEN off >= 0 THEN slice(b, CAST(off AS INT) + 1, CAST(lim AS INT)) "
         "ELSE slice(b, greatest(size(b) + CAST(off AS INT) + 1, 1), CAST(lim AS INT)) END",
     ),
+    # (bitmap_count is a macro — Spark has a builtin of that name over
+    # its own binary bitmaps, which a SQL UDF cannot shadow)
     "bitmap_to_array": ("b ARRAY<BIGINT>", "b"),
     "bitmap_to_string": ("b ARRAY<BIGINT>", "array_join(b, ',')"),
     "bitmap_from_string": (
@@ -1027,8 +1029,12 @@ def _month_floor_ceil(unit_months: int) -> tuple[str, str]:
     cand_m = f"({mi_o} + {dm} - pmod({dm}, {k}))"
 
     def rebuild(m: str) -> str:
+        # the origin's day-of-month CLAMPS to the target month's length
+        # (quarter_ceil from a ...-12-31 origin can land on June 30)
+        y, mo = f"CAST({m} div 12 AS INT)", f"CAST({m} % 12 + 1 AS INT)"
+        dday = f"least(day(origin), day(last_day(make_date({y}, {mo}, 1))))"
         return (
-            f"make_timestamp(CAST({m} div 12 AS INT), CAST({m} % 12 + 1 AS INT), day(origin), "
+            f"make_timestamp({y}, {mo}, {dday}, "
             "hour(origin), minute(origin), second(origin))"
         )
 

@@ -243,8 +243,25 @@ def _timediff_scale(sql: str) -> str:
     return sql
 
 
+_DOTTED_DATELIT = re.compile(
+    r"CAST\(\s*'(\d{2,4})[./](\d{1,2})[./](\d{1,2})([ T][\d:.]+)?'\s+AS\s+"
+    r"(DATE|TIMESTAMP|DATETIME)",
+    re.I,
+)
+
+
+def _norm_dotted_datelit(m: re.Match) -> str:
+    y, mo, d = int(m.group(1)), int(m.group(2)), int(m.group(3))
+    if y < 100:
+        y = 2000 + y if y < 70 else 1900 + y
+    return f"CAST('{y:04d}-{mo:02d}-{d:02d}{m.group(4) or ''}' AS {m.group(5)}"
+
+
 def dialect(sql: str) -> str:
     """MySQL/Doris spellings -> Spark SQL (the FE's dialect layer)."""
+    # dotted/slashed date literals ('2024.12.12') — normalize BEFORE the
+    # cast rewrites so AS DATETIME forms see a parseable literal
+    sql = _DOTTED_DATELIT.sub(_norm_dotted_datelit, sql)
     sql = _timediff_scale(sql)
     s = _cast_time_dt0(sql)
     # hour/minute/second/microsecond over the TIME shim route to the
@@ -331,6 +348,29 @@ def dialect(sql: str) -> str:
     s = re.sub(r"\bAS\s+DATETIME\b", "AS TIMESTAMP", s, flags=re.I)
     s = re.sub(r"\bAS\s+DATEV[12]\b", "AS DATE", s, flags=re.I)
     s = re.sub(r"\bAS\s+SIGNED\b", "AS BIGINT", s, flags=re.I)
+    # length-less VARCHAR/CHAR casts (MySQL allows them) -> STRING
+    s = re.sub(r"\bAS\s+(VAR)?CHAR\b(?!\s*\()", "AS STRING", s, flags=re.I)
+    # MySQL double-quoted ALIASES (Spark reads "..." as a string literal)
+    s = re.sub(r'(\bAS\s+)"([A-Za-z_]\w*)"', r"\1`\2`", s, flags=re.I)
+    # session-variable hints are execution knobs, not semantics
+    s = re.sub(r"/\*\+\s*SET_VAR\s*\([^)]*\)\s*\*/", " ", s, flags=re.I)
+    # lag/lead require an ordered window in Spark; Doris tolerates a
+    # bare PARTITION BY (order = input order) — add a constant ordering
+    s = re.sub(
+        r"\b((?:lag|lead)\s*\([^()]*\)\s+over\s*\()([^()]*)\)",
+        lambda m: m.group(0)
+        if re.search(r"order\s+by", m.group(2), re.I)
+        else f"{m.group(1)}{m.group(2)} ORDER BY 1)",
+        s,
+        flags=re.I,
+    )
+    # current_timestamp(n)/now(n): fractional-second precision argument
+    s = re.sub(
+        r"\b(current_timestamp|now|localtimestamp)\s*\(\s*(\d)\s*\)",
+        lambda m: _dt_round_expr("current_timestamp()", int(m.group(2))),
+        s,
+        flags=re.I,
+    )
     # LARGEINT (int128) narrows to the documented DECIMAL(38,0) backing;
     # the exact 'decimal(38,0)' typeof doubles as the largeint marker
     s = re.sub(r"\bAS\s+LARGEINT\b", "AS DECIMAL(38,0)", s, flags=re.I)
@@ -646,7 +686,13 @@ def dialect(sql: str) -> str:
     # already IS the kernel.
     s = re.sub(
         r"\bdate_format\s*\(([^;]*?),\s*'([^']*%[^']*)'\s*\)",
-        lambda m: f"ltrim(__mysql_strftime(CAST({m.group(1)} AS TIMESTAMP), '{m.group(2)}'))",
+        lambda m: (
+            "ltrim(__mysql_strftime("
+            f"CASE WHEN typeof({m.group(1)}) IN "
+            "('tinyint', 'smallint', 'int', 'bigint') "
+            f"THEN __dt_from_numeric(CAST(({m.group(1)}) AS BIGINT)) "
+            f"ELSE CAST(({m.group(1)}) AS TIMESTAMP) END, '{m.group(2)}'))"
+        ),
         s,
         flags=re.I | re.S,
     )

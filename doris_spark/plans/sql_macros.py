@@ -129,6 +129,47 @@ def _bit_count(args: Sequence[str]) -> str:
     ).format(args[0])
 
 
+def _floor_ceil_2arg(name: str, args: Sequence[str]) -> str:
+    """{unit}_floor/_ceil 2-arg overloads: the second argument is a
+    PERIOD when integral, an ORIGIN when date-shaped (Doris overload
+    resolution); for a column/expression dispatch on typeof."""
+    if len(args) != 2:
+        return "__KEEP__(" + ", ".join(args) + ")"
+    a, b = args[0], args[1].strip()
+    if re.fullmatch(r"-?\d+", b):
+        return "__KEEP__(" + ", ".join(args) + ")"
+    if re.search(r"['\"]|-|:", b) and not re.match(r"\s*INTERVAL\b", b, re.I):
+        return f"__KEEP__({a}, 1, {b})"
+    return (
+        f"CASE WHEN typeof({b}) IN ('timestamp', 'timestamp_ntz', 'date', 'string') "
+        f"THEN {name}({a}, 1, CAST(({b}) AS TIMESTAMP)) "
+        f"ELSE {name}({a}, CAST(({b}) AS INT)) END"
+    )
+
+
+def _bit_test_macro(args: Sequence[str]) -> str:
+    if len(args) < 2:
+        return "__KEEP__(" + ", ".join(args) + ")"
+    x = args[0].strip()
+    lm = re.fullmatch(r"-?\d+", x) or re.fullmatch(
+        r"cast\s*\(\s*(-?\d+)\s+as\s+(?:largeint|decimal\s*\(\s*38\s*,\s*0\s*\))\s*\)",
+        x, re.I,
+    )
+    if lm and all(re.fullmatch(r"\d+", p.strip()) for p in args[1:]):
+        # int128-scale literals exceed Spark's DECIMAL(38) parser —
+        # fold the bit probe here (the FE does the same)
+        v = int(lm.group(1) if lm.groups() else x)
+        return str(int(all((v >> int(p)) & 1 for p in args[1:])))
+    return (
+        "CAST(("
+        + " AND ".join(
+            f"(shiftright(CAST(({args[0]}) AS BIGINT), CAST(({p}) AS INT)) & 1) = 1"
+            for p in args[1:]
+        )
+        + ") AS INT)"
+    )
+
+
 MACROS: dict[str, Macro] = {
     # ---- plain renames (BuiltinAggregateFunctions.java name -> Spark)
     "ndv": _rename("approx_count_distinct"),
@@ -237,6 +278,24 @@ MACROS: dict[str, Macro] = {
             )
         )
     ),
+    # {unit}_floor/_ceil 2-arg ORIGIN form: a date-shaped second argument
+    # is the origin, not the period (Doris overload resolution)
+    **{
+        f"{u}_{fc}": (
+            lambda args, _n=f"{u}_{fc}": _floor_ceil_2arg(_n, args)
+        )
+        for u in ("second", "minute", "hour", "day", "week", "month",
+                  "quarter", "year")
+        for fc in ("floor", "ceil")
+    },
+    # bitmap cardinality over the array representation (Spark's builtin
+    # bitmap_count reads its own BINARY bitmaps and cannot be shadowed
+    # by a SQL UDF)
+    "bitmap_count": _tpl("coalesce(size({0}), 0)"),
+    # variadic bit_test(x, pos...): 1 iff EVERY listed bit is set
+    # NULL in any argument propagates (CAST(boolean AS INT) keeps NULL)
+    "bit_test": _bit_test_macro,
+    "bit_test_all": _bit_test_macro,
     # type-preserving inline form (the SQL-UDF registration is
     # STRING-typed and would break boolean operands); NULL input is a
     # runtime error, mirrored through assert_true in a lazy CASE branch
@@ -255,8 +314,8 @@ MACROS: dict[str, Macro] = {
             if len(args) != 2 or re.match(r"\s*INTERVAL\b", args[1], re.I)
             else (
                 "CASE WHEN ({0}) IS NULL THEN NULL WHEN typeof({0}) = 'date' "
-                "THEN CAST(date_add({0}, {1}) AS STRING) "
-                "ELSE CAST(CAST(({0}) AS TIMESTAMP) + make_interval(0, 0, 0, ({1})) AS STRING) END"
+                "THEN CAST(date_add({0}, CAST(({1}) AS INT)) AS STRING) "
+                "ELSE CAST(CAST(({0}) AS TIMESTAMP) + make_interval(0, 0, 0, CAST(({1}) AS INT)) AS STRING) END"
             ).format(args[0], args[1])
         )
     ),
@@ -266,8 +325,8 @@ MACROS: dict[str, Macro] = {
             if len(args) != 2 or re.match(r"\s*INTERVAL\b", args[1], re.I)
             else (
                 "CASE WHEN ({0}) IS NULL THEN NULL WHEN typeof({0}) = 'date' "
-                "THEN CAST(date_sub({0}, {1}) AS STRING) "
-                "ELSE CAST(CAST(({0}) AS TIMESTAMP) - make_interval(0, 0, 0, ({1})) AS STRING) END"
+                "THEN CAST(date_sub({0}, CAST(({1}) AS INT)) AS STRING) "
+                "ELSE CAST(CAST(({0}) AS TIMESTAMP) - make_interval(0, 0, 0, CAST(({1}) AS INT)) AS STRING) END"
             ).format(args[0], args[1])
         )
     ),

@@ -91,7 +91,12 @@ def _unroll_each(src: str) -> str:
     while changed:
         changed = False
         for name, vals in lists.items():
-            m = re.search(rf"\b{re.escape(name)}\.each\s*\{{\s*(\w+)\s*->", src)
+            m = re.search(
+                rf"\b{re.escape(name)}\.each\s*\{{\s*(\w+)\s*->", src
+            ) or re.search(
+                rf"for\s*\(\s*(?:String\s+)?(\w+)\s+in\s+{re.escape(name)}\s*\)\s*\{{",
+                src,
+            )
             if m is None:
                 continue
             start = src.index("{", m.start())
@@ -207,10 +212,31 @@ def _extract_stream_loads(src: str, gvars: dict, data_dir: str) -> str:
         i = k + 1
 
 
+def _inline_shared_sql(src: str) -> str:
+    """`sql new File(\"regression-test/common/...\").text` loads a shared
+    DDL/load script — inline its contents as a plain sql block."""
+
+    def repl(m):
+        path = "/root/reference/" + m.group(1).strip()
+        try:
+            body = open(path).read().replace('"""', "")
+        except OSError:
+            return m.group(0)
+        return 'sql """' + body + '"""'
+
+    return re.sub(
+        r"sql\s+new\s+File\s*\(\s*\"{1,3}([^\"]+?)\"{1,3}\s*\)\s*\.text",
+        repl,
+        src,
+    )
+
+
 def parse_suite_files(groovy_path: str, out_path: str):
     src = open(groovy_path).read()
     src = _unroll_each(src)
     src = _unroll_for(src)
+    if "new File" in src:
+        src = _inline_shared_sql(src)
     # groovy string interpolation: def name = "value" / def n = 123
     gvars = dict(
         re.findall(r"def\s+(\w+)\s*=\s*[\"']([^\"'\n]*)[\"']", src)
@@ -220,6 +246,10 @@ def parse_suite_files(groovy_path: str, out_path: str):
     )
     src = re.sub(
         r"\$\{(\w+)\}", lambda m: gvars.get(m.group(1), m.group(0)), src
+    )
+    # bare groovy interpolation ($tableName) for known defs
+    src = re.sub(
+        r"\$(\w+)", lambda m: gvars.get(m.group(1), m.group(0)), src
     )
     if "streamLoad" in src:
         import os as _os
@@ -514,6 +544,7 @@ def translate_ddl(sql: str) -> str | None:
     cols = []
     raw_cols: list[tuple] = []
     _agg_types: dict[str, str] = {}
+    _defaults: dict[str, str] = {}
     for part in parts:
         part = " ".join(part.split())
         # constraint/index clauses are not columns
@@ -534,6 +565,36 @@ def translate_ddl(sql: str) -> str | None:
             _agg_types[cm.group(1).lower()] = _aggm.group(1).lower()
         _raw = re.sub(r"\s+(SUM|MIN|MAX|REPLACE(_IF_NOT_NULL)?|HLL_UNION|"
                       r"BITMAP_UNION|QUANTILE_UNION|GENERIC)\b.*$", "", _raw, flags=re.I)
+        _defm = re.search(
+            r"\bDEFAULT\s+(\"[^\"]*\"|'[^']*'|CURRENT_TIMESTAMP(?:\(\d\))?"
+            r"|CURRENT_DATE|PI|E|BITMAP_EMPTY|HLL_EMPTY|NULL|-?\d+(?:\.\d+)?)",
+            typ, re.I,
+        )
+        if _defm:
+            d = _defm.group(1)
+            du = d.upper()
+            if du.startswith("CURRENT_TIMESTAMP"):
+                dexpr = "current_timestamp()"
+            elif du == "CURRENT_DATE":
+                dexpr = "current_date()"
+            elif du == "PI":
+                dexpr = "pi()"
+            elif du == "E":
+                dexpr = "e()"
+            elif du == "BITMAP_EMPTY":
+                dexpr = "CAST(array() AS ARRAY<BIGINT>)"
+            elif du == "HLL_EMPTY":
+                dexpr = "array_repeat(0, 1024)"
+            elif d[:1] in "\"'":
+                dexpr = "'" + d[1:-1].replace("'", "''") + "'"
+            else:
+                dexpr = d
+            _defaults[cm.group(1).lower()] = dexpr
+        elif re.match(r"hll\b", typ, re.I):
+            # HLL/BITMAP columns implicitly default to empty in Doris
+            _defaults[cm.group(1).lower()] = "array_repeat(0, 1024)"
+        elif re.match(r"bitmap\b", typ, re.I):
+            _defaults[cm.group(1).lower()] = "CAST(array() AS ARRAY<BIGINT>)"
         _raw = re.sub(r"\s+(DEFAULT)\b.*$", "", _raw, flags=re.I | re.S)
         _doris_type = re.sub(r"\s*([<>,():])\s*", r"\1", _raw.strip()).lower()
         raw_cols.append((cm.group(1), _doris_type, _notnull))
@@ -552,7 +613,7 @@ def translate_ddl(sql: str) -> str | None:
         typ = re.sub(r"\s+(COMMENT|DEFAULT)\b.*$", "", typ, flags=re.I | re.S)
         typ = re.sub(r"\bDATETIMEV?[12]?\s*(\(\s*\d+\s*\))?", "TIMESTAMP", typ, flags=re.I)
         typ = re.sub(r"\bDATEV[12]\b", "DATE", typ, flags=re.I)
-        typ = re.sub(r"\bHLL\b", "BINARY", typ, flags=re.I)
+        typ = re.sub(r"\bHLL\b", "ARRAY<INT>", typ, flags=re.I)
         # BITMAP columns back onto the engine's sorted-array representation
         typ = re.sub(r"\bBITMAP\b", "ARRAY<BIGINT>", typ, flags=re.I)
         typ = re.sub(r"\bQUANTILE_STATE\b", "BINARY", typ, flags=re.I)
@@ -603,6 +664,7 @@ def translate_ddl(sql: str) -> str | None:
         "keys": keys,
         "model": model,
         "aggs": _agg_types,
+        "defaults": _defaults,
         "json_cols": {c for c, t, _ in raw_cols if t.startswith(("json", "jsonb"))},
     }
     return f"CREATE OR REPLACE TEMPORARY VIEW __def_{name} AS SELECT * FROM VALUES (NULL) t(x) LIMIT 0", name, cols
@@ -669,12 +731,29 @@ def _stream_load(eng, spec: dict) -> None:
         return
     sp = eng.spark
     tdf = sp.table(name)
+    meta0 = _TABLE_META.get(name.lower()) or {}
+    defaults = meta0.get("defaults", {})
+
+    def _fill(c):
+        if c.lower() in defaults:
+            return f"{defaults[c.lower()]} AS `{c}`"
+        return f"NULL AS `{c}`"
+
+    colspec = sets.get("columns")
+    exprs = {}
+    if colspec:
+        for n_ in colspec.split(","):
+            if "=" in n_:
+                k_, v_ = n_.split("=", 1)
+                exprs[k_.strip().strip("`")] = v_.strip()
     fmt = sets.get("format", "csv").lower()
     if fmt.startswith("json"):
         df = sp.read.json(path)
-        # name-matched insert; missing table columns become NULL
+        # name-matched insert; absent table columns take the `columns`
+        # mapping expression, else their DEFAULT
         sel = [
-            (f"`{c}`" if c in df.columns else "NULL") + f" AS `{c}`"
+            f"`{c}` AS `{c}`" if c in df.columns
+            else (f"{exprs[c]} AS `{c}`" if c in exprs else _fill(c))
             for c in tdf.columns
         ]
         df = df.selectExpr(*sel)
@@ -686,7 +765,6 @@ def _stream_load(eng, spec: dict) -> None:
             .option("quote", "")
             .csv(path)
         )
-        colspec = sets.get("columns")
         if colspec:
             names = [c.strip().strip("`") for c in colspec.split(",")]
             plain = [n for n in names if "=" not in n]
@@ -694,11 +772,6 @@ def _stream_load(eng, spec: dict) -> None:
             df = df.select(
                 *[df[c].alias(ren.get(c, c)) for c in df.columns]
             )
-            exprs = {}
-            for n in names:
-                if "=" in n:
-                    k, v = n.split("=", 1)
-                    exprs[k.strip()] = v.strip()
             sel = []
             for c in tdf.columns:
                 if c in df.columns:
@@ -706,17 +779,16 @@ def _stream_load(eng, spec: dict) -> None:
                 elif c in exprs:
                     sel.append(f"{exprs[c]} AS `{c}`")
                 else:
-                    sel.append(f"NULL AS `{c}`")
+                    sel.append(_fill(c))
             df = df.selectExpr(*sel)
         else:
             # positional: pad/truncate to the table's width
             cols = df.columns[: len(tdf.columns)]
-            sel = [
-                f"`{cols[i]}`" if i < len(cols) else "NULL"
-                for i in range(len(tdf.columns))
-            ]
             df = df.selectExpr(
-                *[f"{e} AS `{c}`" for e, c in zip(sel, tdf.columns)]
+                *[
+                    f"`{cols[i]}` AS `{c}`" if i < len(cols) else _fill(c)
+                    for i, c in enumerate(tdf.columns)
+                ]
             )
     # NULL markers: stream load renders \N as NULL
     from pyspark.sql.functions import col, when
@@ -791,10 +863,13 @@ def run_setup(eng, sql: str) -> None:
     if im is not None:
         name, collist, values = im.group(1), im.group(2), im.group(3)
         full_width = True
+        listed: list[str] = []
         if collist:
-            ncols = len(collist.split(","))
-            full_width = ncols == len(eng.spark.table(name).columns)
-        if full_width:
+            listed = [
+                c.strip().strip("`") for c in collist.strip("() \t\n").split(",")
+            ]
+            full_width = len(listed) == len(eng.spark.table(name).columns)
+        if True:
             try:
                 try:
                     df = eng.spark.sql(dialect(f"SELECT * FROM {values}"))
@@ -830,6 +905,25 @@ def run_setup(eng, sql: str) -> None:
                     df = eng.spark.sql(dialect(
                         " UNION ALL ".join(f"SELECT {t}" for t in tuples)
                     ))
+                if not full_width:
+                    # partial-column INSERT: unlisted columns take their
+                    # DDL DEFAULT (NULL when none declared)
+                    meta0 = _TABLE_META.get(name.lower()) or {}
+                    defaults = meta0.get("defaults", {})
+                    ren = dict(zip(df.columns, listed))
+                    df = df.select(
+                        *[df[c].alias(ren.get(c, c)) for c in df.columns]
+                    )
+                    lset = {c.lower() for c in listed}
+                    sel = []
+                    for c in eng.spark.table(name).columns:
+                        if c.lower() in lset:
+                            sel.append(f"`{c}`")
+                        elif c.lower() in defaults:
+                            sel.append(f"{defaults[c.lower()]} AS `{c}`")
+                        else:
+                            sel.append(f"NULL AS `{c}`")
+                    df = df.selectExpr(*sel)
                 meta = _TABLE_META.get(name.lower())
                 if meta and meta["json_cols"]:
                     # Doris normalizes JSONB on write (minified, duplicate
@@ -866,27 +960,41 @@ def run_setup(eng, sql: str) -> None:
                         ]
                     )
                 # DATETIME(n) columns ROUND to their declared scale on
-                # write (Doris storage semantics) — exact bigint micros
+                # write (Doris storage semantics) — exact bigint micros.
+                # Numeric values into date/datetime columns read as
+                # MySQL packed digits (0 / invalid -> NULL).
                 meta = _TABLE_META.get(name.lower())
                 if meta:
                     from pyspark.sql.functions import col, expr
 
                     from doris_spark.plans.dialect import _dt_round_expr
 
-                    didx = {}
+                    numeric = {
+                        c
+                        for c, t in df.dtypes
+                        if t in ("int", "bigint", "smallint", "tinyint",
+                                 "double", "float")
+                        or t.startswith("decimal")
+                    }
+                    sel2, any2 = [], False
                     for i, (c, t, _) in enumerate(meta["cols"]):
-                        tm2 = re.match(r"datetime(?:v2)?(?:\((\d)\))?$", t)
-                        if tm2 and int(tm2.group(1) or 0) < 6:
-                            didx[i] = int(tm2.group(1) or 0)
-                    if didx:
-                        df = df.select(
-                            *[
-                                expr(_dt_round_expr(c, didx[i])).alias(c)
-                                if i in didx
-                                else col(c)
-                                for i, c in enumerate(df.columns)
-                            ]
+                        if i >= len(df.columns):
+                            break
+                        dfc = df.columns[i]
+                        src = f"`{dfc}`"
+                        is_dt = re.match(r"datetime(?:v2)?(?:\((\d)\))?$", t)
+                        is_d = re.match(r"datev?[12]?$", t)
+                        if (is_dt or is_d) and dfc in numeric:
+                            src = f"__dt_from_numeric(CAST({src} AS BIGINT))"
+                            any2 = True
+                        if is_dt and int(is_dt.group(1) or 0) < 6:
+                            src = _dt_round_expr(src, int(is_dt.group(1) or 0))
+                            any2 = True
+                        sel2.append(
+                            expr(src).alias(dfc) if any2 else col(dfc)
                         )
+                    if any2 and len(sel2) == len(df.columns):
+                        df = df.select(*sel2)
                 df.coalesce(1).write.insertInto(name)
                 _agg_remerge(eng, name)
                 return
@@ -1314,6 +1422,16 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
             shutil.rmtree(f"spark-warehouse/{nm.group(1).lower()}", ignore_errors=True)
         ok = len(expected) == 1 and expected[0].strip() in ("0", "")
         return ok, "" if ok else f"ddl golden {expected!r}"
+    if re.match(r"\s*INSERT\s+INTO\b", sql, re.I):
+        # qt-checked INSERT: Doris answers with an affected-rows line (or
+        # nothing) — execute through the setup path and accept a numeric/
+        # empty golden
+        try:
+            run_setup(eng, sql)
+        except Exception as exc:
+            return False, f"{type(exc).__name__}: {str(exc)[:120]}"
+        ok = all(re.fullmatch(r"[\d\t ]*", line or "") for line in expected)
+        return ok, "" if ok else f"insert golden {expected!r}"
     delm = re.match(
         r"\s*DELETE\s+FROM\s+`?(\w+)`?\s+WHERE\s+(.*?)\s*;?\s*$", sql, re.I | re.S
     )
@@ -1427,6 +1545,34 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
                 flags=re.I,
             )
             df = eng.sql(retry)
+            rows = df.collect()
+        elif "UNEXPECTED_INPUT_TYPE" in str(exc) and re.search(
+            r'"date_add\(', str(exc)
+        ) and "DECIMAL" in str(exc):
+            # date ± decimal literal: Doris truncates the count to INT
+            retry = re.sub(
+                r"([+-]\s*)(\d+)\.\d+\b",
+                lambda m: m.group(1) + m.group(2),
+                dialect(sql),
+            )
+            df = eng.sql(retry)
+            rows = df.collect()
+        elif "MISSING_GROUP_BY" in str(exc) and re.search(
+            r"\bHAVING\b", sql, re.I
+        ):
+            # MySQL/Doris HAVING without GROUP BY filters the SELECT's
+            # output (aliases visible) — wrap as a subquery + WHERE
+            hm = re.search(
+                r"^(.*?)\bHAVING\b(.*?)(\bORDER\s+BY\b.*|\bLIMIT\b.*|)$",
+                sql, re.I | re.S,
+            )
+            if hm is None:
+                raise
+            retry = (
+                f"SELECT * FROM ({hm.group(1)}) __having_q "
+                f"WHERE {hm.group(2)} {hm.group(3)}"
+            )
+            df = eng.sql(dialect(retry))
             rows = df.collect()
         elif "STAR_GROUP_BY_POS" in str(exc):
             # SELECT * EXCEPT(...) + GROUP BY ordinal: Spark refuses the
@@ -1551,11 +1697,11 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
         else:
             raise
     if len(expected) == 0:
-        # .out empty block = zero rows (empty result set) or a single
-        # empty-string cell (scalar '' renders as a blank line)
-        ok = len(rows) == 0 or (
-            len(rows) == 1 and all(v in (None, "") for v in rows[0])
-        )
+        # .out empty block = zero rows, OR a result whose FIRST row is
+        # all empty strings: the reference's golden writer emits that row
+        # as a blank line, which TERMINATES the block in its own format
+        # (verified against test_select_with_prefix goldens)
+        ok = len(rows) == 0 or all(v in (None, "") for v in rows[0])
         return ok, "" if ok else f"expected empty, got {len(rows)} rows"
     if len(rows) != len(expected):
         return False, f"rowcount {len(rows)} != {len(expected)}"
