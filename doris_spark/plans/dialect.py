@@ -48,10 +48,22 @@ def _xlate_fmt(fmt: str) -> str:
     return "".join(out)
 
 
+_SQL_KEYWORDS_BEFORE_LITERAL = {
+    "select", "where", "and", "or", "not", "when", "then", "else", "in",
+    "by", "as", "union", "all", "values", "distinct", "having", "on",
+    "return", "returns", "if", "between", "like", "is", "set",
+}
+
+
 def _bracket_arrays(s: str) -> str:
-    """Doris array literal [a, b] -> array(a, b); subscripts (x[1]) kept."""
+    """Doris array literal [a, b] -> array(a, b); subscripts (x[1]) kept.
+    A '[' directly after an identifier/closing bracket is a subscript; a
+    whitespace-separated '[' after a KEYWORD (select [1,2]) is a literal."""
     out, stack = [], []
     prev = ""
+    word: list[str] = []
+    last_word = ""
+    gap = False  # whitespace between prev token and current char
     in_str = None
     for ch in s:
         if in_str:
@@ -63,15 +75,32 @@ def _bracket_arrays(s: str) -> str:
             in_str = ch
             out.append(ch)
             prev = ch
+            word.clear()
+            gap = False
             continue
         if ch == "[":
-            is_literal = not (prev.isalnum() or prev in ")]_'\"")
+            if prev.isalnum() or prev in ")]_'\"":
+                is_literal = gap and last_word.lower() in _SQL_KEYWORDS_BEFORE_LITERAL
+            else:
+                is_literal = True
             stack.append(is_literal)
             out.append("array(" if is_literal else "[")
         elif ch == "]" and stack:
             out.append(")" if stack.pop() else "]")
         else:
             out.append(ch)
+        if ch.isalnum() or ch == "_":
+            word.append(ch)
+            gap = False
+        elif ch.isspace():
+            if word:
+                last_word = "".join(word)
+                word.clear()
+            gap = True
+        else:
+            word.clear()
+            last_word = ""
+            gap = False
         if not ch.isspace():
             prev = ch
     return "".join(out)
@@ -257,6 +286,81 @@ def _norm_dotted_datelit(m: re.Match) -> str:
     return f"CAST('{y:04d}-{mo:02d}-{d:02d}{m.group(4) or ''}' AS {m.group(5)}"
 
 
+_GB_TAIL = re.compile(
+    r"\s+(WITH\s+ROLLUP\b|HAVING\b|ORDER\s+BY\b|LIMIT\b)", re.I
+)
+
+
+def _group_by_dirs(s: str) -> str:
+    """MySQL `GROUP BY k1 ASC, k2 DESC [WITH ROLLUP] [HAVING ...]`:
+    strip the per-key direction markers and append the implied ORDER BY
+    after the HAVING clause (an explicit ORDER BY wins)."""
+    pat = re.compile(r"\bGROUP\s+BY\s+", re.I)
+    pos = 0
+    while True:
+        m = pat.search(s, pos)
+        if m is None:
+            return s
+        # scan the grouping list: top-level until a tail keyword, a
+        # depth-0 ')', or end
+        i, depth, in_q, n = m.end(), 0, None, len(s)
+        end = n
+        while i < n:
+            c = s[i]
+            if in_q:
+                if c == in_q:
+                    in_q = None
+            elif c in ("'", '"'):
+                in_q = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                if depth == 0:
+                    end = i
+                    break
+                depth -= 1
+            elif depth == 0:
+                tm = _GB_TAIL.match(s, i)
+                if tm:
+                    end = i
+                    break
+            i += 1
+        glist = s[m.end():end]
+        if not re.search(r"\b(ASC|DESC)\s*(,|$)", glist.strip(), re.I):
+            pos = m.end()
+            continue
+        items, dirs = [], []
+        for item in re.split(r",(?![^()]*\))", glist):
+            dm = re.match(r"^(.*?)\s+(ASC|DESC)\s*$", item.strip(), re.I | re.S)
+            if dm:
+                items.append(dm.group(1))
+                dirs.append(f"{dm.group(1)} {dm.group(2).upper()}")
+            else:
+                items.append(item.strip())
+                dirs.append(f"{item.strip()} ASC")
+        # tail: [WITH ROLLUP] [HAVING ...] [ORDER BY ...] [LIMIT ...]
+        tail = s[end:]
+        explicit_order = re.match(
+            r"(\s+WITH\s+ROLLUP)?(\s+HAVING\b(?:(?!\bORDER\s+BY\b|\bLIMIT\b).)*)?"
+            r"\s*ORDER\s+BY\b", tail, re.I | re.S,
+        )
+        if explicit_order:
+            new = m.group(0) + ", ".join(items) + tail
+            s = s[: m.start()] + new
+            pos = m.start() + len(m.group(0)) + len(", ".join(items))
+            continue
+        tm2 = re.match(
+            r"((?:\s+WITH\s+ROLLUP)?)((?:\s+HAVING\b(?:(?!\bLIMIT\b).)*?)?)"
+            r"((?:\s+LIMIT\b.*)?|\s*\).*|\s*)$",
+            tail, re.I | re.S,
+        )
+        rollup, having, rest = tm2.group(1), tm2.group(2), tm2.group(3)
+        new_tail = f"{rollup}{having} ORDER BY {', '.join(dirs)}{rest}"
+        s = s[: m.start()] + m.group(0) + ", ".join(items) + new_tail
+        pos = m.start() + len(m.group(0)) + len(", ".join(items))
+    return s
+
+
 def dialect(sql: str) -> str:
     """MySQL/Doris spellings -> Spark SQL (the FE's dialect layer)."""
     # dotted/slashed date literals ('2024.12.12') — normalize BEFORE the
@@ -354,6 +458,36 @@ def dialect(sql: str) -> str:
     s = re.sub(r'(\bAS\s+)"([A-Za-z_]\w*)"', r"\1`\2`", s, flags=re.I)
     # session-variable hints are execution knobs, not semantics
     s = re.sub(r"/\*\+\s*SET_VAR\s*\([^)]*\)\s*\*/", " ", s, flags=re.I)
+    # Doris full-text MATCH operators over a literal query -> tokenized
+    # predicates (operators/textops.py semantics, codegen-friendly)
+    def _match_repl(m: re.Match) -> str:
+        col, kind = m.group(1), (m.group(2) or "_any").lower()
+        q = m.group(3).replace("'", "''")
+        norm = f"regexp_replace(lower(trim({col})), '\\\\s+', ' ')"
+        terms = q.lower().split()
+        if kind in ("_any", "_all"):
+            parts = [
+                f"array_contains(split({norm}, ' '), '{t}')" for t in terms
+            ]
+            joiner = " OR " if kind == "_any" else " AND "
+            return "(" + (joiner.join(parts) or "false") + ")"
+        phrase = " ".join(terms)
+        if kind == "_phrase":
+            return f"(instr(concat(' ', {norm}, ' '), ' {phrase} ') > 0)"
+        return f"(instr(concat(' ', {norm}), ' {phrase}') > 0)"
+
+    s = re.sub(
+        r"([\w.`]+)\s+MATCH(_ANY|_ALL|_PHRASE_PREFIX|_PHRASE)?\s+'([^']*)'",
+        _match_repl,
+        s,
+        flags=re.I,
+    )
+    # MySQL GROUP BY <key> ASC/DESC implies ordering by the keys; keys
+    # may be a multi-item list, followed by WITH ROLLUP / HAVING. The
+    # direction markers strip from the grouping list and re-emit as an
+    # ORDER BY after the HAVING clause (unless an explicit ORDER BY
+    # already follows, which wins).
+    s = _group_by_dirs(s)
     # lag/lead require an ordered window in Spark; Doris tolerates a
     # bare PARTITION BY (order = input order) — add a constant ordering
     s = re.sub(
@@ -727,7 +861,7 @@ def dialect(sql: str) -> str:
     # Doris numbers("number"="N") TVF -> range(N) with the Doris column
     # name (extra kv properties like backend_num are execution hints)
     s = re.sub(
-        r"\bnumbers\s*\(\s*\"number\"\s*=\s*\"(\d+)\"[^)]*\)",
+        r"\bnumbers\s*\(\s*[\"']number[\"']\s*=\s*[\"'](\d+)[\"'][^)]*\)",
         lambda m: f"(SELECT id AS number FROM range({m.group(1)}))",
         s,
         flags=re.I,

@@ -173,6 +173,8 @@ def _bit_test_macro(args: Sequence[str]) -> str:
 MACROS: dict[str, Macro] = {
     # ---- plain renames (BuiltinAggregateFunctions.java name -> Spark)
     "ndv": _rename("approx_count_distinct"),
+    # Doris `any` IS any_value (Spark's `any` is bool_or)
+    "any": _rename("any_value"),
     "group_array": _rename("collect_list"),
     "group_uniq_array": _rename("collect_set"),
     "group_concat": _rename("listagg"),

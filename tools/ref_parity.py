@@ -190,10 +190,12 @@ def _extract_stream_loads(src: str, gvars: dict, data_dir: str) -> str:
         tm = re.search(r"\btable\s+(?:'([^']*)'|\"([^\"]*)\"|(\w+))", block)
         fm = re.search(r"\bfile\s+(?:'([^']*)'|\"([^\"]*)\")", block)
         sets = dict(
-            (a or b, c or d)
-            for a, b, c, d in re.findall(
-                r"\bset\s+(?:'([^']*)'|\"([^\"]*)\")\s*,\s*(?:'([^']*)'|\"([^\"]*)\")",
+            (a or b, c if c else (d or e))
+            for a, b, c, d, e in re.findall(
+                r"\bset\s+(?:'([^']*)'|\"([^\"]*)\")\s*,\s*"
+                r"(?:'''(.*?)'''|'([^']*)'|\"([^\"]*)\")",
                 block,
+                re.S,
             )
         )
         table = None
@@ -231,8 +233,50 @@ def _inline_shared_sql(src: str) -> str:
     )
 
 
-def parse_suite_files(groovy_path: str, out_path: str):
+def _expand_closures(src: str) -> str:
+    """Expand single-level groovy closures `def f = { a, b -> BODY }`
+    at their literal-argument call sites f(x, y) (the suites use these
+    as parameterized test bodies)."""
+    closures = {}
+    for m in re.finditer(r"def\s+(\w+)\s*=\s*\{\s*([\w\s,]*?)\s*->", src):
+        start = src.index("{", m.start())
+        depth, k = 0, start
+        while k < len(src):
+            if src[k] == "{":
+                depth += 1
+            elif src[k] == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if k >= len(src):
+            continue
+        params = [p.strip() for p in m.group(2).split(",") if p.strip()]
+        closures[m.group(1)] = (params, src[start + 1 : k], (m.start(), k + 1))
+    if not closures:
+        return src
+    # blank out the definitions, then expand calls
+    for _, (_, _, (a, b)) in closures.items():
+        src = src[:a] + " " * (b - a) + src[b:]
+    for name, (params, body, _) in closures.items():
+        pat = re.compile(
+            rf"\b{re.escape(name)}\s*\(([^()\n]*)\)"
+        )
+        def call_repl(cm, params=params, body=body):
+            args = [a.strip().strip("'\"") for a in cm.group(1).split(",")]
+            if len(args) != len(params):
+                return cm.group(0)
+            out = body
+            for p, v in zip(params, args):
+                out = out.replace("${" + p + "}", v).replace("$" + p, v)
+            return out
+        src = pat.sub(call_repl, src)
+    return src
+
+
+def parse_suite_files(groovy_path: str, out_path: str | None = None):
     src = open(groovy_path).read()
+    src = _expand_closures(src)
     src = _unroll_each(src)
     src = _unroll_for(src)
     if "new File" in src:
@@ -275,7 +319,11 @@ def parse_suite_files(groovy_path: str, out_path: str):
 
     blocks: dict[str, deque] = {}
     cur_lines = None
-    for line in open(out_path):
+    import os as _os
+
+    for line in (
+        open(out_path) if out_path and _os.path.exists(out_path) else []
+    ):
         line = line.rstrip("\n")
         m = re.match(r"-- !([A-Za-z0-9_]+) --", line)
         if m:
@@ -619,7 +667,7 @@ def translate_ddl(sql: str) -> str | None:
         typ = re.sub(r"\bQUANTILE_STATE\b", "BINARY", typ, flags=re.I)
         # MySQL integer display widths are cosmetic (INT(11), tinyint(4))
         typ = re.sub(
-            r"\b(TINYINT|SMALLINT|INT|INTEGER|BIGINT)\s*\(\s*\d+\s*\)",
+            r"\b(TINYINT|SMALLINT|INT|INTEGER|BIGINT|LARGEINT)\s*\(\s*\d+\s*\)",
             r"\1", typ, flags=re.I,
         )
         typ = re.sub(r"\bDECIMALV[23]\b", "DECIMAL", typ, flags=re.I)
@@ -798,6 +846,38 @@ def _stream_load(eng, spec: dict) -> None:
             df = df.withColumn(
                 c, when(col(c) == "\\N", None).otherwise(col(c))
             )
+    if not fmt.startswith("json"):
+        # complex-typed target columns: parse the Doris text forms
+        # ([a,b] arrays, {k:v} maps, JSON structs) from the csv strings
+        strcols = {c for c, t in df.dtypes if t == "string"}
+        sel4, changed4 = [], False
+        for f in tdf.schema.fields:
+            src = f"`{f.name}`"
+            ts = f.dataType.simpleString()
+            if f.name in strcols and ts.startswith("array<"):
+                sel4.append(
+                    f"CASE WHEN {src} IS NULL THEN NULL "
+                    f"WHEN {src} IN ('[]', '') THEN CAST(array() AS {ts}) "
+                    f"ELSE CAST(transform(split(regexp_replace({src}, "
+                    f"'^\\\\[|\\\\]$', ''), ','), x -> nullif(trim(x), 'null')) "
+                    f"AS {ts}) END AS `{f.name}`"
+                )
+                changed4 = True
+            elif f.name in strcols and ts.startswith("map<"):
+                sel4.append(
+                    f"CASE WHEN {src} IS NULL THEN NULL "
+                    f"WHEN {src} IN ('{{}}', '') THEN CAST(map() AS {ts}) "
+                    f"ELSE CAST(str_to_map(regexp_replace({src}, "
+                    f"'^\\\\{{|\\\\}}$', ''), ',', ':') AS {ts}) END AS `{f.name}`"
+                )
+                changed4 = True
+            elif f.name in strcols and ts.startswith("struct<"):
+                sel4.append(f"from_json({src}, '{ts}') AS `{f.name}`")
+                changed4 = True
+            else:
+                sel4.append(src)
+        if changed4 and len(sel4) == len(df.columns):
+            df = df.selectExpr(*sel4)
     df.coalesce(1).write.insertInto(name)
     _agg_remerge(eng, name)
 
@@ -856,7 +936,7 @@ def run_setup(eng, sql: str) -> None:
     # VALUES through it, COALESCED TO ONE FILE so a later unordered
     # SELECT scans rows in insert order (qt_ compares positionally).
     im = re.match(
-        r"\s*INSERT\s+INTO\s+`?(\w+)`?\s*(\([^)]*\))?\s*(VALUES.*)$",
+        r"\s*INSERT\s+INTO\s+`?(\w+)`?\s*(\([^)]*\))?\s*((?:VALUES|SELECT|WITH).*)$",
         sql,
         re.I | re.S,
     )
@@ -871,9 +951,16 @@ def run_setup(eng, sql: str) -> None:
             full_width = len(listed) == len(eng.spark.table(name).columns)
         if True:
             try:
+                if not re.match(r"\s*VALUES", values, re.I):
+                    # INSERT ... SELECT: run the query through the
+                    # engine (dialect + macro layers active)
+                    df = eng.sql(values)
+                    df.schema
+                    values = None
                 try:
-                    df = eng.spark.sql(dialect(f"SELECT * FROM {values}"))
-                    df.schema  # force analysis
+                    if values is not None:
+                        df = eng.spark.sql(dialect(f"SELECT * FROM {values}"))
+                        df.schema  # force analysis
                 except Exception as vexc:
                     if "INVALID_INLINE_TABLE" not in str(vexc):
                         raise
@@ -1541,6 +1628,19 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
             retry = re.sub(
                 r"\b(THEN|ELSE)\s+(-?\d+(?:\.\d+)?)(?![\w.])",
                 lambda m: f"{m.group(1)} try_cast(CAST({m.group(2)} AS STRING) AS {target})",
+                dialect(sql),
+                flags=re.I,
+            )
+            df = eng.sql(retry)
+            rows = df.collect()
+        elif "BINARY_OP_DIFF_TYPES" in str(exc) and str(exc).count('"ARRAY<') >= 2:
+            # array column vs array literal of a different element type:
+            # Doris coerces the literal to the column side
+            types = re.findall(r'"(ARRAY<[^"]+>)"', str(exc))
+            target = types[0]
+            retry = re.sub(
+                r"((?:=|!=|<>|<=|>=|<|>)\s*)(array\((?:[^()']|'[^']*')*\))",
+                lambda m: f"{m.group(1)}CAST({m.group(2)} AS {target})",
                 dialect(sql),
                 flags=re.I,
             )

@@ -74,6 +74,21 @@ def main() -> None:
     files_total = files_green = 0
     failures = []
     for target in targets:
+        # shared directory fixtures: load.groovy files set up tables the
+        # goldens-backed suites in the directory reference
+        troot = target if not target.endswith(".groovy") else os.path.dirname(target)
+        for lg in sorted(
+            glob.glob(f"{SUITES_ROOT}/{troot}/**/load.groovy", recursive=True)
+        ):
+            try:
+                for name, stmt, _exp, _o in rp.parse_suite_files(lg):
+                    if name is None:
+                        try:
+                            rp.run_setup(eng, stmt)
+                        except Exception:
+                            pass
+            except Exception:
+                pass
         for label, gpath, opath in collect(target):
             try:
                 cases = rp.parse_suite_files(gpath, opath)
