@@ -691,3 +691,247 @@ def cb_count_like(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.filter(
         F.col("text").contains("google") | F.col("text").contains("spark")
     ).agg(F.count(F.lit(1)).alias("n"))
+
+
+@query(
+    "cb_nonzero_group_order_agg",
+    oracle="""
+SELECT user_id % 10 AS ub, count(*) AS c FROM events
+WHERE value > 0.5 GROUP BY user_id % 10 ORDER BY c DESC, ub
+""",
+)
+def cb_nonzero_group_order_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q7 shape (queries.sql:25): nonzero filter, group on the
+    filtered key, ORDER BY the aggregate itself with NO limit — the full
+    grouped result streams out sorted."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter(F.col("value") > 0.5)
+        .groupBy((F.col("user_id") % 10).alias("ub"))
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "ub")
+    )
+
+
+@query(
+    "cb_region_multi_ndv",
+    oracle="""
+SELECT user_id % 100 AS region, round(sum(value), 4) AS sv, count(*) AS c,
+       round(avg(value), 6) AS av, count(DISTINCT user_id) AS u
+FROM events GROUP BY user_id % 100 ORDER BY c DESC, region LIMIT 10
+""",
+)
+def cb_region_multi_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q10 shape (queries.sql:27): four aggregates including an
+    NDV in one grouped pass, top-10 by count — Catalyst plans the distinct
+    via expand + two-phase agg, one shuffle on the group key."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy((F.col("user_id") % 100).alias("region"))
+        .agg(
+            F.round(F.sum("value"), 4).alias("sv"),
+            F.count(F.lit(1)).alias("c"),
+            F.round(F.avg("value"), 6).alias("av"),
+            F.countDistinct("user_id").alias("u"),
+        )
+        .orderBy(F.desc("c"), "region")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_phrase_user_ndv",
+    oracle="""
+SELECT event_type, count(DISTINCT user_id) AS u FROM events
+WHERE event_type <> '' GROUP BY event_type ORDER BY u DESC, event_type LIMIT 10
+""",
+)
+def cb_phrase_user_ndv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q14 shape (queries.sql:31): non-empty string key, NDV of
+    users per key, top-10 by the NDV."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter(F.col("event_type") != "")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("u"))
+        .orderBy(F.desc("u"), "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_user_phrase_bare_count",
+    oracle="""
+SELECT user_id, event_type, count(*) AS c FROM events
+GROUP BY user_id, event_type ORDER BY c DESC, user_id, event_type LIMIT 10
+""",
+)
+def cb_user_phrase_bare_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q17 shape (queries.sql:34): two-key (near-unique x
+    low-card) group count ordered by the bare COUNT(*) expression."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy("user_id", "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "user_id", "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_wide_row_topn",
+    oracle="""
+SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS tss, user_id,
+       event_type, round(value, 6) AS v, props
+FROM events WHERE props LIKE '%"k"%'
+ORDER BY ts, event_id LIMIT 10
+""",
+)
+def cb_wide_row_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q24 shape (queries.sql:41): SELECT * under a substring
+    filter, ordered by time, LIMIT 10 — TakeOrderedAndProject carries the
+    full row width through the top-N heap instead of a global sort."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter(F.col("props").contains('"k"'))
+        .select(
+            "event_id",
+            F.date_format("ts", "yyyy-MM-dd HH:mm:ss.SSSSSS").alias("tss"),
+            "user_id",
+            "event_type",
+            F.round("value", 6).alias("v"),
+            "props",
+        )
+        .orderBy("tss", "event_id")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_const_key_group",
+    oracle="""
+SELECT 1 AS one, event_type, count(*) AS c FROM events
+GROUP BY 1, event_type ORDER BY c DESC, event_type LIMIT 10
+""",
+)
+def cb_const_key_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q35 shape (queries.sql:52): a constant grouping key
+    alongside a real one (GROUP BY 1, URL) — the literal folds away, the
+    plan groups only on the live key."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.groupBy(F.lit(1).alias("one"), "event_type")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .orderBy(F.desc("c"), "event_type")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_dated_topk_offset",
+    oracle="""
+SELECT event_type, count(*) AS pv FROM events
+WHERE ts >= '2024-01-02' AND ts < '2024-01-05'
+  AND value > 0.1 AND user_id % 2 = 0 AND event_type <> ''
+GROUP BY event_type ORDER BY pv DESC, event_type LIMIT 5 OFFSET 2
+""",
+)
+def cb_dated_topk_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q37-39 shape (queries.sql:54-56): date-window + flag
+    filters, grouped pageview top-k read at an OFFSET page — the offset
+    evaluates after the global top-(k+offset) heap, not a full sort."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter(
+            (F.col("ts") >= "2024-01-02")
+            & (F.col("ts") < "2024-01-05")
+            & (F.col("value") > 0.1)
+            & (F.col("user_id") % 2 == 0)
+            & (F.col("event_type") != "")
+        )
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .orderBy(F.desc("pv"), "event_type")
+        .offset(2)
+        .limit(5)
+    )
+
+
+@query(
+    "cb_case_src_dst",
+    oracle="""
+SELECT doc_id % 5 AS src_kind,
+       CASE WHEN doc_id % 5 = 0 THEN source ELSE '' END AS src,
+       lang AS dst, count(*) AS pv
+FROM documents
+GROUP BY doc_id % 5, CASE WHEN doc_id % 5 = 0 THEN source ELSE '' END, lang
+ORDER BY pv DESC, src_kind, src, dst LIMIT 10 OFFSET 5
+""",
+)
+def cb_case_src_dst(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q40 shape (queries.sql:57): a CASE-derived grouping
+    column (traffic source attribution) grouped with raw keys, paged
+    output. documents.doc_id stands in for the user key."""
+    docs = load_tables(spark, sf_dir)["documents"]
+    kind = (F.col("doc_id") % 5).alias("src_kind")
+    src = F.when(F.col("doc_id") % 5 == 0, F.col("source")).otherwise(
+        F.lit("")
+    )
+    return (
+        docs.groupBy(kind, src.alias("src"), F.col("lang").alias("dst"))
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .orderBy(F.desc("pv"), "src_kind", "src", "dst")
+        .offset(5)
+        .limit(10)
+    )
+
+
+@query(
+    "cb_inlist_point",
+    oracle="""
+SELECT CAST(ts AS DATE) AS d, count(*) AS pv FROM events
+WHERE user_id % 7 IN (1, 6)
+  AND (user_id * 2654435761) % 1000 < 40
+GROUP BY CAST(ts AS DATE) ORDER BY pv DESC, d LIMIT 10
+""",
+)
+def cb_inlist_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q41 shape (queries.sql:58): IN-list + hash-point
+    predicates (TraficSourceID IN (-1,6) AND RefererHash = const) over a
+    dated group — both predicates push to the scan; Knuth-multiplicative
+    arithmetic stands in for the stored hash column."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter(
+            (F.col("user_id") % 7).isin(1, 6)
+            & ((F.col("user_id") * 2654435761) % 1000 < 40)
+        )
+        .groupBy(F.col("ts").cast("date").alias("d"))
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .orderBy(F.desc("pv"), "d")
+        .limit(10)
+    )
+
+
+@query(
+    "cb_minute_fmt_offset",
+    oracle="""
+SELECT strftime(ts, '%Y-%m-%d %H:%M:00') AS m, count(*) AS pv FROM events
+WHERE ts >= '2024-01-02' AND ts < '2024-01-03'
+GROUP BY strftime(ts, '%Y-%m-%d %H:%M:00') ORDER BY m LIMIT 10 OFFSET 100
+""",
+)
+def cb_minute_fmt_offset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickBench Q42 shape (queries.sql:60): DATE_FORMAT minute buckets,
+    grouped AND ordered by the formatted string, paged with OFFSET."""
+    ev = load_tables(spark, sf_dir)["events"]
+    return (
+        ev.filter((F.col("ts") >= "2024-01-02") & (F.col("ts") < "2024-01-03"))
+        .groupBy(
+            F.date_format("ts", "yyyy-MM-dd HH:mm:00").alias("m")
+        )
+        .agg(F.count(F.lit(1)).alias("pv"))
+        .orderBy("m")
+        .offset(100)
+        .limit(10)
+    )
