@@ -24,6 +24,7 @@ from __future__ import annotations
 
 import ipaddress
 import json
+import re
 import secrets
 import time
 import unicodedata
@@ -1189,4 +1190,79 @@ def register_apn_helper(spark: SparkSession) -> int:
         return s.map(f)
 
     spark.udf.register("__apn_encode", pandas_udf(_apn_encode, "string"))
+    return 1
+
+
+def register_crc32_internal(spark: SparkSession) -> int:
+    """Doris crc32_internal: zlib crc32 chained over the arguments'
+    INTERNAL value layouts (be/src/exprs/function/function_string_misc.cpp
+    FunctionCrc32Internal -> util/raw_value.h RawValue::zlib_crc32):
+    integers little-endian at their storage width, float/double IEEE bytes,
+    DATEV2 packed (y<<9|m<<5|d) uint32, DATETIMEV2 packed uint64 with a
+    20-bit microsecond field, decimals as little-endian unscaled ints at
+    the DECIMAL32/64/128 width, strings utf-8 bytes, NULL as a 4-byte zero
+    (HashUtil::zlib_crc_hash_null). The macro layer passes each argument
+    as (CAST(x AS STRING), typeof(x)) pairs so one UDF serves every type;
+    the string forms round-trip losslessly for all supported layouts."""
+    import struct
+    import zlib
+    from decimal import Decimal
+
+    _dec_t = re.compile(r"decimal\((\d+),\s*(\d+)\)")
+
+    def _enc(v: str, t: str) -> bytes:
+        t = t.lower()
+        if t == "tinyint":
+            return struct.pack("<b", int(v))
+        if t == "smallint":
+            return struct.pack("<h", int(v))
+        if t == "int":
+            return struct.pack("<i", int(v))
+        if t == "bigint":
+            return struct.pack("<q", int(v))
+        if t == "boolean":
+            return struct.pack("<b", 1 if v == "true" else 0)
+        if t == "float":
+            import numpy as np
+
+            return np.float32(v).tobytes()
+        if t == "double":
+            return struct.pack("<d", float(v))
+        m = _dec_t.match(t)
+        if m:
+            p, sc = int(m.group(1)), int(m.group(2))
+            unscaled = int(Decimal(v).scaleb(sc))
+            width = 4 if p <= 9 else 8 if p <= 18 else 16
+            return unscaled.to_bytes(width, "little", signed=True)
+        if t == "date":
+            y, mo, d = int(v[0:4]), int(v[5:7]), int(v[8:10])
+            return struct.pack("<I", (y << 9) | (mo << 5) | d)
+        if t.startswith("timestamp"):
+            y, mo, d = int(v[0:4]), int(v[5:7]), int(v[8:10])
+            h = int(v[11:13]) if len(v) > 12 else 0
+            mi = int(v[14:16]) if len(v) > 15 else 0
+            sec = int(v[17:19]) if len(v) > 18 else 0
+            us = int((v[20:26] + "000000")[:6]) if len(v) > 19 else 0
+            packed = (
+                (((((y << 4 | mo) << 5 | d) << 5 | h) << 6 | mi) << 6 | sec)
+                << 20
+            ) | us
+            return struct.pack("<Q", packed)
+        return v.encode("utf-8")
+
+    def _crc32_internal(vals: pd.Series, typs: pd.Series) -> pd.Series:
+        out = []
+        for vlist, tlist in zip(vals, typs):
+            h = 0
+            for v, t in zip(vlist, tlist):
+                if v is None:
+                    h = zlib.crc32(b"\x00\x00\x00\x00", h)
+                else:
+                    h = zlib.crc32(_enc(v, t), h)
+            out.append(h)
+        return pd.Series(out, dtype="int64")
+
+    spark.udf.register(
+        "__crc32_internal", pandas_udf(_crc32_internal, "bigint")
+    )
     return 1

@@ -584,6 +584,7 @@ def register_all(spark: SparkSession) -> int:
     # __apn_encode must exist before registry_ext: SQL UDF bodies are
     # analyzed at CREATE time (auto_partition_name references it)
     n += pyfns.register_apn_helper(spark)
+    n += pyfns.register_crc32_internal(spark)
     n += registry_ext.register_all(spark)
     n += pyfns.register(spark)
     n += geo2.register(spark)

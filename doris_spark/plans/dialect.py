@@ -517,12 +517,69 @@ def dialect(sql: str) -> str:
     )
     s = re.sub(r"\bAS\s+IPV[46]\b", "AS STRING", s, flags=re.I)
     s = re.sub(r"<\s*IPV[46]\s*>", "<STRING>", s, flags=re.I)
-    # Doris map literal {'k': v, ...} / {"k": v, ...} -> map('k', v, ...)
-    # (innermost-first so nested maps resolve). Quote-aware: a JSON text
-    # literal '{"a": 1}' must stay a string.
-    _ml = re.compile(
-        r"\{\s*(['\"][^'\"]*['\"]\s*:\s*[^,{}]+(?:\s*,\s*['\"][^'\"]*['\"]\s*:\s*[^,{}]+)*)\s*\}"
-    )
+    # Doris brace literals -> constructor calls (recursive, quote-aware):
+    #   {'k': v, ...} map literal      -> map('k', v, ...)
+    #   {v1, v2, ...} struct literal   -> struct(v1, v2, ...)
+    # (fe-core StructLiteral/MapLiteral; regression suites insert structs
+    # as positional brace lists, e.g. correctness_p0/test_struct_order_by).
+    # A JSON text literal '{"a": 1}' is inside quotes and must stay text.
+    def _split_brace_items(body: str) -> list[str] | None:
+        items, cur, depth, in_str = [], [], 0, None
+        for c in body:
+            if in_str:
+                cur.append(c)
+                if c == in_str:
+                    in_str = None
+                continue
+            if c in ("'", '"'):
+                in_str = c
+            elif c in "([{":
+                depth += 1
+            elif c in ")]}":
+                depth -= 1
+            elif c == "," and depth == 0:
+                items.append("".join(cur).strip())
+                cur = []
+                continue
+            cur.append(c)
+        if in_str or depth != 0:
+            return None
+        items.append("".join(cur).strip())
+        return items
+
+    def _split_map_entry(item: str) -> tuple[str, str] | None:
+        """Split `key : value` at the single top-level colon, or None."""
+        depth, in_str = 0, None
+        for i, c in enumerate(item):
+            if in_str:
+                if c == in_str:
+                    in_str = None
+            elif c in ("'", '"'):
+                in_str = c
+            elif c in "([{":
+                depth += 1
+            elif c in ")]}":
+                depth -= 1
+            elif c == ":" and depth == 0:
+                return item[:i].strip(), item[i + 1 :].strip()
+        return None
+
+    def _convert_brace_literal(span: str) -> str:
+        """span is `{...}` (balanced); convert or return unchanged."""
+        body = span[1:-1].strip()
+        if not body:
+            return "map()"
+        items = _split_brace_items(body)
+        if items is None or any(not it for it in items):
+            return span
+        conv = [_convert_maps(it) for it in items]
+        entries = [_split_map_entry(it) for it in conv]
+        if all(e is not None for e in entries):
+            kv = ", ".join(f"{k}, {v}" for k, v in entries)
+            return f"map({kv})"
+        if all(e is None for e in entries):
+            return f"struct({', '.join(conv)})"
+        return span
 
     def _convert_maps(text: str) -> str:
         # find top-level {..} spans that are OUTSIDE string literals
@@ -557,19 +614,10 @@ def dialect(sql: str) -> str:
                         if depth == 0:
                             break
                     j += 1
-                span = text[i : j + 1]
-                converted = span
-                while True:
-                    s2 = _ml.sub(
-                        lambda m: "map("
-                        + re.sub(r"(['\"][^'\"]*['\"])\s*:", r"\1,", m.group(1))
-                        + ")",
-                        converted,
-                    )
-                    if s2 == converted:
-                        break
-                    converted = s2
-                out.append(converted)
+                if j >= n:
+                    out.append(text[i:])
+                    break
+                out.append(_convert_brace_literal(text[i : j + 1]))
                 i = j + 1
                 continue
             out.append(c)

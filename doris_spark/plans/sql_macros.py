@@ -173,6 +173,24 @@ def _bit_test_macro(args: Sequence[str]) -> str:
 MACROS: dict[str, Macro] = {
     # ---- plain renames (BuiltinAggregateFunctions.java name -> Spark)
     "ndv": _rename("approx_count_distinct"),
+    # variadic crc32 over the arguments' internal value layouts — the
+    # pandas kernel (pyfns.register_crc32_internal) dispatches on
+    # typeof(); Spark DATE/TIMESTAMP hash as Doris's modern DATEV2/
+    # DATETIMEV2 packed forms (V1 callers cast to STRING first)
+    # Doris positive/negative signatures are BIGINT/DOUBLE/DECIMAL only
+    # (nereids .../scalar/Positive.java SIGNATURES) — integer inputs
+    # promote to BIGINT; `+ 0L` reproduces that promotion in Spark while
+    # leaving double/decimal unchanged (observable through typeof and
+    # crc32_internal's width-sensitive hashing)
+    "positive": lambda args: f"(({args[0]}) + 0L)",
+    "negative": lambda args: f"(-(({args[0]}) + 0L))",
+    "crc32_internal": lambda args: (
+        "__crc32_internal(array("
+        + ", ".join(f"CAST({a} AS STRING)" for a in args)
+        + "), array("
+        + ", ".join(f"typeof({a})" for a in args)
+        + "))"
+    ),
     # Doris `any` IS any_value (Spark's `any` is bool_or)
     "any": _rename("any_value"),
     "group_array": _rename("collect_list"),

@@ -29,7 +29,7 @@ DATA_DIR = "/root/reference/regression-test/data/doc/sql-manual/sql-functions"
 SUITES = ["numeric", "string", "date", "json", "array", "bitmap", "ai_distance"]
 
 _QT = re.compile(
-    r"(?:(order_qt_|qt_)([A-Za-z0-9_]+)\s+|\bsql\s*\(?\s*)"
+    r"(?:(order_qt_|qt_)([A-Za-z0-9_]+)\s*|\bsql\s*\(?\s*)"
     r"(?:'''(.*?)'''|\"\"\"(.*?)\"\"\"|\"([^\"\n]*)\"|'([^'\n]*)')",
     re.S,
 )
@@ -546,7 +546,8 @@ def _cell_matches(exp: str, got) -> bool:
 
 _SETUP_OK = re.compile(
     r"^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|TRUNCATE|ALTER\s+TABLE"
-    r"|CREATE\s+(OR\s+REPLACE\s+)?VIEW|DROP\s+VIEW|SET\s+lc_time_names)",
+    r"|CREATE\s+(OR\s+REPLACE\s+)?VIEW|DROP\s+VIEW|SET\s+lc_time_names"
+    r"|DELETE\s+FROM|UPDATE\s)",
     re.I,
 )
 
@@ -744,7 +745,12 @@ def _agg_remerge(eng, name: str) -> None:
     """AGG_KEYS re-merge after INSERT: rows sharing the key collapse per
     the column aggregate types (reference data_model semantics)."""
     meta = _TABLE_META.get(name.lower())
-    if not meta or meta.get("model") != "aggregate" or not meta.get("aggs"):
+    if not meta or not meta.get("keys"):
+        return
+    model = meta.get("model")
+    if model == "aggregate" and not meta.get("aggs"):
+        return
+    if model not in ("aggregate", "unique"):
         return
     sp = eng.spark
     tdf = sp.table(name)
@@ -753,13 +759,54 @@ def _agg_remerge(eng, name: str) -> None:
     for c in tdf.columns:
         if c.lower() in keys:
             sel.append(f"`{c}`")
+        elif model == "unique":
+            # UNIQUE KEY upsert: last write wins (scan order = insert
+            # order; setup inserts are coalesced to one file each)
+            sel.append(_AGG_EXPRS["replace"].format(c=c) + f" AS `{c}`")
         else:
             fn = meta["aggs"].get(c.lower(), "replace")
             sel.append(
                 _AGG_EXPRS.get(fn, "max(`{c}`)").format(c=c) + f" AS `{c}`"
             )
     gb = ", ".join(f"`{c}`" for c in tdf.columns if c.lower() in keys)
-    merged = sp.sql(f"SELECT {', '.join(sel)} FROM {name} GROUP BY {gb}")
+    if model == "unique":
+        # no duplicate keys -> leave the table untouched (preserves the
+        # insert-order positional semantics other suites rely on)
+        dup = sp.sql(
+            f"SELECT 1 FROM {name} GROUP BY {gb} HAVING count(*) > 1 LIMIT 1"
+        )
+        if not dup.take(1):
+            return
+        # last-write-wins: parquet scan order is NOT insert order across
+        # files (Spark orders splits by size) — rank by the file's
+        # modification time (each setup INSERT coalesces to one file),
+        # then by in-file position
+        keycols = [c for c in tdf.columns if c.lower() in keys]
+        from pyspark.sql import Window
+        from pyspark.sql import functions as SF
+
+        w = Window.partitionBy(*keycols).orderBy(
+            SF.col("__mt").desc(), SF.col("__mid").desc()
+        )
+        merged = (
+            sp.table(name)
+            .withColumn("__mt", SF.col("_metadata.file_modification_time"))
+            .withColumn("__mid", SF.monotonically_increasing_id())
+            .withColumn("__rn", SF.row_number().over(w))
+            .filter("__rn = 1")
+            .drop("__mt", "__mid", "__rn")
+            .orderBy(*keycols)
+        )
+        rows = merged.collect()
+        sp.createDataFrame(rows, tdf.schema).coalesce(1).write.insertInto(
+            name, overwrite=True
+        )
+        return
+    # Doris key-model storage is key-sorted: rewrite in key order so a
+    # later unordered SELECT scans rows the way the reference returns them
+    merged = sp.sql(
+        f"SELECT {', '.join(sel)} FROM {name} GROUP BY {gb} ORDER BY {gb}"
+    )
     rows = merged.collect()
     sp.createDataFrame(rows, tdf.schema).coalesce(1).write.insertInto(
         name, overwrite=True
@@ -911,6 +958,25 @@ def run_setup(eng, sql: str) -> None:
         return
     if re.match(r"\s*DROP\s+TABLE", sql, re.I):
         eng.spark.sql(re.sub(r"\bFORCE\b", "", sql, flags=re.I))
+        return
+    dlm = re.match(
+        r"\s*DELETE\s+FROM\s+`?(\w+)`?\s+WHERE\s+(.*?)\s*;?\s*$",
+        sql, re.I | re.S,
+    )
+    if dlm and dlm.group(1).lower() in _TABLE_META:
+        # setup DELETE: snapshot-rewrite the backing parquet (suite
+        # tables are tiny; same path as the qt-checked DELETE branch)
+        t, pred = dlm.group(1), dialect(dlm.group(2))
+        df = eng.spark.table(t).filter(f"NOT coalesce({pred}, false)")
+        rows = df.collect()
+        eng.spark.createDataFrame(
+            rows, eng.spark.table(t).schema
+        ).coalesce(1).write.insertInto(t, overwrite=True)
+        return
+    um = re.match(r"\s*UPDATE\s", sql, re.I)
+    if um:
+        # setup UPDATE: the engine's DML path handles snapshot rewrite
+        eng.sql(sql)
         return
     am = re.match(
         r"\s*ALTER\s+TABLE\s+`?(\w+)`?\s+MODIFY\s+COLUMN\s+`?(\w+)`?\s+(.+?)\s*;?\s*$",
@@ -1823,8 +1889,99 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
     for row, exp_line in zip(rows, expected):
         ok, why = _row_matches(row, exp_line)
         if not ok:
+            # rows tied on every ORDER BY key may legally come out in
+            # either engine order — retry comparing tie groups as
+            # multisets (group = consecutive golden lines equal on the
+            # resolved key columns); cross-group order stays strict
+            keys = _order_key_indices(sql, rows)
+            if keys is not None and _tie_grouped_match(rows, expected, keys):
+                return True, ""
             return False, why
     return True, ""
+
+
+def _order_key_indices(sql: str, rows) -> list[int] | None:
+    """Column indices of the outermost ORDER BY keys, or None when any
+    key is an expression that doesn't name an output column."""
+    if not rows:
+        return None
+    # find the LAST "ORDER BY" at paren depth 0 outside string literals
+    depth, in_q, pos = 0, None, None
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if in_q:
+            if c == in_q:
+                in_q = None
+        elif c in ("'", '"'):
+            in_q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and sql[i : i + 5].upper() == "ORDER" and (
+            i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+        ):
+            m = re.match(r"ORDER\s+BY\b", sql[i:], re.I)
+            if m:
+                pos = i + m.end()
+        i += 1
+    if pos is None:
+        return None
+    tail = re.split(r"\bLIMIT\b", sql[pos:], flags=re.I)[0]
+    names = [f.lower() for f in rows[0].__fields__]
+    out = []
+    for item in tail.split(","):
+        key = re.sub(
+            r"\s+(ASC|DESC|NULLS\s+(FIRST|LAST))\s*$", "", item.strip(),
+            flags=re.I,
+        )
+        key = re.sub(
+            r"\s+(ASC|DESC)\s*$", "", key.strip(), flags=re.I
+        ).strip().strip("`;").strip()
+        if re.fullmatch(r"\d+", key):
+            idx = int(key) - 1
+            if not (0 <= idx < len(names)):
+                return None
+            out.append(idx)
+            continue
+        bare = key.split(".")[-1].strip("`").lower()
+        if bare in names:
+            out.append(names.index(bare))
+        else:
+            return None
+    return out or None
+
+
+def _tie_grouped_match(rows, expected: list[str], keys: list[int]) -> bool:
+    """Positional compare where consecutive golden lines equal on the key
+    fields form a group matched as a multiset."""
+    groups: list[list[str]] = []
+    prev_key = object()
+    for line in expected:
+        fields = line.split("\t")
+        k = tuple(fields[i] if i < len(fields) else None for i in keys)
+        if groups and k == prev_key:
+            groups[-1].append(line)
+        else:
+            groups.append([line])
+            prev_key = k
+    at = 0
+    for grp in groups:
+        cand = rows[at : at + len(grp)]
+        remaining = list(cand)
+        for exp_line in grp:
+            hit = None
+            for i, row in enumerate(remaining):
+                ok, _ = _row_matches(row, exp_line)
+                if ok:
+                    hit = i
+                    break
+            if hit is None:
+                return False
+            remaining.pop(hit)
+        at += len(grp)
+    return True
 
 
 
@@ -1860,6 +2017,57 @@ def _widen_int_literals(sql: str) -> str:
     return "".join(out)
 
 
+def _crc32_v1_rewrite(sql: str) -> str:
+    """crc32_internal over DATEV1/DATETIMEV1 columns hashes the RENDERED
+    string (util/raw_value.h TYPE_DATE/TYPE_DATETIME -> to_buffer), while
+    the engine's Spark DATE/TIMESTAMP default to the packed V2 layouts —
+    cast declared-V1 columns to STRING inside crc32_internal calls."""
+    if "crc32_internal" not in sql.lower():
+        return sql
+    v1cols = {
+        c.lower()
+        for tname, meta in _TABLE_META.items()
+        if re.search(rf"\b{re.escape(tname)}\b", sql, re.I)
+        for c, t, _nn in meta["cols"]
+        if t in ("datev1", "datetimev1")
+    }
+    if not v1cols:
+        return sql
+    out, pos = [], 0
+    for m in re.finditer(r"\bcrc32_internal\s*\(", sql, re.I):
+        start = m.end() - 1
+        if start < pos:
+            continue
+        depth, j, in_q = 0, start, None
+        while j < len(sql):
+            c = sql[j]
+            if in_q:
+                if c == in_q:
+                    in_q = None
+            elif c in ("'", '"'):
+                in_q = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            j += 1
+        span = sql[start : j + 1]
+        span = re.sub(
+            r"\b([A-Za-z_]\w*)\b(?!\s*\()",
+            lambda im: f"CAST({im.group(1)} AS STRING)"
+            if im.group(1).lower() in v1cols
+            else im.group(1),
+            span,
+        )
+        out.append(sql[pos : start])
+        out.append(span)
+        pos = j + 1
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
     """_run_case_raw plus the FE tz-literal conversion retry (see above):
     only consulted when the plain run fails AND the statement touches a
@@ -1867,7 +2075,7 @@ def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
     case can regress."""
     applicable = bool(_TZLIT.search(sql) or _PLAIN_ANCIENT.search(sql))
     td_applicable = bool(re.search(r"\btimediff\s*\(", sql, re.I))
-    sql = _widen_int_literals(sql)
+    sql = _widen_int_literals(_crc32_v1_rewrite(sql))
     try:
         ok, why = _run_case_raw(eng, sql, expected, ordered)
         if ok or not (applicable or td_applicable):
