@@ -56,7 +56,9 @@ class Geom:
 
 
 def _fmt_num(v: float) -> str:
-    return repr(int(v)) if float(v).is_integer() else repr(float(v))
+    # BE WKT rendering uses 15 significant digits
+    # (geo_types.cpp:73 std::setprecision(15))
+    return repr(int(v)) if float(v).is_integer() else f"{float(v):.15g}"
 
 
 def _fmt_pts(pts) -> str:
@@ -593,3 +595,13 @@ def register(spark: SparkSession) -> int:
     )
     n += 1
     return n
+
+
+def register_helpers(spark: SparkSession) -> int:
+    """Helpers the registry's SQL-UDF bodies reference at CREATE time."""
+
+    def _wkt_num(s: pd.Series) -> pd.Series:
+        return s.map(lambda v: None if v is None else _fmt_num(v))
+
+    spark.udf.register("__wkt_num", pandas_udf(_wkt_num, "string"))
+    return 1

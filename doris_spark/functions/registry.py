@@ -447,7 +447,9 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     "st_y": ("p STRUCT<x: DOUBLE, y: DOUBLE>", "p.y"),
     "st_astext": (
         "p STRUCT<x: DOUBLE, y: DOUBLE>",
-        "'POINT (' || CAST(p.x AS STRING) || ' ' || CAST(p.y AS STRING) || ')'",
+        # BE renders WKT coordinates at 15 significant digits
+        # (geo_types.cpp:73 std::setprecision(15))
+        "'POINT (' || __wkt_num(p.x) || ' ' || __wkt_num(p.y) || ')'",
     ),
     "st_distance_sphere": (
         "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE",
@@ -564,6 +566,10 @@ def register_all(spark: SparkSession) -> int:
     # MySQL datetime kernel first: str_to_date/time_format bodies below
     # reference __mysql_strptime/__mysql_strftime at analysis time.
     n = _pyfns.register_mysql_datetime(spark)
+    from doris_spark.functions import geo2 as _geo2
+
+    # __wkt_num before the SQL loop: st_astext's body references it
+    n += _geo2.register_helpers(spark)
     for name, (params, body) in DORIS_SQL_FUNCTIONS.items():
         body = clamp_datetime_domain(name, body)
         spark.sql(f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({params}) RETURN {body}")

@@ -361,11 +361,90 @@ def _group_by_dirs(s: str) -> str:
     return s
 
 
+def _quote_unicode_idents(s: str) -> str:
+    """Doris accepts unquoted non-ASCII identifiers (列名); Spark requires
+    backticks — add them, outside string literals and existing backticks."""
+    out, i, n, in_q = [], 0, len(s), None
+    ident = re.compile(r"[A-Za-z_0-9\u0080-\uffff]+")
+    while i < n:
+        c = s[i]
+        if in_q:
+            out.append(c)
+            if c == in_q:
+                in_q = None
+            i += 1
+            continue
+        if c in ("'", '"', "`"):
+            in_q = c
+            out.append(c)
+            i += 1
+            continue
+        m = ident.match(s, i)
+        if m:
+            tok = m.group(0)
+            if any(ord(ch) > 127 for ch in tok):
+                out.append(f"`{tok}`")
+            else:
+                out.append(tok)
+            i = m.end()
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def dialect(sql: str) -> str:
     """MySQL/Doris spellings -> Spark SQL (the FE's dialect layer)."""
+    if any(ord(ch) > 127 for ch in sql):
+        sql = _quote_unicode_idents(sql)
     # dotted/slashed date literals ('2024.12.12') — normalize BEFORE the
     # cast rewrites so AS DATETIME forms see a parseable literal
     sql = _DOTTED_DATELIT.sub(_norm_dotted_datelit, sql)
+    # MySQL LIMIT offset,count -> LIMIT count OFFSET offset
+    sql = re.sub(
+        r"\bLIMIT\s+(\d+)\s*,\s*(\d+)",
+        r"LIMIT \2 OFFSET \1",
+        sql,
+        flags=re.I,
+    )
+    # Doris join distribution hints `join [shuffle|broadcast|colocate|
+    # bucket] t` are execution knobs, not semantics
+    sql = re.sub(
+        r"(\bJOIN\s*)\[\s*(shuffle|broadcast|colocate|bucket)\s*\]",
+        r"\1",
+        sql,
+        flags=re.I,
+    )
+    # Doris tolerates whitespace around the qualifier dot (alias1 . col)
+    sql = re.sub(r"(?<=[\w`])[ \t]+\.[ \t]*(?=[\w`])", ".", sql)
+    # date/datetime literal cast to a numeric type reads as the packed
+    # digit form (19700506); Spark's cast would yield NULL
+    def _date_numcast(m: re.Match) -> str:
+        digits = re.sub(r"\D", "", m.group(2))
+        if m.group(1).upper() == "TIMESTAMP" or len(digits) > 8:
+            digits = (digits + "00000000000000")[:14]
+        return f"CAST({digits} AS {m.group(3)})"
+
+    sql = re.sub(
+        r"CAST\s*\(\s*(DATE|TIMESTAMP)\s*'([^']*)'\s+AS\s+"
+        r"(FLOAT|DOUBLE|INT|INTEGER|BIGINT|SMALLINT|LARGEINT|DECIMAL[^)]*)\)",
+        _date_numcast,
+        sql,
+        flags=re.I,
+    )
+    # MySQL/Doris treat year 0 as NON-leap: '0000-02-29' is invalid ->
+    # NULL (proleptic Gregorian — Spark's calendar — has it as a valid
+    # leap day, and the year-0 result would break Python rendering)
+    sql = re.sub(
+        r"CAST\s*\(\s*'0000-02-29[^']*'\s*AS\s+"
+        r"(DATE(?:V[12])?|DATETIME(?:V[12])?\s*(?:\(\s*\d\s*\))?)\s*\)",
+        lambda m: "CAST(NULL AS "
+        + ("DATE" if m.group(1).upper().startswith("DATE") and not
+           m.group(1).upper().startswith("DATETIME") else "TIMESTAMP")
+        + ")",
+        sql,
+        flags=re.I,
+    )
     sql = _timediff_scale(sql)
     s = _cast_time_dt0(sql)
     # hour/minute/second/microsecond over the TIME shim route to the
@@ -488,10 +567,32 @@ def dialect(sql: str) -> str:
     # ORDER BY after the HAVING clause (unless an explicit ORDER BY
     # already follows, which wins).
     s = _group_by_dirs(s)
+    # Doris evaluates a RANGE frame starting at CURRENT ROW from the
+    # PHYSICAL current row, not the first peer (pinned by
+    # correctness_p0/test_first_value_window: tied ORDER BY values get
+    # their own row's first_value) — Spark's standard RANGE would widen
+    # the frame to all peers, so spell it as the equivalent ROWS frame
+    s = re.sub(
+        r"\bRANGE(\s+BETWEEN\s+CURRENT\s+ROW\s+AND\s+UNBOUNDED\s+FOLLOWING)",
+        r"ROWS\1",
+        s,
+        flags=re.I,
+    )
+    # Doris first_value/last_value take the ignore-null flag as 0/1
+    # (BE window function signature); Spark wants a boolean literal
+    s = re.sub(
+        r"\b(first_value|last_value)\s*\(((?:[^(),']|'[^']*'|\([^()]*\))+),\s*(0|1|true|false)\s*\)",
+        lambda m: f"{m.group(1)}({m.group(2)}, "
+        + ("true" if m.group(3).lower() in ("1", "true") else "false")
+        + ")",
+        s,
+        flags=re.I,
+    )
     # lag/lead require an ordered window in Spark; Doris tolerates a
     # bare PARTITION BY (order = input order) — add a constant ordering
     s = re.sub(
-        r"\b((?:lag|lead)\s*\([^()]*\)\s+over\s*\()([^()]*)\)",
+        r"\b((?:lag|lead|row_number|rank|dense_rank|ntile)\s*\([^()]*\)"
+        r"\s+over\s*\()([^()]*)\)",
         lambda m: m.group(0)
         if re.search(r"order\s+by", m.group(2), re.I)
         else f"{m.group(1)}{m.group(2)} ORDER BY 1)",
@@ -803,8 +904,10 @@ def dialect(sql: str) -> str:
         )
 
     s = re.sub(
-        r"\bunix_timestamp\s*\(\s*('[^']*')\s*,\s*('[^']*%[^']*')\s*\)",
-        lambda m: _uts(f"str_to_date({m.group(1)}, {m.group(2)})"),
+        r"\bunix_timestamp\s*\(\s*"
+        r"((?:[^();',\"]|'[^']*'|\"[^\"]*\"|\((?:[^()']|'[^']*')*\))+?)"
+        r"\s*,\s*['\"]([^'\"]*%[^'\"]*)['\"]\s*\)",
+        lambda m: _uts(f"str_to_date({m.group(1)}, '{m.group(2)}')"),
         s,
         flags=re.I,
     )
@@ -822,7 +925,8 @@ def dialect(sql: str) -> str:
             cu = _COMPOSITE_UNITS.get(unit.upper())
             if cu is not None or (
                 unit.lower() in _DATE_UNITS_MICROS and unit.lower() != "day"
-            ) or re.match(r"^\s*'", expr) or expr.strip().upper() == "NULL":
+            ) or re.match(r"^\s*'", expr) or expr.strip().upper() == "NULL" \
+                    or re.match(r"^\s*concat\w*\s*\(", expr, re.I):
                 # a bare NULL operand must type as TIMESTAMP: NULL +
                 # INTERVAL yields an interval-typed column otherwise
                 # Doris coerces string datetime literals; Spark needs the
@@ -833,13 +937,13 @@ def dialect(sql: str) -> str:
         return repl
 
     s = re.sub(
-        r"\b(?:date_add|adddate|days_add)\s*\(\s*(.*?),\s*INTERVAL\s+(-?[\w.'\: ]+?)\s+(\w+)\s*\)",
+        r"\b(?:date_add|adddate|days_add)\s*\(\s*(.*?),\s*INTERVAL\s+([+-]?[\w.'\: ]+?)\s+(\w+)\s*\)",
         _interval_arith("+"),
         s,
         flags=re.I | re.S,
     )
     s = re.sub(
-        r"\b(?:date_sub|subdate|days_sub)\s*\(\s*(.*?),\s*INTERVAL\s+(-?[\w.'\: ]+?)\s+(\w+)\s*\)",
+        r"\b(?:date_sub|subdate|days_sub)\s*\(\s*(.*?),\s*INTERVAL\s+([+-]?[\w.'\: ]+?)\s+(\w+)\s*\)",
         _interval_arith("-"),
         s,
         flags=re.I | re.S,
@@ -866,8 +970,17 @@ def dialect(sql: str) -> str:
     # Java-pattern literals — no '%' — pass through untouched, as the
     # reference also accepts them. time_format is not rewritten: it
     # already IS the kernel.
+    # first-arg fragment: top-level commas/semicolons/parens excluded,
+    # quoted strings and two levels of nested calls allowed — keeps the
+    # match from swallowing text past the call's own closing paren
+    # (a CASE branch ending in `))` followed later by another quoted
+    # literal used to fuse two calls into one bad match)
+    _FMT_ARG = (
+        r"((?:[^();',]|'[^']*'|\((?:[^()']|'[^']*'"
+        r"|\((?:[^()']|'[^']*'|\([^()]*\))*\))*\))*?)"
+    )
     s = re.sub(
-        r"\bdate_format\s*\(([^;]*?),\s*'([^']*%[^']*)'\s*\)",
+        r"\bdate_format\s*\(" + _FMT_ARG + r",\s*'([^']*%[^']*)'\s*\)",
         lambda m: (
             "ltrim(__mysql_strftime("
             f"CASE WHEN typeof({m.group(1)}) IN "
@@ -879,7 +992,7 @@ def dialect(sql: str) -> str:
         flags=re.I | re.S,
     )
     s = re.sub(
-        r"\bfrom_unixtime\s*\(([^;]*?),\s*'([^']*%[^']*)'\s*\)",
+        r"\bfrom_unixtime\s*\(" + _FMT_ARG + r",\s*'([^']*%[^']*)'\s*\)",
         lambda m: f"__mysql_strftime(timestamp_seconds({m.group(1)}), '{m.group(2)}')",
         s,
         flags=re.I | re.S,
@@ -887,7 +1000,7 @@ def dialect(sql: str) -> str:
     # %-less format that is not a recognizable Java pattern: MySQL renders
     # its characters literally -> the kernel does too
     s = re.sub(
-        r"\bfrom_unixtime\s*\(([^;]*?),\s*'([^'%]*)'\s*\)",
+        r"\bfrom_unixtime\s*\(" + _FMT_ARG + r",\s*'([^'%]*)'\s*\)",
         lambda m: (
             f"__mysql_strftime(timestamp_seconds({m.group(1)}), '{m.group(2)}')"
             if not re.fullmatch(r"[yMdHhmsSaET\-/:., ]*", m.group(2))

@@ -182,6 +182,23 @@ MACROS: dict[str, Macro] = {
     # promote to BIGINT; `+ 0L` reproduces that promotion in Spark while
     # leaving double/decimal unchanged (observable through typeof and
     # crc32_internal's width-sensitive hashing)
+    # bitmap = sorted array<bigint> representation: to_array is the
+    # identity — inlined so LATERAL VIEW explode works (Spark bans SQL
+    # UDFs inside Generate)
+    "bitmap_to_array": lambda args: f"({args[0]})",
+    # 1-arg mask_first_n/mask_last_n mask the WHOLE string (reference
+    # function_string.cpp defaults n to the string length, unlike Hive's
+    # n=4); 2-arg forms resolve to the registered SQL UDFs
+    "mask_first_n": lambda args: (
+        f"mask({args[0]})"
+        if len(args) == 1
+        else f"mask_first_n({', '.join(args)})"
+    ),
+    "mask_last_n": lambda args: (
+        f"mask({args[0]})"
+        if len(args) == 1
+        else f"mask_last_n({', '.join(args)})"
+    ),
     "positive": lambda args: f"(({args[0]}) + 0L)",
     "negative": lambda args: f"(-(({args[0]}) + 0L))",
     "crc32_internal": lambda args: (
@@ -228,7 +245,21 @@ MACROS: dict[str, Macro] = {
     "multi_distinct_group_concat": _tpl("listagg(DISTINCT {0})"),
     "bool_xor": _tpl("(count_if({0}) % 2 = 1)"),
     "boolxor_agg": _tpl("(count_if({0}) % 2 = 1)"),
-    "avg_weighted": _tpl("(sum(({0}) * ({1})) / sum({1}))"),
+    # DISTINCT form dedups (value, weight) PAIRS before the weighted
+    # fold (FE distinct-agg semantics) — expressed as a collect_set of
+    # struct pairs so no extra grouping level is needed
+    "avg_weighted": lambda args: (
+        (
+            "(aggregate(collect_set(struct(({0}) AS x, ({1}) AS w)), "
+            "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.x * e.w) / "
+            "aggregate(collect_set(struct(({0}) AS x, ({1}) AS w)), "
+            "CAST(0.0 AS DOUBLE), (acc, e) -> acc + e.w))"
+        ).format(
+            re.sub(r"(?i)^\s*DISTINCT\s+", "", args[0]), args[1]
+        )
+        if re.match(r"(?i)\s*DISTINCT\s", args[0])
+        else f"(sum(({args[0]}) * ({args[1]})) / sum({args[1]}))"
+    ),
     "sem": _tpl("(stddev_samp({0}) / sqrt(count({0})))"),
     "bitmap_agg": _tpl("array_sort(collect_set(CAST({0} AS BIGINT)))"),
     "bitmap_union": _tpl("array_sort(array_distinct(flatten(collect_list({0}))))"),

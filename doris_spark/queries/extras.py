@@ -640,7 +640,7 @@ WITH pts AS (
   FROM customer WHERE c_custkey < 100
 )
 SELECT c_custkey,
-       'POINT (' || CAST(lon AS VARCHAR) || ' ' || CAST(lat AS VARCHAR) || ')' AS wkt,
+       'POINT (' || CAST(CAST(lon AS INTEGER) AS VARCHAR) || ' ' || CAST(CAST(lat AS INTEGER) AS VARCHAR) || ')' AS wkt,
        lon AS x, lat AS y,
        2 * 6371000.0 * asin(sqrt(
          pow(sin(radians(0.0 - lat) / 2), 2) +

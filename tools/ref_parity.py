@@ -121,6 +121,40 @@ def _unroll_each(src: str) -> str:
     return src
 
 
+def _unroll_while(src: str) -> str:
+    """Unroll `Integer i = a; ... while (i < bound) { BODY; i++ }` counting
+    loops (bound a literal or an `Integer name = N` variable)."""
+    ints = {
+        m.group(1): int(m.group(2))
+        for m in re.finditer(r"Integer\s+(\w+)\s*=\s*(-?\d+)", src)
+    }
+    pat = re.compile(r"while\s*\(\s*(\w+)\s*<\s*(\w+|\d+)\s*\)\s*\{")
+    while True:
+        m = pat.search(src)
+        if m is None:
+            return src
+        var, bound_tok = m.group(1), m.group(2)
+        bound = (
+            int(bound_tok) if bound_tok.isdigit() else ints.get(bound_tok)
+        )
+        start = ints.get(var)
+        depth, k = 0, m.end() - 1
+        while k < len(src):
+            if src[k] == "{":
+                depth += 1
+            elif src[k] == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if bound is None or start is None or k >= len(src):
+            return src
+        body = src[m.end() : k]
+        body = re.sub(r"\b\w+\s*\+\+\s*;?", "", body)
+        body = re.sub(r"\bsleep\s*\([^)]*\)\s*;?", "", body)
+        src = src[: m.start()] + body * max(0, bound - start) + src[k + 1 :]
+
+
 def _unroll_for(src: str) -> str:
     """Unroll groovy counting loops: `for (i in range(a, b))` (half-open)
     and `for (int i = a; i <= b; i++)` / `i < b`, substituting ${i}/$i."""
@@ -279,6 +313,7 @@ def parse_suite_files(groovy_path: str, out_path: str | None = None):
     src = _expand_closures(src)
     src = _unroll_each(src)
     src = _unroll_for(src)
+    src = _unroll_while(src)
     if "new File" in src:
         src = _inline_shared_sql(src)
     # groovy string interpolation: def name = "value" / def n = 123
@@ -547,6 +582,7 @@ def _cell_matches(exp: str, got) -> bool:
 _SETUP_OK = re.compile(
     r"^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|TRUNCATE|ALTER\s+TABLE"
     r"|CREATE\s+(OR\s+REPLACE\s+)?VIEW|DROP\s+VIEW|SET\s+lc_time_names"
+    r"|CREATE\s+MATERIALIZED\s+VIEW|DROP\s+MATERIALIZED\s+VIEW"
     r"|DELETE\s+FROM|UPDATE\s)",
     re.I,
 )
@@ -668,11 +704,11 @@ def translate_ddl(sql: str) -> str | None:
         typ = re.sub(r"\bQUANTILE_STATE\b", "BINARY", typ, flags=re.I)
         # MySQL integer display widths are cosmetic (INT(11), tinyint(4))
         typ = re.sub(
-            r"\b(TINYINT|SMALLINT|INT|INTEGER|BIGINT|LARGEINT)\s*\(\s*\d+\s*\)",
+            r"\b(TINYINT|SMALLINT|INT|INTEGER|BIGINT|LARGEINT|DATE)\s*\(\s*\d+\s*\)",
             r"\1", typ, flags=re.I,
         )
         typ = re.sub(r"\bDECIMALV[23]\b", "DECIMAL", typ, flags=re.I)
-        typ = re.sub(r"\bVARCHAR\s*\(\d+\)", "STRING", typ, flags=re.I)
+        typ = re.sub(r"\bVARCHAR\s*\((?:\d+|\*)\)", "STRING", typ, flags=re.I)
         typ = re.sub(r"\bCHAR\s*\(\d+\)", "STRING", typ, flags=re.I)
         typ = re.sub(r"\b(VAR)?CHAR\b(?!\s*\()", "STRING", typ, flags=re.I)
         typ = re.sub(r"\bTEXT\b", "STRING", typ, flags=re.I)
@@ -741,6 +777,31 @@ _AGG_EXPRS = {
 }
 
 
+def _dup_sort_batch(eng, name: str, df):
+    """DUP-model mem-table sort for ONE insert batch: key columns first,
+    remaining (orderable) columns as tie-break — the order Doris flushes
+    a segment in (pinned by test_first_value_window's array fixture,
+    where a within-load tie sorts by the value column)."""
+    meta = _TABLE_META.get(name.lower())
+    if not meta or meta.get("model") != "duplicate" or not meta.get("keys"):
+        return df
+    keys = meta["keys"]
+    tcols = eng.spark.table(name).columns
+    by_pos = dict(zip(df.columns, tcols))
+    keycols = [c for c in df.columns if by_pos.get(c, "").lower() in keys]
+    rest = [
+        c
+        for c, t in df.dtypes
+        if c not in keycols and not t.startswith("map<")
+    ]
+    if not keycols:
+        return df
+    try:
+        return df.orderBy(*(keycols + rest))
+    except Exception:
+        return df
+
+
 def _agg_remerge(eng, name: str) -> None:
     """AGG_KEYS re-merge after INSERT: rows sharing the key collapse per
     the column aggregate types (reference data_model semantics)."""
@@ -750,11 +811,16 @@ def _agg_remerge(eng, name: str) -> None:
     model = meta.get("model")
     if model == "aggregate" and not meta.get("aggs"):
         return
-    if model not in ("aggregate", "unique"):
+    if model not in ("aggregate", "unique", "duplicate"):
         return
     sp = eng.spark
     tdf = sp.table(name)
     keys = meta["keys"]
+    if model == "duplicate":
+        # handled per-batch at INSERT time (_dup_sort_batch): each load
+        # is key-sorted on its own, loads stay concatenated — matching
+        # the reference's per-memtable sort + segment append
+        return
     sel = []
     for c in tdf.columns:
         if c.lower() in keys:
@@ -929,7 +995,137 @@ def _stream_load(eng, spec: dict) -> None:
     _agg_remerge(eng, name)
 
 
+def _stringify_union_selects(sql: str) -> str:
+    """Wrap each top-level select-list item of every SELECT branch in
+    CAST(.. AS STRING), keeping aliases — used as a retry when Spark
+    refuses a UNION over branches the reference FE would coerce."""
+
+    def one_select(m: re.Match) -> str:
+        items, depth, in_q, cur = [], 0, None, []
+        body = m.group(2)
+        for ch in body:
+            if in_q:
+                cur.append(ch)
+                if ch == in_q:
+                    in_q = None
+                continue
+            if ch in ("'", '"'):
+                in_q = ch
+                cur.append(ch)
+            elif ch in "([":
+                depth += 1
+                cur.append(ch)
+            elif ch in ")]":
+                depth -= 1
+                cur.append(ch)
+            elif ch == "," and depth == 0:
+                items.append("".join(cur))
+                cur = []
+            else:
+                cur.append(ch)
+        items.append("".join(cur))
+        out = []
+        for it in items:
+            am = re.match(
+                r"^(.*?)(\s+as\s+`?\w+`?|\s+`?\w+`?)?\s*$", it, re.I | re.S
+            )
+            expr0, alias = am.group(1), am.group(2) or ""
+            # bare-identifier "alias" with no AS is really the expression
+            if not alias.strip().lower().startswith("as") and not expr0.strip():
+                expr0, alias = alias, ""
+            out.append(f"CAST(({expr0.strip()}) AS STRING){alias}")
+        return m.group(1) + ", ".join(out) + m.group(3)
+
+    return re.sub(
+        r"(\bselect\s+(?:distinct\s+)?)((?:[^()'\"]|'[^']*'|\"[^\"]*\"|\([^()]*\))*?)(\s+from\b)",
+        one_select,
+        sql,
+        flags=re.I | re.S,
+    )
+
+
+def _sub_value_defaults(
+    values: str, cols: list[str], defaults: dict[str, str]
+) -> str:
+    """Replace bare DEFAULT entries in a VALUES list with the column's
+    DDL default expression (NULL when none declared)."""
+    head_len = re.match(r"\s*VALUES", values, re.I).end()
+    out = [values[:head_len]]
+    depth, in_q, cur_item, idx = 0, None, [], 0
+
+    def flush_item():
+        nonlocal cur_item, idx
+        item = "".join(cur_item)
+        if item.strip().upper() == "DEFAULT":
+            c = cols[idx].lower() if idx < len(cols) else ""
+            item = defaults.get(c, "NULL")
+        cur_item = []
+        idx += 1
+        return item
+
+    for ch in values[head_len:]:
+        if in_q:
+            cur_item.append(ch)
+            if ch == in_q:
+                in_q = None
+            continue
+        if ch in ("'", '"'):
+            in_q = ch
+            cur_item.append(ch)
+        elif ch == "(":
+            depth += 1
+            if depth == 1:
+                out.append("(")
+                idx = 0
+            else:
+                cur_item.append(ch)
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                out.append(flush_item())
+                out.append(")")
+            else:
+                cur_item.append(ch)
+        elif ch == "," and depth == 1:
+            out.append(flush_item())
+            out.append(",")
+        elif depth >= 1:
+            cur_item.append(ch)
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _split_statements(sql: str) -> list[str]:
+    """Split a multi-statement block on top-level semicolons."""
+    parts, cur, in_q = [], [], None
+    for ch in sql:
+        if in_q:
+            cur.append(ch)
+            if ch == in_q:
+                in_q = None
+            continue
+        if ch in ("'", '"'):
+            in_q = ch
+            cur.append(ch)
+        elif ch == ";":
+            if "".join(cur).strip():
+                parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        parts.append("".join(cur))
+    return parts
+
+
 def run_setup(eng, sql: str) -> None:
+    if not sql.lstrip().startswith("__STREAM_LOAD__"):
+        parts = _split_statements(sql)
+        if len(parts) > 1:
+            for p in parts:
+                run_setup(eng, p)
+            return
     if sql.lstrip().startswith("__STREAM_LOAD__"):
         _stream_load(eng, json.loads(
             __import__("base64").b64decode(sql.strip()[len("__STREAM_LOAD__"):])
@@ -942,9 +1138,46 @@ def run_setup(eng, sql: str) -> None:
     # DECIMAL(38,0) scalar targets overflow the cast to NULL under the
     # LEGACY store policy, same as the previous NULL substitution.
     sql = _HUGE_INT.sub(lambda m: f"CAST('{m.group(0)}' AS DOUBLE)", sql)
+    mvm = re.match(
+        r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"`?(\w+)`?\b(.*?)\bAS\b\s*(SELECT.*)$",
+        sql, re.I | re.S,
+    )
+    if mvm:
+        # async MTMV (BUILD IMMEDIATE ...) — materialize once as a table;
+        # refresh scheduling is an execution knob the suites don't check
+        name = mvm.group(1)
+        eng.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+
+        shutil.rmtree(f"spark-warehouse/{name.lower()}", ignore_errors=True)
+        eng.sql(mvm.group(3)).write.saveAsTable(name)
+        return
+    if re.match(r"\s*DROP\s+MATERIALIZED\s+VIEW", sql, re.I):
+        dmv = re.match(
+            r"\s*DROP\s+MATERIALIZED\s+VIEW\s+(?:IF\s+EXISTS\s+)?`?(\w+)`?\s*(;|$)",
+            sql, re.I | re.S,
+        )
+        if dmv:  # the `... ON table` sync form is a no-op here
+            eng.spark.sql(f"DROP TABLE IF EXISTS {dmv.group(1)}")
+        return
     if re.match(r"\s*CREATE\s+TABLE", sql, re.I):
         t = translate_ddl(sql)
         if t is None:
+            ctm = re.match(
+                r"\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*"
+                r"(?:PROPERTIES\s*\([^)]*\)\s*)?AS\b\s*(.*)$",
+                sql, re.I | re.S,
+            )
+            if ctm:
+                name = ctm.group(1)
+                eng.spark.sql(f"DROP TABLE IF EXISTS {name}")
+                import shutil
+
+                shutil.rmtree(
+                    f"spark-warehouse/{name.lower()}", ignore_errors=True
+                )
+                eng.sql(ctm.group(2)).write.saveAsTable(name)
             return
         _, name, cols = t
         eng.spark.sql(f"DROP TABLE IF EXISTS {name}")
@@ -1014,7 +1247,27 @@ def run_setup(eng, sql: str) -> None:
             listed = [
                 c.strip().strip("`") for c in collist.strip("() \t\n").split(",")
             ]
-            full_width = len(listed) == len(eng.spark.table(name).columns)
+            # full-width only when the listed order IS the table order —
+            # a same-size reordered list still needs the rename path
+            full_width = [c.lower() for c in listed] == [
+                c.lower() for c in eng.spark.table(name).columns
+            ]
+        if re.match(r"\s*VALUES\s*\(\s*\)", values, re.I):
+            # `insert into t values()` — one row of all-default columns
+            meta0 = _TABLE_META.get(name.lower()) or {}
+            dfl = meta0.get("defaults", {})
+            items = ", ".join(
+                dfl.get(c.lower(), "NULL")
+                for c in eng.spark.table(name).columns
+            )
+            values = f"VALUES ({items})"
+        if re.match(r"\s*VALUES", values, re.I) and re.search(
+            r"\bDEFAULT\b", values, re.I
+        ):
+            values = _sub_value_defaults(
+                values, listed or list(eng.spark.table(name).columns),
+                (_TABLE_META.get(name.lower()) or {}).get("defaults", {}),
+            )
         if True:
             try:
                 if not re.match(r"\s*VALUES", values, re.I):
@@ -1140,6 +1393,19 @@ def run_setup(eng, sql: str) -> None:
                         if (is_dt or is_d) and dfc in numeric:
                             src = f"__dt_from_numeric(CAST({src} AS BIGINT))"
                             any2 = True
+                        elif (is_dt or is_d) and dict(df.dtypes).get(
+                            dfc
+                        ) == "string":
+                            # packed-digit date STRINGS ('20220101') read
+                            # like their numeric form; plain date text
+                            # falls through to the normal cast
+                            src = (
+                                "CASE WHEN {s} rlike '^[0-9]+$' THEN "
+                                "__dt_from_numeric(CAST({s} AS BIGINT)) "
+                                "ELSE CAST(replace({s}, '/', '-') "
+                                "AS TIMESTAMP) END"
+                            ).format(s=src)
+                            any2 = True
                         if is_dt and int(is_dt.group(1) or 0) < 6:
                             src = _dt_round_expr(src, int(is_dt.group(1) or 0))
                             any2 = True
@@ -1148,12 +1414,23 @@ def run_setup(eng, sql: str) -> None:
                         )
                     if any2 and len(sel2) == len(df.columns):
                         df = df.select(*sel2)
+                df = _dup_sort_batch(eng, name, df)
                 df.coalesce(1).write.insertInto(name)
                 _agg_remerge(eng, name)
                 return
             except Exception:
                 pass  # fall through to the SQL INSERT path
-    eng.sql(dialect(sql))
+    try:
+        eng.sql(dialect(sql))
+    except Exception as exc:
+        if "INCOMPATIBLE_COLUMN_TYPE" not in str(exc) or not re.match(
+            r"\s*CREATE\s", sql, re.I
+        ):
+            raise
+        # UNION branches whose column types Spark refuses to reconcile
+        # (date vs bigint ...): the FE coerces; rendered text is what the
+        # goldens compare, so cast every branch's select items to STRING
+        eng.sql(dialect(_stringify_union_selects(sql)))
     im2 = re.match(r"\s*INSERT\s+INTO\s+`?(\w+)`?", sql, re.I)
     if im2 is not None:
         _agg_remerge(eng, im2.group(1))
@@ -1678,6 +1955,29 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
                 raise
             df = eng.sql(retry)
             rows = df.collect()
+        elif "DATA_DIFF_TYPES" in str(exc) and "coalesce" in str(exc):
+            # ifnull/coalesce over (DATE/TIMESTAMP, numeric literal): the
+            # FE casts the numeric to the date side (packed-digit read,
+            # invalid -> NULL)
+            tm = re.search(r'but it\'s [\[(](.+?)[\])]', str(exc))
+            types = [
+                t.strip().strip('"')
+                for t in re.split(r",| or ", tm.group(1))
+            ] if tm else []
+            others = [t for t in types if t in ("DATE", "TIMESTAMP")]
+            if not others:
+                raise
+            target = others[0]
+            retry = re.sub(
+                r"((?:coalesce|ifnull|nvl)\s*\((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*?,\s*)(-?\d+(?:\.\d+)?)(\s*\))",
+                lambda m: f"{m.group(1)}try_cast(CAST({m.group(2)} AS STRING) AS {target}){m.group(3)}",
+                dialect(sql),
+                flags=re.I,
+            )
+            if retry == dialect(sql):
+                raise
+            df = eng.sql(retry)
+            rows = df.collect()
         elif "DATA_DIFF_TYPES" in str(exc) and "casewhen" in str(exc):
             # Doris unifies CASE branch types to the non-numeric side
             # (numeric literal -> datev2 etc.; unconvertible values become
@@ -1734,9 +2034,35 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
             )
             if hm is None:
                 raise
+            tail = hm.group(3)
+            # the wrapped subquery hides the FROM aliases — swap ORDER BY
+            # references to select-list expressions for their aliases
+            sm2 = re.search(
+                r"\bSELECT\s+(.*?)\s+\bFROM\b", hm.group(1), re.I | re.S
+            )
+            if sm2 and tail:
+                norm = lambda e: re.sub(  # noqa: E731
+                    r"[`\s]", "", e
+                ).lower()
+                for item in re.split(r",(?![^()]*\))", sm2.group(1)):
+                    am2 = re.match(
+                        r"^(.*?)\s+AS\s+`?(\w+)`?\s*$", item.strip(),
+                        re.I | re.S,
+                    )
+                    if am2 is None:
+                        continue
+                    pat = re.compile(
+                        r"[\w.`]+(?:\s*\.\s*[\w`]+)*"
+                    )
+                    tail = pat.sub(
+                        lambda t: am2.group(2)
+                        if norm(t.group(0)) == norm(am2.group(1))
+                        else t.group(0),
+                        tail,
+                    )
             retry = (
                 f"SELECT * FROM ({hm.group(1)}) __having_q "
-                f"WHERE {hm.group(2)} {hm.group(3)}"
+                f"WHERE {hm.group(2)} {tail}"
             )
             df = eng.sql(dialect(retry))
             rows = df.collect()
