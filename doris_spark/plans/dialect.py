@@ -588,6 +588,32 @@ def dialect(sql: str) -> str:
         s,
         flags=re.I,
     )
+    # windowed bitmap aggregates: the OVER clause must attach to a real
+    # Spark aggregate, so expand the bitmap combinator around a windowed
+    # collect_list (bitmap = sorted array<bigint> representation)
+    _W = r"(over\s*\((?:[^()']|'[^']*'|\([^()]*\))*\))"
+    _isect = (
+        "aggregate(collect_list({x}), CAST(NULL AS ARRAY<BIGINT>), "
+        "(acc, e) -> CASE WHEN acc IS NULL THEN e "
+        "ELSE array_intersect(acc, e) END, "
+        "acc -> coalesce(acc, CAST(array() AS ARRAY<BIGINT>)))"
+    )
+    _union = "array_distinct(flatten(collect_list({x})))"
+    for inner_name, inner_tpl in (
+        ("bitmap_union", _union),
+        ("bitmap_intersect", _isect),
+    ):
+        s = re.sub(
+            r"\bBITMAP_UNION_COUNT\s*\(\s*" + inner_name
+            + r"\s*\(([^()]+)\)\s*\)\s*" + _W,
+            lambda m, t=inner_tpl: (
+                "size(array_distinct(flatten(collect_list("
+                + t.format(x=m.group(1))
+                + f") {m.group(2)})))"
+            ),
+            s,
+            flags=re.I,
+        )
     # lag/lead require an ordered window in Spark; Doris tolerates a
     # bare PARTITION BY (order = input order) — add a constant ordering
     s = re.sub(

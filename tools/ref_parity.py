@@ -744,12 +744,17 @@ def translate_ddl(sql: str) -> str | None:
     if km:
         keys = {c.strip().strip("`").lower() for c in km.group(2).split(",")}
         model = km.group(1).lower()
+    seqm = re.search(
+        r"\"function_column\.sequence_col\"\s*=\s*['\"](\w+)['\"]",
+        sql, re.I,
+    )
     _TABLE_META[name.lower()] = {
         "cols": raw_cols,
         "keys": keys,
         "model": model,
         "aggs": _agg_types,
         "defaults": _defaults,
+        "seq_col": seqm.group(1).lower() if seqm else None,
         "json_cols": {c for c, t, _ in raw_cols if t.startswith(("json", "jsonb"))},
     }
     return f"CREATE OR REPLACE TEMPORARY VIEW __def_{name} AS SELECT * FROM VALUES (NULL) t(x) LIMIT 0", name, cols
@@ -1311,6 +1316,11 @@ def run_setup(eng, sql: str) -> None:
                     df = eng.spark.sql(dialect(
                         " UNION ALL ".join(f"SELECT {t}" for t in tuples)
                     ))
+                # literal columns inherit their text as the column NAME,
+                # which can collide (two `2` literals) — rename
+                # positionally so later by-name selects stay unambiguous
+                if len(set(df.columns)) != len(df.columns):
+                    df = df.toDF(*[f"_ins_c{i}" for i in range(len(df.columns))])
                 if not full_width:
                     # partial-column INSERT: unlisted columns take their
                     # DDL DEFAULT (NULL when none declared)
@@ -1419,6 +1429,12 @@ def run_setup(eng, sql: str) -> None:
                 _agg_remerge(eng, name)
                 return
             except Exception:
+                import os as _os2
+
+                if _os2.environ.get("RP_DEBUG"):
+                    import traceback as _tb
+
+                    _tb.print_exc()
                 pass  # fall through to the SQL INSERT path
     try:
         eng.sql(dialect(sql))
@@ -2401,6 +2417,17 @@ def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
     case can regress."""
     applicable = bool(_TZLIT.search(sql) or _PLAIN_ANCIENT.search(sql))
     td_applicable = bool(re.search(r"\btimediff\s*\(", sql, re.I))
+    if "__DORIS_SEQUENCE_COL__" in sql.upper():
+        # hidden sequence column mirrors the declared sequence_col
+        for tname, meta in _TABLE_META.items():
+            if meta.get("seq_col") and re.search(
+                rf"\b{re.escape(tname)}\b", sql, re.I
+            ):
+                sql = re.sub(
+                    r"__DORIS_SEQUENCE_COL__", meta["seq_col"], sql,
+                    flags=re.I,
+                )
+                break
     sql = _widen_int_literals(_crc32_v1_rewrite(sql))
     try:
         ok, why = _run_case_raw(eng, sql, expected, ordered)
