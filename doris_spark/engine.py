@@ -186,6 +186,17 @@ class Engine:
             hit = try_rewrite(text, self._mvs)
             if hit is not None:
                 text, self.last_mv_rewrite = hit
+        if _re.search(r"\bfrom\s+dual(?![\w.`])", text, _re.I):
+            # MySQL `FROM dual` pseudo-table. The FE resolves the bare
+            # spelling to the pseudo-table even when a real table named
+            # dual exists; only the backquoted `dual` hits the table
+            # (pinned by query_p0/dual/dual.groovy).
+            text = _re.sub(
+                r"\bFROM\s+dual(?![\w.`])",
+                "FROM (SELECT 1 AS __dual) __dual_t",
+                text,
+                flags=_re.I,
+            )
         return self.spark.sql(rewrite(dialect(text)))
 
     def _dml(self, text: str) -> DataFrame | None:

@@ -1266,3 +1266,25 @@ def register_crc32_internal(spark: SparkSession) -> int:
         "__crc32_internal", pandas_udf(_crc32_internal, "bigint")
     )
     return 1
+
+
+def register_charset(spark: SparkSession) -> int:
+    """CONVERT(x USING charset) collation bytes: Python codecs cover the
+    MySQL charsets (gbk, big5, latin1...) that the JVM's encode() SQL
+    function refuses."""
+
+    def _charset_bytes(s: pd.Series, cs: pd.Series) -> pd.Series:
+        def one(v, c):
+            if v is None:
+                return None
+            try:
+                return v.encode(c or "utf-8", errors="replace")
+            except LookupError:
+                return v.encode("utf-8", errors="replace")
+
+        return pd.Series(
+            [one(v, c) for v, c in zip(s, cs)], dtype=object
+        )
+
+    spark.udf.register("__charset_bytes", pandas_udf(_charset_bytes, "binary"))
+    return 1

@@ -591,6 +591,7 @@ def register_all(spark: SparkSession) -> int:
     # analyzed at CREATE time (auto_partition_name references it)
     n += pyfns.register_apn_helper(spark)
     n += pyfns.register_crc32_internal(spark)
+    n += pyfns.register_charset(spark)
     n += registry_ext.register_all(spark)
     n += pyfns.register(spark)
     n += geo2.register(spark)

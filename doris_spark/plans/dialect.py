@@ -400,6 +400,22 @@ def dialect(sql: str) -> str:
     # dotted/slashed date literals ('2024.12.12') — normalize BEFORE the
     # cast rewrites so AS DATETIME forms see a parseable literal
     sql = _DOTTED_DATELIT.sub(_norm_dotted_datelit, sql)
+    # MySQL CONVERT(x USING charset): the collation effect on ORDER BY is
+    # byte order in that charset — encode() gives the sortable bytes
+    sql = re.sub(
+        r"\bconvert\s*\(\s*((?:[^()']|'[^']*'|\([^()]*\))+?)\s+using\s+(\w+)\s*\)",
+        lambda m: f"__charset_bytes({m.group(1)}, '{m.group(2)}')",
+        sql,
+        flags=re.I,
+    )
+    # MySQL numeric truthiness for a bare integer WHERE/HAVING predicate
+    sql = re.sub(
+        r"\b(WHERE|HAVING)\s+(\d+)\s*(?=;|$|\)|\bGROUP\b|\bORDER\b|\bLIMIT\b"
+        r"|\bUNION\b|\bHAVING\b|\bWHERE\b)",
+        lambda m: f"{m.group(1)} ({m.group(2)} <> 0) ",
+        sql,
+        flags=re.I,
+    )
     # MySQL LIMIT offset,count -> LIMIT count OFFSET offset
     sql = re.sub(
         r"\bLIMIT\s+(\d+)\s*,\s*(\d+)",

@@ -30,7 +30,8 @@ SUITES = ["numeric", "string", "date", "json", "array", "bitmap", "ai_distance"]
 
 _QT = re.compile(
     r"(?:(order_qt_|qt_)([A-Za-z0-9_]+)\s*|\bsql\s*\(?\s*)"
-    r"(?:'''(.*?)'''|\"\"\"(.*?)\"\"\"|\"([^\"\n]*)\"|'([^'\n]*)')",
+    r"(?:'''(.*?)'''|\"\"\"(.*?)\"\"\""
+    r"|\"((?:[^\"\n\\]|\\.|\\\n)*)\"|'((?:[^'\n\\]|\\.|\\\n)*)')",
     re.S,
 )
 
@@ -121,6 +122,153 @@ def _unroll_each(src: str) -> str:
     return src
 
 
+def _eval_stringbuilders(src: str) -> str:
+    """Execute the groovy `StringBuilder sb ... sql sb.toString()` bulk-
+    insert idiom: appends (with ${expr} arithmetic), counting for-loops
+    and `if (cond) append` guards are interpreted, the final statement
+    becomes a plain `sql \"\"\"...\"\"\"` block."""
+
+    def ev(expr: str, env: dict):
+        return eval(expr, {"__builtins__": {}}, dict(env))
+
+    def subst(text: str, env: dict) -> str:
+        def r(m):
+            e = m.group(1) or m.group(2)
+            try:
+                return str(ev(e, env))
+            except Exception:
+                return m.group(0)
+
+        return re.sub(r"\$\{([^{}]+)\}|\$(\w+)", r, text)
+
+    while True:
+        dm = re.search(
+            r"(?:StringBuilder\s+)?(\w+)\s*=\s*new\s+StringBuilder\s*\("
+            r"\s*(\"\"\"(?:(?!\"\"\").)*\"\"\"|'''(?:(?!''').)*'''"
+            r"|\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')?\s*\)\s*;?",
+            src, re.S,
+        )
+        if dm is None:
+            return src
+        name = dm.group(1)
+        seed_lit = dm.group(2)
+        em = re.search(
+            rf"\bsql\s+(?:\(?\s*{name}\.toString\s*\(\s*\)\s*\)?"
+            rf"|\"\"\"\s*\$\{{{name}\.toString\s*\(\s*\)\}}\s*\"\"\""
+            rf"|'''\s*\$\{{{name}\.toString\s*\(\s*\)\}}\s*''')",
+            src[dm.end():],
+        )
+        if em is None:
+            return src
+        body = src[dm.end() : dm.end() + em.start()]
+        buf: list[str] = []
+        if seed_lit:
+            q = 3 if seed_lit[:3] in ('"""', "'''") else 1
+            buf.append(seed_lit[q:-q])
+
+        app_re = re.compile(
+            rf"{name}\.append\s*\(\s*("
+            r"\"\"\"(?:(?!\"\"\").)*\"\"\"|'''(?:(?!''').)*'''"
+            r"|\"(?:[^\"\\]|\\.)*\"|'(?:[^'\\]|\\.)*')\s*\)",
+            re.S,
+        )
+        for_re = re.compile(
+            r"for\s*\(\s*(?:int\s+)?(\w+)\s*=\s*(-?\d+)\s*;\s*\1\s*(<=?)\s*(-?\d+)\s*;\s*\1\s*\+\+\s*\)\s*\{"
+        )
+        if_re = re.compile(r"if\s*\(\s*([^()]+?)\s*\)\s*$")
+
+        def run_block(text: str, env: dict) -> bool:
+            i = 0
+            while i < len(text):
+                fm = for_re.search(text, i)
+                am = app_re.search(text, i)
+                if fm is not None and (am is None or fm.start() < am.start()):
+                    depth, k = 0, fm.end() - 1
+                    while k < len(text):
+                        if text[k] == "{":
+                            depth += 1
+                        elif text[k] == "}":
+                            depth -= 1
+                            if depth == 0:
+                                break
+                        k += 1
+                    var, a, op, b = (
+                        fm.group(1), int(fm.group(2)), fm.group(3), int(fm.group(4))
+                    )
+                    hi = b + 1 if op == "<=" else b
+                    inner = text[fm.end() : k]
+                    for v in range(a, hi):
+                        if not run_block(inner, {**env, var: v}):
+                            return False
+                    i = k + 1
+                    continue
+                if am is None:
+                    return True
+                # a guard directly before the append?
+                pre = text[i : am.start()].rstrip()
+                gm = if_re.search(pre)
+                raw = am.group(1)
+                qn = 3 if raw[:3] in ('"""', "'''") else 1
+                lit = raw[qn:-qn]
+                try:
+                    if gm is None or bool(ev(_g2py(gm.group(1)), env)):
+                        buf.append(subst(lit, env))
+                except Exception:
+                    return False
+                i = am.end()
+            return True
+
+        def _g2py(cond: str) -> str:
+            return (
+                cond.replace("&&", " and ").replace("||", " or ")
+                .replace("!", " not ").replace(" not =", " !=")
+            )
+
+        if not run_block(body, {}):
+            return src
+        stmt = 'sql """' + "".join(buf).replace('"""', "") + '"""'
+        src = src[: dm.start()] + stmt + src[dm.end() + em.end() :]
+
+
+def _fold_const_ifs(src: str) -> str:
+    """After loop unrolling substitutes counters with numbers, evaluate
+    `if (<numeric condition>) { ... }` guards: keep or drop the block."""
+    pat = re.compile(r"if\s*\(\s*([0-9\s&|!=<>()+%*-]+?)\s*\)\s*\{")
+    pos = 0
+    while True:
+        m = pat.search(src, pos)
+        if m is None:
+            return src
+        cond = m.group(1)
+        py = (
+            cond.replace("&&", " and ").replace("||", " or ")
+            .replace("&", " and ").replace("|", " or ")
+        )
+        # groovy != / == survive; a lone ! would break eval — skip it
+        if re.search(r"!(?!=)", py):
+            pos = m.end()
+            continue
+        try:
+            val = bool(eval(py, {"__builtins__": {}}, {}))
+        except Exception:
+            pos = m.end()
+            continue
+        depth, k = 0, m.end() - 1
+        while k < len(src):
+            if src[k] == "{":
+                depth += 1
+            elif src[k] == "}":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if k >= len(src):
+            return src
+        body = src[m.end() : k] if val else ""
+        src = src[: m.start()] + body + src[k + 1 :]
+        pos = m.start()
+
+
 def _unroll_while(src: str) -> str:
     """Unroll `Integer i = a; ... while (i < bound) { BODY; i++ }` counting
     loops (bound a literal or an `Integer name = N` variable)."""
@@ -187,10 +335,22 @@ def _unroll_for(src: str) -> str:
             vals = list(rng(m))
             if len(vals) > 2000:
                 vals = vals[:2000]
-            unrolled = "".join(
-                body.replace("${" + var + "}", str(v)).replace("$" + var, str(v))
-                for v in vals
-            )
+            def _one(v):
+                t = body.replace("${" + var + "}", str(v)).replace(
+                    "$" + var, str(v)
+                )
+                # bare loop-variable references inside `if (...)` guards
+                # (groovy code context, not string text)
+                t = re.sub(
+                    r"(if\s*\()([^()]*)(\))",
+                    lambda im: im.group(1)
+                    + re.sub(rf"\b{re.escape(var)}\b", str(v), im.group(2))
+                    + im.group(3),
+                    t,
+                )
+                return t
+
+            unrolled = "".join(_one(v) for v in vals)
             src = src[: m.start()] + unrolled + src[k + 1 :]
             changed = True
     return src
@@ -222,6 +382,7 @@ def _extract_stream_loads(src: str, gvars: dict, data_dir: str) -> str:
             k += 1
         block = src[start + 1 : k]
         tm = re.search(r"\btable\s+(?:'([^']*)'|\"([^\"]*)\"|(\w+))", block)
+        dbm2 = re.search(r"\bdb\s+(?:'([^']*)'|\"([^\"]*)\")", block)
         fm = re.search(r"\bfile\s+(?:'([^']*)'|\"([^\"]*)\")", block)
         sets = dict(
             (a or b, c if c else (d or e))
@@ -235,6 +396,8 @@ def _extract_stream_loads(src: str, gvars: dict, data_dir: str) -> str:
         table = None
         if tm:
             table = tm.group(1) or tm.group(2) or gvars.get(tm.group(3))
+        if table and dbm2:
+            table = f"{dbm2.group(1) or dbm2.group(2)}.{table}"
         fname = fm and (fm.group(1) or fm.group(2))
         out.append(src[i : i + m.start()])
         if table and fname:
@@ -272,7 +435,9 @@ def _expand_closures(src: str) -> str:
     at their literal-argument call sites f(x, y) (the suites use these
     as parameterized test bodies)."""
     closures = {}
-    for m in re.finditer(r"def\s+(\w+)\s*=\s*\{\s*([\w\s,]*?)\s*->", src):
+    for m in re.finditer(
+        r"def\s+(\w+)\s*=\s*\{(?:\s*([\w\s,]*?)\s*->)?", src
+    ):
         start = src.index("{", m.start())
         depth, k = 0, start
         while k < len(src):
@@ -285,7 +450,7 @@ def _expand_closures(src: str) -> str:
             k += 1
         if k >= len(src):
             continue
-        params = [p.strip() for p in m.group(2).split(",") if p.strip()]
+        params = [p.strip() for p in (m.group(2) or "").split(",") if p.strip()]
         closures[m.group(1)] = (params, src[start + 1 : k], (m.start(), k + 1))
     if not closures:
         return src
@@ -297,7 +462,11 @@ def _expand_closures(src: str) -> str:
             rf"\b{re.escape(name)}\s*\(([^()\n]*)\)"
         )
         def call_repl(cm, params=params, body=body):
-            args = [a.strip().strip("'\"") for a in cm.group(1).split(",")]
+            args = (
+                [a.strip().strip("'\"") for a in cm.group(1).split(",")]
+                if cm.group(1).strip()
+                else []
+            )
             if len(args) != len(params):
                 return cm.group(0)
             out = body
@@ -311,9 +480,11 @@ def _expand_closures(src: str) -> str:
 def parse_suite_files(groovy_path: str, out_path: str | None = None):
     src = open(groovy_path).read()
     src = _expand_closures(src)
+    src = _eval_stringbuilders(src)
     src = _unroll_each(src)
     src = _unroll_for(src)
     src = _unroll_while(src)
+    src = _fold_const_ifs(src)
     if "new File" in src:
         src = _inline_shared_sql(src)
     # groovy string interpolation: def name = "value" / def n = 123
@@ -341,9 +512,17 @@ def parse_suite_files(groovy_path: str, out_path: str | None = None):
     # setup statements appear both triple-quoted and single-line quoted.
     cases = []
     for m in _QT.finditer(src):
-        body = next((g for g in m.groups()[2:] if g is not None), None)
-        if body is None:
+        gidx = next(
+            (i for i, g in enumerate(m.groups()[2:]) if g is not None), None
+        )
+        if gidx is None:
             continue
+        body = m.groups()[2:][gidx]
+        if gidx >= 2:
+            # single-line "..."/'...' spellings: groovy escapes — join
+            # line continuations, unescape \" and \'
+            body = re.sub(r"\\\s*\n\s*", " ", body)
+            body = body.replace('\\"', '"').replace("\\'", "'")
         cases.append(
             (m.group(2), body.strip().rstrip(";"), m.group(1) == "order_qt_")
         )
@@ -583,6 +762,7 @@ _SETUP_OK = re.compile(
     r"^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|TRUNCATE|ALTER\s+TABLE"
     r"|CREATE\s+(OR\s+REPLACE\s+)?VIEW|DROP\s+VIEW|SET\s+lc_time_names"
     r"|CREATE\s+MATERIALIZED\s+VIEW|DROP\s+MATERIALIZED\s+VIEW"
+    r"|CREATE\s+DATABASE|DROP\s+DATABASE|USE\s"
     r"|DELETE\s+FROM|UPDATE\s)",
     re.I,
 )
@@ -598,10 +778,14 @@ _TABLE_META: dict[str, dict] = {}
 def translate_ddl(sql: str) -> str | None:
     """Doris CREATE TABLE -> Spark: keep the column list, map type names,
     drop engine/keys/distribution/properties clauses."""
-    m = re.match(r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?`?(\w+)`?\s*\((.*)", sql, re.I | re.S)
+    m = re.match(
+        r"\s*CREATE\s+TABLE\s+(IF\s+NOT\s+EXISTS\s+)?"
+        r"((?:`?\w+`?\.)?`?\w+`?)\s*\((.*)",
+        sql, re.I | re.S,
+    )
     if not m:
         return None
-    name = m.group(2)
+    name = m.group(2).replace("`", "")
     rest = m.group(3)
     depth, i = 1, 0
     while i < len(rest) and depth:
@@ -757,6 +941,10 @@ def translate_ddl(sql: str) -> str | None:
         "seq_col": seqm.group(1).lower() if seqm else None,
         "json_cols": {c for c, t, _ in raw_cols if t.startswith(("json", "jsonb"))},
     }
+    if "." in name:
+        # qualified name: register the bare name too (suites mix
+        # `db.table` and in-db bare references)
+        _TABLE_META[name.split(".")[-1].lower()] = _TABLE_META[name.lower()]
     return f"CREATE OR REPLACE TEMPORARY VIEW __def_{name} AS SELECT * FROM VALUES (NULL) t(x) LIMIT 0", name, cols
 
 
@@ -1101,6 +1289,21 @@ def _sub_value_defaults(
     return "".join(out)
 
 
+def _warehouse_path(eng, name: str) -> str:
+    """spark-warehouse directory of a (possibly db-qualified) table."""
+    if "." in name:
+        db, tbl = name.split(".", 1)
+    else:
+        try:
+            db = eng.spark.catalog.currentDatabase()
+        except Exception:
+            db = "default"
+        tbl = name
+    if db.lower() == "default":
+        return f"spark-warehouse/{tbl.lower()}"
+    return f"spark-warehouse/{db.lower()}.db/{tbl.lower()}"
+
+
 def _split_statements(sql: str) -> list[str]:
     """Split a multi-statement block on top-level semicolons."""
     parts, cur, in_q = [], [], None
@@ -1143,6 +1346,29 @@ def run_setup(eng, sql: str) -> None:
     # DECIMAL(38,0) scalar targets overflow the cast to NULL under the
     # LEGACY store policy, same as the previous NULL substitution.
     sql = _HUGE_INT.sub(lambda m: f"CAST('{m.group(0)}' AS DOUBLE)", sql)
+    dbm = re.match(
+        r"\s*(CREATE|DROP)\s+DATABASE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
+        r"`?(\w+)`?",
+        sql, re.I,
+    )
+    if dbm:
+        if dbm.group(1).upper() == "CREATE":
+            eng.spark.sql(f"CREATE DATABASE IF NOT EXISTS {dbm.group(2)}")
+        else:
+            eng.spark.sql(
+                f"DROP DATABASE IF EXISTS {dbm.group(2)} CASCADE"
+            )
+            import shutil
+
+            shutil.rmtree(
+                f"spark-warehouse/{dbm.group(2).lower()}.db",
+                ignore_errors=True,
+            )
+        return
+    um2 = re.match(r"\s*USE\s+`?(\w+)`?\s*;?\s*$", sql, re.I)
+    if um2:
+        eng.spark.sql(f"USE {um2.group(1)}")
+        return
     mvm = re.match(
         r"\s*CREATE\s+MATERIALIZED\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?"
         r"`?(\w+)`?\b(.*?)\bAS\b\s*(SELECT.*)$",
@@ -1155,7 +1381,7 @@ def run_setup(eng, sql: str) -> None:
         eng.spark.sql(f"DROP TABLE IF EXISTS {name}")
         import shutil
 
-        shutil.rmtree(f"spark-warehouse/{name.lower()}", ignore_errors=True)
+        shutil.rmtree(_warehouse_path(eng, name), ignore_errors=True)
         eng.sql(mvm.group(3)).write.saveAsTable(name)
         return
     if re.match(r"\s*DROP\s+MATERIALIZED\s+VIEW", sql, re.I):
@@ -1180,7 +1406,7 @@ def run_setup(eng, sql: str) -> None:
                 import shutil
 
                 shutil.rmtree(
-                    f"spark-warehouse/{name.lower()}", ignore_errors=True
+                    _warehouse_path(eng, name), ignore_errors=True
                 )
                 eng.sql(ctm.group(2)).write.saveAsTable(name)
             return
@@ -1191,7 +1417,7 @@ def run_setup(eng, sql: str) -> None:
         # CREATE with LOCATION_ALREADY_EXISTS — clear it explicitly.
         import shutil
 
-        shutil.rmtree(f"spark-warehouse/{name.lower()}", ignore_errors=True)
+        shutil.rmtree(_warehouse_path(eng, name), ignore_errors=True)
         eng.spark.sql(f"CREATE TABLE {name} ({', '.join(cols)}) USING parquet")
         return
     if re.match(r"\s*DROP\s+TABLE", sql, re.I):
@@ -1232,6 +1458,38 @@ def run_setup(eng, sql: str) -> None:
                 for c, t, nn in meta["cols"]
             ]
         return
+    adm = re.match(
+        r"\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+COLUMN\s+`?(\w+)`?\s+"
+        r"([A-Za-z]+(?:\s*\([^)]*\))?)"
+        r"(?:\s+DEFAULT\s+(?:\"([^\"]*)\"|'([^']*)'|(\w+)))?",
+        sql, re.I,
+    )
+    if adm is not None:
+        # ADD COLUMN: snapshot-rewrite the table with the new column
+        # backfilled to its default (Doris fills existing rows with it)
+        name, cname, ctyp = adm.group(1), adm.group(2), adm.group(3)
+        dflt = adm.group(4) or adm.group(5) or adm.group(6)
+        t2 = translate_ddl(f"CREATE TABLE __x (`{cname}` {ctyp})")
+        styp = t2[2][0].split(None, 1)[1] if t2 else "STRING"
+        df = eng.spark.table(name)
+        lit = "NULL" if dflt is None else f"'{dflt}'"
+        df = df.selectExpr("*", f"CAST({lit} AS {styp}) AS `{cname}`")
+        rows = df.collect()
+        schema = df.schema
+        eng.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+
+        shutil.rmtree(_warehouse_path(eng, name), ignore_errors=True)
+        ndf = eng.spark.createDataFrame(rows, schema)
+        ndf.coalesce(1).write.saveAsTable(name)
+        meta = _TABLE_META.get(name.lower())
+        if meta:
+            meta["cols"] = meta["cols"] + [
+                (cname, re.sub(r"\s+", "", ctyp.lower()), False)
+            ]
+            if dflt is not None:
+                meta["defaults"][cname.lower()] = f"'{dflt}'"
+        return
     if re.match(r"\s*ALTER\s+TABLE", sql, re.I):
         return
     # Doris INSERT matches nested struct fields positionally; Spark SQL
@@ -1240,12 +1498,13 @@ def run_setup(eng, sql: str) -> None:
     # VALUES through it, COALESCED TO ONE FILE so a later unordered
     # SELECT scans rows in insert order (qt_ compares positionally).
     im = re.match(
-        r"\s*INSERT\s+INTO\s+`?(\w+)`?\s*(\([^)]*\))?\s*((?:VALUES|SELECT|WITH).*)$",
+        r"\s*INSERT\s+INTO\s+((?:`?\w+`?\.)?`?\w+`?)\s*(\([^)]*\))?\s*((?:VALUES|SELECT|WITH).*)$",
         sql,
         re.I | re.S,
     )
     if im is not None:
         name, collist, values = im.group(1), im.group(2), im.group(3)
+        name = name.replace("`", "")
         full_width = True
         listed: list[str] = []
         if collist:
@@ -1447,9 +1706,9 @@ def run_setup(eng, sql: str) -> None:
         # (date vs bigint ...): the FE coerces; rendered text is what the
         # goldens compare, so cast every branch's select items to STRING
         eng.sql(dialect(_stringify_union_selects(sql)))
-    im2 = re.match(r"\s*INSERT\s+INTO\s+`?(\w+)`?", sql, re.I)
+    im2 = re.match(r"\s*INSERT\s+INTO\s+((?:`?\w+`?\.)?`?\w+`?)", sql, re.I)
     if im2 is not None:
-        _agg_remerge(eng, im2.group(1))
+        _agg_remerge(eng, im2.group(1).replace("`", ""))
     # CREATE VIEW: record DESC metadata (Doris renders the view's columns
     # with the SOURCE table's type spellings, Key=false, empty Extra)
     vm = re.match(
