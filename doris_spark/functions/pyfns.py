@@ -851,7 +851,8 @@ def register_mysql_datetime(spark: SparkSession) -> int:
     spark.udf.register(
         "__locale_monthname", pandas_udf(_name_lookup("months"), "string")
     )
-    return 10
+    # 11 registrations above (__mt_shuffle + the 10 datetime/locale names)
+    return 11
 
 
 def register(spark: SparkSession) -> int:

@@ -361,6 +361,22 @@ def _group_by_dirs(s: str) -> str:
     return s
 
 
+def _dt_from_numeric_inline(x: str) -> str:
+    """Inline body of the __dt_from_numeric SQL UDF (packed-digit
+    yyyyMMdd / yyMMdd / *HHmmss reading) — usable where Spark bans SQL
+    UDFs (Sort, Generate)."""
+    v = f"CAST(({x}) AS BIGINT)"
+    s = f"CAST({v} AS STRING)"
+    return (
+        f"(CASE WHEN {v} IS NULL THEN NULL "
+        f"WHEN length({s}) = 8 THEN to_timestamp({s}, 'yyyyMMdd') "
+        f"WHEN length({s}) = 14 THEN to_timestamp({s}, 'yyyyMMddHHmmss') "
+        f"WHEN length({s}) = 6 THEN to_timestamp({s}, 'yyMMdd') "
+        f"WHEN length({s}) = 12 THEN to_timestamp({s}, 'yyMMddHHmmss') "
+        f"ELSE NULL END)"
+    )
+
+
 def _quote_unicode_idents(s: str) -> str:
     """Doris accepts unquoted non-ASCII identifiers (列名); Spark requires
     backticks — add them, outside string literals and existing backticks."""
@@ -547,6 +563,20 @@ def dialect(sql: str) -> str:
     s = re.sub(r"\bAS\s+DATETIME\b", "AS TIMESTAMP", s, flags=re.I)
     s = re.sub(r"\bAS\s+DATEV[12]\b", "AS DATE", s, flags=re.I)
     s = re.sub(r"\bAS\s+SIGNED\b", "AS BIGINT", s, flags=re.I)
+    # Doris renders integral DOUBLE/FLOAT values without the trailing
+    # '.0' when cast to VARCHAR/CHAR (%g-style) — inline the strip so it
+    # stays legal inside Sort/Generate (no SQL UDF)
+    s = re.sub(
+        r"CAST\s*\(((?:[^()']|'[^']*'|\((?:[^()']|'[^']*'|\([^()]*\))*\))+?)"
+        r"\s+AS\s+(?:VAR)?CHAR(?:\s*\(\s*\d+\s*\))?\s*\)",
+        lambda m: (
+            "(CASE WHEN typeof({x}) IN ('double', 'float') THEN "
+            "regexp_replace(CAST(({x}) AS STRING), '^(-?[0-9]+)\\\\.0$', '$1') "
+            "ELSE CAST(({x}) AS STRING) END)"
+        ).format(x=m.group(1)),
+        s,
+        flags=re.I,
+    )
     # length-less VARCHAR/CHAR casts (MySQL allows them) -> STRING
     s = re.sub(r"\bAS\s+(VAR)?CHAR\b(?!\s*\()", "AS STRING", s, flags=re.I)
     # MySQL double-quoted ALIASES (Spark reads "..." as a string literal)
@@ -630,6 +660,30 @@ def dialect(sql: str) -> str:
             s,
             flags=re.I,
         )
+    # DISTINCT aggregates as window functions (Spark refuses them):
+    # count/sum/avg(distinct x) over W -> fold over collect_set(x) over W
+    def _distinct_win(m: re.Match) -> str:
+        fn, x, w = m.group(1).lower(), m.group(2), m.group(3)
+        cs = f"collect_set({x}) {w}"
+        if fn == "count":
+            return f"size({cs})"
+        if fn == "group_concat":
+            return f"array_join(array_sort({cs}), ',')"
+        if fn == "sum":
+            return f"aggregate({cs}, CAST(0 AS DOUBLE), (a, e) -> a + e)"
+        return (
+            f"(aggregate({cs}, CAST(0 AS DOUBLE), (a, e) -> a + e) "
+            f"/ size({cs}))"
+        )
+
+    s = re.sub(
+        r"\b(count|sum|avg|group_concat)\s*\(\s*distinct\s+"
+        r"((?:[^()']|'[^']*'|\([^()]*\))+)\)"
+        r"\s*(over\s*\((?:[^()']|'[^']*'|\([^()]*\))*\))",
+        _distinct_win,
+        s,
+        flags=re.I,
+    )
     # lag/lead require an ordered window in Spark; Doris tolerates a
     # bare PARTITION BY (order = input order) — add a constant ordering
     s = re.sub(
@@ -1027,7 +1081,9 @@ def dialect(sql: str) -> str:
             "ltrim(__mysql_strftime("
             f"CASE WHEN typeof({m.group(1)}) IN "
             "('tinyint', 'smallint', 'int', 'bigint') "
-            f"THEN __dt_from_numeric(CAST(({m.group(1)}) AS BIGINT)) "
+            # inline the packed-digit reader (a SQL UDF here would be
+            # rejected inside Sort/Generate operators)
+            f"THEN {_dt_from_numeric_inline(m.group(1))} "
             f"ELSE CAST(({m.group(1)}) AS TIMESTAMP) END, '{m.group(2)}'))"
         ),
         s,
@@ -1101,6 +1157,81 @@ def dialect(sql: str) -> str:
         flags=re.I | re.S,
     )
     s = _bracket_arrays(s)
+    s = _mark_join_nulls(s)
     return s
+
+
+def _mark_join_nulls(s: str) -> str:
+    """Doris mark-join semantics: `x [NOT] IN (SELECT ...)` *projected*
+    (in the select list) yields NULL when x IS NULL — even when the
+    subquery is empty, where the standard (and Spark) yield FALSE
+    (query_p0/subquery/test_subquery_in_project.groovy select_m1..m7;
+    reference be/src/pipeline/exec/hashjoin_probe_operator.cpp mark-join
+    flag). Rewrite only inside select-list spans: in WHERE/HAVING the
+    FALSE/NULL distinction is unobservable and the wrap would defeat
+    Spark's null-aware anti-join planning."""
+    spans = []
+    depth, i, n = 0, 0, len(s)
+    sel_start = None
+    in_str = None
+    while i < n:
+        c = s[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and c in "sSfF":
+            if sel_start is None and re.match(r"SELECT\b", s[i:], re.I):
+                sel_start = i + 6
+                i += 6
+                continue
+            if sel_start is not None and re.match(r"FROM\b", s[i:], re.I):
+                spans.append((sel_start, i))
+                sel_start = None
+                i += 4
+                continue
+        i += 1
+    out, shift = s, 0
+    for a, b in spans:
+        seg = s[a:b]
+        pat = re.compile(
+            r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)\s+(NOT\s+)?IN\s*\(\s*(?=SELECT\b)",
+            re.I,
+        )
+        m = pat.search(seg)
+        while m:
+            # find the matching close paren of the subquery
+            j = seg.index("(", m.end(2) if m.group(2) else m.end(1))
+            d2, k, q2 = 0, j, None
+            while k < len(seg):
+                ch = seg[k]
+                if q2:
+                    if ch == q2:
+                        q2 = None
+                elif ch in ("'", '"'):
+                    q2 = ch
+                elif ch == "(":
+                    d2 += 1
+                elif ch == ")":
+                    d2 -= 1
+                    if d2 == 0:
+                        break
+                k += 1
+            lhs, neg = m.group(1), m.group(2) or ""
+            inner = seg[m.start() : k + 1]
+            repl = (
+                f"(CASE WHEN ({lhs}) IS NULL THEN NULL "
+                f"ELSE {inner} END)"
+            )
+            seg = seg[: m.start()] + repl + seg[k + 1 :]
+            m = pat.search(seg, m.start() + len(repl))
+        out = out[: a + shift] + seg + out[b + shift :]
+        shift += len(seg) - (b - a)
+    return out
 
 

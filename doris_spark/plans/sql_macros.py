@@ -170,7 +170,51 @@ def _bit_test_macro(args: Sequence[str]) -> str:
     )
 
 
+def _group_concat_macro(args: Sequence[str]) -> str:
+    """group_concat([DISTINCT] expr [, sep] [ORDER BY ...]) ->
+    listagg([DISTINCT] expr, sep) [WITHIN GROUP (ORDER BY ...)].
+    MySQL/Doris default separator is ','."""
+    first = args[0]
+    distinct = ""
+    dm = re.match(r"(?i)\s*DISTINCT\s+(.*)$", first, re.S)
+    if dm:
+        distinct, first = "DISTINCT ", dm.group(1)
+    # ORDER BY may start inside any argument; later comma-split args are
+    # additional sort keys (group_concat(x ORDER BY a, b))
+    order = ""
+    work = [first] + list(args[1:])
+    for i, a in enumerate(work):
+        om = re.search(r"(?is)\s+ORDER\s+BY\s+(.*)$", a)
+        if om:
+            tail_keys = [om.group(1)] + [w.strip() for w in work[i + 1 :]]
+            order = ", ".join(tail_keys)
+            work = work[:i] + [a[: om.start()]]
+            break
+    first, rest = work[0], work[1:]
+    sep = rest[0] if rest and rest[0].strip() else "','"
+    out = f"listagg({distinct}{first}, {sep})"
+    if order:
+        out += f" WITHIN GROUP (ORDER BY {order})"
+    return out
+
+
+def _grouping_id_macro(args: Sequence[str]) -> str:
+    """grouping_id(c1, .., cn) -> bitvector over ONLY the listed columns
+    (Doris semantics, query_p0/grouping_sets goldens: grouping_id(c1,c2)
+    = grouping(c1)*2 + grouping(c2)); Spark's builtin demands the full
+    grouping-column list, so expand to grouping() arithmetic."""
+    if not args or (len(args) == 1 and not args[0].strip()):
+        return "grouping_id()"
+    n = len(args)
+    terms = [
+        f"grouping({a}) * {1 << (n - 1 - i)}" if n - 1 - i else f"grouping({a})"
+        for i, a in enumerate(args)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
 MACROS: dict[str, Macro] = {
+    "grouping_id": _grouping_id_macro,
     # ---- plain renames (BuiltinAggregateFunctions.java name -> Spark)
     "ndv": _rename("approx_count_distinct"),
     # variadic crc32 over the arguments' internal value layouts — the
@@ -212,7 +256,9 @@ MACROS: dict[str, Macro] = {
     "any": _rename("any_value"),
     "group_array": _rename("collect_list"),
     "group_uniq_array": _rename("collect_set"),
-    "group_concat": _rename("listagg"),
+    # MySQL default separator is ',' (query_p0/group_concat goldens);
+    # an `ORDER BY` inside the call becomes Spark's WITHIN GROUP
+    "group_concat": lambda args: _group_concat_macro(args),
     "variance_pop": _rename("var_pop"),
     "variance_samp": _rename("var_samp"),
     # MySQL/Doris STDDEV/VARIANCE are the POPULATION forms (Spark's
@@ -242,7 +288,7 @@ MACROS: dict[str, Macro] = {
     "multi_distinct_count": _tpl("count(DISTINCT {0})"),
     "multi_distinct_sum": _tpl("sum(DISTINCT {0})"),
     "multi_distinct_sum0": _tpl("coalesce(sum(DISTINCT {0}), 0)"),
-    "multi_distinct_group_concat": _tpl("listagg(DISTINCT {0})"),
+    "multi_distinct_group_concat": _tpl("listagg(DISTINCT {0}, ',')"),
     "bool_xor": _tpl("(count_if({0}) % 2 = 1)"),
     "boolxor_agg": _tpl("(count_if({0}) % 2 = 1)"),
     # DISTINCT form dedups (value, weight) PAIRS before the weighted

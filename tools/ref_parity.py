@@ -489,11 +489,32 @@ def parse_suite_files(groovy_path: str, out_path: str | None = None):
         src = _inline_shared_sql(src)
     # groovy string interpolation: def name = "value" / def n = 123
     gvars = dict(
-        re.findall(r"def\s+(\w+)\s*=\s*[\"']([^\"'\n]*)[\"']", src)
+        re.findall(
+            r"(?:def|String|int|Integer|long|double)\s+(\w+)\s*=\s*"
+            r"[\"']([^\"'\n]*)[\"']",
+            src,
+        )
     )
     gvars.update(
-        re.findall(r"def\s+(\w+)\s*=\s*(-?\d+(?:\.\d+)?)\s*;?\s*$", src, re.M)
+        re.findall(
+            r"(?:def|int|Integer|long)\s+(\w+)\s*=\s*(-?\d+(?:\.\d+)?)\s*;?\s*$",
+            src, re.M,
+        )
     )
+    # values may interpolate earlier vars (String v = "${suiteName}_view")
+    for _ in range(3):
+        changed_g = False
+        for k, v in list(gvars.items()):
+            nv = re.sub(
+                r"\$\{(\w+)\}|\$(\w+)",
+                lambda m: gvars.get(m.group(1) or m.group(2), m.group(0)),
+                v,
+            )
+            if nv != v:
+                gvars[k] = nv
+                changed_g = True
+        if not changed_g:
+            break
     src = re.sub(
         r"\$\{(\w+)\}", lambda m: gvars.get(m.group(1), m.group(0)), src
     )
@@ -1119,6 +1140,10 @@ def _stream_load(eng, spec: dict) -> None:
             .option("quote", "")
             .csv(path)
         )
+        # Doris keeps empty CSV fields as '' (NULL is spelled \N, and
+        # the \N -> NULL substitution runs below); Spark's reader nulls
+        # unquoted empties unconditionally — restore them to ''
+        df = df.fillna("")
         if colspec:
             names = [c.strip().strip("`") for c in colspec.split(",")]
             plain = [n for n in names if "=" not in n]
@@ -1391,6 +1416,27 @@ def run_setup(eng, sql: str) -> None:
         )
         if dmv:  # the `... ON table` sync form is a no-op here
             eng.spark.sql(f"DROP TABLE IF EXISTS {dmv.group(1)}")
+        return
+    likem = re.match(
+        r"\s*CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"((?:`?\w+`?\.)?`?\w+`?)\s+LIKE\s+((?:`?\w+`?\.)?`?\w+`?)\s*;?\s*$",
+        sql, re.I,
+    )
+    if likem:
+        # CREATE TABLE ... LIKE: empty clone of the source's schema
+        name = likem.group(1).replace("`", "")
+        src = likem.group(2).replace("`", "")
+        eng.spark.sql(f"DROP TABLE IF EXISTS {name}")
+        import shutil
+
+        shutil.rmtree(_warehouse_path(eng, name), ignore_errors=True)
+        eng.spark.sql(
+            f"CREATE TABLE {name} USING parquet "
+            f"AS SELECT * FROM {src} LIMIT 0"
+        )
+        base = src.split(".")[-1].lower()
+        if base in _TABLE_META:
+            _TABLE_META[name.split(".")[-1].lower()] = _TABLE_META[base]
         return
     if re.match(r"\s*CREATE\s+TABLE", sql, re.I):
         t = translate_ddl(sql)
@@ -1698,6 +1744,15 @@ def run_setup(eng, sql: str) -> None:
     try:
         eng.sql(dialect(sql))
     except Exception as exc:
+        if "CREATE_PERMANENT_VIEW_WITHOUT_ALIAS" in str(exc):
+            # unaliased expressions are fine in TEMPORARY views — the
+            # suites only read the view back in the same session
+            eng.sql(dialect(re.sub(
+                r"\bCREATE\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?",
+                "CREATE OR REPLACE TEMPORARY VIEW ",
+                sql, count=1, flags=re.I,
+            )))
+            return
         if "INCOMPATIBLE_COLUMN_TYPE" not in str(exc) or not re.match(
             r"\s*CREATE\s", sql, re.I
         ):
@@ -2298,11 +2353,64 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
             )
             df = eng.sql(retry)
             rows = df.collect()
+        elif "UNRESOLVED_COLUMN" in str(exc) and re.search(
+            r"\bselect\s+distinct\b", sql, re.I
+        ) and re.search(r"\border\s+by\b", sql, re.I):
+            # Spark resolves ORDER BY after SELECT DISTINCT against the
+            # output only; Doris matches the underlying expression — map
+            # matching ORDER BY expressions to select-list ordinals
+            sm3 = re.search(
+                r"\bselect\s+distinct\s+(.*?)\s+\bfrom\b", sql, re.I | re.S
+            )
+            obm = re.search(r"^(.*)\border\s+by\s+(.*?)(\s+limit\b.*|;?\s*)$",
+                            sql, re.I | re.S)
+            if sm3 is None or obm is None:
+                raise
+            norm3 = lambda e: re.sub(r"[`\s]", "", e).lower()  # noqa: E731
+            items3 = [
+                norm3(re.sub(r"(?is)\s+as\s+\w+\s*$", "", it))
+                for it in re.split(r",(?![^()]*\))", sm3.group(1))
+            ]
+            keys3 = []
+            for k in re.split(r",(?![^()]*\))", obm.group(2)):
+                km3 = re.match(
+                    r"^(.*?)(\s+(?:asc|desc))?\s*$", k.strip(), re.I | re.S
+                )
+                base, direc = km3.group(1), km3.group(2) or ""
+                if norm3(base) in items3:
+                    keys3.append(f"{items3.index(norm3(base)) + 1}{direc}")
+                else:
+                    keys3.append(k.strip())
+            retry = (
+                obm.group(1) + "order by " + ", ".join(keys3) + obm.group(3)
+            )
+            df = eng.sql(dialect(retry))
+            rows = df.collect()
         elif "MISSING_GROUP_BY" in str(exc) and re.search(
             r"\bHAVING\b", sql, re.I
         ):
             # MySQL/Doris HAVING without GROUP BY filters the SELECT's
             # output (aliases visible) — wrap as a subquery + WHERE
+            # the rewrite is only sound for a TOP-LEVEL HAVING — find one
+            # at paren depth 0 (a correlated subquery's HAVING must not
+            # trigger the wrap)
+            depth_h, in_qh, top_having = 0, None, False
+            for hidx in range(len(sql)):
+                ch = sql[hidx]
+                if in_qh:
+                    if ch == in_qh:
+                        in_qh = None
+                elif ch in ("'", '"'):
+                    in_qh = ch
+                elif ch == "(":
+                    depth_h += 1
+                elif ch == ")":
+                    depth_h -= 1
+                elif depth_h == 0 and sql[hidx : hidx + 6].upper() == "HAVING":
+                    top_having = True
+                    break
+            if not top_having:
+                raise
             hm = re.search(
                 r"^(.*?)\bHAVING\b(.*?)(\bORDER\s+BY\b.*|\bLIMIT\b.*|)$",
                 sql, re.I | re.S,
