@@ -416,11 +416,22 @@ def dialect(sql: str) -> str:
     # dotted/slashed date literals ('2024.12.12') — normalize BEFORE the
     # cast rewrites so AS DATETIME forms see a parseable literal
     sql = _DOTTED_DATELIT.sub(_norm_dotted_datelit, sql)
-    # MySQL CONVERT(x USING charset): the collation effect on ORDER BY is
-    # byte order in that charset — encode() gives the sortable bytes
+    # MySQL CONVERT(x USING charset): the collation effect on ORDER BY.
+    # Chinese charsets sort by the *_chinese_ci collation (ASCII first,
+    # then Han by PINYIN — query_p0/sort golden 多<睿<丝), which ICU's zh
+    # collation reproduces; other charsets sort by their byte order.
+    def _convert_using(m: re.Match) -> str:
+        x, cs = m.group(1), m.group(2).lower()
+        if cs in ("gbk", "gb2312", "gb18030"):
+            return (
+                f"struct(CAST({x} RLIKE '[^\\\\x00-\\\\x7F]' AS INT), "
+                f"collate({x}, 'zh'))"
+            )
+        return f"__charset_bytes({x}, '{cs}')"
+
     sql = re.sub(
         r"\bconvert\s*\(\s*((?:[^()']|'[^']*'|\([^()]*\))+?)\s+using\s+(\w+)\s*\)",
-        lambda m: f"__charset_bytes({m.group(1)}, '{m.group(2)}')",
+        _convert_using,
         sql,
         flags=re.I,
     )
@@ -581,6 +592,15 @@ def dialect(sql: str) -> str:
     s = re.sub(r"\bAS\s+(VAR)?CHAR\b(?!\s*\()", "AS STRING", s, flags=re.I)
     # MySQL double-quoted ALIASES (Spark reads "..." as a string literal)
     s = re.sub(r'(\bAS\s+)"([A-Za-z_]\w*)"', r"\1`\2`", s, flags=re.I)
+    # MySQL string-literal alias directly after END / ')' (CASE ... END
+    # 'alias' FROM — query_p0/subquery sql14); only before , or FROM so
+    # predicate literals are never touched
+    s = re.sub(
+        r"(\bEND|\))\s+'([^']+)'(\s*(?:,|FROM\b))",
+        r"\1 AS `\2`\3",
+        s,
+        flags=re.I,
+    )
     # session-variable hints are execution knobs, not semantics
     s = re.sub(r"/\*\+\s*SET_VAR\s*\([^)]*\)\s*\*/", " ", s, flags=re.I)
     # Doris full-text MATCH operators over a literal query -> tokenized
@@ -772,7 +792,17 @@ def dialect(sql: str) -> str:
         conv = [_convert_maps(it) for it in items]
         entries = [_split_map_entry(it) for it in conv]
         if all(e is not None for e in entries):
-            kv = ", ".join(f"{k}, {v}" for k, v in entries)
+            # Doris allows NULL map keys ({null: v}); Spark's MapType
+            # bans them at runtime. Shim: NUL-prefixed sentinel string
+            # (sorts before every printable key, matching Doris's
+            # null-key-first map ordering); the harness comparator
+            # renders it back as the unquoted null key.
+            kv = ", ".join(
+                f"concat(char(0), 'null'), {v}"
+                if k.upper() == "NULL"
+                else f"{k}, {v}"
+                for k, v in entries
+            )
             return f"map({kv})"
         if all(e is None for e in entries):
             return f"struct({', '.join(conv)})"
@@ -999,14 +1029,45 @@ def dialect(sql: str) -> str:
             f"ELSE greatest(0, unix_timestamp({expr})) END"
         )
 
-    s = re.sub(
-        r"\bunix_timestamp\s*\(\s*"
-        r"((?:[^();',\"]|'[^']*'|\"[^\"]*\"|\((?:[^()']|'[^']*')*\))+?)"
-        r"\s*,\s*['\"]([^'\"]*%[^'\"]*)['\"]\s*\)",
-        lambda m: _uts(f"str_to_date({m.group(1)}, '{m.group(2)}')"),
-        s,
-        flags=re.I,
-    )
+    # balanced scan (the first argument may nest parens arbitrarily deep,
+    # e.g. after the VARCHAR-cast render rewrite above)
+    def _uts_two_arg(text: str) -> str:
+        pat = re.compile(r"\bunix_timestamp\s*\(", re.I)
+        pos = 0
+        while True:
+            m = pat.search(text, pos)
+            if m is None:
+                return text
+            depth, k, in_q, n = 1, m.end(), None, len(text)
+            commas = []
+            while k < n and depth:
+                c = text[k]
+                if in_q:
+                    if c == in_q:
+                        in_q = None
+                elif c in ("'", '"'):
+                    in_q = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                elif c == "," and depth == 1:
+                    commas.append(k)
+                k += 1
+            if depth or len(commas) != 1:
+                pos = m.end()
+                continue
+            a1 = text[m.end() : commas[0]].strip()
+            a2 = text[commas[0] + 1 : k - 1].strip()
+            fm = re.match(r"^['\"]([^'\"]*%[^'\"]*)['\"]$", a2)
+            if fm is None:
+                pos = k
+                continue
+            repl = _uts(f"str_to_date({a1}, '{fm.group(1)}')")
+            text = text[: m.start()] + repl + text[k:]
+            pos = m.start() + len(repl)
+
+    s = _uts_two_arg(s)
     s = re.sub(
         r"\bunix_timestamp\s*\(\s*('[^']*')\s*\)",
         lambda m: _uts(f"try_cast({m.group(1)} AS TIMESTAMP)"),
@@ -1157,59 +1218,93 @@ def dialect(sql: str) -> str:
         flags=re.I | re.S,
     )
     s = _bracket_arrays(s)
-    s = _mark_join_nulls(s)
+    s = _three_valued_in(s)
     return s
 
 
-def _mark_join_nulls(s: str) -> str:
-    """Doris mark-join semantics: `x [NOT] IN (SELECT ...)` *projected*
-    (in the select list) yields NULL when x IS NULL — even when the
-    subquery is empty, where the standard (and Spark) yield FALSE
-    (query_p0/subquery/test_subquery_in_project.groovy select_m1..m7;
-    reference be/src/pipeline/exec/hashjoin_probe_operator.cpp mark-join
-    flag). Rewrite only inside select-list spans: in WHERE/HAVING the
-    FALSE/NULL distinction is unobservable and the wrap would defeat
-    Spark's null-aware anti-join planning."""
-    spans = []
-    depth, i, n = 0, 0, len(s)
-    sel_start = None
-    in_str = None
+def _in_subquery_spans(s: str) -> list[tuple[int, int]]:
+    """[start, end) spans where an IN-subquery needs the three-valued
+    expansion: SELECT-list spans (projection) and JOIN ON conditions.
+    WHERE/HAVING are excluded — there NULL filters like FALSE and Spark's
+    null-aware anti join already implements the semantics efficiently."""
+    spans: list[tuple[int, int]] = []
+    stack: list[tuple[int, int]] = []  # (depth, select-pos)
+    on_start: tuple[int, int] | None = None
+    kw = re.compile(
+        r"(SELECT|FROM|ON|WHERE|GROUP|HAVING|ORDER|LIMIT|UNION|JOIN"
+        r"|INNER|LEFT|RIGHT|FULL|CROSS|USING)\b",
+        re.I,
+    )
+    depth, in_q, i, n = 0, None, 0, len(s)
     while i < n:
         c = s[i]
-        if in_str:
-            if c == in_str:
-                in_str = None
+        if in_q:
+            if c == in_q:
+                in_q = None
         elif c in ("'", '"'):
-            in_str = c
+            in_q = c
         elif c == "(":
             depth += 1
         elif c == ")":
             depth -= 1
-        elif depth == 0 and c in "sSfF":
-            if sel_start is None and re.match(r"SELECT\b", s[i:], re.I):
-                sel_start = i + 6
-                i += 6
-                continue
-            if sel_start is not None and re.match(r"FROM\b", s[i:], re.I):
-                spans.append((sel_start, i))
-                sel_start = None
-                i += 4
+            if on_start is not None and depth < on_start[0]:
+                spans.append((on_start[1], i))
+                on_start = None
+            while stack and depth < stack[-1][0]:
+                stack.pop()
+        elif c.isalpha() and (
+            i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_`$.")
+        ):
+            m = kw.match(s, i)
+            if m:
+                word = m.group(1).upper()
+                if on_start is not None and depth == on_start[0] and word != "SELECT":
+                    spans.append((on_start[1], i))
+                    on_start = None
+                if word == "SELECT":
+                    stack.append((depth, m.end()))
+                elif word == "FROM":
+                    if stack and stack[-1][0] == depth:
+                        spans.append((stack.pop()[1], i))
+                elif word == "ON":
+                    on_start = (depth, m.end())
+                i = m.end()
                 continue
         i += 1
-    out, shift = s, 0
-    for a, b in spans:
-        seg = s[a:b]
-        pat = re.compile(
-            r"((?:`[^`]+`|\w+)(?:\.(?:`[^`]+`|\w+))*)\s+(NOT\s+)?IN\s*\(\s*(?=SELECT\b)",
-            re.I,
-        )
-        m = pat.search(seg)
-        while m:
-            # find the matching close paren of the subquery
-            j = seg.index("(", m.end(2) if m.group(2) else m.end(1))
-            d2, k, q2 = 0, j, None
-            while k < len(seg):
-                ch = seg[k]
+    if on_start is not None:
+        spans.append((on_start[1], n))
+    return spans
+
+
+def _three_valued_in(s: str) -> str:
+    """`X [NOT] IN (SELECT e FROM body)` in a PROJECTION or JOIN-ON
+    position -> explicit three-valued CASE. Spark plans these positions
+    as a two-valued ExistenceJoin (exists flag), so a NULL probe or a
+    NULL in the subquery result yields FALSE where the standard (and
+    Doris's mark join, be/src/pipeline/exec/hashjoin_probe_operator.cpp
+    mark-join flag) yield NULL. The expansion keeps correlation intact:
+      CASE WHEN X IN (sub) THEN TRUE                -- real match
+           WHEN EXISTS (sub AND e IS NULL) THEN NULL -- null in set
+           WHEN X IS NULL AND EXISTS (sub) THEN NULL -- null probe
+           ELSE FALSE END   (TRUE/FALSE swapped for NOT IN)"""
+    if not re.search(r"\bIN\s*\(\s*SELECT\b", s, re.I):
+        return s
+    pat = re.compile(r"(\bNOT\s+)?\bIN\s*\(\s*(?=SELECT\b)", re.I)
+    spans = _in_subquery_spans(s)
+    matches = [
+        m
+        for m in pat.finditer(s)
+        if any(a <= m.start() < b for a, b in spans)
+    ]
+    # right-to-left: earlier offsets stay valid, and the `X IN (sub)`
+    # kept inside each CASE expansion is never rescanned
+    for m in reversed(matches):
+        if True:
+            # matching close paren of the subquery
+            po = s.index("(", m.start())
+            d2, k, q2 = 0, po, None
+            while k < len(s):
+                ch = s[k]
                 if q2:
                     if ch == q2:
                         q2 = None
@@ -1222,16 +1317,125 @@ def _mark_join_nulls(s: str) -> str:
                     if d2 == 0:
                         break
                 k += 1
-            lhs, neg = m.group(1), m.group(2) or ""
-            inner = seg[m.start() : k + 1]
-            repl = (
-                f"(CASE WHEN ({lhs}) IS NULL THEN NULL "
-                f"ELSE {inner} END)"
+            sub = s[po + 1 : k]
+            # walk back over the probe expression X
+            j = m.start() - 1
+            while j >= 0 and s[j].isspace():
+                j -= 1
+            end_x = j + 1
+            while j >= 0:
+                ch = s[j]
+                if ch in ")]":
+                    dd = 0
+                    while j >= 0:
+                        if s[j] in ")]":
+                            dd += 1
+                        elif s[j] in "([":
+                            dd -= 1
+                            if dd == 0:
+                                break
+                        j -= 1
+                    j -= 1
+                elif ch.isalnum() or ch in "_.`'":
+                    if ch == "'":
+                        j -= 1
+                        while j >= 0 and s[j] != "'":
+                            j -= 1
+                        j -= 1
+                    else:
+                        j -= 1
+                else:
+                    break
+            start_x = j + 1
+            x = s[start_x:end_x].strip()
+            parts = _split_in_subquery(sub)
+            if not x or parts is None:
+                continue
+            e, rest, has_where = parts
+            base = f"SELECT 1 FROM {rest}"
+            aug = (
+                f"{base} AND (({e}) IS NULL)"
+                if has_where
+                else f"{base} WHERE ({e}) IS NULL"
             )
-            seg = seg[: m.start()] + repl + seg[k + 1 :]
-            m = pat.search(seg, m.start() + len(repl))
-        out = out[: a + shift] + seg + out[b + shift :]
-        shift += len(seg) - (b - a)
-    return out
+            neg = bool(m.group(1))
+            t, f_ = ("FALSE", "TRUE") if neg else ("TRUE", "FALSE")
+            repl = (
+                f"(CASE WHEN {x} IN ({sub}) THEN {t} "
+                f"WHEN EXISTS ({aug}) THEN NULL "
+                f"WHEN ({x}) IS NULL AND EXISTS ({base}) THEN NULL "
+                f"ELSE {f_} END)"
+            )
+            s = s[:start_x] + repl + s[k + 1 :]
+    return s
 
 
+def _split_in_subquery(sub: str) -> tuple[str, str, bool] | None:
+    """Split `SELECT e FROM rest` -> (e, rest, rest-has-top-WHERE);
+    None when the sub's shape would break the WHERE augmentation
+    (GROUP BY / ORDER BY / LIMIT / UNION / multi-item select list)."""
+    sm = re.match(r"\s*SELECT\s+(?:DISTINCT\s+)?", sub, re.I)
+    if sm is None:
+        return None
+    depth, in_q, i, n = 0, None, sm.end(), len(sub)
+    frm = None
+    while i < n:
+        c = sub[i]
+        if in_q:
+            if c == in_q:
+                in_q = None
+        elif c in ("'", '"'):
+            in_q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            if c == ",":
+                return None
+            if (
+                c in "fF"
+                and sub[i : i + 4].upper() == "FROM"
+                and not (sub[i - 1].isalnum() or sub[i - 1] in "_`")
+                and not (
+                    i + 4 < n and (sub[i + 4].isalnum() or sub[i + 4] in "_`")
+                )
+            ):
+                frm = i
+                break
+        i += 1
+    if frm is None:
+        return None
+    e = sub[sm.end() : frm].strip()
+    rest = sub[frm + 4 :].strip()
+    for w in ("GROUP", "ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT"):
+        if _scan_depth0_word(rest, w) is not None:
+            return None
+    return e, rest, _scan_depth0_word(rest, "WHERE") is not None
+
+
+def _scan_depth0_word(text: str, word: str) -> int | None:
+    depth, in_q, i, n, wl = 0, None, 0, len(text), len(word)
+    while i < n:
+        c = text[i]
+        if in_q:
+            if c == in_q:
+                in_q = None
+        elif c in ("'", '"'):
+            in_q = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and text[i : i + wl].upper() == word
+            and (i == 0 or not (text[i - 1].isalnum() or text[i - 1] in "_`"))
+            and not (
+                i + wl < n
+                and (text[i + wl].isalnum() or text[i + wl] in "_`")
+            )
+        ):
+            return i
+        i += 1
+    return None

@@ -253,7 +253,11 @@ MACROS: dict[str, Macro] = {
         + "))"
     ),
     # Doris `any` IS any_value (Spark's `any` is bool_or)
-    "any": _rename("any_value"),
+    # Doris any/any_value returns the first NON-NULL in storage order
+    # (query_p0/subquery select_having2 golden); Spark's 2-arg form
+    # ignore-nulls flag reproduces it over the order-preserving replay
+    "any": _tpl("any_value({0}, true)"),
+    "any_value": _tpl("any_value({0}, true)"),
     "group_array": _rename("collect_list"),
     "group_uniq_array": _rename("collect_set"),
     # MySQL default separator is ',' (query_p0/group_concat goldens);
