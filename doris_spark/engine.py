@@ -137,6 +137,18 @@ class Engine:
         if tr is not None:
             # Doris TRUNCATE TABLE: drop all rows, keep schema + keys model.
             name = tr.group(1)
+            if name not in self._views:
+                try:
+                    if self.spark.catalog.tableExists(name):
+                        # real catalog table: truncate in place — a temp-
+                        # view shim would SHADOW it and break later
+                        # INSERTs (insertInto into a view is unresolvable)
+                        self.spark.sql(f"TRUNCATE TABLE {name}")
+                        return self.spark.createDataFrame(
+                            [(0,)], "affected_rows bigint"
+                        )
+                except Exception:
+                    pass
             cur = self.table(name)
             empty = cur.limit(0).localCheckpoint(eager=True)
             empty.createOrReplaceTempView(name)

@@ -520,8 +520,8 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     # murmur3-32 (hash) / xxhash64 — same family as Doris, different seed;
     # internally consistent across this engine.
     "bitmap_empty": ("", "CAST(array() AS ARRAY<BIGINT>)"),
-    "bitmap_hash": ("s STRING", "array(CAST(hash(s) AS BIGINT) & 4294967295)"),
-    "bitmap_hash64": ("s STRING", "array(xxhash64(s))"),
+    "bitmap_hash": ("s STRING", "CASE WHEN s IS NULL THEN array() ELSE array(CAST(hash(s) AS BIGINT) & 4294967295) END"),
+    "bitmap_hash64": ("s STRING", "CASE WHEN s IS NULL THEN array() ELSE array(xxhash64(s)) END"),
     # json_exists_path (function_jsonb.cpp). Caveat: a path holding JSON null
     # reads as absent (get_json_object collapses both to NULL).
     "json_exists_path": ("j STRING, p STRING", "get_json_object(j, p) IS NOT NULL"),

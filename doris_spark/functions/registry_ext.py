@@ -536,10 +536,12 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     "hll_empty": ("", "array_repeat(0, 1024)"),
     "hll_hash": (
         "s STRING",
+        # NULL hashes to the EMPTY sketch (Doris HllHash null behavior)
+        "CASE WHEN s IS NULL THEN array_repeat(0, 1024) ELSE "
         "transform(sequence(0, 1023), i -> CASE WHEN i = CAST(pmod(xxhash64(s), 1024) AS INT) THEN "
         "CASE WHEN (xxhash64(s) div 1024) = 0 THEN 55 "
         "ELSE CAST(bit_count(((xxhash64(s) div 1024) & -(xxhash64(s) div 1024)) - 1) + 1 AS INT) END "
-        "ELSE 0 END)",
+        "ELSE 0 END) END",
     ),
     "hll_union_scalar": ("a ARRAY<INT>, b ARRAY<INT>", "zip_with(a, b, (x, y) -> greatest(x, y))"),
     "hll_cardinality": (

@@ -192,10 +192,41 @@ def _group_concat_macro(args: Sequence[str]) -> str:
             break
     first, rest = work[0], work[1:]
     sep = rest[0] if rest and rest[0].strip() else "','"
-    out = f"listagg({distinct}{first}, {sep})"
     if order:
-        out += f" WITHIN GROUP (ORDER BY {order})"
-    return out
+        # Spark's listagg WITHIN GROUP rejects expression sort keys with
+        # DISTINCT and any window-function key — build the ordered list
+        # explicitly: sort (keys.., value) structs with a comparator
+        # (handles DESC + NULLS FIRST like Doris), then join
+        keys = []
+        for kx in re.split(r",(?![^()]*\))", order):
+            km = re.match(
+                r"^(.*?)(?:\s+(ASC|DESC))?\s*$", kx.strip(), re.I | re.S
+            )
+            keys.append((km.group(1), (km.group(2) or "ASC").upper()))
+        fields = ", ".join(
+            [f"'k{i}', ({k})" for i, (k, _d) in enumerate(keys)]
+            + [f"'v', CAST(({first}) AS STRING)"]
+        )
+        cmp_chain = "0"
+        for i, (_k, d) in reversed(list(enumerate(keys))):
+            s_ = 1 if d == "ASC" else -1
+            cmp_chain = (
+                f"CASE WHEN a.k{i} IS NULL AND b.k{i} IS NULL THEN {cmp_chain} "
+                f"WHEN a.k{i} IS NULL THEN {-s_} "
+                f"WHEN b.k{i} IS NULL THEN {s_} "
+                f"WHEN a.k{i} < b.k{i} THEN {-s_} "
+                f"WHEN a.k{i} > b.k{i} THEN {s_} "
+                f"ELSE {cmp_chain} END"
+            )
+        vals = (
+            f"transform(array_sort("
+            f"collect_list(named_struct({fields})), "
+            f"(a, b) -> {cmp_chain}), s -> s.v)"
+        )
+        if distinct:
+            vals = f"array_distinct({vals})"
+        return f"array_join({vals}, {sep})"
+    return f"listagg({distinct}{first}, {sep})"
 
 
 def _grouping_id_macro(args: Sequence[str]) -> str:
@@ -213,8 +244,350 @@ def _grouping_id_macro(args: Sequence[str]) -> str:
     return "(" + " + ".join(terms) + ")"
 
 
+def _count_by_enum_macro(args: Sequence[str]) -> str:
+    """count_by_enum(c1, .., cn) -> Doris's per-column JSON histogram
+    (aggregate_function_count_by_enum.h): [{"cbe":{value:count,..},
+    "notnull":N,"null":M,"all":T}, ..] — emitted as an array of structs
+    so the comparator diffs it as JSON values."""
+    outs = []
+    for a in args:
+        s = f"CAST(({a}) AS STRING)"
+        cl = f"collect_list({s})"
+        outs.append(
+            f"named_struct("
+            f"'cbe', map_from_entries(transform(array_distinct({cl}), "
+            f"v -> struct(v, CAST(size(filter({cl}, x -> x = v)) AS BIGINT)))), "
+            f"'notnull', count({s}), "
+            f"'null', coalesce(sum(CASE WHEN ({a}) IS NULL THEN 1 ELSE 0 END), 0), "
+            f"'all', count(1))"
+        )
+    return "array(" + ", ".join(outs) + ")"
+
+
+def _histogram_macro(args: Sequence[str]) -> str:
+    """Doris histogram(x[, n]) -> {"num_buckets":K,"buckets":[{"lower":
+    str,"upper":str,"ndv":1,"count":c,"pre_sum":cum}]}. Equi-height with
+    max-bucket default 128: below the cap every distinct value is its
+    own bucket, which is the exact reference behavior the suites
+    exercise (above the cap the reference samples — out of scope)."""
+    x = args[0]
+    cl = f"collect_list({x})"
+    vals = f"array_sort(array_distinct({cl}))"
+    cnt = "size(filter({cl}, e -> e <=> {v}))"
+    return (
+        f"named_struct('num_buckets', size({vals}), 'buckets', "
+        f"transform({vals}, (v, i) -> named_struct("
+        f"'lower', CAST(v AS STRING), 'upper', CAST(v AS STRING), "
+        f"'ndv', 1, "
+        f"'count', CAST({cnt.format(cl=cl, v='v')} AS BIGINT), "
+        f"'pre_sum', aggregate(slice({vals}, 1, i), CAST(0 AS BIGINT), "
+        f"(a, u) -> a + {cnt.format(cl=cl, v='u')}))))"
+    )
+
+
+def _linear_histogram_macro(args: Sequence[str]) -> str:
+    """Doris linear_histogram(x, interval[, offset]) -> equi-width
+    buckets {"num_buckets":K,"buckets":[{"lower":..,"upper":..,
+    "count":c,"acc_count":cum}]}."""
+    x, itv = args[0], args[1]
+    off = args[2] if len(args) > 2 else "0"
+    xs = f"collect_list(CAST(({x}) AS DOUBLE))"
+    bk = f"CAST(floor((v - ({off})) / ({itv})) AS BIGINT)"
+    bks = (
+        f"array_sort(array_distinct(transform({xs}, v -> {bk})))"
+    )
+    cnt = (
+        f"size(filter({xs}, v -> {bk} = {{b}}))"
+    )
+    return (
+        f"named_struct('num_buckets', size({bks}), 'buckets', "
+        f"transform({bks}, (b, i) -> named_struct("
+        f"'lower', b * ({itv}) + ({off}), "
+        f"'upper', (b + 1) * ({itv}) + ({off}), "
+        f"'count', CAST({cnt.format(b='b')} AS BIGINT), "
+        f"'acc_count', aggregate(slice({bks}, 1, i + 1), "
+        f"CAST(0 AS BIGINT), (a, u) -> a + {cnt.format(b='u')}))))"
+    )
+
+
+def _intersect_count_macro(args: Sequence[str]) -> str:
+    """Doris intersect_count(bitmap, filter_col, v1, .., vk): size of
+    the intersection of the per-filter-value bitmap unions
+    (aggregate_function_orthogonal_bitmap.h)."""
+    bm, col, vals = args[0], args[1], args[2:]
+
+    def group_bm(v: str) -> str:
+        return (
+            f"array_distinct(flatten(collect_list("
+            f"CASE WHEN ({col}) <=> {v} THEN ({bm}) END)))"
+        )
+
+    base = group_bm(vals[0])
+    conds = " AND ".join(
+        f"array_contains({group_bm(v)}, e)" for v in vals[1:]
+    )
+    body = f"filter({base}, e -> {conds})" if conds else base
+    return f"CAST(size({body}) AS BIGINT)"
+
+
+def _seq_events(ts: str, conds: Sequence[str]) -> str:
+    cs = ", ".join(f"coalesce({c}, false)" for c in conds)
+    return (
+        f"array_sort(collect_list(named_struct("
+        f"'t', CAST(({ts}) AS TIMESTAMP), 'cs', array({cs}))))"
+    )
+
+
+def _parse_seq_pattern(pat: str) -> tuple[list[int], dict[int, str]] | None:
+    """'(?1)(?t>=3600)(?2)' -> ([1, 2], {1: '>=3600'}) — gap constraint
+    indexed by the transition it precedes (0-based transition i is
+    between refs[i-1] and refs[i])."""
+    pat = pat.strip().strip("'\"")
+    refs: list[int] = []
+    gaps: dict[int, str] = {}
+    i = 0
+    while i < len(pat):
+        m = re.match(r"\(\?(\d+)\)", pat[i:])
+        if m:
+            refs.append(int(m.group(1)))
+            i += m.end()
+            continue
+        m = re.match(r"\(\?t\s*([<>]=?)\s*(\d+)\)", pat[i:])
+        if m:
+            gaps[len(refs)] = m.group(1) + m.group(2)
+            i += m.end()
+            continue
+        if pat[i : i + 2] == ".*":
+            i += 2
+            continue
+        return None
+    return refs, gaps
+
+
+def _seq_fold(args: Sequence[str], count: bool) -> str:
+    """sequence_match / sequence_count (aggregate_function_sequence_
+    match.h): greedy subsequence over time-sorted events, optional
+    (?t<op>N) seconds constraints between adjacent refs."""
+    parsed = _parse_seq_pattern(args[0])
+    if parsed is None:
+        # unsupported pattern shape: leave the call unresolved
+        return f"sequence_{'count' if count else 'match'}({', '.join(args)})"
+    refs, gaps = parsed
+    ts, conds = args[1], args[2:]
+    ev = _seq_events(ts, conds)
+    k = len(refs)
+    branches = []
+    for pos in range(k):
+        cond = f"element_at(e.cs, {refs[pos]})"
+        g = gaps.get(pos)
+        if g and pos > 0:
+            op = g[: 2 if g[1] == "=" else 1]
+            n = g[len(op) :]
+            cond += (
+                f" AND (unix_micros(e.t) - unix_micros(s.tp)) "
+                f"{op} CAST({n} AS BIGINT) * 1000000"
+            )
+        branches.append(
+            f"WHEN s.pos = {pos} AND {cond} THEN "
+            + (
+                f"named_struct('pos', {pos + 1}, 'cnt', s.cnt, 'tp', e.t)"
+                if pos + 1 < k
+                else (
+                    f"named_struct('pos', 0, 'cnt', s.cnt + 1, 'tp', e.t)"
+                    if count
+                    else f"named_struct('pos', {k}, 'cnt', s.cnt + 1, 'tp', e.t)"
+                )
+            )
+        )
+    fold = (
+        f"aggregate({ev}, "
+        f"named_struct('pos', 0, 'cnt', CAST(0 AS BIGINT), "
+        f"'tp', CAST(NULL AS TIMESTAMP)), "
+        f"(s, e) -> CASE {' '.join(branches)} ELSE s END, "
+        f"s -> s.cnt)"
+    )
+    return fold if count else f"({fold} > 0)"
+
+
+def _window_funnel_macro(args: Sequence[str]) -> str:
+    """Doris window_funnel(window_s, 'mode', ts, c1, .., cn): greedy
+    funnel level anchored at the FIRST step-1 event, steps within
+    window_s of it; 'default' admits equal timestamps between steps,
+    'increase' requires strictly increasing (mirrors
+    operators/funnel.py — aggregate_function_window_funnel_v2.h)."""
+    w, mode, ts, conds = args[0], args[1].strip("'\" ").lower(), args[2], args[3:]
+    if mode not in ("default", "increase"):
+        return f"window_funnel({', '.join(args)})"
+    ev = _seq_events(ts, conds)
+    n = len(conds)
+    cmp_ = ">=" if mode == "default" else ">"
+    return (
+        f"aggregate({ev}, "
+        f"named_struct('lvl', 0, 't1', CAST(NULL AS TIMESTAMP), "
+        f"'tp', CAST(NULL AS TIMESTAMP)), "
+        f"(s, e) -> CASE "
+        f"WHEN s.lvl = 0 AND element_at(e.cs, 1) THEN "
+        f"named_struct('lvl', 1, 't1', e.t, 'tp', e.t) "
+        f"WHEN s.lvl >= 1 AND s.lvl < {n} "
+        f"AND element_at(e.cs, s.lvl + 1) "
+        f"AND unix_micros(e.t) {cmp_} unix_micros(s.tp) "
+        f"AND unix_micros(e.t) <= unix_micros(s.t1) "
+        f"+ CAST(({w}) AS BIGINT) * 1000000 THEN "
+        f"named_struct('lvl', s.lvl + 1, 't1', s.t1, 'tp', e.t) "
+        f"ELSE s END, s -> s.lvl)"
+    )
+
+
+def _regr_parts(y: str, x: str) -> dict[str, str]:
+    """Pairwise-filtered regression sufficient statistics; boolean and
+    integer inputs coerce to DOUBLE (the Doris FE casts implicitly)."""
+    yd = f"CAST(({y}) AS DOUBLE)"
+    xd = f"CAST(({x}) AS DOUBLE)"
+    pair = f"(({y}) IS NOT NULL AND ({x}) IS NOT NULL)"
+    return {
+        "n": f"count(IF({pair}, 1, NULL))",
+        "sx": f"sum(IF({pair}, {xd}, NULL))",
+        "sy": f"sum(IF({pair}, {yd}, NULL))",
+        "sxx": f"sum(IF({pair}, {xd} * {xd}, NULL))",
+        "syy": f"sum(IF({pair}, {yd} * {yd}, NULL))",
+        "sxy": f"sum(IF({pair}, {xd} * {yd}, NULL))",
+    }
+
+
+def _regr(kind: str) -> Macro:
+    """Doris regr_* family (aggregate_function_regr.h): zero-variance x
+    yields slope 0 / intercept avg(y) (not NULL, test_regr_slope
+    sql_int_1 golden); no valid pairs yields NULL."""
+
+    def m(args: Sequence[str]) -> str:
+        p = _regr_parts(args[0], args[1])
+        n, sx, sy = p["n"], p["sx"], p["sy"]
+        dxx = f"({n} * {p['sxx']} - {sx} * {sx})"
+        dyy = f"({n} * {p['syy']} - {sy} * {sy})"
+        dxy = f"({n} * {p['sxy']} - {sx} * {sy})"
+        slope = f"(CASE WHEN {dxx} = 0 THEN CAST(0 AS DOUBLE) ELSE {dxy} / {dxx} END)"
+        if kind == "count":
+            return f"CAST({n} AS BIGINT)"
+        guard = f"CASE WHEN {n} > 0 THEN {{v}} END"
+        if kind == "avgx":
+            return f"({guard.format(v=f'{sx} / {n}')})"
+        if kind == "avgy":
+            return f"({guard.format(v=f'{sy} / {n}')})"
+        if kind == "sxx":
+            return f"({guard.format(v=f'{dxx} / {n}')})"
+        if kind == "syy":
+            return f"({guard.format(v=f'{dyy} / {n}')})"
+        if kind == "sxy":
+            return f"({guard.format(v=f'{dxy} / {n}')})"
+        if kind == "slope":
+            return f"({guard.format(v=slope)})"
+        if kind == "intercept":
+            return f"({guard.format(v=f'({sy} - {slope} * {sx}) / {n}')})"
+        # r2: var(x)=0 -> NULL; var(y)=0 -> 1; else corr^2
+        return (
+            f"(CASE WHEN {n} = 0 OR {dxx} = 0 THEN NULL "
+            f"WHEN {dyy} = 0 THEN CAST(1 AS DOUBLE) "
+            f"ELSE ({dxy} * {dxy}) / ({dxx} * {dyy}) END)"
+        )
+
+    return m
+
+
+def _foreach(agg: str) -> Macro:
+    """Doris <agg>_foreach(array_col) combinator: element-wise aggregate
+    across the group's arrays (AggCombinerFunctionBuilder FOREACH)."""
+
+    def m(args: Sequence[str]) -> str:
+        a = args[0]
+        arrs = f"filter(collect_list({a}), x -> x IS NOT NULL)"
+        if agg == "count":
+            comb = (
+                "transform(sequence(1, greatest(size(acc), size(x))), i -> "
+                "coalesce(try_element_at(acc, i), CAST(0 AS BIGINT)) + "
+                "IF(try_element_at(x, i) IS NULL, 0, 1))"
+            )
+            init = "CAST(array() AS ARRAY<BIGINT>)"
+        elif agg == "sum":
+            comb = (
+                "transform(sequence(1, greatest(size(acc), size(x))), i -> "
+                "CASE WHEN try_element_at(x, i) IS NULL THEN try_element_at(acc, i) "
+                "ELSE coalesce(try_element_at(acc, i), CAST(0 AS DOUBLE)) + "
+                "CAST(try_element_at(x, i) AS DOUBLE) END)"
+            )
+            init = "CAST(array() AS ARRAY<DOUBLE>)"
+        elif agg in ("min", "max"):
+            f_ = "least" if agg == "min" else "greatest"
+            comb = (
+                f"transform(sequence(1, greatest(size(acc), size(x))), i -> "
+                f"CASE WHEN try_element_at(x, i) IS NULL THEN try_element_at(acc, i) "
+                f"WHEN try_element_at(acc, i) IS NULL THEN try_element_at(x, i) "
+                f"ELSE {f_}(try_element_at(acc, i), try_element_at(x, i)) END)"
+            )
+            init = f"slice({arrs}, 1, 0)"
+        else:  # avg
+            sums = _foreach("sum")([a])
+            cnts = _foreach("count")([a])
+            return (
+                f"zip_with({sums}, {cnts}, (s, c) -> "
+                f"CASE WHEN c > 0 THEN s / c END)"
+            )
+        first = f"CASE WHEN size({arrs}) = 0 THEN NULL ELSE {init} END"
+        return f"aggregate({arrs}, {first}, (acc, x) -> {comb})"
+
+    return m
+
+
 MACROS: dict[str, Macro] = {
     "grouping_id": _grouping_id_macro,
+    "count_by_enum": _count_by_enum_macro,
+    "regr_slope": _regr("slope"),
+    "regr_intercept": _regr("intercept"),
+    "regr_r2": _regr("r2"),
+    "regr_count": _regr("count"),
+    "regr_avgx": _regr("avgx"),
+    "regr_avgy": _regr("avgy"),
+    "regr_sxx": _regr("sxx"),
+    "regr_syy": _regr("syy"),
+    "regr_sxy": _regr("sxy"),
+    "sum_foreach": _foreach("sum"),
+    "count_foreach": _foreach("count"),
+    "min_foreach": _foreach("min"),
+    "max_foreach": _foreach("max"),
+    "avg_foreach": _foreach("avg"),
+    "histogram": _histogram_macro,
+    "hist": _histogram_macro,
+    "linear_histogram": _linear_histogram_macro,
+    "intersect_count": _intersect_count_macro,
+    "sequence_match": lambda a: _seq_fold(a, count=False),
+    "sequence_count": lambda a: _seq_fold(a, count=True),
+    "window_funnel": _window_funnel_macro,
+    # Doris *_samp of a single value is 0.0, not NULL (agg_sync_mv)
+    "stddev_samp": _tpl(
+        "(CASE WHEN count({0}) = 1 THEN CAST(0 AS DOUBLE) "
+        "ELSE stddev_samp({0}) END)"
+    ),
+    "var_samp": _tpl(
+        "(CASE WHEN count({0}) = 1 THEN CAST(0 AS DOUBLE) "
+        "ELSE var_samp({0}) END)"
+    ),
+    "covar_samp": _tpl(
+        "(CASE WHEN count(IF(({0}) IS NOT NULL AND ({1}) IS NOT NULL, 1, "
+        "NULL)) = 1 THEN CAST(0 AS DOUBLE) ELSE covar_samp({0}, {1}) END)"
+    ),
+    # intersection of every group array (reference
+    # aggregate_function_group_array_intersect.h); order is unspecified
+    # in Doris — emit sorted
+    "group_array_intersect": _tpl(
+        "array_sort(filter(array_distinct(flatten(collect_list({0}))), "
+        "e -> size(filter(collect_list({0}), b -> array_contains(b, e)))"
+        " = size(collect_list({0}))))"
+    ),
+    # Doris corr returns 0.0 (not NULL) when either side has zero
+    # variance (nereids_syntax_p0/mv agg_sync_mv select_corr golden)
+    "corr": _tpl(
+        "(CASE WHEN count(IF(({0}) IS NOT NULL AND ({1}) IS NOT NULL, 1, "
+        "NULL)) > 0 THEN coalesce(corr({0}, {1}), CAST(0 AS DOUBLE)) END)"
+    ),
     # ---- plain renames (BuiltinAggregateFunctions.java name -> Spark)
     "ndv": _rename("approx_count_distinct"),
     # variadic crc32 over the arguments' internal value layouts — the
@@ -264,7 +637,10 @@ MACROS: dict[str, Macro] = {
     # an `ORDER BY` inside the call becomes Spark's WITHIN GROUP
     "group_concat": lambda args: _group_concat_macro(args),
     "variance_pop": _rename("var_pop"),
-    "variance_samp": _rename("var_samp"),
+    "variance_samp": _tpl(
+        "(CASE WHEN count({0}) = 1 THEN CAST(0 AS DOUBLE) "
+        "ELSE var_samp({0}) END)"
+    ),
     # MySQL/Doris STDDEV/VARIANCE are the POPULATION forms (Spark's
     # bare stddev/variance are sample)
     "stddev": _rename("stddev_pop"),
@@ -275,7 +651,10 @@ MACROS: dict[str, Macro] = {
     "kurt": _rename("kurtosis"),
     "kurt_pop": _rename("kurtosis"),
     "covar": _rename("covar_pop"),
-    "corr_welford": _rename("corr"),
+    "corr_welford": _tpl(
+        "(CASE WHEN count(IF(({0}) IS NOT NULL AND ({1}) IS NOT NULL, 1, "
+        "NULL)) > 0 THEN coalesce(corr({0}, {1}), CAST(0 AS DOUBLE)) END)"
+    ),
     "booland_agg": _rename("bool_and"),
     "boolor_agg": _rename("bool_or"),
     "group_bit_and": _rename("bit_and"),
@@ -286,7 +665,6 @@ MACROS: dict[str, Macro] = {
     "percentile_array": _rename("percentile"),
     "percentile_reservoir": _rename("percentile_approx"),
     "hist": _rename("histogram_numeric"),
-    "linear_histogram": _rename("histogram_numeric"),
     # ---- composite expansions
     "sum0": _tpl("coalesce(sum({0}), 0)"),
     "multi_distinct_count": _tpl("count(DISTINCT {0})"),
@@ -308,7 +686,12 @@ MACROS: dict[str, Macro] = {
             re.sub(r"(?i)^\s*DISTINCT\s+", "", args[0]), args[1]
         )
         if re.match(r"(?i)\s*DISTINCT\s", args[0])
-        else f"(sum(({args[0]}) * ({args[1]})) / sum({args[1]}))"
+        # all-zero weights divide 0/0 -> Doris renders NaN, not NULL
+        else (
+            f"(CASE WHEN sum({args[1]}) = 0 AND count({args[1]}) > 0 "
+            f"THEN CAST('NaN' AS DOUBLE) "
+            f"ELSE sum(({args[0]}) * ({args[1]})) / sum({args[1]}) END)"
+        )
     ),
     "sem": _tpl("(stddev_samp({0}) / sqrt(count({0})))"),
     "bitmap_agg": _tpl("array_sort(collect_set(CAST({0} AS BIGINT)))"),
@@ -329,7 +712,13 @@ MACROS: dict[str, Macro] = {
         "e -> size(filter(collect_list({0}), b -> array_contains(b, e)))"
         " = size(collect_list({0}))))"
     ),
+    # Doris HLL_UNION_AGG returns the cardinality ESTIMATE (BIGINT);
+    # HLL_UNION/HLL_RAW_AGG return the merged sketch itself
     "hll_union_agg": _tpl(
+        "hll_cardinality(aggregate(collect_list({0}), array_repeat(0, 1024), "
+        "(acc, h) -> zip_with(acc, h, (a, b) -> greatest(a, b))))"
+    ),
+    "hll_union": _tpl(
         "aggregate(collect_list({0}), array_repeat(0, 1024), "
         "(acc, h) -> zip_with(acc, h, (a, b) -> greatest(a, b)))"
     ),
@@ -341,9 +730,24 @@ MACROS: dict[str, Macro] = {
         "aggregate(collect_list({0}), array_repeat(0, 1024), "
         "(acc, h) -> zip_with(acc, h, (a, b) -> greatest(a, b)))"
     ),
-    "map_agg": _tpl("map_from_entries(collect_list(struct({0}, {1})))"),
-    "map_agg_v1": _tpl("map_from_entries(collect_list(struct({0}, {1})))"),
-    "map_agg_v2": _tpl("map_from_entries(collect_list(struct({0}, {1})))"),
+    # STRING keys + NUL sentinel: Doris map_agg keeps NULL keys,
+    # which Spark MapType bans; the comparator renders the sentinel
+    # back as the unquoted null key and float-canonicalizes numerics
+    "map_agg": _tpl(
+        "map_from_entries(collect_list(named_struct('k', "
+        "coalesce(CAST(({0}) AS STRING), concat(char(0), 'null')), "
+        "'v', {1})))"
+    ),
+    "map_agg_v1": _tpl(
+        "map_from_entries(collect_list(named_struct('k', "
+        "coalesce(CAST(({0}) AS STRING), concat(char(0), 'null')), "
+        "'v', {1})))"
+    ),
+    "map_agg_v2": _tpl(
+        "map_from_entries(collect_list(named_struct('k', "
+        "coalesce(CAST(({0}) AS STRING), concat(char(0), 'null')), "
+        "'v', {1})))"
+    ),
     "percentile_approx_weighted": _tpl(
         "percentile({0}, {2}, CAST({1} AS BIGINT))"
     ),
@@ -662,11 +1066,17 @@ def _topn_array(args: Sequence[str]) -> str:
 
 
 def _topn_weighted(args: Sequence[str]) -> str:
+    # collect pairs as structs (separate collect_lists misalign when one
+    # side has NULLs) and drop NULL values/weights, as the reference does
     x, w, k = args[0], args[1], args[2]
-    pairs = f"zip_with(collect_list({x}), collect_list({w}), (a, b) -> named_struct('k', a, 'w', b))"
-    entries = _topn_entries(
-        x,
-        f"-aggregate(filter({pairs}, p -> p.k <=> v), CAST(0 AS DOUBLE), (acc, p) -> acc + p.w)",
+    pairs = (
+        f"filter(collect_list(named_struct('k', {x}, 'w', {w})), "
+        f"p -> p.k IS NOT NULL AND p.w IS NOT NULL)"
+    )
+    entries = (
+        f"array_sort(transform(array_distinct(transform({pairs}, p -> p.k)), "
+        f"v -> named_struct('c', -aggregate(filter({pairs}, p -> p.k <=> v), "
+        f"CAST(0 AS DOUBLE), (acc, p) -> acc + p.w), 'v', v)))"
     )
     return f"transform(slice({entries}, 1, {k}), s -> s.v)"
 

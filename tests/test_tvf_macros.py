@@ -60,8 +60,11 @@ REWRITES = [
         "SELECT count(DISTINCT a + b) FROM t",
     ),
     (
+        # all-zero weights render NaN (Doris), not NULL
         "SELECT avg_weighted(price, qty) FROM t",
-        "SELECT (sum((price) * (qty)) / sum(qty)) FROM t",
+        "SELECT (CASE WHEN sum(qty) = 0 AND count(qty) > 0 "
+        "THEN CAST('NaN' AS DOUBLE) "
+        "ELSE sum((price) * (qty)) / sum(qty) END) FROM t",
     ),
     # nested calls rewrite inside-out
     (
@@ -139,11 +142,15 @@ def test_macros_execute(spark):
     assert bm["c"] == 3
     assert list(bm["x"]) == [1, 2, 3]
 
+    # hll_union_agg returns the BIGINT estimate directly (Doris
+    # semantics); hll_union returns the merged sketch
     hll = eng.sql(
-        "SELECT hll_cardinality(hll_union_agg(h)) AS c FROM "
+        "SELECT hll_union_agg(h) AS c, "
+        "hll_cardinality(hll_union(h)) AS c2 FROM "
         "(SELECT hll_hash(CAST(id AS STRING)) h FROM range(50))"
     ).collect()[0]
     assert 40 <= hll["c"] <= 60
+    assert hll["c"] == hll["c2"]
 
 
 def test_topn_and_map_macros(spark):

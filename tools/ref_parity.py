@@ -1257,11 +1257,35 @@ def _stream_load(eng, spec: dict) -> None:
                 )
                 changed4 = True
             elif f.name in strcols and ts.startswith("map<"):
+                # per-key/value lambda casts: Spark's map-to-map CAST
+                # refuses key-type changes (string->boolean) that the
+                # element-wise casts allow
+                inner = ts[4:-1]
+                d_, cpos = 0, None
+                for i_, ch_ in enumerate(inner):
+                    if ch_ in "<(":
+                        d_ += 1
+                    elif ch_ in ">)":
+                        d_ -= 1
+                    elif ch_ == "," and d_ == 0:
+                        cpos = i_
+                        break
+                kt, vt = inner[:cpos].strip(), inner[cpos + 1 :].strip()
+                m_ = (
+                    f"str_to_map(regexp_replace({src}, "
+                    f"'^\\\\{{|\\\\}}$', ''), ',', ':')"
+                )
+                # null keys (Doris allows them; Spark bans) and cast
+                # failures are dropped pairwise via zip_with + filter
                 sel4.append(
                     f"CASE WHEN {src} IS NULL THEN NULL "
                     f"WHEN {src} IN ('{{}}', '') THEN CAST(map() AS {ts}) "
-                    f"ELSE CAST(str_to_map(regexp_replace({src}, "
-                    f"'^\\\\{{|\\\\}}$', ''), ',', ':') AS {ts}) END AS `{f.name}`"
+                    f"ELSE map_from_entries(filter(zip_with("
+                    f"transform(map_keys({m_}), x -> CAST(trim(x) AS {kt})), "
+                    f"transform(map_values({m_}), x -> "
+                    f"CAST(nullif(trim(x), 'null') AS {vt})), "
+                    f"(k, v) -> struct(k, v)), s -> s.k IS NOT NULL)) "
+                    f"END AS `{f.name}`"
                 )
                 changed4 = True
             elif f.name in strcols and ts.startswith("struct<"):
@@ -1468,6 +1492,17 @@ def run_setup(eng, sql: str) -> None:
     # DECIMAL(38,0) scalar targets overflow the cast to NULL under the
     # LEGACY store policy, same as the previous NULL substitution.
     sql = _HUGE_INT.sub(lambda m: f"CAST('{m.group(0)}' AS DOUBLE)", sql)
+    # DECIMAL256-scale decimal literals (>38 total digits) likewise
+    # exceed Spark's decimal parser — keep the magnitude as a double
+    sql = re.sub(
+        r"(?<![\w.])-?\d+\.\d+(?![\w.])",
+        lambda m: (
+            f"CAST('{m.group(0)}' AS DOUBLE)"
+            if len(m.group(0).lstrip("-").replace(".", "")) > 38
+            else m.group(0)
+        ),
+        sql,
+    )
     dbm = re.match(
         r"\s*(CREATE|DROP)\s+DATABASE\s+(?:IF\s+(?:NOT\s+)?EXISTS\s+)?"
         r"`?(\w+)`?",
@@ -2318,6 +2353,120 @@ def _plain_having(sql: str) -> str | None:
     if _scan_top_level(head, "WHERE") is not None:
         return f"{head}AND ({pred}) {sql[h + len('HAVING') + len(m.group(1)):]}"
     return f"{head}WHERE {pred} {sql[h + len('HAVING') + len(m.group(1)):]}"
+
+
+# functions whose Doris return type is BITMAP / HLL / QUANTILE_STATE —
+# the MySQL protocol renders those binary values as NULL, so a bare
+# select of one prints \N (the engine's array-backed shim would print
+# the array). Used by _sketch_render_nulls.
+_SKETCH_VALUE_FNS = {
+    "bitmap_union", "bitmap_intersect", "group_bitmap_xor", "bitmap_agg",
+    "bitmap_empty", "to_bitmap", "to_bitmap_with_check", "bitmap_hash",
+    "bitmap_hash64", "bitmap_from_string", "bitmap_from_array",
+    "bitmap_and", "bitmap_or", "bitmap_xor", "bitmap_not",
+    "bitmap_and_not", "bitmap_subset_in_range", "bitmap_subset_limit",
+    "sub_bitmap", "bitmap_remove", "hll_union", "hll_raw_agg",
+    "hll_empty", "hll_hash", "quantile_union", "to_quantile_state",
+    "hll_from_base64", "bitmap_from_base64",
+}
+_SKETCH_COL_TYPES = ("bitmap", "hll", "quantile_state")
+
+
+def _sketch_render_nulls(sql: str) -> str:
+    """Doris renders BITMAP/HLL/QUANTILE_STATE values as NULL in result
+    sets (MySQL protocol has no representation for them). Replace
+    top-level select items that ARE such values — a sketch-returning
+    call, or a sketch-typed column (incl. via *) — with an evaluated-
+    then-NULLed expression so the golden's \\N matches."""
+    sel = _scan_top_level(sql, "SELECT")
+    frm = _scan_top_level(sql, "FROM")
+    if sel is None or frm is None or frm < sel:
+        return sql
+    body = sql[sel + 6 : frm]
+    items, depth, in_q, cur = [], 0, None, []
+    for c in body:
+        if in_q:
+            if c == in_q:
+                in_q = None
+        elif c in ("'", '"'):
+            in_q = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+            continue
+        cur.append(c)
+    items.append("".join(cur))
+    # sketch-typed columns of the FROM table (for bare refs and *)
+    fm = re.search(r"\bFROM\s+(?:`?\w+`?\.)?`?(\w+)`?", sql[frm:], re.I)
+    meta = fm and _TABLE_META.get(fm.group(1).lower())
+    sketch_cols = {
+        c.lower()
+        for c, t, _nn in (meta["cols"] if meta else [])
+        if t in _SKETCH_COL_TYPES
+    }
+    changed = False
+    out_items = []
+    for it in items:
+        stripped = it.strip()
+        fn = re.match(r"^(\w+)\s*\(", stripped)
+        if stripped == "*" and sketch_cols and meta:
+            cols = [
+                (
+                    f"IF(`{c}` IS NULL, NULL, NULL) AS `{c}`"
+                    if c.lower() in sketch_cols
+                    else f"`{c}`"
+                )
+                for c, _t, _nn in meta["cols"]
+            ]
+            out_items.append(" " + ", ".join(cols))
+            changed = True
+            continue
+        if fn and fn.group(1).lower() in _SKETCH_VALUE_FNS:
+            # whole item = call (+ optional alias)?
+            d2, k, q2 = 0, fn.end() - 1, None
+            while k < len(stripped):
+                ch = stripped[k]
+                if q2:
+                    if ch == q2:
+                        q2 = None
+                elif ch in ("'", '"'):
+                    q2 = ch
+                elif ch == "(":
+                    d2 += 1
+                elif ch == ")":
+                    d2 -= 1
+                    if d2 == 0:
+                        break
+                k += 1
+            expr, tail = stripped[: k + 1], stripped[k + 1 :].strip()
+            if tail and not re.fullmatch(
+                r"(?:AS\s+)?`?\w+`?", tail, re.I
+            ):
+                out_items.append(it)
+                continue
+            alias = (" " + tail) if tail else ""
+            out_items.append(
+                f" IF(({expr}) IS NULL, NULL, NULL){alias}"
+            )
+            changed = True
+            continue
+        bare = re.fullmatch(
+            r"(?:`?\w+`?\.)?`?(\w+)`?", stripped
+        )
+        if bare and bare.group(1).lower() in sketch_cols:
+            out_items.append(
+                f" IF({stripped} IS NULL, NULL, NULL) AS `{bare.group(1)}`"
+            )
+            changed = True
+            continue
+        out_items.append(it)
+    if not changed:
+        return sql
+    return sql[: sel + 6] + ",".join(out_items) + " " + sql[frm:]
 
 
 def _nested_having_to_where(sql: str) -> str | None:
@@ -3430,6 +3579,8 @@ def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
                 break
     if "TEMPORARY" in sql.upper():
         sql = _temp_partition_refs(sql)
+    if re.search(r"\bbitmap|\bhll|quantile|\*", sql, re.I):
+        sql = _sketch_render_nulls(sql)
     sql = _widen_int_literals(_crc32_v1_rewrite(sql))
     try:
         ok, why = _run_case_raw(eng, sql, expected, ordered)
@@ -3578,6 +3729,8 @@ def main() -> None:
     # MySQL-permissive INSERT coercion (string -> timestamp etc.) for the
     # suites' setup tables.
     eng.spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    # Doris map literals keep the LAST duplicate key
+    eng.spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     # SQL-UDF bodies freeze analysis-time conf (timezone included): the
     # Engine registered them under the pinned-UTC bootstrap, so re-create
     # the function surface now that the session runs in +08:00.

@@ -92,6 +92,8 @@ def main() -> None:
     eng.spark.conf.set("spark.sql.session.timeZone", "Asia/Shanghai")
     eng.spark.conf.set("spark.sql.ansi.enabled", "false")
     eng.spark.conf.set("spark.sql.storeAssignmentPolicy", "LEGACY")
+    # Doris map literals keep the LAST duplicate key
+    eng.spark.conf.set("spark.sql.mapKeyDedupPolicy", "LAST_WIN")
     from doris_spark.functions import register_all
 
     register_all(eng.spark)
@@ -102,6 +104,21 @@ def main() -> None:
     # cases whose golden is engine-internal (Doris plan shape text):
     # the statement must still PLAN here, but the golden isn't comparable
     skipped = []
+    def _dir_db(rel: str) -> str:
+        """The reference CI runs each suite in a database named after its
+        directory (regression-conf defaultDb + path): suites/<a>/<b> ->
+        regression_test_<a>_<b>. Stream-loads and USE statements in the
+        suites reference these names."""
+        d = os.path.dirname(rel).strip("/")
+        return "regression_test" + (("_" + d.replace("/", "_")) if d else "")
+
+    def _use_db(db: str) -> None:
+        try:
+            eng.spark.sql(f"CREATE DATABASE IF NOT EXISTS {db}")
+            eng.spark.sql(f"USE {db}")
+        except Exception:
+            pass
+
     for target in targets:
         # shared directory fixtures: load.groovy files set up tables the
         # goldens-backed suites in the directory reference
@@ -110,6 +127,7 @@ def main() -> None:
             glob.glob(f"{SUITES_ROOT}/{troot}/**/load.groovy", recursive=True)
         ):
             try:
+                _use_db(_dir_db(os.path.relpath(lg, SUITES_ROOT)))
                 for name, stmt, _exp, _o in rp.parse_suite_files(lg):
                     if name is None:
                         try:
@@ -131,11 +149,9 @@ def main() -> None:
             src_text = open(gpath).read()
             if "test_query_db" in src_text:
                 _ensure_shared_db(eng)
-            # a prior suite's USE must not leak into this file
-            try:
-                eng.spark.sql("USE default")
-            except Exception:
-                pass
+            # a prior suite's USE must not leak into this file: start in
+            # the file's own directory database (reference CI defaultDb)
+            _use_db(_dir_db(label))
             files_total += 1
             file_fail = 0
             for name, sql, expected, ordered in cases:
@@ -171,6 +187,22 @@ def main() -> None:
                     ok, why = rp.run_case(eng, sql, expected, ordered)
                 except Exception as exc:
                     ok, why = False, f"{type(exc).__name__}: {str(exc)[:160]}"
+                if not ok and "FAILED_READ_FILE" in why:
+                    # stale FileIndex after an external overwrite of the
+                    # table directory — refresh referenced tables, retry
+                    for t in set(re.findall(r"\b[a-zA-Z_]\w*\b", sql)):
+                        try:
+                            if eng.spark.catalog.tableExists(t):
+                                eng.spark.catalog.refreshTable(t)
+                        except Exception:
+                            pass
+                    try:
+                        ok, why = rp.run_case(eng, sql, expected, ordered)
+                    except Exception as exc:
+                        ok, why = (
+                            False,
+                            f"{type(exc).__name__}: {str(exc)[:160]}",
+                        )
                 if ok:
                     passed += 1
                 elif "TABLE_OR_VIEW_NOT_FOUND" in why and any(
