@@ -603,6 +603,26 @@ def dialect(sql: str) -> str:
     )
     # session-variable hints are execution knobs, not semantics
     s = re.sub(r"/\*\+\s*SET_VAR\s*\([^)]*\)\s*\*/", " ", s, flags=re.I)
+
+    # Doris planner hints Spark's parser rejects (space-separated args,
+    # {}-groups): leading(join order), ordered, use/no_use_cbo_rule,
+    # use_mv/no_use_mv (query_p0/hint/*.groovy). The hint only steers
+    # the optimizer — results are identical — so strip the spec; Spark
+    # hints (broadcast etc.) inside the same comment are kept.
+    def _doris_hints(m: re.Match) -> str:
+        body = m.group(1)
+        body = re.sub(
+            r"\b(?:leading|use_cbo_rule|no_use_cbo_rule|use_mv|no_use_mv)"
+            r"\s*\([^()]*(?:\([^()]*\)[^()]*)*\)|\bordered\b",
+            " ",
+            body,
+            flags=re.I,
+        )
+        return f"/*+ {body} */" if body.strip() else " "
+
+    if re.search(r"/\*\+[^*]*\b(?:leading|ordered|use_mv|no_use_mv|"
+                 r"use_cbo_rule|no_use_cbo_rule)\b", s, re.I):
+        s = re.sub(r"/\*\+(.*?)\*/", _doris_hints, s, flags=re.S)
     # Doris full-text MATCH operators over a literal query -> tokenized
     # predicates (operators/textops.py semantics, codegen-friendly)
     def _match_repl(m: re.Match) -> str:
@@ -927,6 +947,24 @@ def dialect(sql: str) -> str:
             i = j + 1
         return "".join(out)
 
+    # Doris type spellings INSIDE complex type parameters
+    # (cast(x as array<datetimev2>)) — scalar casts are rewritten above,
+    # but the interior names must map before the native CAST sees them
+    def _inner_types(m: re.Match) -> str:
+        t = m.group(0)
+        t = re.sub(r"(?i)\bdatetimev?[12]?\s*(\(\s*\d+\s*\))?", "TIMESTAMP", t)
+        t = re.sub(r"(?i)\bdatev[12]\b", "DATE", t)
+        t = re.sub(r"(?i)\blargeint\b", "DECIMAL(38,0)", t)
+        t = re.sub(r"(?i)\b(?:text|json[b]?|varchar|char)\s*(\(\s*\d+\s*\))?",
+                   "STRING", t)
+        t = re.sub(r"(?i)\bdecimalv[23]\b", "DECIMAL", t)
+        return t
+
+    s = re.sub(
+        r"(?i)\b(?:ARRAY|MAP|STRUCT)<[^<>]*(?:<[^<>]*(?:<[^<>]*>[^<>]*)*>[^<>]*)*>",
+        _inner_types,
+        s,
+    )
     s = _cast_complex(s)
 
     # Doris array subscripts are 1-based and out-of-range-safe; rewrite
@@ -1002,6 +1040,64 @@ def dialect(sql: str) -> str:
         return text
 
     s = _subscripts(s)
+
+    # Doris array slice syntax arr[l:r] / arr[l:] (r is a LENGTH, not an
+    # end index: [1,2,3][1:1] -> [1]): off 0, negative length, or an
+    # offset before the first element all yield the EMPTY array (docs
+    # array-functions/array_slice; goldens in query_p0 array suites).
+    def _slices(text: str) -> str:
+        sub = re.compile(r"\[\s*(-?\d+)\s*:\s*(-?\d+)?\s*\]")
+        changed = True
+        while changed:
+            changed = False
+            spans = _literal_spans(text)
+            for m in sub.finditer(text):
+                if any(a <= m.start() < b for a, b in spans):
+                    continue
+                k = m.start() - 1
+                if k < 0:
+                    continue
+                end = m.start()
+                j = k
+                while j >= 0:
+                    c = text[j]
+                    if c in ")]":
+                        depth = 0
+                        while j >= 0:
+                            if text[j] in ")]":
+                                depth += 1
+                            elif text[j] in "([":
+                                depth -= 1
+                                if depth == 0:
+                                    break
+                            j -= 1
+                        j -= 1
+                    elif c.isalnum() or c in "_.`":
+                        j -= 1
+                    else:
+                        break
+                start = j + 1
+                base = text[start:end].strip()
+                if not base or not re.search(r"[A-Za-z_)\]]", base):
+                    continue
+                off = int(m.group(1))
+                ln = m.group(2)
+                if off == 0 or (ln is not None and int(ln) < 0):
+                    repl = f"slice({base}, 1, 0)"
+                else:
+                    length = ln if ln is not None else f"size({base})"
+                    repl = (
+                        f"(CASE WHEN {off} < -size({base}) "
+                        f"THEN slice({base}, 1, 0) "
+                        f"ELSE slice({base}, {off}, {length}) END)"
+                    )
+                text = text[:start] + repl + text[m.end():]
+                changed = True
+                break
+        return text
+
+    if ":" in s:
+        s = _slices(s)
     s = re.sub(r"\bAS\s+UNSIGNED\b", "AS BIGINT", s, flags=re.I)
     s = re.sub(r"\bINTERVAL\s+(-?\d+)\s+QUARTER\b", lambda m: f"INTERVAL {int(m.group(1)) * 3} MONTH", s, flags=re.I)
     # date_floor/date_ceil(x, INTERVAL n unit) -> the registered

@@ -948,6 +948,9 @@ def _array_compact(args: Sequence[str]) -> str:
 
 
 def _array_contains(args: Sequence[str]) -> str:
+    # array_contains(NULL, x) -> NULL (Doris NULL-array semantics)
+    if len(args) == 2 and args[0].strip().upper() == "NULL":
+        return "CAST(NULL AS BOOLEAN)"
     # array_contains(arr, NULL): does the array hold a null element
     # (Spark rejects the untyped NULL literal outright)
     if len(args) == 2 and args[1].strip().upper() == "NULL":
@@ -1225,13 +1228,20 @@ def _null_absorbing(spark_name: str) -> Macro:
 
     def m(args: Sequence[str]) -> str:
         live = [a for a in args if a.strip().upper() != "NULL"]
-        if len(live) == len(args):
+        if len(live) != len(args):
+            if not live:
+                return "NULL"
+            # result type == operand type for these ops, so the first
+            # live operand alone carries the typing
+            return f"IF(false, {live[0]}, NULL)"
+        if len(args) <= 2 or spark_name == "concat":
+            # concat is natively variadic; the set ops take exactly 2
             return f"{spark_name}({', '.join(args)})"
-        if not live:
-            return "NULL"
-        # result type == operand type for these ops, so the first live
-        # operand alone carries the typing
-        return f"IF(false, {live[0]}, NULL)"
+        # Doris array_union/array_intersect are variadic — fold
+        out = args[0]
+        for x in args[1:]:
+            out = f"{spark_name}({out}, {x})"
+        return out
 
     return m
 
@@ -1250,6 +1260,10 @@ def _null_second_arg(template_null: str, passthrough: str) -> Macro:
     Spark rejects or NULL-propagates)."""
 
     def m(args: Sequence[str]) -> str:
+        if len(args) == 2 and args[0].strip().upper() == "NULL":
+            # NULL array operand: NULL result (Doris semantics); BIGINT
+            # covers position/remove-count shapes, comparator sees \N
+            return "CAST(NULL AS BIGINT)"
         if len(args) == 2 and args[1].strip().upper() == "NULL":
             return template_null.format(args[0])
         return passthrough.format(*args) if passthrough else f"__KEEP__({', '.join(args)})"
@@ -1283,6 +1297,144 @@ def _arrays_overlap(args: Sequence[str]) -> str:
 
 
 MACROS["arrays_overlap"] = _arrays_overlap
+
+
+def _element_at_macro(args: Sequence[str]) -> str:
+    # NULL array or NULL index -> NULL (Doris; Spark rejects the
+    # untyped literal). Everything else keeps the native/dialect path.
+    if len(args) == 2 and args[0].strip().upper() == "NULL":
+        return "CAST(NULL AS STRING)"
+    if len(args) == 2 and args[1].strip().upper() == "NULL":
+        return f"try_element_at({args[0]}, CAST(NULL AS INT))"
+    return f"__KEEP__({', '.join(args)})"
+
+
+MACROS["element_at"] = _element_at_macro
+# type-preserving push (the registered SQL UDF's STRING params would
+# stringify numeric elements); array_append/prepend type the NULL
+# element from the array side
+
+
+def _push(fn: str) -> Macro:
+    def m(args: Sequence[str]) -> str:
+        if len(args) != 2:
+            return f"__KEEP__({', '.join(args)})"
+        if args[0].strip().upper() == "NULL":
+            # NULL array -> NULL, typed from the pushed element
+            return f"IF(false, array({args[1]}), NULL)"
+        return f"{fn}({args[0]}, {args[1]})"
+
+    return m
+
+
+MACROS["array_pushback"] = _push("array_append")
+MACROS["array_pushfront"] = _push("array_prepend")
+
+
+def _array_enumerate_uniq_macro(args: Sequence[str]) -> str:
+    """Multi-array form: occurrence index of the TUPLE of elements at
+    each position (ClickHouse arrayEnumerateUniq lineage —
+    be/src/exprs/function/array, array_enumerate_uniq). Single-array
+    form keeps the registered SQL UDF."""
+    if len(args) <= 1:
+        return f"__KEEP__({', '.join(args)})"
+    z = f"arrays_zip({', '.join(args)})"
+    return (
+        f"transform({z}, (__x, __i) -> "
+        f"size(filter(slice({z}, 1, __i + 1), __y -> __y <=> __x)))"
+    )
+
+
+MACROS["array_enumerate_uniq"] = _array_enumerate_uniq_macro
+
+
+def _array_apply_macro(args: Sequence[str]) -> str:
+    """Type-preserving array_apply (the DOUBLE-typed SQL UDF NULLs
+    non-numeric elements — datetime/decimal arrays must compare
+    natively; Spark coerces the string probe to the element type)."""
+    if len(args) == 3:
+        op = args[1].strip().strip("'\"")
+        if op in ("=", "!=", ">", ">=", "<", "<="):
+            return f"filter({args[0]}, __x -> __x {op} {args[2]})"
+    return f"__KEEP__({', '.join(args)})"
+
+
+MACROS["array_apply"] = _array_apply_macro
+
+
+def _array_zip_macro(args: Sequence[str]) -> str:
+    if any(a.strip().upper() == "NULL" for a in args):
+        return "CAST(NULL AS ARRAY<INT>)"
+    return f"arrays_zip({', '.join(args)})"
+
+
+MACROS["array_zip"] = _array_zip_macro
+
+
+def _dec_scale(text: str) -> int | None:
+    """Max decimal scale of the literal elements in `text`, or None when
+    the expression isn't a visibly-decimal literal array (DOUBLE casts,
+    columns). Drives Doris DECIMAL result semantics for array_avg /
+    array_product (bare x.y literals are DECIMAL in Doris, not DOUBLE)."""
+    if re.search(r"(?i)\bdouble\b|\bfloat\b", text):
+        return None
+    scales = [
+        int(m.group(1))
+        for m in re.finditer(r"(?i)decimal(?:v3)?\s*\(\s*\d+\s*,\s*(\d+)\s*\)", text)
+    ] or [len(m.group(1)) for m in re.finditer(r"\d+\.(\d+)", text)]
+    return max(scales) if scales else None
+
+
+def _trunc_expr(v: str, scale: int) -> str:
+    # Doris DECIMAL narrowing TRUNCATES toward zero (cast would round);
+    # the epsilon absorbs double representation error just below the
+    # scale boundary
+    f = 10 ** scale
+    return (
+        f"(CASE WHEN ({v}) >= 0 THEN floor(({v}) * {f} + 1e-6) / {f} "
+        f"ELSE -floor(-({v}) * {f} + 1e-6) / {f} END)"
+    )
+
+
+def _array_avg_macro(args: Sequence[str]) -> str:
+    """Doris array_avg over DECIMAL elements divides at scale
+    max(s, 4) with truncation (docs array_aggregation; goldens
+    array_avg([1.0, 2.0, null]) = 1.6666). Non-decimal input keeps the
+    registered DOUBLE-typed UDF."""
+    s = _dec_scale(args[0]) if len(args) == 1 else None
+    if s is None:
+        return f"__KEEP__({', '.join(args)})"
+    a = args[0]
+    live = f"filter({a}, __x -> __x IS NOT NULL)"
+    avg = (
+        f"aggregate({live}, CAST(0.0 AS DOUBLE), (__acc, __x) -> __acc + __x)"
+        f" / size({live})"
+    )
+    return (
+        f"(CASE WHEN ({a}) IS NULL OR size({live}) = 0 THEN NULL "
+        f"ELSE {_trunc_expr(avg, max(s, 4))} END)"
+    )
+
+
+def _array_product_macro(args: Sequence[str]) -> str:
+    """Doris array_product over DECIMAL(p, s) elements keeps scale s and
+    TRUNCATES after every step (goldens: array_product([1.12, 3.45,
+    4.23]) = 16.32, i.e. 1.12*3.45 -> 3.86 before the next multiply)."""
+    s = _dec_scale(args[0]) if len(args) == 1 else None
+    if s is None:
+        return f"__KEEP__({', '.join(args)})"
+    a = args[0]
+    live = f"filter({a}, __x -> __x IS NOT NULL)"
+    step = _trunc_expr("__acc * __x", s)
+    return (
+        f"(CASE WHEN ({a}) IS NULL OR size({live}) = 0 THEN NULL "
+        f"ELSE aggregate({live}, CAST(1.0 AS DOUBLE), "
+        f"(__acc, __x) -> {step}) END)"
+    )
+
+
+MACROS["array_avg"] = _array_avg_macro
+MACROS["array_product"] = _array_product_macro
 
 
 def _array_reverse_split(args: Sequence[str]) -> str:

@@ -506,6 +506,11 @@ def _expand_closures(src: str) -> str:
 
 def parse_suite_files(groovy_path: str, out_path: str | None = None):
     src = open(groovy_path).read()
+    # full-line groovy comments: a commented-out `// qt_sql ...` must not
+    # become a case (it has no golden block — every later same-named
+    # golden would shift by one). Only whole-line comments are stripped;
+    # `//` inside SQL strings never starts a line.
+    src = re.sub(r"(?m)^\s*//.*$", "", src)
     src = _expand_closures(src)
     src = _eval_stringbuilders(src)
     src = _unroll_each(src)
@@ -659,6 +664,18 @@ def _parse_dt(s: str):
     return None
 
 
+# cell-level multiset compare for hash-set array ops (array_intersect /
+# array_union / array_except / array_distinct / group_uniq_array):
+# Doris emits hash-iteration order. Enabled only by run_case's retry
+# tier so ordered-array goldens never weaken. Single-element list =
+# cheap mutable flag shared with the nested eq() closure.
+_ARRAY_MULTISET = [False]
+_SET_OP_RE = re.compile(
+    r"\barray_(intersect|union|except|distinct)\s*\(|\bgroup_uniq_array\s*\(",
+    re.I,
+)
+
+
 def _cell_matches(exp: str, got) -> bool:
     if exp == "\\N":
         return got is None
@@ -739,6 +756,14 @@ def _cell_matches(exp: str, got) -> bool:
                         return str(ipaddress.IPv6Address(x))
                     except ValueError:
                         pass
+                # datetimes INSIDE arrays/maps/structs: the golden prints
+                # Doris's scale-trimmed form ('...34.999'), the got side
+                # str()s the Python datetime ('...34.999000') — compare
+                # both through the parsed instant
+                if re.match(r"\d{4}-\d{2}-\d{2}", x):
+                    d_ = _parse_dt(x)
+                    if d_ is not None:
+                        return d_.isoformat()
                 return x
             if isinstance(x, (int, float)) and not isinstance(x, bool):
                 # 7-sig-digit rounding: float32-typed columns surface as
@@ -785,7 +810,24 @@ def _cell_matches(exp: str, got) -> bool:
                     return all(eq(x, y) for x, y in zip(a.values(), b.values()))
                 return all(eq(a[k], b[k]) for k in a)
             if isinstance(a, list) and isinstance(b, list):
-                return len(a) == len(b) and all(eq(x, y) for x, y in zip(a, b))
+                if len(a) != len(b):
+                    return False
+                if all(eq(x, y) for x, y in zip(a, b)):
+                    return True
+                if _ARRAY_MULTISET[0]:
+                    # hash-set array op retry: Doris's set-op output
+                    # order is hash-table iteration order — compare as a
+                    # multiset (greedy match; arrays are tiny here)
+                    rem = list(b)
+                    for x in a:
+                        hit = next(
+                            (i for i, y in enumerate(rem) if eq(x, y)), None
+                        )
+                        if hit is None:
+                            return False
+                        rem.pop(hit)
+                    return True
+                return False
             return a == b
 
         def loads_doris(txt):
@@ -3647,6 +3689,17 @@ def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
                             return ok2, why2
                     except Exception:
                         pass
+        if not ok and why.startswith(("value", "no row")) and _SET_OP_RE.search(sql):
+            # hash-set array ops: retry with cell-level multiset compare
+            _ARRAY_MULTISET[0] = True
+            try:
+                ok2, why2 = _run_case_raw(eng, sql, expected, ordered)
+                if ok2:
+                    return ok2, why2
+            except Exception:
+                pass
+            finally:
+                _ARRAY_MULTISET[0] = False
         if ok or not (applicable or td_applicable):
             return ok, why
     except Exception as exc:
