@@ -344,6 +344,12 @@ class Engine:
             return None
         name = m.group(1)
         if name not in self._meta:
+            try:
+                if self.spark.catalog.tableExists(name):
+                    # real catalog table: Spark SQL handles the INSERT
+                    return None
+            except Exception:
+                pass
             raise ValueError(f"{name} is not an insertable keys-model table")
         cols = (
             [c.strip().strip("`") for c in m.group(3).split(",")]

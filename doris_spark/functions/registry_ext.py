@@ -562,7 +562,12 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     # quantile-state scalars (function_quantile_state.cpp) — ARRAY<DOUBLE>
     # =================================================================
     "quantile_state_empty": ("", "CAST(array() AS ARRAY<DOUBLE>)"),
-    "to_quantile_state": ("x DOUBLE, compression DOUBLE DEFAULT 2048", "array(x)"),
+    # NULL input -> EMPTY sketch (a NULL must not contribute a value to
+    # quantile_union / quantile_percent)
+    "to_quantile_state": (
+        "x DOUBLE, compression DOUBLE DEFAULT 2048",
+        "CASE WHEN x IS NULL THEN CAST(array() AS ARRAY<DOUBLE>) ELSE array(x) END",
+    ),
     "quantile_percent": (
         "qs ARRAY<DOUBLE>, p DOUBLE",
         "CASE WHEN size(qs) = 0 THEN NULL WHEN size(qs) = 1 THEN qs[0] ELSE "

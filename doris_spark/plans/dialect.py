@@ -603,6 +603,7 @@ def dialect(sql: str) -> str:
     )
     # session-variable hints are execution knobs, not semantics
     s = re.sub(r"/\*\+\s*SET_VAR\s*\([^)]*\)\s*\*/", " ", s, flags=re.I)
+    s = re.sub(r"/\*\+\s*SET\s+\w+\s*=\s*\w+\s*\*/", " ", s, flags=re.I)
 
     # Doris planner hints Spark's parser rejects (space-separated args,
     # {}-groups): leading(join order), ordered, use/no_use_cbo_rule,

@@ -62,6 +62,19 @@ def _tpl(template: str) -> Macro:
     return lambda args: template.format(*args)
 
 
+def _collect_with_limit(base: str) -> Macro:
+    """Doris collect_list/collect_set/group_array(expr[, max_size]):
+    the optional second argument caps the result length
+    (aggregate_function_collect.h)."""
+
+    def m(args: Sequence[str]) -> str:
+        if len(args) == 2:
+            return f"slice({base}({args[0]}), 1, CAST(({args[1]}) AS INT))"
+        return f"{base}({', '.join(args)})"
+
+    return m
+
+
 def _retention(args: Sequence[str]) -> str:
     """ClickHouse/Doris retention: r[0] = bool_or(c1); r[k] = bool_or(c1)
     AND bool_or(ck), as 0/1 tinyints (aggregate_function_retention.h)."""
@@ -413,28 +426,90 @@ def _window_funnel_macro(args: Sequence[str]) -> str:
     """Doris window_funnel(window_s, 'mode', ts, c1, .., cn): greedy
     funnel level anchored at the FIRST step-1 event, steps within
     window_s of it; 'default' admits equal timestamps between steps,
-    'increase' requires strictly increasing (mirrors
+    'increase' requires strictly increasing; 'deduplication' stops when
+    an already-matched step type recurs strictly between matches;
+    'fixed' stops when ANY other funnel-step event interleaves (mirrors
     operators/funnel.py — aggregate_function_window_funnel_v2.h)."""
     w, mode, ts, conds = args[0], args[1].strip("'\" ").lower(), args[2], args[3:]
-    if mode not in ("default", "increase"):
+    if mode not in ("default", "increase", "deduplication", "fixed"):
         return f"window_funnel({', '.join(args)})"
     ev = _seq_events(ts, conds)
     n = len(conds)
-    cmp_ = ">=" if mode == "default" else ">"
+    win = f"CAST(({w}) AS BIGINT) * 1000000"
+    # MULTI-PASS over every step-1 anchor, exactly like the reference's
+    # v2 algorithms (_get_default/_get_increase/_get_deduplication/
+    # _get_fixed) — the result is the best chain over all anchors.
+    anchor_t = "element_at(__ev, __a).t"
+    in_win = f"unix_micros(e.t) <= unix_micros({anchor_t}) + {win}"
+    tail = "slice(__ev, __a + 1, size(__ev))"
+    if mode in ("default", "increase"):
+        # level-array chain: level k is (re)set by an event matching
+        # cond k whose predecessor level is set, within window of the
+        # anchor; 'increase' additionally requires strictly-greater ts
+        # than the predecessor's LAST ts (overwrite semantics included —
+        # the reference reassigns a level on every later match)
+        strict = (
+            "AND unix_micros(e.t) > "
+            "unix_micros(element_at(st, __k - 1).l) "
+            if mode == "increase"
+            else ""
+        )
+        per_anchor = (
+            f"size(filter(aggregate({tail}, "
+            f"transform(sequence(1, {n}), __k -> named_struct("
+            f"'f', __k = 1, 'l', element_at(__ev, __a).t)), "
+            f"(st, e) -> transform(sequence(1, {n}), __k -> "
+            f"CASE WHEN __k > 1 AND element_at(st, __k - 1).f "
+            f"AND element_at(e.cs, __k) AND {in_win} {strict}"
+            f"THEN named_struct('f', true, 'l', e.t) "
+            f"ELSE element_at(st, __k) END)), x -> x.f))"
+        )
+    elif mode == "deduplication":
+        # sequential scan for the EXACT next level; a row firing any
+        # already-matched condition strictly between chain rows breaks
+        # the chain; target beyond the window breaks
+        per_anchor = (
+            f"aggregate({tail}, "
+            f"named_struct('lvl', 1, 'dead', false), "
+            f"(s, e) -> CASE "
+            f"WHEN s.dead OR s.lvl >= {n} THEN s "
+            f"WHEN element_at(e.cs, s.lvl + 1) THEN "
+            f"CASE WHEN {in_win} THEN "
+            f"named_struct('lvl', s.lvl + 1, 'dead', false) "
+            f"ELSE named_struct('lvl', s.lvl, 'dead', true) END "
+            f"WHEN exists(sequence(1, s.lvl), "
+            f"__j -> element_at(e.cs, __j)) THEN "
+            f"named_struct('lvl', s.lvl, 'dead', true) "
+            f"ELSE s END, s -> s.lvl)"
+        )
+    else:  # fixed
+        # every condition-matching row must be the expected next step;
+        # rows matching NO condition are skipped (4.1 semantics)
+        per_anchor = (
+            f"aggregate({tail}, "
+            f"named_struct('lvl', 1, 'dead', false), "
+            f"(s, e) -> CASE "
+            f"WHEN s.dead OR s.lvl >= {n} THEN s "
+            f"WHEN NOT exists(e.cs, __c -> __c) THEN s "
+            f"WHEN NOT ({in_win}) THEN "
+            f"named_struct('lvl', s.lvl, 'dead', true) "
+            f"WHEN element_at(e.cs, s.lvl + 1) THEN "
+            f"named_struct('lvl', s.lvl + 1, 'dead', false) "
+            f"ELSE named_struct('lvl', s.lvl, 'dead', true) "
+            f"END, s -> s.lvl)"
+        )
+    anchors = (
+        "filter(sequence(1, size(__ev)), "
+        "__a -> element_at(element_at(__ev, __a).cs, 1))"
+    )
+    inner = (
+        f"coalesce(array_max(transform({anchors}, "
+        f"__a -> {per_anchor})), 0)"
+    )
+    # bind the sorted event array ONCE via a 1-element transform (the
+    # expression would otherwise repeat 6+ times)
     return (
-        f"aggregate({ev}, "
-        f"named_struct('lvl', 0, 't1', CAST(NULL AS TIMESTAMP), "
-        f"'tp', CAST(NULL AS TIMESTAMP)), "
-        f"(s, e) -> CASE "
-        f"WHEN s.lvl = 0 AND element_at(e.cs, 1) THEN "
-        f"named_struct('lvl', 1, 't1', e.t, 'tp', e.t) "
-        f"WHEN s.lvl >= 1 AND s.lvl < {n} "
-        f"AND element_at(e.cs, s.lvl + 1) "
-        f"AND unix_micros(e.t) {cmp_} unix_micros(s.tp) "
-        f"AND unix_micros(e.t) <= unix_micros(s.t1) "
-        f"+ CAST(({w}) AS BIGINT) * 1000000 THEN "
-        f"named_struct('lvl', s.lvl + 1, 't1', s.t1, 'tp', e.t) "
-        f"ELSE s END, s -> s.lvl)"
+        f"element_at(transform(array({ev}), __ev -> {inner}), 1)"
     )
 
 
@@ -456,8 +531,9 @@ def _regr_parts(y: str, x: str) -> dict[str, str]:
 
 def _regr(kind: str) -> Macro:
     """Doris regr_* family (aggregate_function_regr.h): zero-variance x
-    yields slope 0 / intercept avg(y) (not NULL, test_regr_slope
-    sql_int_1 golden); no valid pairs yields NULL."""
+    (dxx = 0) yields NULL slope/intercept (test_regr_slope sql_int_2
+    golden — constant-Y slope is naturally 0 via dxy = 0); no valid
+    pairs yields NULL."""
 
     def m(args: Sequence[str]) -> str:
         p = _regr_parts(args[0], args[1])
@@ -465,7 +541,7 @@ def _regr(kind: str) -> Macro:
         dxx = f"({n} * {p['sxx']} - {sx} * {sx})"
         dyy = f"({n} * {p['syy']} - {sy} * {sy})"
         dxy = f"({n} * {p['sxy']} - {sx} * {sy})"
-        slope = f"(CASE WHEN {dxx} = 0 THEN CAST(0 AS DOUBLE) ELSE {dxy} / {dxx} END)"
+        slope = f"(CASE WHEN {dxx} = 0 THEN CAST(NULL AS DOUBLE) ELSE {dxy} / {dxx} END)"
         if kind == "count":
             return f"CAST({n} AS BIGINT)"
         guard = f"CASE WHEN {n} > 0 THEN {{v}} END"
@@ -561,6 +637,7 @@ MACROS: dict[str, Macro] = {
     "sequence_match": lambda a: _seq_fold(a, count=False),
     "sequence_count": lambda a: _seq_fold(a, count=True),
     "window_funnel": _window_funnel_macro,
+    "window_funnel_v2": _window_funnel_macro,
     # Doris *_samp of a single value is 0.0, not NULL (agg_sync_mv)
     "stddev_samp": _tpl(
         "(CASE WHEN count({0}) = 1 THEN CAST(0 AS DOUBLE) "
@@ -631,8 +708,16 @@ MACROS: dict[str, Macro] = {
     # ignore-nulls flag reproduces it over the order-preserving replay
     "any": _tpl("any_value({0}, true)"),
     "any_value": _tpl("any_value({0}, true)"),
-    "group_array": _rename("collect_list"),
-    "group_uniq_array": _rename("collect_set"),
+    # Doris array_agg KEEPS null elements (aggregate_function_collect.h
+    # ArrayAgg); Spark's collect_list drops them — struct-wrap each
+    # element so nulls survive the collect
+    "array_agg": _tpl(
+        "transform(collect_list(named_struct('v', ({0}))), __s -> __s.v)"
+    ),
+    "group_array": _collect_with_limit("collect_list"),
+    "group_uniq_array": _collect_with_limit("collect_set"),
+    "collect_list": _collect_with_limit("collect_list"),
+    "collect_set": _collect_with_limit("collect_set"),
     # MySQL default separator is ',' (query_p0/group_concat goldens);
     # an `ORDER BY` inside the call becomes Spark's WITHIN GROUP
     "group_concat": lambda args: _group_concat_macro(args),
@@ -686,12 +771,16 @@ MACROS: dict[str, Macro] = {
             re.sub(r"(?i)^\s*DISTINCT\s+", "", args[0]), args[1]
         )
         if re.match(r"(?i)\s*DISTINCT\s", args[0])
+        # PAIRWISE null filtering (a null value must not leave its
+        # weight in the denominator — aggregate.groovy aggregate33);
         # all-zero weights divide 0/0 -> Doris renders NaN, not NULL
         else (
-            f"(CASE WHEN sum({args[1]}) = 0 AND count({args[1]}) > 0 "
-            f"THEN CAST('NaN' AS DOUBLE) "
-            f"ELSE sum(({args[0]}) * ({args[1]})) / sum({args[1]}) END)"
-        )
+            "(CASE WHEN sum(IF(({0}) IS NOT NULL, ({1}), NULL)) = 0 "
+            "AND count(IF(({0}) IS NOT NULL AND ({1}) IS NOT NULL, 1, "
+            "NULL)) > 0 THEN CAST('NaN' AS DOUBLE) "
+            "ELSE sum(({0}) * ({1})) / "
+            "sum(IF(({0}) IS NOT NULL, ({1}), NULL)) END)"
+        ).format(args[0], args[1])
     ),
     "sem": _tpl("(stddev_samp({0}) / sqrt(count({0})))"),
     "bitmap_agg": _tpl("array_sort(collect_set(CAST({0} AS BIGINT)))"),

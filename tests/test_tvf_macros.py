@@ -60,11 +60,13 @@ REWRITES = [
         "SELECT count(DISTINCT a + b) FROM t",
     ),
     (
-        # all-zero weights render NaN (Doris), not NULL
+        # pairwise null filtering; all-zero weights render NaN (Doris)
         "SELECT avg_weighted(price, qty) FROM t",
-        "SELECT (CASE WHEN sum(qty) = 0 AND count(qty) > 0 "
+        "SELECT (CASE WHEN sum(IF((price) IS NOT NULL, (qty), NULL)) = 0 "
+        "AND count(IF((price) IS NOT NULL AND (qty) IS NOT NULL, 1, NULL)) > 0 "
         "THEN CAST('NaN' AS DOUBLE) "
-        "ELSE sum((price) * (qty)) / sum(qty) END) FROM t",
+        "ELSE sum((price) * (qty)) / "
+        "sum(IF((price) IS NOT NULL, (qty), NULL)) END) FROM t",
     ),
     # nested calls rewrite inside-out
     (

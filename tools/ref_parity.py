@@ -83,11 +83,28 @@ def _unroll_each(src: str) -> str:
     lists (def exprs = ["=", "<", ...]) by textual substitution of
     ${v} / $v in each copy — the suites use this for operator matrices."""
     lists = {}
-    for m in re.finditer(r"def\s+(\w+)\s*=\s*\[([^\]]*)\]", src):
+    for m in re.finditer(
+        r"(?:def|List(?:<[\w ,<>]*>)?)\s+(\w+)\s*=\s*\[([^\]]*)\]", src
+    ):
         items = re.findall(r"\"([^\"]*)\"|'([^']*)'", m.group(2))
         vals = [a if a else b for a, b in items]
         if vals:
             lists[m.group(1)] = vals
+    # scalar defs via list indexing (String k1 = fields[1]) — substitute
+    # the element value so later ${k1} interpolations resolve
+    for m in re.finditer(
+        r"(?:def|String)\s+(\w+)\s*=\s*(\w+)\s*\[\s*(\d+)\s*\]", src
+    ):
+        vals = lists.get(m.group(2))
+        i_ = int(m.group(3))
+        if vals and i_ < len(vals):
+            v = vals[i_]
+            src = re.sub(
+                r"\$\{" + re.escape(m.group(1)) + r"\}|\$"
+                + re.escape(m.group(1)) + r"\b",
+                v.replace("\\", "\\\\"),
+                src,
+            )
     changed = True
     while changed:
         changed = False
@@ -265,7 +282,24 @@ def _fold_const_ifs(src: str) -> str:
         if k >= len(src):
             return src
         body = src[m.end() : k] if val else ""
-        src = src[: m.start()] + body + src[k + 1 :]
+        # `else { ... }`: keep exactly one branch
+        tail = src[k + 1 :]
+        em = re.match(r"\s*else\s*\{", tail)
+        if em is not None:
+            depth2, k2 = 0, em.end() - 1
+            while k2 < len(tail):
+                if tail[k2] == "{":
+                    depth2 += 1
+                elif tail[k2] == "}":
+                    depth2 -= 1
+                    if depth2 == 0:
+                        break
+                k2 += 1
+            if k2 < len(tail):
+                if not val:
+                    body = tail[em.end() : k2]
+                tail = tail[k2 + 1 :]
+        src = src[: m.start()] + body + tail
         pos = m.start()
 
 
@@ -516,6 +550,10 @@ def parse_suite_files(groovy_path: str, out_path: str | None = None):
     src = _unroll_each(src)
     src = _unroll_for(src)
     src = _unroll_while(src)
+    # environment probes the reference CI resolves to MODERN values:
+    # be_exec_version gates pick the current-engine branch (the goldens
+    # were generated by a current BE)
+    src = re.sub(r"\bbeExecVersion\b", "999", src)
     src = _fold_const_ifs(src)
     if "new File" in src:
         src = _inline_shared_sql(src)
@@ -671,7 +709,9 @@ def _parse_dt(s: str):
 # cheap mutable flag shared with the nested eq() closure.
 _ARRAY_MULTISET = [False]
 _SET_OP_RE = re.compile(
-    r"\barray_(intersect|union|except|distinct)\s*\(|\bgroup_uniq_array\s*\(",
+    r"\barray_(intersect|union|except|distinct)\s*\(|\bgroup_uniq_array\s*\("
+    # order-unspecified aggregates: Doris emits per-tablet merge order
+    r"|\barray_agg\s*\(|\bgroup_array\s*\(|\bcollect_(list|set)\s*\(",
     re.I,
 )
 
@@ -804,8 +844,16 @@ def _cell_matches(exp: str, got) -> bool:
                 if set(a) != set(b):
                     # Doris names synthesized struct fields col1..colN;
                     # Spark keeps source names / positional keys —
-                    # compare field values positionally
+                    # compare field values positionally. ONLY when one
+                    # side's keys are visibly synthesized — maps with
+                    # genuinely different keys must NOT match (greedy
+                    # multiset compare would pair wrong elements).
                     if len(a) != len(b):
+                        return False
+                    if not any(
+                        all(re.fullmatch(r"col\d+|\d+", str(k)) for k in d)
+                        for d in (a, b)
+                    ):
                         return False
                     return all(eq(x, y) for x, y in zip(a.values(), b.values()))
                 return all(eq(a[k], b[k]) for k in a)
@@ -1004,7 +1052,9 @@ def translate_ddl(sql: str) -> str | None:
         typ = re.sub(r"\bHLL\b", "ARRAY<INT>", typ, flags=re.I)
         # BITMAP columns back onto the engine's sorted-array representation
         typ = re.sub(r"\bBITMAP\b", "ARRAY<BIGINT>", typ, flags=re.I)
-        typ = re.sub(r"\bQUANTILE_STATE\b", "BINARY", typ, flags=re.I)
+        # QUANTILE_STATE columns onto the engine's value-array sketch
+        # (to_quantile_state / quantile_union emit ARRAY<DOUBLE>)
+        typ = re.sub(r"\bQUANTILE_STATE\b", "ARRAY<DOUBLE>", typ, flags=re.I)
         # MySQL integer display widths are cosmetic (INT(11), tinyint(4))
         typ = re.sub(
             r"\b(TINYINT|SMALLINT|INT|INTEGER|BIGINT|LARGEINT|DATE)\s*\(\s*\d+\s*\)",
@@ -1294,7 +1344,9 @@ def _stream_load(eng, spec: dict) -> None:
                     f"CASE WHEN {src} IS NULL THEN NULL "
                     f"WHEN {src} IN ('[]', '') THEN CAST(array() AS {ts}) "
                     f"ELSE CAST(transform(split(regexp_replace({src}, "
-                    f"'^\\\\[|\\\\]$', ''), ','), x -> nullif(trim(x), 'null')) "
+                    f"'^\\\\[|\\\\]$', ''), ','), "
+                    # strip the JSON-text quotes around string elements
+                    f"x -> nullif(trim(BOTH '\"' FROM trim(x)), 'null')) "
                     f"AS {ts}) END AS `{f.name}`"
                 )
                 changed4 = True
@@ -1323,9 +1375,10 @@ def _stream_load(eng, spec: dict) -> None:
                     f"CASE WHEN {src} IS NULL THEN NULL "
                     f"WHEN {src} IN ('{{}}', '') THEN CAST(map() AS {ts}) "
                     f"ELSE map_from_entries(filter(zip_with("
-                    f"transform(map_keys({m_}), x -> CAST(trim(x) AS {kt})), "
+                    f"transform(map_keys({m_}), "
+                    f"x -> CAST(trim(BOTH '\"' FROM trim(x)) AS {kt})), "
                     f"transform(map_values({m_}), x -> "
-                    f"CAST(nullif(trim(x), 'null') AS {vt})), "
+                    f"CAST(nullif(trim(BOTH '\"' FROM trim(x)), 'null') AS {vt})), "
                     f"(k, v) -> struct(k, v)), s -> s.k IS NOT NULL)) "
                     f"END AS `{f.name}`"
                 )
@@ -1337,6 +1390,29 @@ def _stream_load(eng, spec: dict) -> None:
                 sel4.append(src)
         if changed4 and len(sel4) == len(df.columns):
             df = df.selectExpr(*sel4)
+    # DATETIME(n) columns ROUND to their declared scale on write (same
+    # storage semantics as the INSERT path above)
+    if meta0.get("cols"):
+        from doris_spark.plans.dialect import _dt_round_expr
+        from pyspark.sql.functions import expr as _expr
+
+        sel5, any5 = [], False
+        for i, (c, t, _nn) in enumerate(meta0["cols"]):
+            if i >= len(df.columns):
+                break
+            dfc = df.columns[i]
+            is_dt = re.match(r"datetime(?:v2)?(?:\((\d)\))?$", t)
+            if is_dt and int(is_dt.group(1) or 0) < 6:
+                sel5.append(
+                    _expr(
+                        _dt_round_expr(f"`{dfc}`", int(is_dt.group(1) or 0))
+                    ).alias(dfc)
+                )
+                any5 = True
+            else:
+                sel5.append(df[dfc])
+        if any5 and len(sel5) == len(df.columns):
+            df = df.select(*sel5)
     df.coalesce(1).write.insertInto(name)
     _agg_remerge(eng, name)
 
@@ -1491,7 +1567,33 @@ def _temp_partition_refs(sql: str) -> str:
     )
 
 
+def _strip_sql_line_comments(sql: str) -> str:
+    """Drop `-- ...` end-of-line comments (quote-aware) — DDL gets
+    single-lined downstream, where a surviving comment swallows the
+    rest of the statement."""
+    out, i, n, in_str = [], 0, len(sql), None
+    while i < n:
+        c = sql[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+            out.append(c)
+        elif c in ("'", '"'):
+            in_str = c
+            out.append(c)
+        elif c == "-" and sql[i : i + 2] == "--":
+            j = sql.find("\n", i)
+            i = n if j < 0 else j
+            continue
+        else:
+            out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def run_setup(eng, sql: str) -> None:
+    if "--" in sql and not sql.lstrip().startswith("__STREAM_LOAD__"):
+        sql = _strip_sql_line_comments(sql)
     if not sql.lstrip().startswith("__STREAM_LOAD__"):
         parts = _split_statements(sql)
         if len(parts) > 1:
