@@ -443,14 +443,9 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     # ---- geo subset (be/src/exprs/function/geo/; WKT points + sphere
     #      distance — haversine on the 6371km sphere, Doris geo.cpp default)
     "st_point": ("x DOUBLE, y DOUBLE", "named_struct('x', x, 'y', y)"),
-    "st_x": ("p STRUCT<x: DOUBLE, y: DOUBLE>", "p.x"),
-    "st_y": ("p STRUCT<x: DOUBLE, y: DOUBLE>", "p.y"),
-    "st_astext": (
-        "p STRUCT<x: DOUBLE, y: DOUBLE>",
-        # BE renders WKT coordinates at 15 significant digits
-        # (geo_types.cpp:73 std::setprecision(15))
-        "'POINT (' || __wkt_num(p.x) || ' ' || __wkt_num(p.y) || ')'",
-    ),
+    # st_x / st_y / st_astext are pandas UDFs in functions/geo2.py —
+    # they accept BOTH the struct-point tier and WKT-string geometries
+    # (registered after this SQL loop, so they are the live bindings)
     "st_distance_sphere": (
         "lon1 DOUBLE, lat1 DOUBLE, lon2 DOUBLE, lat2 DOUBLE",
         "2 * 6371000.0 * asin(sqrt("

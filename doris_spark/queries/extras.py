@@ -1005,20 +1005,24 @@ def agg_topn_weighted(spark: SparkSession, sf_dir: str) -> DataFrame:
     "geo_predicates",
     oracle="""
 SELECT c_custkey,
-       (c_custkey % 100) BETWEEN 10 AND 70 AND ((c_custkey * 7) % 100) BETWEEN 10 AND 70
+       (c_custkey % 100) > 10 AND (c_custkey % 100) < 70
+       AND ((c_custkey * 7) % 100) > 10 AND ((c_custkey * 7) % 100) < 70
            AS inside,
-       round(sqrt((c_custkey % 100) * (c_custkey % 100)
-             + ((c_custkey * 7) % 100) * ((c_custkey * 7) % 100)), 6) AS dist0,
+       round(2 * 6371010.0 * asin(sqrt(
+             pow(sin(radians(CAST((c_custkey * 7) % 100 AS DOUBLE)) / 2), 2)
+             + cos(radians(CAST((c_custkey * 7) % 100 AS DOUBLE)))
+               * pow(sin(radians(CAST(c_custkey % 100 AS DOUBLE)) / 2), 2))), 6)
+           AS dist0,
        CASE WHEN (c_custkey % 100) = 0 AND ((c_custkey * 7) % 100) = 0 THEN NULL
-            ELSE round(CASE WHEN atan2(CAST(c_custkey % 100 AS DOUBLE),
-                                       CAST((c_custkey * 7) % 100 AS DOUBLE)) < 0
-                            THEN atan2(CAST(c_custkey % 100 AS DOUBLE),
-                                       CAST((c_custkey * 7) % 100 AS DOUBLE)) + 2 * pi()
-                            ELSE atan2(CAST(c_custkey % 100 AS DOUBLE),
-                                       CAST((c_custkey * 7) % 100 AS DOUBLE)) END, 6) END
+            WHEN (c_custkey % 100) > 90 THEN NULL
+            ELSE round(mod(pi() / 2
+                 - atan2(sin(radians(CAST((c_custkey * 7) % 100 AS DOUBLE)))
+                         * cos(radians(CAST(c_custkey % 100 AS DOUBLE))),
+                         sin(radians(CAST(c_custkey % 100 AS DOUBLE))))
+                 + 2 * pi(), 2 * pi()), 6) END
            AS az,
-       'ST_Polygon' AS gtype,
-       4 AS np
+       'ST_POLYGON' AS gtype,
+       5 AS np
 FROM customer
 WHERE c_custkey <= 400
 ORDER BY c_custkey

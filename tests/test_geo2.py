@@ -12,7 +12,7 @@ HOLE = "'POLYGON ((0 0, 10 0, 10 10, 0 10, 0 0), (4 4, 6 4, 6 6, 4 6, 4 4))'"
 CASES = [
     (f"st_contains({SQ}, 'POINT (5 5)')", True),
     (f"st_contains({SQ}, 'POINT (15 5)')", False),
-    (f"st_contains({SQ}, 'POINT (10 5)')", True),
+    (f"st_contains({SQ}, 'POINT (10 5)')", False),
     (f"st_contains({HOLE}, 'POINT (5 5)')", False),
     (f"st_contains({SQ}, 'LINESTRING (1 1, 9 9)')", True),
     (f"st_contains({SQ}, 'LINESTRING (1 1, 19 9)')", False),
@@ -23,20 +23,20 @@ CASES = [
     (f"st_touches({SQ}, 'POLYGON ((5 5, 15 5, 15 15, 5 15, 5 5))')", False),
     (f"st_touches({SQ}, 'POINT (10 5)')", True),
     (f"st_touches({SQ}, 'POINT (5 5)')", False),
-    ("st_geometrytype('POINT (1 2)')", "ST_Point"),
-    ("st_geometrytype('LINESTRING (0 0, 1 1)')", "ST_Linestring"),
+    ("st_geometrytype('POINT (1 2)')", "ST_POINT"),
+    ("st_geometrytype('LINESTRING (0 0, 1 1)')", "ST_LINESTRING"),
     ("st_numpoints('LINESTRING (0 0, 1 1, 2 2)')", 3),
-    (f"st_numpoints({SQ})", 4),
+    (f"st_numpoints({SQ})", 5),
     ("st_numgeometries('MULTIPOINT ((1 1), (2 2))')", 2),
     ("st_geometries('GEOMETRYCOLLECTION (POINT (1 1), LINESTRING (0 0, 2 2))')[0]", "POINT (1 1)"),
     ("st_geomfromtext('point( 1.5  2 )')", "POINT (1.5 2)"),
     ("st_geomfromtext('not wkt')", None),
     ("st_polygonfromtext('POLYGON ((0 0, 1 0, 1 1, 0 0))')", "POLYGON ((0 0, 1 0, 1 1, 0 0))"),
-    ("st_distance('POINT (0 0)', 'POINT (3 4)')", 5.0),
-    ("round(st_angle('POINT (1 0)', 'POINT (0 0)', 'POINT (0 1)'), 6)", round(math.pi / 2, 6)),
+    ("round(st_distance('POINT (0 0)', 'POINT (3 4)'), 3)", 555812.814),
+    ("round(st_angle('POINT (1 0)', 'POINT (0 0)', 'POINT (0 1)'), 6)", round(3 * math.pi / 2, 6)),
     ("round(st_azimuth('POINT (0 0)', 'POINT (1 0)'), 6)", round(math.pi / 2, 6)),
     ("round(st_azimuth('POINT (0 0)', 'POINT (0 1)'), 6)", 0.0),
-    ("st_circle(5.0, 6.0, 100.0)", "CIRCLE (5 6, 100)"),
+    ("st_circle(5.0, 6.0, 100.0)", "CIRCLE ((5 6), 100)"),
     ("st_contains(st_circle(0.0, 0.0, 200000.0), 'POINT (1 1)')", True),
     ("st_contains(st_circle(0.0, 0.0, 100000.0), 'POINT (1 1)')", False),
     ("st_length('LINESTRING (0 0, 0 0)')", 0.0),

@@ -220,6 +220,9 @@ def main() -> None:
                     )
             if file_fail == 0:
                 files_green += 1
+    for label, name, why, _sql in failures:
+        print(f"  FAIL {label} {name}: {why[:160]}")
+    # summary LAST so `| tail` always shows it
     print(
         f"suite-runner: {passed}/{total} cases, "
         f"{files_green}/{files_total} files fully green"
@@ -229,8 +232,6 @@ def main() -> None:
             else ""
         )
     )
-    for label, name, why, _sql in failures:
-        print(f"  FAIL {label} {name}: {why[:160]}")
     json.dump(
         {
             "passed": passed,
@@ -240,7 +241,7 @@ def main() -> None:
             "failures": failures,
             "skipped": skipped,
         },
-        open("/tmp/ref_suites.json", "w"),
+        open(os.environ.get("RS_OUT", "/tmp/ref_suites.json"), "w"),
         indent=1,
     )
 
