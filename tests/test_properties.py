@@ -44,11 +44,28 @@ def convex_polygons(draw):
     cx, cy = draw(coord), draw(coord)
     n = draw(st.integers(min_value=3, max_value=8))
     angles = sorted(draw(st.floats(0, 2 * math.pi)) for _ in range(n))
-    if len(set(angles)) < 3:
-        angles = [i * 2 * math.pi / n for i in range(n)]
     r = draw(st.floats(min_value=0.5, max_value=10))
-    ring = [(round(cx + r * math.cos(a), 6), round(cy + r * math.sin(a), 6)) for a in angles]
-    ring.append(ring[0])
+
+    def mk(angs):
+        ring = [
+            (round(cx + r * math.cos(a), 6), round(cy + r * math.sin(a), 6))
+            for a in angs
+        ]
+        ring.append(ring[0])
+        return ring
+
+    def area2(ring):
+        return sum(
+            ring[i][0] * ring[i + 1][1] - ring[i + 1][0] * ring[i][1]
+            for i in range(len(ring) - 1)
+        )
+
+    ring = mk(angles)
+    # degenerate draws (coincident rounded vertices, collinear slivers)
+    # are INVALID polygons — the engine, like the reference's S2 kernel,
+    # answers NULL/False on them; swap in a regular n-gon instead
+    if len({p for p in ring}) < 3 or abs(area2(ring)) < 1e-6:
+        ring = mk([i * 2 * math.pi / n for i in range(n)])
     return Geom("POLYGON", [ring]), (cx, cy), r
 
 
