@@ -202,8 +202,11 @@ class Engine:
             # MySQL `FROM dual` pseudo-table. The FE resolves the bare
             # spelling to the pseudo-table even when a real table named
             # dual exists; only the backquoted `dual` hits the table
-            # (pinned by query_p0/dual/dual.groovy).
-            text = _re.sub(
+            # (pinned by query_p0/dual/dual.groovy). Literal-aware so a
+            # string containing ' from dual' is never corrupted.
+            from doris_spark.plans.dialect import _sub_outside_literals
+
+            text = _sub_outside_literals(
                 r"\bFROM\s+dual(?![\w.`])",
                 "FROM (SELECT 1 AS __dual) __dual_t",
                 text,

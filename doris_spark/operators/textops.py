@@ -258,14 +258,23 @@ def chunk_documents(
 
 
 _EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
-_PHONE_RE = r"\+?\d{3}[- .]\d{3}[- .]\d{4}"
-_IPV4_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+# NANP-ish phones: optional +country code, optional (area), separators
+# optional — catches 5551234567 and +1 555 123 4567, not just 3-3-4.
+_PHONE_RE = r"(\+\d{1,3}[- .]?)?\(?\d{3}\)?[- .]?\d{3}[- .]?\d{4}\b"
+# octets constrained to 0-255 (1.2.345.6 passes through); a valid-octet
+# version string like 1.2.3.4 is still masked — indistinguishable from
+# an address by regex, and over-masking is the safe side for a scrubber.
+_IPV4_OCT = r"(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])"
+_IPV4_RE = r"\b" + _IPV4_OCT + r"(\." + _IPV4_OCT + r"){3}\b"
 
 
 def scrub_pii(text_col):
     """Mask common PII patterns (emails, phone numbers, IPv4 literals)
     with typed placeholders — the standard scrubbing pass before a
-    corpus ships to training. Chained regexp_replace, fully JVM-side."""
+    corpus ships to training. Chained regexp_replace, fully JVM-side.
+    Coverage is regex-level: international formats outside +CC NANP
+    shapes and obfuscated spellings ('five five five...') pass through;
+    route those through a dedicated NER pass if the corpus needs it."""
     c = F.regexp_replace(_c_text(text_col), _EMAIL_RE, "<EMAIL>")
     c = F.regexp_replace(c, _PHONE_RE, "<PHONE>")
     return F.regexp_replace(c, _IPV4_RE, "<IP>")

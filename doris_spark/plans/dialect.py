@@ -23,6 +23,41 @@ _MYSQL_FMT = {
 }
 
 
+def _lit_spans(text: str) -> list[tuple[int, int]]:
+    """[start, end) spans of '...' / "..." string literals."""
+    spans, i, n = [], 0, len(text)
+    while i < n:
+        c = text[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n and text[j] != c:
+                j += 1
+            spans.append((i, j + 1))
+            i = j + 1
+        else:
+            i += 1
+    return spans
+
+
+def _sub_outside_literals(pattern, repl, text: str, flags=0) -> str:
+    """re.sub that skips matches starting inside string literals — the
+    whole-text rewrites (LIMIT offset,count / XOR / join hints / bare-int
+    truthiness) must never corrupt '... LIMIT 1,2' inside a quoted
+    string."""
+    pat = re.compile(pattern, flags) if isinstance(pattern, str) else pattern
+    spans = _lit_spans(text)
+
+    def guarded(m: re.Match) -> str:
+        if any(a <= m.start() < b for a, b in spans):
+            return m.group(0)
+        return repl(m) if callable(repl) else m.expand(repl)
+
+    # spans computed once are valid because guarded() returns the
+    # original text for in-literal matches (no length change there), and
+    # re.sub scans left-to-right over the ORIGINAL string.
+    return pat.sub(guarded, text)
+
+
 def _xlate_fmt(fmt: str) -> str:
     """MySQL %-pattern -> Java datetime pattern; literal text quoted."""
     out, lit = [], []
@@ -436,7 +471,7 @@ def dialect(sql: str) -> str:
         flags=re.I,
     )
     # MySQL numeric truthiness for a bare integer WHERE/HAVING predicate
-    sql = re.sub(
+    sql = _sub_outside_literals(
         r"\b(WHERE|HAVING)\s+(\d+)\s*(?=;|$|\)|\bGROUP\b|\bORDER\b|\bLIMIT\b"
         r"|\bUNION\b|\bHAVING\b|\bWHERE\b)",
         lambda m: f"{m.group(1)} ({m.group(2)} <> 0) ",
@@ -444,7 +479,7 @@ def dialect(sql: str) -> str:
         flags=re.I,
     )
     # MySQL LIMIT offset,count -> LIMIT count OFFSET offset
-    sql = re.sub(
+    sql = _sub_outside_literals(
         r"\bLIMIT\s+(\d+)\s*,\s*(\d+)",
         r"LIMIT \2 OFFSET \1",
         sql,
@@ -452,7 +487,7 @@ def dialect(sql: str) -> str:
     )
     # Doris join distribution hints `join [shuffle|broadcast|colocate|
     # bucket] t` are execution knobs, not semantics
-    sql = re.sub(
+    sql = _sub_outside_literals(
         r"(\bJOIN\s*)\[\s*(shuffle|broadcast|colocate|bucket)\s*\]",
         r"\1",
         sql,
@@ -747,7 +782,7 @@ def dialect(sql: str) -> str:
     # the exact 'decimal(38,0)' typeof doubles as the largeint marker
     s = re.sub(r"\bAS\s+LARGEINT\b", "AS DECIMAL(38,0)", s, flags=re.I)
     # MySQL logical XOR (truthiness of each side, NULL-propagating)
-    s = re.sub(
+    s = _sub_outside_literals(
         r"(?<![\w.])([\w.]+)\s+XOR\s+([\w.]+)(?![\w.])",
         r"(((\1) <> 0) <> ((\2) <> 0))",
         s,
@@ -1448,13 +1483,20 @@ def _three_valued_in(s: str) -> str:
             parts = _split_in_subquery(sub)
             if not x or parts is None:
                 continue
-            e, rest, has_where = parts
+            e, rest, where_pos = parts
             base = f"SELECT 1 FROM {rest}"
-            aug = (
-                f"{base} AND (({e}) IS NULL)"
-                if has_where
-                else f"{base} WHERE ({e}) IS NULL"
-            )
+            if where_pos is not None:
+                # parenthesize the original predicate so a top-level OR
+                # ('WHERE a=1 OR b=2') doesn't bind the appended AND to
+                # its last disjunct only
+                frm_part = rest[:where_pos].rstrip()
+                pred = rest[where_pos + 5 :].strip()
+                aug = (
+                    f"SELECT 1 FROM {frm_part} WHERE ({pred}) "
+                    f"AND (({e}) IS NULL)"
+                )
+            else:
+                aug = f"{base} WHERE ({e}) IS NULL"
             neg = bool(m.group(1))
             t, f_ = ("FALSE", "TRUE") if neg else ("TRUE", "FALSE")
             repl = (
@@ -1467,10 +1509,11 @@ def _three_valued_in(s: str) -> str:
     return s
 
 
-def _split_in_subquery(sub: str) -> tuple[str, str, bool] | None:
-    """Split `SELECT e FROM rest` -> (e, rest, rest-has-top-WHERE);
-    None when the sub's shape would break the WHERE augmentation
-    (GROUP BY / ORDER BY / LIMIT / UNION / multi-item select list)."""
+def _split_in_subquery(sub: str) -> tuple[str, str, int | None] | None:
+    """Split `SELECT e FROM rest` -> (e, rest, index-of-top-WHERE-in-rest
+    or None); None when the sub's shape would break the WHERE
+    augmentation (GROUP BY / ORDER BY / LIMIT / UNION / multi-item
+    select list)."""
     sm = re.match(r"\s*SELECT\s+(?:DISTINCT\s+)?", sub, re.I)
     if sm is None:
         return None
@@ -1508,7 +1551,7 @@ def _split_in_subquery(sub: str) -> tuple[str, str, bool] | None:
     for w in ("GROUP", "ORDER", "LIMIT", "UNION", "INTERSECT", "EXCEPT"):
         if _scan_depth0_word(rest, w) is not None:
             return None
-    return e, rest, _scan_depth0_word(rest, "WHERE") is not None
+    return e, rest, _scan_depth0_word(rest, "WHERE")
 
 
 def _scan_depth0_word(text: str, word: str) -> int | None:

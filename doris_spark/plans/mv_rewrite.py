@@ -52,7 +52,25 @@ _RESERVED = {"where", "group", "having", "order", "limit"}
 
 
 def _norm(e: str) -> str:
-    return re.sub(r"\s+", "", e.lower()).replace("`", "")
+    """Canonical expression text: whitespace collapsed and case folded
+    ONLY outside string literals — "status = 'a b'" must not normalize
+    equal to "status = 'ab'" when matching MV where-conjuncts."""
+    out, i, n, in_q = [], 0, len(e), None
+    while i < n:
+        ch = e[i]
+        if in_q:
+            out.append(ch)
+            if ch == in_q:
+                in_q = None
+        elif ch in ("'", '"'):
+            in_q = ch
+            out.append(ch)
+        elif ch.isspace() or ch == "`":
+            pass
+        else:
+            out.append(ch.lower())
+        i += 1
+    return "".join(out)
 
 
 def _norm_join(text: str) -> str:

@@ -448,7 +448,7 @@ def mtmv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        count(*) AS n,
-       sum(o_totalprice) AS total,
+       sum(CAST(o_totalprice AS DECIMAL(38,4))) AS total,
        max(o_totalprice) AS mx
 FROM orders
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -486,7 +486,10 @@ def mv_transparent_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         storage,
         lambda b: b.groupBy("o_orderpriority", "o_orderstatus").agg(
             F.count(F.lit(1)).alias("cnt"),
-            F.sum("o_totalprice").alias("sum_price"),
+            # DECIMAL partial: exact, order-independent addition, so the
+            # rewrite's re-aggregation is bit-identical to a direct scan
+            # (sum of doubles drifts with partial-sum order at scale).
+            F.sum(F.col("o_totalprice").cast("decimal(38,4)")).alias("sum_price"),
             F.max("o_totalprice").alias("max_price"),
         ),
         "o_orderpriority",
@@ -498,13 +501,14 @@ def mv_transparent_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         dims=["o_orderpriority", "o_orderstatus"],
         measures={
             "cnt": "count(*)",
-            "sum_price": "sum(o_totalprice)",
+            "sum_price": "sum(CAST(o_totalprice AS DECIMAL(38,4)))",
             "max_price": "max(o_totalprice)",
         },
         view=mv.read(),
     )
     out = eng.sql(
-        "SELECT o_orderstatus, count(*) AS n, sum(o_totalprice) AS total, "
+        "SELECT o_orderstatus, count(*) AS n, "
+        "sum(CAST(o_totalprice AS DECIMAL(38,4))) AS total, "
         "max(o_totalprice) AS mx "
         "FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') "
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"

@@ -503,8 +503,8 @@ SELECT doc_id,
          regexp_replace(
            regexp_replace(raw,
              '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
-           '\\+?\\d{3}[- .]\\d{3}[- .]\\d{4}', '<PHONE>', 'g'),
-         '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g') AS clean
+           '(\\+\\d{1,3}[- .]?)?\\(?\\d{3}\\)?[- .]?\\d{3}[- .]?\\d{4}\\b', '<PHONE>', 'g'),
+         '\\b(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])(\\.(25[0-5]|2[0-4][0-9]|1[0-9][0-9]|[1-9]?[0-9])){3}\\b', '<IP>', 'g') AS clean
 FROM t ORDER BY doc_id
 """,
 )
