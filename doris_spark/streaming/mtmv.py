@@ -65,6 +65,66 @@ class MaterializedView:
 
     # ---- snapshot (MTMVRefreshSnapshot analog) -------------------------
 
+    def _file_meta(self, base: DataFrame) -> dict[str, list] | None:
+        """METADATA-ONLY base fingerprint: per input file (size, mtime)
+        via the Hadoop FileSystem — the lake-storage analog of Doris's
+        partition versions (MTMVRefreshSnapshot.java stores version
+        numbers; files+sizes+mtimes are the same signal for immutable
+        parquet). Zero Spark jobs, zero data read: a no-op refresh of a
+        100 TB base must cost a listing, not a scan.
+
+        Returns {file_path: [size, mtime]} or None when the base isn't a
+        plain file-backed scan (derived DataFrame, in-memory view) — the
+        caller then falls back to content fingerprints."""
+        try:
+            files = base.inputFiles()
+        except Exception:
+            return None
+        if not files:
+            return None
+        jvm = self.spark._jvm
+        conf = self.spark._jsc.hadoopConfiguration()
+        out: dict[str, list] = {}
+        # one listStatus per parent directory, not one RPC per file;
+        # match by file NAME within the dir — inputFiles() renders
+        # 'file:///x' while Hadoop Path renders 'file:/x', so full-string
+        # compare would never hit
+        by_dir: dict[str, dict[str, str]] = {}
+        for f in files:
+            d, _, name = f.rpartition("/")
+            by_dir.setdefault(d, {})[name] = f
+        try:
+            for d, wanted in by_dir.items():
+                p = jvm.org.apache.hadoop.fs.Path(d)
+                fs = p.getFileSystem(conf)
+                for st in fs.listStatus(p):
+                    name = st.getPath().getName()
+                    orig = wanted.get(name)
+                    if orig is not None:
+                        out[orig] = [st.getLen(), st.getModificationTime()]
+        except Exception:
+            return None
+        return out if len(out) == len(files) else None
+
+    def _group_meta(self, meta: dict[str, list]) -> dict[str, dict] | None:
+        """Group file metadata into per-partition fingerprints when every
+        file path carries a `partition_col=value` directory (base laid
+        out partitioned by the MV's partition column). None otherwise.
+        Partition values are the raw directory renderings — simple
+        scalar partition values only (escaped special characters would
+        not round-trip through the cast-to-string filter)."""
+        marker = f"/{self.partition_col}="
+        g: dict[str, dict] = {}
+        for f, sig in meta.items():
+            i = f.find(marker)
+            if i < 0:
+                return None
+            pv = f[i + len(marker):].split("/", 1)[0]
+            if "%" in pv:
+                return None  # escaped value: fall back to content scan
+            g.setdefault(pv, {})[f] = sig
+        return g
+
     def _fingerprints(self, base: DataFrame) -> dict[str, list[int]]:
         """One scan: per-partition (row_count, order-independent content
         hash). xxhash64 over the full row struct, summed — commutative, so
@@ -83,13 +143,23 @@ class MaterializedView:
         )
         return {str(r[0]): [r["n"], int(r["h"])] for r in rows}
 
-    def _load_snapshot(self) -> dict[str, list[int]]:
+    def _load_snapshot(self) -> dict:
+        """{"files": {path: [size, mtime]} | None, "parts": {...}}.
+        Legacy snapshots (bare partition->fingerprint dict) upgrade to
+        {"files": None, "parts": legacy}."""
         if not os.path.exists(self.snapshot_path):
-            return {}
+            return {"files": None, "parts": {}}
         with open(self.snapshot_path) as f:
-            return json.load(f)
+            data = json.load(f)
+        if (
+            isinstance(data, dict)
+            and set(data) == {"files", "parts"}
+            and isinstance(data.get("parts"), dict)
+        ):
+            return data
+        return {"files": None, "parts": data}
 
-    def _save_snapshot(self, snap: dict[str, list[int]]) -> None:
+    def _save_snapshot(self, snap: dict) -> None:
         os.makedirs(self.storage_dir, exist_ok=True)
         tmp = self.snapshot_path + ".tmp"
         with open(tmp, "w") as f:
@@ -101,11 +171,36 @@ class MaterializedView:
     def refresh(self, base: DataFrame) -> dict[str, list[str]]:
         """Bring the MV up to date. Returns which partitions were
         refreshed / dropped / unchanged (the observable contract the
-        tests pin — Doris reports the same in its refresh task log)."""
-        current = self._fingerprints(base)
-        previous = self._load_snapshot()
-        stale = sorted(p for p, fp in current.items() if previous.get(p) != fp)
-        dropped = sorted(p for p in previous if p not in current)
+        tests pin — Doris reports the same in its refresh task log).
+
+        Staleness is decided metadata-first (MTMVRefreshSnapshot.java
+        uses partition VERSIONS, never a data scan): an unchanged base
+        costs one file listing and ZERO Spark jobs. Content fingerprints
+        (one aggregate scan) run only when the base isn't a plain
+        file-backed scan, or files changed and the layout isn't
+        partitioned by the MV's partition column."""
+        meta = self._file_meta(base)
+        snap = self._load_snapshot()
+        prev_files, prev_parts = snap.get("files"), snap.get("parts", {})
+
+        if meta is not None and prev_files == meta and prev_parts:
+            # listing proves nothing changed: no jobs, no writes
+            return {
+                "refreshed": [],
+                "dropped": [],
+                "unchanged": sorted(prev_parts),
+            }
+
+        grouped = self._group_meta(meta) if meta is not None else None
+        if grouped is not None:
+            # partition-attributable metadata: exact per-partition diff
+            # with no data read (a mode switch from content fingerprints
+            # mismatches every value and safely over-refreshes once)
+            current: dict = grouped
+        else:
+            current = self._fingerprints(base)
+        stale = sorted(p for p, fp in current.items() if prev_parts.get(p) != fp)
+        dropped = sorted(p for p in prev_parts if p not in current)
         unchanged = sorted(p for p in current if p not in stale)
 
         if stale:
@@ -135,7 +230,7 @@ class MaterializedView:
             if os.path.exists(pdir):
                 shutil.rmtree(pdir)
 
-        self._save_snapshot(current)
+        self._save_snapshot({"files": meta, "parts": current})
         return {"refreshed": stale, "dropped": dropped, "unchanged": unchanged}
 
     def read(self) -> DataFrame:

@@ -111,3 +111,28 @@ def test_mtmv_definition_must_keep_partition_col(spark, tmp_path, base_path):
     )
     with pytest.raises(ValueError, match="partition column"):
         mv.refresh(spark.read.parquet(base_path))
+
+
+def test_mtmv_noop_refresh_runs_zero_jobs(spark, tmp_path, base_path):
+    """MTMVRefreshSnapshot analog: staleness is decided from file
+    METADATA (path+size+mtime listing), so a refresh against an
+    unchanged base must launch ZERO Spark jobs — at 100 TB a no-op
+    refresh costs a listing, not a scan."""
+    _write_base(spark, base_path, [("2024-01-01", "view", 1.0)])
+    mv = MaterializedView(spark, "z0", str(tmp_path / "mvz"), _definition, "day")
+    mv.refresh(spark.read.parquet(base_path))
+
+    base = spark.read.parquet(base_path)  # plan/listing setup, not refresh work
+    store = spark._jsc.sc().statusStore()
+
+    def jobs() -> int:
+        # the status store is fed by an async listener queue — drain it
+        # so earlier actions' jobs don't land inside the measured window
+        spark._jsc.sc().listenerBus().waitUntilEmpty(10000)
+        return store.jobsList(None).size()
+
+    before = jobs()
+    r = mv.refresh(base)
+    after = jobs()
+    assert r["refreshed"] == [] and r["unchanged"] == ["2024-01-01"]
+    assert after == before, f"no-op refresh ran {after - before} jobs"
