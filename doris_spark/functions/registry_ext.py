@@ -934,10 +934,18 @@ DORIS_SQL_FUNCTIONS_EXT.update(
         "trim_in": ("s STRING, cs STRING DEFAULT ' '", "trim(BOTH cs FROM s)"),
         "ltrim_in": ("s STRING, cs STRING DEFAULT ' '", "trim(LEADING cs FROM s)"),
         "rtrim_in": ("s STRING, cs STRING DEFAULT ' '", "trim(TRAILING cs FROM s)"),
-        # whitespace tokenizer — same normalization as operators/textops.py
+        # tokenize renders the analyzer's token objects exactly as the BE
+        # does (inverted_index_p0/test_tokenize goldens): a '[{\n
+        # "token": "t"\n }, ...]' STRING with literal backslash-n, ', '
+        # joined. Default analyzer: lowercase, split on non-alphanumeric.
         "tokenize": (
-            "s STRING",
-            "split(regexp_replace(lower(trim(s)), '\\\\s+', ' '), ' ')",
+            "s STRING, props STRING DEFAULT ''",
+            "CASE WHEN s IS NULL OR props IS NULL THEN NULL "
+            "ELSE concat('[', concat_ws(', ', "
+            "transform(filter(split(lower(s), '[^\\\\p{L}\\\\p{N}]+'), "
+            "t -> t != ''), "
+            "t -> concat('{\\\\n        \"token\": \"', t, '\"\\\\n    }'))"
+            "), ']') END",
         ),
         "bit_test_all": (
             "x BIGINT, p1 INT, p2 INT DEFAULT NULL, p3 INT DEFAULT NULL, p4 INT DEFAULT NULL",

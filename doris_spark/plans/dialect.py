@@ -39,6 +39,26 @@ def _lit_spans(text: str) -> list[tuple[int, int]]:
     return spans
 
 
+_MAKE_IVL = {
+    "day": "make_dt_interval({e})",
+    "week": "make_dt_interval(7 * ({e}))",
+    "hour": "make_dt_interval(0, {e})",
+    "minute": "make_dt_interval(0, 0, {e})",
+    "second": "make_dt_interval(0, 0, 0, {e})",
+    "month": "make_ym_interval(0, {e})",
+    "quarter": "make_ym_interval(0, 3 * ({e}))",
+    "year": "make_ym_interval({e})",
+}
+
+
+def make_interval_expr(count: str, unit: str) -> str | None:
+    """`INTERVAL <expr> <unit>` with a NON-LITERAL count -> a
+    make_dt_interval/make_ym_interval call (Spark's INTERVAL literal
+    syntax refuses expressions like kint+1)."""
+    tpl = _MAKE_IVL.get(unit.lower())
+    return tpl.format(e=count) if tpl else None
+
+
 def _sub_outside_literals(pattern, repl, text: str, flags=0) -> str:
     """re.sub that skips matches starting inside string literals — the
     whole-text rewrites (LIMIT offset,count / XOR / join hints / bare-int
@@ -1212,30 +1232,56 @@ def dialect(sql: str) -> str:
         def repl(m):
             expr, n, unit = m.group(1), m.group(2), m.group(3)
             cu = _COMPOSITE_UNITS.get(unit.upper())
+            mk = None
+            if not re.match(r"^\s*[+-]?\d+\s*$", n) and not re.match(
+                r"^\s*'", n
+            ) and n.strip().upper() != "NULL":
+                # non-literal count (interval kint+1 day): Spark's
+                # INTERVAL literal refuses expressions — make_*_interval
+                mk = make_interval_expr(n, unit)
             if cu is not None or (
                 unit.lower() in _DATE_UNITS_MICROS and unit.lower() != "day"
             ) or re.match(r"^\s*'", expr) or expr.strip().upper() == "NULL" \
-                    or re.match(r"^\s*concat\w*\s*\(", expr, re.I):
+                    or re.match(r"^\s*concat\w*\s*\(", expr, re.I) \
+                    or mk is not None:
                 # a bare NULL operand must type as TIMESTAMP: NULL +
                 # INTERVAL yields an interval-typed column otherwise
                 # Doris coerces string datetime literals; Spark needs the
                 # cast (also required for sub-day/composite units on DATE).
                 expr = f"CAST({expr} AS TIMESTAMP)"
+            if mk is not None:
+                return f"({expr} {sign} {mk})"
             return f"({expr} {sign} INTERVAL {n} {cu or unit})"
 
         return repl
 
+    _da_pat = (
+        r"\b(?:date_%s|%sdate|days_%s)\s*\(\s*((?:[^(),']|'[^']*'"
+        r"|\((?:[^()']|'[^']*')*\))+?),\s*"
+        r"INTERVAL\s+([^,()]+?)\s+(\w+)\s*\)"
+    )
     s = re.sub(
-        r"\b(?:date_add|adddate|days_add)\s*\(\s*(.*?),\s*INTERVAL\s+([+-]?[\w.'\: ]+?)\s+(\w+)\s*\)",
-        _interval_arith("+"),
-        s,
+        _da_pat % ("add", "add", "add"), _interval_arith("+"), s,
         flags=re.I | re.S,
     )
     s = re.sub(
-        r"\b(?:date_sub|subdate|days_sub)\s*\(\s*(.*?),\s*INTERVAL\s+([+-]?[\w.'\: ]+?)\s+(\w+)\s*\)",
-        _interval_arith("-"),
-        s,
+        _da_pat % ("sub", "sub", "sub"), _interval_arith("-"), s,
         flags=re.I | re.S,
+    )
+    # bare arithmetic with a non-literal count: x + INTERVAL kint DAY
+    def _bare_ivl(m):
+        sign, n, unit = m.group(1), m.group(2), m.group(3)
+        if re.match(r"^\s*[+-]?\d+\s*$", n) or re.match(r"^\s*'", n):
+            return m.group(0)
+        mk = make_interval_expr(n, unit)
+        return f"{sign} {mk}" if mk is not None else m.group(0)
+
+    s = _sub_outside_literals(
+        r"([+-])\s*INTERVAL\s+([^,()']+?)\s+"
+        r"(day|week|hour|minute|second|month|quarter|year)s?\b",
+        _bare_ivl,
+        s,
+        flags=re.I,
     )
     # Bare interval arithmetic with composite units:  x + INTERVAL '1 1:1:1' DAY_SECOND
     s = re.sub(

@@ -904,7 +904,17 @@ MACROS: dict[str, Macro] = {
     # 3-arg spellings pass through untouched.
     "date_add": (
         lambda args: (
-            "__KEEP__(" + ", ".join(args) + ")"
+            (
+                # non-literal INTERVAL count (interval kint+1 day):
+                # Spark's INTERVAL literal syntax refuses expressions —
+                # rewrite to timestamp + make_*_interval
+                f"(CAST({args[0]} AS TIMESTAMP) + {_interval_expr(args[1])})"
+                if len(args) == 2
+                and re.match(r"\s*INTERVAL\b", args[1], re.I)
+                and not re.match(r"\s*INTERVAL\s+-?\d+\s+\w+\s*$", args[1], re.I)
+                and _interval_expr(args[1]) is not None
+                else "__KEEP__(" + ", ".join(args) + ")"
+            )
             if len(args) != 2 or re.match(r"\s*INTERVAL\b", args[1], re.I)
             else (
                 "CASE WHEN ({0}) IS NULL THEN NULL WHEN typeof({0}) = 'date' "
@@ -915,7 +925,14 @@ MACROS: dict[str, Macro] = {
     ),
     "date_sub": (
         lambda args: (
-            "__KEEP__(" + ", ".join(args) + ")"
+            (
+                f"(CAST({args[0]} AS TIMESTAMP) - {_interval_expr(args[1])})"
+                if len(args) == 2
+                and re.match(r"\s*INTERVAL\b", args[1], re.I)
+                and not re.match(r"\s*INTERVAL\s+-?\d+\s+\w+\s*$", args[1], re.I)
+                and _interval_expr(args[1]) is not None
+                else "__KEEP__(" + ", ".join(args) + ")"
+            )
             if len(args) != 2 or re.match(r"\s*INTERVAL\b", args[1], re.I)
             else (
                 "CASE WHEN ({0}) IS NULL THEN NULL WHEN typeof({0}) = 'date' "
@@ -959,10 +976,32 @@ MACROS: dict[str, Macro] = {
         "ELSE aggregate(filter(slice({0}, 1, i), x -> try_cast(x AS DOUBLE) IS NOT NULL), "
         "CAST(0 AS DOUBLE), (acc, x) -> acc + try_cast(x AS DOUBLE)) END) END"
     ),
+    # Doris renders boolean array elements as 1/0 in array_join (string
+    # surface); typeof() is a per-column constant and every branch is a
+    # string op, so the CASE analyzes for any element type. datetimev2
+    # scale padding is NOT recoverable here (Spark timestamps carry no
+    # scale) — documented miss in NOTES.md.
+    "array_join": (
+        lambda args: (
+            "array_join(transform({a}, __e -> CASE WHEN typeof(__e) = "
+            "'boolean' THEN IF(CAST(__e AS STRING) = 'true', '1', '0') "
+            "ELSE CAST(__e AS STRING) END), {rest})".format(
+                a=args[0], rest=", ".join(args[1:])
+            )
+            if len(args) in (2, 3)
+            else "__KEEP__(" + ", ".join(args) + ")"
+        )
+    ),
+    # Doris size/cardinality/array_size return NULL for a NULL array;
+    # Spark's legacy sizeOfNull (ansi off) returns -1
+    "size": _tpl("IF(({0}) IS NULL, NULL, size({0}))"),
+    "cardinality": _tpl("IF(({0}) IS NULL, NULL, size({0}))"),
+    "array_size": _tpl("IF(({0}) IS NULL, NULL, size({0}))"),
     # ---- lambda-first scalar spellings -> Spark hofs
     "array_map": _lambda_first("transform"),
     "array_filter": _lambda_first("filter"),
     "array_match_all": _lambda_first("forall"),
+    "array_match_any": _lambda_first("exists"),
 }
 
 
@@ -1115,19 +1154,61 @@ def _array_sort_macro(args: Sequence[str]) -> str:
     return f"__KEEP__({', '.join(args)})"
 
 
+def _interval_expr(step: str) -> str | None:
+    """`INTERVAL <expr> <unit>` (or an already-rewritten
+    make_*_interval call) -> a sequence-usable interval expression."""
+    if re.match(r"\s*make_(dt|ym)_interval\s*\(", step, re.I):
+        return step
+    m = re.match(r"\s*INTERVAL\s+(.+?)\s+(\w+)\s*$", step, re.I | re.S)
+    if m is None:
+        return None
+    from doris_spark.plans.dialect import make_interval_expr
+
+    cnt, unit = m.group(1), m.group(2)
+    if re.match(r"^\s*[+-]?\d+\s*$", cnt):
+        return f"INTERVAL {cnt} {unit}"
+    return make_interval_expr(cnt, unit)
+
+
 def _array_range(args: Sequence[str]) -> str:
-    """Doris array_range: [0, end) / [start, end) / [start, end) by step —
-    end-EXCLUSIVE, empty when start >= end (Spark's sequence is inclusive
-    and descends when start > end)."""
+    """Doris array_range/sequence: [0, end) / [start, end) / [start,
+    end) by step — end-EXCLUSIVE, empty when start >= end (Spark's
+    sequence is inclusive and descends when start > end). Datetime form
+    takes an INTERVAL step (default 1 DAY, possibly with a non-literal
+    count); datetime endpoints are detected from the rewritten arg text
+    (timestamp casts / interval arithmetic from the dialect layer)."""
     if len(args) == 1:
         s, e, st = "0", args[0], "1"
     elif len(args) == 2:
         s, e, st = args[0], args[1], "1"
     else:
         s, e, st = args[0], args[1], args[2]
+    ivl = _interval_expr(st)
+    dt_mode = ivl is not None or re.search(
+        r"TIMESTAMP|make_dt_interval|make_ym_interval|\bINTERVAL\b",
+        s + " " + e,
+        re.I,
+    )
+    if dt_mode:
+        ivl = ivl or "INTERVAL 1 DAY"
+        ts, te = f"CAST({s} AS TIMESTAMP)", f"CAST({e} AS TIMESTAMP)"
+        # zero/negative step -> NULL (BE sequence contract); the zero
+        # literal for the comparison must match the interval's type class
+        if re.match(r"\s*make_ym_interval", ivl, re.I):
+            zero = f"({ivl}) <= INTERVAL '0' MONTH"
+        elif re.match(r"\s*make_dt_interval", ivl, re.I):
+            zero = f"({ivl}) <= INTERVAL '0' SECOND"
+        else:
+            zero = "false"
+        return (
+            f"CASE WHEN {zero} THEN NULL WHEN {ts} >= {te} THEN array() "
+            f"ELSE filter(sequence({ts}, {te}, {ivl}), __x -> __x < {te}) END"
+        )
     return (
-        f"IF(({s}) >= ({e}), array(), "
-        f"sequence(CAST({s} AS INT), CAST(({e}) - 1 AS INT), CAST({st} AS INT)))"
+        f"CASE WHEN CAST({st} AS BIGINT) <= 0 THEN NULL "
+        f"WHEN ({s}) >= ({e}) THEN array() "
+        f"ELSE filter(sequence(CAST({s} AS BIGINT), CAST({e} AS BIGINT), "
+        f"CAST({st} AS BIGINT)), __x -> __x < CAST({e} AS BIGINT)) END"
     )
 
 
@@ -1341,6 +1422,78 @@ MACROS["array_intersect"] = _null_absorbing("array_intersect")
 MACROS["array_union"] = _null_absorbing("array_union")
 MACROS["array_sort"] = _array_sort_macro
 MACROS["array_range"] = _array_range
+# Doris sequence() is array_range's alias (same end-exclusive contract)
+MACROS["sequence"] = _array_range
+
+
+def _array_slice_macro(args: Sequence[str]) -> str:
+    """Doris array_slice(arr, off[, len]): 1-based offset, 0 offset or
+    offset before -size or negative len -> empty; 2-arg slices to the
+    end (same contract as the arr[l:r] dialect rewrite)."""
+    if len(args) not in (2, 3):
+        return f"__KEEP__({', '.join(args)})"
+    a, o = args[0], args[1]
+    ln = args[2] if len(args) == 3 else f"size({a})"
+    neg_len = f" OR ({ln}) < 0" if len(args) == 3 else ""
+    return (
+        f"CASE WHEN ({o}) = 0 OR ({o}) < -size({a}){neg_len} "
+        f"THEN slice({a}, 1, 0) "
+        f"ELSE slice({a}, {o}, {ln}) END"
+    )
+
+
+MACROS["array_slice"] = _array_slice_macro
+
+
+def _array_flatten_macro(args: Sequence[str]) -> str:
+    """Doris array_flatten deep-flattens to the SCALAR element level,
+    skipping NULL sub-arrays at each level (BE array_flatten; the fn
+    suite feeds literals nested up to 6 deep). Depth is read from the
+    literal's bracket nesting; non-literal args get the schema-unknown
+    default of one level."""
+    if len(args) != 1:
+        return f"__KEEP__({', '.join(args)})"
+    a = args[0].strip()
+    literal = a.startswith("[") or re.match(r"array\s*\(", a, re.I)
+    depth = None
+    if literal:
+        # max nesting of [..] brackets / array(..) constructor calls
+        # (the dialect layer may already have converted brackets)
+        mx = d = 0
+        in_q = None
+        stack: list[bool] = []
+        i = 0
+        while i < len(a):
+            ch = a[i]
+            if in_q:
+                if ch == in_q:
+                    in_q = None
+            elif ch in ("'", '"'):
+                in_q = ch
+            elif ch == "[":
+                d += 1
+                mx = max(mx, d)
+            elif ch == "]":
+                d -= 1
+            elif ch == "(":
+                is_arr = bool(re.search(r"array\s*$", a[:i], re.I))
+                stack.append(is_arr)
+                if is_arr:
+                    d += 1
+                    mx = max(mx, d)
+            elif ch == ")":
+                if stack and stack.pop():
+                    d -= 1
+            i += 1
+        depth = mx
+    flattens = (depth - 1) if depth is not None else 1
+    out = a
+    for _ in range(max(flattens, 0)):
+        out = f"flatten(filter({out}, __e -> __e IS NOT NULL))"
+    return f"({out})" if out != a else out
+
+
+MACROS["array_flatten"] = _array_flatten_macro
 MACROS["array_reverse_sort"] = _tpl("reverse(sort_array({0}))")
 
 
@@ -1411,7 +1564,18 @@ def _push(fn: str) -> Macro:
         if args[0].strip().upper() == "NULL":
             # NULL array -> NULL, typed from the pushed element
             return f"IF(false, array({args[1]}), NULL)"
-        return f"{fn}({args[0]}, {args[1]})"
+        if args[1].strip().upper() == "NULL":
+            # NULL element keeps the array's exact type (concat would
+            # have nothing to widen against)
+            return f"{fn}({args[0]}, {args[1]})"
+        # concat coerces array/element type mismatches (decimal scale
+        # differences etc.) to the common supertype, as the FE does;
+        # array_append refuses them. NULL array propagates through concat.
+        arr_v = f"array({args[1]})"
+        pair = (
+            f"{args[0]}, {arr_v}" if fn == "array_append" else f"{arr_v}, {args[0]}"
+        )
+        return f"concat({pair})"
 
     return m
 
@@ -1444,6 +1608,10 @@ def _array_apply_macro(args: Sequence[str]) -> str:
     if len(args) == 3:
         op = args[1].strip().strip("'\"")
         if op in ("=", "!=", ">", ">=", "<", "<="):
+            if args[2].strip().upper() == "NULL":
+                # NULL probe -> NULL result (BE array_apply semantics),
+                # typed as the input array
+                return f"IF(true, NULL, {args[0]})"
             return f"filter({args[0]}, __x -> __x {op} {args[2]})"
     return f"__KEEP__({', '.join(args)})"
 

@@ -19,7 +19,11 @@ CASES = [
     ("trim_in('xxhixx', 'x')", "hi"),
     ("ltrim_in('xyhixy', 'xy')", "hixy"),
     ("rtrim_in('xyhixy', 'yx')", "xyhi"),
-    ("tokenize('Hello  World')", ["hello", "world"]),
+    (
+        "tokenize('Hello  World')",
+        '[{\\n        "token": "hello"\\n    }, '
+        '{\\n        "token": "world"\\n    }]',
+    ),
     ("bit_test_all(5, 0, 2)", 1),
     ("bit_test_all(5, 0, 1)", 0),
     ("first_significant_subdomain('https://news.example.com.tr/path')", "example"),

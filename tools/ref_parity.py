@@ -411,6 +411,10 @@ def _unroll_for(src: str) -> str:
 # cannot reach — their data-dependent goldens are unrunnable here
 REMOTE_TABLES: set[str] = set()
 
+# tables whose DDL exceeds the platform's type ceiling (DECIMAL256 —
+# scale > 38 can't exist on Spark; documented narrowing in NOTES.md)
+PLATFORM_TABLES: set[str] = set()
+
 
 def _extract_stream_loads(src: str, gvars: dict, data_dir: str) -> str:
     """Replace each groovy `streamLoad { ... }` block with a synthetic
@@ -1343,6 +1347,9 @@ def _stream_load(eng, spec: dict) -> None:
                 sel4.append(
                     f"CASE WHEN {src} IS NULL THEN NULL "
                     f"WHEN {src} IN ('[]', '') THEN CAST(array() AS {ts}) "
+                    # non-bracketed cell (e.g. literal 'null'): Doris's
+                    # array parse fails and the cell becomes NULL
+                    f"WHEN NOT {src} LIKE '[%' THEN NULL "
                     f"ELSE CAST(transform(split(regexp_replace({src}, "
                     f"'^\\\\[|\\\\]$', ''), ','), "
                     # strip the JSON-text quotes around string elements
@@ -1374,6 +1381,7 @@ def _stream_load(eng, spec: dict) -> None:
                 sel4.append(
                     f"CASE WHEN {src} IS NULL THEN NULL "
                     f"WHEN {src} IN ('{{}}', '') THEN CAST(map() AS {ts}) "
+                    f"WHEN NOT {src} LIKE '{{%' THEN NULL "
                     f"ELSE map_from_entries(filter(zip_with("
                     f"transform(map_keys({m_}), "
                     f"x -> CAST(trim(BOTH '\"' FROM trim(x)) AS {kt})), "
@@ -1402,10 +1410,20 @@ def _stream_load(eng, spec: dict) -> None:
                 break
             dfc = df.columns[i]
             is_dt = re.match(r"datetime(?:v2)?(?:\((\d)\))?$", t)
+            is_adt = re.match(r"array<\s*datetime(?:v2)?\((\d)\)\s*>$", t)
             if is_dt and int(is_dt.group(1) or 0) < 6:
                 sel5.append(
                     _expr(
                         _dt_round_expr(f"`{dfc}`", int(is_dt.group(1) or 0))
+                    ).alias(dfc)
+                )
+                any5 = True
+            elif is_adt and int(is_adt.group(1)) < 6:
+                sel5.append(
+                    _expr(
+                        f"transform(CAST(`{dfc}` AS ARRAY<TIMESTAMP>), __e -> "
+                        + _dt_round_expr("__e", int(is_adt.group(1)))
+                        + ")"
                     ).alias(dfc)
                 )
                 any5 = True
@@ -1999,6 +2017,19 @@ def run_setup(eng, sql: str) -> None:
                             any2 = True
                         if is_dt and int(is_dt.group(1) or 0) < 6:
                             src = _dt_round_expr(src, int(is_dt.group(1) or 0))
+                            any2 = True
+                        # ARRAY<datetimev2(n)> elements round too (same
+                        # storage semantics, applied elementwise)
+                        is_adt = re.match(
+                            r"array<\s*datetime(?:v2)?\((\d)\)\s*>$", t
+                        )
+                        if is_adt and int(is_adt.group(1)) < 6:
+                            src = (
+                                f"transform(CAST({src} AS ARRAY<TIMESTAMP>), "
+                                "__e -> "
+                                + _dt_round_expr("__e", int(is_adt.group(1)))
+                                + ")"
+                            )
                             any2 = True
                         sel2.append(
                             expr(src).alias(dfc) if any2 else col(dfc)
