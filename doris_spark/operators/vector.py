@@ -240,6 +240,65 @@ def ann_index_probe(
 # ------------------------------------------------------------------ IVF ANN
 
 
+def _assign_expr(vec_col: str, codebook: list[tuple[int, list[float]]]):
+    """argmin-L2 cluster id as a pure column expression: a struct-min
+    over literal centroid arrays, fully inside whole-stage codegen. The
+    fold over dimensions is index-ascending, so the summation order is
+    reproducible bit-for-bit by any engine that folds left-to-right."""
+    structs = []
+    for cid, cv in codebook:
+        lit = F.array(*[F.lit(x) for x in cv])
+        diff = F.zip_with(_c(vec_col), lit, lambda x, y: x.cast("double") - y)
+        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
+        structs.append(F.struct(d2.alias("d"), F.lit(cid).alias("cid")))
+    return F.array_min(F.array(*structs)).getField("cid")
+
+
+def train_ivf_codebook(
+    corpus: DataFrame,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+    iters: int = 2,
+    round_dp: int = 6,
+) -> list[tuple[int, list[float]]]:
+    """Lloyd's k-means coarse quantizer (faiss_ann_index.h IVF training
+    analog). Deterministic: seeds are the `n_centroids` smallest-id rows,
+    a fixed number of iterations, and every refreshed centroid rounds to
+    `round_dp` decimals — rounding makes the trained codebook
+    reproducible across engines (the DuckDB oracle replays the identical
+    algorithm), since elementwise means differ only in last-bit
+    summation order. Each iteration is ONE distributed pass: argmin
+    assignment in codegen, posexplode -> (cid, dim) partial avg — at 100
+    TB you'd train on a TABLESAMPLE slice instead of the full corpus,
+    the shape is unchanged. Empty clusters keep their previous centroid
+    (standard Lloyd fallback)."""
+    seeds = (
+        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    )
+    cb = [
+        (int(r[0]), [round(float(x), round_dp) for x in r[1]]) for r in seeds
+    ]
+    for _ in range(iters):
+        assigned = corpus.withColumn("__cid", _assign_expr(vec_col, cb))
+        rows = (
+            assigned.select("__cid", F.posexplode(_c(vec_col)))
+            .groupBy("__cid", "pos")
+            .agg(F.round(F.avg(F.col("col").cast("double")), round_dp).alias("m"))
+            .groupBy("__cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("pos", "m"))),
+                    lambda s: s["m"],
+                ).alias("cv")
+            )
+            .collect()
+        )
+        new = {int(r[0]): [float(x) for x in r[1]] for r in rows}
+        cb = [(cid, new.get(cid, cv)) for cid, cv in cb]
+    return cb
+
+
 def ivf_knn(
     corpus: DataFrame,
     query: DataFrame,
@@ -248,26 +307,25 @@ def ivf_knn(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 4,
+    train_iters: int = 2,
 ) -> DataFrame:
     """IVF-style approximate top-k (reference:
-    be/src/storage/index/ann/faiss_ann_index.h IVF-Flat family): a small
-    coarse-quantizer codebook partitions the corpus into inverted lists;
-    the probe searches only the `nprobe` lists nearest the query.
+    be/src/storage/index/ann/faiss_ann_index.h IVF-Flat family): a
+    k-means coarse-quantizer codebook (train_ivf_codebook, deterministic
+    Lloyd) partitions the corpus into inverted lists; the probe searches
+    only the `nprobe` lists nearest the query.
 
-    Codebook = the `n_centroids` corpus rows with the smallest ids — a
-    deterministic placeholder for a sampled/k-means codebook (the
-    codebook is O(n_centroids) and lives on the driver/broadcast at any
-    scale; training it is an offline job). Everything per-row stays
-    JVM-side: the assignment is an array_min over literal-array distance
-    structs inside whole-stage codegen, the probe filter prunes before
-    the distance projection, and the final top-k is
-    TakeOrderedAndProject. At 100 TB the corpus would be written
-    partitioned by __cid (sources/layout.py) so the probe prunes
-    partitions — same contract as build_ann_index/ann_index_probe."""
-    cents = (
-        corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
+    The codebook is O(n_centroids) and lives on the driver/broadcast at
+    any scale. Everything per-row stays JVM-side: the assignment is an
+    array_min over literal-array distance structs inside whole-stage
+    codegen, the probe filter prunes before the distance projection, and
+    the final top-k is TakeOrderedAndProject. At 100 TB the corpus would
+    be written partitioned by __cid (sources/layout.py) so the probe
+    prunes partitions — same contract as build_ann_index/
+    ann_index_probe."""
+    cent_vecs = train_ivf_codebook(
+        corpus, vec_col, id_col, n_centroids, iters=train_iters
     )
-    cent_vecs = [(int(r[0]), [float(x) for x in r[1]]) for r in cents]
     qrow = query.select(vec_col).first()
     qvec = [float(x) for x in qrow[0]]
 
@@ -286,15 +344,9 @@ def ivf_knn(
         )[:nprobe]
     ]
 
-    structs = []
-    for cid, cv in cent_vecs:
-        lit = F.array(*[F.lit(x) for x in cv])
-        diff = F.zip_with(_c(vec_col), lit, lambda x, y: x.cast("double") - y)
-        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
-        structs.append(F.struct(d2.alias("d"), F.lit(cid).alias("cid")))
-    assigned = F.array_min(F.array(*structs)).getField("cid")
-
-    corp = corpus.withColumn("__cid", assigned).filter(F.col("__cid").isin(probe))
+    corp = corpus.withColumn(
+        "__cid", _assign_expr(vec_col, cent_vecs)
+    ).filter(F.col("__cid").isin(probe))
     q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
     return (
         corp.crossJoin(q)

@@ -317,40 +317,85 @@ def vec_lsh_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "vec_ivf_knn",
-    oracle=f"""
-WITH cent AS (
-  SELECT vec_id AS cid, {_DVEC} AS cv FROM embeddings WHERE vec_id BETWEEN 1 AND 16
-), q AS (SELECT {_DVEC} AS qv FROM embeddings WHERE vec_id = 0),
+_IVF_D2 = (
+    "list_sum(list_transform(list_zip({c}, {v}), "
+    "p -> (p[1] - p[2]) * (p[1] - p[2])))"
+)
+
+
+def _ivf_oracle(iters: int = 2) -> str:
+    """DuckDB replay of train_ivf_codebook + probe + search: the SAME
+    deterministic Lloyd algorithm (smallest-id seeds, fixed iterations,
+    6-dp centroid rounding, index-ascending distance folds, cid
+    tie-breaks) unrolled as chained CTEs — the 6-dp rounding is what
+    makes the two engines' codebooks bit-identical (decimal half-way
+    points are not dyadic, so the round never sits on a boundary)."""
+    parts = [
+        "WITH c0 AS (SELECT vec_id AS cid, list_transform(embedding, "
+        "x -> round(CAST(x AS DOUBLE), 6)) AS cv "
+        "FROM embeddings WHERE vec_id BETWEEN 1 AND 16)",
+        f"corp AS (SELECT vec_id, {_DVEC} AS ev FROM embeddings "
+        "WHERE vec_id <> 0)",
+    ]
+    prev = "c0"
+    dist = _IVF_D2.format(c="cv", v="ev")
+    for i in range(1, iters + 1):
+        parts.append(
+            f"a{i} AS (SELECT vec_id, ev, cid FROM (SELECT vec_id, ev, "
+            f"cid, row_number() OVER (PARTITION BY vec_id "
+            f"ORDER BY {dist} ASC, cid ASC) AS rn "
+            f"FROM corp, {prev}) WHERE rn = 1)"
+        )
+        parts.append(
+            f"m{i} AS (SELECT cid, idx, round(avg(v), 6) AS m FROM "
+            f"(SELECT cid, unnest(ev) AS v, generate_subscripts(ev, 1) "
+            f"AS idx FROM a{i}) GROUP BY cid, idx)"
+        )
+        parts.append(
+            f"n{i} AS (SELECT cid, list(m ORDER BY idx) AS cv "
+            f"FROM m{i} GROUP BY cid)"
+        )
+        parts.append(
+            f"c{i} AS (SELECT p.cid, coalesce(n{i}.cv, p.cv) AS cv "
+            f"FROM {prev} p LEFT JOIN n{i} ON p.cid = n{i}.cid)"
+        )
+        prev = f"c{i}"
+    qd = _IVF_D2.format(c="cv", v="qv")
+    fd = _IVF_D2.format(c=_DVEC, v="qv")
+    return (
+        ",\n".join(parts)
+        + f""",
+q AS (SELECT {_DVEC} AS qv FROM embeddings WHERE vec_id = 0),
 probe AS (
-  SELECT cid FROM cent, q
-  ORDER BY list_sum(list_transform(list_zip(cv, qv), p -> (p[1] - p[2]) * (p[1] - p[2]))) ASC, cid
-  LIMIT 4
+  SELECT cid FROM {prev}, q ORDER BY {qd} ASC, cid LIMIT 4
 ),
 assigned AS (
-  SELECT vec_id,
-         arg_min(cid, list_sum(list_transform(list_zip(cv, ev),
-                 p -> (p[1] - p[2]) * (p[1] - p[2])))) AS cid
-  FROM (SELECT vec_id, {_DVEC} AS ev FROM embeddings WHERE vec_id <> 0) e, cent
-  GROUP BY vec_id
+  SELECT vec_id, cid FROM (
+    SELECT vec_id, cid, row_number() OVER (PARTITION BY vec_id
+      ORDER BY {_IVF_D2.format(c="cv", v="ev")} ASC, cid ASC) AS rn
+    FROM corp, {prev}) WHERE rn = 1
 )
-SELECT e.vec_id,
-       sqrt(list_sum(list_transform(list_zip({_DVEC}, qv),
-            p -> (p[1] - p[2]) * (p[1] - p[2])))) AS score
+SELECT e.vec_id, sqrt({fd}) AS score
 FROM embeddings e
 JOIN assigned a ON e.vec_id = a.vec_id, q
 WHERE a.cid IN (SELECT cid FROM probe)
 ORDER BY score ASC, e.vec_id
 LIMIT 10
-""",
+"""
+    )
+
+
+@query(
+    "vec_ivf_knn",
+    oracle=_ivf_oracle(2),
 )
 def vec_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF-Flat approximate top-10 (operators/vector.py ivf_knn):
-    16-entry coarse codebook, 4 probed lists, exact L2 within the probe.
-    The oracle recomputes codebook, assignment, probe, and search in
-    DuckDB list algebra — the approximation itself is verified, not just
-    the output shape."""
+    16-entry K-MEANS coarse codebook (train_ivf_codebook: deterministic
+    Lloyd, 2 iterations, 6-dp rounded centroids), 4 probed lists, exact
+    L2 within the probe. The oracle replays the full training +
+    assignment + probe + search in DuckDB list algebra — the trained
+    quantizer itself is verified, not just the output shape."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     corpus = emb.filter(F.col("vec_id") != 0)
     return V.ivf_knn(corpus, _query_vec(spark, sf_dir), "embedding", "vec_id",
