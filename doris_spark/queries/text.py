@@ -186,6 +186,54 @@ def txt_match(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "txt_match_indexed",
+    oracle=f"""
+WITH t AS (SELECT lang, {_TOKS} AS toks FROM documents)
+SELECT lang,
+       sum(CASE WHEN list_contains(toks, 'spark') OR list_contains(toks, 'join')
+                THEN 1 ELSE 0 END) AS n_any,
+       sum(CASE WHEN list_contains(toks, 'spark') AND list_contains(toks, 'join')
+                THEN 1 ELSE 0 END) AS n_all
+FROM t GROUP BY lang ORDER BY lang
+""",
+)
+def txt_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INDEX-PROBED match_any/match_all (operators/text_index.py; the
+    inverted-index analog of be/src/storage/index/inverted/ +
+    PushDownMatchProjectionAsVirtualColumn.java): a persisted postings
+    table (token, doc_id) partitioned by token hash bucket answers the
+    term probe with a partition-pruned scan, and the corpus joins on doc
+    ids — its text column is never re-tokenized. Same results as
+    txt_match's n_any/n_all (the oracle recomputes them from scratch),
+    O(postings) instead of O(corpus) at scale."""
+    import os as _os
+    import tempfile
+
+    from doris_spark.operators.text_index import TextIndex, build_text_index
+
+    docs = load_tables(spark, sf_dir)["documents"]
+    path = _os.path.join(
+        tempfile.gettempdir(), f"doris_spark_txtidx_{abs(hash(sf_dir))}"
+    )
+    if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
+        build_text_index(docs, "text", "doc_id", path)
+    idx = TextIndex(spark, path)
+    terms = ["spark", "join"]
+    any_ids = idx.doc_ids(terms, "any").withColumnRenamed("doc_id", "__aid")
+    all_ids = idx.doc_ids(terms, "all").withColumnRenamed("doc_id", "__bid")
+    return (
+        docs.join(any_ids, docs["doc_id"] == F.col("__aid"), "left")
+        .join(all_ids, docs["doc_id"] == F.col("__bid"), "left")
+        .groupBy("lang")
+        .agg(
+            F.sum(F.when(F.col("__aid").isNotNull(), 1).otherwise(0)).alias("n_any"),
+            F.sum(F.when(F.col("__bid").isNotNull(), 1).otherwise(0)).alias("n_all"),
+        )
+        .orderBy("lang")
+    )
+
+
 def _shingle_sql(n: int = 3) -> str:
     """DuckDB expression for the distinct n-token shingle list (1-based
     list indexing), mirroring operators/dedup.token_shingles."""
