@@ -530,16 +530,25 @@ def _jsonpath_tokens(path: str):
             if p[i : i + 2] == ".[":  # $.[1] — dotted index
                 i += 1
                 continue
+            # quoted member: $."a.b.c" (dots inside the quotes are part
+            # of the key — jsonb_document.h parse_member quoted leg)
+            m = _r.match(r'\."((?:[^"\\]|\\.)*)"', p[i:])
+            if m:
+                toks.append(("key", m.group(1).replace('\\"', '"')))
+                i += m.end()
+                continue
             m = _r.match(r"\.(\*|\*\*|[^.\[\]*]+)", p[i:])
             if not m:
                 return None
             toks.append(("key", m.group(1)))
             i += m.end()
         elif c == "[":
-            m = _r.match(r"\[(\*|-?\d+|last)\]", p[i:])
+            # index forms: [i], [-i], [*], [last], [last-N]
+            # (jsonb_document.h: last-N encodes as -N-1, i.e. Nth from end)
+            m = _r.match(r"\[\s*(\*|-?\d+|last(?:\s*-\s*\d+)?)\s*\]", p[i:], _r.I)
             if not m:
                 return None
-            toks.append(("idx", m.group(1)))
+            toks.append(("idx", _r.sub(r"\s+", "", m.group(1).lower())))
             i += m.end()
         elif c == "*" and p[i : i + 2] == "**":
             # '$**.k' (no leading dot)
@@ -596,16 +605,87 @@ def _jsonpath_match(doc, toks) -> list:
         for v in doc:
             out.extend(_jsonpath_match(v, rest))
         return out
-    idx = len(doc) - 1 if val == "last" else int(val)
+    if val.startswith("last"):
+        off = int(val[5:]) if len(val) > 4 else 0  # 'last-N'
+        idx = len(doc) - 1 - off
+        if idx < 0:
+            return []
+    else:
+        idx = int(val)
     if -len(doc) <= idx < len(doc):
         return _jsonpath_match(doc[idx], rest)
     return []
 
 
+def _jsonb_scalar_one(j, p, mode):
+    """Typed jsonb extraction family (util/jsonb_document.h path walk +
+    function_jsonb.cpp coercions): returns a STRING rendering the SQL
+    wrapper casts to the target type. Modes: string/int/double/bool/
+    isnull/exists/type."""
+    if _isnull(j) or _isnull(p):
+        return None
+    try:
+        doc = json.loads(str(j))
+    except (ValueError, TypeError):
+        return None
+    toks = _jsonpath_tokens(str(p))
+    if toks is None:
+        return None
+    ms = _jsonpath_match(doc, toks)
+    if mode == "exists":
+        return "true" if ms else "false"
+    if not ms:
+        return None
+    v = ms[0]
+    if mode == "isnull":
+        return "1" if v is None else "0"
+    if mode == "type":
+        if v is None:
+            return "null"
+        if isinstance(v, bool):
+            return "bool"
+        if isinstance(v, str):
+            return "string"
+        if isinstance(v, int):
+            a = abs(v)
+            if a <= 2147483647:
+                return "int"
+            if a <= 9223372036854775807:
+                return "bigint"
+            return "largeint"
+        if isinstance(v, float):
+            return "double"
+        return "object" if isinstance(v, dict) else "array"
+    if v is None:
+        return None
+    if mode == "string":
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        if isinstance(v, str):
+            return v
+        if isinstance(v, (dict, list)):
+            return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+        return repr(v) if isinstance(v, float) else str(v)
+    if mode == "int":
+        if isinstance(v, bool):
+            return "1" if v else "0"
+        return str(v) if isinstance(v, int) else None
+    if mode == "double":
+        if isinstance(v, bool):
+            return "1" if v else "0"
+        return repr(float(v)) if isinstance(v, (int, float)) else None
+    if mode == "bool":
+        if isinstance(v, bool):
+            return "true" if v else "false"
+        return None
+    return None
+
+
 def _json_extract_multi_one(j, paths_packed):
     """Doris json_extract: one path without wildcards -> that value as
     JSON text (NULL on miss); otherwise every match across all paths in
-    order, as a JSON array (NULL when nothing matched)."""
+    order, as a JSON array (NULL when nothing matched). A NULL path
+    argument (encoded as the __NULL__ sentinel) nulls the whole result."""
     if _isnull(j) or _isnull(paths_packed):
         return None
     try:
@@ -614,7 +694,10 @@ def _json_extract_multi_one(j, paths_packed):
         return None
     # registry_ext.OMIT is "\x01__OMIT__" (control-char-prefixed so user
     # strings can't collide); match by suffix to avoid a module cycle
-    paths = [p for p in str(paths_packed).split("\x1f") if not p.endswith("__OMIT__")]
+    all_parts = str(paths_packed).split("\x1f")
+    if any(p.endswith("__NULL__") for p in all_parts):
+        return None
+    paths = [p for p in all_parts if not p.endswith("__OMIT__")]
     wildcarded = any("*" in p for p in paths)
     matches = []
     for p in paths:
@@ -679,6 +762,12 @@ def register_mysql_datetime(spark: SparkSession) -> int:
     def _jext(j: pd.Series, paths: pd.Series) -> pd.Series:
         return pd.Series(
             [_json_extract_multi_one(a, b) for a, b in zip(j, paths)], dtype=object
+        )
+
+    def _jbext(j: pd.Series, p: pd.Series, mode: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_jsonb_scalar_one(a, b, m) for a, b, m in zip(j, p, mode)],
+            dtype=object,
         )
 
     def _doris_time(s: pd.Series) -> pd.Series:
@@ -847,6 +936,7 @@ def register_mysql_datetime(spark: SparkSession) -> int:
     spark.udf.register("__mysql_timefmt", pandas_udf(_timefmt, "string"))
     spark.udf.register("__mysql_week", pandas_udf(_week, "int"))
     spark.udf.register("__json_extract", pandas_udf(_jext, "string"))
+    spark.udf.register("__jsonb_ext", pandas_udf(_jbext, "string"))
     spark.udf.register("__locale_dayname", pandas_udf(_name_lookup("days"), "string"))
     spark.udf.register(
         "__locale_monthname", pandas_udf(_name_lookup("months"), "string")

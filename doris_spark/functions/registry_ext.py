@@ -1108,6 +1108,13 @@ DORIS_SQL_FUNCTIONS_EXT.update(
             f"p4 STRING DEFAULT '{OMIT}'",
             "__json_extract(j, concat_ws(chr(31), p1, p2, p3, p4))",
         ),
+        # jsonb_extract shares the kernel: the JVM variant_get path
+        # throws on Doris's [last] / negative array indexes
+        "jsonb_extract": (
+            f"j STRING, p1 STRING, p2 STRING DEFAULT '{OMIT}', p3 STRING DEFAULT '{OMIT}', "
+            f"p4 STRING DEFAULT '{OMIT}'",
+            "__json_extract(j, concat_ws(chr(31), p1, p2, p3, p4))",
+        ),
         # auto_partition_name (AutoPartitionName.java): range -> 'p' +
         # unit-truncated yyyyMMddHHmmss; list -> 'p' + per-value encoding
         # (ascii alnum verbatim, other codepoints as lowercase hex) + the
