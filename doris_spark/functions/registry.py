@@ -425,12 +425,16 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "(sqrt(aggregate(zip_with(a, a, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)) * "
         "sqrt(aggregate(zip_with(b, b, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)))",
     ),
-    # ---- JSON (function_jsonb.cpp) — Doris jsonb_* over Spark JSON exprs
-    "jsonb_extract_string": ("j STRING, p STRING", "get_json_object(j, p)"),
-    "jsonb_extract_int": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS INT)"),
-    "jsonb_extract_bigint": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS BIGINT)"),
-    "jsonb_extract_double": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS DOUBLE)"),
-    "jsonb_extract_bool": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS BOOLEAN)"),
+    # ---- JSON (function_jsonb.cpp) — typed jsonb extraction goes through
+    # the __jsonb_ext python kernel (pyfns._jsonb_scalar_one): it walks
+    # Doris paths get_json_object can't ([last], negative indexes) and
+    # applies function_jsonb.cpp's strict type coercions (e.g.
+    # jsonb_extract_int on a string is NULL, not a parse).
+    "jsonb_extract_string": ("j STRING, p STRING", "__jsonb_ext(j, p, 'string')"),
+    "jsonb_extract_int": ("j STRING, p STRING", "CAST(__jsonb_ext(j, p, 'int') AS INT)"),
+    "jsonb_extract_bigint": ("j STRING, p STRING", "CAST(__jsonb_ext(j, p, 'int') AS BIGINT)"),
+    "jsonb_extract_double": ("j STRING, p STRING", "CAST(__jsonb_ext(j, p, 'double') AS DOUBLE)"),
+    "jsonb_extract_bool": ("j STRING, p STRING", "CAST(__jsonb_ext(j, p, 'bool') AS BOOLEAN)"),
     "json_extract_doris": ("j STRING, p STRING", "get_json_object(j, p)"),
     "json_unquote": ("j STRING", "regexp_replace(j, '^\"|\"$', '')"),
     "json_valid": (

@@ -696,7 +696,7 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
         "CASE WHEN to_json(try_variant_get(try_parse_json(j), p)) IS NULL THEN NULL "
         "ELSE is_variant_null(try_variant_get(try_parse_json(j), p)) END",
     ),
-    "jsonb_extract_largeint": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS DECIMAL(38, 0))"),
+    "jsonb_extract_largeint": ("j STRING, p STRING", "CAST(__jsonb_ext(j, p, 'int') AS DECIMAL(38, 0))"),
     "get_json_string": ("j STRING, p STRING", "get_json_object(j, p)"),
     "get_json_int": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS INT)"),
     "get_json_bigint": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS BIGINT)"),
@@ -1103,17 +1103,25 @@ DORIS_SQL_FUNCTIONS_EXT.update(
         # recursive $**.k, [last], dotted index) via the python JSON-path
         # kernel; single plain-path extraction and multi-path array
         # semantics both live in the kernel (pyfns._json_extract_multi_one)
+        # Each path is ifnull-wrapped to the __NULL__ sentinel BEFORE
+        # concat_ws: concat_ws SKIPS null args, so without the wrap a
+        # NULL path would silently vanish instead of nulling the whole
+        # result (Doris nulls json_extract on any NULL path).
         "json_extract": (
             f"j STRING, p1 STRING, p2 STRING DEFAULT '{OMIT}', p3 STRING DEFAULT '{OMIT}', "
             f"p4 STRING DEFAULT '{OMIT}'",
-            "__json_extract(j, concat_ws(chr(31), p1, p2, p3, p4))",
+            "__json_extract(j, concat_ws(chr(31), "
+            "ifnull(p1, chr(1) || '__NULL__'), ifnull(p2, chr(1) || '__NULL__'), "
+            "ifnull(p3, chr(1) || '__NULL__'), ifnull(p4, chr(1) || '__NULL__')))",
         ),
         # jsonb_extract shares the kernel: the JVM variant_get path
         # throws on Doris's [last] / negative array indexes
         "jsonb_extract": (
             f"j STRING, p1 STRING, p2 STRING DEFAULT '{OMIT}', p3 STRING DEFAULT '{OMIT}', "
             f"p4 STRING DEFAULT '{OMIT}'",
-            "__json_extract(j, concat_ws(chr(31), p1, p2, p3, p4))",
+            "__json_extract(j, concat_ws(chr(31), "
+            "ifnull(p1, chr(1) || '__NULL__'), ifnull(p2, chr(1) || '__NULL__'), "
+            "ifnull(p3, chr(1) || '__NULL__'), ifnull(p4, chr(1) || '__NULL__')))",
         ),
         # auto_partition_name (AutoPartitionName.java): range -> 'p' +
         # unit-truncated yyyyMMddHHmmss; list -> 'p' + per-value encoding

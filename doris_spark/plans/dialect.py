@@ -24,15 +24,28 @@ _MYSQL_FMT = {
 
 
 def _lit_spans(text: str) -> list[tuple[int, int]]:
-    """[start, end) spans of '...' / "..." string literals."""
+    """[start, end) spans of '...' / "..." string literals.
+
+    Handles MySQL-style escapes INSIDE a literal: backslash-escaped
+    quotes (``'a\\'b'``) and doubled-quote escapes (``'a''b'``) do not
+    terminate the span — otherwise the literal's tail would be
+    classified as code and LIMIT/XOR/dual rewrites could corrupt it."""
     spans, i, n = [], 0, len(text)
     while i < n:
         c = text[i]
         if c in ("'", '"'):
             j = i + 1
-            while j < n and text[j] != c:
+            while j < n:
+                if text[j] == "\\":
+                    j += 2
+                    continue
+                if text[j] == c:
+                    if j + 1 < n and text[j + 1] == c:  # doubled-quote escape
+                        j += 2
+                        continue
+                    break
                 j += 1
-            spans.append((i, j + 1))
+            spans.append((i, min(j + 1, n)))
             i = j + 1
         else:
             i += 1

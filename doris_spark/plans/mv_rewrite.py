@@ -199,8 +199,22 @@ def _idents(expr: str) -> set[str]:
     return out
 
 
+_CAST_WRAP = re.compile(r"^CAST\s*\((.+)\s+AS\s+([A-Za-z_]\w*(?:\s*\(\s*\d+(?:\s*,\s*\d+)?\s*\))?)\s*\)$", re.I | re.S)
+
+
 def _rewrite_agg(expr: str, mv: MVDef) -> str | None:
-    """Map one aggregate call to its re-aggregation over MV partials."""
+    """Map one aggregate call to its re-aggregation over MV partials.
+
+    A top-level CAST wrapper (``CAST(sum(x) AS DOUBLE)``) is transparent:
+    the inner aggregate is rewritten against the MV partials and the cast
+    re-applied to the re-aggregation — Nereids likewise sees through
+    output-type coercions when matching MV measures."""
+    cm = _CAST_WRAP.match(expr.strip())
+    if cm is not None:
+        inner = _rewrite_agg(cm.group(1).strip(), mv)
+        if inner is not None:
+            return f"CAST({inner} AS {cm.group(2)})"
+        return None
     am = _AGG.match(expr.strip())
     if am is None:
         return None

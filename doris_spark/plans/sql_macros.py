@@ -1184,8 +1184,11 @@ def _array_range(args: Sequence[str]) -> str:
     else:
         s, e, st = args[0], args[1], args[2]
     ivl = _interval_expr(st)
+    # \b anchors: a bare TIMESTAMP/INTERVAL token flags datetime mode,
+    # but unix_timestamp(...) / a *_timestamp column must NOT (the '_'
+    # is a word char, so \bTIMESTAMP misses those).
     dt_mode = ivl is not None or re.search(
-        r"TIMESTAMP|make_dt_interval|make_ym_interval|\bINTERVAL\b",
+        r"\bTIMESTAMP\b|\bmake_dt_interval\b|\bmake_ym_interval\b|\bINTERVAL\b",
         s + " " + e,
         re.I,
     )
@@ -1194,7 +1197,12 @@ def _array_range(args: Sequence[str]) -> str:
         ts, te = f"CAST({s} AS TIMESTAMP)", f"CAST({e} AS TIMESTAMP)"
         # zero/negative step -> NULL (BE sequence contract); the zero
         # literal for the comparison must match the interval's type class
-        if re.match(r"\s*make_ym_interval", ivl, re.I):
+        lit = re.match(r"\s*INTERVAL\s+([+-]?\d+)\s+\w+\s*$", ivl, re.I)
+        if lit is not None:
+            # literal step: decide at macro-expansion time (Spark's
+            # sequence() would otherwise throw instead of returning NULL)
+            zero = "true" if int(lit.group(1)) <= 0 else "false"
+        elif re.match(r"\s*make_ym_interval", ivl, re.I):
             zero = f"({ivl}) <= INTERVAL '0' MONTH"
         elif re.match(r"\s*make_dt_interval", ivl, re.I):
             zero = f"({ivl}) <= INTERVAL '0' SECOND"
@@ -1476,7 +1484,9 @@ def _array_flatten_macro(args: Sequence[str]) -> str:
             elif ch == "]":
                 d -= 1
             elif ch == "(":
-                is_arr = bool(re.search(r"array\s*$", a[:i], re.I))
+                # word-boundary lookbehind: json_array(...) / make_array-
+                # style names ending in 'array' are NOT the array() ctor
+                is_arr = bool(re.search(r"(?<![\w.])array\s*$", a[:i], re.I))
                 stack.append(is_arr)
                 if is_arr:
                     d += 1

@@ -19,6 +19,16 @@ from pyspark.sql import DataFrame, SparkSession
 
 QueryFn = Callable[[SparkSession, str], DataFrame]
 
+
+def stable_key(sf_dir: str) -> str:
+    """Content-stable digest of a fixture dir for cached-artifact paths
+    (persisted ANN / postings indexes, MV storage). Python's hash() is
+    process-salted, so it forced every new process to rebuild; md5 of
+    the path keeps warm runs warm across processes."""
+    import hashlib
+
+    return hashlib.md5(sf_dir.encode()).hexdigest()[:16]
+
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 

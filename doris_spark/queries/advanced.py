@@ -6,7 +6,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doris_spark.functions import sketches as SK
-from doris_spark.queries import query
+from doris_spark.queries import query, stable_key
 from doris_spark.session import load_tables
 
 
@@ -421,7 +421,7 @@ def mtmv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     orders = load_tables(spark, sf_dir)["orders"]
     base = orders.withColumn("yr", F.year("o_orderdate"))
     storage = _os.path.join(
-        tempfile.gettempdir(), f"doris_spark_mtmv_{abs(hash(sf_dir))}"
+        tempfile.gettempdir(), f"doris_spark_mtmv_{stable_key(sf_dir)}"
     )
     shutil.rmtree(storage, ignore_errors=True)
     mv = MaterializedView(
@@ -448,7 +448,7 @@ def mtmv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
 SELECT o_orderstatus,
        count(*) AS n,
-       sum(CAST(o_totalprice AS DECIMAL(38,4))) AS total,
+       CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total,
        max(o_totalprice) AS mx
 FROM orders
 WHERE o_orderpriority IN ('1-URGENT', '2-HIGH')
@@ -477,7 +477,7 @@ def mv_transparent_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
     eng = Engine(spark)
     orders = load_tables(spark, sf_dir)["orders"]
     storage = _os.path.join(
-        tempfile.gettempdir(), f"doris_spark_mvrw_{abs(hash(sf_dir))}"
+        tempfile.gettempdir(), f"doris_spark_mvrw_{stable_key(sf_dir)}"
     )
     shutil.rmtree(storage, ignore_errors=True)
     mv = MaterializedView(
@@ -506,9 +506,12 @@ def mv_transparent_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         },
         view=mv.read(),
     )
+    # The partial sums stay exact DECIMAL(38,4) (order-independent
+    # addition); only the FINAL total is cast to DOUBLE so both engines
+    # emit the same float value to the comparator.
     out = eng.sql(
         "SELECT o_orderstatus, count(*) AS n, "
-        "sum(CAST(o_totalprice AS DECIMAL(38,4))) AS total, "
+        "CAST(sum(CAST(o_totalprice AS DECIMAL(38,4))) AS DOUBLE) AS total, "
         "max(o_totalprice) AS mx "
         "FROM orders WHERE o_orderpriority IN ('1-URGENT', '2-HIGH') "
         "GROUP BY o_orderstatus ORDER BY o_orderstatus"
@@ -540,7 +543,7 @@ def meta_scan_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     orders = load_tables(spark, sf_dir)["orders"]
     path = _os.path.join(
-        tempfile.gettempdir(), f"doris_spark_meta_{abs(hash(sf_dir))}.parquet"
+        tempfile.gettempdir(), f"doris_spark_meta_{stable_key(sf_dir)}.parquet"
     )
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
@@ -588,7 +591,7 @@ def mv_join_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
     )
     storage = _os.path.join(
-        tempfile.gettempdir(), f"doris_spark_mvjn_{abs(hash(sf_dir))}"
+        tempfile.gettempdir(), f"doris_spark_mvjn_{stable_key(sf_dir)}"
     )
     shutil.rmtree(storage, ignore_errors=True)
     mv = MaterializedView(

@@ -17,7 +17,7 @@ from pyspark.sql import functions as F
 
 from doris_spark.operators import dedup as D
 from doris_spark.operators import textops as T
-from doris_spark.queries import query
+from doris_spark.queries import query, stable_key
 from doris_spark.session import ensure_parallelism, load_tables
 
 # DuckDB-side shared fragments (must mirror operators/textops.py +
@@ -214,7 +214,7 @@ def txt_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_tables(spark, sf_dir)["documents"]
     path = _os.path.join(
-        tempfile.gettempdir(), f"doris_spark_txtidx_{abs(hash(sf_dir))}"
+        tempfile.gettempdir(), f"doris_spark_txtidx_{stable_key(sf_dir)}"
     )
     if not _os.path.exists(_os.path.join(path, "_SUCCESS")):
         build_text_index(docs, "text", "doc_id", path)

@@ -14,7 +14,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doris_spark.operators import vector as V
-from doris_spark.queries import query
+from doris_spark.queries import query, stable_key
 from doris_spark.session import load_tables
 
 # DuckDB-side: cast float list to double list (mirrors the Spark-side
@@ -296,7 +296,7 @@ def vec_lsh_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_tables(spark, sf_dir)["embeddings"]
     path = os.path.join(
-        tempfile.gettempdir(), f"doris_spark_ann_{abs(hash(sf_dir))}.parquet"
+        tempfile.gettempdir(), f"doris_spark_ann_{stable_key(sf_dir)}.parquet"
     )
     if not os.path.exists(os.path.join(path, "_SUCCESS")):
         build_ann_index(emb, path, "embedding", dim=64, n_planes=6, seed=42)
