@@ -328,21 +328,7 @@ def ivf_knn(
     )
     qrow = query.select(vec_col).first()
     qvec = [float(x) for x in qrow[0]]
-
-    def _l2sq(a, b):
-        s = 0.0
-        for x, y in zip(a, b):
-            d = x - y
-            s += d * d
-        return s
-
-    probe = [
-        cid
-        for cid, _ in sorted(
-            ((cid, _l2sq(cv, qvec)) for cid, cv in cent_vecs),
-            key=lambda t: (t[1], t[0]),
-        )[:nprobe]
-    ]
+    probe = nearest_lists(cent_vecs, qvec, nprobe)
 
     corp = corpus.withColumn(
         "__cid", _assign_expr(vec_col, cent_vecs)
@@ -351,6 +337,116 @@ def ivf_knn(
     return (
         corp.crossJoin(q)
         .select(F.col(id_col), l2_distance(vec_col, "__qvec").alias("score"))
+        .orderBy(F.asc("score"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+def _l2sq_py(a, b) -> float:
+    s = 0.0
+    for x, y in zip(a, b):
+        d = float(x) - float(y)
+        s += d * d
+    return s
+
+
+def nearest_lists(codebook: list[tuple[int, list[float]]], qvec, nprobe: int) -> list[int]:
+    """The nprobe list ids nearest the query — driver-side arithmetic
+    over the O(n_centroids) codebook, no Spark job."""
+    q = [float(x) for x in qvec]
+    return [
+        cid
+        for cid, _ in sorted(
+            ((cid, _l2sq_py(cv, q)) for cid, cv in codebook),
+            key=lambda t: (t[1], t[0]),
+        )[:nprobe]
+    ]
+
+
+def build_ivf_index(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str,
+    id_col: str,
+    n_centroids: int = 16,
+    train_iters: int = 2,
+) -> list[tuple[int, list[float]]]:
+    """PERSISTED IVF-Flat index (faiss_ann_index.h write-time build
+    analog; same contract as build_ann_index for the RHP tier): train
+    the k-means coarse quantizer ONCE, write the corpus PARTITIONED BY
+    its assigned inverted-list id, and persist the codebook as a tiny
+    JSON sidecar next to the lists. A probe then reads the sidecar
+    (driver-side, no job) and prunes to `nprobe` list partitions at
+    PLANNING time — zero training jobs, zero full scans per query.
+
+    At 100 TB: training runs on a TABLESAMPLE slice, the partitioned
+    write is one shuffle on __cid, and the amortization argument is the
+    same as any write-time index — built once, probed millions of
+    times."""
+    import json
+    import os
+
+    cb = train_ivf_codebook(
+        corpus, vec_col, id_col, n_centroids, iters=train_iters
+    )
+    assigned = corpus.withColumn("__cid", _assign_expr(vec_col, cb))
+    (
+        assigned
+        .repartition("__cid")  # one file set per list, no small-file spray
+        .write.mode("overwrite")
+        .partitionBy("__cid")
+        .parquet(os.path.join(path, "lists"))
+    )
+    with open(os.path.join(path, "codebook.json"), "w") as f:
+        json.dump([[cid, cv] for cid, cv in cb], f)
+    # persist the lists schema so a probe never runs Spark's parquet
+    # schema-inference job — probe planning is pure driver-side metadata
+    with open(os.path.join(path, "schema.json"), "w") as f:
+        f.write(assigned.schema.json())
+    return cb
+
+
+def load_ivf_codebook(path: str) -> list[tuple[int, list[float]]]:
+    import json
+    import os
+
+    with open(os.path.join(path, "codebook.json")) as f:
+        return [(int(cid), [float(x) for x in cv]) for cid, cv in json.load(f)]
+
+
+def ivf_index_probe(
+    spark,
+    path: str,
+    query_vec,
+    k: int = 10,
+    nprobe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Top-k L2 probe against a build_ivf_index layout. The codebook is
+    read from the sidecar and the nearest-nprobe-list selection happens
+    driver-side (O(n_centroids) python, NO Spark job); the scan carries
+    PartitionFilters [__cid IN (...)] — static partition pruning — then
+    exact L2 + TakeOrderedAndProject inside the probed lists. Contrast
+    ivf_knn, which retrains the quantizer inside every probe call."""
+    import json
+    import os
+
+    from pyspark.sql.types import StructType
+
+    cb = load_ivf_codebook(path)
+    probe = nearest_lists(cb, query_vec, nprobe)
+    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    reader = spark.read
+    schema_path = os.path.join(path, "schema.json")
+    if os.path.exists(schema_path):
+        with open(schema_path) as f:
+            reader = reader.schema(StructType.fromJson(json.load(f)))
+    lists = reader.parquet(os.path.join(path, "lists")).filter(
+        F.col("__cid").isin(probe)
+    )
+    return (
+        lists.select(F.col(id_col), l2_distance(vec_col, qv).alias("score"))
         .orderBy(F.asc("score"), F.asc(id_col))
         .limit(k)
     )

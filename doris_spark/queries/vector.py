@@ -400,3 +400,40 @@ def vec_ivf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = emb.filter(F.col("vec_id") != 0)
     return V.ivf_knn(corpus, _query_vec(spark, sf_dir), "embedding", "vec_id",
                      k=10, n_centroids=16, nprobe=4)
+
+
+@query(
+    "vec_ivf_knn_indexed",
+    oracle=_ivf_oracle(2),
+)
+def vec_ivf_knn_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PERSISTED IVF index probe (operators/vector.py build_ivf_index /
+    ivf_index_probe; faiss_ann_index.h write-time IVF build): the
+    k-means codebook is trained ONCE at build time, the corpus is
+    written partitioned by assigned list id, and the probe reads the
+    tiny codebook sidecar driver-side, picks the 4 nearest lists with
+    no Spark job, and scans only those partitions (PartitionFilters
+    [__cid IN ...]). Same oracle as vec_ivf_knn — the index changes the
+    ACCESS PATH, not the result; gates in tests/test_operators.py
+    assert zero training jobs and partition pruning at probe time."""
+    import os
+    import tempfile
+
+    from doris_spark.operators.vector import build_ivf_index, ivf_index_probe
+
+    emb = load_tables(spark, sf_dir)["embeddings"]
+    path = os.path.join(
+        tempfile.gettempdir(), f"doris_spark_ivf_{stable_key(sf_dir)}"
+    )
+    if not os.path.exists(os.path.join(path, "codebook.json")):
+        build_ivf_index(
+            emb.filter(F.col("vec_id") != 0), path, "embedding", "vec_id",
+            n_centroids=16, train_iters=2,
+        )
+    qvec = [
+        float(x)
+        for x in _query_vec(spark, sf_dir).select("embedding").first()[0]
+    ]
+    return ivf_index_probe(
+        spark, path, qvec, k=10, nprobe=4, id_col="vec_id", vec_col="embedding"
+    )

@@ -372,6 +372,48 @@ def test_ivf_knn_matches_bruteforce_within_probed_lists(spark):
                                        k=500, n_centroids=8, nprobe=2).collect())
 
 
+def test_ivf_index_probe_zero_training_jobs_and_pruned(spark, tmp_path):
+    """Persisted IVF index (build_ivf_index / ivf_index_probe): the
+    probe must (a) launch ZERO Spark jobs before the result is consumed
+    — the codebook comes from the sidecar and list selection is
+    driver-side python, so there is no training/assignment work per
+    query; (b) carry a static PartitionFilter on __cid, scanning only
+    the nprobe probed lists; (c) agree with the in-query ivf_knn on the
+    same corpus/params (the index changes the access path, not the
+    result)."""
+    from doris_spark.operators import vector as V
+    from doris_spark.session import load_tables
+
+    emb = load_tables(spark, "/root/testdata/sf0.001")["embeddings"]
+    corpus = emb.filter(F.col("vec_id") != 0)
+    query = emb.filter(F.col("vec_id") == 0)
+    path = str(tmp_path / "ivf_idx")
+    V.build_ivf_index(corpus, path, "embedding", "vec_id",
+                      n_centroids=8, train_iters=2)
+    qvec = [float(x) for x in query.select("embedding").first()[0]]
+
+    store = spark._jsc.sc().statusStore()
+
+    def jobs() -> int:
+        spark._jsc.sc().listenerBus().waitUntilEmpty(10000)
+        return store.jobsList(None).size()
+
+    before = jobs()
+    probe = V.ivf_index_probe(spark, path, qvec, k=5, nprobe=2,
+                              id_col="vec_id", vec_col="embedding")
+    plan = probe._jdf.queryExecution().executedPlan().toString()
+    after = jobs()
+    # planning reads parquet FOOTER metadata, not data, and runs no
+    # training: job count must not move until the probe is collected
+    assert after == before, f"probe planning ran {after - before} jobs"
+    assert "PartitionFilters" in plan and "__cid" in plan.split("PartitionFilters")[1][:160]
+
+    got = probe.collect()
+    expect = V.ivf_knn(corpus, query, "embedding", "vec_id",
+                       k=5, n_centroids=8, nprobe=2).collect()
+    assert [r["vec_id"] for r in got] == [r["vec_id"] for r in expect]
+
+
 def test_connected_components_known_graph(spark):
     from doris_spark.operators.dedup import connected_components, dedup_clusters
 
