@@ -212,7 +212,22 @@ class Engine:
                 text,
                 flags=_re.I,
             )
-        return self.spark.sql(rewrite(dialect(text)))
+        stmt = rewrite(dialect(text))
+        df = self.spark.sql(stmt)
+        if _re.search(r"(?i)(?<![\w.$])avg\s*\(", stmt):
+            # typed pass: Doris avg(DECIMAL(p, s<4)) renders scale-4
+            # TRUNCATED values (plans/typed_avg.py; Avg.java:88-108) —
+            # only decidable after analysis, so re-plan when a call
+            # site matches. Any failure falls back to Spark semantics.
+            try:
+                from doris_spark.plans.typed_avg import doris_avg_fixup
+
+                fixed = doris_avg_fixup(self.spark, stmt, df)
+                if fixed is not None:
+                    df = self.spark.sql(fixed)
+            except Exception:
+                pass
+        return df
 
     def _dml(self, text: str) -> DataFrame | None:
         """UPDATE t SET c = e, ... [WHERE p] / DELETE FROM t WHERE p.

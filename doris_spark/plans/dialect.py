@@ -477,8 +477,129 @@ def _quote_unicode_idents(s: str) -> str:
     return "".join(out)
 
 
+_RIGHT_SEMI = re.compile(r"\bright\s+(semi|anti)\s+join\b", re.I)
+_FROM_KWS = {
+    "from", "join", "on", "where", "select", "union", "intersect",
+    "except", "and", "or", "using", "all", "distinct", "by", "lateral",
+}
+
+
+def _rewrite_right_semi_anti(sql: str) -> str:
+    """Doris `A right semi|anti join B ON c` -> `B left semi|anti join A
+    ON c` (Spark has no RIGHT SEMI/ANTI). Output columns come from B in
+    both spellings, and the ON clause is position-preserved by swapping
+    only the operand texts. Operand extraction is conservative — a
+    table ref `name [alias]` or a parenthesized subquery `( ... )
+    [alias]` at the start of a FROM item; anything else is left alone
+    (pinned by nereids_tpch_p0 q4/q21)."""
+    spans = _lit_spans(sql)
+
+    def in_lit(i: int) -> bool:
+        return any(a <= i < b for a, b in spans)
+
+    for m in reversed(list(_RIGHT_SEMI.finditer(sql))):
+        if in_lit(m.start()):
+            continue
+        kind = m.group(1).lower()
+        # ---- left operand: scan backwards
+        i = m.start() - 1
+        while i >= 0 and sql[i].isspace():
+            i -= 1
+        if i < 0:
+            continue
+        lend = i + 1
+        if sql[i] == ")":
+            depth = 0
+            while i >= 0:
+                if sql[i] == ")":
+                    depth += 1
+                elif sql[i] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                i -= 1
+            if i < 0:
+                continue
+            lstart = i
+        else:
+            # identifier (alias or bare table); maybe preceded by its
+            # base: `( ... ) alias` or `table alias`
+            j = i
+            while j >= 0 and (sql[j].isalnum() or sql[j] in "_.`"):
+                j -= 1
+            w1 = sql[j + 1 : i + 1]
+            if not w1 or w1.lower() in _FROM_KWS:
+                continue
+            lstart = j + 1
+            k = j
+            while k >= 0 and sql[k].isspace():
+                k -= 1
+            if k >= 0 and sql[k] == ")":
+                depth = 0
+                while k >= 0:
+                    if sql[k] == ")":
+                        depth += 1
+                    elif sql[k] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    k -= 1
+                if k < 0:
+                    continue
+                lstart = k
+            elif k >= 0 and (sql[k].isalnum() or sql[k] in "_.`"):
+                j2 = k
+                while j2 >= 0 and (sql[j2].isalnum() or sql[j2] in "_.`"):
+                    j2 -= 1
+                w2 = sql[j2 + 1 : k + 1]
+                if w2 and w2.lower() not in _FROM_KWS:
+                    lstart = j2 + 1
+        left = sql[lstart:lend]
+        # ---- right operand: scan forward from the join keyword
+        p = m.end()
+        while p < len(sql) and sql[p].isspace():
+            p += 1
+        if p >= len(sql):
+            continue
+        if sql[p] == "(":
+            depth, q = 0, p
+            while q < len(sql):
+                if sql[q] == "(":
+                    depth += 1
+                elif sql[q] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                q += 1
+            q += 1
+        else:
+            q = p
+            while q < len(sql) and (sql[q].isalnum() or sql[q] in "_.`"):
+                q += 1
+            if q == p:
+                continue
+        # optional alias
+        r = q
+        while r < len(sql) and sql[r].isspace():
+            r += 1
+        r2 = r
+        while r2 < len(sql) and (sql[r2].isalnum() or sql[r2] in "_`"):
+            r2 += 1
+        alias = sql[r:r2]
+        rend = r2 if alias and alias.lower() not in _FROM_KWS else q
+        right = sql[p:rend]
+        sql = (
+            sql[:lstart]
+            + f"{right} left {kind} join {left}"
+            + sql[rend:]
+        )
+    return sql
+
+
 def dialect(sql: str) -> str:
     """MySQL/Doris spellings -> Spark SQL (the FE's dialect layer)."""
+    if _RIGHT_SEMI.search(sql):
+        sql = _rewrite_right_semi_anti(sql)
     if any(ord(ch) > 127 for ch in sql):
         sql = _quote_unicode_idents(sql)
     # dotted/slashed date literals ('2024.12.12') — normalize BEFORE the

@@ -55,6 +55,109 @@ def collect(target: str):
 _SHARED_DB_LOADED = False
 
 
+def _tpc_fixture_dir(kind: str, sf: str) -> str:
+    """Official TPC-H/TPC-DS data, generated locally by DuckDB's bundled
+    dbgen/dsdgen (the same specification-mandated generators behind the
+    reference CI's S3 fixtures at regression/{tpch,tpcds}/<sf>/ — verified
+    bit-identical on nereids_tpch_p0 q1 aggregates). Exported once per
+    (kind, sf) as unquoted '|'-separated csv matching the .tbl/.dat
+    layout the suites stream-load."""
+    out = f"/tmp/doris_spark_{kind}_{sf}"
+    marker = os.path.join(out, "_DONE")
+    if os.path.exists(marker):
+        return out
+    import duckdb
+
+    os.makedirs(out, exist_ok=True)
+    con = duckdb.connect()
+    scale = float(sf[2:])
+    if kind == "tpch":
+        con.execute("LOAD tpch")
+        con.execute(f"CALL dbgen(sf={scale})")
+    else:
+        con.execute("LOAD tpcds")
+        con.execute(f"CALL dsdgen(sf={scale})")
+    for (t,) in con.execute("SHOW TABLES").fetchall():
+        con.execute(
+            f"COPY {t} TO '{out}/{t}.csv' "
+            "(FORMAT CSV, DELIMITER '|', HEADER false, QUOTE '')"
+        )
+    con.close()
+    with open(marker, "w") as f:
+        f.write("ok")
+    return out
+
+
+def _ensure_tpc_suite_fixture(eng, lg_path: str, use_db) -> bool:
+    """TPC suite load.groovy analog: the reference file stream-loads
+    official dbgen/dsdgen data from S3 into tables created by
+    ddl/<table>.sql. The S3 bucket is unreachable here, so replay the
+    same DDL and load the SAME data from the local DuckDB-generated
+    fixture. Returns True when this loader handled the file."""
+    src = open(lg_path).read()
+    m = re.search(r"regression/(tpch|tpcds)/(sf[\d.]+)/", src)
+    if m is None:
+        return False
+    kind, sf = m.group(1), m.group(2)
+    data_dir = _tpc_fixture_dir(kind, sf)
+    ddl_dir = os.path.join(os.path.dirname(lg_path), "ddl")
+    if not os.path.isdir(ddl_dir):
+        return False
+    use_db()
+    import ref_parity as rp_
+
+    tables, views = [], []
+    for p in sorted(glob.glob(ddl_dir + "/*.sql")):
+        text = open(p).read()
+        (views if re.search(r"create\s+view", text, re.I) else tables).append(
+            (p, text)
+        )
+    for p, text in tables:
+        t = os.path.splitext(os.path.basename(p))[0]
+        csv = os.path.join(data_dir, f"{t}.csv")
+        try:
+            eng.spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+            rp_.run_setup(eng, text)
+        except Exception as exc:
+            _note_platform(text, exc)
+            continue
+        if os.path.exists(csv):
+            try:
+                rp_._stream_load(
+                    eng,
+                    {"table": t, "path": csv,
+                     "sets": {"column_separator": "|"}},
+                )
+            except Exception as exc:
+                print(f"  LOAD-FAIL {t}: {type(exc).__name__}: {str(exc)[:140]}")
+    for p, text in views:
+        try:
+            rp_.run_setup(eng, text)
+        except Exception:
+            pass
+    return True
+
+
+def collect_sql(target: str):
+    """Yield (label, sql_text, block_name, out_path) for Doris
+    `.sql`-action suites (suites/<dir>/sql/q01.sql paired with
+    data/<dir>/sql/q01.out — the framework runs the file's SQL and
+    compares the golden block named after the file stem)."""
+    if target.endswith(".groovy") or target.endswith(".sql"):
+        return
+    for sp in sorted(
+        glob.glob(f"{SUITES_ROOT}/{target}/**/*.sql", recursive=True)
+    ):
+        if os.sep + "ddl" + os.sep in sp:
+            continue
+        rel = os.path.relpath(sp, SUITES_ROOT)
+        out = os.path.join(DATA_ROOT, rel[: -len(".sql")] + ".out")
+        if os.path.exists(out):
+            yield rel, open(sp).read(), os.path.splitext(
+                os.path.basename(sp)
+            )[0], out
+
+
 
 def _note_platform(stmt: str, exc: Exception) -> None:
     """CREATE TABLE failed on a type above the platform ceiling
@@ -122,10 +225,15 @@ def main() -> None:
     skipped = []
     def _dir_db(rel: str) -> str:
         """The reference CI runs each suite in a database named after its
-        directory (regression-conf defaultDb + path): suites/<a>/<b> ->
-        regression_test_<a>_<b>. Stream-loads and USE statements in the
-        suites reference these names."""
+        directory (Config.getDbNameByFile: defaultDb + path, '-'/'.'
+        sanitized to '_', and `.sql`-action dirs resolve to the directory
+        ABOVE `sql/` — its load.groovy prepares their tables)."""
         d = os.path.dirname(rel).strip("/")
+        if d.endswith("/sql") or d == "sql":
+            d = d[: -len("sql")].rstrip("/")
+        elif "/sql/" in d:
+            d = d[: d.index("/sql/")]
+        d = d.replace("-", "_").replace(".", "_")
         return "regression_test" + (("_" + d.replace("/", "_")) if d else "")
 
     def _use_db(db: str) -> None:
@@ -152,8 +260,14 @@ def main() -> None:
         for lg in list(reversed(ancestors)) + sorted(
             glob.glob(f"{SUITES_ROOT}/{troot}/**/load.groovy", recursive=True)
         ):
+            lg_db = _dir_db(os.path.relpath(lg, SUITES_ROOT))
             try:
-                _use_db(_dir_db(os.path.relpath(lg, SUITES_ROOT)))
+                if _ensure_tpc_suite_fixture(eng, lg, lambda: _use_db(lg_db)):
+                    continue  # official-data fixture loader handled it
+            except Exception as exc:
+                print(f"  FIXTURE-FAIL {lg}: {type(exc).__name__}: {str(exc)[:140]}")
+            try:
+                _use_db(lg_db)
                 for name, stmt, _exp, _o in rp.parse_suite_files(lg):
                     if name is None:
                         try:
@@ -253,6 +367,45 @@ def main() -> None:
                     )
             if file_fail == 0:
                 files_green += 1
+        # Doris `.sql`-action suites: suites/<dir>/sql/q01.sql paired
+        # with data/<dir>/sql/q01.out (one golden block per file, named
+        # after the file stem). The framework compares output in order;
+        # queries carry their own ORDER BY, so run them as qt_ cases.
+        for label, sql_text, bname, opath in collect_sql(target):
+            blocks: dict[str, list] = {}
+            cur = None
+            for line in open(opath):
+                line = line.rstrip("\n")
+                bm = re.match(r"-- !([A-Za-z0-9_]+) --", line)
+                if bm:
+                    cur = blocks.setdefault(bm.group(1), [])
+                elif cur is not None:
+                    if line == "":
+                        cur = None
+                    else:
+                        cur.append(line)
+            expected = blocks.get(bname)
+            if expected is None:
+                continue
+            _use_db(_dir_db(label))
+            files_total += 1
+            total += 1
+            sql_text = sql_text.strip().rstrip(";")
+            # leading SET session-variable lines are Doris knobs
+            sql_text = re.sub(
+                r"(?mi)^\s*SET\s+[\w@.]+\s*=\s*[^;]*;\s*", "", sql_text
+            )
+            try:
+                ok, why = rp.run_case(eng, sql_text, expected, False)
+            except Exception as exc:
+                ok, why = False, f"{type(exc).__name__}: {str(exc)[:160]}"
+            if ok:
+                passed += 1
+                files_green += 1
+            else:
+                failures.append(
+                    [label, bname, why, " ".join(sql_text.split())[:200]]
+                )
     for label, name, why, _sql in failures:
         print(f"  FAIL {label} {name}: {why[:160]}")
     # summary LAST so `| tail` always shows it
