@@ -214,15 +214,18 @@ class Engine:
             )
         stmt = rewrite(dialect(text))
         df = self.spark.sql(stmt)
-        if _re.search(r"(?i)(?<![\w.$])avg\s*\(", stmt):
-            # typed pass: Doris avg(DECIMAL(p, s<4)) renders scale-4
-            # TRUNCATED values (plans/typed_avg.py; Avg.java:88-108) —
-            # only decidable after analysis, so re-plan when a call
-            # site matches. Any failure falls back to Spark semantics.
+        if _re.search(r"(?i)(?<![\w.$])avg\s*\(", stmt) or (
+            "make_interval(0, 0, 0, CAST((" in stmt
+        ):
+            # typed pass (plans/typed_avg.py): Doris avg(DECIMAL(p,s<4))
+            # scale-4 truncation, and DATE-typed date_add/date_sub for
+            # DATE inputs — only decidable after analysis, so re-plan
+            # when a call site matches. Any failure falls back to the
+            # first analysis (Spark semantics).
             try:
-                from doris_spark.plans.typed_avg import doris_avg_fixup
+                from doris_spark.plans.typed_avg import doris_typed_fixup
 
-                fixed = doris_avg_fixup(self.spark, stmt, df)
+                fixed = doris_typed_fixup(self.spark, stmt, df)
                 if fixed is not None:
                     df = self.spark.sql(fixed)
             except Exception:

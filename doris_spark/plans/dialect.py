@@ -1142,10 +1142,12 @@ def dialect(sql: str) -> str:
     # but the interior names must map before the native CAST sees them
     def _inner_types(m: re.Match) -> str:
         t = m.group(0)
-        t = re.sub(r"(?i)\bdatetimev?[12]?\s*(\(\s*\d+\s*\))?", "TIMESTAMP", t)
+        # trailing \b so FIELD NAMES like datetime_col / char_col are
+        # never mistaken for type spellings (pinned by struct-md.groovy)
+        t = re.sub(r"(?i)\bdatetimev?[12]?\b\s*(\(\s*\d+\s*\))?", "TIMESTAMP", t)
         t = re.sub(r"(?i)\bdatev[12]\b", "DATE", t)
         t = re.sub(r"(?i)\blargeint\b", "DECIMAL(38,0)", t)
-        t = re.sub(r"(?i)\b(?:text|json[b]?|varchar|char)\s*(\(\s*\d+\s*\))?",
+        t = re.sub(r"(?i)\b(?:text|json[b]?|varchar|char)\b\s*(\(\s*\d+\s*\))?",
                    "STRING", t)
         t = re.sub(r"(?i)\bdecimalv[23]\b", "DECIMAL", t)
         return t

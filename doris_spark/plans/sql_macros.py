@@ -613,6 +613,60 @@ def _foreach(agg: str) -> Macro:
     return m
 
 
+def _date_arith(args: Sequence[str], sign: str) -> str:
+    """2-arg date_add/date_sub (see the MACROS entry comment above the
+    registrations): expands to the TYPED TIMESTAMP shape. Day-count
+    forms — bare integer second arg, or a literal/non-literal
+    `INTERVAL n DAY` — emit the exact `make_interval(0, 0, 0,
+    CAST((n) AS INT))` template that the typed post-analysis pass
+    (plans/typed_avg.doris_typed_fixup) matches to narrow DATE inputs
+    back to Spark's date_add/date_sub. Other interval units keep their
+    interval expression (timestamp-typed; the comparator compares
+    datetime instants semantically). The macro path handles argument
+    expressions of ANY nesting depth — the dialect's regex tier only
+    catches shallow ones."""
+    if len(args) != 2:
+        return "__KEEP__(" + ", ".join(args) + ")"
+    x, n = args[0], args[1]
+    if re.match(r"\s*INTERVAL\b", n, re.I):
+        ivl = _interval_expr(n)
+        if ivl is None:
+            return "__KEEP__(" + ", ".join(args) + ")"
+        dm = re.match(r"\s*INTERVAL\s+([+-]?\d+)\s+DAYS?\s*$", ivl, re.I)
+        if dm:
+            return (
+                f"(CAST(({x}) AS TIMESTAMP) {sign} "
+                f"make_interval(0, 0, 0, CAST(({dm.group(1)}) AS INT)))"
+            )
+        return f"(CAST(({x}) AS TIMESTAMP) {sign} {ivl})"
+    return (
+        f"(CAST(({x}) AS TIMESTAMP) {sign} "
+        f"make_interval(0, 0, 0, CAST(({n}) AS INT)))"
+    )
+
+
+def _array_join_macro(args: Sequence[str]) -> str:
+    """Doris array_join rendering rules (see the MACROS entry comment):
+    booleans as 1/0; array<datetimev2(n)> elements padded to exactly n
+    fractional digits via the DDL-time column hint."""
+    if len(args) not in (2, 3):
+        return "__KEEP__(" + ", ".join(args) + ")"
+    from doris_spark.plans.type_hints import array_datetime_scale
+
+    rest = ", ".join(args[1:])
+    n = array_datetime_scale(args[0])
+    if n:
+        return (
+            f"array_join(transform({args[0]}, __e -> "
+            f"date_format(__e, 'yyyy-MM-dd HH:mm:ss.{'S' * n}')), {rest})"
+        )
+    return (
+        f"array_join(transform({args[0]}, __e -> CASE WHEN typeof(__e) = "
+        "'boolean' THEN IF(CAST(__e AS STRING) = 'true', '1', '0') "
+        f"ELSE CAST(__e AS STRING) END), {rest})"
+    )
+
+
 MACROS: dict[str, Macro] = {
     "grouping_id": _grouping_id_macro,
     "count_by_enum": _count_by_enum_macro,
@@ -899,48 +953,16 @@ MACROS: dict[str, Macro] = {
     ),
     # Doris date_add/date_sub KEEP the time part for datetime/string
     # inputs (date_add('2023-03-30 22:23:45.2345', 8) is a DATETIME) and
-    # return DATE for date inputs. Branch on typeof; render as STRING so
-    # both branches keep their reference rendering. INTERVAL forms and
-    # 3-arg spellings pass through untouched.
-    "date_add": (
-        lambda args: (
-            (
-                # non-literal INTERVAL count (interval kint+1 day):
-                # Spark's INTERVAL literal syntax refuses expressions —
-                # rewrite to timestamp + make_*_interval
-                f"(CAST({args[0]} AS TIMESTAMP) + {_interval_expr(args[1])})"
-                if len(args) == 2
-                and re.match(r"\s*INTERVAL\b", args[1], re.I)
-                and not re.match(r"\s*INTERVAL\s+-?\d+\s+\w+\s*$", args[1], re.I)
-                and _interval_expr(args[1]) is not None
-                else "__KEEP__(" + ", ".join(args) + ")"
-            )
-            if len(args) != 2 or re.match(r"\s*INTERVAL\b", args[1], re.I)
-            else (
-                "CASE WHEN ({0}) IS NULL THEN NULL WHEN typeof({0}) = 'date' "
-                "THEN CAST(date_add({0}, CAST(({1}) AS INT)) AS STRING) "
-                "ELSE CAST(CAST(({0}) AS TIMESTAMP) + make_interval(0, 0, 0, CAST(({1}) AS INT)) AS STRING) END"
-            ).format(args[0], args[1])
-        )
-    ),
-    "date_sub": (
-        lambda args: (
-            (
-                f"(CAST({args[0]} AS TIMESTAMP) - {_interval_expr(args[1])})"
-                if len(args) == 2
-                and re.match(r"\s*INTERVAL\b", args[1], re.I)
-                and not re.match(r"\s*INTERVAL\s+-?\d+\s+\w+\s*$", args[1], re.I)
-                and _interval_expr(args[1]) is not None
-                else "__KEEP__(" + ", ".join(args) + ")"
-            )
-            if len(args) != 2 or re.match(r"\s*INTERVAL\b", args[1], re.I)
-            else (
-                "CASE WHEN ({0}) IS NULL THEN NULL WHEN typeof({0}) = 'date' "
-                "THEN CAST(date_sub({0}, CAST(({1}) AS INT)) AS STRING) "
-                "ELSE CAST(CAST(({0}) AS TIMESTAMP) - make_interval(0, 0, 0, CAST(({1}) AS INT)) AS STRING) END"
-            ).format(args[0], args[1])
-        )
-    ),
+    # return DATE for date inputs (DateAdd.java computeSignature). The
+    # 2-arg form expands to the TYPED TIMESTAMP shape below — so
+    # compositions (`date_add(d,1) + INTERVAL 1 DAY`, nested datediff)
+    # keep real datetime typing — and the typed post-analysis pass
+    # (plans/typed_avg.py doris_typed_fixup) narrows sites whose input
+    # is DATE back to Spark's date_add/date_sub (DATE-typed). The exact
+    # spelling here is the pass's match template: keep them in sync.
+    # INTERVAL forms and 3-arg spellings pass through untouched.
+    "date_add": (lambda args: _date_arith(args, "+")),
+    "date_sub": (lambda args: _date_arith(args, "-")),
     # Doris bit_count counts 1-bits at the ARGUMENT's type width
     # (bit_count(tinyint -1) = 8); Spark's is fixed 64-bit. Mask to the
     # source width; scale-0 decimals (out-of-bigint-range literals that
@@ -978,20 +1000,12 @@ MACROS: dict[str, Macro] = {
     ),
     # Doris renders boolean array elements as 1/0 in array_join (string
     # surface); typeof() is a per-column constant and every branch is a
-    # string op, so the CASE analyzes for any element type. datetimev2
-    # scale padding is NOT recoverable here (Spark timestamps carry no
-    # scale) — documented miss in NOTES.md.
-    "array_join": (
-        lambda args: (
-            "array_join(transform({a}, __e -> CASE WHEN typeof(__e) = "
-            "'boolean' THEN IF(CAST(__e AS STRING) = 'true', '1', '0') "
-            "ELSE CAST(__e AS STRING) END), {rest})".format(
-                a=args[0], rest=", ".join(args[1:])
-            )
-            if len(args) in (2, 3)
-            else "__KEEP__(" + ", ".join(args) + ")"
-        )
-    ),
+    # string op, so the CASE analyzes for any element type. DATETIMEV2(n)
+    # elements render with exactly n fractional digits — Spark timestamps
+    # carry no scale, so the declared Doris type comes from the DDL-time
+    # column hint registry (plans/type_hints.py; pinned by Array.groovy's
+    # array_join kadtmv2 cases expecting '... 01:00:01.000000').
+    "array_join": _array_join_macro,
     # Doris size/cardinality/array_size return NULL for a NULL array;
     # Spark's legacy sizeOfNull (ansi off) returns -1
     "size": _tpl("IF(({0}) IS NULL, NULL, size({0}))"),

@@ -1,37 +1,31 @@
-"""Doris avg(DECIMAL) result typing — scale max(s, 4), truncated.
+"""Typed post-analysis fixups — semantics only decidable from types.
 
-Reference: Avg.java computePrecision returns DECIMAL128(38, max(scale,
-DEFAULT_MIN_AVG_DECIMAL128_SCALE=4)) (fe/fe-core/.../functions/agg/
-Avg.java:88-108, fe/fe-type/.../ScalarType.java:82), and the BE's
-int128 sum/count division TRUNCATES toward zero. Spark's avg(decimal
-(p,s)) instead yields decimal(p+4, s+4) with HALF_UP rounding, so for
-inputs with s < 4 the rendered values visibly differ (25.537587 vs
-Doris 25.5375 — pinned by nereids_tpch_p0 q1).
+A text-only dialect layer cannot see argument types; these rules need
+the ANALYZED plan. Engine.sql runs a two-pass scheme: analyze the
+macro-rewritten statement once, walk the analyzed plan collecting a
+map of {normalized expression SQL -> Spark type}, then rewrite the
+affected textual call sites and re-analyze. Any failure falls back to
+the first analysis (plain Spark semantics).
 
-This is a TYPED rewrite, which a text-only dialect layer cannot decide:
-whether avg's input is decimal (and its scale) is only known after
-analysis. Engine.sql therefore runs a two-pass scheme:
+Rules:
 
-1. analyze the statement once (the DataFrame Spark already built),
-2. walk the ANALYZED plan for Average nodes over DecimalType children
-   with scale < 4, keyed by the child expression's normalized SQL,
-3. rewrite each matching textual `avg(ARG)` call site into exact
-   integer arithmetic::
+1. avg(DECIMAL(p, s<4)) — Doris returns DECIMAL128(38, max(s,4)) with
+   the BE's int128 division TRUNCATING toward zero (fe/fe-core/.../
+   functions/agg/Avg.java:88-108, fe/fe-type/.../ScalarType.java:82);
+   Spark returns decimal(p+4, s+4) HALF_UP (25.537587 vs Doris
+   25.5375 — pinned by nereids_tpch_p0 q1). Rewritten to exact integer
+   arithmetic: CAST((U - U % n) / n / 10000 AS DECIMAL(38,4)) with
+   U = CAST(CAST(sum(x) AS DECIMAL(38,s)) * 10^4 AS DECIMAL(38,0)) and
+   n = count(x); (U - U % n) is exactly divisible by n, so the decimal
+   division is exact and truncation matches int128 division.
 
-       CAST((U - U % n) / n / 10000 AS DECIMAL(38,4))
-       with U = CAST(CAST(sum(ARG) AS DECIMAL(38,s)) * 10^(4-s)
-                     AS DECIMAL(38,0)),
-            n = CAST(count(ARG) AS DECIMAL(20,0))
-
-   (U - U % n) is exactly divisible by n, so the decimal division is
-   exact (no scale-6 half-up drift), and the truncation toward zero
-   matches the BE's int128 division. count(ARG)=0 yields NULL, same as
-   avg over the empty group.
-
-Sites under a window OVER(...) and sites whose argument can't be
-matched to a plan node are left untouched (conservative: Spark
-semantics). The whole pass is skipped when the statement contains no
-`avg(` token, so ordinary queries pay nothing.
+2. 2-arg date_add/date_sub — Doris returns DATE for DATE inputs and
+   DATETIME otherwise (DateAdd.java computeSignature). The macro layer
+   expands both to the TIMESTAMP form `CAST(x AS TIMESTAMP) ±
+   make_interval(0,0,0,n)` (typed, so compositions like
+   `date_add(d,1) + INTERVAL 1 DAY` keep working); this pass then
+   narrows sites whose input is DATE back to Spark's date_add/date_sub
+   (DATE-typed, date-only rendering in string contexts).
 """
 
 from __future__ import annotations
@@ -41,12 +35,17 @@ import re
 from doris_spark.plans.dialect import _lit_spans
 
 _AVG_TOKEN = re.compile(r"(?<![\w.$])avg\s*\(", re.I)
+# the exact spelling sql_macros emits for 2-arg date_add/date_sub
+_DATE_TOKEN = re.compile(
+    r"\(CAST\(\((?=.)", re.I
+)
+_DECIMAL_T = re.compile(r"decimal\((\d+),(\d+)\)")
 
 
 def _norm_arg(s: str) -> str:
-    """Normalization shared by the textual call-site argument and the
-    analyzed plan's child.sql(): case/whitespace/backtick-folded, parens
-    dropped, identifier qualifiers (alias., db.table.) stripped."""
+    """Normalization shared by textual call-site arguments and the
+    analyzed plan's expression.sql(): case/whitespace/backtick-folded,
+    parens dropped, identifier qualifiers (alias., db.table.) stripped."""
     s = s.strip().lower().replace("`", "")
     # iterate to a fixpoint: catalog.db.table.col sheds one qualifier
     # per pass (the lookbehind blocks mid-chain matches)
@@ -59,46 +58,12 @@ def _norm_arg(s: str) -> str:
     return s.replace("(", "").replace(")", "")
 
 
-def _call_sites(stmt: str):
-    """Yield (start, end, arg, distinct, windowed) for every textual
-    avg(...) call outside string literals."""
-    lits = _lit_spans(stmt)
-
-    def in_lit(i: int) -> bool:
-        return any(a <= i < b for a, b in lits)
-
-    for m in _AVG_TOKEN.finditer(stmt):
-        if in_lit(m.start()):
-            continue
-        depth, j = 0, m.end() - 1
-        while j < len(stmt):
-            if in_lit(j):
-                j += 1
-                continue
-            if stmt[j] == "(":
-                depth += 1
-            elif stmt[j] == ")":
-                depth -= 1
-                if depth == 0:
-                    break
-            j += 1
-        if j >= len(stmt):
-            return
-        arg = stmt[m.end() : j]
-        dm = re.match(r"\s*DISTINCT\b", arg, re.I)
-        distinct = dm is not None
-        if distinct:
-            arg = arg[dm.end() :]
-        windowed = re.match(r"\s*over\b", stmt[j + 1 :], re.I) is not None
-        yield m.start(), j + 1, arg.strip(), distinct, windowed
-
-
-def _collect_scales(jdf) -> dict[str, int]:
+def _collect_expr_types(jdf) -> dict[str, str]:
     """Walk the analyzed plan (plans, their expressions, and subquery
-    plans inside expressions) collecting Average-over-DecimalType child
-    scales, keyed by normalized child SQL. Conflicting duplicates are
-    dropped (conservative skip)."""
-    out: dict[str, int] = {}
+    plans inside expressions) collecting {normalized expr SQL ->
+    dataType.simpleString()}. Same-text expressions with conflicting
+    types are dropped (conservative skip)."""
+    out: dict[str, str] = {}
     dead: set[str] = set()
     stack = [jdf.queryExecution().analyzed()]
     while stack:
@@ -114,15 +79,6 @@ def _collect_scales(jdf) -> dict[str, int]:
         while estack:
             e = estack.pop()
             cls = e.getClass().getName()
-            if cls.endswith(".aggregate.Average"):
-                child = e.children().apply(0)
-                dt = child.dataType()
-                if dt.getClass().getSimpleName() == "DecimalType":
-                    key = _norm_arg(child.sql())
-                    s = dt.scale()
-                    if key in out and out[key] != s:
-                        dead.add(key)
-                    out[key] = s
             if cls.endswith("ScalarSubquery") or cls.endswith(
                 "ListQuery"
             ) or cls.endswith("Exists") or cls.endswith("LateralSubquery"):
@@ -130,6 +86,14 @@ def _collect_scales(jdf) -> dict[str, int]:
                     stack.append(e.plan())
                 except Exception:
                     pass
+            try:
+                key = _norm_arg(e.sql())
+                t = e.dataType().simpleString()
+                if key in out and out[key] != t:
+                    dead.add(key)
+                out[key] = t
+            except Exception:
+                pass
             ec = e.children()
             for i in range(ec.length()):
                 estack.append(ec.apply(i))
@@ -138,7 +102,48 @@ def _collect_scales(jdf) -> dict[str, int]:
     return out
 
 
-def _formula(arg: str, distinct: bool, s: int) -> str:
+def _in_lit_fn(stmt: str):
+    lits = _lit_spans(stmt)
+
+    def in_lit(i: int) -> bool:
+        return any(a <= i < b for a, b in lits)
+
+    return in_lit
+
+
+def _balanced_end(stmt: str, i: int, in_lit) -> int:
+    """Index just past the ')' matching the '(' at stmt[i]."""
+    depth = 0
+    while i < len(stmt):
+        if not in_lit(i):
+            if stmt[i] == "(":
+                depth += 1
+            elif stmt[i] == ")":
+                depth -= 1
+                if depth == 0:
+                    return i + 1
+        i += 1
+    return -1
+
+
+def _avg_sites(stmt: str, in_lit):
+    """(start, end, arg, distinct, windowed) for textual avg(...) calls."""
+    for m in _AVG_TOKEN.finditer(stmt):
+        if in_lit(m.start()):
+            continue
+        end = _balanced_end(stmt, m.end() - 1, in_lit)
+        if end < 0:
+            return
+        arg = stmt[m.end() : end - 1]
+        dm = re.match(r"\s*DISTINCT\b", arg, re.I)
+        distinct = dm is not None
+        if distinct:
+            arg = arg[dm.end() :]
+        windowed = re.match(r"\s*over\b", stmt[end:], re.I) is not None
+        yield m.start(), end, arg.strip(), distinct, windowed
+
+
+def _avg_formula(arg: str, distinct: bool, s: int) -> str:
     d = "DISTINCT " if distinct else ""
     # sum * 10^4 is integral for s <= 4, so the DECIMAL(38,0) cast is
     # exact and (U - U % n) / n is the truncated scale-4 quotient
@@ -147,33 +152,94 @@ def _formula(arg: str, distinct: bool, s: int) -> str:
         f"AS DECIMAL(38,0))"
     )
     n = f"CAST(count({d}{arg}) AS DECIMAL(20,0))"
-    return (
-        f"CAST(({u} - ({u} % {n})) / {n} / 10000 AS DECIMAL(38,4))"
+    return f"CAST(({u} - ({u} % {n})) / {n} / 10000 AS DECIMAL(38,4))"
+
+
+_DATE_SITE = re.compile(
+    r"\(CAST\(\(", re.I
+)
+_DATE_TAIL = re.compile(
+    r"\s*AS\s+TIMESTAMP\s*\)\s*([+-])\s*make_interval\(0,\s*0,\s*0,\s*CAST\(\(",
+    re.I,
+)
+
+
+def _date_sites(stmt: str, in_lit):
+    """Sites of the macro layer's 2-arg date_add/date_sub expansion:
+    `(CAST((ARG) AS TIMESTAMP) ± make_interval(0, 0, 0, CAST((N) AS
+    INT)))` — yields (start, end, arg, n, op)."""
+    for m in _DATE_SITE.finditer(stmt):
+        if in_lit(m.start()):
+            continue
+        arg_end = _balanced_end(stmt, m.end() - 1, in_lit)
+        if arg_end < 0:
+            continue
+        tm = _DATE_TAIL.match(stmt, arg_end)
+        if tm is None:
+            continue
+        n_end = _balanced_end(stmt, tm.end() - 1, in_lit)
+        if n_end < 0:
+            continue
+        rest = re.match(r"\s*AS\s+INT\s*\)\s*\)\s*\)", stmt[n_end:], re.I)
+        if rest is None:
+            continue
+        yield (
+            m.start(),
+            n_end + rest.end(),
+            stmt[m.end() : arg_end - 1],
+            stmt[tm.end() : n_end - 1],
+            tm.group(1),
+        )
+
+
+def doris_typed_fixup(spark, stmt: str, df) -> str | None:
+    """Return a rewritten statement applying the typed rules above, or
+    None when no call site needs (or safely admits) a rewrite."""
+    in_lit = _in_lit_fn(stmt)
+    avg_sites = (
+        list(_avg_sites(stmt, in_lit)) if _AVG_TOKEN.search(stmt) else []
     )
-
-
-def doris_avg_fixup(spark, stmt: str, df) -> str | None:
-    """Return a rewritten statement with Doris-typed avg semantics, or
-    None when no call site needs (or safely admits) the rewrite."""
-    sites = list(_call_sites(stmt))
-    if not sites:
+    date_sites = (
+        list(_date_sites(stmt, in_lit))
+        if "make_interval(0, 0, 0, CAST((" in stmt
+        else []
+    )
+    if not avg_sites and not date_sites:
         return None
     try:
-        scales = _collect_scales(df._jdf)
+        types = _collect_expr_types(df._jdf)
     except Exception:
         return None
-    if not any(0 <= s < 4 for s in scales.values()):
-        return None
-    out, changed, pos = [], False, 0
-    for start, end, arg, distinct, windowed in sites:
-        s = scales.get(_norm_arg(arg))
-        if windowed or s is None or not (0 <= s < 4):
+
+    edits: list[tuple[int, int, str]] = []
+    for start, end, arg, distinct, windowed in avg_sites:
+        t = types.get(_norm_arg(arg))
+        dm = _DECIMAL_T.fullmatch(t or "")
+        if windowed or dm is None:
             continue
-        out.append(stmt[pos:start])
-        out.append(_formula(arg, distinct, s))
-        pos = end
-        changed = True
-    if not changed:
+        s = int(dm.group(2))
+        if 0 <= s < 4:
+            edits.append((start, end, _avg_formula(arg, distinct, s)))
+    for start, end, arg, n, op in date_sites:
+        if types.get(_norm_arg(arg)) == "date":
+            fn = "date_add" if op == "+" else "date_sub"
+            edits.append(
+                (start, end, f"{fn}(({arg}), CAST(({n}) AS INT))")
+            )
+    if not edits:
         return None
+    edits.sort()
+    out, pos = [], 0
+    for start, end, repl in edits:
+        if start < pos:
+            continue  # overlapping (nested) edits: keep the outer one
+        out.append(stmt[pos:start])
+        out.append(repl)
+        pos = end
     out.append(stmt[pos:])
     return "".join(out)
+
+
+# Backwards-compat name used by earlier round-7 commits/tests
+def doris_avg_fixup(spark, stmt: str, df):
+    return doris_typed_fixup(spark, stmt, df)

@@ -1,24 +1,37 @@
-"""Gate: the reference's own `correctness` regression-test directory
-runs through the generic suite runner (tools/ref_suite_runner.py) with
-its setup DDL/DML replayed and every qt_ golden compared.
+"""Gates: reference regression-test suites run through the generic
+suite runner (tools/ref_suite_runner.py) with their setup DDL/DML
+replayed and every qt_ golden compared.
 
-Floor 225/232: the known remainder is the max_by NaN tie-break
-(unspecified ordering between equal keys). correctness_p0 runs in the
-same harness (tools, ~10 min) and is tracked in NOTES.md, not gated
-here to keep the pytest wall-clock bounded.
+- `correctness` floor 225/232: the known remainder is the max_by NaN
+  tie-break (unspecified ordering between equal keys).
+- `nereids_tpch_p0` floor 38 cases / 20 files on OFFICIAL dbgen sf0.1
+  data (generated locally by DuckDB's bundled dbgen, bit-identical to
+  the reference CI's S3 fixture on every numeric/date/key column; the
+  known remainder is q2/q10/q13/q15/q20 + agg_cse, whose goldens depend
+  on dbgen's text-pool comment/address strings that DuckDB's generator
+  reproduces by vocabulary but not byte-for-byte).
+- `Array.groovy` 1004/1004 (round-7: datetimev2(n) array_join scale
+  rendering via the DDL-time column-type hints).
+
+correctness_p0 runs in the same harness (tools, ~10 min) and is
+tracked in NOTES.md, not gated here to keep the pytest wall-clock
+bounded.
 """
 
 import json
+import os
 import subprocess
 import sys
 
 
-def test_correctness_suite_floor():
+def _run(target: str, out_path: str):
+    env = dict(os.environ, RS_OUT=out_path)
     proc = subprocess.run(
-        [sys.executable, "tools/ref_suite_runner.py", "correctness"],
+        [sys.executable, "tools/ref_suite_runner.py", target],
         capture_output=True,
         text=True,
         timeout=900,
+        env=env,
     )
     line = next(
         (
@@ -29,8 +42,32 @@ def test_correctness_suite_floor():
         None,
     )
     assert line is not None, proc.stdout[-2000:] + proc.stderr[-2000:]
-    res = json.load(open("/tmp/ref_suites.json"))
+    return line, json.load(open(out_path))
+
+
+def test_correctness_suite_floor():
+    line, res = _run("correctness", "/tmp/ref_suites.json")
     assert res["total"] >= 230, line
     assert res["passed"] >= 225, line + "\n" + json.dumps(
+        res["failures"][:10], indent=1
+    )
+
+
+def test_nereids_tpch_suite_floor():
+    line, res = _run("nereids_tpch_p0", "/tmp/ref_suites_tpch.json")
+    assert res["total"] >= 49, line
+    assert res["passed"] >= 38, line + "\n" + json.dumps(
+        res["failures"][:10], indent=1
+    )
+    assert res["files_green"] >= 20, line
+
+
+def test_array_groovy_full_green():
+    line, res = _run(
+        "nereids_function_p0/scalar_function/Array.groovy",
+        "/tmp/ref_suites_array.json",
+    )
+    assert res["total"] >= 1004, line
+    assert res["passed"] >= 1004, line + "\n" + json.dumps(
         res["failures"][:10], indent=1
     )

@@ -1098,7 +1098,9 @@ def translate_ddl(sql: str) -> str | None:
         typ = re.sub(r"\s+COMMENT\s+(\"[^\"]*\"|'[^']*')", "", typ, flags=re.I)
         typ = re.sub(r"\s+(NOT\s+)?NULL\b.*$", "", typ, flags=re.I)
         typ = re.sub(r"\s+(COMMENT|DEFAULT)\b.*$", "", typ, flags=re.I | re.S)
-        typ = re.sub(r"\bDATETIMEV?[12]?\s*(\(\s*\d+\s*\))?", "TIMESTAMP", typ, flags=re.I)
+        # trailing \b: struct FIELD NAMES like datetime_col must not be
+        # mistaken for the type spelling (pinned by struct-md.groovy)
+        typ = re.sub(r"\bDATETIMEV?[12]?\b\s*(\(\s*\d+\s*\))?", "TIMESTAMP", typ, flags=re.I)
         typ = re.sub(r"\bDATEV[12]\b", "DATE", typ, flags=re.I)
         typ = re.sub(r"\bHLL\b", "ARRAY<INT>", typ, flags=re.I)
         # BITMAP columns back onto the engine's sorted-array representation
@@ -1164,6 +1166,11 @@ def translate_ddl(sql: str) -> str | None:
         "seq_col": seqm.group(1).lower() if seqm else None,
         "json_cols": {c for c, t, _ in raw_cols if t.startswith(("json", "jsonb"))},
     }
+    # engine-level column-type hints: scale-sensitive string macros
+    # (array_join over array<datetimev2(n)>) need the DECLARED Doris type
+    from doris_spark.plans.type_hints import register_columns
+
+    register_columns((c, t) for c, t, _nn in raw_cols)
     if "." in name:
         # qualified name: register the bare name too (suites mix
         # `db.table` and in-db bare references)
