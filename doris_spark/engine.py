@@ -214,8 +214,10 @@ class Engine:
             )
         stmt = rewrite(dialect(text))
         df = self.spark.sql(stmt)
-        if _re.search(r"(?i)(?<![\w.$])avg\s*\(", stmt) or (
-            "make_interval(0, 0, 0, CAST((" in stmt
+        if (
+            _re.search(r"(?i)(?<![\w.$])avg\s*\(", stmt)
+            or "make_interval(0, 0, 0, CAST((" in stmt
+            or _re.search(r"(?i)(?:[=<>]\s*|\bBETWEEN\s+)\d{8}", stmt)
         ):
             # typed pass (plans/typed_avg.py): Doris avg(DECIMAL(p,s<4))
             # scale-4 truncation, and DATE-typed date_add/date_sub for
@@ -266,6 +268,81 @@ class Engine:
         tail = text[(md or mu).end() :].rstrip().rstrip(";").rstrip()
         cur = self.table(name)
 
+        def _partition_cols(tbl: str) -> list[str]:
+            """Partition columns of a FILE-BACKED catalog table (empty
+            for view-backed engine tables and unpartitioned tables)."""
+            if tbl in self._views:
+                return []
+            try:
+                if not self.spark.catalog.tableExists(tbl):
+                    return []
+                return [
+                    c.name
+                    for c in self.spark.catalog.listColumns(tbl)
+                    if c.isPartition
+                ]
+            except Exception:
+                return []
+
+        def _pruned_rewrite(cond: str, transform) -> int | None:
+            """Partition-pruned DML (the scale-safe shape the snapshot
+            path below cannot give): compute the partitions containing
+            matched rows from the predicate, transform ONLY those
+            partitions' rows, and write them back with DYNAMIC partition
+            overwrite — a single-partition UPDATE on a 100 TB table
+            rewrites one partition's files, not the snapshot. Mirrors
+            the Delta/Iceberg MERGE pruning the lakehouse mapping names.
+            Returns the affected-row count, or None when the target
+            isn't a partitioned catalog table (caller falls back)."""
+            parts = _partition_cols(name)
+            if not parts:
+                return None
+            matched = cur.filter(F.expr(cond))
+            affected = matched.count()
+            if affected == 0:
+                return 0
+            touched = matched.select(*parts).distinct().collect()
+            pred = None
+            for r in touched:
+                one = F.lit(True)
+                for p in parts:
+                    one = one & F.col(p).eqNullSafe(F.lit(r[p]))
+                pred = one if pred is None else (pred | one)
+            slice_df = cur.filter(pred)
+            # pin the transformed slice (bounded by the touched
+            # partitions, not the table) — Spark refuses to overwrite a
+            # path that is still being read from otherwise
+            new_slice = transform(slice_df).select(*cur.columns).localCheckpoint(
+                eager=True
+            )
+            # dynamic overwrite only replaces partitions PRESENT in the
+            # written data — a DELETE that empties a partition must drop
+            # it explicitly or its old files would survive
+            kept = {
+                tuple(r[p] for p in parts)
+                for r in new_slice.select(*parts).distinct().collect()
+            }
+            emptied = [
+                r for r in touched if tuple(r[p] for p in parts) not in kept
+            ]
+            conf = self.spark.conf
+            prev = conf.get("spark.sql.sources.partitionOverwriteMode", "STATIC")
+            conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            try:
+                new_slice.write.mode("overwrite").insertInto(name)
+            finally:
+                conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+            for r in emptied:
+                spec = ", ".join(
+                    f"`{p}` = '{str(r[p])}'" if r[p] is not None else f"`{p}` = NULL"
+                    for p in parts
+                )
+                self.spark.sql(
+                    f"ALTER TABLE `{name}` DROP IF EXISTS PARTITION ({spec})"
+                )
+            self.spark.catalog.refreshTable(name)
+            return affected
+
         if md is not None:
             rest, where = _split_where(tail)
             if rest.strip():
@@ -273,8 +350,17 @@ class Engine:
             if where is None:
                 raise ValueError("DELETE requires a WHERE clause (Doris semantics)")
             cond = rewrite(where)
+
+            def _del_transform(s):
+                return s.filter(~F.coalesce(F.expr(cond), F.lit(False)))
+
+            pruned = _pruned_rewrite(cond, _del_transform)
+            if pruned is not None:
+                return self.spark.createDataFrame(
+                    [(pruned,)], "affected BIGINT"
+                )
             affected = cur.filter(F.expr(cond)).count()
-            new = cur.filter(~F.coalesce(F.expr(cond), F.lit(False)))
+            new = _del_transform(cur)
         else:
             assigns_src, where = _split_where(tail)
             # split assignments on top-level commas (quote/paren aware)
@@ -308,20 +394,34 @@ class Engine:
             if unknown:
                 raise ValueError(f"UPDATE of unknown column(s): {sorted(unknown)}")
             cond = rewrite(where) if where is not None else "true"
-            affected = cur.filter(F.expr(cond)).count()
-            new = cur.select(
-                *[
-                    F.expr(
-                        f"CASE WHEN coalesce({cond}, false) THEN ({assigns[c]}) "
-                        f"ELSE `{c}` END"
+
+            def _upd_transform(s):
+                return s.select(
+                    *[
+                        F.expr(
+                            f"CASE WHEN coalesce({cond}, false) THEN ({assigns[c]}) "
+                            f"ELSE `{c}` END"
+                        )
+                        .cast(cur.schema[c].dataType)
+                        .alias(c)
+                        if c in assigns
+                        else F.col(c)
+                        for c in cur.columns
+                    ]
+                )
+
+            # an UPDATE that rewrites a PARTITION column can move rows
+            # into partitions the predicate never touched — dynamic
+            # overwrite would drop those partitions' existing rows, so
+            # only the snapshot path handles it
+            if not (set(assigns) & set(_partition_cols(name))):
+                pruned = _pruned_rewrite(cond, _upd_transform)
+                if pruned is not None:
+                    return self.spark.createDataFrame(
+                        [(pruned,)], "affected BIGINT"
                     )
-                    .cast(cur.schema[c].dataType)
-                    .alias(c)
-                    if c in assigns
-                    else F.col(c)
-                    for c in cur.columns
-                ]
-            )
+            affected = cur.filter(F.expr(cond)).count()
+            new = _upd_transform(cur)
         # pin the new snapshot: breaks the self-referential lineage and
         # keeps repeated DML from stacking plan depth
         new = new.localCheckpoint(eager=True)

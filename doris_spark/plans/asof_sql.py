@@ -30,13 +30,19 @@ BroadcastNestedLoopJoin, no |distinct times| x |right| intermediate,
 linear in input. This is the plan the VERDICT r4 asked the SQL surface
 to adopt.
 
+`SELECT *` / `q.*` outer lists are expanded to explicit columns (left
+alias `.*` + the right schema, qualified) so the pick relation's helper
+join columns do not leak into the output; left sides that are JOIN
+CHAINS source the pick's distinct-left rows from the single relation
+the ON clause references (a superset of the chain's (key, ts) pairs —
+the equi-join back keeps it correct) and replace only the ASOF segment.
+
 FALLBACK: shapes the pick rewrite cannot express textually keep the
 previous correlated LATERAL LIMIT-1 rewrite (correct; decorrelates into
-a domain join — fine at doc scale): `SELECT *` outer lists (the pick
-relation exposes helper join columns), left sides that are join chains
-(refs to aliases other than the immediately preceding FROM relation),
-non-equality extra conjuncts, or no resolvable SparkSession to type the
-right columns.
+a domain join — fine at doc scale): non-equality extra conjuncts,
+unqualified left keys on a join-chain left side, a bare `*` over a
+join-chain left side, or no resolvable SparkSession to type the right
+columns.
 """
 
 from __future__ import annotations
@@ -194,6 +200,10 @@ def _grab_left_relation(sql: str, end: int) -> tuple[str, str, int] | None:
             while p3 > 0 and (sql[p3 - 1].isalnum() or sql[p3 - 1] in "_.`"):
                 p3 -= 1
             rel_start = p3
+        elif word.upper() == "FROM" and (
+            p == 0 or not (sql[p - 1].isalnum() or sql[p - 1] == "_")
+        ):
+            rel_start = j  # `FROM tbl` — bare table name IS the alias
         elif not word:
             rel_start = j  # alias was itself the table name
     # the token before the relation must be FROM
@@ -220,6 +230,236 @@ def _right_schema(rtable: str) -> list[tuple[str, str]] | None:
         return None
 
 
+def _from_schema(from_text: str) -> list[str] | None:
+    """Output column names of an arbitrary FROM clause (single relation
+    or join chain), via a LIMIT-0 probe."""
+    spark = SparkSession.getActiveSession()
+    if spark is None:
+        return None
+    try:
+        df = spark.sql(f"SELECT * FROM {from_text} LIMIT 0")
+        return [f.name for f in df.schema.fields]
+    except Exception:
+        return None
+
+
+def _top_level_positions(sql: str, end: int, word: str) -> list[int]:
+    """Start indices of `word` at paren-depth 0 (literal-aware) in
+    sql[:end]."""
+    out, depth, in_str, i = [], 0, None, 0
+    wl = len(word)
+    while i < end:
+        c = sql[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif (
+            depth == 0
+            and sql[i : i + wl].upper() == word
+            and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_"))
+            and (
+                i + wl >= end
+                or not (sql[i + wl].isalnum() or sql[i + wl] == "_")
+            )
+        ):
+            out.append(i)
+        i += 1
+    return out
+
+
+def _find_alias_relation(
+    sql: str, before: int, alias: str
+) -> tuple[str, int, int] | None:
+    """The relation text (`tbl [alias]` / `( ... ) alias`) bound to
+    `alias` somewhere in the FROM clause before `before` — lets the pick
+    plan source its distinct-left rows when the ASOF's left side sits in
+    a JOIN CHAIN (the distinct (key, ts) pairs of the single referenced
+    relation are a superset of the chain's, so the pick stays correct).
+    Returns (relation_text, start, end) or None. Only occurrences at the
+    same paren depth as `before` count — a `FROM x` inside an earlier
+    subquery (e.g. a previous ASOF's pick plan) must not shadow the
+    binding in this scope."""
+    # depth prefix (literal-aware) so candidates can be depth-filtered
+    depths, d, in_str = [0] * (before + 1), 0, None
+    for i in range(before):
+        c = sql[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            d += 1
+        elif c == ")":
+            d -= 1
+        depths[i + 1] = d
+    want = depths[before]
+    for m in reversed(
+        list(
+            re.finditer(
+                rf"(?<![\w.`]){re.escape(alias)}(?![\w.`(])", sql[:before]
+            )
+        )
+    ):
+        if depths[m.start()] != want:
+            continue
+        j = m.start()
+        k = j
+        while k > 0 and sql[k - 1] in " \t\n\r":
+            k -= 1
+        if k == j:
+            continue  # alias must be preceded by whitespace
+        if k > 0 and sql[k - 1] == ")":
+            depth, p = 0, k - 1
+            while p >= 0:
+                if sql[p] == ")":
+                    depth += 1
+                elif sql[p] == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                p -= 1
+            if p < 0:
+                continue
+            rel_start = p
+        elif k > 0 and sql[k - 1] == ",":
+            rel_start = j  # `..., alias` — bare table name in a FROM list
+        else:
+            p = k
+            while p > 0 and (sql[p - 1].isalnum() or sql[p - 1] in "_.`"):
+                p -= 1
+            word = sql[p:k]
+            if word.upper() in ("FROM", "JOIN") and (
+                p == 0 or not (sql[p - 1].isalnum() or sql[p - 1] == "_")
+            ):
+                rel_start = j  # `FROM alias` — bare table name IS the alias
+            elif not word or word.lower() in _KEYWORDS - {"as"}:
+                continue
+            elif word.lower() == "as":
+                p2 = p
+                while p2 > 0 and sql[p2 - 1] in " \t\n\r":
+                    p2 -= 1
+                p3 = p2
+                while p3 > 0 and (sql[p3 - 1].isalnum() or sql[p3 - 1] in "_.`"):
+                    p3 -= 1
+                if p3 == p2:
+                    continue
+                rel_start = p3
+            else:
+                rel_start = p
+        # the token before the relation must bind a FROM item
+        q = rel_start
+        while q > 0 and sql[q - 1] in " \t\n\r":
+            q -= 1
+        prev_ok = (
+            (q >= 4 and sql[q - 4 : q].upper() == "FROM")
+            or (q >= 4 and sql[q - 4 : q].upper() == "JOIN")
+            or (q > 0 and sql[q - 1] == ",")
+        )
+        if not prev_ok:
+            continue
+        return sql[rel_start : m.end()].strip(), rel_start, m.end()
+    return None
+
+
+def _depth_at(sql: str, pos: int) -> int:
+    depth, in_str, i = 0, None, 0
+    while i < pos:
+        c = sql[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+        elif c in ("'", '"'):
+            in_str = c
+        elif c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        i += 1
+    return depth
+
+
+def _star_select_fix(
+    sql: str,
+    asof_start: int,
+    ralias: str,
+    lalias: str,
+    right_cols: list[str],
+    chain: bool,
+):
+    """Expand `*` / `<ralias>.*` select-list items so the pick relation's
+    helper join columns don't leak into the output. Returns None (nothing
+    to fix), "fallback" (can't expand safely — caller keeps the lateral
+    path), or (span_start, span_end, replacement_text)."""
+    head_nolit = re.sub(r"'[^']*'|\"[^\"]*\"", "", sql[:asof_start])
+    if not re.search(r"(?<![\w'\"])\*", head_nolit):
+        return None
+    if _depth_at(sql, asof_start) != 0:
+        return "fallback"  # nested scope — conservative
+    sels = _top_level_positions(sql, asof_start, "SELECT")
+    if not sels:
+        return "fallback"
+    s = sels[-1]
+    froms = [p for p in _top_level_positions(sql, asof_start, "FROM") if p > s]
+    if not froms:
+        return "fallback"
+    f = froms[0]
+    span = sql[s + len("SELECT") : f]
+    prefix = ""
+    pm = re.match(r"\s*(ALL|DISTINCT)\b", span, re.I)
+    if pm:
+        prefix = span[: pm.end()]
+        span = span[pm.end() :]
+    # split select-list items on top-level commas (literal-aware)
+    items, depth, buf, in_str = [], 0, [], None
+    for ch in span:
+        if in_str:
+            buf.append(ch)
+            if ch == in_str:
+                in_str = None
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    items.append("".join(buf))
+    rtext = ", ".join(f"{ralias}.`{c}`" for c in right_cols)
+    changed = False
+    out_items = []
+    for it in items:
+        t = it.strip()
+        if t == "*":
+            if chain:
+                return "fallback"  # full-chain schema unknown — keep lateral
+            out_items.append(f"{lalias}.*, {rtext}")
+            changed = True
+        elif re.fullmatch(rf"`?{re.escape(ralias)}`?\s*\.\s*\*", t):
+            out_items.append(rtext)
+            changed = True
+        else:
+            out_items.append(t)
+    if not changed:
+        return None  # stars were count(*) / left-alias.* — harmless
+    return (
+        s + len("SELECT"),
+        f,
+        prefix + " " + ", ".join(out_items) + " ",
+    )
+
+
 _uid = [0]
 
 
@@ -237,12 +477,14 @@ def _pick_rewrite(
     direction: str,
     exact: bool,
     end: int,
-) -> str | None:
-    """Emit the union+window pick plan; None if the right schema is
-    unresolvable (caller falls back to the lateral form)."""
-    schema = _right_schema(rtable)
-    if schema is None:
-        return None
+    schema: list[tuple[str, str]],
+    seg_start: int | None = None,
+) -> str:
+    """Emit the union+window pick plan. When seg_start is given the left
+    side is a JOIN CHAIN: only the ASOF segment [seg_start, end) is
+    replaced (`JOIN (pick) ralias ON ...`), with the pick's distinct-left
+    rows sourced from `lrel` (the single relation the ON clause
+    references) while the chain text stays in place."""
     _uid[0] += 1
     p = f"__asof{_uid[0]}"
     nk = len(eqs)
@@ -285,6 +527,9 @@ def _pick_rewrite(
         [f"{le} = {ralias}.{kc}" for (le, _), kc in zip(eqs, kcols)]
         + [f"{lts} = {ralias}.{tscol}"]
     )
+    if seg_start is not None:
+        repl = f"{join_kw} ({pick}) {ralias} ON {on} "
+        return sql[:seg_start] + repl + sql[end:]
     repl = f"{lrel} {join_kw} ({pick}) {ralias} ON {on} "
     return sql[:lstart] + repl + sql[end:]
 
@@ -419,16 +664,6 @@ def _try_pick_plan(
     end: int,
 ) -> str | None:
     """Attempt the union+window pick rewrite; None -> lateral fallback."""
-    # `SELECT *` outer lists would expose the pick relation's helper join
-    # columns — keep those on the lateral path
-    head = sql[:asof_start]
-    if re.search(r"(?<![\w'\"])\*", re.sub(r"'[^']*'|\"[^\"]*\"", "", head)):
-        return None
-    grabbed = _grab_left_relation(sql, asof_start)
-    if grabbed is None:
-        return None
-    lrel, lalias, lstart = grabbed
-
     cj, cm = ineq
     op = cm.group(1)
     lhs, rhs = cj[: cm.start()].strip(), cj[cm.end() :].strip()
@@ -460,15 +695,65 @@ def _try_pick_plan(
             le, re_ = b, a
         else:
             return None
-        # every left-side qualifier must be the grabbed FROM alias
-        if _alias_prefixes(le) - {lalias}:
-            return None
         eqs.append((le, re_))
-    if _alias_prefixes(lts) - {lalias}:
-        return None
     if not eqs:
         return None  # keyless asof: window over everything — keep lateral
-    return _pick_rewrite(
-        sql, lrel, lalias, lstart, rtable, ralias, kind, eqs, lts, rts,
-        direction, exact, end,
+
+    # all left-side qualifiers across keys + ts must name ONE relation
+    lquals: set[str] = set()
+    for le, _ in eqs:
+        lquals |= _alias_prefixes(le)
+    lquals |= _alias_prefixes(lts)
+    if len(lquals) > 1:
+        return None
+
+    grabbed = _grab_left_relation(sql, asof_start)
+    seg_start = None
+    if grabbed is not None and (not lquals or lquals == {grabbed[1]}):
+        lrel, lalias, lstart = grabbed
+    elif len(lquals) == 1:
+        # JOIN-CHAIN left side: source the pick's distinct-left rows from
+        # the single relation the ON clause references (superset of the
+        # chain's (key, ts) pairs) and replace only the ASOF segment
+        lalias = next(iter(lquals))
+        found = _find_alias_relation(sql, asof_start, lalias)
+        if found is None:
+            return None
+        lrel, _, rel_end = found
+        # a depth-0 comma between the relation and the ASOF would put the
+        # join-back ON out of scope of `lalias` — keep lateral there
+        depth, in_str = 0, None
+        for ch in sql[rel_end:asof_start]:
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif ch == "," and depth == 0:
+                return None
+        lstart, seg_start = asof_start, asof_start
+    else:
+        return None  # unqualified keys on a non-FROM-adjacent left side
+
+    schema = _right_schema(rtable)
+    if schema is None:
+        return None
+
+    star = _star_select_fix(
+        sql, asof_start, ralias, lalias, [c for c, _ in schema],
+        chain=seg_start is not None,
     )
+    if star == "fallback":
+        return None
+    out = _pick_rewrite(
+        sql, lrel, lalias, lstart, rtable, ralias, kind, eqs, lts, rts,
+        direction, exact, end, schema, seg_start,
+    )
+    if star is not None:
+        ss, se, repl = star
+        out = out[:ss] + repl + out[se:]
+    return out

@@ -596,10 +596,122 @@ def _rewrite_right_semi_anti(sql: str) -> str:
     return sql
 
 
+def _having_no_group(sql: str) -> str:
+    """Doris/MySQL HAVING WITHOUT GROUP BY filters the PROJECTED row —
+    `SELECT date_format(d,...) AS d FROM t HAVING d = 202245` compares
+    the select-list ALIAS (Spark would resolve the base column instead).
+    Rewrite to an outer filter over the projection:
+    `SELECT * FROM (<select>) __hav WHERE <cond> [ORDER BY/LIMIT tail]`.
+    Conservative: top-level SELECT/WITH only, no top-level GROUP BY, no
+    aggregate calls inside the HAVING condition (those imply a global
+    aggregate that must stay a HAVING). Pinned by
+    correctness_p0/test_group_having_alias."""
+    if not re.match(r"\s*(SELECT|WITH)\b", sql, re.I):
+        return sql
+    spans = _lit_spans(sql)
+
+    def in_lit(i: int) -> bool:
+        return any(a <= i < b for a, b in spans)
+
+    # top-level clause keyword positions
+    pos = {}
+    depth, i, n = 0, 0, len(sql)
+    while i < n:
+        if in_lit(i):
+            i += 1
+            continue
+        c = sql[i]
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0 and (c.isalpha()) and (
+            i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+        ):
+            m = re.match(r"(GROUP|HAVING|ORDER|LIMIT)\b", sql[i:], re.I)
+            if m:
+                pos.setdefault(m.group(1).upper(), i)
+                i += m.end()
+                continue
+        i += 1
+    if "HAVING" not in pos or "GROUP" in pos:
+        return sql
+    h = pos["HAVING"]
+    tail_at = min(
+        [p for k, p in pos.items() if k in ("ORDER", "LIMIT") and p > h],
+        default=n,
+    )
+    cond = sql[h + len("HAVING") : tail_at].strip().rstrip(";")
+    if re.search(
+        r"\b(count|sum|avg|min|max|stddev\w*|var\w*|group_concat|any_value"
+        r"|collect_\w+|approx_\w+|percentile\w*|corr|covar\w*|bitmap_union\w*"
+        r"|hll_union\w*|ndv)\s*\(",
+        cond,
+        re.I,
+    ):
+        return sql
+    inner = sql[:h].strip()
+    tail = sql[tail_at:].strip().rstrip(";")
+    # the outer scope only exposes the PROJECTED columns — a tail that
+    # orders by a qualified inner reference (ORDER BY alias1.pk) must
+    # have it mapped to its select-list alias (alias1.pk AS field1 ->
+    # field1); unmappable qualified refs keep the statement untouched
+    if re.search(r"\b\w+\s*\.\s*`?\w", re.sub(r"'[^']*'|\"[^\"]*\"", "", tail)):
+        sm = re.match(r"\s*SELECT\s+(?:DISTINCT\s+)?(.*?)\s+FROM\b", inner,
+                      re.I | re.S)
+        if sm is None:
+            return sql
+
+        def norm_ref(t: str) -> str:
+            return re.sub(r"\s+|`", "", t).lower()
+
+        amap = {}
+        depth2, buf, items, in_s2 = 0, [], [], None
+        for ch in sm.group(1):
+            if in_s2:
+                buf.append(ch)
+                if ch == in_s2:
+                    in_s2 = None
+                continue
+            if ch in ("'", '"'):
+                in_s2 = ch
+            elif ch == "(":
+                depth2 += 1
+            elif ch == ")":
+                depth2 -= 1
+            if ch == "," and depth2 == 0:
+                items.append("".join(buf))
+                buf = []
+                continue
+            buf.append(ch)
+        if "".join(buf).strip():
+            items.append("".join(buf))
+        for it in items:
+            am = re.search(r"\s+AS\s+(`?)(\w+)\1\s*$", it, re.I)
+            if am:
+                amap[norm_ref(it[: am.start()])] = am.group(2)
+
+        def map_ref(m2: re.Match) -> str:
+            return amap.get(norm_ref(m2.group(0)), m2.group(0))
+
+        new_tail = re.sub(
+            r"\b\w+\s*\.\s*`?\w+`?", map_ref, tail
+        )
+        if re.search(r"\b\w+\s*\.\s*`?\w",
+                     re.sub(r"'[^']*'|\"[^\"]*\"", "", new_tail)):
+            return sql  # an unmappable qualified ref remains
+        tail = new_tail
+    return f"SELECT * FROM ({inner}) __hav WHERE {cond}" + (
+        f" {tail}" if tail else ""
+    )
+
+
 def dialect(sql: str) -> str:
     """MySQL/Doris spellings -> Spark SQL (the FE's dialect layer)."""
     if _RIGHT_SEMI.search(sql):
         sql = _rewrite_right_semi_anti(sql)
+    if re.search(r"(?i)\bHAVING\b", sql):
+        sql = _having_no_group(sql)
     if any(ord(ch) > 127 for ch in sql):
         sql = _quote_unicode_idents(sql)
     # dotted/slashed date literals ('2024.12.12') — normalize BEFORE the

@@ -1860,6 +1860,57 @@ def _lateral_view_udtfs(sql: str) -> str:
         sql = sql[: m.start()] + repl + tail[am.end():]
 
 
+# Macros whose expansion is a COMPOSITION of aggregate calls (the
+# zero-variance CASE shapes): a trailing OVER (...) in the source must
+# attach to EVERY aggregate inside the expansion, not dangle after the
+# CASE (pinned by correctness_p0/test_select_stddev_variance_window).
+_WIN_DISTRIB = {
+    "stddev_samp", "var_samp", "variance_samp", "covar_samp", "corr", "sem",
+}
+_AGG_CALL = re.compile(
+    r"\b(count|sum|avg|min|max|stddev_samp|stddev_pop|var_samp|var_pop|"
+    r"covar_samp|covar_pop|corr)\s*\(",
+    re.I,
+)
+
+
+def _attach_over(expansion: str, over_text: str) -> str:
+    """Append `over_text` after every aggregate call in `expansion`."""
+    out, i, n = [], 0, len(expansion)
+    while i < n:
+        c = expansion[i]
+        if c in ("'", '"'):
+            j = i + 1
+            while j < n and expansion[j] != c:
+                j += 1
+            out.append(expansion[i : j + 1])
+            i = j + 1
+            continue
+        m = _AGG_CALL.match(expansion, i)
+        if m:
+            depth, k, in_str = 0, expansion.index("(", m.start()), None
+            while k < n:
+                ck = expansion[k]
+                if in_str:
+                    if ck == in_str:
+                        in_str = None
+                elif ck in ("'", '"'):
+                    in_str = ck
+                elif ck == "(":
+                    depth += 1
+                elif ck == ")":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            out.append(expansion[i : k + 1] + " " + over_text)
+            i = k + 1
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def rewrite(sql: str) -> str:
     """Expand Doris-spelling calls into Spark SQL (recursive, innermost
     args first, string literals untouched). SET lc_time_names is captured
@@ -1914,8 +1965,37 @@ def rewrite(sql: str) -> str:
                 expansion = MACROS[name.lower()](args)
                 if expansion.startswith("__KEEP__("):
                     expansion = name + expansion[len("__KEEP__") :]
-                out.append(expansion)
                 i = k + 1
+                if name.lower() in _WIN_DISTRIB:
+                    # trailing OVER (...): distribute into the expansion
+                    p = i
+                    while p < n and sql[p] in " \t\n":
+                        p += 1
+                    if sql[p : p + 4].upper() == "OVER":
+                        q = p + 4
+                        while q < n and sql[q] in " \t\n":
+                            q += 1
+                        if q < n and sql[q] == "(":
+                            depth2, r, in_s2 = 0, q, None
+                            while r < n:
+                                cr = sql[r]
+                                if in_s2:
+                                    if cr == in_s2:
+                                        in_s2 = None
+                                elif cr in ("'", '"'):
+                                    in_s2 = cr
+                                elif cr == "(":
+                                    depth2 += 1
+                                elif cr == ")":
+                                    depth2 -= 1
+                                    if depth2 == 0:
+                                        break
+                                r += 1
+                            expansion = _attach_over(
+                                expansion, "OVER " + sql[q : r + 1]
+                            )
+                            i = r + 1
+                out.append(expansion)
                 continue
             out.append(name)
             i = m.end()

@@ -192,6 +192,46 @@ def _date_sites(stmt: str, in_lit):
         )
 
 
+_DATE_NUM_CMP = re.compile(
+    r"(?<![\w.$'])([\w.`]+)\s*(=|<=|>=|<|>|<>|!=)\s*(\d{8}|\d{14})(?![\d.\w])"
+    r"|(?<![\w.$'])([\w.`]+)\s+BETWEEN\s+(\d{8}|\d{14})\s+AND\s+(\d{8}|\d{14})(?![\d.\w])",
+    re.I,
+)
+
+
+def _num_to_dt_literal(n: str) -> str | None:
+    """20221111 -> DATE'2022-11-11'; 20221111093000 -> TIMESTAMP'...'.
+    None when the digits are not a plausible datetime."""
+    if not (1 <= int(n[4:6]) <= 12 and 1 <= int(n[6:8]) <= 31):
+        return None
+    d = f"{n[:4]}-{n[4:6]}-{n[6:8]}"
+    if len(n) == 8:
+        return f"DATE'{d}'"
+    if not (int(n[8:10]) < 24 and int(n[10:12]) < 60 and int(n[12:14]) < 60):
+        return None
+    return f"TIMESTAMP'{d} {n[8:10]}:{n[10:12]}:{n[12:14]}'"
+
+
+def _date_cmp_sites(stmt: str, in_lit):
+    """Comparisons of an identifier against an 8/14-digit integer
+    literal (the MySQL/Doris date-number coercion: `d BETWEEN 20221111
+    AND 20221113` matches DATE rows — Spark instead casts the int to
+    DATE, yielding NULL). Yields (start, end, ident, [(numstart,
+    numend, digits), ...])."""
+    for m in _DATE_NUM_CMP.finditer(stmt):
+        if in_lit(m.start()):
+            continue
+        if m.group(1) is not None:
+            yield m.start(), m.end(), m.group(1), [
+                (m.start(3), m.end(3), m.group(3))
+            ]
+        else:
+            yield m.start(), m.end(), m.group(4), [
+                (m.start(5), m.end(5), m.group(5)),
+                (m.start(6), m.end(6), m.group(6)),
+            ]
+
+
 def doris_typed_fixup(spark, stmt: str, df) -> str | None:
     """Return a rewritten statement applying the typed rules above, or
     None when no call site needs (or safely admits) a rewrite."""
@@ -204,7 +244,8 @@ def doris_typed_fixup(spark, stmt: str, df) -> str | None:
         if "make_interval(0, 0, 0, CAST((" in stmt
         else []
     )
-    if not avg_sites and not date_sites:
+    cmp_sites = list(_date_cmp_sites(stmt, in_lit))
+    if not avg_sites and not date_sites and not cmp_sites:
         return None
     try:
         types = _collect_expr_types(df._jdf)
@@ -226,6 +267,16 @@ def doris_typed_fixup(spark, stmt: str, df) -> str | None:
             edits.append(
                 (start, end, f"{fn}(({arg}), CAST(({n}) AS INT))")
             )
+    for _start, _end, ident, nums in cmp_sites:
+        t = types.get(_norm_arg(ident))
+        if t not in ("date", "timestamp") and not (t or "").startswith(
+            "timestamp"
+        ):
+            continue
+        for ns, ne, digits in nums:
+            lit = _num_to_dt_literal(digits)
+            if lit is not None:
+                edits.append((ns, ne, lit))
     if not edits:
         return None
     edits.sort()

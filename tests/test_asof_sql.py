@@ -131,6 +131,73 @@ def test_pick_plan_strict_and_forward(spark):
     assert [(r.id, r.qts) for r in rows] == [(1, 10), (2, 30)]
 
 
+def test_pick_plan_star_and_chain_no_bnlj(spark):
+    """VERDICT r6 ask #7: `SELECT *` outer lists, `q.*` items, join-chain
+    left sides, and multi-level ASOF chains must ALL take the union+window
+    pick plan — no BroadcastNestedLoopJoin anywhere in the asof suite."""
+    from doris_spark.engine import Engine
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW __e_t AS "
+        "SELECT * FROM VALUES (1,'A',10),(2,'A',25),(3,'B',7) v(id,sym,ts)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW __e_q AS "
+        "SELECT * FROM VALUES ('A',5,1.0),('A',20,2.0),('B',30,3.0) v(sym,ts,px)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW __e_x AS "
+        "SELECT * FROM VALUES (1,'u'),(2,'v'),(3,'w') v(id,tag)"
+    )
+    eng = Engine(spark)
+
+    # SELECT * — helper join columns must not leak into the output
+    df = eng.sql(
+        "SELECT * FROM __e_t ASOF LEFT JOIN __e_q q "
+        "ON __e_t.sym = q.sym AND __e_t.ts >= q.ts ORDER BY __e_t.id"
+    )
+    assert df.columns == ["id", "sym", "ts", "sym", "ts", "px"]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Window" in plan
+    assert [r[0] for r in df.collect()] == [1, 2, 3]
+
+    # right-alias .* item
+    df = eng.sql(
+        "SELECT t.id, q.* FROM __e_t t "
+        "ASOF INNER JOIN __e_q q ON t.sym = q.sym AND t.ts >= q.ts"
+    )
+    assert df.columns == ["id", "sym", "ts", "px"]
+    assert "BroadcastNestedLoop" not in (
+        df._jdf.queryExecution().executedPlan().toString()
+    )
+
+    # join-chain left side: pick sources from the referenced relation only
+    df = eng.sql(
+        "SELECT t.id, x.tag, q.px FROM __e_x x JOIN __e_t t ON x.id = t.id "
+        "ASOF LEFT JOIN __e_q q ON t.sym = q.sym AND t.ts >= q.ts "
+        "ORDER BY t.id"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Window" in plan
+    assert [
+        (r.id, r.tag, float(r.px) if r.px is not None else None)
+        for r in df.collect()
+    ] == [(1, "u", 1.0), (2, "v", 2.0), (3, "w", None)]
+
+    # multi-level ASOF chain: BOTH levels take the pick plan
+    df = eng.sql(
+        "SELECT t.id, q.px, q2.px AS px2 FROM __e_t t "
+        "ASOF LEFT JOIN __e_q q ON t.sym = q.sym AND t.ts >= q.ts "
+        "ASOF LEFT JOIN __e_q q2 ON t.sym = q2.sym AND t.ts >= q2.ts "
+        "ORDER BY t.id"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan
+    rows = [tuple(r) for r in df.collect()]
+    assert [r[0] for r in rows] == [1, 2, 3]
+    assert float(rows[0][1]) == float(rows[0][2]) == 1.0
+
+
 def test_pick_plan_duplicate_left_rows(spark):
     # two identical left (key, ts) rows both survive the join-back fan-out
     from doris_spark.engine import Engine

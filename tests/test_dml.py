@@ -297,3 +297,57 @@ def test_insert_agg_keys_accumulates(spark):
     got = sorted(tuple(r) for r in eng.table("agg_ins_t").collect())
     # SUM re-accumulates over the merged snapshot + new rows; MAX advances
     assert got == [(1, 10.0, 102), (2, 7.0, 100), (3, 9.0, 100)]
+
+
+def test_update_partitioned_table_rewrites_only_touched_partition(spark, tmp_path):
+    """Partition-pruned DML (engine._dml _pruned_rewrite): an UPDATE
+    whose matched rows live in ONE partition must rewrite only that
+    partition's files (dynamic partition overwrite) — the other
+    partitions' data files stay byte-identical on disk. At 100 TB this
+    is the difference between touching one partition and materializing
+    the snapshot."""
+    import os
+
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    spark.sql("DROP TABLE IF EXISTS part_dml_t")
+    spark.sql(
+        "CREATE TABLE part_dml_t (id INT, val DOUBLE, day STRING) "
+        "USING parquet PARTITIONED BY (day) "
+        f"LOCATION '{tmp_path}/part_dml_t'"
+    )
+    spark.sql(
+        "INSERT INTO part_dml_t VALUES "
+        "(1, 1.0, 'd1'), (2, 2.0, 'd1'), (3, 3.0, 'd2'), (4, 4.0, 'd3')"
+    )
+
+    def files(day):
+        d = os.path.join(str(tmp_path), "part_dml_t", f"day={day}")
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if not f.startswith(("_", "."))
+        )
+
+    before = {d: files(d) for d in ("d1", "d2", "d3")}
+    r = eng.sql("UPDATE part_dml_t SET val = val * 10 WHERE id = 1").collect()
+    assert r[0]["affected"] == 1
+    after = {d: files(d) for d in ("d1", "d2", "d3")}
+    assert after["d2"] == before["d2"], "untouched partition d2 was rewritten"
+    assert after["d3"] == before["d3"], "untouched partition d3 was rewritten"
+    assert after["d1"] != before["d1"], "touched partition d1 must be rewritten"
+    got = sorted(tuple(r) for r in spark.table("part_dml_t").collect())
+    assert got == [
+        (1, 10.0, "d1"), (2, 2.0, "d1"), (3, 3.0, "d2"), (4, 4.0, "d3")
+    ]
+
+    # DELETE prunes the same way
+    before = {d: files(d) for d in ("d1", "d2", "d3")}
+    r = eng.sql("DELETE FROM part_dml_t WHERE day = 'd2' AND id = 3").collect()
+    assert r[0]["affected"] == 1
+    after = {d: files(d) for d in ("d1", "d3")}
+    assert after["d1"] == before["d1"] and after["d3"] == before["d3"]
+    got = sorted(tuple(r) for r in spark.table("part_dml_t").collect())
+    assert got == [(1, 10.0, "d1"), (2, 2.0, "d1"), (4, 4.0, "d3")]
+    spark.sql("DROP TABLE part_dml_t")

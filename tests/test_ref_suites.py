@@ -12,10 +12,12 @@ replayed and every qt_ golden compared.
   reproduces by vocabulary but not byte-for-byte).
 - `Array.groovy` 1004/1004 (round-7: datetimev2(n) array_join scale
   rendering via the DDL-time column-type hints).
-
-correctness_p0 runs in the same harness (tools, ~10 min) and is
-tracked in NOTES.md, not gated here to keep the pytest wall-clock
-bounded.
+- `correctness_p0` floor 1030/1036 (round-7: fully green at 1036 —
+  the HAVING-without-GROUP-BY alias scope, stddev/variance macro OVER
+  distribution, and date-vs-integer-literal comparison typing closed
+  the last 27; one explain-shape golden is skipped by design). ~8 min
+  wall-clock — the heaviest gate, kept because it covers 115 files of
+  reference surface no other gate touches.
 """
 
 import json
@@ -24,13 +26,13 @@ import subprocess
 import sys
 
 
-def _run(target: str, out_path: str):
+def _run(target: str, out_path: str, timeout: int = 900):
     env = dict(os.environ, RS_OUT=out_path)
     proc = subprocess.run(
         [sys.executable, "tools/ref_suite_runner.py", target],
         capture_output=True,
         text=True,
-        timeout=900,
+        timeout=timeout,
         env=env,
     )
     line = next(
@@ -60,6 +62,17 @@ def test_nereids_tpch_suite_floor():
         res["failures"][:10], indent=1
     )
     assert res["files_green"] >= 20, line
+
+
+def test_correctness_p0_suite_floor():
+    line, res = _run(
+        "correctness_p0", "/tmp/ref_suites_cp0.json", timeout=1500
+    )
+    assert res["total"] >= 1036, line
+    assert res["passed"] >= 1030, line + "\n" + json.dumps(
+        res["failures"][:10], indent=1
+    )
+    assert res["files_green"] >= 113, line
 
 
 def test_array_groovy_full_green():

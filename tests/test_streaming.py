@@ -117,6 +117,97 @@ def test_kafka_routine_load_wiring(spark):
     assert set(EVENTS_STREAM_SCHEMA.fieldNames()) <= set(df.columns)
 
 
+def test_restart_exactly_once_upsert(spark):
+    """Kafka-shape exactly-once restart (VERDICT r5 ask #10): a
+    checkpointed routine-load stream killed mid-run — including a crash
+    AFTER the sink side-effect but BEFORE the offset commit — must, on
+    restart, (a) resume from the checkpointed offsets (replaying only the
+    uncommitted batch, never reprocessing committed ones) and (b)
+    converge to the same state as the batch unique-key view because the
+    foreachBatch merge is idempotent under replay. That pair is the same
+    contract Doris routine load gets from committing Kafka offsets inside
+    the load transaction (be/src/load/routine_load/data_consumer.h:127)."""
+    src = tempfile.mkdtemp(prefix="rl_src_")
+    ckpt = tempfile.mkdtemp(prefix="rl_ckpt_")
+    target = tempfile.mkdtemp(prefix="rl_tgt_")
+    shutil.rmtree(target)  # writer creates it
+
+    schema = "id INT, val DOUBLE, seq INT"
+
+    def drop_file(name, rows):
+        df = spark.createDataFrame(rows, schema)
+        tmp = src + ".tmp"
+        df.coalesce(1).write.mode("overwrite").parquet(tmp)
+        part = next(f for f in os.listdir(tmp) if f.endswith(".parquet"))
+        shutil.move(os.path.join(tmp, part), os.path.join(src, name))
+        shutil.rmtree(tmp)
+
+    drop_file("f0.parquet", [(1, 1.0, 1), (2, 2.0, 1)])
+    drop_file("f1.parquet", [(1, 10.0, 2), (3, 3.0, 1)])
+
+    seen = []  # (batch_id) invocations across all runs
+    crash_once = {"armed": True}
+    base = upsert_writer(target, keys=["id"], sequence_col="seq")
+
+    def writer(batch, batch_id):
+        base(batch, batch_id)  # sink side-effect lands first...
+        seen.append(batch_id)
+        if crash_once["armed"] and batch_id == 1:
+            crash_once["armed"] = False
+            raise RuntimeError("injected crash before offset commit")
+
+    def start():
+        return (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(writer)
+            .start()
+        )
+
+    q = start()
+    try:
+        q.processAllAvailable()
+    except Exception:
+        pass
+    assert q.exception() is not None, "injected crash must fail the query"
+
+    # restart: batch 1 replays (uncommitted), batch 0 must NOT reprocess
+    q2 = start()
+    q2.processAllAvailable()
+    q2.stop()
+    assert seen == [0, 1, 1], seen
+
+    # new data after a clean stop: only the new file forms a batch
+    drop_file("f2.parquet", [(2, 20.0, 2), (4, 4.0, 1)])
+    q3 = start()
+    q3.processAllAvailable()
+    q3.stop()
+    assert seen == [0, 1, 1, 2], seen
+
+    got = {
+        r["id"]: (r["val"], r["seq"])
+        for r in spark.read.parquet(target).collect()
+    }
+    all_rows = spark.createDataFrame(
+        [(1, 1.0, 1), (2, 2.0, 1), (1, 10.0, 2), (3, 3.0, 1),
+         (2, 20.0, 2), (4, 4.0, 1)],
+        schema,
+    )
+    want = {
+        r["id"]: (r["val"], r["seq"])
+        for r in unique_key_view(
+            all_rows, keys=["id"], sequence_col="seq"
+        ).collect()
+    }
+    assert got == want == {
+        1: (10.0, 2), 2: (20.0, 2), 3: (3.0, 1), 4: (4.0, 1)
+    }
+    for d in (src, ckpt, target):
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def test_stream_dedup_within_watermark(spark, sf_dir, events_dir):
     """Streaming dedup (routine-load duplicate suppression analog):
     dropDuplicatesWithinWatermark collapses replays of the same event_id

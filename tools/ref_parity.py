@@ -3856,7 +3856,12 @@ def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
                 break
     if "TEMPORARY" in sql.upper():
         sql = _temp_partition_refs(sql)
-    if re.search(r"\bbitmap|\bhll|quantile|\*", sql, re.I):
+    if re.search(r"\bbitmap|\bhll|quantile|\*", sql, re.I) and not re.match(
+        r"\s*(INSERT|UPDATE|DELETE|CREATE|DROP|ALTER|TRUNCATE)\b", sql, re.I
+    ):
+        # sketch columns render as \N in qt OUTPUT — but only in result
+        # sets; applying the render-null to an INSERT's select list
+        # would null the stored payload (pinned by test_bitmap_count)
         sql = _sketch_render_nulls(sql)
     sql = _widen_int_literals(_crc32_v1_rewrite(sql))
     try:
