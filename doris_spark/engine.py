@@ -185,6 +185,18 @@ class Engine:
             return self.spark.createDataFrame(
                 [(snap.count(),)], "affected_rows bigint"
             )
+        if _re.match(
+            r"^\s*ALTER\s+TABLE\s+`?\w+`?\s+"
+            r"(?:ADD|DROP|MODIFY|RENAME)\s+COLUMN\b",
+            text, _re.I,
+        ):
+            # schema-change jobs (plans/schema_change.py): light
+            # metadata-only ADD vs direct distributed-rewrite+swap
+            from doris_spark.plans.schema_change import apply_schema_change
+
+            sc = apply_schema_change(self, text)
+            if sc is not None:
+                return sc
         dml = self._dml(text)
         if dml is not None:
             return dml

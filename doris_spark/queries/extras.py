@@ -1253,3 +1253,47 @@ def dml_insert_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderstatus
         """
     )
+
+
+@query(
+    "ddl_schema_change",
+    oracle="""
+SELECT o_orderstatus AS status, 'std' AS tier, count(*) AS cnt,
+       CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+       CAST(sum(o_totalprice) AS DECIMAL(24,2)) AS total
+FROM orders WHERE o_orderkey < 1500
+GROUP BY o_orderstatus
+ORDER BY status
+""",
+)
+def ddl_schema_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Schema-change jobs (plans/schema_change.py; reference
+    SchemaChangeHandler.java light path + schema_change.cpp direct
+    rewrite) end-to-end through Engine.sql: ADD COLUMN with/without
+    DEFAULT, MODIFY COLUMN type converter (INT -> BIGINT), RENAME
+    COLUMN, DROP COLUMN, then aggregate the post-change table. The
+    oracle recomputes the surviving schema as SELECT algebra."""
+    from doris_spark.engine import Engine
+
+    eng = Engine(spark)
+    base = (
+        load_tables(spark, sf_dir)["orders"]
+        .filter(F.col("o_orderkey") < 1500)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+    eng.create_table(base, "__sc_orders")
+    eng.sql("ALTER TABLE __sc_orders ADD COLUMN tier VARCHAR(8) DEFAULT 'std'")
+    eng.sql("ALTER TABLE __sc_orders ADD COLUMN note STRING")
+    eng.sql("ALTER TABLE __sc_orders MODIFY COLUMN o_orderkey BIGINT")
+    eng.sql("ALTER TABLE __sc_orders RENAME COLUMN o_orderstatus status")
+    eng.sql("ALTER TABLE __sc_orders DROP COLUMN note")
+    return eng.sql(
+        """
+        SELECT status, tier, count(*) AS cnt,
+               CAST(sum(o_orderkey) AS BIGINT) AS key_sum,
+               CAST(sum(o_totalprice) AS DECIMAL(24,2)) AS total
+        FROM __sc_orders
+        GROUP BY status, tier
+        ORDER BY status
+        """
+    )
