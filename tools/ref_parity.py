@@ -1363,12 +1363,16 @@ def _stream_load(eng, spec: dict) -> None:
             df = df.select(
                 *[df[c].alias(ren.get(c, c)) for c in df.columns]
             )
+            # table DDL and the `columns` mapping may differ in case
+            # (C_CUSTKEY vs c_custkey) — resolve like SQL, not Python
+            dfl = {c.lower(): c for c in df.columns}
+            exl = {k.lower(): v for k, v in exprs.items()}
             sel = []
             for c in tdf.columns:
-                if c in df.columns:
-                    sel.append(f"`{c}`")
-                elif c in exprs:
-                    sel.append(f"{exprs[c]} AS `{c}`")
+                if c.lower() in dfl:
+                    sel.append(f"`{dfl[c.lower()]}` AS `{c}`")
+                elif c.lower() in exl:
+                    sel.append(f"{exl[c.lower()]} AS `{c}`")
                 else:
                     sel.append(_fill(c))
             df = df.selectExpr(*sel)

@@ -78,9 +78,13 @@ def _tpc_fixture_dir(kind: str, sf: str) -> str:
         con.execute("LOAD tpcds")
         con.execute(f"CALL dsdgen(sf={scale})")
     for (t,) in con.execute("SHOW TABLES").fetchall():
+        # NULLSTR '\N': the stream-load contract spells NULL as \N; the
+        # DuckDB default (empty string) would silently turn every NULL
+        # text column into '' — group-by keys and join semantics diverge
         con.execute(
             f"COPY {t} TO '{out}/{t}.csv' "
-            "(FORMAT CSV, DELIMITER '|', HEADER false, QUOTE '')"
+            "(FORMAT CSV, DELIMITER '|', HEADER false, QUOTE '', "
+            "NULLSTR '\\N')"
         )
     con.close()
     with open(marker, "w") as f:
@@ -88,17 +92,20 @@ def _tpc_fixture_dir(kind: str, sf: str) -> str:
     return out
 
 
-def _ensure_tpc_suite_fixture(eng, lg_path: str, use_db) -> bool:
+def _ensure_tpc_suite_fixture(eng, lg_path: str, use_db,
+                              sf_override: str | None = None) -> bool:
     """TPC suite load.groovy analog: the reference file stream-loads
     official dbgen/dsdgen data from S3 into tables created by
     ddl/<table>.sql. The S3 bucket is unreachable here, so replay the
     same DDL and load the SAME data from the local DuckDB-generated
-    fixture. Returns True when this loader handled the file."""
+    fixture. Returns True when this loader handled the file.
+    sf_override (e.g. 'sf0.01') swaps in a smaller dataset under the
+    suite's own DDL — the affordable pytest-gate scale."""
     src = open(lg_path).read()
     m = re.search(r"regression/(tpch|tpcds)/(sf[\d.]+)/", src)
     if m is None:
         return False
-    kind, sf = m.group(1), m.group(2)
+    kind, sf = m.group(1), sf_override or m.group(2)
     data_dir = _tpc_fixture_dir(kind, sf)
     ddl_dir = os.path.join(os.path.dirname(lg_path), "ddl")
     if not os.path.isdir(ddl_dir):
@@ -109,25 +116,53 @@ def _ensure_tpc_suite_fixture(eng, lg_path: str, use_db) -> bool:
     tables, views = [], []
     for p in sorted(glob.glob(ddl_dir + "/*.sql")):
         text = open(p).read()
+        # the ddl dir also holds cleanup scripts (customer_delete.sql =
+        # "DELETE FROM customer") used by other suite steps — running
+        # them here would empty every freshly-loaded table
+        if not re.search(r"\bcreate\s+(table|view)\b", text, re.I):
+            continue
         (views if re.search(r"create\s+view", text, re.I) else tables).append(
             (p, text)
         )
+    # per-table `columns` stream-load mappings (tpch_sf0.1_p1 style
+    # `name: ["c1, c2, ..."]`): the DDL reorders columns (l_shipdate
+    # first for the sort key) while the .tbl data stays in spec order —
+    # a positional load would misalign every column
+    colmap = {
+        mm.group(1).lower(): mm.group(2)
+        for mm in re.finditer(r'(\w+)\s*:\s*\[\s*"([^"]+)"\s*\]', src)
+    }
+    import shutil as _shutil
+
+    wh = eng.spark.conf.get(
+        "spark.sql.warehouse.dir", "spark-warehouse"
+    ).replace("file:", "")
+    dbname = eng.spark.catalog.currentDatabase()
     for p, text in tables:
         t = os.path.splitext(os.path.basename(p))[0]
         csv = os.path.join(data_dir, f"{t}.csv")
         try:
             eng.spark.sql(f"DROP TABLE IF EXISTS `{t}`")
+            # a fresh in-memory catalog forgets managed tables but their
+            # parquet survives in the warehouse dir — recreating over it
+            # would resurrect (and accumulate) stale rows
+            for cand in (
+                os.path.join(wh, f"{dbname}.db", t.lower()),
+                os.path.join(wh, t.lower()),
+            ):
+                if os.path.isdir(cand):
+                    _shutil.rmtree(cand, ignore_errors=True)
             rp_.run_setup(eng, text)
         except Exception as exc:
             _note_platform(text, exc)
             continue
         if os.path.exists(csv):
+            sets = {"column_separator": "|"}
+            if t.lower() in colmap:
+                sets["columns"] = colmap[t.lower()]
             try:
-                rp_._stream_load(
-                    eng,
-                    {"table": t, "path": csv,
-                     "sets": {"column_separator": "|"}},
-                )
+                rp_._stream_load(eng, {"table": t, "path": csv,
+                                       "sets": sets})
             except Exception as exc:
                 print(f"  LOAD-FAIL {t}: {type(exc).__name__}: {str(exc)[:140]}")
     for p, text in views:
