@@ -596,7 +596,40 @@ def _rewrite_right_semi_anti(sql: str) -> str:
     return sql
 
 
-def _having_no_group(sql: str) -> str:
+def _split_select_items(s: str) -> list[str]:
+    """Depth/quote-aware top-level comma split of a select list."""
+    depth, buf, items, in_s = 0, [], [], None
+    for ch in s:
+        if in_s:
+            buf.append(ch)
+            if ch == in_s:
+                in_s = None
+            continue
+        if ch in ("'", '"'):
+            in_s = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        if ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if "".join(buf).strip():
+        items.append("".join(buf))
+    return items
+
+
+_COND_KW = {
+    "and", "or", "not", "null", "true", "false", "between", "in", "like",
+    "rlike", "regexp", "is", "case", "when", "then", "else", "end", "exists",
+    "interval", "day", "month", "year", "hour", "minute", "second", "as",
+    "distinct", "all", "any", "some", "escape", "div", "mod", "xor",
+}
+
+
+def _having_no_group(sql: str, force_where_merge: bool = False) -> str:
     """Doris/MySQL HAVING WITHOUT GROUP BY filters the PROJECTED row —
     `SELECT date_format(d,...) AS d FROM t HAVING d = 202245` compares
     the select-list ALIAS (Spark would resolve the base column instead).
@@ -666,26 +699,7 @@ def _having_no_group(sql: str) -> str:
             return re.sub(r"\s+|`", "", t).lower()
 
         amap = {}
-        depth2, buf, items, in_s2 = 0, [], [], None
-        for ch in sm.group(1):
-            if in_s2:
-                buf.append(ch)
-                if ch == in_s2:
-                    in_s2 = None
-                continue
-            if ch in ("'", '"'):
-                in_s2 = ch
-            elif ch == "(":
-                depth2 += 1
-            elif ch == ")":
-                depth2 -= 1
-            if ch == "," and depth2 == 0:
-                items.append("".join(buf))
-                buf = []
-                continue
-            buf.append(ch)
-        if "".join(buf).strip():
-            items.append("".join(buf))
+        items = _split_select_items(sm.group(1))
         for it in items:
             am = re.search(r"\s+AS\s+(`?)(\w+)\1\s*$", it, re.I)
             if am:
@@ -701,13 +715,350 @@ def _having_no_group(sql: str) -> str:
                      re.sub(r"'[^']*'|\"[^\"]*\"", "", new_tail)):
             return sql  # an unmappable qualified ref remains
         tail = new_tail
+    # Doris resolves HAVING names the projection does not expose against
+    # the BASE scope (`... case when profit<200 ... AS new_profit ...
+    # HAVING profit > 200`): materialize those refs as synthetic inner
+    # columns and strip them back out with EXCEPT
+    # windows evaluate AFTER HAVING (ANSI; pinned by test_qualify_query
+    # select_12/13 goldens): when the select list computes OVER(...)
+    # expressions, the outer-filter rewrite would feed the windows
+    # UNFILTERED rows — merge the HAVING predicate into WHERE instead
+    # (row-wise-equivalent: no aggregates (checked above), no grouping),
+    # substituting select-list aliases with their expressions
+    if force_where_merge or re.search(r"(?i)\bOVER\s*\(", inner):
+        hm3 = re.match(r"(\s*SELECT\s+)(DISTINCT\s+)?", inner, re.I)
+        if hm3 is None or hm3.group(2):
+            return sql
+        ispans3 = _lit_spans(inner)
+        fm3, wh3, rel, k = None, None, 0, hm3.end()
+        while k < len(inner):
+            if any(a <= k < b for a, b in ispans3):
+                k += 1
+                continue
+            c = inner[k]
+            if c == "(":
+                rel += 1
+            elif c == ")":
+                rel -= 1
+            elif rel == 0 and c.isalpha() and not (
+                inner[k - 1].isalnum() or inner[k - 1] == "_"
+            ):
+                if fm3 is None and re.match(r"(?i)FROM\b", inner[k:]):
+                    fm3 = k
+                elif re.match(r"(?i)WHERE\b", inner[k:]):
+                    wh3 = k
+                    break
+            k += 1
+        if fm3 is None:
+            return sql
+        amap3 = {}
+        for it in _split_select_items(inner[hm3.end():fm3]):
+            am = re.search(r"\s+AS\s+(`?)(\w+)\1\s*$", it, re.I) or re.search(
+                r"\)\s+(`?)(\w+)\1\s*$", it
+            )
+            if am:
+                amap3[am.group(2).lower()] = it[: am.start()].strip()
+        cond3 = re.sub(
+            r"(?<![\w.`'\"])[A-Za-z_]\w*(?!\s*\()(?![\w.])",
+            lambda m3: (
+                "(" + amap3[m3.group(0).lower()] + ")"
+                if m3.group(0).lower() in amap3
+                and not re.search(r"(?i)\bOVER\s*\(", amap3[m3.group(0).lower()])
+                else m3.group(0)
+            ),
+            cond,
+        )
+        if re.search(r"(?i)\bOVER\s*\(", cond3):
+            return sql  # HAVING over a window alias: keep untouched
+        if wh3 is not None:
+            old = inner[wh3 + 5:].strip()
+            inner2 = inner[:wh3] + f"WHERE ({old}) AND ({cond3})"
+        else:
+            inner2 = inner.rstrip() + f" WHERE {cond3}"
+        return inner2 + (f" {tail}" if tail else "")
+
+    hm2 = re.match(r"(\s*SELECT\s+)(DISTINCT\s+)?", inner, re.I)
+    fm_at = None
+    if hm2:
+        ispans = _lit_spans(inner)
+        rel, k = 0, hm2.end()
+        while k < len(inner):
+            if any(a <= k < b for a, b in ispans):
+                k += 1
+                continue
+            c = inner[k]
+            if c == "(":
+                rel += 1
+            elif c == ")":
+                rel -= 1
+            elif (
+                rel == 0
+                and c in "fF"
+                and not (inner[k - 1].isalnum() or inner[k - 1] == "_")
+                and re.match(r"(?i)FROM\b", inner[k:])
+            ):
+                fm_at = k
+                break
+            k += 1
+    extras: list[str] = []
+    if hm2 and fm_at is not None and not hm2.group(2):
+        sel_list = inner[hm2.end():fm_at]
+        exposed = set()
+        for it in _split_select_items(sel_list):
+            am = re.search(r"\s+AS\s+(`?)(\w+)\1\s*$", it, re.I)
+            if am:
+                exposed.add(am.group(2).lower())
+            else:
+                it2 = it.strip().strip("`")
+                nm = re.match(r"^(\w+\s+)?(`?)(\w+)\2$",
+                              it2.split(".")[-1].strip())
+                if re.match(r"^[\w.`\s]+$", it2) and nm:
+                    exposed.add(nm.group(3).lower())
+                    am2 = re.search(r"(`?)(\w+)\1\s*$", it2)
+                    if am2:
+                        exposed.add(am2.group(2).lower())
+
+        def _matb(m3: re.Match) -> str:
+            ref = m3.group(0)
+            base = ref.split(".")[-1].strip("` ")
+            if (
+                base.lower() in _COND_KW
+                or ("." not in ref and base.lower() in exposed)
+            ):
+                return ref
+            extras.append(ref)
+            return f"__hv{len(extras) - 1}"
+
+        cond2 = re.sub(
+            r"(?<![\w.`'\"])(?:\w+\s*\.\s*)?`?[A-Za-z_]\w*`?"
+            r"(?!\s*\()(?![\w.])",
+            lambda m3: _matb(m3)
+            if not re.match(r"'", m3.group(0))
+            else m3.group(0),
+            re.sub(r"'[^']*'", lambda mq: "'" + "\x00" * (len(mq.group(0)) - 2) + "'", cond),
+        )
+        if extras:
+            # restore literals in cond2 from the original by position
+            # (placeholders only masked content INSIDE quotes)
+            lit_iter = re.finditer(r"'[^']*'", cond)
+            cond2 = re.sub(
+                r"'\x00*'", lambda _m: next(lit_iter).group(0), cond2
+            )
+            inner = (
+                inner[:fm_at].rstrip()
+                + ", "
+                + ", ".join(
+                    f"{r} AS __hv{i}" for i, r in enumerate(extras)
+                )
+                + " "
+                + inner[fm_at:]
+            )
+            exc = " EXCEPT (" + ", ".join(
+                f"__hv{i}" for i in range(len(extras))
+            ) + ")"
+            return f"SELECT *{exc} FROM ({inner}) __hav WHERE {cond2}" + (
+                f" {tail}" if tail else ""
+            )
     return f"SELECT * FROM ({inner}) __hav WHERE {cond}" + (
         f" {tail}" if tail else ""
     )
 
 
+def _rewrite_qualify(sql: str) -> str:
+    """Doris QUALIFY (SelectHint QUALIFY clause, nereids
+    LogicalQualify): filter applied AFTER window evaluation. Rewrite
+    each QUALIFY-bearing SELECT block (innermost first) to
+    `SELECT * [EXCEPT(__qw*)] FROM (<select + window cols>) __qv
+    WHERE <cond> [tail]` — window expressions referenced directly in
+    the condition are materialized as synthetic inner columns; alias
+    references resolve against the projected row like Doris."""
+    for _ in range(16):
+        spans = _lit_spans(sql)
+
+        def in_lit(i: int) -> bool:
+            return any(a <= i < b for a, b in spans)
+
+        # pick the DEEPEST qualify (innermost subquery first)
+        best, best_depth = None, -1
+        depth, i, n = 0, 0, len(sql)
+        while i < n:
+            if in_lit(i):
+                i += 1
+                continue
+            c = sql[i]
+            if c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            elif (
+                c in "qQ"
+                and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] in "_."))
+                and re.match(r"(?i)QUALIFY\b", sql[i:])
+            ):
+                if depth >= best_depth:
+                    best, best_depth = i, depth
+                i += 7
+                continue
+            i += 1
+        if best is None:
+            return sql
+        q = best
+        # enclosing SELECT: scan backward at relative depth 0
+        rel, j, sel_start, blk_open = 0, q - 1, None, 0
+        while j >= 0:
+            if not in_lit(j):
+                c = sql[j]
+                if c == ")":
+                    rel += 1
+                elif c == "(":
+                    rel -= 1
+                    if rel < 0:
+                        blk_open = j + 1
+                        break
+                elif (
+                    rel == 0
+                    and c in "sS"
+                    and (j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == "_"))
+                    and re.match(r"(?i)SELECT\b", sql[j:])
+                ):
+                    sel_start = j
+                    break
+            j -= 1
+        if sel_start is None:
+            sel_start = blk_open
+        # forward: condition ends at rel-0 ORDER/LIMIT, a closing ')',
+        # or end of statement
+        qe = q + len("QUALIFY")
+        rel, k, cond_end, blk_end = 0, qe, None, n
+        while k < n:
+            if in_lit(k):
+                k += 1
+                continue
+            c = sql[k]
+            if c == "(":
+                rel += 1
+            elif c == ")":
+                rel -= 1
+                if rel < 0:
+                    cond_end = cond_end if cond_end is not None else k
+                    blk_end = k
+                    break
+            elif c == ";" and rel == 0:
+                cond_end = cond_end if cond_end is not None else k
+                blk_end = k
+                break
+            elif (
+                rel == 0
+                and cond_end is None
+                and c.isalpha()
+                and not (sql[k - 1].isalnum() or sql[k - 1] == "_")
+                and re.match(r"(?i)(ORDER\s+BY|LIMIT)\b", sql[k:])
+            ):
+                cond_end = k
+            k += 1
+        if cond_end is None:
+            cond_end = blk_end = n
+        cond = sql[qe:cond_end].strip()
+        tail = sql[cond_end:blk_end].strip()
+        head = sql[sel_start:q].rstrip()
+        # `HAVING profit > 200 QUALIFY ...`: the head is a complete
+        # SELECT — apply the HAVING-without-GROUP-BY alias rewrite to it
+        # now (after splicing it becomes a subquery the top-level-only
+        # pass would miss)
+        if re.search(r"(?i)\bHAVING\b", head):
+            # QUALIFY windows evaluate after HAVING: the predicate must
+            # filter rows BEFORE any window -> force the WHERE merge
+            head = _having_no_group(head, force_where_merge=True)
+        # materialize window expressions used directly in the condition
+        winexprs = []
+        out = []
+        pos = 0
+        for om in re.finditer(r"(?i)\bOVER\s*\(", cond):
+            if om.start() < pos:
+                continue
+            # backward: fn(...) immediately before OVER
+            b = om.start() - 1
+            while b >= 0 and cond[b].isspace():
+                b -= 1
+            if b < 0 or cond[b] != ")":
+                continue
+            depth2, b2 = 0, b
+            while b2 >= 0:
+                if cond[b2] == ")":
+                    depth2 += 1
+                elif cond[b2] == "(":
+                    depth2 -= 1
+                    if depth2 == 0:
+                        break
+                b2 -= 1
+            fs = b2
+            while fs > 0 and (cond[fs - 1].isalnum() or cond[fs - 1] == "_"):
+                fs -= 1
+            # forward: close the OVER(...) spec
+            depth2, f2 = 1, om.end()
+            while f2 < len(cond) and depth2:
+                if cond[f2] == "(":
+                    depth2 += 1
+                elif cond[f2] == ")":
+                    depth2 -= 1
+                f2 += 1
+            out.append(cond[pos:fs])
+            out.append(f"__qw{len(winexprs)}")
+            winexprs.append(cond[fs:f2])
+            pos = f2
+        out.append(cond[pos:])
+        cond2 = "".join(out)
+        if winexprs:
+            # inject after the select list: before this block's FROM —
+            # scan HEAD itself (it may have been rewritten above)
+            hspans = _lit_spans(head)
+            fm_at = None
+            rel, k = 0, 0
+            while k < len(head):
+                if any(a <= k < b for a, b in hspans):
+                    k += 1
+                    continue
+                c = head[k]
+                if c == "(":
+                    rel += 1
+                elif c == ")":
+                    rel -= 1
+                elif (
+                    rel == 0
+                    and c in "fF"
+                    and k > 0
+                    and not (head[k - 1].isalnum() or head[k - 1] == "_")
+                    and re.match(r"(?i)FROM\b", head[k:])
+                ):
+                    fm_at = k
+                    break
+                k += 1
+            if fm_at is None:
+                return sql
+            inner = (
+                head[:fm_at].rstrip()
+                + ", "
+                + ", ".join(f"{e} AS __qw{i}" for i, e in enumerate(winexprs))
+                + " "
+                + head[fm_at:]
+            )
+            exc = " EXCEPT (" + ", ".join(
+                f"__qw{i}" for i in range(len(winexprs))
+            ) + ")"
+        else:
+            inner, exc = head, ""
+        new_block = (
+            f"SELECT *{exc} FROM ({inner}) __qv WHERE {cond2}"
+            + (f" {tail}" if tail else "")
+        )
+        sql = sql[:sel_start] + new_block + sql[blk_end:]
+    return sql
+
+
 def dialect(sql: str) -> str:
     """MySQL/Doris spellings -> Spark SQL (the FE's dialect layer)."""
+    if re.search(r"(?i)(?<![\w.])QUALIFY\b", sql):
+        sql = _rewrite_qualify(sql)
     if _RIGHT_SEMI.search(sql):
         sql = _rewrite_right_semi_anti(sql)
     if re.search(r"(?i)\bHAVING\b", sql):

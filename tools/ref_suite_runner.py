@@ -139,8 +139,15 @@ def _ensure_tpc_suite_fixture(eng, lg_path: str, use_db,
     ).replace("file:", "")
     dbname = eng.spark.catalog.currentDatabase()
     for p, text in tables:
-        t = os.path.splitext(os.path.basename(p))[0]
-        csv = os.path.join(data_dir, f"{t}.csv")
+        stem = os.path.splitext(os.path.basename(p))[0]
+        csv = os.path.join(data_dir, f"{stem}.csv")
+        # the REAL table name comes from the DDL text — fixture dirs like
+        # window_functions/ddl/lineitem.sql create tpch_tiny_lineitem
+        tm = re.search(
+            r"CREATE\s+TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?`?([\w]+)`?",
+            text, re.I,
+        )
+        t = tm.group(1) if tm else stem
         try:
             eng.spark.sql(f"DROP TABLE IF EXISTS `{t}`")
             # a fresh in-memory catalog forgets managed tables but their
@@ -158,8 +165,9 @@ def _ensure_tpc_suite_fixture(eng, lg_path: str, use_db,
             continue
         if os.path.exists(csv):
             sets = {"column_separator": "|"}
-            if t.lower() in colmap:
-                sets["columns"] = colmap[t.lower()]
+            cspec = colmap.get(t.lower()) or colmap.get(stem.lower())
+            if cspec:
+                sets["columns"] = cspec
             try:
                 rp_._stream_load(eng, {"table": t, "path": csv,
                                        "sets": sets})
