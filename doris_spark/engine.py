@@ -225,6 +225,13 @@ class Engine:
                 flags=_re.I,
             )
         stmt = rewrite(dialect(text))
+        # Doris binary-arithmetic coercion (plans/typed_arith.py):
+        # packed-digit date arithmetic, fixed-point promotion, Doris
+        # decimal precision/scale, BIGINT-folded bit ops / DIV. Pure
+        # no-op unless DDL-time column-type hints resolve every leaf.
+        from doris_spark.plans.typed_arith import arith_rewrite
+
+        stmt = arith_rewrite(stmt)
         df = self.spark.sql(stmt)
         if (
             _re.search(r"(?i)(?<![\w.$])avg\s*\(", stmt)

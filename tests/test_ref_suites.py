@@ -84,3 +84,19 @@ def test_array_groovy_full_green():
     assert res["passed"] >= 1004, line + "\n" + json.dumps(
         res["failures"][:10], indent=1
     )
+
+
+def test_nereids_arith_suite_floor():
+    """Doris binary-arithmetic coercion (plans/typed_arith.py): the
+    2,899-case nereids_arith_p0 matrix (every type pair x every
+    operator). Floor 2880; known remainder = abs() over bool/datetime
+    operands, the *_floor SQL-UDF-in-ORDER-BY Spark restriction, and
+    one __DORIS_DELETE_SIGN__ hidden-column case."""
+    line, res = _run(
+        "nereids_arith_p0", "/tmp/ref_suites_arith.json", timeout=1500
+    )
+    assert res["total"] >= 2899, line
+    assert res["passed"] >= 2880, line + "\n" + json.dumps(
+        res["failures"][:10], indent=1
+    )
+    assert res["files_green"] >= 4, line

@@ -1113,6 +1113,16 @@ def translate_ddl(sql: str) -> str | None:
             r"\b(TINYINT|SMALLINT|INT|INTEGER|BIGINT|LARGEINT|DATE)\s*\(\s*\d+\s*\)",
             r"\1", typ, flags=re.I,
         )
+        # DECIMALV2 is PHYSICALLY scale-9 in Doris regardless of the
+        # declared (p,s) — a decimalv2(9,3) column keeps '24.3952'
+        # byte-exactly (pinned by nereids_arith_p0 *_DecimalV2 cases
+        # whose fixture values carry 4 fractional digits). Store at the
+        # engine-wide DecimalV2 SYSTEM_DEFAULT (27,9); the declared type
+        # stays visible to the arithmetic pass via plans/type_hints.
+        typ = re.sub(r"\bDECIMALV2\s*\(\s*\d+\s*,\s*\d+\s*\)",
+                     "DECIMAL(27,9)", typ, flags=re.I)
+        typ = re.sub(r"\bDECIMALV2\b(?!\s*\()", "DECIMAL(27,9)", typ,
+                     flags=re.I)
         typ = re.sub(r"\bDECIMALV[23]\b", "DECIMAL", typ, flags=re.I)
         typ = re.sub(r"\bVARCHAR\s*\((?:\d+|\*)\)", "STRING", typ, flags=re.I)
         typ = re.sub(r"\bCHAR\s*\(\d+\)", "STRING", typ, flags=re.I)
