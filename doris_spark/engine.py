@@ -203,6 +203,18 @@ class Engine:
         ins = self._insert(text)
         if ins is not None:
             return ins
+        if _re.match(r"\s*WITH\s+RECURSIVE\b", text, _re.I):
+            # plain-UNION (distinct) recursion: Spark's native UnionLoop
+            # only takes UNION ALL — evaluate with the semi-naive driver
+            # loop (plans/recursive_cte.py); UNION ALL falls through to
+            # the native path
+            from doris_spark.plans.recursive_cte import (
+                try_recursive_union_sql,
+            )
+
+            rec = try_recursive_union_sql(self, text)
+            if rec is not None:
+                return rec
         self.last_mv_rewrite = None
         if self._mvs:
             from doris_spark.plans.mv_rewrite import try_rewrite
@@ -232,7 +244,49 @@ class Engine:
         from doris_spark.plans.typed_arith import arith_rewrite
 
         stmt = arith_rewrite(stmt)
-        df = self.spark.sql(stmt)
+        try:
+            df = self.spark.sql(stmt)
+        except Exception as e:
+            # Spark forbids SQL temp functions in some plan positions
+            # (Generate, sort of a sorted-limit subquery, ...):
+            # UNSUPPORTED_SQL_UDF_USAGE. The registry functions are pure
+            # SQL aliases, so inline the body at the call sites and
+            # retry (pinned by nereids_syntax_p0/lateral_view
+            # function_nested and nereids_arith_p0/topn_alltype).
+            df = None
+            msg = str(e)
+            if "ASSIGNMENT_ARITY_MISMATCH" in msg and _re.search(
+                r"\bAS\s*\(", stmt, _re.I
+            ):
+                # Doris CTE column-alias lists may name a PREFIX of the
+                # subquery's columns (WITH c (skey, sname) AS (SELECT *
+                # FROM supplier) keeps the remaining columns under their
+                # own names — nereids_syntax_p0/cte.groovy cte_7..10);
+                # Spark requires exact arity, so pad the list from the
+                # analyzed schema.
+                padded = _pad_cte_aliases(self.spark, stmt)
+                if padded is not None and padded != stmt:
+                    stmt = padded
+                    try:
+                        df = self.spark.sql(stmt)
+                    except Exception as e3:
+                        msg = str(e3)
+            if df is None:
+                for _ in range(5):
+                    fm = _re.search(r"Using SQL function `(\w+)`", msg)
+                    if fm is None:
+                        raise
+                    inlined = _inline_sql_function(stmt, fm.group(1))
+                    if inlined is None or inlined == stmt:
+                        raise
+                    stmt = inlined
+                    try:
+                        df = self.spark.sql(stmt)
+                        break
+                    except Exception as e2:  # noqa: PERF203
+                        msg = str(e2)
+            if df is None:
+                raise
         if (
             _re.search(r"(?i)(?<![\w.$])avg\s*\(", stmt)
             or "make_interval(0, 0, 0, CAST((" in stmt
@@ -636,3 +690,143 @@ class Engine:
     def drop_table(self, name: str) -> None:
         self.spark.catalog.dropTempView(name)
         self._views.pop(name, None)
+
+
+def _inline_sql_function(stmt: str, fname: str) -> str | None:
+    """Inline a registry SQL-alias function's body at every textual call
+    site of `fname` in `stmt` (balanced-paren arg split, declared param
+    types applied as CASTs). Returns None when the function isn't a
+    known SQL alias."""
+    import re
+
+    from doris_spark.functions.registry import DORIS_SQL_FUNCTIONS
+    from doris_spark.functions.registry_ext import DORIS_SQL_FUNCTIONS_EXT
+    from doris_spark.plans.sql_macros import _split_top
+
+    spec = DORIS_SQL_FUNCTIONS.get(fname.lower()) or \
+        DORIS_SQL_FUNCTIONS_EXT.get(fname.lower())
+    if spec is None:
+        return None
+    params_src, body = spec
+    params = []
+    for p in params_src.split(","):
+        bits = p.strip().split(None, 1)
+        if not bits:
+            return None
+        params.append((bits[0], bits[1] if len(bits) > 1 else None))
+
+    token = re.compile(rf"(?<![\w.$]){re.escape(fname)}\s*\(", re.I)
+    out, i = [], 0
+    changed = False
+    while True:
+        m = token.search(stmt, i)
+        if m is None:
+            out.append(stmt[i:])
+            break
+        depth, k, in_str = 1, m.end(), None
+        while k < len(stmt) and depth:
+            c = stmt[k]
+            if in_str:
+                if c == in_str:
+                    in_str = None
+            elif c in ("'", '"'):
+                in_str = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        args = _split_top(stmt[m.end(): k - 1])
+        if len(args) != len(params):
+            out.append(stmt[i:k])
+            i = k
+            continue
+        expansion = body
+        for (pname, ptype), arg in zip(params, args):
+            rep = (f"CAST(({arg.strip()}) AS {ptype})"
+                   if ptype else f"({arg.strip()})")
+            expansion = re.sub(
+                rf"(?<![\w.$`]){re.escape(pname)}(?![\w$`])",
+                lambda _m, r=rep: r,
+                expansion,
+            )
+        out.append(stmt[i: m.start()])
+        out.append(f"({expansion})")
+        i = k
+        changed = True
+    return "".join(out) if changed else None
+
+
+def _pad_cte_aliases(spark, stmt: str) -> str | None:
+    """Pad WITH-clause column-alias lists that name only a prefix of the
+    subquery's output (Doris semantics) out to Spark's required full
+    arity, using the analyzed schema. CTEs are processed left-to-right
+    so later bodies can reference earlier (already-padded) CTEs."""
+    import re
+
+    head = re.compile(
+        r"(\bWITH\b|,)\s*(`?\w+`?)\s*\(([^)]*)\)\s*AS\s*\(", re.I)
+    out = stmt
+    pos = 0
+    prefix_ctes: list[str] = []
+    changed = False
+    for _ in range(32):
+        m = head.search(out, pos)
+        if m is None:
+            break
+        depth, k, in_str = 1, m.end(), None
+        while k < len(out) and depth:
+            c = out[k]
+            if in_str:
+                if c == in_str:
+                    in_str = None
+            elif c in ("'", '"'):
+                in_str = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        body = out[m.end(): k - 1]
+        aliases = [a.strip().strip("`") for a in m.group(3).split(",")
+                   if a.strip()]
+        probe = ("WITH " + ", ".join(prefix_ctes) + " " if prefix_ctes
+                 else "") + f"SELECT * FROM ( {body} ) __cte_probe"
+        try:
+            cols = spark.sql(probe).columns
+        except Exception:
+            return None
+        if len(aliases) < len(cols):
+            taken = {a.lower() for a in aliases}
+            extra = [c for c in cols[len(aliases):]]
+            alias_full = aliases + [
+                c if c.lower() not in taken else c + "__pad"
+                for c in extra
+            ]
+            new_list = ", ".join(f"`{a}`" for a in alias_full)
+            out = (out[: m.start(3)] + new_list
+                   + out[m.end(3):])
+            changed = True
+            # re-locate the body end after the splice
+            m = head.search(out, pos)
+            depth, k, in_str = 1, m.end(), None
+            while k < len(out) and depth:
+                c = out[k]
+                if in_str:
+                    if c == in_str:
+                        in_str = None
+                elif c in ("'", '"'):
+                    in_str = c
+                elif c == "(":
+                    depth += 1
+                elif c == ")":
+                    depth -= 1
+                k += 1
+            aliases = [a.strip().strip("`")
+                       for a in m.group(3).split(",") if a.strip()]
+            body = out[m.end(): k - 1]
+        name = m.group(2).strip("`")
+        alias_sql = f" ({', '.join(aliases)})" if aliases else ""
+        prefix_ctes.append(f"{name}{alias_sql} AS ( {body} )")
+        pos = k
+    return out if changed else None

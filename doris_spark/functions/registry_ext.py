@@ -546,7 +546,10 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     "hll_union_scalar": ("a ARRAY<INT>, b ARRAY<INT>", "zip_with(a, b, (x, y) -> greatest(x, y))"),
     "hll_cardinality": (
         "h ARRAY<INT>",
-        "CASE WHEN h IS NULL THEN NULL "
+        # a NULL hll behaves as the empty sketch (cardinality 0) — BE
+        # HLL functions are not NULL-propagating (nereids_syntax_p0/
+        # any_value.groovy sql_any13: any over an empty table)
+        "CASE WHEN h IS NULL THEN 0 "
         "WHEN (0.72125 * 1024 * 1024 / aggregate(h, CAST(0.0 AS DOUBLE), (acc, r) -> acc + pow(2.0, -r))) "
         "  <= 2560 AND size(filter(h, r -> r = 0)) > 0 "
         "THEN CAST(round(1024 * ln(CAST(1024 AS DOUBLE) / size(filter(h, r -> r = 0)))) AS BIGINT) "
@@ -570,7 +573,9 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     ),
     "quantile_percent": (
         "qs ARRAY<DOUBLE>, p DOUBLE",
-        "CASE WHEN size(qs) = 0 THEN NULL WHEN size(qs) = 1 THEN qs[0] ELSE "
+        # NULL quantile_state -> 0.0 (BE treats it as the empty sketch)
+        "CASE WHEN qs IS NULL THEN 0.0 "
+        "WHEN size(qs) = 0 THEN NULL WHEN size(qs) = 1 THEN qs[0] ELSE "
         "array_sort(qs)[CAST(floor((size(qs) - 1) * p) AS INT)] "
         "+ ((size(qs) - 1) * p - floor((size(qs) - 1) * p)) "
         "* (array_sort(qs)[least(CAST(floor((size(qs) - 1) * p) AS INT) + 1, size(qs) - 1)] "

@@ -1095,6 +1095,16 @@ def dialect(sql: str) -> str:
         sql,
         flags=re.I,
     )
+    # a bare NULL predicate filters every row (MySQL boolean context);
+    # Spark rejects a VOID filter (pinned by empty_relation/
+    # eliminate_empty.groovy `where Null` union/intersect/except cases)
+    sql = _sub_outside_literals(
+        r"\b(WHERE|HAVING)\s+NULL\s*(?=;|$|\)|\bGROUP\b|\bORDER\b|\bLIMIT\b"
+        r"|\bUNION\b|\bINTERSECT\b|\bEXCEPT\b|\bHAVING\b)",
+        lambda m: f"{m.group(1)} CAST(NULL AS BOOLEAN) ",
+        sql,
+        flags=re.I,
+    )
     # MySQL LIMIT offset,count -> LIMIT count OFFSET offset
     sql = _sub_outside_literals(
         r"\bLIMIT\s+(\d+)\s*,\s*(\d+)",

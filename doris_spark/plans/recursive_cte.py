@@ -94,3 +94,121 @@ def recursive_union(
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
+
+
+# ---------------------------------------------------------------------------
+# SQL surface: WITH RECURSIVE ... UNION [DISTINCT] ...
+#
+# Spark 4's native UnionLoop executes only the UNION ALL form; Doris also
+# accepts plain UNION with global-dedup semantics (FE
+# LogicalRecursiveUnion.java; pinned by rec_cte_p0/rec_cte). This path
+# parses the single-CTE statement shape and evaluates it with the
+# semi-naive driver loop above: the recursive term sees the previous
+# frontier (the SQL-standard working table), new rows are deduped
+# against the accumulated set, iteration stops at the empty frontier.
+
+import re as _re
+
+
+def _toplevel_spans(s: str):
+    """Indexes of characters at paren depth 0 and outside literals."""
+    from doris_spark.plans.dialect import _lit_spans
+
+    lits = sorted(_lit_spans(s))
+    li = 0
+    depth = 0
+    flat = []
+    for i, c in enumerate(s):
+        while li < len(lits) and lits[li][1] <= i:
+            li += 1
+        if li < len(lits) and lits[li][0] <= i:
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+        elif depth == 0:
+            flat.append(i)
+    return set(flat)
+
+
+_REC_HEAD = _re.compile(
+    r"^\s*WITH\s+RECURSIVE\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*AS\s*\(",
+    _re.I,
+)
+
+
+def try_recursive_union_sql(engine, text: str):
+    """If `text` is a single WITH RECURSIVE CTE using plain UNION
+    (distinct) — the form Spark's native UnionLoop rejects — evaluate it
+    with the driver fixpoint loop and return the outer query's
+    DataFrame. Returns None when the statement isn't that shape (native
+    UNION ALL recursion and everything else flows on unchanged)."""
+    m = _REC_HEAD.match(text)
+    if m is None:
+        return None
+    name, collist = m.group(1), m.group(2)
+    # balanced scan for the body's closing paren
+    from doris_spark.plans.dialect import _lit_spans
+
+    lits = sorted(_lit_spans(text))
+    li = 0
+    depth, i = 1, m.end()
+    n = len(text)
+    while i < n and depth:
+        while li < len(lits) and lits[li][1] <= i:
+            li += 1
+        if li < len(lits) and lits[li][0] <= i:
+            i = lits[li][1]
+            continue
+        if text[i] == "(":
+            depth += 1
+        elif text[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        return None
+    body = text[m.end(): i - 1]
+    outer = text[i:].strip().rstrip(";")
+    if outer.startswith(","):
+        return None  # multiple CTEs: out of scope for this path
+    # top-level plain UNIONs (not UNION ALL) inside the body
+    top = _toplevel_spans(body)
+    splits = [
+        um for um in _re.finditer(r"\bUNION\b(?!\s+ALL\b)", body, _re.I)
+        if um.start() in top
+    ]
+    if not splits:
+        return None  # UNION ALL only -> native Spark path
+    # anchor = everything before the FIRST plain UNION whose right side
+    # references the CTE; step = everything after it
+    ref = _re.compile(rf"(?<![\w.`]){name}(?![\w`])", _re.I)
+    split_at = next(
+        (um for um in splits if ref.search(body[um.end():])), None)
+    if split_at is None:
+        return None
+    anchor_sql = body[: split_at.start()]
+    step_sql = body[split_at.end():]
+    spark = engine.spark
+    anchor = engine.sql(anchor_sql).distinct()
+    if collist:
+        cols = [c.strip().strip("`") for c in collist.split(",")]
+        anchor = anchor.toDF(*cols)
+    # scalar/tiny-anchor recursions (the common SQL fixpoint shape)
+    # spend their time in per-iteration stage scheduling: size the
+    # subtract/distinct shuffles to the frontier, not the session
+    shuffle_parts = 1 if len(anchor.take(33)) <= 32 else None
+
+    def step(frontier):
+        frontier.createOrReplaceTempView(name)
+        out = engine.sql(step_sql)
+        if collist:
+            out = out.toDF(*[c.strip().strip("`")
+                             for c in collist.split(",")])
+        return out
+
+    result = recursive_union(
+        anchor, step, distinct=True, max_iterations=1000,
+        shuffle_partitions=shuffle_parts)
+    result.localCheckpoint(eager=True).createOrReplaceTempView(name)
+    return engine.sql(outer)

@@ -87,10 +87,26 @@ def _retention(args: Sequence[str]) -> str:
 
 def _lambda_first(spark_name: str) -> Macro:
     """Doris lambda-first form -> Spark hof (lambda last). Non-lambda
-    first arg falls through to the registered mask-form SQL UDF."""
+    first arg falls through to the registered mask-form SQL UDF.
+    Doris array_map is N-ary ((x,y) -> x+y over two arrays); Spark's
+    transform is unary, so the 2-array form maps to zip_with and wider
+    forms zip pairwise (nereids_syntax_p0/array_function.groovy)."""
 
     def m(args: Sequence[str]) -> str:
         if len(args) >= 2 and "->" in args[0]:
+            if spark_name == "transform" and len(args) == 3:
+                return f"zip_with({args[1]}, {args[2]}, {args[0]})"
+            if spark_name == "transform" and len(args) > 3:
+                lam = args[0]
+                params = re.findall(r"[\w$]+", lam.split("->", 1)[0])
+                body = lam.split("->", 1)[1]
+                # zip all arrays into structs, rebind params to fields
+                zipped = f"arrays_zip({', '.join(a.strip() for a in args[1:])})"
+                for idx, p in enumerate(params):
+                    body = re.sub(
+                        rf"(?<![\w.$`]){re.escape(p)}(?![\w$`])",
+                        f"__z__['{idx}']", body)
+                return f"transform({zipped}, __z__ -> ({body}))"
             rest = ", ".join(args[1:])
             return f"{spark_name}({rest}, {args[0]})"
         return f"__KEEP__({', '.join(args)})"
@@ -1340,6 +1356,156 @@ MACROS["struct_element"] = _struct_element
 MACROS["topn"] = _topn
 MACROS["topn_array"] = _topn_array
 MACROS["topn_weighted"] = _topn_weighted
+
+
+# --- regexp_replace family -------------------------------------------------
+# Doris regexes are RE2: script properties spell \p{Han}; Java wants
+# \p{IsHan}. The optional 4th arg 'IGNORE_INVALID_ESCAPE'
+# (be/src/exprs/function/function_regexp.cpp) makes invalid replacement
+# escapes literal (\} -> }) instead of erroring — Spark validates
+# replacement escapes strictly, so the replacement is sanitized with a
+# runtime regexp_replace (works for column-valued replacements too).
+_RE2_SCRIPTS = (
+    "Han|Latin|Greek|Cyrillic|Arabic|Hebrew|Hiragana|Katakana|Hangul|"
+    "Thai|Devanagari|Armenian|Georgian|Bengali|Tamil|Gujarati|Khmer|"
+    "Lao|Myanmar|Sinhala|Tibetan|Mongolian|Ethiopic"
+)
+_P_SCRIPT = re.compile(r"\\p\{(" + _RE2_SCRIPTS + r")\}")
+# strip one backslash before anything that is not \ or $ (the only
+# replacement escapes Spark accepts)
+_SANITIZE_REPL = r"'\\\\([^\\\\$])', '$1'"
+
+
+def _ignore_invalid_escape(a) -> bool:
+    return re.fullmatch(
+        r"\s*['\"]IGNORE_INVALID_ESCAPE['\"]\s*", a, re.I) is not None
+
+
+_SPARK_LIT_ESC = {"n": "\n", "t": "\t", "r": "\r", "b": "\b", "f": "\f",
+                  "0": "\0", "\\": "\\", "'": "'", '"': '"'}
+_QUANT = re.compile(r"\{\d+(,\d*)?\}")
+
+
+def _java_safe_regex_literal(arg: str) -> str:
+    """RE2 (Doris) treats a bare '{' that doesn't open a quantifier as a
+    literal; Java's Pattern rejects it. For a simple quoted literal
+    pattern arg, unescape it the way Spark's parser will, escape the
+    offending braces, and re-emit. Non-literal args pass through."""
+    m = re.fullmatch(r"\s*'((?:[^'\\]|\\.)*)'\s*", arg, re.S)
+    if m is None:
+        return arg
+    raw = m.group(1)
+    # the pattern string Spark's literal parser would produce
+    s, i, out = raw, 0, []
+    while i < len(s):
+        if s[i] == "\\" and i + 1 < len(s):
+            out.append(_SPARK_LIT_ESC.get(s[i + 1], s[i + 1]))
+            i += 2
+        else:
+            out.append(s[i])
+            i += 1
+    pat = "".join(out)
+    fixed, i = [], 0
+    while i < len(pat):
+        c = pat[i]
+        if c == "\\" and i + 1 < len(pat):
+            fixed.append(pat[i: i + 2])
+            i += 2
+            # \p{...} / \P{...} property groups keep their braces
+            if pat[i - 1] in "pP" and i < len(pat) and pat[i] == "{":
+                j = pat.find("}", i)
+                if j >= 0:
+                    fixed.append(pat[i: j + 1])
+                    i = j + 1
+            continue
+        if c == "{" and not _QUANT.match(pat, i):
+            fixed.append("\\{")
+            i += 1
+            continue
+        fixed.append(c)
+        i += 1
+    safe = "".join(fixed)
+    if safe == pat:
+        return arg
+    lit = safe.replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{lit}'"
+
+
+def _regexp_replace_m(args):
+    a = list(args)
+    if len(a) >= 2:
+        a[1] = _java_safe_regex_literal(_P_SCRIPT.sub(r"\\p{Is\1}", a[1]))
+    if len(a) == 4 and _ignore_invalid_escape(a[3]):
+        repl = f"regexp_replace({a[2]}, {_SANITIZE_REPL})"
+        return f"__KEEP__({a[0]}, {a[1]}, {repl})"
+    return "__KEEP__(" + ", ".join(a) + ")"
+
+
+def _regexp_replace_one_m(args):
+    a = list(args)
+    if len(a) >= 2:
+        a[1] = _java_safe_regex_literal(_P_SCRIPT.sub(r"\\p{Is\1}", a[1]))
+    if len(a) == 4 and _ignore_invalid_escape(a[3]):
+        repl = f"regexp_replace({a[2]}, {_SANITIZE_REPL})"
+        return f"__KEEP__({a[0]}, {a[1]}, {repl})"
+    return "__KEEP__(" + ", ".join(a) + ")"
+
+
+MACROS["regexp_replace"] = _regexp_replace_m
+MACROS["regexp_replace_one"] = _regexp_replace_one_m
+
+
+def _unit_add_interval(sign: str):
+    """Doris's <unit>_add/<unit>_sub also accept an INTERVAL literal as
+    the count (DAYS_SUB(x, INTERVAL 2 YEAR) applies the INTERVAL, not 2
+    days — nereids_syntax_p0/test_date_sub.groovy). Non-INTERVAL counts
+    keep the registered fixed-unit SQL function."""
+
+    def m(args):
+        if len(args) == 2 and re.match(r"\s*INTERVAL\b", args[1], re.I):
+            return (f"(CAST({args[0]} AS TIMESTAMP) {sign} "
+                    f"({args[1].strip()}))")
+        return "__KEEP__(" + ", ".join(args) + ")"
+
+    return m
+
+
+for _u in ("years", "months", "weeks", "days",
+           "hours", "minutes", "seconds"):
+    MACROS[f"{_u}_add"] = _unit_add_interval("+")
+    MACROS[f"{_u}_sub"] = _unit_add_interval("-")
+
+
+# --- AGG_STATE combinators for value-position aggregates -----------------
+# (functions/combinators.py covers sum/count/min/max/avg as DataFrame
+# expressions; these SQL spellings cover the agg_state<max_by(...)> /
+# agg_state<group_concat(...)> generic-column pattern pinned by
+# nereids_syntax_p0/any_value.groovy sql_any21-24.)
+MACROS["max_by_state"] = (
+    lambda a: f"named_struct('v', {a[0]}, 'k', {a[1]})"
+    if len(a) == 2 else "__KEEP__(" + ", ".join(a) + ")")
+MACROS["min_by_state"] = MACROS["max_by_state"]
+MACROS["max_by_union"] = (
+    lambda a: f"max_by({a[0]}, ({a[0]})['k'])" if len(a) == 1
+    else "__KEEP__(" + ", ".join(a) + ")")
+MACROS["min_by_union"] = (
+    lambda a: f"min_by({a[0]}, ({a[0]})['k'])" if len(a) == 1
+    else "__KEEP__(" + ", ".join(a) + ")")
+MACROS["max_by_merge"] = (
+    lambda a: f"max_by(({a[0]})['v'], ({a[0]})['k'])" if len(a) == 1
+    else "__KEEP__(" + ", ".join(a) + ")")
+MACROS["min_by_merge"] = (
+    lambda a: f"min_by(({a[0]})['v'], ({a[0]})['k'])" if len(a) == 1
+    else "__KEEP__(" + ", ".join(a) + ")")
+MACROS["group_concat_state"] = (
+    lambda a: f"array({a[0]})" if len(a) == 1
+    else "__KEEP__(" + ", ".join(a) + ")")
+MACROS["group_concat_union"] = (
+    lambda a: f"flatten(collect_list({a[0]}))" if len(a) == 1
+    else "__KEEP__(" + ", ".join(a) + ")")
+MACROS["group_concat_merge"] = (
+    lambda a: f"array_join(flatten(collect_list({a[0]})), ',')"
+    if len(a) == 1 else "__KEEP__(" + ", ".join(a) + ")")
 MACROS["sum_map"] = _map_merge(
     "aggregate(filter({PAIRS}, p -> p.k <=> k), CAST(0 AS DOUBLE), (acc, p) -> acc + p.v)"
 )
@@ -1805,6 +1971,8 @@ _PY_UDTFS = {
     "explode_json_object", "json_each", "json_each_text",
     "explode_split", "explode_numbers", "explode_bitmap", "explode_map",
     "explode_variant_array", "unnest", "sentences", "numbers_gap",
+    "explode_json_array_string", "explode_json_array_int",
+    "explode_json_array_double", "explode_json_array_json",
 }
 _PY_UDTFS |= {n + "_outer" for n in list(_PY_UDTFS)}
 

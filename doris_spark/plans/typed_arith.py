@@ -416,7 +416,7 @@ def _emit(op: str, lv: _Val, rv: _Val) -> _Val | None:
 _NUM = re.compile(
     r"0[xX][0-9a-fA-F]+|(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?")
 _QUAL_ID = re.compile(
-    r"`[^`]*`|[A-Za-z_$][\w$]*(?:\.(?:`[^`]*`|[A-Za-z_$][\w$]*|\*))*")
+    r"(?:`[^`]*`|[A-Za-z_$][\w$]*)(?:\.(?:`[^`]*`|[A-Za-z_$][\w$]*|\*))*")
 
 # words that terminate an arithmetic region. 'null'/'true'/'false'/
 # 'date'/'timestamp'/'cast' are handled INSIDE the parser instead.
@@ -641,6 +641,20 @@ def _process(s: str, toks, lo: int, hi: int):
             low = fn.text.lower()
             if low == "cast" or low.endswith(".cast"):
                 call.type = _cast_leaf_type(nd.text)
+            elif low == "abs" and nd.args and len(nd.args) == 1 and \
+                    nd.args[0][1] and nd.args[0][1][0] in (
+                        "bool", "date", "dt", "str"):
+                # Doris abs() takes any numeric-coercible operand: bool
+                # -> tinyint, datelike -> packed bigint, string -> double
+                # (nereids_arith_p0/topn_alltype abs(kbool)/abs(kdtmv2))
+                v = _to_numeric(_Val(nd.args[0][0], nd.args[0][1]))
+                if v is not None:
+                    vv = v if v.type[0] == "i" or v.type[0] in (
+                        "float", "double") else _Val(
+                        f"CAST({v.text} AS TINYINT)", ("i", 1))
+                    call.text = f"abs({vv.text})"
+                    call.type = vv.type
+                    changed = True
             elif low in ("bitand", "bitor", "bitxor") and nd.args and \
                     len(nd.args) == 2 and all(t for _, t in nd.args):
                 op = {"bitand": "&", "bitor": "|", "bitxor": "^"}[low]
@@ -660,46 +674,54 @@ def _region_pass(s: str, toks, lo: int, hi: int):
     each; returns (nodes, changed, whole_type) where whole_type is the
     region's Doris type when the ENTIRE range is one typed expression."""
     merged, changed = _process(s, toks, lo, hi)
-    out: list[_Node] = []
+    # segment into regions separated by boundary tokens; a region
+    # adjacent to a bare '.' boundary (spaced qualifier dot: `t2 . col`)
+    # is POISONED — rewriting either side would detach the qualifier
+    segments: list = []  # region list | boundary node
     region: list[_Node] = []
-    whole_type = None
-    n_regions = 0
-
-    def flush():
-        nonlocal changed, whole_type, n_regions
-        if not region:
-            return
-        n_regions += 1
-        has_op = any(nd.kind in ("op", "opword") for nd in region)
-        if has_op:
-            try:
-                p = _ExprParser(region)
-                v = p.parse()
-                if p.n_ops >= 1:
-                    nd = _Node("group", v.text, region[0].a,
-                               region[-1].b, v.type)
-                    out.append(nd)
-                    changed = True
-                    whole_type = v.type
-                    region.clear()
-                    return
-            except _Bail:
-                pass
-        elif len(region) == 1 and region[0].kind in (
-                "id", "num", "str", "group", "call"):
-            whole_type = _leaf_type(region[0])
-        out.extend(region)
-        region.clear()
-
     for nd in merged:
         if nd.kind in ("comma", "cmp", "word", "other"):
-            flush()
-            out.append(nd)
-            whole_type = None
-            n_regions += 1
+            segments.append(region)
+            segments.append(nd)
+            region = []
         else:
             region.append(nd)
-    flush()
+    segments.append(region)
+    poisoned = set()
+    for k, seg in enumerate(segments):
+        if isinstance(seg, _Node) and seg.text == ".":
+            poisoned.add(k - 1)
+            poisoned.add(k + 1)
+
+    out: list[_Node] = []
+    whole_type = None
+    n_regions = 0
+    for k, seg in enumerate(segments):
+        if isinstance(seg, _Node):
+            out.append(seg)
+            whole_type = None
+            n_regions += 1
+            continue
+        if not seg:
+            continue
+        n_regions += 1
+        has_op = any(nd.kind in ("op", "opword") for nd in seg)
+        if has_op and k not in poisoned:
+            try:
+                p = _ExprParser(seg)
+                v = p.parse()
+                if p.n_ops >= 1:
+                    out.append(_Node("group", v.text, seg[0].a,
+                                     seg[-1].b, v.type))
+                    changed = True
+                    whole_type = v.type
+                    continue
+            except _Bail:
+                pass
+        elif len(seg) == 1 and seg[0].kind in (
+                "id", "num", "str", "group", "call"):
+            whole_type = _leaf_type(seg[0])
+        out.extend(seg)
     if n_regions != 1:
         whole_type = None
     return out, changed, whole_type
@@ -827,7 +849,7 @@ class _ExprParser:
 
 
 _ARITH_CHARS = re.compile(
-    r"[+\-*/%&|^]|\b(?:div|mod|bitand|bitor|bitxor)\b", re.I)
+    r"[+\-*/%&|^]|\b(?:div|mod|bitand|bitor|bitxor|abs)\b", re.I)
 
 
 def arith_rewrite(stmt: str) -> str:

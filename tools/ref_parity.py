@@ -29,6 +29,39 @@ SUITE_DIR = "/root/reference/regression-test/suites/doc/sql-manual/sql-functions
 DATA_DIR = "/root/reference/regression-test/data/doc/sql-manual/sql-functions"
 SUITES = ["numeric", "string", "date", "json", "array", "bitmap", "ai_distance"]
 
+_G_ESC = {
+    "\\": "\\", '"': '"', "'": "'", "n": "\n", "t": "\t", "r": "\r",
+    "$": "$", "b": "\b", "f": "\f",
+}
+
+
+def _groovy_unescape(s: str) -> str:
+    """Java/groovy escape processing for double-quoted and single-quoted
+    groovy strings (a '''...''' body is raw and must NOT pass through
+    here). Unknown escapes are groovy compile errors, so any \\x left by
+    the extractor is passed through verbatim."""
+    out = []
+    i, n = 0, len(s)
+    while i < n:
+        c = s[i]
+        if c == "\\" and i + 1 < n:
+            nx = s[i + 1]
+            if nx in _G_ESC:
+                out.append(_G_ESC[nx])
+                i += 2
+                continue
+            if nx == "u" and i + 6 <= n:
+                try:
+                    out.append(chr(int(s[i + 2: i + 6], 16)))
+                    i += 6
+                    continue
+                except ValueError:
+                    pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 _QT = re.compile(
     r"(?:(order_qt_|qt_)([A-Za-z0-9_]+)\s*|\b(?:multi_)?sql\s*\(?\s*)"
     r"(?:'''(.*?)'''|\"\"\"(.*?)\"\"\""
@@ -657,10 +690,16 @@ def parse_suite_files(groovy_path: str, out_path: str | None = None):
             continue
         body = m.groups()[2:][gidx]
         if gidx >= 2:
-            # single-line "..."/'...' spellings: groovy escapes — join
-            # line continuations, unescape \" and \'
+            # single-line "..."/'...' spellings: join line continuations
             body = re.sub(r"\\\s*\n\s*", " ", body)
-            body = body.replace('\\"', '"').replace("\\'", "'")
+        if gidx >= 1:
+            # groovy processes Java escape sequences in """...""", "..."
+            # and '...' strings ('''...''' is raw): \\ -> \, \" -> ",
+            # \n -> newline, \uXXXX. Doris's CI therefore receives the
+            # UNESCAPED text — '\\\\p{Han}' in the groovy source is
+            # '\\p{Han}' on the wire (pinned by nereids_syntax_p0/
+            # test_regexp_replace.groovy replace_chinese).
+            body = _groovy_unescape(body)
         cases.append(
             (m.group(2), body.strip().rstrip(";"), m.group(1) == "order_qt_")
         )
@@ -1096,6 +1135,40 @@ def translate_ddl(sql: str) -> str | None:
         # COMMENT may sit INSIDE a struct field (before the closing '>'):
         # strip the quoted form wherever it appears, then tail attributes
         typ = re.sub(r"\s+COMMENT\s+(\"[^\"]*\"|'[^']*')", "", typ, flags=re.I)
+        # AGG_STATE<f(types)> generic columns: stored as the engine's
+        # typed state representation (functions/combinators.py design;
+        # SQL surface = <f>_state/_union/_merge macros in sql_macros.py)
+        def _agg_state_t(am: re.Match) -> str:
+            fn = am.group(1).lower()
+            argts = [re.sub(r"\s+(NOT\s+)?NULL\s*$", "", t.strip(),
+                            flags=re.I)
+                     for t in am.group(2).split(",")]
+
+            def one(t):
+                t = t.strip().upper()
+                return {"INT": "INT", "TINYINT": "TINYINT",
+                        "SMALLINT": "SMALLINT", "BIGINT": "BIGINT",
+                        "LARGEINT": "DECIMAL(38,0)", "STRING": "STRING",
+                        "VARCHAR": "STRING", "DOUBLE": "DOUBLE",
+                        "FLOAT": "FLOAT", "BOOLEAN": "BOOLEAN",
+                        }.get(re.sub(r"\(.*", "", t), "STRING")
+
+            if fn in ("max_by", "min_by") and len(argts) == 2:
+                return f"STRUCT<v: {one(argts[0])}, k: {one(argts[1])}>"
+            if fn == "group_concat":
+                return "ARRAY<STRING>"
+            if fn in ("sum", "min", "max", "any_value"):
+                return one(argts[0])
+            if fn == "count":
+                return "BIGINT"
+            if fn == "avg":
+                return "STRUCT<s: DOUBLE, n: BIGINT>"
+            return "STRING"
+
+        typ = re.sub(
+            r"\bAGG_STATE\s*<\s*(\w+)\s*\(([^<>()]*)\)\s*>",
+            _agg_state_t, typ, flags=re.I,
+        )
         typ = re.sub(r"\s+(NOT\s+)?NULL\b.*$", "", typ, flags=re.I)
         typ = re.sub(r"\s+(COMMENT|DEFAULT)\b.*$", "", typ, flags=re.I | re.S)
         # trailing \b: struct FIELD NAMES like datetime_col must not be
@@ -1167,12 +1240,51 @@ def translate_ddl(sql: str) -> str | None:
         r"\"function_column\.sequence_col\"\s*=\s*['\"](\w+)['\"]",
         sql, re.I,
     )
+    # named partition definitions (SELECT ... FROM t PARTITION(p) prunes
+    # by the recorded range/list predicate; nereids_syntax_p0/
+    # select_partition.groovy)
+    part_col, part_defs = None, {}
+    pm = re.search(
+        r"PARTITION\s+BY\s+(RANGE|LIST)\s*\(\s*`?(\w+)`?\s*\)\s*\(",
+        sql, re.I,
+    )
+    if pm is not None:
+        part_col = pm.group(2).lower()
+        depth, k = 1, pm.end()
+        while k < len(sql) and depth:
+            if sql[k] == "(":
+                depth += 1
+            elif sql[k] == ")":
+                depth -= 1
+            k += 1
+        body = sql[pm.end(): k - 1]
+        prev_hi = None
+        for dm in re.finditer(
+            r"PARTITION\s+`?(\w+)`?\s+VALUES\s+"
+            r"(?:LESS\s+THAN\s*\(\s*(MAXVALUE|'[^']*'|\"[^\"]*\"|[\w.-]+)"
+            r"\s*\)"
+            r"|\[\(\s*('[^']*'|\"[^\"]*\"|[\w.-]+)\s*\)\s*,\s*"
+            r"\(\s*('[^']*'|\"[^\"]*\"|[\w.-]+)\s*\)\s*\)"
+            r"|IN\s*\(([^)]*)\))",
+            body, re.I,
+        ):
+            pname = dm.group(1).lower()
+            if dm.group(2) is not None:  # LESS THAN
+                hi = None if dm.group(2).upper() == "MAXVALUE" else dm.group(2)
+                part_defs[pname] = ("range", prev_hi, hi)
+                prev_hi = hi
+            elif dm.group(3) is not None:  # explicit [lo, hi)
+                part_defs[pname] = ("range", dm.group(3), dm.group(4))
+            else:  # LIST
+                part_defs[pname] = ("in", dm.group(5))
     _TABLE_META[name.lower()] = {
         "cols": raw_cols,
         "keys": keys,
         "model": model,
         "aggs": _agg_types,
         "defaults": _defaults,
+        "partition_col": part_col,
+        "partition_defs": part_defs,
         "seq_col": seqm.group(1).lower() if seqm else None,
         "json_cols": {c for c, t, _ in raw_cols if t.startswith(("json", "jsonb"))},
     }
@@ -1691,11 +1803,64 @@ def _split_statements(sql: str) -> list[str]:
 
 
 def _temp_partition_refs(sql: str) -> str:
-    """`t TEMPORARY PARTITION(p)` (INSERT target or FROM item) -> the
-    shadow table the ADD TEMPORARY PARTITION branch created."""
+    """`t TEMPORARY PARTITION(p)` / `... PARTITIONS (p)` / bare
+    `... PARTITION p` (INSERT target or FROM item) -> the shadow table
+    the ADD TEMPORARY PARTITION branch created."""
     return re.sub(
-        r"\b(`?\w+`?)\s+TEMPORARY\s+PARTITION\s*\(\s*`?(\w+)`?\s*\)",
-        lambda m: f"{m.group(1).strip('`')}__tmp__{m.group(2)}",
+        r"\b(`?\w+`?)\s+TEMPORARY\s+PARTITIONS?\s*"
+        r"(?:\(\s*`?(\w+)`?\s*\)|`?(\w+)`?)",
+        lambda m: f"{m.group(1).strip('`')}__tmp__"
+                  f"{m.group(2) or m.group(3)}",
+        sql,
+        flags=re.I,
+    )
+
+
+def _partition_pred(meta, names) -> str | None:
+    """WHERE predicate selecting the named partitions of a table."""
+    col = meta.get("partition_col")
+    defs = meta.get("partition_defs") or {}
+    if not col:
+        return None
+    ors = []
+    for nm in names:
+        d = defs.get(nm.lower())
+        if d is None:
+            return None
+        if d[0] == "in":
+            ors.append(f"`{col}` IN ({d[1]})")
+        else:
+            lo, hi = d[1], d[2]
+            conj = []
+            if lo is not None:
+                conj.append(f"`{col}` >= {lo}")
+            if hi is not None:
+                conj.append(f"`{col}` < {hi}")
+            ors.append("(" + " AND ".join(conj) + ")" if conj else "true")
+    return " OR ".join(f"({o})" for o in ors)
+
+
+def _partition_refs(sql: str) -> str:
+    """FROM/JOIN `t PARTITION p` / `t PARTITIONS (p1, p2)` ->
+    a pruned subquery aliased to the table name (Doris reads only the
+    named partitions; pinned by nereids_syntax_p0/select_partition)."""
+
+    def _sub(m):
+        t = m.group(2).strip("`")
+        names = [x.strip().strip("`")
+                 for x in (m.group(3) or m.group(4)).split(",")]
+        meta = _TABLE_META.get(t.lower())
+        if not meta:
+            return m.group(0)
+        pred = _partition_pred(meta, names)
+        if pred is None:
+            return m.group(0)
+        return f"{m.group(1)} (SELECT * FROM {t} WHERE {pred}) {t}"
+
+    return re.sub(
+        r"\b(FROM|JOIN)\s+(`?\w+`?)\s+PARTITIONS?\s*"
+        r"(?:\(\s*((?:`?\w+`?\s*,?\s*)+)\)|(?!\()(`?\w+`?))",
+        _sub,
         sql,
         flags=re.I,
     )
@@ -3870,6 +4035,8 @@ def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
                 break
     if "TEMPORARY" in sql.upper():
         sql = _temp_partition_refs(sql)
+    if re.search(r"\b(FROM|JOIN)\s+`?\w+`?\s+PARTITIONS?\b", sql, re.I):
+        sql = _partition_refs(sql)
     if re.search(r"\bbitmap|\bhll|quantile|\*", sql, re.I) and not re.match(
         r"\s*(INSERT|UPDATE|DELETE|CREATE|DROP|ALTER|TRUNCATE)\b", sql, re.I
     ):
