@@ -85,6 +85,9 @@ class Engine:
         from doris_spark.streaming.jobs import JobScheduler
 
         self.jobs = JobScheduler(self)
+        # table -> {constraint name -> (type, rendered spec)} (planner
+        # metadata; SHOW CONSTRAINTS / ADD-DROP CONSTRAINT statements)
+        self._constraints: dict[str, dict[str, tuple[str, str]]] = {}
 
     # ------------------------------------------------------------ queries
 
@@ -185,6 +188,61 @@ class Engine:
             return self.spark.createDataFrame(
                 [(snap.count(),)], "affected_rows bigint"
             )
+        con = _re.match(
+            r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+CONSTRAINT\s+"
+            r"`?(\w+)`?\s+(PRIMARY\s+KEY|UNIQUE|FOREIGN\s+KEY)\s*"
+            r"\(([^)]*)\)"
+            r"(?:\s+REFERENCES\s+`?([\w.]+?)`?\s*\(([^)]*)\))?",
+            text, _re.I,
+        )
+        if con is not None:
+            # Doris table constraints are planner METADATA (FE
+            # Constraint.java family — used by optimizer rules, never
+            # enforced at write time); SHOW CONSTRAINTS renders them.
+            t, cname = con.group(1).lower(), con.group(2)
+            ctype = _re.sub(r"\s+", " ", con.group(3).upper())
+            cols = ", ".join(
+                c.strip().strip("`") for c in con.group(4).split(","))
+            if ctype == "FOREIGN KEY":
+                db = self.spark.catalog.currentDatabase()
+                refcols = ", ".join(
+                    c.strip().strip("`")
+                    for c in (con.group(6) or "").split(","))
+                spec = (f"FOREIGN KEY ({cols}) REFERENCES "
+                        f"internal.{db}.{con.group(5)} ({refcols})")
+            else:
+                spec = f"{ctype} ({cols})"
+            self._constraints.setdefault(t, {})[cname] = (ctype, spec)
+            return self.spark.createDataFrame([(0,)], "status bigint")
+        dcon = _re.match(
+            r"^\s*ALTER\s+TABLE\s+`?(\w+)`?\s+DROP\s+CONSTRAINT\s+"
+            r"`?(\w+)`?\s*;?\s*$",
+            text, _re.I,
+        )
+        if dcon is not None:
+            t, cname = dcon.group(1).lower(), dcon.group(2)
+            entry = self._constraints.get(t, {}).pop(cname, None)
+            if entry is not None and entry[0] in ("PRIMARY KEY", "UNIQUE"):
+                # dropping a referenced key cascades to FKs pointing at
+                # this table (pinned by constraint.groovy
+                # drop_fk_cascades)
+                for ot, cons in self._constraints.items():
+                    for nm in [n for n, (ty, sp) in cons.items()
+                               if ty == "FOREIGN KEY"
+                               and _re.search(rf"\.{t}\s*\(", sp, _re.I)]:
+                        cons.pop(nm)
+            return self.spark.createDataFrame([(0,)], "status bigint")
+        shc = _re.match(
+            r"^\s*SHOW\s+CONSTRAINTS\s+FROM\s+`?(\w+)`?\s*;?\s*$",
+            text, _re.I,
+        )
+        if shc is not None:
+            rows = [(n, ty, sp) for n, (ty, sp) in sorted(
+                self._constraints.get(shc.group(1).lower(), {}).items())]
+            return self.spark.createDataFrame(
+                rows or [], "name string, type string, spec string"
+            ) if rows else self.spark.createDataFrame(
+                [], "name string, type string, spec string")
         if _re.match(
             r"^\s*ALTER\s+TABLE\s+`?\w+`?\s+"
             r"(?:ADD|DROP|MODIFY|RENAME)\s+COLUMN\b",
@@ -203,6 +261,13 @@ class Engine:
         ins = self._insert(text)
         if ins is not None:
             return ins
+        if _re.search(r"\*\s+REPLACE\s*\(", text, _re.I):
+            # Doris SELECT * REPLACE (expr AS col, ...) [EXCEPT (cols)]
+            # (nereids_syntax_p0/select_replace.groovy): expand the star
+            # from the analyzed schema with the named columns replaced
+            expanded = self._expand_star_replace(text)
+            if expanded is not None:
+                text = expanded
         if _re.match(r"\s*WITH\s+RECURSIVE\b", text, _re.I):
             # plain-UNION (distinct) recursion: Spark's native UnionLoop
             # only takes UNION ALL — evaluate with the semi-naive driver
@@ -255,7 +320,19 @@ class Engine:
             # function_nested and nereids_arith_p0/topn_alltype).
             df = None
             msg = str(e)
-            if "ASSIGNMENT_ARITY_MISMATCH" in msg and _re.search(
+            if ("UNRESOLVED_COLUMN" in msg or "MISSING_ATTRIBUTES" in msg
+                    or "MISSING_AGGREGATION" in msg) and _re.search(
+                r"(?i)\bgrouping\s+sets\b|\bwith\s+rollup\b|\bcube\s*\(",
+                stmt,
+            ):
+                wrapped = _grouping_having_rewrite(stmt)
+                if wrapped is not None:
+                    try:
+                        df = self.spark.sql(wrapped)
+                    except Exception:
+                        pass
+            if df is None and "ASSIGNMENT_ARITY_MISMATCH" in msg and \
+                    _re.search(
                 r"\bAS\s*\(", stmt, _re.I
             ):
                 # Doris CTE column-alias lists may name a PREFIX of the
@@ -306,6 +383,63 @@ class Engine:
             except Exception:
                 pass
         return df
+
+    def _expand_star_replace(self, text: str):
+        """Expand `* REPLACE (expr AS col, ...) [EXCEPT (cols)]` using
+        the analyzed schema of the star-only statement. Returns the
+        rewritten statement or None on any parse surprise."""
+        import re
+
+        from doris_spark.plans.sql_macros import _split_top
+
+        m = re.search(r"\*\s+REPLACE\s*\(", text, re.I)
+        if m is None:
+            return None
+        depth, k, in_str = 1, m.end(), None
+        while k < len(text) and depth:
+            c = text[k]
+            if in_str:
+                if c == in_str:
+                    in_str = None
+            elif c in ("'", '"'):
+                in_str = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+            k += 1
+        if depth:
+            return None
+        repl_items = _split_top(text[m.end(): k - 1])
+        repl: dict[str, str] = {}
+        for it in repl_items:
+            am = re.match(r"(?s)\s*(.*?)\s+AS\s+`?(\w+)`?\s*$", it, re.I)
+            if am is None:
+                return None
+            repl[am.group(2).lower()] = am.group(1).strip()
+        tail = text[k:]
+        excl: set[str] = set()
+        em = re.match(r"\s*EXCEPT\s*\(([^)]*)\)", tail, re.I)
+        if em is not None:
+            excl = {c.strip().strip("`").lower()
+                    for c in em.group(1).split(",")}
+            tail = tail[em.end():]
+        star_start = text.rindex("*", 0, m.end())
+        probe = text[: star_start + 1] + tail
+        try:
+            cols = self.sql(probe).columns
+        except Exception:
+            return None
+        out_items = []
+        for c in cols:
+            lc = c.lower()
+            if lc in excl:
+                continue
+            if lc in repl:
+                out_items.append(f"{repl[lc]} AS `{c}`")
+            else:
+                out_items.append(f"`{c}`")
+        return text[:star_start] + ", ".join(out_items) + tail
 
     def _dml(self, text: str) -> DataFrame | None:
         """UPDATE t SET c = e, ... [WHERE p] / DELETE FROM t WHERE p.
@@ -830,3 +964,118 @@ def _pad_cte_aliases(spark, stmt: str) -> str | None:
         prefix_ctes.append(f"{name}{alias_sql} AS ( {body} )")
         pos = k
     return out if changed else None
+
+
+def _grouping_having_rewrite(stmt: str) -> str | None:
+    """Spark's HAVING/ORDER BY resolution against GROUPING SETS / ROLLUP
+    / CUBE expressions requires an exact pre-coercion tree match, which
+    fails whenever an implicit cast is involved (bigint k1: `HAVING
+    (k1+1) > 1` vs grouping expr `k1+1` — nereids_syntax_p0/
+    grouping_sets.groovy). Rewrite into a wrapped form where every
+    select item and grouping expression is aliased in the inner query
+    and HAVING/ORDER BY reference the aliases:
+
+        SELECT __c0.. FROM (SELECT item_i AS __c_i, gexpr_j AS __g_j
+                            FROM .. GROUP BY ..) __gh
+        WHERE having' ORDER BY order'
+    """
+    import re
+
+    from doris_spark.plans.sql_macros import _split_top
+
+    if re.search(r"(?i)\b(UNION|INTERSECT|EXCEPT)\b", stmt):
+        return None
+    m = re.match(r"(?is)\s*SELECT\s+(.*?)\s+FROM\s+(.*)$", stmt)
+    if m is None:
+        return None
+    items_src, rest = m.group(1), m.group(2)
+    gm = re.search(r"(?is)\bGROUP\s+BY\b(.*)$", rest)
+    if gm is None:
+        return None
+    from_src = rest[: gm.start()]
+    tail = gm.group(1)
+    hm = re.search(r"(?is)\bHAVING\b", tail)
+    om = re.search(r"(?is)\bORDER\s+BY\b", tail)
+    lm = re.search(r"(?is)\bLIMIT\b", tail)
+    cut = min(x.start() for x in (hm, om, lm) if x is not None) if (
+        hm or om or lm) else len(tail)
+    group_src = tail[:cut].strip()
+    having_src = order_src = limit_src = ""
+    if hm is not None:
+        hend = om.start() if om else (lm.start() if lm else len(tail))
+        having_src = tail[hm.end(): hend].strip()
+    if om is not None:
+        oend = lm.start() if lm else len(tail)
+        order_src = tail[om.end(): oend].strip()
+    if lm is not None:
+        limit_src = tail[lm.start():].strip()
+    if not having_src and not order_src:
+        return None
+
+    # grouping expressions
+    gexprs: list[str] = []
+    gsm = re.search(r"(?is)\bGROUPING\s+SETS\s*\(", group_src)
+    if gsm is not None:
+        depth, k = 1, gsm.end()
+        while k < len(group_src) and depth:
+            if group_src[k] == "(":
+                depth += 1
+            elif group_src[k] == ")":
+                depth -= 1
+            k += 1
+        for part in _split_top(group_src[gsm.end(): k - 1]):
+            part = part.strip()
+            if part.startswith("(") and part.endswith(")"):
+                part = part[1:-1]
+            for e in _split_top(part):
+                if e.strip():
+                    gexprs.append(e.strip())
+    else:
+        gb = re.sub(r"(?is)\bWITH\s+ROLLUP\b", "", group_src)
+        cm = re.match(r"(?is)\s*(ROLLUP|CUBE)\s*\((.*)\)\s*$", gb)
+        if cm is not None:
+            gb = cm.group(2)
+        gexprs = [e.strip() for e in _split_top(gb) if e.strip()]
+
+    def norm(e: str) -> str:
+        return re.sub(r"\s+", "", e).lower().replace("`", "")
+
+    items = [it.strip() for it in _split_top(items_src)]
+    inner_items = []
+    subs: list[tuple[str, str]] = []  # (expr text, alias)
+    for i, it in enumerate(items):
+        am = re.match(r"(?is)^(.*?)\s+AS\s+`?(\w+)`?\s*$", it)
+        expr = am.group(1).strip() if am else it
+        alias = am.group(2) if am else f"__c{i}"
+        inner_items.append(f"{expr} AS `{alias}`")
+        subs.append((expr, alias))
+    out_cols = [re.search(r"`(\w+)`\s*$", x).group(1)
+                for x in inner_items]
+    seen = {norm(e) for e, _ in subs}
+    for j, g in enumerate(gexprs):
+        if norm(g) not in seen:
+            inner_items.append(f"{g} AS `__g{j}`")
+            subs.append((g, f"__g{j}"))
+            seen.add(norm(g))
+
+    def substitute(text: str) -> str:
+        for expr, alias in sorted(subs, key=lambda t: -len(t[0])):
+            pat = re.escape(expr)
+            pat = re.sub(r"\\\s+|\s+", r"\\s*", pat)
+            text = re.sub(
+                rf"(?is)(?<![\w`]){pat}(?![\w`])", f"`{alias}`", text)
+            # parenthesized spelling of the same expression
+            pat2 = r"\(\s*" + pat + r"\s*\)"
+            text = re.sub(rf"(?is){pat2}", f"`{alias}`", text)
+        return text
+
+    inner = (f"SELECT {', '.join(inner_items)} FROM {from_src} "
+             f"GROUP BY {group_src}")
+    outer = f"SELECT {', '.join(f'`{c}`' for c in out_cols)} FROM ({inner}) __gh"
+    if having_src:
+        outer += f" WHERE {substitute(having_src)}"
+    if order_src:
+        outer += f" ORDER BY {substitute(order_src)}"
+    if limit_src:
+        outer += f" {limit_src}"
+    return outer

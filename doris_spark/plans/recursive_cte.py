@@ -90,7 +90,10 @@ def recursive_union(
             # frontier blocks either way).
             result = result.unionByName(nxt)
             frontier = nxt
-        raise RuntimeError(f"recursive_union: no fixpoint after {max_iterations} iterations")
+        raise RuntimeError(
+            f"ABORTED: recursive_union reached the max recursion depth "
+            f"({max_iterations}) without a fixpoint"
+        )
     finally:
         if shuffle_partitions is not None:
             spark.conf.set("spark.sql.shuffle.partitions", saved)
@@ -132,29 +135,18 @@ def _toplevel_spans(s: str):
     return set(flat)
 
 
-_REC_HEAD = _re.compile(
-    r"^\s*WITH\s+RECURSIVE\s+`?(\w+)`?\s*(?:\(([^)]*)\))?\s*AS\s*\(",
-    _re.I,
-)
+_REC_HEAD = _re.compile(r"^\s*WITH\s+RECURSIVE\s+", _re.I)
+_CTE_HEAD = _re.compile(r"\s*`?(\w+)`?\s*(?:\(([^)]*)\))?\s*AS\s*\(", _re.I)
 
 
-def try_recursive_union_sql(engine, text: str):
-    """If `text` is a single WITH RECURSIVE CTE using plain UNION
-    (distinct) — the form Spark's native UnionLoop rejects — evaluate it
-    with the driver fixpoint loop and return the outer query's
-    DataFrame. Returns None when the statement isn't that shape (native
-    UNION ALL recursion and everything else flows on unchanged)."""
-    m = _REC_HEAD.match(text)
-    if m is None:
-        return None
-    name, collist = m.group(1), m.group(2)
-    # balanced scan for the body's closing paren
+def _scan_balanced(text: str, start: int) -> int:
+    """Index just past the ')' matching the '(' that `start` follows
+    (depth already 1 at `start`), literal-aware."""
     from doris_spark.plans.dialect import _lit_spans
 
     lits = sorted(_lit_spans(text))
     li = 0
-    depth, i = 1, m.end()
-    n = len(text)
+    depth, i, n = 1, start, len(text)
     while i < n and depth:
         while li < len(lits) and lits[li][1] <= i:
             li += 1
@@ -166,49 +158,93 @@ def try_recursive_union_sql(engine, text: str):
         elif text[i] == ")":
             depth -= 1
         i += 1
-    if depth:
+    return i if not depth else -1
+
+
+def try_recursive_union_sql(engine, text: str):
+    """Evaluate a WITH RECURSIVE statement whose CTE chain contains at
+    least one plain-UNION (distinct) recursive member — the form
+    Spark's native UnionLoop rejects. Each CTE is materialized in
+    order as a temp view (so later members may reference earlier ones,
+    including the mutual-recursion suites' t1/t2 chains); plain-UNION
+    self-recursive members run through the semi-naive driver loop,
+    UNION ALL members and plain members run natively. Returns None when
+    the statement isn't WITH RECURSIVE or has no plain-UNION member
+    (native Spark handles it)."""
+    m = _REC_HEAD.match(text)
+    if m is None:
         return None
-    body = text[m.end(): i - 1]
-    outer = text[i:].strip().rstrip(";")
-    if outer.startswith(","):
-        return None  # multiple CTEs: out of scope for this path
-    # top-level plain UNIONs (not UNION ALL) inside the body
-    top = _toplevel_spans(body)
-    splits = [
-        um for um in _re.finditer(r"\bUNION\b(?!\s+ALL\b)", body, _re.I)
-        if um.start() in top
-    ]
-    if not splits:
-        return None  # UNION ALL only -> native Spark path
-    # anchor = everything before the FIRST plain UNION whose right side
-    # references the CTE; step = everything after it
-    ref = _re.compile(rf"(?<![\w.`]){name}(?![\w`])", _re.I)
-    split_at = next(
-        (um for um in splits if ref.search(body[um.end():])), None)
-    if split_at is None:
+    ctes = []  # (name, collist, body)
+    pos = m.end()
+    while True:
+        hm = _CTE_HEAD.match(text, pos)
+        if hm is None:
+            return None
+        end = _scan_balanced(text, hm.end())
+        if end < 0:
+            return None
+        ctes.append((hm.group(1), hm.group(2),
+                     text[hm.end(): end - 1]))
+        rest = text[end:]
+        stripped = rest.lstrip()
+        if stripped.startswith(","):
+            pos = end + (len(rest) - len(stripped)) + 1
+            continue
+        outer = stripped.rstrip(";").strip()
+        break
+
+    names = [c[0].lower() for c in ctes]
+
+    def plain_union_split(body: str, name: str):
+        """(anchor_sql, step_sql) at the first top-level plain UNION
+        whose right side references `name`, else None."""
+        top = _toplevel_spans(body)
+        ref = _re.compile(rf"(?<![\w.`]){name}(?![\w`])", _re.I)
+        for um in _re.finditer(r"\bUNION\b(?!\s+ALL\b)", body, _re.I):
+            if um.start() in top and ref.search(body[um.end():]):
+                return body[: um.start()], body[um.end():]
         return None
-    anchor_sql = body[: split_at.start()]
-    step_sql = body[split_at.end():]
+
+    if not any(plain_union_split(b, n) for n, _, b in ctes):
+        return None  # UNION ALL recursion only -> native Spark path
+
     spark = engine.spark
-    anchor = engine.sql(anchor_sql).distinct()
-    if collist:
-        cols = [c.strip().strip("`") for c in collist.split(",")]
-        anchor = anchor.toDF(*cols)
-    # scalar/tiny-anchor recursions (the common SQL fixpoint shape)
-    # spend their time in per-iteration stage scheduling: size the
-    # subtract/distinct shuffles to the frontier, not the session
-    shuffle_parts = 1 if len(anchor.take(33)) <= 32 else None
+    for name, collist, body in ctes:
+        cols = ([c.strip().strip("`") for c in collist.split(",")]
+                if collist else None)
+        split = plain_union_split(body, name)
+        self_ref = _re.search(
+            rf"(?<![\w.`]){name}(?![\w`])", body, _re.I)
+        if split is None:
+            if self_ref:
+                # UNION ALL self-recursion: native single-CTE statement
+                alias = f" ({', '.join(cols)})" if cols else ""
+                df = engine.sql(
+                    f"WITH RECURSIVE {name}{alias} AS ({body}) "
+                    f"SELECT * FROM {name}")
+            else:
+                df = engine.sql(body)
+                if cols:
+                    df = df.toDF(*cols)
+        else:
+            anchor_sql, step_sql = split
+            anchor = engine.sql(anchor_sql).distinct()
+            if cols:
+                anchor = anchor.toDF(*cols)
+            out_cols = anchor.columns
 
-    def step(frontier):
-        frontier.createOrReplaceTempView(name)
-        out = engine.sql(step_sql)
-        if collist:
-            out = out.toDF(*[c.strip().strip("`")
-                             for c in collist.split(",")])
-        return out
+            def step(frontier, _name=name, _sql=step_sql,
+                     _cols=out_cols):
+                frontier.createOrReplaceTempView(_name)
+                return engine.sql(_sql).toDF(*_cols)
 
-    result = recursive_union(
-        anchor, step, distinct=True, max_iterations=1000,
-        shuffle_partitions=shuffle_parts)
-    result.localCheckpoint(eager=True).createOrReplaceTempView(name)
+            # tiny-anchor recursions are stage-scheduling-bound: size
+            # the per-iteration shuffles to the frontier
+            parts = 1 if len(anchor.take(33)) <= 32 else None
+            # Doris aborts past cte_max_recursion_depth
+            # (SessionVariable.java:1197, default 100)
+            df = recursive_union(
+                anchor, step, distinct=True, max_iterations=100,
+                shuffle_partitions=parts)
+        df.localCheckpoint(eager=True).createOrReplaceTempView(name)
     return engine.sql(outer)

@@ -1476,6 +1476,55 @@ for _u in ("years", "months", "weeks", "days",
     MACROS[f"{_u}_sub"] = _unit_add_interval("-")
 
 
+def _random_m(args):
+    """Doris 2-arg random(lo, hi): uniform BIGINT in [lo, hi]
+    (function_random.cpp). 0/1-arg forms keep Spark's builtin."""
+    if len(args) == 2:
+        a, b = args[0].strip(), args[1].strip()
+        return (f"CAST(floor(rand() * (({b}) - ({a}) + 1)) + ({a}) "
+                f"AS BIGINT)")
+    return "__KEEP__(" + ", ".join(args) + ")"
+
+
+MACROS["random"] = _random_m
+
+
+_DT_LIT = re.compile(
+    r"^\s*'(\d{4})-(\d{1,2})-(\d{1,2})"
+    r"(?:[ T](\d{1,2}):(\d{1,2})(?::(\d{1,2}))?(\.\d+)?)?\s*'\s*$")
+
+
+def _pad_dt_literal(arg: str) -> str:
+    """Zero-pad a non-padded date/datetime string literal ('2025-2-1
+    23:59:59' -> '2025-02-01 23:59:59') — Doris's datetime parser is
+    lenient where Spark's string->TIMESTAMP cast is not (pinned by
+    nereids_syntax_p0/test_time_lut_nereids.groovy)."""
+    m = _DT_LIT.match(arg)
+    if m is None:
+        return arg
+    y, mo, d, h, mi, s, frac = m.groups()
+    out = f"{y}-{int(mo):02d}-{int(d):02d}"
+    if h is not None:
+        out += f" {int(h):02d}:{int(mi):02d}:{int(s or 0):02d}"
+        if frac:
+            out += frac
+    return f"'{out}'"
+
+
+def _pad_first_arg(args):
+    if args:
+        padded = _pad_dt_literal(args[0])
+        if padded != args[0]:
+            return "__KEEP__(" + ", ".join([padded] + list(args[1:])) + ")"
+    return "__KEEP__(" + ", ".join(args) + ")"
+
+
+for _fn in ("week", "weekofyear", "yearweek", "dayofweek", "dayofyear",
+            "dayname", "monthname", "quarter"):
+    if _fn not in MACROS:
+        MACROS[_fn] = _pad_first_arg
+
+
 # --- AGG_STATE combinators for value-position aggregates -----------------
 # (functions/combinators.py covers sum/count/min/max/avg as DataFrame
 # expressions; these SQL spellings cover the agg_state<max_by(...)> /

@@ -98,7 +98,8 @@ def _col_type(name: str):
 
 
 _CAST_TARGET = re.compile(
-    r"\bAS\s+([a-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*$", re.I
+    r"\bAS\s+([a-z_]+(?:\s*\(\s*\d+\s*(?:,\s*\d+\s*)?\))?)\s*\)?\s*$",
+    re.I,
 )
 _SPARK_CAST_T = {
     "tinyint": ("i", 1), "smallint": ("i", 2), "int": ("i", 4),
@@ -480,6 +481,10 @@ def _tokenize(s: str):
             toks.append(_Tok("op", c, i, i + 1))
             i += 1
             continue
+        if c == "~":
+            toks.append(_Tok("tilde", c, i, i + 1))
+            i += 1
+            continue
         if c == "(":
             toks.append(_Tok("lp", c, i, i + 1))
             i += 1
@@ -705,8 +710,21 @@ def _region_pass(s: str, toks, lo: int, hi: int):
         if not seg:
             continue
         n_regions += 1
-        has_op = any(nd.kind in ("op", "opword") for nd in seg)
-        if has_op and k not in poisoned:
+        has_op = any(nd.kind in ("op", "opword", "tilde") for nd in seg)
+        # pure-literal arithmetic (lag(k, 1+1, 0) offsets, constant
+        # folds) must stay textual: Spark folds it at parse time, and
+        # several builtins require FOLDABLE literal arguments that a
+        # CAST-wrapped rewrite would break. Doris literal typing agrees
+        # with Spark's on in-range literal math anyway.
+        # ~ over a string/date literal must still be coerced (Spark's
+        # native ~ rejects non-integral operands outright)
+        all_literal = not any(
+            nd.kind == "tilde" for nd in seg) and all(
+            nd.kind in ("num", "str", "op", "opword")
+            or (nd.kind == "pword" and nd.text.lower() in
+                ("null", "true", "false"))
+            for nd in seg)
+        if has_op and k not in poisoned and not all_literal:
             try:
                 p = _ExprParser(seg)
                 v = p.parse()
@@ -793,6 +811,19 @@ class _ExprParser:
 
     def _unary(self) -> _Val:
         t = self.peek()
+        if t is not None and t.kind == "tilde":
+            # Doris bitnot: numeric-coerced operand folded to BIGINT
+            # (~date = ~packed-digits; ~'a' = NULL via strict cast)
+            self.i += 1
+            v = self._unary()
+            vn = _to_numeric(v)
+            if vn is None:
+                raise _Bail()
+            c = _cast_to(vn, ("i", 8))
+            if c is None or c.type != ("i", 8):
+                c = _Val(f"CAST({vn.text} AS BIGINT)", ("i", 8))
+            self.n_ops += 1
+            return _Val(f"(~ {c.text})", ("i", 8))
         if t is not None and t.kind == "op" and t.text in ("+", "-"):
             self.i += 1
             v = self._unary()
@@ -849,7 +880,7 @@ class _ExprParser:
 
 
 _ARITH_CHARS = re.compile(
-    r"[+\-*/%&|^]|\b(?:div|mod|bitand|bitor|bitxor|abs)\b", re.I)
+    r"[+\-*/%&|^~]|\b(?:div|mod|bitand|bitor|bitxor|abs)\b", re.I)
 
 
 def arith_rewrite(stmt: str) -> str:
@@ -860,6 +891,14 @@ def arith_rewrite(stmt: str) -> str:
     if not type_hints.COLUMN_TYPES:
         return stmt
     if not _ARITH_CHARS.search(stmt):
+        return stmt
+    if re.search(r"(?i)\bgrouping\s+sets\b|\bwith\s+rollup\b|"
+                 r"\bcube\s*\(", stmt):
+        # Spark resolves HAVING/grouping() references against grouping-
+        # set expressions by EXACT tree match; a CAST-wrapped rewrite of
+        # `k1+1` in one position but not the other (or even in both —
+        # UnresolvedHaving re-binds through the raw column) breaks that
+        # match (nereids_syntax_p0/grouping_sets.groovy HAVING cases).
         return stmt
     try:
         toks = _tokenize(stmt)

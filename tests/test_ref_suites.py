@@ -100,3 +100,20 @@ def test_nereids_arith_suite_floor():
         res["failures"][:10], indent=1
     )
     assert res["files_green"] >= 4, line
+
+
+def test_nereids_syntax_suite_floor():
+    """nereids_syntax_p0: binder/analyzer surface (aliases, grouping
+    sets + HAVING, CTE alias prefixes, constraints metadata, star
+    REPLACE, partition-pruned SELECT, lateral views, recursive CTEs,
+    unrolled time-LUT matrix). Floor 2950/3039; remainder is a long
+    tail of 1-2 case files (plan-shape goldens, utf8 identifiers,
+    3-part name resolution, MV sync shapes)."""
+    line, res = _run(
+        "nereids_syntax_p0", "/tmp/ref_suites_syntax.json", timeout=1800
+    )
+    assert res["total"] >= 3039, line
+    assert res["passed"] >= 2950, line + "\n" + json.dumps(
+        res["failures"][:10], indent=1
+    )
+    assert res["files_green"] >= 110, line

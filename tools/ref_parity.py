@@ -224,7 +224,7 @@ def _eval_stringbuilders(src: str) -> str:
             re.S,
         )
         for_re = re.compile(
-            r"for\s*\(\s*(?:int\s+)?(\w+)\s*=\s*(-?\d+)\s*;\s*\1\s*(<=?)\s*(-?\d+)\s*;\s*\1\s*\+\+\s*\)\s*\{"
+            r"for\s*\(\s*(?:int\s+|def\s+)?(\w+)\s*=\s*(-?\d+)\s*;\s*\1\s*(<=?)\s*(-?\d+)\s*;\s*\1\s*\+\+\s*\)\s*\{"
         )
         if_re = re.compile(r"if\s*\(\s*([^()]+?)\s*\)\s*$")
 
@@ -375,9 +375,9 @@ def _unroll_for(src: str) -> str:
     """Unroll groovy counting loops: `for (i in range(a, b))` (half-open)
     and `for (int i = a; i <= b; i++)` / `i < b`, substituting ${i}/$i."""
     pats = [
-        (re.compile(r"for\s*\(\s*(?:int\s+)?(\w+)\s+in\s+range\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)\s*\)\s*\{"),
+        (re.compile(r"for\s*\(\s*(?:int\s+|def\s+)?(\w+)\s+in\s+range\s*\(\s*(-?\d+)\s*,\s*(-?\d+)\s*\)\s*\)\s*\{"),
          lambda m: range(int(m.group(2)), int(m.group(3)))),
-        (re.compile(r"for\s*\(\s*(?:int\s+)?(\w+)\s*=\s*(-?\d+)\s*;\s*\1\s*(<=?)\s*(-?\d+)\s*;\s*\1\s*\+\+\s*\)\s*\{"),
+        (re.compile(r"for\s*\(\s*(?:int\s+|def\s+)?(\w+)\s*=\s*(-?\d+)\s*;\s*\1\s*(<=?)\s*(-?\d+)\s*;\s*\1\s*\+\+\s*\)\s*\{"),
          lambda m: range(int(m.group(2)), int(m.group(4)) + (1 if m.group(3) == "<=" else 0))),
     ]
     changed = True
@@ -2110,6 +2110,13 @@ def run_setup(eng, sql: str) -> None:
             ]
             if dflt is not None:
                 meta["defaults"][cname.lower()] = f"'{dflt}'"
+        return
+    if re.match(
+        r"\s*ALTER\s+TABLE\s+`?\w+`?\s+(ADD|DROP)\s+CONSTRAINT\b",
+        sql, re.I,
+    ):
+        # constraint metadata statements are an Engine feature
+        eng.sql(sql)
         return
     if re.match(r"\s*ALTER\s+TABLE", sql, re.I):
         return
