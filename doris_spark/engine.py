@@ -134,8 +134,9 @@ class Engine:
             # render/parse. Other session variables flow through as
             # plain Spark SETs (lc_time_names is captured by the macro
             # layer; unknown keys are harmless conf entries).
-            self.spark.conf.set("spark.sql.session.timeZone", sv.group(1).strip())
-            return self.spark.createDataFrame([(sv.group(1).strip(),)], "time_zone string")
+            zone = sv.group(1).strip()
+            self.spark.conf.set("spark.sql.session.timeZone", zone)
+            return self.spark.createDataFrame([(zone,)], "time_zone string")
         tr = _re.match(r"^\s*TRUNCATE\s+TABLE\s+`?(\w+)`?\s*;?\s*$", text, _re.I)
         if tr is not None:
             # Doris TRUNCATE TABLE: drop all rows, keep schema + keys model.
@@ -261,6 +262,20 @@ class Engine:
         ins = self._insert(text)
         if ins is not None:
             return ins
+        if "cast" in text.lower():
+            # decimal256 / integer-overflow constant casts: fold
+            # driver-side at full precision (plans/const_cast_fold.py)
+            from doris_spark.plans.const_cast_fold import (
+                fold_const_dec256,
+                fold_worthy,
+            )
+
+            if fold_worthy(text):
+                strict = self.spark.conf.get(
+                    "enable_strict_cast", "false").lower() == "true"
+                folded = fold_const_dec256(text, strict)
+                if folded is not None:
+                    text = folded
         if _re.search(r"\*\s+REPLACE\s*\(", text, _re.I):
             # Doris SELECT * REPLACE (expr AS col, ...) [EXCEPT (cols)]
             # (nereids_syntax_p0/select_replace.groovy): expand the star

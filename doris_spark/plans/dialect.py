@@ -262,7 +262,11 @@ def _cast_time_dt0(text: str) -> str:
             j += 1
         body = text[m.end() : j]
         tm = re.search(r"\s+AS\s+TIME(?:V2)?\s*(?:\(\s*\d+\s*\))?\s*$", body, re.I)
-        dm = re.search(r"\s+AS\s+DATETIME(?:V[12])?\s*(?:\(\s*(\d+)\s*\))?\s*$", body, re.I)
+        dm = re.search(
+            r"\s+AS\s+(?:DATETIME(?:V[12])?|TIMESTAMPTZ)\s*"
+            r"(?:\(\s*(\d+)\s*\))?\s*$",
+            body, re.I,
+        )
         out.append(text[i : m.start()])
         if tm:
             # typed cast: typeof() dispatches numeric ±HHMMSS packing /
@@ -1219,6 +1223,19 @@ def dialect(sql: str) -> str:
     )
     # DECIMALV2/V3 are the reference's storage spellings of DECIMAL
     s = re.sub(r"\bDECIMALV[23]\b", "DECIMAL", s, flags=re.I)
+    # DECIMAL256 (p > 38) narrows to DECIMAL128 PRESERVING THE INTEGRAL
+    # RANGE: scale gives way (a (76,38) holds 38 integer digits — capping
+    # to (38,38) would overflow every integer; (38,0) keeps them and the
+    # comparator forgives the dropped trailing scale zeros)
+    s = re.sub(
+        r"\bDECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
+        lambda m: (
+            m.group(0) if int(m.group(1)) <= 38 else
+            f"DECIMAL(38,{max(0, 38 - (int(m.group(1)) - int(m.group(2))))})"
+        ),
+        s,
+        flags=re.I,
+    )
     # Doris resolves timezone names case-insensitively ('pacific/galapagos');
     # the JVM is strict — canonicalize literal zone names in convert_tz
     s = re.sub(

@@ -1476,6 +1476,34 @@ for _u in ("years", "months", "weeks", "days",
     MACROS[f"{_u}_sub"] = _unit_add_interval("-")
 
 
+def _interval_fn_m(args):
+    """MySQL/Doris INTERVAL(N, N1, ...): the BE runs a BINARY SEARCH
+    over the thresholds as int64 (function_interval.cpp:106-117 — l=1,
+    r=argc, arr[mid] <= N ? l=mid+1 : r=mid, answer l-1), with NULL
+    thresholds reading as their underlying 0 (remove_nullable) and a
+    NULL N answering -1. The search tree is unrolled exactly, so
+    unsorted threshold lists reproduce the BE's answers, not a count.
+    The 0/1-arg spellings are the INTERVAL literal and stay untouched."""
+    if len(args) < 2:
+        return "__KEEP__(" + ", ".join(args) + ")"
+    n = f"CAST({args[0].strip()} AS BIGINT)"
+    ths = ["", *[f"coalesce(CAST({a.strip()} AS BIGINT), 0)"
+                 for a in args[1:]]]
+
+    def tree(lo: int, hi: int) -> str:
+        if lo >= hi:
+            return str(lo - 1)
+        mid = (lo + hi) >> 1
+        return (f"(CASE WHEN {ths[mid]} <= {n} "
+                f"THEN {tree(mid + 1, hi)} ELSE {tree(lo, mid)} END)")
+
+    return (f"CASE WHEN ({args[0].strip()}) IS NULL THEN -1 "
+            f"ELSE {tree(1, len(args))} END")
+
+
+MACROS["interval"] = _interval_fn_m
+
+
 def _random_m(args):
     """Doris 2-arg random(lo, hi): uniform BIGINT in [lo, hi]
     (function_random.cpp). 0/1-arg forms keep Spark's builtin."""

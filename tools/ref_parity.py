@@ -120,8 +120,11 @@ def _unroll_each(src: str) -> str:
     for m in re.finditer(
         r"(?:def|List(?:<[\w ,<>]*>)?)\s+(\w+)\s*=\s*\[([^\]]*)\]", src
     ):
-        items = re.findall(r"\"([^\"]*)\"|'([^']*)'", m.group(2))
-        vals = [a if a else b for a, b in items]
+        items = re.findall(
+            r"\"\"\"(.*?)\"\"\"|'''(.*?)'''|\"([^\"]*)\"|'([^']*)'",
+            m.group(2), re.S,
+        )
+        vals = [a or b or c or d or "" for a, b, c, d in items]
         if vals:
             lists[m.group(1)] = vals
     # scalar defs via list indexing (String k1 = fields[1]) — substitute
@@ -654,6 +657,19 @@ def parse_suite_files(groovy_path: str, out_path: str | None = None):
                 changed_g = True
         if not changed_g:
             break
+    # qt_ whose whole argument is one interpolation ("${const_sql_0}"):
+    # inline as a TRIPLE-quoted case first — the value usually contains
+    # double quotes that would truncate the "..." extraction (pinned by
+    # function_p0/cast/* const matrices)
+    src = re.sub(
+        r'(?m)^(\s*(?:order_)?qt_\w+)\s+"\$\{?(\w+)\}?"\s*$',
+        lambda m: (
+            m.group(1) + ' """' + gvars[m.group(2)] + '"""'
+            if m.group(2) in gvars
+            else m.group(0)
+        ),
+        src,
+    )
     src = re.sub(
         r"\$\{(\w+)\}", lambda m: gvars.get(m.group(1), m.group(0)), src
     )
@@ -1017,6 +1033,7 @@ def _cell_matches(exp: str, got) -> bool:
 
 _SETUP_OK = re.compile(
     r"^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|TRUNCATE|ALTER\s+TABLE"
+    r"|SET\s+enable_strict_cast|SET\s+enable_decimal256"
     r"|CREATE\s+(OR\s+REPLACE\s+)?VIEW|DROP\s+VIEW|SET\s+lc_time_names"
     r"|CREATE\s+MATERIALIZED\s+VIEW|DROP\s+MATERIALIZED\s+VIEW"
     r"|CREATE\s+DATABASE|DROP\s+DATABASE|USE\s"
@@ -1173,6 +1190,7 @@ def translate_ddl(sql: str) -> str | None:
         typ = re.sub(r"\s+(COMMENT|DEFAULT)\b.*$", "", typ, flags=re.I | re.S)
         # trailing \b: struct FIELD NAMES like datetime_col must not be
         # mistaken for the type spelling (pinned by struct-md.groovy)
+        typ = re.sub(r"\bTIMESTAMPTZ\b\s*(\(\s*\d+\s*\))?", "TIMESTAMP", typ, flags=re.I)
         typ = re.sub(r"\bDATETIMEV?[12]?\b\s*(\(\s*\d+\s*\))?", "TIMESTAMP", typ, flags=re.I)
         typ = re.sub(r"\bDATEV[12]\b", "DATE", typ, flags=re.I)
         typ = re.sub(r"\bHLL\b", "ARRAY<INT>", typ, flags=re.I)
@@ -1220,7 +1238,11 @@ def translate_ddl(sql: str) -> str | None:
         # DECIMAL256 (p > 38) narrows to the Spark max precision
         typ = re.sub(
             r"\bDECIMAL\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)",
-            lambda m: f"DECIMAL({min(int(m.group(1)), 38)},{m.group(2)})",
+            lambda m: (
+                m.group(0) if int(m.group(1)) <= 38 else
+                "DECIMAL(38,"
+                f"{max(0, 38 - (int(m.group(1)) - int(m.group(2))))})"
+            ),
             typ,
             flags=re.I,
         )
@@ -2652,7 +2674,12 @@ def _off_secs(suffix: str) -> int:
 def _tzlit_rewrite(sql: str, tzname: str, year_shift: int = 0) -> str:
     from zoneinfo import ZoneInfo
 
-    tz = ZoneInfo(tzname)
+    if re.fullmatch(r"[+-]\d{1,2}:?\d{2}", tzname):
+        # `SET time_zone = '+08:00'` (now forwarded from suite setup)
+        # stores a FIXED-OFFSET zone name ZoneInfo cannot parse
+        tz = dt.timezone(dt.timedelta(seconds=_off_secs(tzname)))
+    else:
+        tz = ZoneInfo(tzname)
     modern = dt.datetime(2024, 1, 1, tzinfo=dt.timezone.utc).astimezone(tz)
     modern_off = int(modern.utcoffset().total_seconds())
 
@@ -3296,6 +3323,19 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
                 return False, why
         return True, ""
     try:
+        from doris_spark.plans.const_cast_fold import (
+            fold_const_dec256,
+            fold_worthy,
+        )
+
+        if fold_worthy(sql):
+            # decimal256 constant casts fold BEFORE the dialect caps
+            # precisions at Spark's 38 (plans/const_cast_fold.py)
+            strict = eng.spark.conf.get(
+                "enable_strict_cast", "false").lower() == "true"
+            folded = fold_const_dec256(sql, strict)
+            if folded is not None:
+                sql = folded
         text = dialect(sql)
         if re.search(r"element_at", text, re.I):
             text = _resolve_struct_element_at(eng, text)
@@ -4227,6 +4267,12 @@ def main() -> None:
             cases = parse_suite(suite) if paths is None else parse_suite_files(*paths)
         except FileNotFoundError:
             continue
+        # fresh-connection session variables per suite (reference CI)
+        try:
+            eng.sql("set time_zone = 'Asia/Shanghai'")
+            eng.spark.conf.set("enable_strict_cast", "false")
+        except Exception:
+            pass
         for name, sql, expected, ordered in cases:
             if name is None:
                 try:

@@ -335,6 +335,13 @@ def main() -> None:
             # a prior suite's USE must not leak into this file: start in
             # the file's own directory database (reference CI defaultDb)
             _use_db(_dir_db(label))
+            # session variables reset per suite FILE — the reference CI
+            # runs each suite on a fresh connection with default vars
+            try:
+                eng.sql("set time_zone = 'Asia/Shanghai'")
+                eng.spark.conf.set("enable_strict_cast", "false")
+            except Exception:
+                pass
             files_total += 1
             file_fail = 0
             for name, sql, expected, ordered in cases:
