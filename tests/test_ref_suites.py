@@ -117,3 +117,19 @@ def test_nereids_syntax_suite_floor():
         res["failures"][:10], indent=1
     )
     assert res["files_green"] >= 110, line
+
+
+def test_function_p0_suite_floor():
+    """function_p0: the reference's cast-conformance matrices (8,200+
+    golden cases generated from BE unit tests) plus scalar-function
+    files. Floor 7850/8200; remainder = table-backed decimal256 loads
+    (above the DECIMAL(38) platform ceiling) and long-tail function
+    semantics."""
+    line, res = _run(
+        "function_p0", "/tmp/ref_suites_function.json", timeout=2400
+    )
+    assert res["total"] >= 8200, line
+    assert res["passed"] >= 7850, line + "\n" + json.dumps(
+        res["failures"][:10], indent=1
+    )
+    assert res["files_green"] >= 80, line
