@@ -264,7 +264,12 @@ class Engine:
             return ins
         if "cast" in text.lower():
             # decimal256 / integer-overflow constant casts: fold
-            # driver-side at full precision (plans/const_cast_fold.py)
+            # driver-side at full precision (plans/const_cast_fold.py).
+            # typed=True keeps native Spark result types on this API
+            # path (cast('5' as int) stays INT); only values Spark has
+            # no type for (decimal p>38, largeint beyond int64) render
+            # as strings. The golden-text suite path folds untyped in
+            # tools/ref_parity.py before reaching here.
             from doris_spark.plans.const_cast_fold import (
                 fold_const_dec256,
                 fold_worthy,
@@ -273,7 +278,7 @@ class Engine:
             if fold_worthy(text):
                 strict = self.spark.conf.get(
                     "enable_strict_cast", "false").lower() == "true"
-                folded = fold_const_dec256(text, strict)
+                folded = fold_const_dec256(text, strict, typed=True)
                 if folded is not None:
                     text = folded
         if _re.search(r"\*\s+REPLACE\s*\(", text, _re.I):

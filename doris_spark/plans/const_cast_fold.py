@@ -15,8 +15,10 @@ FE's constant folder would, using Python's arbitrary-precision Decimal:
   left unfolded (strict mode errors; `SET enable_strict_cast` is
   tracked as a session conf)
 - decimal -> decimal rescale, decimal -> integer (tinyint..largeint
-  int128 bounds) with HALF_UP rounding from fractional STRINGS and
-  truncation semantics per the BE cast table
+  int128 bounds) with TRUNCATION from every source, fractional strings
+  included — the BE cast table truncates, verified against
+  to_int/from_str/test_cast_to_bigint_from_str_with_fraction_const.out
+  ('+0000.5' -> 0, '+0001.5' -> 1)
 - decimal/string -> double/float (float32 via numpy), keeping nan sign
   ('-nan' renders) and inf spellings
 
@@ -228,16 +230,62 @@ def has_decimal256(text: str) -> bool:
 
 def fold_worthy(text: str) -> bool:
     """Statements this folder should attempt: decimal256 anywhere, or a
-    cast chain targeting an integer type (Doris rounds fractional
-    strings HALF_UP and NULLs overflow where Spark truncates/clamps)."""
+    cast chain targeting an integer type (Doris truncates fractional
+    strings and NULLs overflow where Spark errors/clamps)."""
     return has_decimal256(text) or (
         _INT_TARGET.search(text) is not None
         and re.search(r"(?i)\bcast\s*\(", text) is not None)
 
 
-def fold_const_dec256(text: str, strict: bool) -> str | None:
+_SPARK_TYPE = {
+    "tinyint": "TINYINT", "smallint": "SMALLINT", "int": "INT",
+    "integer": "INT", "bigint": "BIGINT", "double": "DOUBLE",
+    "float": "FLOAT",
+}
+
+
+def _typed_emit(it: str, v) -> str:
+    """Render a folded value as a TYPED literal where a Spark type
+    exists (engine-API path — schema must stay native); falls back to a
+    string literal only where Spark has no type (largeint beyond BIGINT,
+    decimal precision > 38)."""
+    tm = _TYPE_TAIL.search(it.rstrip())
+    t = re.sub(r"\s+", "", tm.group(1).lower()) if tm else ""
+    base = re.sub(r"\(.*", "", t)
+    dm = re.match(r"decimal(?:v3)?\((\d+)(?:,(\d+))?\)$", t)
+    if v is _NULL:
+        if base in _SPARK_TYPE:
+            return f"CAST(NULL AS {_SPARK_TYPE[base]})"
+        if dm and int(dm.group(1)) <= 38:
+            return f"CAST(NULL AS DECIMAL({dm.group(1)},{dm.group(2) or 0}))"
+        return "CAST(NULL AS STRING)"
+    kind = v[0]
+    if kind == "int" and base in _SPARK_TYPE:
+        lo, hi = -(1 << 63), (1 << 63) - 1
+        if lo <= v[1] <= hi:
+            return f"CAST({v[1]} AS {_SPARK_TYPE[base]})"
+    if kind == "dec" and v[2] is not None and v[2] <= 38:
+        return f"CAST('{_render(v)}' AS DECIMAL({v[2]},{v[3]}))"
+    if kind in ("double", "float"):
+        f = v[1]
+        if math.isnan(f):
+            s = "NaN"
+        elif math.isinf(f):
+            s = "Infinity" if f > 0 else "-Infinity"
+        else:
+            s = repr(f)
+        return f"CAST('{s}' AS {'DOUBLE' if kind == 'double' else 'FLOAT'})"
+    lit = _render(v).replace("\\", "\\\\").replace("'", "\\'")
+    return f"'{lit}'"
+
+
+def fold_const_dec256(text: str, strict: bool,
+                      typed: bool = False) -> str | None:
     """Fold every decimal256-involving constant cast chain in the
-    top-level select list; returns the rewritten statement or None."""
+    top-level select list; returns the rewritten statement or None.
+    typed=False renders string literals (golden-text suite path);
+    typed=True emits typed literals so the engine API keeps native
+    Spark result types."""
     m = re.match(r"(?is)^\s*select\s+(.*?)\s*;?\s*$", text)
     if m is None:
         return None
@@ -250,21 +298,28 @@ def fold_const_dec256(text: str, strict: bool) -> str | None:
     items = _split_top(body)
     out = []
     changed = False
-    for it in items:
+    for raw in items:
+        # split an optional trailing alias (cast(...) AS v / cast(...) v)
+        it, alias = raw, ""
+        am = re.match(r"(?is)^(.*\))\s+(?:AS\s+)?(`?\w+`?)\s*$", raw)
+        if am is not None:
+            it, alias = am.group(1), " AS " + am.group(2)
         if has_decimal256(it) or _INT_TARGET.search(it):
             try:
                 v = _eval(it, strict)
-                if v is _NULL:
-                    out.append("CAST(NULL AS STRING)")
+                if typed:
+                    out.append(_typed_emit(it, v) + alias)
+                elif v is _NULL:
+                    out.append("CAST(NULL AS STRING)" + alias)
                 else:
                     lit = _render(v).replace("\\", "\\\\").replace(
                         "'", "\\'")
-                    out.append(f"'{lit}'")
+                    out.append(f"'{lit}'" + alias)
                 changed = True
                 continue
             except _NoFold:
                 pass
-        out.append(it)
+        out.append(raw)
     if not changed:
         return None
     return "SELECT " + ", ".join(out)

@@ -1272,11 +1272,11 @@ def dialect(sql: str) -> str:
     # MySQL double-quoted ALIASES (Spark reads "..." as a string literal)
     s = re.sub(r'(\bAS\s+)"([A-Za-z_]\w*)"', r"\1`\2`", s, flags=re.I)
     # MySQL single-quoted aliases: AS 'str' / AS '' (any content —
-    # nereids_syntax_p0/select_const.groovy). An AS inside a string
-    # literal never matches because literal spans contain no bare AS
-    # followed by a quote at this layer; empty aliases get a
-    # placeholder name (column names are compared positionally).
-    s = re.sub(
+    # nereids_syntax_p0/select_const.groovy). Literal-aware: an AS
+    # inside a string literal (e.g. concat('a AS ', 'b')) must not be
+    # treated as an alias opener; empty aliases get a placeholder name
+    # (column names are compared positionally).
+    s = _sub_outside_literals(
         r"(\bAS\s+)'([^']*)'",
         lambda m: m.group(1) + "`" + (m.group(2) or "__empty_alias") + "`",
         s,
@@ -1285,7 +1285,7 @@ def dialect(sql: str) -> str:
     # MySQL string-literal alias directly after END / ')' (CASE ... END
     # 'alias' FROM — query_p0/subquery sql14); only before , or FROM so
     # predicate literals are never touched
-    s = re.sub(
+    s = _sub_outside_literals(
         r"(\bEND|\))\s+'([^']+)'(\s*(?:,|FROM\b))",
         r"\1 AS `\2`\3",
         s,

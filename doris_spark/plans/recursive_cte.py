@@ -135,6 +135,8 @@ def _toplevel_spans(s: str):
     return set(flat)
 
 
+_VIEW_SEQ = 0  # unique internal temp-view names across calls
+
 _REC_HEAD = _re.compile(r"^\s*WITH\s+RECURSIVE\s+", _re.I)
 _CTE_HEAD = _re.compile(r"\s*`?(\w+)`?\s*(?:\(([^)]*)\))?\s*AS\s*\(", _re.I)
 
@@ -193,8 +195,6 @@ def try_recursive_union_sql(engine, text: str):
         outer = stripped.rstrip(";").strip()
         break
 
-    names = [c[0].lower() for c in ctes]
-
     def plain_union_split(body: str, name: str):
         """(anchor_sql, step_sql) at the first top-level plain UNION
         whose right side references `name`, else None."""
@@ -208,43 +208,74 @@ def try_recursive_union_sql(engine, text: str):
     if not any(plain_union_split(b, n) for n, _, b in ctes):
         return None  # UNION ALL recursion only -> native Spark path
 
+    # Materialized CTEs register under UNIQUE internal view names (never
+    # the user-facing CTE name): a CTE named like an existing table/view
+    # must not shadow it for later statements in the session. References
+    # in later bodies and the outer query are rewritten to the internal
+    # names, and every internal view is dropped once the outer result is
+    # analyzed (spark.sql analyzes eagerly; the data survives via the
+    # localCheckpoint).
+    global _VIEW_SEQ
     spark = engine.spark
-    for name, collist, body in ctes:
-        cols = ([c.strip().strip("`") for c in collist.split(",")]
-                if collist else None)
-        split = plain_union_split(body, name)
-        self_ref = _re.search(
-            rf"(?<![\w.`]){name}(?![\w`])", body, _re.I)
-        if split is None:
-            if self_ref:
-                # UNION ALL self-recursion: native single-CTE statement
-                alias = f" ({', '.join(cols)})" if cols else ""
-                df = engine.sql(
-                    f"WITH RECURSIVE {name}{alias} AS ({body}) "
-                    f"SELECT * FROM {name}")
+
+    def subst(sql: str, mapping: dict[str, str]) -> str:
+        for orig, internal in mapping.items():
+            sql = _re.sub(rf"(?<![\w.`]){orig}(?![\w`])", internal, sql,
+                          flags=_re.I)
+        return sql
+
+    mapping: dict[str, str] = {}  # lowercase original -> internal view
+    try:
+        for name, collist, body in ctes:
+            _VIEW_SEQ += 1
+            internal = f"__rec_cte_{name.lower()}_{_VIEW_SEQ}"
+            cols = ([c.strip().strip("`") for c in collist.split(",")]
+                    if collist else None)
+            split = plain_union_split(body, name)
+            self_ref = _re.search(
+                rf"(?<![\w.`]){name}(?![\w`])", body, _re.I)
+            if split is None:
+                body = subst(body, mapping)
+                if self_ref:
+                    # UNION ALL self-recursion: native single-CTE
+                    # statement (the CTE name is scoped to it)
+                    alias = f" ({', '.join(cols)})" if cols else ""
+                    df = engine.sql(
+                        f"WITH RECURSIVE {name}{alias} AS ({body}) "
+                        f"SELECT * FROM {name}")
+                else:
+                    df = engine.sql(body)
+                    if cols:
+                        df = df.toDF(*cols)
             else:
-                df = engine.sql(body)
+                anchor_sql, step_sql = split
+                anchor_sql = subst(anchor_sql, mapping)
+                # the step's self-reference reads the frontier view,
+                # registered under the internal name
+                step_sql = subst(
+                    step_sql, {**mapping, name.lower(): internal})
+                anchor = engine.sql(anchor_sql).distinct()
                 if cols:
-                    df = df.toDF(*cols)
-        else:
-            anchor_sql, step_sql = split
-            anchor = engine.sql(anchor_sql).distinct()
-            if cols:
-                anchor = anchor.toDF(*cols)
-            out_cols = anchor.columns
+                    anchor = anchor.toDF(*cols)
+                out_cols = anchor.columns
 
-            def step(frontier, _name=name, _sql=step_sql,
-                     _cols=out_cols):
-                frontier.createOrReplaceTempView(_name)
-                return engine.sql(_sql).toDF(*_cols)
+                def step(frontier, _v=internal, _sql=step_sql,
+                         _cols=out_cols):
+                    frontier.createOrReplaceTempView(_v)
+                    return engine.sql(_sql).toDF(*_cols)
 
-            # tiny-anchor recursions are stage-scheduling-bound: size
-            # the per-iteration shuffles to the frontier
-            parts = 1 if len(anchor.take(33)) <= 32 else None
-            # Doris aborts past cte_max_recursion_depth
-            # (SessionVariable.java:1197, default 100)
-            df = recursive_union(
-                anchor, step, distinct=True, max_iterations=100,
-                shuffle_partitions=parts)
-        df.localCheckpoint(eager=True).createOrReplaceTempView(name)
-    return engine.sql(outer)
+                # tiny-anchor recursions are stage-scheduling-bound:
+                # size the per-iteration shuffles to the frontier
+                parts = 1 if len(anchor.take(33)) <= 32 else None
+                # Doris aborts past cte_max_recursion_depth
+                # (SessionVariable.java:1197, default 100)
+                df = recursive_union(
+                    anchor, step, distinct=True, max_iterations=100,
+                    shuffle_partitions=parts)
+            df.localCheckpoint(eager=True).createOrReplaceTempView(
+                internal)
+            mapping[name.lower()] = internal
+        return engine.sql(subst(outer, mapping))
+    finally:
+        for internal in mapping.values():
+            spark.catalog.dropTempView(internal)

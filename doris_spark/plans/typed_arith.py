@@ -807,6 +807,11 @@ class _ExprParser:
                 return v
 
     def _xor(self):
+        # Unary minus/tilde bind TIGHTER than ^ in Doris — grammar
+        # DorisParser.g4:1691 lists arithmeticUnary above the HAT
+        # alternative, and the correctness_p0/test_bit_function golden
+        # pins it: `-2^127` = (-2) XOR 127 = -127 (not -(2^127) = -125).
+        # This deliberately differs from MySQL's documented table.
         return self._binop(self._unary, ("^",))
 
     def _unary(self) -> _Val:

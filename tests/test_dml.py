@@ -351,3 +351,31 @@ def test_update_partitioned_table_rewrites_only_touched_partition(spark, tmp_pat
     got = sorted(tuple(r) for r in spark.table("part_dml_t").collect())
     assert got == [(1, 10.0, "d1"), (2, 2.0, "d1"), (4, 4.0, "d3")]
     spark.sql("DROP TABLE part_dml_t")
+
+
+def test_engine_cast_keeps_native_types(eng):
+    # ADVICE r7: the engine API must not fold cast('5' as int) to a
+    # STRING literal — integer-target golden-rendering folds belong to
+    # the suite-runner path only
+    df = eng.sql("SELECT cast('5' as int) AS v, cast('1.5' as bigint) AS w")
+    assert df.schema["v"].dataType.typeName() == "integer"
+    assert df.schema["w"].dataType.typeName() == "long"
+    r = df.collect()[0]
+    assert r["v"] == 5
+
+
+def test_recursive_cte_does_not_shadow_views(eng):
+    # ADVICE r7: a recursive CTE named like an existing view must not
+    # replace that view for subsequent statements
+    spark = eng.spark
+    spark.createDataFrame([(99,)], "marker INT").createOrReplaceTempView(
+        "shadow_probe")
+    out = eng.sql(
+        "WITH RECURSIVE shadow_probe AS ("
+        " SELECT 1 AS n UNION SELECT n + 1 FROM shadow_probe WHERE n < 3"
+        ") SELECT * FROM shadow_probe ORDER BY n")
+    assert [r["n"] for r in out.collect()] == [1, 2, 3]
+    # the pre-existing view is untouched
+    back = spark.sql("SELECT * FROM shadow_probe").collect()
+    assert back[0]["marker"] == 99
+    spark.catalog.dropTempView("shadow_probe")

@@ -208,3 +208,15 @@ def test_dialect_element_at_map_column_key_preserved():
 
     s = dialect("SELECT element_at(m, key_col) FROM t")
     assert "element_at(m, key_col)" in s
+
+
+def test_dialect_quoted_alias_literal_aware():
+    # ADVICE r7: AS inside a string literal must not be treated as a
+    # single-quoted alias opener
+    from doris_spark.plans.dialect import dialect
+
+    s = dialect("SELECT concat('a AS ', 'b') FROM t")
+    assert "'a AS '" in s and "'b'" in s and "`" not in s
+    # genuine single-quoted aliases still rewrite
+    s = dialect("SELECT 1 AS 'one'")
+    assert "AS `one`" in s

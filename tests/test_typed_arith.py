@@ -148,3 +148,14 @@ def test_whitespace_preserved_outside_rewrites():
 def test_inner_args_rewritten_inside_unknown_function():
     out = arith_rewrite("select some_fn(kdt + ktint) from t")
     assert "some_fn((CAST(date_format(kdt, 'yyyyMMdd') AS BIGINT)" in out
+
+
+def test_unary_minus_binds_tighter_than_xor():
+    # Doris grammar (DorisParser.g4:1691) puts arithmeticUnary above the
+    # HAT alternative; golden correctness_p0/test_bit_function pins
+    # -2^127 = (-2) XOR 127 = -127. The rewrite must keep (-a) ^ b.
+    out = arith_rewrite("select - ktint ^ kbint from t")
+    assert "(- " in out
+    # the unary result is the left operand of ^, never wraps the whole ^
+    xor_pos = out.index("^")
+    assert out.index("(- ") < xor_pos
