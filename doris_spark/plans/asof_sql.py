@@ -37,12 +37,19 @@ CHAINS source the pick's distinct-left rows from the single relation
 the ON clause references (a superset of the chain's (key, ts) pairs —
 the equi-join back keeps it correct) and replace only the ASOF segment.
 
+Residual (non-equality) extra conjuncts keep the pick plan when they
+reference ONE side: right-only residuals (q.px > 1.5) pre-filter the
+union's right branch (the ASOF picks the best match among qualifying
+rights), left-only residuals (t.id > 1) are appended to the join-back
+ON (INNER drops / LEFT NULL-extends failing left rows).
+
 FALLBACK: shapes the pick rewrite cannot express textually keep the
 previous correlated LATERAL LIMIT-1 rewrite (correct; decorrelates into
-a domain join — fine at doc scale): non-equality extra conjuncts,
-unqualified left keys on a join-chain left side, a bare `*` over a
-join-chain left side, or no resolvable SparkSession to type the right
-columns.
+a domain join — fine at doc scale): MIXED non-equality conjuncts
+(t.v < q.v — a pair predicate the window carry can't express),
+residuals with unqualified columns, unqualified left keys on a
+join-chain left side, a bare `*` over a join-chain left side, or no
+resolvable SparkSession to type the right columns.
 """
 
 from __future__ import annotations
@@ -150,6 +157,44 @@ def _alias_prefixes(expr: str) -> set[str]:
         else:
             i += 1
     return out
+
+
+_BARE_OK = {
+    "and", "or", "not", "in", "like", "rlike", "regexp", "between", "is",
+    "null", "true", "false", "case", "when", "then", "else", "end",
+    "interval", "date", "timestamp", "exists", "distinct", "cast", "as",
+    "year", "month", "day", "hour", "minute", "second", "asc", "desc",
+}
+
+
+def _bare_columns(expr: str) -> bool:
+    """True if expr contains an UNQUALIFIED identifier that looks like a
+    column (not a function call, keyword, or literal) — such a conjunct
+    can't be assigned to one join side safely."""
+    i, n, in_str = 0, len(expr), None
+    while i < n:
+        c = expr[i]
+        if in_str:
+            if c == in_str:
+                in_str = None
+            i += 1
+            continue
+        if c in ("'", '"'):
+            in_str = c
+            i += 1
+            continue
+        m = _IDENT.match(expr, i)
+        if m:
+            name = m.group(0)
+            i = m.end()
+            if "." in name or name.lower() in _BARE_OK:
+                continue
+            j = _skip_ws(expr, i)
+            if j < n and expr[j] == "(":
+                continue  # function call
+            return True
+        i += 1
+    return False
 
 
 def _grab_left_relation(sql: str, end: int) -> tuple[str, str, int] | None:
@@ -479,6 +524,8 @@ def _pick_rewrite(
     end: int,
     schema: list[tuple[str, str]],
     seg_start: int | None = None,
+    left_res: list[str] | None = None,
+    right_res: list[str] | None = None,
 ) -> str:
     """Emit the union+window pick plan. When seg_start is given the left
     side is a JOIN CHAIN: only the ASOF segment [seg_start, end) is
@@ -514,18 +561,26 @@ def _pick_rewrite(
         + [f"last(CASE WHEN {sidecol} = 0 THEN 1 END, true) {over} AS {mcol}"]
     )
     matched_filter = f" AND {mcol} = 1" if kind == "INNER" else ""
+    # right-only residual conjuncts pre-filter the candidate right rows
+    rfilter = (
+        " WHERE " + " AND ".join(f"({c})" for c in right_res)
+        if right_res
+        else ""
+    )
     pick = (
         f"SELECT {', '.join(kcols)}, {tscol}, "
         + ", ".join(f"`{c}`" for c, _ in schema)
         + f" FROM (SELECT {', '.join(kcols)}, {tscol}, {sidecol}, {carried} "
         f"FROM (SELECT DISTINCT {left_sel} FROM {lrel} "
-        f"UNION ALL SELECT {right_sel} FROM {rtable} {ralias}) {p}_u) {p}_w "
+        f"UNION ALL SELECT {right_sel} FROM {rtable} {ralias}{rfilter}) "
+        f"{p}_u) {p}_w "
         f"WHERE {sidecol} = 1{matched_filter}"
     )
     join_kw = "LEFT JOIN" if kind == "LEFT" else "JOIN"
     on = " AND ".join(
         [f"{le} = {ralias}.{kc}" for (le, _), kc in zip(eqs, kcols)]
         + [f"{lts} = {ralias}.{tscol}"]
+        + [f"({c})" for c in (left_res or [])]
     )
     if seg_start is not None:
         repl = f"{join_kw} ({pick}) {ralias} ON {on} "
@@ -612,7 +667,15 @@ def rewrite_asof(sql: str) -> str:
         for cj in conjuncts:
             cm = _CMP.search(cj)
             if cm and _refs(cj, ralias):
-                ineq = (cj, cm)
+                # the MATCH column comparison is two-sided (left expr vs
+                # right expr); a one-sided inequality (q.px > 1.5) is a
+                # residual filter, only used as match if nothing better
+                if _alias_prefixes(cj) - {ralias}:
+                    ineq = (cj, cm)
+                elif ineq is None or not (
+                    _alias_prefixes(ineq[0]) - {ralias}
+                ):
+                    ineq = (cj, cm)
         if ineq is None:
             return sql  # no inequality referencing the right side
         cj, cm = ineq
@@ -682,20 +745,38 @@ def _try_pick_plan(
     exact = op in (">=", "<=")
 
     eqs: list[tuple[str, str]] = []
+    # Residual (non-equality / non-splittable) conjuncts keep the pick
+    # plan when they reference ONE side only: right-only residuals
+    # pre-filter the candidate right rows (the ASOF picks the best match
+    # among qualifying rights — filter the union's right branch), and
+    # left-only residuals gate which left rows match at all (append to
+    # the join-back ON, so INNER drops / LEFT NULL-extends them). Only a
+    # MIXED non-equality residual (e.g. t.v < q.v) still needs the
+    # correlated lateral — it filters candidate PAIRS, which the
+    # window-carry plan cannot express.
+    left_res: list[str] = []
+    right_res: list[str] = []
     for c in conjuncts:
         if c is cj or c == cj:
             continue
         parts = _EQ.split(c)
-        if len(parts) != 2:
-            return None  # non-equality residual conjunct
-        a, b = parts[0].strip(), parts[1].strip()
-        if _refs(b, ralias) and not _refs(a, ralias):
-            le, re_ = a, b
-        elif _refs(a, ralias) and not _refs(b, ralias):
-            le, re_ = b, a
+        if len(parts) == 2:
+            a, b = parts[0].strip(), parts[1].strip()
+            if _refs(b, ralias) and not _refs(a, ralias):
+                eqs.append((a, b))
+                continue
+            if _refs(a, ralias) and not _refs(b, ralias):
+                eqs.append((b, a))
+                continue
+        quals = _alias_prefixes(c)
+        if _bare_columns(c):
+            return None  # unqualified column — side unknown, keep lateral
+        if quals == {ralias}:
+            right_res.append(c)
+        elif quals and ralias not in quals:
+            left_res.append(c)
         else:
-            return None
-        eqs.append((le, re_))
+            return None  # mixed (or qualifier-free) residual conjunct
     if not eqs:
         return None  # keyless asof: window over everything — keep lateral
 
@@ -704,6 +785,8 @@ def _try_pick_plan(
     for le, _ in eqs:
         lquals |= _alias_prefixes(le)
     lquals |= _alias_prefixes(lts)
+    for c in left_res:
+        lquals |= _alias_prefixes(c)
     if len(lquals) > 1:
         return None
 
@@ -752,6 +835,7 @@ def _try_pick_plan(
     out = _pick_rewrite(
         sql, lrel, lalias, lstart, rtable, ralias, kind, eqs, lts, rts,
         direction, exact, end, schema, seg_start,
+        left_res=left_res, right_res=right_res,
     )
     if star is not None:
         ss, se, repl = star

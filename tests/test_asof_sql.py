@@ -217,3 +217,58 @@ def test_pick_plan_duplicate_left_rows(spark):
         "ORDER BY t.id"
     ).collect()
     assert [(r.id, float(r.px)) for r in rows] == [(1, 1.0), (2, 1.0)]
+
+
+def test_pick_plan_residual_conjuncts(spark):
+    """VERDICT r7 ask #5: non-equality residual conjuncts that reference
+    ONE side only must keep the union+window pick plan — right-only
+    residuals pre-filter the candidate rights, left-only residuals gate
+    the join-back. Only MIXED residuals (pair predicates) keep lateral."""
+    from doris_spark.engine import Engine
+
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW __f_t AS "
+        "SELECT * FROM VALUES (1,'A',10),(2,'A',25),(3,'B',7) v(id,sym,ts)"
+    )
+    spark.sql(
+        "CREATE OR REPLACE TEMPORARY VIEW __f_q AS "
+        "SELECT * FROM VALUES ('A',5,1.0),('A',20,2.0),('B',30,3.0) v(sym,ts,px)"
+    )
+    eng = Engine(spark)
+
+    # right-only residual: best match among rights with px > 1.5
+    df = eng.sql(
+        "SELECT t.id, q.ts AS qts, q.px FROM __f_t t "
+        "ASOF LEFT JOIN __f_q q "
+        "ON t.sym = q.sym AND t.ts >= q.ts AND q.px > 1.5 ORDER BY t.id"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Window" in plan
+    assert [
+        (r.id, r.qts, float(r.px) if r.px is not None else None)
+        for r in df.collect()
+    ] == [(1, None, None), (2, 20, 2.0), (3, None, None)]
+
+    # left-only residual: rows failing it are NULL-extended (LEFT) /
+    # dropped (INNER), even when an asof match exists
+    df = eng.sql(
+        "SELECT t.id, q.ts AS qts FROM __f_t t "
+        "ASOF LEFT JOIN __f_q q "
+        "ON t.sym = q.sym AND t.ts >= q.ts AND t.id > 1 ORDER BY t.id"
+    )
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoop" not in plan and "Window" in plan
+    assert [(r.id, r.qts) for r in df.collect()] == [
+        (1, None), (2, 20), (3, None)]
+    rows = eng.sql(
+        "SELECT t.id FROM __f_t t ASOF INNER JOIN __f_q q "
+        "ON t.sym = q.sym AND t.ts >= q.ts AND t.id > 1 ORDER BY t.id"
+    ).collect()
+    assert [r.id for r in rows] == [2]
+
+    # mixed pair-predicate residual: lateral is the only correct plan
+    out = rewrite_asof(
+        "SELECT t.id FROM t ASOF LEFT JOIN q "
+        "ON t.sym = q.sym AND t.ts >= q.ts AND t.v < q.px"
+    )
+    assert "LATERAL" in out
