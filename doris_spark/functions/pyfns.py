@@ -1014,6 +1014,96 @@ def register(spark: SparkSession) -> int:
     reg("ipv6_num_to_string", ipv6_num_to_string, "string")
     reg("ipv6_from_uint128_string_or_null", ipv6_num_to_string, "string")
 
+    def _v4_canon(t: str):
+        """Doris IPv4 text parse: trimmed, leading zeros ok, 4 in-range
+        decimal parts; canonical dotted render or None."""
+        parts = t.split(".")
+        if len(parts) != 4:
+            return None
+        vals = []
+        for p in parts:
+            if not p or not p.isdigit() or len(p) > 3:
+                return None
+            v = int(p)
+            if v > 255:
+                return None
+            vals.append(v)
+        return ".".join(str(v) for v in vals)
+
+    def _v6_render(a) -> str:
+        """Doris IPv6 render: ipv4-mapped and ipv4-compatible addresses
+        keep the dotted tail; otherwise RFC 5952 compression."""
+        if a.ipv4_mapped is not None:
+            return "::ffff:" + str(a.ipv4_mapped)
+        iv = int(a)
+        if 0xFFFF < iv < (1 << 32):
+            return "::" + str(ipaddress.IPv4Address(iv))
+        return a.compressed
+
+    def __ip4_canon(s: pd.Series) -> pd.Series:
+        def f(v):
+            if v is None:
+                return None
+            t = str(v).strip()
+            c = _v4_canon(t)
+            if c is not None:
+                return c
+            try:
+                a = ipaddress.IPv6Address(t)
+                if a.ipv4_mapped is not None:
+                    return str(a.ipv4_mapped)
+            except (ValueError, TypeError):
+                pass
+            return None
+
+        return s.map(f)
+
+    def __ip6_canon(s: pd.Series) -> pd.Series:
+        def f(v):
+            if v is None:
+                return None
+            t = str(v).strip()
+            c = _v4_canon(t)
+            if c is not None:
+                return "::ffff:" + c  # ipv4 -> ipv6 maps
+            try:
+                return _v6_render(ipaddress.IPv6Address(t))
+            except (ValueError, TypeError):
+                return None
+
+        return s.map(f)
+
+    reg("__ip4_canon", __ip4_canon, "string")
+    reg("__ip6_canon", __ip6_canon, "string")
+
+    def __str_to_double(s: pd.Series) -> pd.Series:
+        """C-strtod parse keeping the -0.0 sign (Spark's constant
+        folder normalizes -0.0 literals to +0.0, which flips
+        atan2/copysign results)."""
+        def f(v):
+            try:
+                return float(str(v).strip())
+            except (ValueError, TypeError):
+                return None
+
+        return s.map(f)
+
+    reg("__str_to_double", __str_to_double, "double")
+
+    def __py_atan2(y: pd.Series, x: pd.Series) -> pd.Series:
+        """IEEE atan2 honoring -0.0 (Spark's Atan2 adds +0.0 to both
+        operands, collapsing the signed-zero quadrants)."""
+        import math as _m
+
+        def f(a, b):
+            if a is None or b is None:
+                return None
+            return _m.atan2(float(a), float(b))
+
+        return pd.Series([f(a, b) for a, b in zip(y, x)], dtype=object)
+
+    reg("__py_atan2", __py_atan2, "double")
+
     def is_ipv6(s: pd.Series) -> pd.Series:
         return s.map(lambda v: _ip6(v) is not None if v is not None else None)
 

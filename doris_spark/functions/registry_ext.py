@@ -53,6 +53,13 @@ _W0 = (
     "ELSE CAST((dayofyear({d}) - (((8 - dayofweek(trunc({d}, 'YEAR'))) % 7) + 1)) / 7 AS INT) + 1 END)"
 )
 
+# Doris get_json_* path normalization: `$.[0]` -> `$[0]`, quoted keys
+# `."k"` -> `['k']` (Spark's JsonPath grammar). chr(39) = single quote.
+_GJ_PATH = (
+    "regexp_replace(regexp_replace(p, '\\\\.\\\\[', '['), "
+    "'\\\\.\"([^\"]+)\"', concat('[', chr(39), '$1', chr(39), ']'))"
+)
+
 DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     # =================================================================
     # date/time (function_date_or_datetime_computation.cpp,
@@ -702,10 +709,16 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
         "ELSE is_variant_null(try_variant_get(try_parse_json(j), p)) END",
     ),
     "jsonb_extract_largeint": ("j STRING, p STRING", "CAST(__jsonb_ext(j, p, 'int') AS DECIMAL(38, 0))"),
-    "get_json_string": ("j STRING, p STRING", "get_json_object(j, p)"),
-    "get_json_int": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS INT)"),
-    "get_json_bigint": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS BIGINT)"),
-    "get_json_double": ("j STRING, p STRING", "CAST(get_json_object(j, p) AS DOUBLE)"),
+    # Doris JSON paths allow `$.[0]` and quoted keys (`$.cbe."1"`) —
+    # normalize to Spark's JsonPath grammar ($[0], ['1']) first
+    "get_json_string": ("j STRING, p STRING",
+                        f"get_json_object(j, {_GJ_PATH})"),
+    "get_json_int": ("j STRING, p STRING",
+                     f"CAST(get_json_object(j, {_GJ_PATH}) AS INT)"),
+    "get_json_bigint": ("j STRING, p STRING",
+                        f"CAST(get_json_object(j, {_GJ_PATH}) AS BIGINT)"),
+    "get_json_double": ("j STRING, p STRING",
+                        f"CAST(get_json_object(j, {_GJ_PATH}) AS DOUBLE)"),
     "json_quote": (
         "s STRING",
         "CASE WHEN s IS NULL THEN 'null' ELSE "

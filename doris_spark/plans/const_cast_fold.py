@@ -90,6 +90,14 @@ def _eval(expr: str, strict: bool):
     if t in ("string", "text") or t.startswith(("varchar", "char")):
         if v is _NULL:
             return _NULL
+        if v[0] in ("double", "float") and (
+            math.isnan(v[1]) or math.isinf(v[1])
+        ):
+            # float -> STRING renders the Java spellings (the bare
+            # float VALUE render keeps the C spellings 'inf'/'-nan')
+            if math.isnan(v[1]):
+                return ("str", "NaN")
+            return ("str", "Infinity" if v[1] > 0 else "-Infinity")
         return ("str", _render(v))
     if t == "double":
         return _to_float(v, strict, double=True)
@@ -222,6 +230,10 @@ def _render(v) -> str:
 _P_GT38 = re.compile(r"(?i)decimal(?:v3)?\s*\(\s*(\d+)")
 _INT_TARGET = re.compile(
     r"(?i)\bas\s+(?:tinyint|smallint|int|integer|bigint|largeint)\s*\)")
+_DEC_TARGET = re.compile(r"(?i)\bas\s+decimal(?:v3)?\s*\(")
+_NANINF_FLOAT = re.compile(
+    r"(?i)\bas\s+(?:float|double)\s*\)")
+_NANINF_LIT = re.compile(r"(?i)['\"]\s*-?\s*(nan|inf)")
 
 
 def has_decimal256(text: str) -> bool:
@@ -229,12 +241,21 @@ def has_decimal256(text: str) -> bool:
 
 
 def fold_worthy(text: str) -> bool:
-    """Statements this folder should attempt: decimal256 anywhere, or a
+    """Statements this folder should attempt: decimal256 anywhere, a
     cast chain targeting an integer type (Doris truncates fractional
-    strings and NULLs overflow where Spark errors/clamps)."""
-    return has_decimal256(text) or (
-        _INT_TARGET.search(text) is not None
-        and re.search(r"(?i)\bcast\s*\(", text) is not None)
+    strings and NULLs overflow where Spark errors/clamps), a string ->
+    decimal cast (>38-significant-digit literals NULL in Spark even
+    when the VALUE fits), or a nan/inf string -> float/double cast
+    (Doris parses the C spellings incl '-nan')."""
+    if not re.search(r"(?i)\bcast\s*\(", text):
+        return False
+    return (
+        has_decimal256(text)
+        or _INT_TARGET.search(text) is not None
+        or _DEC_TARGET.search(text) is not None
+        or (_NANINF_FLOAT.search(text) is not None
+            and _NANINF_LIT.search(text) is not None)
+    )
 
 
 _SPARK_TYPE = {
@@ -304,7 +325,10 @@ def fold_const_dec256(text: str, strict: bool,
         am = re.match(r"(?is)^(.*\))\s+(?:AS\s+)?(`?\w+`?)\s*$", raw)
         if am is not None:
             it, alias = am.group(1), " AS " + am.group(2)
-        if has_decimal256(it) or _INT_TARGET.search(it):
+        if (has_decimal256(it) or _INT_TARGET.search(it)
+                or _DEC_TARGET.search(it)
+                or (_NANINF_FLOAT.search(it)
+                    and _NANINF_LIT.search(it))):
             try:
                 v = _eval(it, strict)
                 if typed:

@@ -1253,6 +1253,15 @@ def dialect(sql: str) -> str:
     s = re.sub(r"\bAS\s+DATETIME\b", "AS TIMESTAMP", s, flags=re.I)
     s = re.sub(r"\bAS\s+DATEV[12]\b", "AS DATE", s, flags=re.I)
     s = re.sub(r"\bAS\s+SIGNED\b", "AS BIGINT", s, flags=re.I)
+    # boolean -> string renders as 1/0 in Doris (nested-literal form;
+    # must run BEFORE the generic VARCHAR-cast float-format tier below)
+    s = re.sub(
+        r"(?i)\bCAST\s*\(\s*(CAST\s*\(\s*[^()]*?\s+AS\s+BOOLEAN\s*\)|TRUE|"
+        r"FALSE)\s+AS\s+(?:VARCHAR|CHAR|STRING|TEXT)\s*(?:\(\s*\d+\s*\))?"
+        r"\s*\)",
+        lambda m: (f"CASE WHEN {m.group(1)} THEN '1' "
+                   f"WHEN NOT {m.group(1)} THEN '0' END"),
+        s)
     # Doris renders integral DOUBLE/FLOAT values without the trailing
     # '.0' when cast to VARCHAR/CHAR (%g-style) — inline the strip so it
     # stays legal inside Sort/Generate (no SQL UDF)
@@ -1436,6 +1445,29 @@ def dialect(sql: str) -> str:
     # LARGEINT (int128) narrows to the documented DECIMAL(38,0) backing;
     # the exact 'decimal(38,0)' typeof doubles as the largeint marker
     s = re.sub(r"\bAS\s+LARGEINT\b", "AS DECIMAL(38,0)", s, flags=re.I)
+    # Doris string->boolean accepts t/f/on/off/yes/no/true/false/0/1
+    # (BE cast table; Spark lacks on/off) — fold literal forms
+    _BOOL_WORDS = {
+        "1": "TRUE", "t": "TRUE", "true": "TRUE", "yes": "TRUE",
+        "on": "TRUE", "0": "FALSE", "f": "FALSE", "false": "FALSE",
+        "no": "FALSE", "off": "FALSE",
+    }
+
+    def _bool_lit(m: re.Match) -> str:
+        v = (m.group(1) if m.group(1) is not None else m.group(2))
+        return _BOOL_WORDS.get(v.strip().lower(), "CAST(NULL AS BOOLEAN)")
+
+    s = re.sub(
+        r"(?i)\bCAST\s*\(\s*(?:'([^']*)'|\"([^\"]*)\")\s+AS\s+BOOLEAN\s*\)",
+        _bool_lit, s)
+    # Spark drops the sign of -0.0 literals in constant folding; Doris
+    # (and IEEE atan2/copysign semantics) keep it — route through the
+    # python strtod kernel, which the folder can't see through
+    s = re.sub(
+        r"(?i)\bCAST\s*\(\s*['\"]\s*(-\s*0(?:\.0+)?)\s*['\"]\s+AS\s+"
+        r"(?:DOUBLE|FLOAT)\s*\)",
+        lambda m: f"__str_to_double('{m.group(1)}')",
+        s)
     # MySQL logical XOR (truthiness of each side, NULL-propagating)
     s = _sub_outside_literals(
         r"(?<![\w.])([\w.]+)\s+XOR\s+([\w.]+)(?![\w.])",
@@ -1443,6 +1475,20 @@ def dialect(sql: str) -> str:
         s,
         flags=re.I,
     )
+    # CAST(x AS IPV4/IPV6): Doris parses+canonicalizes (trim, leading
+    # zeros, RFC5952 compression, mapped/compat dotted tails, invalid ->
+    # NULL) — route through the ip canon kernels; loop for nested
+    # CAST(CAST(x AS IPV4) AS IPV6) chains (innermost consumed first)
+    for _ in range(3):
+        s2 = re.sub(
+            r"CAST\s*\(((?:[^()']|'[^']*'|\((?:[^()']|'[^']*'|"
+            r"\([^()]*\))*\))+?)\s+AS\s+IPV([46])\b\s*\)",
+            lambda m: f"__ip{m.group(2)}_canon({m.group(1)})",
+            s, flags=re.I,
+        )
+        if s2 == s:
+            break
+        s = s2
     s = re.sub(r"\bAS\s+IPV[46]\b", "AS STRING", s, flags=re.I)
     s = re.sub(r"<\s*IPV[46]\s*>", "<STRING>", s, flags=re.I)
     # Doris brace literals -> constructor calls (recursive, quote-aware):
@@ -1580,9 +1626,291 @@ def dialect(sql: str) -> str:
     )
     # Doris CAST('<json>' AS ARRAY/MAP/STRUCT<...>) parses JSON text;
     # Spark's equivalent is from_json
+    def _json_shape_ok(v, typ: str) -> bool:
+        """Doris try_cast(json_text AS T) nulls on SHAPE mismatch where
+        Spark's from_json would null elementwise — validate the parsed
+        literal against the target type."""
+        if v is None:
+            return True
+        t = re.sub(r"\s+", "", typ.lower())
+        if t.startswith("array<") and t.endswith(">"):
+            return isinstance(v, list) and all(
+                _json_shape_ok(e, t[6:-1]) for e in v)
+        if t.startswith("map<") and t.endswith(">"):
+            vt = t[4:-1].split(",", 1)[-1]
+            return isinstance(v, dict) and all(
+                _json_shape_ok(e, vt) for e in v.values())
+        if t.startswith("struct<"):
+            return isinstance(v, dict)
+        if t in ("boolean", "bool"):
+            return isinstance(v, bool)
+        if re.match(r"(tiny|small|big|large)?int(eger)?$", t):
+            return isinstance(v, int) and not isinstance(v, bool)
+        if t in ("float", "double") or t.startswith("decimal"):
+            return isinstance(v, (int, float)) and not isinstance(v, bool)
+        return not isinstance(v, (list, dict))
+
+    def _pdc(text: str):
+        """Parse Doris complex-literal TEXT (not JSON: unquoted map keys
+        `{1:2}`, values-only structs `{1, "hello"}`). Returns
+        ('list', items) | ('pairs', [(k,v)..]) | ('pos', items) |
+        scalar (str/int/float/None). Raises ValueError."""
+        i = 0
+        n = len(text)
+
+        def ws():
+            nonlocal i
+            while i < n and text[i] in " \t\n\r":
+                i += 1
+
+        def value():
+            nonlocal i
+            ws()
+            if i >= n:
+                raise ValueError("eof")
+            c = text[i]
+            if c == "[":
+                i += 1
+                items = []
+                ws()
+                if i < n and text[i] == "]":
+                    i += 1
+                    return ("list", items)
+                while True:
+                    items.append(value())
+                    ws()
+                    if i < n and text[i] == ",":
+                        i += 1
+                        continue
+                    if i < n and text[i] == "]":
+                        i += 1
+                        return ("list", items)
+                    raise ValueError("bad list")
+            if c == "{":
+                i += 1
+                ws()
+                if i < n and text[i] == "}":
+                    i += 1
+                    return ("pairs", [])
+                first = value()
+                ws()
+                if i < n and text[i] == ":":
+                    pairs = []
+                    i += 1
+                    pairs.append((first, value()))
+                    ws()
+                    while i < n and text[i] == ",":
+                        i += 1
+                        k = value()
+                        ws()
+                        if i >= n or text[i] != ":":
+                            raise ValueError("bad map")
+                        i += 1
+                        pairs.append((k, value()))
+                        ws()
+                    if i < n and text[i] == "}":
+                        i += 1
+                        return ("pairs", pairs)
+                    raise ValueError("bad map end")
+                items = [first]
+                while i < n and text[i] == ",":
+                    i += 1
+                    items.append(value())
+                    ws()
+                if i < n and text[i] == "}":
+                    i += 1
+                    return ("pos", items)
+                raise ValueError("bad struct")
+            if c in ("'", '"'):
+                q = c
+                i += 1
+                buf = []
+                while i < n:
+                    ch = text[i]
+                    if ch == "\\" and i + 1 < n:
+                        buf.append(text[i + 1])
+                        i += 2
+                        continue
+                    if ch == q:
+                        i += 1
+                        return "".join(buf)
+                    buf.append(ch)
+                    i += 1
+                raise ValueError("unterminated string")
+            j = i
+            while j < n and text[j] not in ",:]}[{":
+                j += 1
+            tok = text[i:j].strip()
+            i = j
+            if not tok:
+                raise ValueError("empty token")
+            if tok.lower() == "null":
+                return None
+            try:
+                return int(tok)
+            except ValueError:
+                pass
+            try:
+                return float(tok)
+            except ValueError:
+                pass
+            return tok
+
+        v = value()
+        ws()
+        if i != n:
+            raise ValueError("trailing")
+        return v
+
+    def _split_type_args(t: str) -> list:
+        out, depth, cur = [], 0, []
+        for ch in t:
+            if ch == "<":
+                depth += 1
+            elif ch == ">":
+                depth -= 1
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            if ch == "," and depth == 0:
+                out.append("".join(cur).strip())
+                cur = []
+            else:
+                cur.append(ch)
+        if cur:
+            out.append("".join(cur).strip())
+        return out
+
+    def _lit_sql(v, typ: str) -> str:
+        """SQL literal expression for parsed value v coerced to Doris
+        type text typ. Raises ValueError when unrepresentable."""
+        t = typ.strip()
+        tl = re.sub(r"\s+", "", t.lower())
+        if tl.startswith("array<") and tl.endswith(">"):
+            inner = t[t.index("<") + 1: t.rindex(">")]
+            if v is None:
+                return f"CAST(NULL AS {t})"
+            if not (isinstance(v, tuple) and v[0] == "list"):
+                raise ValueError("not a list")
+            if not v[1]:
+                return f"CAST(array() AS {t})"
+            return "array(" + ", ".join(
+                _lit_sql(e, inner) for e in v[1]) + ")"
+        if tl.startswith("map<") and tl.endswith(">"):
+            kt, vt = _split_type_args(t[t.index("<") + 1: t.rindex(">")])
+            if v is None:
+                return f"CAST(NULL AS {t})"
+            if not (isinstance(v, tuple) and v[0] == "pairs"):
+                raise ValueError("not a map")
+            if not v[1]:
+                return (f"map_from_arrays(CAST(array() AS ARRAY<{kt}>), "
+                        f"CAST(array() AS ARRAY<{vt}>))")
+            return "map(" + ", ".join(
+                f"{_lit_sql(k, kt)}, {_lit_sql(w, vt)}" for k, w in v[1]
+            ) + ")"
+        if tl.startswith("struct<") and tl.endswith(">"):
+            fields = _split_type_args(t[t.index("<") + 1: t.rindex(">")])
+            names, types = [], []
+            for f in fields:
+                nm, ft = f.split(":", 1)
+                names.append(nm.strip().strip("`"))
+                types.append(ft.strip())
+            vals = [None] * len(names)
+            if v is None:
+                return f"CAST(NULL AS {t})"
+            if isinstance(v, tuple) and v[0] == "pairs":
+                got = {str(k).lower(): w for k, w in v[1]}
+                vals = [got.get(nm.lower()) for nm in names]
+            elif isinstance(v, tuple) and v[0] == "pos":
+                for ix, e in enumerate(v[1][: len(names)]):
+                    vals[ix] = e
+            else:
+                raise ValueError("not a struct")
+            return "named_struct(" + ", ".join(
+                f"'{nm}', {_lit_sql(w, ft)}"
+                for nm, ft, w in zip(names, types, vals)) + ")"
+        # scalars
+        base = re.sub(r"[(<].*", "", tl)
+        if v is None:
+            st = {"varchar": "STRING", "char": "STRING", "text": "STRING",
+                  "integer": "INT", "largeint": "DECIMAL(38,0)",
+                  "datetimev2": "TIMESTAMP", "datetime": "TIMESTAMP",
+                  "datev2": "DATE"}.get(base, t)
+            return f"CAST(NULL AS {st})"
+        if isinstance(v, tuple):
+            raise ValueError("nested where scalar expected")
+        if base in ("tinyint", "smallint", "int", "integer", "bigint",
+                    "largeint"):
+            iv = int(str(v).strip())  # raises on non-numeric
+            return str(iv)
+        if base in ("float", "double") or base.startswith("decimal"):
+            fv = float(str(v).strip())
+            lit = repr(fv)
+            if base.startswith("decimal"):
+                return f"CAST('{v}' AS {t})"
+            return f"CAST({lit} AS {base.upper()})"
+        if base in ("boolean", "bool"):
+            sv = str(v).strip().lower()
+            if sv in ("1", "t", "true", "yes", "on"):
+                return "TRUE"
+            if sv in ("0", "f", "false", "no", "off"):
+                return "FALSE"
+            raise ValueError("bad bool")
+        if base in ("date", "datev2", "datetime", "datetimev2",
+                    "timestamp"):
+            st = "DATE" if base.startswith("date") and "time" not in \
+                base else "TIMESTAMP"
+            return f"CAST('{v}' AS {st})"
+        # string-ish
+        s_ = str(v).replace("\\", "\\\\").replace("'", "\\'")
+        return f"'{s_}'"
+
+    def _needs_py_complex(parsed, typ: str, json_ok: bool) -> bool:
+        """True when Spark's from_json cannot express the cast: non-JSON
+        Doris text, MAP with non-string keys, or string<->number element
+        coercion."""
+        if not json_ok:
+            return True
+        tl = re.sub(r"\s+", "", typ.lower())
+        if re.search(r"map<(?!(?:string|varchar|char|text)\b)", tl):
+            return True
+
+        def walk(v, t):
+            t = t.strip()
+            ttl = re.sub(r"\s+", "", t.lower())
+            if v is None:
+                return False
+            if ttl.startswith("array<"):
+                inner = t[t.index("<") + 1: t.rindex(">")]
+                return isinstance(v, tuple) and v[0] == "list" and any(
+                    walk(e, inner) for e in v[1])
+            if ttl.startswith("struct<"):
+                if isinstance(v, tuple) and v[0] == "pos":
+                    return True  # values-only struct text
+                if isinstance(v, tuple) and v[0] == "pairs":
+                    fields = _split_type_args(
+                        t[t.index("<") + 1: t.rindex(">")])
+                    fmap = {}
+                    for f in fields:
+                        nm, ft = f.split(":", 1)
+                        fmap[nm.strip().strip("`").lower()] = ft
+                    return any(
+                        walk(w, fmap.get(str(k).lower(), "string"))
+                        for k, w in v[1])
+                return False
+            base = re.sub(r"[(<].*", "", ttl)
+            if base in ("tinyint", "smallint", "int", "integer",
+                        "bigint", "largeint", "float", "double") or \
+                    base.startswith("decimal"):
+                return isinstance(v, str)  # "123" -> 123 coercion
+            return False
+
+        return walk(parsed, typ)
+
     def _cast_complex(text: str) -> str:
         out, i, n = [], 0, len(text)
-        pat = re.compile(r"CAST\s*\(", re.I)
+        pat = re.compile(r"(TRY_)?CAST\s*\(", re.I)
         while i < n:
             m = pat.search(text, i)
             if m is None:
@@ -1605,9 +1933,13 @@ def dialect(sql: str) -> str:
                         break
                 j += 1
             body = text[m.end() : j]
+            is_try = bool(m.group(1))
             am = re.search(
-                r"\s+AS\s+((?:ARRAY|MAP|STRUCT)\s*<.*>)\s*$", body, re.I | re.S
+                r"\s+AS\s+((?:ARRAY|MAP|STRUCT)\s*<.*>|JSONB?)\s*$",
+                body, re.I | re.S
             )
+            if am and am.group(1).upper().startswith("JSON") and not is_try:
+                am = None  # plain CAST(x AS JSON) is handled elsewhere
             # JSON-text parse only applies to string-valued sources: a
             # quoted literal, or a bare column that the native CAST path
             # can't be (complex-to-complex casts stay native CAST — the
@@ -1618,20 +1950,61 @@ def dialect(sql: str) -> str:
                 # Doris JSONB normalizes on parse: duplicate object keys
                 # keep the LAST value (json.loads does the same); also
                 # drops insignificant whitespace
+                parsed, parse_ok = None, False
                 try:
                     import json as _json
 
                     raw = src_expr[1:-1]
                     if src_expr[0] == "'":
                         raw = raw.replace("''", "'")
+                    parsed = _json.loads(raw)
+                    parse_ok = True
                     normalized = _json.dumps(
-                        _json.loads(raw), separators=(",", ":")
+                        parsed, separators=(",", ":")
                     )
                     src_expr = "'" + normalized.replace("'", "''") + "'"
                 except (ValueError, TypeError):
                     pass
                 out.append(text[i : m.start()])
-                out.append(f"from_json({src_expr}, '{typ}')")
+                py_lit = None
+                if not typ.upper().startswith("JSON"):
+                    # Doris complex-literal forms from_json can't do:
+                    # unquoted map keys, values-only structs, quoted
+                    # numbers — evaluate to a typed SQL literal
+                    try:
+                        pv = _pdc(raw)
+                        if _needs_py_complex(pv, typ, parse_ok):
+                            py_lit = _lit_sql(pv, typ)
+                    except ValueError:
+                        pass
+                if typ.upper().startswith("JSON"):
+                    # try_cast(literal AS JSON): normalized text or NULL
+                    out.append(
+                        src_expr if parse_ok
+                        else "CAST(NULL AS STRING)")
+                elif py_lit is not None:
+                    out.append(py_lit)
+                elif is_try and not (
+                    parse_ok and _json_shape_ok(parsed, typ)
+                ):
+                    out.append(f"CAST(NULL AS {typ})")
+                else:
+                    out.append(f"from_json({src_expr}, '{typ}')")
+            elif (
+                am
+                and re.match(r"(?i)map\s*[(<]", am.group(1).strip())
+                and re.match(r"(?i)map\s*\(", src_expr)
+            ):
+                # Spark cannot cast MAP->MAP with different key/value
+                # types — rebuild via key/value arrays (stays codegen)
+                typ = " ".join(am.group(1).split())
+                kt, vt = _split_type_args(
+                    typ[typ.index("<") + 1: typ.rindex(">")])
+                out.append(text[i : m.start()])
+                out.append(
+                    f"map_from_arrays("
+                    f"CAST(map_keys({src_expr}) AS ARRAY<{kt}>), "
+                    f"CAST(map_values({src_expr}) AS ARRAY<{vt}>))")
             else:
                 out.append(text[i : m.start()])
                 out.append(text[m.start() : j + 1])

@@ -163,6 +163,33 @@ def _scan_balanced(text: str, start: int) -> int:
     return i if not depth else -1
 
 
+_CAST_INT_RE = None  # compiled lazily (module import order)
+
+
+def _overflow_null_casts(sql: str) -> str:
+    """cast(x AS <int kind>) -> NULL on overflow (Doris non-strict BE
+    cast) instead of Spark's two's-complement wrap."""
+    global _CAST_INT_RE
+    if _CAST_INT_RE is None:
+        _CAST_INT_RE = _re.compile(
+            r"(?i)\bcast\s*\(((?:[^()']|'[^']*'|"
+            r"\((?:[^()']|'[^']*'|\([^()]*\))*\))+?)\s+as\s+"
+            r"(tinyint|smallint|int|integer|bigint)\s*\)")
+
+    def r(m: "_re.Match") -> str:
+        e, t = m.group(1), m.group(2).lower()
+        bits = {"tinyint": 7, "smallint": 15, "int": 31,
+                "integer": 31, "bigint": 63}[t]
+        lo, hi = -(1 << bits), (1 << bits) - 1
+        big = (f"CAST(({e}) AS DECIMAL(38,0))" if t == "bigint"
+               else f"CAST(({e}) AS BIGINT)")
+        st = "INT" if t == "integer" else t.upper()
+        return (f"(CASE WHEN {big} BETWEEN {lo} AND {hi} "
+                f"THEN CAST(({e}) AS {st}) END)")
+
+    return _CAST_INT_RE.sub(r, sql)
+
+
 def try_recursive_union_sql(engine, text: str):
     """Evaluate a WITH RECURSIVE statement whose CTE chain contains at
     least one plain-UNION (distinct) recursive member — the form
@@ -176,6 +203,7 @@ def try_recursive_union_sql(engine, text: str):
     m = _REC_HEAD.match(text)
     if m is None:
         return None
+    nested_views: list[str] = []
     ctes = []  # (name, collist, body)
     pos = m.end()
     while True:
@@ -224,9 +252,36 @@ def try_recursive_union_sql(engine, text: str):
                           flags=_re.I)
         return sql
 
+    def materialize_nested(sql: str) -> str:
+        """Evaluate parenthesized nested `(WITH RECURSIVE ...)` derived
+        tables (rec_cte_p0: a recursive CTE inside a recursive member)
+        into checkpointed views, substituting `(SELECT * FROM <view>)`."""
+        global _VIEW_SEQ
+        while True:
+            nm = _re.search(r"\(\s*WITH\s+RECURSIVE\b", sql, _re.I)
+            if nm is None:
+                return sql
+            end = _scan_balanced(sql, nm.start())
+            if end < 0:
+                return sql
+            inner = sql[nm.start() + 1: end - 1]
+            df = try_recursive_union_sql(engine, inner)
+            if df is None:
+                try:
+                    df = engine.sql(inner)
+                except Exception:
+                    return sql
+            _VIEW_SEQ += 1
+            v = f"__rec_nested_{_VIEW_SEQ}"
+            df.localCheckpoint(eager=True).createOrReplaceTempView(v)
+            nested_views.append(v)
+            sql = sql[: nm.start()] + f"(SELECT * FROM {v})" + sql[end:]
+
     mapping: dict[str, str] = {}  # lowercase original -> internal view
     try:
         for name, collist, body in ctes:
+            if _re.search(r"\(\s*WITH\s+RECURSIVE\b", body, _re.I):
+                body = materialize_nested(body)
             _VIEW_SEQ += 1
             internal = f"__rec_cte_{name.lower()}_{_VIEW_SEQ}"
             cols = ([c.strip().strip("`") for c in collist.split(",")]
@@ -254,6 +309,10 @@ def try_recursive_union_sql(engine, text: str):
                 # registered under the internal name
                 step_sql = subst(
                     step_sql, {**mapping, name.lower(): internal})
+                # Doris NULLs integer-cast overflow (non-strict);
+                # Spark WRAPS — divergent recursions (window-sum
+                # doubling) reach the golden fixpoint through the NULL
+                step_sql = _overflow_null_casts(step_sql)
                 anchor = engine.sql(anchor_sql).distinct()
                 if cols:
                     anchor = anchor.toDF(*cols)
@@ -279,3 +338,8 @@ def try_recursive_union_sql(engine, text: str):
     finally:
         for internal in mapping.values():
             spark.catalog.dropTempView(internal)
+        for v in nested_views:
+            try:
+                spark.catalog.dropTempView(v)
+            except Exception:
+                pass

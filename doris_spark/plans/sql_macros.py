@@ -629,6 +629,152 @@ def _foreach(agg: str) -> Macro:
     return m
 
 
+def _fe_wrap(collected: str, body: str) -> str:
+    """Shared _foreach frame: body is evaluated per index __i over the
+    group's collected arrays C (null rows dropped by collect_list)."""
+    return (
+        f"CASE WHEN size({collected}) = 0 THEN NULL ELSE "
+        f"transform(sequence(1, array_max(transform({collected}, "
+        f"__r -> size(__r)))), __i -> {body}) END"
+    )
+
+
+def _foreach1(body_fn) -> Macro:
+    """Generic 1-arg <agg>_foreach: body_fn(vals, present) -> per-index
+    expression. vals = non-null elements at __i; present = elements
+    (nulls kept) where __i <= len (AggCombinerFunctionBuilder FOREACH)."""
+
+    def m(args: Sequence[str]) -> str:
+        a = args[0]
+        c = f"collect_list({a})"
+        vals = (
+            f"filter(transform({c}, __r -> try_element_at(__r, __i)), "
+            f"__e -> __e IS NOT NULL)"
+        )
+        present = (
+            f"transform(filter({c}, __r -> size(__r) >= __i), "
+            f"__r -> element_at(__r, __i))"
+        )
+        return _fe_wrap(c, body_fn(vals, present))
+
+    return m
+
+
+def _foreach2(body_fn) -> Macro:
+    """Generic 2-arg <agg>_foreach(v_arr, k_arr): body_fn(pairs) where
+    pairs = array<struct<v,k>> of index-__i element pairs, both sides
+    non-null."""
+
+    def m(args: Sequence[str]) -> str:
+        a, b = args[0], args[1]
+        c = (
+            f"filter(collect_list(named_struct('v', {a}, 'k', {b})), "
+            f"__r -> __r.v IS NOT NULL AND __r.k IS NOT NULL)"
+        )
+        pairs = (
+            f"filter(transform({c}, __r -> named_struct("
+            f"'v', try_element_at(__r.v, __i), "
+            f"'k', try_element_at(__r.k, __i))), "
+            f"__p -> __p.v IS NOT NULL AND __p.k IS NOT NULL)"
+        )
+        coll = f"transform({c}, __r -> __r.v)"
+        body = body_fn(pairs)
+        return (
+            f"CASE WHEN size({c}) = 0 THEN NULL ELSE "
+            f"transform(sequence(1, array_max(transform({coll}, "
+            f"__r -> size(__r)))), __i -> {body}) END"
+        )
+
+    return m
+
+
+def _fe_sum(v: str) -> str:
+    return (f"aggregate({v}, CAST(0 AS DOUBLE), "
+            f"(__a, __x) -> __a + CAST(__x AS DOUBLE))")
+
+
+def _fe_var(vals: str, kind: str) -> str:
+    """kind: var_pop | var_samp | std_pop | std_samp. Doris returns 0
+    for a single sample, even for the _samp forms."""
+    n = f"CAST(size({vals}) AS DOUBLE)"
+    s = _fe_sum(vals)
+    sq = (f"aggregate({vals}, CAST(0 AS DOUBLE), (__a, __x) -> "
+          f"__a + CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))")
+    m2 = f"greatest({sq} - {s} * {s} / {n}, CAST(0 AS DOUBLE))"
+    div = n if kind.endswith("pop") else f"({n} - 1)"
+    core = f"({m2}) / {div}"
+    if kind.startswith("std"):
+        core = f"sqrt({core})"
+    return (f"CASE WHEN size({vals}) = 0 THEN NULL "
+            f"WHEN size({vals}) = 1 THEN CAST(0 AS DOUBLE) "
+            f"ELSE {core} END")
+
+
+def _fe_cov(pairs: str, kind: str) -> str:
+    """kind: cov_pop | cov_samp | corr (pairwise over struct<v,k>)."""
+    n = f"CAST(size({pairs}) AS DOUBLE)"
+    sx = _fe_sum(f"transform({pairs}, __p -> __p.v)")
+    sy = _fe_sum(f"transform({pairs}, __p -> __p.k)")
+    sxy = (f"aggregate({pairs}, CAST(0 AS DOUBLE), (__a, __p) -> "
+           f"__a + CAST(__p.v AS DOUBLE) * CAST(__p.k AS DOUBLE))")
+    sxx = (f"aggregate({pairs}, CAST(0 AS DOUBLE), (__a, __p) -> "
+           f"__a + CAST(__p.v AS DOUBLE) * CAST(__p.v AS DOUBLE))")
+    syy = (f"aggregate({pairs}, CAST(0 AS DOUBLE), (__a, __p) -> "
+           f"__a + CAST(__p.k AS DOUBLE) * CAST(__p.k AS DOUBLE))")
+    cxy = f"({sxy} - {sx} * {sy} / {n})"
+    if kind == "corr":
+        # zero variance -> Doris returns 0 (and ANSI mode must not see
+        # a bare /0): nullif the denominator, coalesce the result
+        core = (f"coalesce({cxy} / nullif(sqrt(greatest(({sxx} - {sx} * "
+                f"{sx} / {n}), CAST(0 AS DOUBLE)) * greatest(({syy} - "
+                f"{sy} * {sy} / {n}), CAST(0 AS DOUBLE))), "
+                f"CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE))")
+    else:
+        div = n if kind == "cov_pop" else f"({n} - 1)"
+        core = f"{cxy} / {div}"
+    return (f"CASE WHEN size({pairs}) = 0 THEN NULL "
+            f"WHEN size({pairs}) = 1 THEN CAST(0 AS DOUBLE) "
+            f"ELSE {core} END")
+
+
+def _fe_minmax_by(pairs: str, last: bool) -> str:
+    pos = "-1" if last else "1"
+    return (f"element_at(array_sort(transform({pairs}, "
+            f"__p -> named_struct('k', __p.k, 'v', __p.v))), {pos}).v")
+
+
+def _fe_count_by_enum(_vals: str, present: str) -> str:
+    """Per-index Doris count_by_enum JSON (see _count_by_enum_macro),
+    emitted as a JSON STRING so get_json_string() paths apply."""
+    nn = f"filter({present}, __e -> __e IS NOT NULL)"
+    sv = f"transform({nn}, __e -> CAST(__e AS STRING))"
+    return (
+        f"to_json(array(named_struct("
+        f"'cbe', map_from_entries(transform(array_distinct({sv}), "
+        f"__v -> struct(__v, CAST(size(filter({sv}, __x -> __x = __v)) "
+        f"AS BIGINT)))), "
+        f"'notnull', CAST(size({nn}) AS BIGINT), "
+        f"'null', CAST(size({present}) - size({nn}) AS BIGINT), "
+        f"'all', CAST(size({present}) AS BIGINT))))"
+    )
+
+
+def _fe_histogram(vals: str, _present: str) -> str:
+    """Per-index Doris histogram JSON string (shape of
+    _histogram_macro, over the index-__i element array)."""
+    dv = f"array_sort(array_distinct({vals}))"
+    cnt = "size(filter({vals}, __e -> __e <=> {v}))"
+    return (
+        f"to_json(named_struct('num_buckets', size({dv}), 'buckets', "
+        f"transform({dv}, (__v, __j) -> named_struct("
+        f"'lower', CAST(__v AS STRING), 'upper', CAST(__v AS STRING), "
+        f"'ndv', 1, "
+        f"'count', CAST({cnt.format(vals=vals, v='__v')} AS BIGINT), "
+        f"'pre_sum', aggregate(slice({dv}, 1, __j), CAST(0 AS BIGINT), "
+        f"(__a, __u) -> __a + {cnt.format(vals=vals, v='__u')})))))"
+    )
+
+
 def _date_arith(args: Sequence[str], sign: str) -> str:
     """2-arg date_add/date_sub (see the MACROS entry comment above the
     registrations): expands to the TYPED TIMESTAMP shape. Day-count
@@ -683,7 +829,62 @@ def _array_join_macro(args: Sequence[str]) -> str:
     )
 
 
+def _nan_null(fn: str) -> Macro:
+    """Doris acos/asin/acosh/atanh/sqrt: a NaN INPUT propagates NaN,
+    but an out-of-domain input (NaN result) or a pole (infinite result
+    from a finite input, atanh(1)) returns NULL, where Spark keeps the
+    IEEE NaN/Inf (test_math_function goldens). atan2 is NOT wrapped."""
+
+    def m(args: Sequence[str]) -> str:
+        if len(args) != 1:
+            return "__KEEP__(" + ", ".join(args) + ")"
+        x = f"CAST(({args[0]}) AS DOUBLE)"
+        f_ = f"{fn}({x})"
+        return (
+            f"(CASE WHEN isnan({x}) THEN {x} "
+            f"WHEN isnan({f_}) THEN CAST(NULL AS DOUBLE) "
+            f"WHEN abs({f_}) = CAST('Infinity' AS DOUBLE) AND "
+            f"abs({x}) <> CAST('Infinity' AS DOUBLE) "
+            f"THEN CAST(NULL AS DOUBLE) ELSE {f_} END)"
+        )
+
+    return m
+
+
+def _atan2_macro(a: Sequence[str]) -> str:
+    # expansions are not re-scanned by rewrite(), so emitting atan2()
+    # here cannot recurse into this macro again
+    if any("-0" in x or "__str_to_double" in x for x in a):
+        return f"__py_atan2({a[0]}, {a[1]})"
+    return f"atan2({a[0]}, {a[1]})"
+
+
 MACROS: dict[str, Macro] = {
+    "acos": _nan_null("acos"),
+    "asin": _nan_null("asin"),
+    "acosh": _nan_null("acosh"),
+    "atanh": _nan_null("atanh"),
+    "sqrt": _nan_null("sqrt"),
+    # 2-arg atan is Doris's atan2 alias; 1-arg passes through. A
+    # signed-zero operand needs the python kernel (Spark's Atan2 adds
+    # +0.0 to both operands, collapsing the -0.0 quadrants).
+    "atan": lambda a: (_atan2_macro(a) if len(a) == 2
+                       else "__KEEP__(" + ", ".join(a) + ")"),
+    "atan2": lambda a: (_atan2_macro(a) if len(a) == 2
+                        else "__KEEP__(" + ", ".join(a) + ")"),
+    # time_to_sec over a TYPED datetime/date takes the time-of-day
+    # (Doris datetime->TIME cast); STRING inputs keep the strict TIME
+    # parse in the registered UDF (datetime STRINGS are NOT valid TIME)
+    "time_to_sec": lambda a: (
+        (
+            f"(CASE WHEN typeof({a[0]}) IN ('timestamp', 'timestamp_ntz'"
+            f", 'date') THEN hour({a[0]}) * 3600 + minute({a[0]}) * 60 "
+            f"+ second({a[0]}) "
+            f"ELSE time_to_sec(CAST(({a[0]}) AS STRING)) END)"
+        )
+        if len(a) == 1
+        else "__KEEP__(" + ", ".join(a) + ")"
+    ),
     "grouping_id": _grouping_id_macro,
     "count_by_enum": _count_by_enum_macro,
     "regr_slope": _regr("slope"),
@@ -697,9 +898,40 @@ MACROS: dict[str, Macro] = {
     "regr_sxy": _regr("sxy"),
     "sum_foreach": _foreach("sum"),
     "count_foreach": _foreach("count"),
-    "min_foreach": _foreach("min"),
-    "max_foreach": _foreach("max"),
+    "min_foreach": _foreach1(lambda v, p: f"array_min({v})"),
+    "max_foreach": _foreach1(lambda v, p: f"array_max({v})"),
     "avg_foreach": _foreach("avg"),
+    # generic FOREACH combinators (AggCombinerFunctionBuilder): stats
+    "stddev_foreach": _foreach1(lambda v, p: _fe_var(v, "std_pop")),
+    "stddev_pop_foreach": _foreach1(lambda v, p: _fe_var(v, "std_pop")),
+    "stddev_samp_foreach": _foreach1(lambda v, p: _fe_var(v, "std_samp")),
+    "variance_foreach": _foreach1(lambda v, p: _fe_var(v, "var_pop")),
+    "var_pop_foreach": _foreach1(lambda v, p: _fe_var(v, "var_pop")),
+    "variance_pop_foreach": _foreach1(lambda v, p: _fe_var(v, "var_pop")),
+    "var_samp_foreach": _foreach1(lambda v, p: _fe_var(v, "var_samp")),
+    "variance_samp_foreach": _foreach1(
+        lambda v, p: _fe_var(v, "var_samp")),
+    "covar_foreach": _foreach2(lambda pr: _fe_cov(pr, "cov_pop")),
+    "covar_pop_foreach": _foreach2(lambda pr: _fe_cov(pr, "cov_pop")),
+    "covar_samp_foreach": _foreach2(lambda pr: _fe_cov(pr, "cov_samp")),
+    "corr_foreach": _foreach2(lambda pr: _fe_cov(pr, "corr")),
+    "min_by_foreach": _foreach2(lambda pr: _fe_minmax_by(pr, False)),
+    "max_by_foreach": _foreach2(lambda pr: _fe_minmax_by(pr, True)),
+    "avg_weighted_foreach": _foreach2(
+        lambda pr: (
+            _fe_sum("transform(" + pr + ", __p -> CAST(__p.v AS DOUBLE)"
+                    " * CAST(__p.k AS DOUBLE))")
+            + " / nullif("
+            + _fe_sum("transform(" + pr + ", __p -> __p.k)") + ", 0)"
+        )),
+    "approx_count_distinct_foreach": _foreach1(
+        lambda v, p: f"CAST(size(array_distinct({v})) AS BIGINT)"),
+    "ndv_foreach": _foreach1(
+        lambda v, p: f"CAST(size(array_distinct({v})) AS BIGINT)"),
+    "array_agg_foreach": _foreach1(lambda v, p: p),
+    "collect_list_foreach": _foreach1(lambda v, p: p),
+    "count_by_enum_foreach": _foreach1(_fe_count_by_enum),
+    "histogram_foreach": _foreach1(_fe_histogram),
     "histogram": _histogram_macro,
     "hist": _histogram_macro,
     "linear_histogram": _linear_histogram_macro,
@@ -1815,6 +2047,18 @@ def _element_at_macro(args: Sequence[str]) -> str:
         return "CAST(NULL AS STRING)"
     if len(args) == 2 and args[1].strip().upper() == "NULL":
         return f"try_element_at({args[0]}, CAST(NULL AS INT))"
+    if len(args) == 2:
+        # Doris subscripts are BIGINT; Spark's element_at index must be
+        # INT — cast arithmetic (quote-free) index expressions. Map
+        # string-key lookups and literal ints stay native.
+        idx = args[1].strip()
+        if (
+            not re.fullmatch(r"-?\d+", idx)
+            and "'" not in idx and '"' not in idx
+            and re.search(r"[-+*/]", idx)
+            and re.fullmatch(r"[\w\s()`+*/.-]+", idx)
+        ):
+            return f"try_element_at({args[0]}, CAST(({idx}) AS INT))"
     return f"__KEEP__({', '.join(args)})"
 
 

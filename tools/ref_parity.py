@@ -340,6 +340,70 @@ def _fold_const_ifs(src: str) -> str:
         pos = m.start()
 
 
+def _eval_string_builders(src: str) -> str:
+    """Evaluate the groovy string-builder idiom the cast suites use for
+    bulk inserts (runs AFTER loop unrolling, so the `+=` lines are
+    already duplicated with the loop var substituted):
+
+        def v = "insert into t values "
+        v += \"\"\"(${index}, "x"), \"\"\"   // xN, with `index++`
+        v = v[0..-3]
+        sql v
+
+    The `sql v` statement is replaced with the built text. Counters are
+    any `def <name> = <int>` in scope, bumped by `<name>++` lines."""
+    for bm in list(re.finditer(r"^(\s*)sql\s+(\w+)\s*;?\s*$",
+                               src, re.M))[::-1]:
+        var = bm.group(2)
+        dm = None
+        for d in re.finditer(
+            rf"\b(?:def|String)\s+{re.escape(var)}\s*=\s*\"((?:[^\"\\]|\\.)*)\"",
+            src,
+        ):
+            if d.start() < bm.start():
+                dm = d
+        if dm is None:
+            continue
+        counters = {
+            k: int(v)
+            for k, v in re.findall(
+                r"\b(?:def|int|long)\s+(\w+)\s*=\s*(\d+)\s*;?\s*$",
+                src[: bm.start()], re.M)
+        }
+        val = dm.group(1)
+        ok = True
+        for sm in re.finditer(
+            rf"^\s*(?:{re.escape(var)}\s*\+=\s*"
+            rf"(?:\"\"\"(.*?)\"\"\"|\"((?:[^\"\\]|\\.)*)\")"
+            rf"|(\w+)\s*\+\+"
+            rf"|{re.escape(var)}\s*=\s*{re.escape(var)}\s*\[\s*0\s*\.\.\s*"
+            rf"(-\d+)\s*\])\s*;?\s*$",
+            src[dm.end(): bm.start()], re.M | re.S,
+        ):
+            if sm.group(3):
+                if sm.group(3) in counters:
+                    counters[sm.group(3)] += 1
+                continue
+            if sm.group(4):
+                val = val[: len(val) + int(sm.group(4)) + 1]
+                continue
+            piece = sm.group(1) if sm.group(1) is not None else sm.group(2)
+            piece = re.sub(
+                r"\$\{(\w+)\}|\$(\w+)\b",
+                lambda g: str(
+                    counters.get(g.group(1) or g.group(2), g.group(0))),
+                piece,
+            )
+            if "${" in piece or re.search(r"\$\w", piece):
+                ok = False  # unresolved interpolation — leave untouched
+                break
+            val += piece
+        if ok and val.strip():
+            src = (src[: bm.start()] + bm.group(1)
+                   + 'sql """' + val + '"""' + src[bm.end():])
+    return src
+
+
 def _unroll_while(src: str) -> str:
     """Unroll `Integer i = a; ... while (i < bound) { BODY; i++ }` counting
     loops (bound a literal or an `Integer name = N` variable)."""
@@ -478,9 +542,24 @@ def _extract_stream_loads(src: str, gvars: dict, data_dir: str) -> str:
                     break
             k += 1
         block = src[start + 1 : k]
-        tm = re.search(r"\btable\s+(?:'([^']*)'|\"([^\"]*)\"|(\w+))", block)
+        tm = re.search(
+            r"\btable\s+(?:'''(.*?)'''|\"\"\"(.*?)\"\"\"|'([^']*)'|"
+            r"\"([^\"]*)\"|(\w+))", block)
         dbm2 = re.search(r"\bdb\s+(?:'([^']*)'|\"([^\"]*)\")", block)
-        fm = re.search(r"\bfile\s+(?:'([^']*)'|\"([^\"]*)\"|(\w+))", block)
+        fm = re.search(
+            r"\bfile\s+(?:'''(.*?)'''|\"\"\"(.*?)\"\"\"|'([^']*)'|"
+            r"\"([^\"]*)\"|(\w+))", block)
+
+        def _interp(v):
+            """Resolve groovy ${var} interpolation from tracked vars."""
+            if v is None:
+                return None
+            return re.sub(
+                r"\$\{(\w+)\}|\$(\w+)",
+                lambda g: str(gvars.get(g.group(1) or g.group(2),
+                                        g.group(0))),
+                v,
+            )
         sets = dict(
             (a or b, c if c else (d or e))
             for a, b, c, d, e in re.findall(
@@ -492,11 +571,17 @@ def _extract_stream_loads(src: str, gvars: dict, data_dir: str) -> str:
         )
         table = None
         if tm:
-            table = tm.group(1) or tm.group(2) or gvars.get(tm.group(3))
+            table = (
+                _interp(tm.group(1)) or _interp(tm.group(2))
+                or _interp(tm.group(3)) or _interp(tm.group(4))
+                or gvars.get(tm.group(5))
+            )
         if table and dbm2:
             table = f"{dbm2.group(1) or dbm2.group(2)}.{table}"
         fname = fm and (
-            fm.group(1) or fm.group(2) or gvars.get(fm.group(3))
+            _interp(fm.group(1)) or _interp(fm.group(2))
+            or _interp(fm.group(3)) or _interp(fm.group(4))
+            or gvars.get(fm.group(5))
         )
         out.append(src[i : i + m.start()])
         if table and fname:
@@ -612,6 +697,7 @@ def parse_suite_files(groovy_path: str, out_path: str | None = None):
     src = _unroll_each(src)
     src = _unroll_for(src)
     src = _unroll_while(src)
+    src = _eval_string_builders(src)
     # environment probes the reference CI resolves to MODERN values:
     # be_exec_version gates pick the current-engine branch (the goldens
     # were generated by a current BE)
@@ -810,6 +896,16 @@ def _cell_matches(exp: str, got) -> bool:
             return False
         g = got if isinstance(got, dt.datetime) else dt.datetime(got.year, got.month, got.day)
         return e == g
+    if isinstance(got, str):
+        # inf/nan spellings differ by emitting layer (BE C strings
+        # 'inf'/'-nan' vs FE Java 'Infinity'/'NaN') — semantically equal
+        _IN = {"inf": "inf", "infinity": "inf", "+inf": "inf",
+               "+infinity": "inf", "-inf": "-inf", "-infinity": "-inf",
+               "nan": "nan", "-nan": "nan", "+nan": "nan"}
+        gs = got.strip().lower()
+        es = (exp or "").strip().lower()
+        if gs in _IN and es in _IN:
+            return _IN[gs] == _IN[es]
     if isinstance(got, float) or re.fullmatch(r"-?\d+(\.\d+)?([eE][-+]?\d+)?", exp or ""):
         try:
             e, g = float(exp), float(got)
@@ -1037,9 +1133,19 @@ _SETUP_OK = re.compile(
     r"|CREATE\s+(OR\s+REPLACE\s+)?VIEW|DROP\s+VIEW|SET\s+lc_time_names"
     r"|CREATE\s+MATERIALIZED\s+VIEW|DROP\s+MATERIALIZED\s+VIEW"
     r"|CREATE\s+DATABASE|DROP\s+DATABASE|USE\s"
+    r"|CREATE\s+(GLOBAL\s+)?ALIAS\s+FUNCTION|DROP\s+FUNCTION"
     r"|DELETE\s+FROM|UPDATE\s)",
     re.I,
 )
+
+_DORIS_T2SPARK = {
+    "string": "STRING", "varchar": "STRING", "char": "STRING",
+    "text": "STRING", "int": "INT", "integer": "INT", "bigint": "BIGINT",
+    "smallint": "SMALLINT", "tinyint": "TINYINT", "largeint":
+    "DECIMAL(38,0)", "double": "DOUBLE", "float": "FLOAT", "boolean":
+    "BOOLEAN", "date": "DATE", "datev2": "DATE", "datetime": "TIMESTAMP",
+    "datetimev2": "TIMESTAMP",
+}
 
 
 # Doris-side table metadata captured from DDL: DESC rendering + JSON
@@ -1252,6 +1358,24 @@ def translate_ddl(sql: str) -> str | None:
         cols.append(f"{cm.group(1)} {typ}")
     if not cols:
         return None
+    # DECIMAL256 shadow columns: a decimalv3(p>38, s) column keeps a
+    # `__x256_<col>` STRING twin with the EXACT digits (the narrowed
+    # decimal loses >38-digit values); the column-cast kernel
+    # (doris_spark/plans/column_cast.py) reads the shadow. Appended at
+    # the END so positional inserts/stream-loads stay stable.
+    dec256: dict[str, tuple[int, int]] = {}
+    for _c, _t, _nn in raw_cols:
+        _tn = re.sub(r"\s+", "", _t)
+        _dm = re.match(r"decimalv?3?\((\d+),(\d+)\)$", _tn)
+        if _dm and int(_dm.group(1)) > 38:
+            dec256[_c.lower()] = (int(_dm.group(1)), int(_dm.group(2)))
+            cols.append(f"`__x256_{_c.lower()}` STRING")
+        elif _tn == "largeint":
+            # int128 exceeds both BIGINT and DECIMAL(38): the DOUBLE
+            # backing keeps magnitude; the shadow keeps exact digits
+            # for the cast kernel (2^127-boundary golden cases)
+            dec256[_c.lower()] = (39, 0)
+            cols.append(f"`__x256_{_c.lower()}` STRING")
     km = re.search(r"\b(DUPLICATE|UNIQUE|AGGREGATE)\s+KEY\s*\(([^)]*)\)", sql, re.I)
     keys = set()
     model = "duplicate"
@@ -1309,6 +1433,7 @@ def translate_ddl(sql: str) -> str | None:
         "partition_defs": part_defs,
         "seq_col": seqm.group(1).lower() if seqm else None,
         "json_cols": {c for c, t, _ in raw_cols if t.startswith(("json", "jsonb"))},
+        "dec256": dec256,
     }
     # engine-level column-type hints: scale-sensitive string macros
     # (array_join over array<datetimev2(n)>) need the DECLARED Doris type
@@ -1490,10 +1615,17 @@ def _stream_load(eng, spec: dict) -> None:
         df = df.selectExpr(*sel)
     else:
         sep = sets.get("column_separator", "\t")
+        # stream-load leaves quotes in the data unless
+        # trim_double_quotes is set (Doris CsvReader option)
+        quote = (
+            '"'
+            if str(sets.get("trim_double_quotes", "")).lower() == "true"
+            else ""
+        )
         df = (
             sp.read.option("sep", sep)
             .option("header", "false")
-            .option("quote", "")
+            .option("quote", quote)
             .csv(path)
         )
         # Doris keeps empty CSV fields as '' (NULL is spelled \N, and
@@ -1529,6 +1661,13 @@ def _stream_load(eng, spec: dict) -> None:
                     for i, c in enumerate(tdf.columns)
                 ]
             )
+    if meta0.get("dec256"):
+        # DECIMAL256 shadow columns carry the exact CSV/JSON text
+        lowmap = {c.lower(): c for c in df.columns}
+        for b in meta0["dec256"]:
+            if b in lowmap:
+                df = df.withColumn(
+                    f"__x256_{b}", df[lowmap[b]].cast("string"))
     # NULL markers: stream load renders \N as NULL
     from pyspark.sql.functions import col, expr, lit, when
 
@@ -1802,12 +1941,17 @@ def _warehouse_path(eng, name: str) -> str:
 
 
 def _split_statements(sql: str) -> list[str]:
-    """Split a multi-statement block on top-level semicolons."""
-    parts, cur, in_q = [], [], None
+    """Split a multi-statement block on top-level semicolons
+    (MySQL-style backslash escapes inside string literals honored)."""
+    parts, cur, in_q, esc = [], [], None, False
     for ch in sql:
         if in_q:
             cur.append(ch)
-            if ch == in_q:
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == in_q:
                 in_q = None
             continue
         if ch in ("'", '"'):
@@ -1928,6 +2072,38 @@ def run_setup(eng, sql: str) -> None:
         return
     if not _SETUP_OK.match(sql):
         return
+    afm = re.match(
+        r"\s*CREATE\s+(?:GLOBAL\s+)?ALIAS\s+FUNCTION\s+`?(\w+)`?\s*"
+        r"\(([^)]*)\)\s*WITH\s+PARAMETER[S]?\s*\(([^)]*)\)\s+AS\s+(.*)$",
+        sql, re.I | re.S,
+    )
+    if afm is not None:
+        # Doris SQL alias function -> Spark SQL UDF (CREATE TEMPORARY
+        # FUNCTION ... RETURN <body>); body goes through the dialect
+        name, types, params, body = afm.groups()
+        ptypes = [
+            _DORIS_T2SPARK.get(
+                re.sub(r"\(.*", "", t.strip().lower()), "STRING")
+            for t in types.split(",")
+        ] if types.strip() else []
+        pnames = [p.strip().strip("`") for p in params.split(",") if p.strip()]
+        sig = ", ".join(
+            f"{p} {t}" for p, t in zip(pnames, ptypes))
+        eng.spark.sql(
+            f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
+            f"RETURN {dialect(body.rstrip().rstrip(';'))}")
+        return
+    dfm = re.match(
+        r"\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*(\([^)]*\))?",
+        sql, re.I,
+    )
+    if dfm is not None:
+        try:
+            eng.spark.sql(
+                f"DROP TEMPORARY FUNCTION IF EXISTS {dfm.group(2)}")
+        except Exception:
+            pass
+        return
     if "TEMPORARY" in sql.upper():
         atp = re.match(
             r"\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+TEMPORARY\s+"
@@ -1956,10 +2132,16 @@ def run_setup(eng, sql: str) -> None:
     # LARGEINT columns back onto DOUBLE, where approximate compare applies);
     # DECIMAL(38,0) scalar targets overflow the cast to NULL under the
     # LEGACY store policy, same as the previous NULL substitution.
-    sql = _HUGE_INT.sub(lambda m: f"CAST('{m.group(0)}' AS DOUBLE)", sql)
+    # literal-aware: a QUOTED "-9...9" (39+ digits) is a string value
+    # headed for a STRING/DOUBLE/shadow column — corrupting it to a
+    # CAST(...) inside the quotes NULLed every largeint fixture row
+    from doris_spark.plans.dialect import _sub_outside_literals
+
+    sql = _sub_outside_literals(
+        _HUGE_INT, lambda m: f"CAST('{m.group(0)}' AS DOUBLE)", sql)
     # DECIMAL256-scale decimal literals (>38 total digits) likewise
     # exceed Spark's decimal parser — keep the magnitude as a double
-    sql = re.sub(
+    sql = _sub_outside_literals(
         r"(?<![\w.])-?\d+\.\d+(?![\w.])",
         lambda m: (
             f"CAST('{m.group(0)}' AS DOUBLE)"
@@ -2346,6 +2528,37 @@ def run_setup(eng, sql: str) -> None:
                         )
                     if any2 and len(sel2) == len(df.columns):
                         df = df.select(*sel2)
+                meta = _TABLE_META.get(name.lower())
+                if meta and meta.get("dec256"):
+                    # fill the DECIMAL256 shadow columns with the EXACT
+                    # inserted text (the narrowed decimal col loses it)
+                    tcols = eng.spark.table(name).columns
+                    realn = [c for c in tcols
+                             if not c.startswith("__x256_")]
+                    if len(df.columns) == len(tcols):
+                        # partial-column path padded shadows with NULL —
+                        # refill from the (table-named) base columns
+                        for b in meta["dec256"]:
+                            df = df.withColumn(
+                                f"__x256_{b}", df[b].cast("string"))
+                    elif len(df.columns) == len(realn):
+                        # full-width VALUES path: positional bases
+                        low = [c.lower() for c, _, _ in meta["cols"]]
+                        for b in meta["dec256"]:
+                            i = low.index(b)
+                            df = df.withColumn(
+                                f"__x256_{b}",
+                                df[df.columns[i]].cast("string"))
+                    # align to the table schema with EXPLICIT casts:
+                    # insertInto's store-assignment refuses STRING ->
+                    # DECIMAL, and the SQL fallback can't reach the
+                    # shadow columns
+                    tsch = eng.spark.table(name).schema
+                    if len(df.columns) == len(tsch):
+                        df = df.select(*[
+                            df[c].cast(f.dataType).alias(f.name)
+                            for c, f in zip(df.columns, tsch.fields)
+                        ])
                 df = _dup_sort_batch(eng, name, df)
                 df.coalesce(1).write.insertInto(name)
                 _agg_remerge(eng, name)
@@ -2361,9 +2574,21 @@ def run_setup(eng, sql: str) -> None:
     try:
         eng.sql(dialect(sql))
     except Exception as exc:
-        if "CREATE_PERMANENT_VIEW_WITHOUT_ALIAS" in str(exc):
-            # unaliased expressions are fine in TEMPORARY views — the
-            # suites only read the view back in the same session
+        if "MISSING_ATTRIBUTES" in str(exc) and "->" in sql:
+            # SQL-UDF call on a lambda variable inside a CREATE VIEW
+            # body: inline the UDF (same FE behavior as the query path)
+            retry = _inline_udfs_in_lambda(dialect(sql))
+            if retry is not None:
+                run_setup(eng, retry)
+                return
+            raise
+        if (
+            "CREATE_PERMANENT_VIEW_WITHOUT_ALIAS" in str(exc)
+            or "INVALID_TEMP_OBJ_REFERENCE" in str(exc)
+        ):
+            # unaliased expressions / temp-function references are fine
+            # in TEMPORARY views — the suites only read the view back
+            # in the same session
             eng.sql(dialect(re.sub(
                 r"\bCREATE\s+VIEW\s+(?:IF\s+NOT\s+EXISTS\s+)?",
                 "CREATE OR REPLACE TEMPORARY VIEW ",
@@ -2573,19 +2798,32 @@ def _inline_udfs_in_lambda(text: str) -> str | None:
 
     def sub_one(m):
         nonlocal changed
-        fn, arg = m.group(1).lower(), m.group(2)
+        fn, raw_args = m.group(1).lower(), m.group(2)
         spec = DORIS_SQL_FUNCTIONS.get(fn) or DORIS_SQL_FUNCTIONS_EXT.get(fn)
         if spec is None:
             return m.group(0)
         params, body = spec
-        parts = [p.strip() for p in params.split(",")]
-        if len(parts) != 1 or "(" in arg:
+        parts = [p.strip().split()[0] for p in params.split(",")]
+        args = [a.strip() for a in re.split(
+            r",(?=(?:[^']*'[^']*')*[^']*$)", raw_args)]
+        if len(args) != len(parts) or not any(
+            re.fullmatch(r"[A-Za-z_]\w*", a) for a in args
+        ):
             return m.group(0)
-        pname = parts[0].split()[0]
+        # two-phase substitution so an arg spelling a later param name
+        # is never re-substituted
+        new = body
+        for i_, p in enumerate(parts):
+            new = re.sub(rf"\b{re.escape(p)}\b", f"__ARG{i_}__", new)
+        for i_, a in enumerate(args):
+            new = new.replace(f"__ARG{i_}__", a)
         changed = True
-        return "(" + re.sub(rf"\b{re.escape(pname)}\b", arg, body) + ")"
+        return "(" + new + ")"
 
-    out = re.sub(r"\b(\w+)\s*\(\s*([A-Za-z_]\w*)\s*\)", sub_one, text)
+    out = re.sub(
+        r"\b(\w+)\s*\(\s*([A-Za-z_]\w*"
+        r"(?:\s*,\s*(?:'[^']*'|-?\d+(?:\.\d+)?|[A-Za-z_]\w*))*)\s*\)",
+        sub_one, text)
     return out if changed else None
 
 
@@ -3336,10 +3574,46 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
             folded = fold_const_dec256(sql, strict)
             if folded is not None:
                 sql = folded
+        # column-path Doris cast semantics (DECIMAL256 shadows, exact
+        # float->decimal, packed-digit datetime->numeric, overflow->NULL
+        # integer casts, JSONB casts) — plans/column_cast.py
+        if re.search(r"(?i)\bcast\s*\(", sql):
+            from doris_spark.plans.column_cast import (
+                register as _cc_register,
+                rewrite_column_casts,
+                rewrite_json_casts,
+            )
+
+            strict2 = eng.spark.conf.get(
+                "enable_strict_cast", "false").lower() == "true"
+            new_sql = sql
+            if re.search(r"(?i)\bcast\s*\(\s*(to_json|cast)\b", new_sql):
+                new_sql = rewrite_json_casts(new_sql, strict2)
+            if (
+                len(re.findall(r"(?i)\bfrom\b", new_sql)) == 1
+                and not re.search(r"(?i)\bjoin\b", new_sql)
+            ):
+                fm2 = re.search(
+                    r"\bfrom\s+`?([A-Za-z_]\w*)`?", new_sql, re.I)
+                meta_q = (
+                    _TABLE_META.get(fm2.group(1).lower()) if fm2 else None)
+                if meta_q and meta_q.get("cols"):
+                    new_sql = rewrite_column_casts(
+                        new_sql,
+                        {c.lower(): t for c, t, _ in meta_q["cols"]},
+                        strict2,
+                    )
+            if new_sql != sql:
+                _cc_register(eng.spark)
+                sql = new_sql
         text = dialect(sql)
         if re.search(r"element_at", text, re.I):
             text = _resolve_struct_element_at(eng, text)
         df = eng.sql(text)
+        if any(c.startswith("__x256_") for c in df.columns):
+            # DECIMAL256 shadow columns are storage, not user-visible
+            df = df.drop(
+                *[c for c in df.columns if c.startswith("__x256_")])
         rows = df.collect()
     except Exception as exc:
         # Doris can ORDER BY map/complex columns; Spark cannot. The golden
