@@ -1279,7 +1279,12 @@ def dialect(sql: str) -> str:
     # length-less VARCHAR/CHAR casts (MySQL allows them) -> STRING
     s = re.sub(r"\bAS\s+(VAR)?CHAR\b(?!\s*\()", "AS STRING", s, flags=re.I)
     # MySQL double-quoted ALIASES (Spark reads "..." as a string literal)
-    s = re.sub(r'(\bAS\s+)"([A-Za-z_]\w*)"', r"\1`\2`", s, flags=re.I)
+    # \w is unicode-aware: utf8 identifiers ("测试") alias fine
+    s = re.sub(r'(\bAS\s+)"([^\W\d]\w*)"', r"\1`\2`", s, flags=re.I)
+    # AS-less double-quoted alias after a call: `SUBSTRING(..) "别名"`
+    s = re.sub(
+        r'(\))\s+"([^\W\d]\w*)"(\s*(?:,|$|\bFROM\b))',
+        r"\1 AS `\2`\3", s, flags=re.I)
     # MySQL single-quoted aliases: AS 'str' / AS '' (any content —
     # nereids_syntax_p0/select_const.groovy). Literal-aware: an AS
     # inside a string literal (e.g. concat('a AS ', 'b')) must not be
@@ -1460,6 +1465,87 @@ def dialect(sql: str) -> str:
     s = re.sub(
         r"(?i)\bCAST\s*\(\s*(?:'([^']*)'|\"([^\"]*)\")\s+AS\s+BOOLEAN\s*\)",
         _bool_lit, s)
+    # Doris 3-part names: `internal` is the built-in catalog — strip it
+    # (Spark's session catalog is single-namespace)
+    s = re.sub(r"(?i)\binternal\.(?=`?\w+`?\.`?\w+`?)", "", s)
+    # parenthesized comma cross-join in FROM: `join (a, b) using(..)`
+    s = re.sub(
+        r"(?i)\bjoin\s*\(\s*(`?\w+`?)\s*,\s*(`?\w+`?)\s*\)",
+        r"join (\1 CROSS JOIN \2)", s)
+    # POSIX character classes -> Java \p{...} (regexp functions)
+    if "[:" in s and re.search(r"(?i)regexp", s):
+        _POSIX = {
+            "alpha": "Alpha", "digit": "Digit", "lower": "Lower",
+            "upper": "Upper", "alnum": "Alnum", "space": "Space",
+            "punct": "Punct", "xdigit": "XDigit", "blank": "Blank",
+            "cntrl": "Cntrl", "graph": "Graph", "print": "Print",
+        }
+        s = re.sub(
+            r"\[:(\w+):\]",
+            lambda m: ("\\\\p{" + _POSIX[m.group(1).lower()] + "}"
+                       if m.group(1).lower() in _POSIX else m.group(0)),
+            s)
+    # packed-digit date/datetime LITERAL casts with fractional seconds:
+    # Doris parses 'YYYYMMDDHHMMSS.fffffff' rounding the 7th fractional
+    # digit half-up — compute the literal here (Spark rejects the form)
+    def _packed_dt(digits: str, frac: str, typ: str, orig: str) -> str:
+        import datetime as _dt
+        from decimal import ROUND_HALF_UP, Decimal
+
+        try:
+            if len(digits) == 8:
+                base = _dt.datetime.strptime(digits, "%Y%m%d")
+            else:
+                base = _dt.datetime.strptime(digits, "%Y%m%d%H%M%S")
+            if frac:
+                us = Decimal(frac).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP)
+                base += _dt.timedelta(seconds=float(us))
+        except (ValueError, OverflowError):
+            return orig
+        if typ.upper() == "DATE":
+            return f"DATE'{base.date().isoformat()}'"
+        return "TIMESTAMP'" + base.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+
+    s = re.sub(
+        r"(?i)\bCAST\s*\(\s*'(\d{8}|\d{14})(\.\d+)?'\s+AS\s+"
+        r"(DATE|DATETIME|TIMESTAMP)(?:V2)?(?:\s*\(\s*\d+\s*\))?\s*\)",
+        lambda m: _packed_dt(
+            m.group(1), m.group(2) or "", m.group(3), m.group(0)),
+        s)
+    s = re.sub(
+        r"(?i)\b(?:timestamp|datetime)\s*'(\d{14})(\.\d+)?'",
+        lambda m: _packed_dt(
+            m.group(1), m.group(2) or "", "TIMESTAMP", m.group(0)),
+        s)
+    # rank-family windows without ORDER BY: Doris permits them (row
+    # order), Spark requires an order — a constant sort is the same
+    # "arbitrary but stable within partition" contract
+    s = re.sub(
+        r"(?i)\b(row_number|rank|dense_rank|percent_rank|cume_dist|"
+        r"ntile)(\s*\(\s*\d*\s*\)\s*over\s*\()"
+        r"((?:[^()]|\((?:[^()]|\([^()]*\))*\))*)\)",
+        lambda m: (
+            m.group(0)
+            if re.search(r"(?i)\border\s+by\b", m.group(3))
+            else f"{m.group(1)}{m.group(2)}{m.group(3)} ORDER BY 1)"
+        ),
+        s)
+    # Doris hidden delete-sign column (unique-model MoW): visible rows
+    # always carry 0 — the engine's table models materialize deletes,
+    # so every surviving row is visible
+    s = re.sub(r"(?i)\b__DORIS_DELETE_SIGN__\b", "(0)", s)
+    # date +/- DECIMAL literal used as a DATE (BETWEEN bounds etc.):
+    # emit date_add/date_sub with an int day count — the function form
+    # keeps DATE typing through the macro/typed passes, where `+`
+    # would take Doris's packed-digit arithmetic and break the
+    # surrounding date comparison
+    s = re.sub(
+        r"(?i)(CAST\s*\(\s*[^()]*\s+AS\s+DATE\s*\))\s*([+-])\s*"
+        r"(\d+\.\d+)(?![\w.])",
+        lambda m: ("date_add" if m.group(2) == "+" else "date_sub")
+        + f"({m.group(1)}, CAST({m.group(3)} AS INT))",
+        s)
     # Spark drops the sign of -0.0 literals in constant folding; Doris
     # (and IEEE atan2/copysign semantics) keep it — route through the
     # python strtod kernel, which the folder can't see through

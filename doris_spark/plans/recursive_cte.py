@@ -46,6 +46,7 @@ def recursive_union(
     max_iterations: int = 100,
     checkpoint_every: int = 1,
     shuffle_partitions: int | None = None,
+    checkpoint_step: bool = False,
 ) -> DataFrame:
     """Evaluate WITH RECURSIVE: anchor UNION [ALL] step(frontier) ...
 
@@ -76,6 +77,12 @@ def recursive_union(
         result = frontier
         for i in range(max_iterations):
             nxt = step(frontier)
+            if checkpoint_step:
+                # mutual-recursion steps read OTHER materialized CTE
+                # views; subtracting over the raw cross-view plan trips
+                # a Spark attribute-rebind bug in localCheckpoint
+                # ("key not found: <attr>") — materialize first
+                nxt = nxt.localCheckpoint(eager=True)
             if distinct:
                 # subtract IS "EXCEPT DISTINCT": it both dedups the frontier
                 # and removes already-seen rows — one shuffle, not two.
@@ -261,15 +268,22 @@ def try_recursive_union_sql(engine, text: str):
             nm = _re.search(r"\(\s*WITH\s+RECURSIVE\b", sql, _re.I)
             if nm is None:
                 return sql
-            end = _scan_balanced(sql, nm.start())
+            # _scan_balanced expects the index AFTER the '(' (depth 1)
+            end = _scan_balanced(sql, nm.start() + 1)
             if end < 0:
                 return sql
             inner = sql[nm.start() + 1: end - 1]
+            import os as _os
+
             df = try_recursive_union_sql(engine, inner)
             if df is None:
                 try:
                     df = engine.sql(inner)
                 except Exception:
+                    if _os.environ.get("RC_DEBUG"):
+                        import traceback as _tb
+
+                        _tb.print_exc()
                     return sql
             _VIEW_SEQ += 1
             v = f"__rec_nested_{_VIEW_SEQ}"
@@ -330,7 +344,8 @@ def try_recursive_union_sql(engine, text: str):
                 # (SessionVariable.java:1197, default 100)
                 df = recursive_union(
                     anchor, step, distinct=True, max_iterations=100,
-                    shuffle_partitions=parts)
+                    shuffle_partitions=parts,
+                    checkpoint_step=bool(mapping))
             df.localCheckpoint(eager=True).createOrReplaceTempView(
                 internal)
             mapping[name.lower()] = internal

@@ -860,6 +860,32 @@ def _atan2_macro(a: Sequence[str]) -> str:
 
 
 MACROS: dict[str, Macro] = {
+    # Doris reports a MySQL-compatible version string
+    # (GlobalVariable.java VERSION = "5.7.99")
+    "version": lambda a: ("'5.7.99'" if not a or a == [""]
+                          else "__KEEP__(" + ", ".join(a) + ")"),
+    # MySQL CONVERT(x, TYPE); the USING-charset form stays native.
+    # Doris type spellings map here (macros run AFTER the dialect's
+    # type tiers, so emit Spark types directly)
+    "convert": lambda a: (
+        "CAST({} AS {})".format(
+            a[0],
+            re.sub(
+                r"(?i)^\s*(datetimev?2?|timestamp)\s*(\(\s*\d+\s*\))?"
+                r"\s*$", "TIMESTAMP",
+                re.sub(r"(?i)^\s*(signed|unsigned)(\s+int(eger)?)?\s*$",
+                       "BIGINT",
+                       re.sub(r"(?i)^\s*(var)?char\s*(\(\s*\d+\s*\))?"
+                              r"\s*$", "STRING", a[1].strip()))),
+        )
+        if len(a) == 2 and not re.search(r"(?i)\busing\b", a[0])
+        else "__KEEP__(" + ", ".join(a) + ")"),
+    # unix_timestamp over DATE/packed columns: Spark applies the default
+    # FORMAT to non-timestamp inputs and errors on DATE — cast first
+    "unix_timestamp": lambda a: (
+        f"unix_timestamp(CAST(({a[0]}) AS TIMESTAMP))"
+        if len(a) == 1 and a[0].strip()
+        else "__KEEP__(" + ", ".join(a) + ")"),
     "acos": _nan_null("acos"),
     "asin": _nan_null("asin"),
     "acosh": _nan_null("acosh"),

