@@ -591,12 +591,14 @@ def _regr(kind: str) -> Macro:
             return f"({guard.format(v=f'{sx} / {n}')})"
         if kind == "avgy":
             return f"({guard.format(v=f'{sy} / {n}')})"
+        # regr_sxx/syy/sxy are the CENTERED SUMS (var_pop * n), not
+        # the variances themselves
         if kind == "sxx":
-            return f"({guard.format(v=f'{dxx} / {n}')})"
+            return f"({guard.format(v=dxx)})"
         if kind == "syy":
-            return f"({guard.format(v=f'{dyy} / {n}')})"
+            return f"({guard.format(v=dyy)})"
         if kind == "sxy":
-            return f"({guard.format(v=f'{dxy} / {n}')})"
+            return f"({guard.format(v=dxy)})"
         if kind == "slope":
             return f"({guard.format(v=slope)})"
         if kind == "intercept":

@@ -473,3 +473,22 @@ def test_lsh_multiprobe_superset_and_chunking_edges(spark):
     # chunk 1 starts at token 25 (stride 24) and covers the 33-token tail
     assert rows[(2, 1)][0] == 9
     assert rows[(2, 1)][1].startswith("t24")
+
+
+def test_adhoc_ivf_codebook_cache(spark):
+    """VERDICT r7 ask #8: repeated ad-hoc ivf_knn probes over the same
+    parquet-backed corpus reuse the content-keyed codebook instead of
+    retraining Lloyd per call."""
+    from doris_spark.operators import vector as V
+
+    corpus = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    q = corpus.limit(1)
+    V._CODEBOOK_CACHE.clear()
+    r1 = V.ivf_knn(corpus, q, "embedding", "vec_id", k=5).collect()
+    assert len(V._CODEBOOK_CACHE) == 1
+    cached = next(iter(V._CODEBOOK_CACHE.values()))
+    r2 = V.ivf_knn(corpus, q, "embedding", "vec_id", k=5).collect()
+    assert r2 == r1
+    # cache hit: the codebook object is REUSED, not retrained
+    assert next(iter(V._CODEBOOK_CACHE.values())) is cached
+    assert len(V._CODEBOOK_CACHE) == 1

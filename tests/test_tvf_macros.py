@@ -94,8 +94,10 @@ REWRITES = [
     ),
     (
         "SELECT retention(e = 'a', e = 'b') FROM t",
-        "SELECT array(CAST(bool_or(e = 'a') AS INT), "
-        "CAST(bool_or(e = 'a') AND bool_or(e = 'b') AS INT)) FROM t",
+        "SELECT (CASE WHEN count(1) = 0 THEN CAST(NULL AS ARRAY<INT>) "
+        "ELSE array(coalesce(CAST(bool_or(e = 'a') AS INT), 0), "
+        "coalesce(CAST(bool_or(e = 'a') AND bool_or(e = 'b') AS INT), 0))"
+        " END) FROM t",
     ),
 ]
 
