@@ -1531,6 +1531,12 @@ def dialect(sql: str) -> str:
             else f"{m.group(1)}{m.group(2)}{m.group(3)} ORDER BY 1)"
         ),
         s)
+    # Doris bracket join hints (`join [shuffle] t` / [broadcast] /
+    # [bucket] / [colocate]): distribution hints — Catalyst/AQE pick the
+    # physical strategy, so the hint drops
+    s = re.sub(
+        r"(?i)\bjoin\s*\[\s*(shuffle|broadcast|bucket|colocate)\s*\]",
+        "join", s)
     # Doris hidden delete-sign column (unique-model MoW): visible rows
     # always carry 0 — the engine's table models materialize deletes,
     # so every surviving row is visible

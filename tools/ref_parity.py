@@ -63,8 +63,12 @@ def _groovy_unescape(s: str) -> str:
 
 
 _QT = re.compile(
+    # triple-quoted bodies are ESCAPE-AWARE (groovy processes \" inside
+    # """...""", so a body ending in \" must not terminate the match —
+    # query_p0/join/test_join.groovy qt_join41)
     r"(?:(order_qt_|qt_)([A-Za-z0-9_]+)\s*|\b(?:multi_)?sql\s*\(?\s*)"
-    r"(?:'''(.*?)'''|\"\"\"(.*?)\"\"\""
+    r"(?:'''((?:\\.|'(?!'')|[^'\\])*)'''"
+    r"|\"\"\"((?:\\.|\"(?!\"\")|[^\"\\])*)\"\"\""
     r"|\"((?:[^\"\n\\]|\\.|\\\n)*)\"|'((?:[^'\n\\]|\\.|\\\n)*)')",
     re.S,
 )
@@ -3847,12 +3851,27 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
             new_sql = sql
             if re.search(r"(?i)\bcast\s*\(\s*(to_json|cast)\b", new_sql):
                 new_sql = rewrite_json_casts(new_sql, strict2)
+            # single-table gate counts depth-0 FROMs only (an IN (...)
+            # subquery must not block the outer table's cast rewrites)
+            _d0, _nf = 0, 0
+            _fm0 = None
+            for _m in re.finditer(r"[()]|\bfrom\b", new_sql, re.I):
+                t_ = _m.group(0)
+                if t_ == "(":
+                    _d0 += 1
+                elif t_ == ")":
+                    _d0 -= 1
+                elif _d0 == 0:
+                    _nf += 1
+                    if _fm0 is None:
+                        _fm0 = _m.end()
             if (
-                len(re.findall(r"(?i)\bfrom\b", new_sql)) == 1
+                _nf == 1
                 and not re.search(r"(?i)\bjoin\b", new_sql)
             ):
-                fm2 = re.search(
-                    r"\bfrom\s+`?([A-Za-z_]\w*)`?", new_sql, re.I)
+                fm2 = re.match(
+                    r"\s+`?(?:\w+\.)?`?([A-Za-z_]\w*)`?",
+                    new_sql[_fm0:]) if _fm0 is not None else None
                 meta_q = (
                     _TABLE_META.get(fm2.group(1).lower()) if fm2 else None)
                 if meta_q and meta_q.get("cols"):
@@ -4332,6 +4351,40 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
                     if "MAP_FUNCTION_DIFF_TYPES" not in str(e2):
                         raise
                     err = e2
+            if rows is None:
+                raise
+        elif "IN_SUBQUERY_DATA_TYPE_MISMATCH" in str(exc) and \
+                "ARRAY<" in str(exc):
+            # Doris `k IN (select <bitmap col>)` = bitmap MEMBERSHIP
+            # filter (BitmapFilterPredicate); the engine's bitmap is an
+            # array — explode it so IN sees the elements
+            base = dialect(sql)
+            pat = re.compile(
+                r"(?i)\b(in\s*\(\s*select\s+)"
+                r"((?:[^(),]|\((?:[^()]|\([^()]*\))*\))+?)"
+                r"(\s+from\b|\s*\))")
+            rows = None
+            retry = pat.sub(
+                lambda m: f"{m.group(1)}explode({m.group(2)}){m.group(3)}",
+                base)
+            if retry != base:
+                try:
+                    df = eng.sql(retry)
+                    rows = df.collect()
+                except Exception:
+                    rows = None
+            if rows is None:
+                # mixed scalar/bitmap subqueries: explode one at a time
+                for cm_ in pat.finditer(base):
+                    retry = (base[: cm_.start(2)]
+                             + f"explode({cm_.group(2)})"
+                             + base[cm_.end(2):])
+                    try:
+                        df = eng.sql(retry)
+                        rows = df.collect()
+                        break
+                    except Exception:
+                        continue
             if rows is None:
                 raise
         elif "MISSING_ATTRIBUTES" in str(exc) and "->" in sql:
