@@ -602,8 +602,18 @@ class Engine:
             from urllib.parse import unquote, urlparse
 
             paths = [unquote(urlparse(f).path) for f in files]
-            if not all(os.path.isfile(p) for p in paths):
-                return None  # non-local storage — snapshot fallback
+            # pre-flight: every superseded file (and its directory, for
+            # the unlink) must be writable BEFORE we append the
+            # rewritten slice — otherwise a failed removal after the
+            # append would leave both copies of every touched row.
+            # Non-local or non-removable storage takes the snapshot
+            # fallback instead.
+            if not all(
+                os.path.isfile(p)
+                and os.access(os.path.dirname(p), os.W_OK | os.X_OK)
+                for p in paths
+            ):
+                return None
             slice_df = base.withColumn(
                 "__f", F.col("_metadata.file_path")
             ).filter(F.col("__f").isin(files)).drop("__f")
@@ -614,12 +624,33 @@ class Engine:
                 .localCheckpoint(eager=True)
             )
             new_slice.write.mode("append").insertInto(name)
+            # the append committed: the superseded files MUST go, or the
+            # table silently holds duplicate rows. Verify every unlink
+            # (one retry for transient errors) and raise — not pass — if
+            # any survive, so a failure is loud and names the files.
+            failed: list[tuple[str, OSError]] = []
             for p in paths:
                 try:
                     os.remove(p)
+                except OSError as e:
+                    failed.append((p, e))
+            still = []
+            for p, e in failed:
+                try:
+                    os.remove(p)
                 except OSError:
-                    pass
+                    if os.path.exists(p):
+                        still.append((p, e))
             self.spark.catalog.refreshTable(name)
+            if still:
+                names = "; ".join(f"{p}: {e}" for p, e in still[:3])
+                raise RuntimeError(
+                    f"file-pruned DML on `{name}` appended the "
+                    f"rewritten rows but could not remove "
+                    f"{len(still)} superseded data file(s) ({names}) "
+                    "— the table now contains duplicates of the "
+                    "affected rows; remove the listed files manually"
+                )
             return affected
 
         if md is not None:

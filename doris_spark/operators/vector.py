@@ -254,7 +254,13 @@ def _assign_expr(vec_col: str, codebook: list[tuple[int, list[float]]]):
     return F.array_min(F.array(*structs)).getField("cid")
 
 
-_CODEBOOK_CACHE: dict = {}
+# bounded LRU (OrderedDict, move-to-end on hit): keys carry per-file
+# (size, mtime_ns) so a file rewritten in place at the same path misses
+# instead of returning a stale codebook (round-8 ADVICE)
+from collections import OrderedDict as _OD
+
+_CODEBOOK_CACHE: "_OD[tuple, list]" = _OD()
+_CODEBOOK_CACHE_MAX = 32
 
 
 def train_ivf_codebook(
@@ -283,12 +289,21 @@ def train_ivf_codebook(
     # (no input files) are never cached.
     ck = None
     try:
-        files = tuple(sorted(corpus.inputFiles()))
-        if files:
-            ck = (files, vec_col, id_col, n_centroids, iters, round_dp)
+        import os
+        from urllib.parse import unquote, urlparse
+
+        stats = []
+        for f in sorted(corpus.inputFiles()):
+            p = unquote(urlparse(f).path)
+            st = os.stat(p)  # missing/remote file -> no caching
+            stats.append((f, st.st_size, st.st_mtime_ns))
+        if stats:
+            ck = (tuple(stats), vec_col, id_col, n_centroids, iters,
+                  round_dp)
     except Exception:
         ck = None
     if ck is not None and ck in _CODEBOOK_CACHE:
+        _CODEBOOK_CACHE.move_to_end(ck)
         return _CODEBOOK_CACHE[ck]
     seeds = (
         corpus.select(id_col, vec_col).orderBy(id_col).limit(n_centroids).collect()
@@ -315,6 +330,9 @@ def train_ivf_codebook(
         cb = [(cid, new.get(cid, cv)) for cid, cv in cb]
     if ck is not None:
         _CODEBOOK_CACHE[ck] = cb
+        _CODEBOOK_CACHE.move_to_end(ck)
+        while len(_CODEBOOK_CACHE) > _CODEBOOK_CACHE_MAX:
+            _CODEBOOK_CACHE.popitem(last=False)
     return cb
 
 

@@ -432,4 +432,67 @@ def rewrite_column_casts(sql: str, col_types, strict: bool) -> str:
         r"\b(any_value|min|max|avg|sum|approx_count_distinct|ndv)"
         r"\s*\(\s*`?(\w+)`?\s*\)",
         _agg_sub, head, flags=re.I)
-    return head + sql[head_end:]
+    tail = sql[head_end:]
+    if "__doris_cast" in head and _order_by_hits_rewrite(head, tail):
+        # a rewritten cast is STRING-typed: if ORDER BY references its
+        # alias (or its select-list ordinal) the sort would become
+        # lexicographic ('9' > '10') — keep the original statement
+        # (round-8 ADVICE)
+        return sql
+    return head + tail
+
+
+def _split_top_commas(s: str) -> list[str]:
+    items, depth, buf, q = [], 0, [], None
+    for ch in s:
+        if q:
+            buf.append(ch)
+            if ch == q:
+                q = None
+            continue
+        if ch in ("'", '"'):
+            q = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            items.append("".join(buf))
+            buf = []
+            continue
+        buf.append(ch)
+    if "".join(buf).strip():
+        items.append("".join(buf))
+    return items
+
+
+def _order_by_hits_rewrite(head: str, tail: str) -> bool:
+    """True when the statement's ORDER BY references (by alias or by
+    select-list ordinal) a select item whose cast was rewritten to the
+    STRING-returning __doris_cast kernel."""
+    ob = re.search(r"(?i)\border\s+by\b(.*)$", tail, re.S)
+    if ob is None:
+        return False
+    sel = re.sub(r"(?is)^\s*select\s+(distinct\s+)?", "", head)
+    names, positions = set(), set()
+    for i, item in enumerate(_split_top_commas(sel), 1):
+        if "__doris_cast" not in item:
+            continue
+        positions.add(i)
+        am = re.search(r"(?i)\bas\s+`?(\w+)`?\s*$", item.strip())
+        if am is None:
+            am = re.search(r"(?<![\w.`])`?([A-Za-z_]\w*)`?\s*$",
+                           item.strip())
+            if am is not None and am.group(1).lower() in (
+                    "end", "null", "true", "false"):
+                am = None
+        if am is not None:
+            names.add(am.group(1).lower())
+    for term in _split_top_commas(ob.group(1)):
+        t = re.sub(r"(?i)\s+(asc|desc)(\s+nulls\s+(first|last))?\s*$",
+                   "", term.strip()).strip()
+        if t.isdigit() and int(t) in positions:
+            return True
+        if t.strip("`").lower() in names:
+            return True
+    return False

@@ -1466,8 +1466,17 @@ def dialect(sql: str) -> str:
         r"(?i)\bCAST\s*\(\s*(?:'([^']*)'|\"([^\"]*)\")\s+AS\s+BOOLEAN\s*\)",
         _bool_lit, s)
     # Doris 3-part names: `internal` is the built-in catalog — strip it
-    # (Spark's session catalog is single-namespace)
-    s = re.sub(r"(?i)\binternal\.(?=`?\w+`?\.`?\w+`?)", "", s)
+    # (Spark's session catalog is single-namespace). Anchored (round-8
+    # ADVICE): in table-ref position (after FROM/JOIN/INTO/UPDATE/
+    # TABLE) two trailing parts suffice; elsewhere (WHERE/SELECT column
+    # refs like internal.db.tbl.col) require THREE trailing parts so a
+    # table alias or column literally named `internal` (internal.s.f)
+    # is left alone.
+    s = re.sub(
+        r"(?i)\b(from|join|into|update|table)(\s+)internal\."
+        r"(?=`?\w+`?\.`?\w+`?)",
+        r"\1\2", s)
+    s = re.sub(r"(?i)\binternal\.(?=`?\w+`?\.`?\w+`?\.`?\w+`?)", "", s)
     # parenthesized comma cross-join in FROM: `join (a, b) using(..)`
     s = re.sub(
         r"(?i)\bjoin\s*\(\s*(`?\w+`?)\s*,\s*(`?\w+`?)\s*\)",

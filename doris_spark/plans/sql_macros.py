@@ -723,14 +723,21 @@ def _fe_sum(v: str) -> str:
 
 def _fe_var(vals: str, kind: str) -> str:
     """kind: var_pop | var_samp | std_pop | std_samp. Doris returns 0
-    for a single sample, even for the _samp forms."""
+    for a single sample, even for the _samp forms. CENTERED moments —
+    the mean is computed first (bound once via a 1-element transform)
+    and squared deviations accumulate around it; the raw-moment form
+    sum(x^2) - sum(x)^2/n catastrophically cancels over large-offset
+    values (round-8 ADVICE, mirroring the var_pop-based _regr fix)."""
     n = f"CAST(size({vals}) AS DOUBLE)"
-    s = _fe_sum(vals)
-    sq = (f"aggregate({vals}, CAST(0 AS DOUBLE), (__a, __x) -> "
-          f"__a + CAST(__x AS DOUBLE) * CAST(__x AS DOUBLE))")
-    m2 = f"greatest({sq} - {s} * {s} / {n}, CAST(0 AS DOUBLE))"
+    mean = f"({_fe_sum(vals)} / {n})"
+    m2 = (
+        f"element_at(transform(array({mean}), __m -> "
+        f"aggregate({vals}, CAST(0 AS DOUBLE), (__a, __x) -> "
+        f"__a + (CAST(__x AS DOUBLE) - __m) * "
+        f"(CAST(__x AS DOUBLE) - __m))), 1)"
+    )
     div = n if kind.endswith("pop") else f"({n} - 1)"
-    core = f"({m2}) / {div}"
+    core = f"greatest({m2}, CAST(0 AS DOUBLE)) / {div}"
     if kind.startswith("std"):
         core = f"sqrt({core})"
     return (f"CASE WHEN size({vals}) = 0 THEN NULL "
@@ -739,27 +746,42 @@ def _fe_var(vals: str, kind: str) -> str:
 
 
 def _fe_cov(pairs: str, kind: str) -> str:
-    """kind: cov_pop | cov_samp | corr (pairwise over struct<v,k>)."""
+    """kind: cov_pop | cov_samp | corr (pairwise over struct<v,k>).
+    CENTERED moments around the two means (bound once via a 1-element
+    transform) — raw-moment sums cancel over large offsets (round-8
+    ADVICE, mirroring the _regr fix)."""
     n = f"CAST(size({pairs}) AS DOUBLE)"
-    sx = _fe_sum(f"transform({pairs}, __p -> __p.v)")
-    sy = _fe_sum(f"transform({pairs}, __p -> __p.k)")
-    sxy = (f"aggregate({pairs}, CAST(0 AS DOUBLE), (__a, __p) -> "
-           f"__a + CAST(__p.v AS DOUBLE) * CAST(__p.k AS DOUBLE))")
-    sxx = (f"aggregate({pairs}, CAST(0 AS DOUBLE), (__a, __p) -> "
-           f"__a + CAST(__p.v AS DOUBLE) * CAST(__p.v AS DOUBLE))")
-    syy = (f"aggregate({pairs}, CAST(0 AS DOUBLE), (__a, __p) -> "
-           f"__a + CAST(__p.k AS DOUBLE) * CAST(__p.k AS DOUBLE))")
-    cxy = f"({sxy} - {sx} * {sy} / {n})"
+    mx = f"({_fe_sum(f'transform({pairs}, __p -> __p.v)')} / {n})"
+    my = f"({_fe_sum(f'transform({pairs}, __p -> __p.k)')} / {n})"
+    ms = f"array(named_struct('x', {mx}, 'y', {my}))"
+    dxy = (
+        f"element_at(transform({ms}, __m -> "
+        f"aggregate({pairs}, CAST(0 AS DOUBLE), (__a, __p) -> "
+        f"__a + (CAST(__p.v AS DOUBLE) - __m.x) * "
+        f"(CAST(__p.k AS DOUBLE) - __m.y))), 1)"
+    )
+    dxx = (
+        f"element_at(transform({ms}, __m -> "
+        f"aggregate({pairs}, CAST(0 AS DOUBLE), (__a, __p) -> "
+        f"__a + (CAST(__p.v AS DOUBLE) - __m.x) * "
+        f"(CAST(__p.v AS DOUBLE) - __m.x))), 1)"
+    )
+    dyy = (
+        f"element_at(transform({ms}, __m -> "
+        f"aggregate({pairs}, CAST(0 AS DOUBLE), (__a, __p) -> "
+        f"__a + (CAST(__p.k AS DOUBLE) - __m.y) * "
+        f"(CAST(__p.k AS DOUBLE) - __m.y))), 1)"
+    )
     if kind == "corr":
         # zero variance -> Doris returns 0 (and ANSI mode must not see
         # a bare /0): nullif the denominator, coalesce the result
-        core = (f"coalesce({cxy} / nullif(sqrt(greatest(({sxx} - {sx} * "
-                f"{sx} / {n}), CAST(0 AS DOUBLE)) * greatest(({syy} - "
-                f"{sy} * {sy} / {n}), CAST(0 AS DOUBLE))), "
+        core = (f"coalesce({dxy} / nullif(sqrt("
+                f"greatest({dxx}, CAST(0 AS DOUBLE)) * "
+                f"greatest({dyy}, CAST(0 AS DOUBLE))), "
                 f"CAST(0 AS DOUBLE)), CAST(0 AS DOUBLE))")
     else:
         div = n if kind == "cov_pop" else f"({n} - 1)"
-        core = f"{cxy} / {div}"
+        core = f"{dxy} / {div}"
     return (f"CASE WHEN size({pairs}) = 0 THEN NULL "
             f"WHEN size({pairs}) = 1 THEN CAST(0 AS DOUBLE) "
             f"ELSE {core} END")
