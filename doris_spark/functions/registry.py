@@ -235,10 +235,10 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     "__dt_from_numeric": (
         "x BIGINT",
         "CASE WHEN x IS NULL THEN NULL "
-        "WHEN length(CAST(x AS STRING)) = 8 THEN to_timestamp(CAST(x AS STRING), 'yyyyMMdd') "
-        "WHEN length(CAST(x AS STRING)) = 14 THEN to_timestamp(CAST(x AS STRING), 'yyyyMMddHHmmss') "
-        "WHEN length(CAST(x AS STRING)) = 6 THEN to_timestamp(CAST(x AS STRING), 'yyMMdd') "
-        "WHEN length(CAST(x AS STRING)) = 12 THEN to_timestamp(CAST(x AS STRING), 'yyMMddHHmmss') "
+        "WHEN length(CAST(x AS STRING)) = 8 THEN try_to_timestamp(CAST(x AS STRING), 'yyyyMMdd') "
+        "WHEN length(CAST(x AS STRING)) = 14 THEN try_to_timestamp(CAST(x AS STRING), 'yyyyMMddHHmmss') "
+        "WHEN length(CAST(x AS STRING)) = 6 THEN try_to_timestamp(CAST(x AS STRING), 'yyMMdd') "
+        "WHEN length(CAST(x AS STRING)) = 12 THEN try_to_timestamp(CAST(x AS STRING), 'yyMMddHHmmss') "
         "ELSE NULL END",
     ),
     # returns the VALUE (with a non-nullable type in Doris); a NULL input

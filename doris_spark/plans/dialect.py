@@ -505,6 +505,106 @@ def _rewrite_right_semi_anti(sql: str) -> str:
         if in_lit(m.start()):
             continue
         kind = m.group(1).lower()
+        # ---- chained left operand: when the text between the
+        # governing FROM (or enclosing paren) and this join keyword
+        # contains an ON/USING at depth 0, Doris's parse makes the
+        # WHOLE preceding left-deep join tree the left operand — swap
+        # the full segment, parenthesized, instead of the last table
+        # ref (nereids_syntax_p0 join_condition/runtime_filter chains)
+        seg_start = None
+        depth_b, ib = 0, m.start() - 1
+        while ib >= 0:
+            if in_lit(ib):
+                ib -= 1
+                continue
+            ch = sql[ib]
+            if ch == ")":
+                depth_b += 1
+            elif ch == "(":
+                if depth_b == 0:
+                    seg_start = ib + 1
+                    break
+                depth_b -= 1
+            elif (
+                depth_b == 0
+                and ch in "mM"
+                and ib >= 3
+                and sql[ib - 3 : ib + 1].lower() == "from"
+                and (ib == 3 or not (sql[ib - 4].isalnum()
+                                     or sql[ib - 4] == "_"))
+                and (ib + 1 >= len(sql) or not (sql[ib + 1].isalnum()
+                                                or sql[ib + 1] == "_"))
+            ):
+                seg_start = ib + 1
+                break
+            ib -= 1
+        if seg_start is not None:
+            seg = sql[seg_start:m.start()]
+            seg_depth, has_on = 0, False
+            for mo in re.finditer(r"[()]|\b(?:on|using)\b", seg, re.I):
+                if in_lit(seg_start + mo.start()):
+                    continue
+                t = mo.group(0)
+                if t == "(":
+                    seg_depth += 1
+                elif t == ")":
+                    seg_depth -= 1
+                elif seg_depth == 0:
+                    has_on = True
+            if has_on and seg.strip() and "lateral" not in seg.lower():
+                p = m.end()
+                while p < len(sql) and sql[p].isspace():
+                    p += 1
+                if p >= len(sql):
+                    continue
+                if sql[p] == "(":
+                    depth_f, q = 0, p
+                    while q < len(sql):
+                        if sql[q] == "(":
+                            depth_f += 1
+                        elif sql[q] == ")":
+                            depth_f -= 1
+                            if depth_f == 0:
+                                break
+                        q += 1
+                    q += 1
+                else:
+                    q = p
+                    while q < len(sql) and (sql[q].isalnum()
+                                            or sql[q] in "_.`"):
+                        q += 1
+                    if q == p:
+                        continue
+                r = q
+                while r < len(sql) and sql[r].isspace():
+                    r += 1
+                r2 = r
+                while r2 < len(sql) and (sql[r2].isalnum()
+                                         or sql[r2] in "_`"):
+                    r2 += 1
+                alias = sql[r:r2]
+                if alias and alias.lower() == "as":
+                    r3 = r2
+                    while r3 < len(sql) and sql[r3].isspace():
+                        r3 += 1
+                    r4 = r3
+                    while r4 < len(sql) and (sql[r4].isalnum()
+                                             or sql[r4] in "_`"):
+                        r4 += 1
+                    nxt = sql[r3:r4]
+                    if nxt and nxt.lower() not in _FROM_KWS:
+                        alias, r2 = nxt, r4
+                    else:
+                        alias = ""
+                rend = (r2 if alias and alias.lower() not in _FROM_KWS
+                        else q)
+                right = sql[p:rend]
+                sql = (
+                    sql[:seg_start]
+                    + f" {right} left {kind} join ({seg.strip()}) "
+                    + sql[rend:]
+                )
+                continue
         # ---- left operand: scan backwards
         i = m.start() - 1
         while i >= 0 and sql[i].isspace():
@@ -556,7 +656,19 @@ def _rewrite_right_semi_anti(sql: str) -> str:
                 while j2 >= 0 and (sql[j2].isalnum() or sql[j2] in "_.`"):
                     j2 -= 1
                 w2 = sql[j2 + 1 : k + 1]
-                if w2 and w2.lower() not in _FROM_KWS:
+                if w2 and w2.lower() == "as":
+                    # `base AS alias` — the base table sits before AS
+                    k3 = j2
+                    while k3 >= 0 and sql[k3].isspace():
+                        k3 -= 1
+                    j3 = k3
+                    while j3 >= 0 and (sql[j3].isalnum()
+                                       or sql[j3] in "_.`"):
+                        j3 -= 1
+                    w3 = sql[j3 + 1 : k3 + 1]
+                    if w3 and w3.lower() not in _FROM_KWS:
+                        lstart = j3 + 1
+                elif w2 and w2.lower() not in _FROM_KWS:
                     lstart = j2 + 1
         left = sql[lstart:lend]
         # ---- right operand: scan forward from the join keyword
@@ -590,6 +702,19 @@ def _rewrite_right_semi_anti(sql: str) -> str:
         while r2 < len(sql) and (sql[r2].isalnum() or sql[r2] in "_`"):
             r2 += 1
         alias = sql[r:r2]
+        if alias and alias.lower() == "as":
+            # `base AS alias` — capture the aliased name too
+            r3 = r2
+            while r3 < len(sql) and sql[r3].isspace():
+                r3 += 1
+            r4 = r3
+            while r4 < len(sql) and (sql[r4].isalnum() or sql[r4] in "_`"):
+                r4 += 1
+            nxt = sql[r3:r4]
+            if nxt and nxt.lower() not in _FROM_KWS:
+                alias, r2 = nxt, r4
+            else:
+                alias = ""
         rend = r2 if alias and alias.lower() not in _FROM_KWS else q
         right = sql[p:rend]
         sql = (
@@ -1154,6 +1279,42 @@ def dialect(sql: str) -> str:
         sql,
         flags=re.I,
     )
+    # packed-digit date/datetime LITERAL casts with fractional seconds:
+    # Doris parses 'YYYYMMDDHHMMSS.fffffff' rounding the 7th fractional
+    # digit half-up — compute the literal here (Spark rejects the form).
+    # Runs BEFORE _cast_time_dt0 so the bare AS-DATETIME rounding
+    # wrapper can't swallow the packed literal, and a DATE target
+    # TRUNCATES the time part (no midnight carry from the fraction).
+    def _packed_dt(digits: str, frac: str, typ: str, orig: str) -> str:
+        import datetime as _dt
+        from decimal import ROUND_HALF_UP, Decimal
+
+        try:
+            if len(digits) == 8:
+                base = _dt.datetime.strptime(digits, "%Y%m%d")
+            else:
+                base = _dt.datetime.strptime(digits, "%Y%m%d%H%M%S")
+            if frac and typ.upper() != "DATE":
+                us = Decimal(frac).quantize(
+                    Decimal("0.000001"), rounding=ROUND_HALF_UP)
+                base += _dt.timedelta(seconds=float(us))
+        except (ValueError, OverflowError):
+            return orig
+        if typ.upper() == "DATE":
+            return f"DATE'{base.date().isoformat()}'"
+        return "TIMESTAMP'" + base.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
+
+    sql = re.sub(
+        r"(?i)\bCAST\s*\(\s*'(\d{8}|\d{14})(\.\d+)?'\s+AS\s+"
+        r"(DATE|DATETIME|TIMESTAMP)(?:V2)?(?:\s*\(\s*\d+\s*\))?\s*\)",
+        lambda m: _packed_dt(
+            m.group(1), m.group(2) or "", m.group(3), m.group(0)),
+        sql)
+    sql = re.sub(
+        r"(?i)\b(?:timestamp|datetime)\s*'(\d{14})(\.\d+)?'",
+        lambda m: _packed_dt(
+            m.group(1), m.group(2) or "", "TIMESTAMP", m.group(0)),
+        sql)
     sql = _timediff_scale(sql)
     s = _cast_time_dt0(sql)
     # hour/minute/second/microsecond over the TIME shim route to the
@@ -1494,39 +1655,6 @@ def dialect(sql: str) -> str:
             lambda m: ("\\\\p{" + _POSIX[m.group(1).lower()] + "}"
                        if m.group(1).lower() in _POSIX else m.group(0)),
             s)
-    # packed-digit date/datetime LITERAL casts with fractional seconds:
-    # Doris parses 'YYYYMMDDHHMMSS.fffffff' rounding the 7th fractional
-    # digit half-up — compute the literal here (Spark rejects the form)
-    def _packed_dt(digits: str, frac: str, typ: str, orig: str) -> str:
-        import datetime as _dt
-        from decimal import ROUND_HALF_UP, Decimal
-
-        try:
-            if len(digits) == 8:
-                base = _dt.datetime.strptime(digits, "%Y%m%d")
-            else:
-                base = _dt.datetime.strptime(digits, "%Y%m%d%H%M%S")
-            if frac:
-                us = Decimal(frac).quantize(
-                    Decimal("0.000001"), rounding=ROUND_HALF_UP)
-                base += _dt.timedelta(seconds=float(us))
-        except (ValueError, OverflowError):
-            return orig
-        if typ.upper() == "DATE":
-            return f"DATE'{base.date().isoformat()}'"
-        return "TIMESTAMP'" + base.strftime("%Y-%m-%d %H:%M:%S.%f") + "'"
-
-    s = re.sub(
-        r"(?i)\bCAST\s*\(\s*'(\d{8}|\d{14})(\.\d+)?'\s+AS\s+"
-        r"(DATE|DATETIME|TIMESTAMP)(?:V2)?(?:\s*\(\s*\d+\s*\))?\s*\)",
-        lambda m: _packed_dt(
-            m.group(1), m.group(2) or "", m.group(3), m.group(0)),
-        s)
-    s = re.sub(
-        r"(?i)\b(?:timestamp|datetime)\s*'(\d{14})(\.\d+)?'",
-        lambda m: _packed_dt(
-            m.group(1), m.group(2) or "", "TIMESTAMP", m.group(0)),
-        s)
     # rank-family windows without ORDER BY: Doris permits them (row
     # order), Spark requires an order — a constant sort is the same
     # "arbitrary but stable within partition" contract

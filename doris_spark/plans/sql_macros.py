@@ -972,10 +972,37 @@ MACROS: dict[str, Macro] = {
         if len(a) == 2 and not re.search(r"(?i)\busing\b", a[0])
         else "__KEEP__(" + ", ".join(a) + ")"),
     # unix_timestamp over DATE/packed columns: Spark applies the default
-    # FORMAT to non-timestamp inputs and errors on DATE — cast first
+    # FORMAT to non-timestamp inputs and errors on DATE — route through
+    # STRING so numeric inputs parse as Doris packed digits (yyyyMMdd /
+    # yyyyMMddHHmmss; a plain int like 3 is an invalid datetime -> NULL,
+    # NOT epoch+3s), and clamp out-of-range results to 0 (Doris returns
+    # 0 outside [1970-01-01, 2038-01-19 03:14:07])
     "unix_timestamp": lambda a: (
-        f"unix_timestamp(CAST(({a[0]}) AS TIMESTAMP))"
+        "CASE WHEN __uts_{u} IS NULL THEN NULL "
+        "WHEN unix_timestamp(__uts_{u}) BETWEEN 0 AND 2147483647 "
+        "THEN unix_timestamp(__uts_{u}) ELSE 0 END".replace(
+            "__uts_{u}",
+            "(CASE WHEN CAST(({0}) AS STRING) RLIKE '^[0-9]{{5,14}}$' "
+            "THEN __dt_from_numeric(try_cast(CAST(({0}) AS STRING)"
+            " AS BIGINT)) "
+            "ELSE try_cast(CAST(({0}) AS STRING) AS TIMESTAMP) END)".format(
+                a[0]))
         if len(a) == 1 and a[0].strip()
+        else "__KEEP__(" + ", ".join(a) + ")"),
+    # Doris regexp_extract_all returns the STRING render ['a','b'] of
+    # the first capture group's matches. Only rewritten when the
+    # pattern is a literal containing a capture group — column patterns
+    # keep Spark's array form (R.groovy's group-less column patterns
+    # ride the existing fallback path)
+    "regexp_extract_all": lambda a: (
+        "CASE WHEN ({s}) IS NULL THEN NULL "
+        "ELSE concat('[', concat_ws(',', transform("
+        "regexp_extract_all({s}, {p}, 1), "
+        "__x -> concat('\\'', __x, '\\''))), ']') END".format(
+            s=a[0], p=a[1])
+        if len(a) == 2
+        and re.match(r"^\s*'[^']*\([^']*'\s*$", a[1])
+        and "\\(" not in a[1]
         else "__KEEP__(" + ", ".join(a) + ")"),
     "acos": _nan_null("acos"),
     "asin": _nan_null("asin"),

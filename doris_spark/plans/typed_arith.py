@@ -230,7 +230,14 @@ def _d3_ret(op: str, dt1, dt2):
                 s = 6
             p = 38
         s = min(p, s + s2 + 4)
-        return ("d3", p, s)
+        # Divide.getDataTypeForDecimalV3 computes the LEFT-CAST type
+        # (p, s); the BE then divides that scaled integer by the
+        # s2-scaled right operand, so the RESULT's runtime scale is
+        # s - s2 (normally s1 + 4): `k3/k5` over INT/DECIMAL(9,3)
+        # renders scale 4, and DECIMAL(9,3)/DECIMAL(7,6) is scale 7
+        # with integral room p - s + s2 (nereids_syntax_p0
+        # test_arithmetic_operators arith_op11/op21)
+        return ("d3", p, max(0, s - s2))
     return None
 
 

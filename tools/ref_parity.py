@@ -1275,7 +1275,14 @@ def translate_ddl(sql: str) -> str | None:
             r"BITMAP_UNION|QUANTILE_UNION|GENERIC)\b", _raw, flags=re.I,
         )
         if _aggm:
-            _agg_types[cm.group(1).lower()] = _aggm.group(1).lower()
+            _ag = _aggm.group(1).lower()
+            if _ag == "generic":
+                # AGG_STATE<fn(...)> GENERIC: record the inner function
+                # so _agg_remerge applies the right union shape
+                _gm = re.search(r"agg_state\s*<\s*(\w+)", _raw, re.I)
+                if _gm:
+                    _ag = "generic:" + _gm.group(1).lower()
+            _agg_types[cm.group(1).lower()] = _ag
         _raw = re.sub(r"\s+(SUM|MIN|MAX|REPLACE(_IF_NOT_NULL)?|HLL_UNION|"
                       r"BITMAP_UNION|QUANTILE_UNION|GENERIC)\b.*$", "", _raw, flags=re.I)
         _defm = re.search(
@@ -1534,6 +1541,15 @@ _AGG_EXPRS = {
     # (translate_ddl) — union sums both fields
     "generic": ("named_struct('s', sum((`{c}`).s), "
                 "'n', sum((`{c}`).n))"),
+    "generic:avg": ("named_struct('s', sum((`{c}`).s), "
+                    "'n', sum((`{c}`).n))"),
+    # generic max_by/min_by states are STRUCT<v, k> — the union keeps
+    # the row with the extreme k; group_concat states are element
+    # arrays — the union concatenates (nereids_syntax_p0 any_value
+    # sql_any23/24)
+    "generic:max_by": "max_by(`{c}`, (`{c}`).k)",
+    "generic:min_by": "min_by(`{c}`, (`{c}`).k)",
+    "generic:group_concat": "flatten(collect_list(`{c}`))",
 }
 
 
@@ -2689,7 +2705,18 @@ def run_setup(eng, sql: str) -> None:
                         df = df.select(*sel_a)
                 df = _dup_sort_batch(eng, name, df)
                 df.coalesce(1).write.insertInto(name)
-                _agg_remerge(eng, name)
+                # the row is IN: a remerge failure must not fall through
+                # to the SQL INSERT path (that would insert the batch a
+                # second time — any_value sql_any23 'a,a' duplication)
+                try:
+                    _agg_remerge(eng, name)
+                except Exception:
+                    import os as _os3
+
+                    if _os3.environ.get("RP_DEBUG"):
+                        import traceback as _tb3
+
+                        _tb3.print_exc()
                 return
             except Exception:
                 import os as _os2
@@ -3642,6 +3669,54 @@ def _alias_ordinal_rewrite(sql: str, ident: str) -> str | None:
     return out if changed else None
 
 
+def _order_alias_expr_rewrite(sql: str, ident: str) -> str | None:
+    """Doris binds a select-list alias INSIDE an ORDER BY expression
+    (order by min(xx) where xx aliases abs(c1)); Spark resolves ORDER BY
+    sub-expressions against the input only. Inline the aliased
+    expression for bare `ident` tokens in the top-level ORDER BY."""
+    sel = _scan_top_level(sql, "SELECT")
+    frm = _scan_top_level(sql, "FROM")
+    if sel is None or frm is None or frm < sel:
+        return None
+    items, depth, in_q, cur = [], 0, None, []
+    for c in sql[sel + 6 : frm]:
+        if in_q:
+            if c == in_q:
+                in_q = None
+        elif c in ("'", '"'):
+            in_q = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(c)
+    items.append("".join(cur).strip())
+    expr = None
+    for it in items:
+        m = re.search(
+            rf"^(.*?)(?:\bAS\s+|\s)`?{re.escape(ident)}`?\s*$",
+            it, re.I | re.S,
+        )
+        if m and m.group(1).strip():
+            expr = m.group(1).strip()
+            break
+    if expr is None:
+        return None
+    ob = _scan_top_level(sql, "ORDER")
+    if ob is None:
+        return None
+    idre = re.compile(rf"(?<![\w.`$]){re.escape(ident)}(?![\w`(])", re.I)
+    seg = sql[ob:]
+    nseg = idre.sub(f"({expr})", seg)
+    if nseg == seg:
+        return None
+    return sql[:ob] + nseg
+
+
 def _map_sort_rewrite(sql: str, ident: str) -> str | None:
     """Doris sorts/partitions MAP columns by (keys, values) lexicographic
     order (correctness_p0/test_map_order_by goldens); Spark's sortorder
@@ -3745,6 +3820,7 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
         def colrow(c, t, nn):
             key = c.lower() in meta["keys"]
             agg = (meta.get("aggs") or {}).get(c.lower(), "")
+            agg = agg.split(":")[0]  # generic:<fn> renders as GENERIC
             dfl = (meta.get("defaults") or {}).get(c.lower())
             default = (
                 str(dfl).strip("'\"") if dfl is not None else None)
@@ -4173,6 +4249,40 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
                 raise
             df = eng.sql(retry)
             rows = df.collect()
+        elif "UNRESOLVED_COLUMN" in str(exc) and re.search(
+            r"name `(\w+)` cannot be resolved", str(exc)
+        ) and _alias_ordinal_rewrite(
+            dialect(sql),
+            re.search(r"name `(\w+)` cannot be resolved",
+                      str(exc)).group(1),
+        ) is not None:
+            # Doris ORDER BY bind priority: a bare name binds to the
+            # leftmost EXPLICITLY-aliased select item even when the name
+            # also exists as a (conflicting or aggregated-away) base
+            # column — Spark reports it unresolved instead
+            # (nereids_syntax_p0 bind_priority / order_by_bind_priority)
+            retry = _alias_ordinal_rewrite(
+                dialect(sql),
+                re.search(r"name `(\w+)` cannot be resolved",
+                          str(exc)).group(1))
+            df = eng.sql(retry)
+            rows = df.collect()
+        elif "MISSING_ATTRIBUTES" in str(exc) and re.search(
+            r'Resolved attribute\(s\) "(\w+)" missing', str(exc)
+        ) and _order_alias_expr_rewrite(
+            dialect(sql),
+            re.search(r'Resolved attribute\(s\) "(\w+)" missing',
+                      str(exc)).group(1),
+        ) is not None:
+            # Doris resolves a select-list alias INSIDE an ORDER BY
+            # aggregate (order by min(xx) with xx = abs(c1)) — Spark
+            # only sees output attributes there; inline the expression
+            retry = _order_alias_expr_rewrite(
+                dialect(sql),
+                re.search(r'Resolved attribute\(s\) "(\w+)" missing',
+                          str(exc)).group(1))
+            df = eng.sql(retry)
+            rows = df.collect()
         elif (
             "UNRESOLVED_COLUMN" in str(exc) or "MISSING_GROUP_BY" in str(exc)
         ) and _plain_having(sql) is not None:
@@ -4394,6 +4504,15 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
             if retry is None:
                 raise
             df = eng.sql(retry)
+            rows = df.collect()
+        elif "MISSING_ATTRIBUTES" in str(exc) and _inline_udfs_in_lambda(
+            dialect(sql)
+        ) is not None:
+            # SQL-UDF inside an aggregate under ORDER BY on a grouping
+            # column: Spark's UDF-inlining Project hides the hidden sort
+            # attribute (bitmap_union_count(to_bitmap(k2)) ... group by
+            # k1 order by k1) — inline the UDF bodies ourselves
+            df = eng.sql(_inline_udfs_in_lambda(dialect(sql)))
             rows = df.collect()
         elif "LAMBDA_FUNCTION_WITH_PYTHON_UDF" in str(exc) and re.search(
             r"\b(inet6_ntoa|inet_ntoa|ipv6_num_to_string|ipv4_num_to_string)\s*\(\s*[A-Za-z_]\w*\s*\)", sql, re.I
