@@ -1626,6 +1626,109 @@ def dialect(sql: str) -> str:
     s = re.sub(
         r"(?i)\bCAST\s*\(\s*(?:'([^']*)'|\"([^\"]*)\")\s+AS\s+BOOLEAN\s*\)",
         _bool_lit, s)
+    # MySQL/Doris truthiness for IS [NOT] TRUE/FALSE: any non-zero
+    # numeric is true, unparseable strings are NULL (-1 IS TRUE = true;
+    # Spark's `x <=> true` coerces TRUE to the numeric type instead).
+    # Wrap the operand in CAST(.. AS BOOLEAN); operand extent is a
+    # standalone literal/identifier/paren-group (an arithmetic chain is
+    # left alone — Spark already groups it correctly)
+    def _is_bool_sub(src: str) -> str:
+        pat = re.compile(r"\bIS\s+(NOT\s+)?(TRUE|FALSE)\b", re.I)
+        for m in reversed(list(pat.finditer(src))):
+            i = m.start() - 1
+            while i >= 0 and src[i].isspace():
+                i -= 1
+            if i < 0:
+                continue
+            end = i + 1
+            if src[i] == ")":
+                depth = 0
+                while i >= 0:
+                    if src[i] == ")":
+                        depth += 1
+                    elif src[i] == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    i -= 1
+                if i < 0:
+                    continue
+                j = i - 1
+                while j >= 0 and (src[j].isalnum() or src[j] in "_.`"):
+                    j -= 1
+                start = j + 1
+            elif src[i] in "'\"":
+                q = src[i]
+                j = i - 1
+                while j >= 0 and src[j] != q:
+                    j -= 1
+                if j < 0:
+                    continue
+                start = j
+            elif src[i].isalnum() or src[i] in "_.`":
+                j = i
+                while j >= 0 and (src[j].isalnum() or src[j] in "_.`"):
+                    j -= 1
+                start = j + 1
+                tok = src[start:end].upper()
+                if tok in ("TRUE", "FALSE", "NULL", "NOT", "UNKNOWN"):
+                    continue
+            else:
+                continue
+            # optional unary sign directly attached to a standalone
+            # operand (previous non-space is not a word/')' — else it's
+            # binary arithmetic and we leave the whole chain alone)
+            k = start - 1
+            while k >= 0 and src[k].isspace():
+                k -= 1
+            if k >= 0 and src[k] in "+-":
+                k2 = k - 1
+                while k2 >= 0 and src[k2].isspace():
+                    k2 -= 1
+                if k2 >= 0 and (src[k2].isalnum() or src[k2] in ")`_"):
+                    # word before the sign: a keyword means unary
+                    # (SELECT -1 IS TRUE); an identifier/literal means
+                    # binary arithmetic — leave the chain alone
+                    j3 = k2
+                    while j3 >= 0 and (src[j3].isalnum() or src[j3] == "_"):
+                        j3 -= 1
+                    w = src[j3 + 1 : k2 + 1].lower()
+                    if w in ("select", "when", "then", "else", "and",
+                             "or", "not", "where", "having", "on", "by",
+                             "in", "return", "returns", "case"):
+                        start = k
+                    else:
+                        continue  # binary arithmetic chain: skip
+                else:
+                    start = k
+            neg = "NOT " if m.group(1) else ""
+            kw = m.group(2).upper()
+            operand = src[start:end]
+            src = (
+                src[:start]
+                + f"({neg}(CAST({operand} AS BOOLEAN) <=> {kw}))"
+                + src[m.end():]
+            )
+        return src
+
+    if re.search(r"\bIS\s+(NOT\s+)?(TRUE|FALSE)\b", s, re.I):
+        s = _is_bool_sub(s)
+    # temporal literal IN (string list): MySQL compares temporally
+    # (timestamp '2008-08-08 00:00:00' IN ('2008-08-08') is true);
+    # Spark coerces the left side to STRING instead — cast the items
+    def _temporal_in(m: re.Match) -> str:
+        typ = ("DATE" if m.group(1).upper() == "DATE" else "TIMESTAMP")
+        items = [x.strip() for x in m.group(4).split(",")]
+        if not all(re.fullmatch(r"'[^']*'", x) for x in items):
+            return m.group(0)
+        lst = ", ".join(f"CAST({x} AS {typ})" for x in items)
+        return f"{typ} {m.group(2)} {m.group(3) or ''}IN ({lst})"
+
+    if re.search(r"(?i)\b(timestamp|datetime|date)\s*'", s):
+        s = re.sub(
+            r"(?i)\b(timestamp|datetime|date)\s*('[^']*')\s+(not\s+)?"
+            r"in\s*\(([^()]*)\)",
+            _temporal_in, s)
     # Doris 3-part names: `internal` is the built-in catalog — strip it
     # (Spark's session catalog is single-namespace). Anchored (round-8
     # ADVICE): in table-ref position (after FROM/JOIN/INTO/UPDATE/
@@ -1638,6 +1741,105 @@ def dialect(sql: str) -> str:
         r"(?=`?\w+`?\.`?\w+`?)",
         r"\1\2", s)
     s = re.sub(r"(?i)\binternal\.(?=`?\w+`?\.`?\w+`?\.`?\w+`?)", "", s)
+    # MySQL/Doris comma-join precedence: in `FROM a, b JOIN c ...` the
+    # JOIN chain binds tighter than the comma — Spark parses it
+    # left-deep instead (and resolves USING columns across the comma).
+    # Parenthesize every comma-separated FROM item whose own top level
+    # contains a JOIN (nereids_syntax_p0 using_join/join_order).
+    def _comma_join_group(src: str) -> str:
+        spans_cj = _lit_spans(src)
+
+        def lit(i: int) -> bool:
+            return any(a <= i < b for a, b in spans_cj)
+
+        _CLAUSE = re.compile(
+            r"(?i)\b(where|group|order|having|limit|union|intersect"
+            r"|except|window|qualify)\b|;")
+        out_parts, pos = [], 0
+        for fm_ in re.finditer(r"(?i)\bfrom\b", src):
+            if lit(fm_.start()) or fm_.start() < pos:
+                continue
+            seg_s = fm_.end()
+            depth, j = 0, seg_s
+            seg_e = len(src)
+            while j < len(src):
+                if not lit(j):
+                    ch = src[j]
+                    if ch == "(":
+                        depth += 1
+                    elif ch == ")":
+                        depth -= 1
+                        if depth < 0:
+                            seg_e = j
+                            break
+                    elif depth == 0:
+                        cm_ = _CLAUSE.match(src, j)
+                        if cm_:
+                            seg_e = j
+                            break
+                j += 1
+            seg = src[seg_s:seg_e]
+            if "," not in seg or not re.search(r"(?i)\bjoin\b", seg):
+                continue
+            # top-level comma split of the segment
+            items, depth2, buf, base = [], 0, [], seg_s
+            for k2, ch in enumerate(seg):
+                if lit(seg_s + k2):
+                    buf.append(ch)
+                    continue
+                if ch == "(":
+                    depth2 += 1
+                elif ch == ")":
+                    depth2 -= 1
+                elif ch == "," and depth2 == 0:
+                    items.append("".join(buf))
+                    buf = []
+                    continue
+                buf.append(ch)
+            items.append("".join(buf))
+            if len(items) < 2:
+                continue
+
+            def _has_top_join(it: str) -> bool:
+                d3 = 0
+                for mj in re.finditer(r"[()]|(?i:\bjoin\b)", it):
+                    t3 = mj.group(0)
+                    if t3 == "(":
+                        d3 += 1
+                    elif t3 == ")":
+                        d3 -= 1
+                    elif d3 == 0:
+                        return True
+                return False
+
+            new_items = []
+            changed_cj = False
+            for it in items:
+                st = it.strip()
+                if (_has_top_join(it)
+                        and not re.search(r"(?i)\blateral\b", it)):
+                    new_items.append(f" ({st}) ")
+                    changed_cj = True
+                else:
+                    new_items.append(it)
+            if changed_cj:
+                return (src[:seg_s] + ",".join(new_items)
+                        + _comma_join_group(src[seg_e:]))
+        return src
+
+    if re.search(r"(?i)\bfrom\b[^;]*,", s) and re.search(
+            r"(?i)\bjoin\b", s):
+        s = _comma_join_group(s)
+    # Doris allows `lateral view ...` BEFORE the join list; Spark only
+    # after it — wrap the base relation + lateral views in a subquery
+    # aliased as the base table so qualified refs keep resolving
+    s = re.sub(
+        r"(?i)\bfrom\s+(`?\w+`?)"
+        r"((?:\s+lateral\s+view\s+\w+\s*\([^()]*\)\s+\w+\s+as\s+"
+        r"\w+(?:\s*,\s*\w+)*)+)\s+(?=(?:\w+\s+)??join\b)",
+        lambda m: (f"from (select * from {m.group(1)}{m.group(2)}) "
+                   f"{m.group(1).strip('`')} "),
+        s)
     # parenthesized comma cross-join in FROM: `join (a, b) using(..)`
     s = re.sub(
         r"(?i)\bjoin\s*\(\s*(`?\w+`?)\s*,\s*(`?\w+`?)\s*\)",

@@ -2553,10 +2553,15 @@ def _lateral_view_udtfs(sql: str) -> str:
 _WIN_DISTRIB = {
     "stddev_samp", "var_samp", "variance_samp", "covar_samp", "corr", "sem",
     "exponential_moving_average",
+    # NaN-excluding percentile family (round-8 macros): the CASE wrapper
+    # must not swallow a trailing OVER (...) — attach it to every inner
+    # aggregate instead (test_select_stddev_variance_window)
+    "percentile", "percentile_array", "percentile_approx",
+    "percentile_approx_weighted",
 }
 _AGG_CALL = re.compile(
     r"\b(count|sum|avg|min|max|stddev_samp|stddev_pop|var_samp|var_pop|"
-    r"covar_samp|covar_pop|corr|collect_list)\s*\(",
+    r"covar_samp|covar_pop|corr|collect_list|percentile)\s*\(",
     re.I,
 )
 

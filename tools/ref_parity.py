@@ -734,6 +734,22 @@ def parse_suite_files(groovy_path: str, out_path: str | None = None):
         r"createTestTable\s*\(?\s*[\"']([\w$]+)[\"']\s*(?:,\s*(\w+))?"
         r"\s*\)?",
         _ctt, src)
+    # framework sync-MV helpers: createMV "<CREATE MV stmt>" waits for
+    # the ALTER job; create_sync_mv(db, tbl, name, query) builds the
+    # statement — both reduce to the plain CREATE MATERIALIZED VIEW
+    src = re.sub(
+        r'createMV\s*\(?\s*(?:"""(.*?)"""|"(.*?)")\s*\)?',
+        lambda m: 'sql """ ' + (m.group(1) or m.group(2) or "") + ' """',
+        src, flags=re.S)
+    src = re.sub(
+        r'create_sync_mv\s*\(\s*[\w.]+\s*,\s*["\'][\w$]+["\']\s*,\s*'
+        r'["\']([\w$]+)["\']\s*,\s*(?:"""(.*?)"""|"(.*?)"|\'(.*?)\')'
+        r"\s*\)",
+        lambda m: ('sql """ CREATE MATERIALIZED VIEW ' + m.group(1)
+                   + " AS "
+                   + (m.group(2) or m.group(3) or m.group(4) or "")
+                   + ' """'),
+        src, flags=re.S)
     # groovy-escaped literal dollars in identifiers (`t\$partitions`):
     # sanitize so the \w-based DDL/DML parsing keeps working; the name
     # never appears in golden output
@@ -957,6 +973,12 @@ def _cell_matches(exp: str, got) -> bool:
         es = (exp or "").strip().lower()
         if gs in _IN and es in _IN:
             return _IN[gs] == _IN[es]
+        # STRING-rendered temporal (the year-0 collect fallback casts
+        # date/timestamp columns to STRING JVM-side): parse both sides
+        if re.fullmatch(r"\d{3,4}-\d{2}-\d{2}([ T].*)?", got.strip()):
+            e_, g_ = _parse_dt(exp), _parse_dt(got)
+            if e_ is not None and g_ is not None:
+                return e_ == g_
     if isinstance(got, float) or re.fullmatch(r"-?\d+(\.\d+)?([eE][-+]?\d+)?", exp or ""):
         try:
             e, g = float(exp), float(got)
@@ -1494,9 +1516,28 @@ def translate_ddl(sql: str) -> str | None:
                 part_defs[pname] = ("range", dm.group(3), dm.group(4))
             else:  # LIST
                 part_defs[pname] = ("in", dm.group(5))
+    # keyless CREATE TABLE: Doris infers the leading (up to 3) keyable
+    # columns as DUP sort keys (a varchar is included and stops the
+    # scan; float/double/complex stop it) — recorded separately for the
+    # DESC renderers so batch-sort/remerge behavior is unchanged
+    desc_keys = set(keys)
+    if not km and raw_cols:
+        _acc = []
+        for _c, _t, _nn2 in raw_cols:
+            _tl = re.sub(r"[(<].*", "", _t.strip().lower())
+            if _tl in ("float", "double", "text", "string", "array",
+                       "map", "struct", "hll", "bitmap", "json",
+                       "jsonb", "variant", "quantile_state",
+                       "agg_state"):
+                break
+            _acc.append(_c.lower())
+            if _tl.startswith("varchar") or len(_acc) == 3:
+                break
+        desc_keys = set(_acc)
     _TABLE_META[name.lower()] = {
         "cols": raw_cols,
         "keys": keys,
+        "desc_keys": desc_keys,
         "model": model,
         "aggs": _agg_types,
         "defaults": _defaults,
@@ -2306,6 +2347,48 @@ def run_setup(eng, sql: str) -> None:
 
         shutil.rmtree(_warehouse_path(eng, name), ignore_errors=True)
         eng.sql(mvm.group(3)).write.saveAsTable(name)
+        # single-table SELECT over a known base = a SYNC rollup MV:
+        # record its derived index for `DESC <base> ALL`
+        smv = re.match(
+            r"(?is)\s*SELECT\s+(.*?)\s+FROM\s+`?(\w+)`?\s*(.*?);?\s*$",
+            mvm.group(3),
+        )
+        if smv and smv.group(2).lower() in _TABLE_META:
+            base_meta = _TABLE_META[smv.group(2).lower()]
+            tail_mv = smv.group(3) or ""
+            gm_mv = re.search(
+                r"(?is)\bGROUP\s+BY\s+(.*?)(?=\bORDER\b|$)", tail_mv)
+            om_mv = re.search(r"(?is)\bORDER\s+BY\s+(.*)$", tail_mv)
+            items = []
+            for it in _split_select_list(smv.group(1)):
+                am2 = re.match(
+                    r"(?is)^(.*?)(?:\s+AS\s+|\s+)`?([A-Za-z_]\w*)`?$",
+                    it.strip(),
+                )
+                if am2 and not re.search(
+                    r"[()]", am2.group(2)
+                ) and am2.group(1).strip() and not am2.group(1).rstrip(
+                ).endswith((",", "(")):
+                    items.append(
+                        (am2.group(1).strip(), am2.group(2)))
+                else:
+                    items.append((it.strip(), None))
+            gcols = [
+                g.strip().strip("`").lower()
+                for g in (gm_mv.group(1) if gm_mv else "").split(",")
+                if g.strip()
+            ]
+            ocols = [
+                re.sub(r"(?i)\s+(asc|desc)$", "", o.strip()).strip(
+                    "`").lower()
+                for o in (om_mv.group(1) if om_mv else "").split(",")
+                if o.strip()
+            ]
+            mvs = base_meta.setdefault("sync_mvs", [])
+            mvs[:] = [m_ for m_ in mvs if m_["name"].lower()
+                      != name.lower()]
+            mvs.append({"name": name, "items": items, "group": gcols,
+                        "order": ocols})
         return
     if re.match(r"\s*DROP\s+MATERIALIZED\s+VIEW", sql, re.I):
         dmv = re.match(
@@ -2791,6 +2874,105 @@ def run_setup(eng, sql: str) -> None:
                     "cols": vcols, "keys": set(), "model": "view",
                     "aggs": {}, "json_cols": set(), "view": True,
                 }
+
+
+def _split_select_list(s: str) -> list[str]:
+    """Depth/quote-aware top-level comma split of a select list."""
+    items, depth, in_q, cur = [], 0, None, []
+    for c in s:
+        if in_q:
+            if c == in_q:
+                in_q = None
+        elif c in ("'", '"'):
+            in_q = c
+        elif c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            items.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(c)
+    if "".join(cur).strip():
+        items.append("".join(cur).strip())
+    return items
+
+
+def _sync_mv_columns(meta: dict, mv: dict) -> tuple[str, list]:
+    """Derive a sync-MV index's DESC rows from its SELECT definition.
+    Returns (model_label, [dict(field, utype, ityp, notnull, key, agg,
+    define)]). Naming follows the reference's MaterializedIndexMeta:
+    a plain column keeps its name, sum/min/max(col) keeps the column
+    name, count(col) renders the CASE-0/1 expression (summed), and an
+    opaque-state agg gets __<fn>_<ordinal>."""
+    coldefs = {c.lower(): (c, t, nn) for c, t, nn in meta["cols"]}
+    agg_mv = bool(mv["group"])
+    model = "AGG_KEYS" if agg_mv else "DUP_KEYS"
+    keys = set(mv["group"]) if agg_mv else set(mv["order"])
+    out = []
+    for idx, (expr, alias) in enumerate(mv["items"]):
+        e = expr.strip().strip("`")
+        plain = re.fullmatch(r"\w+", e)
+        fnm = re.fullmatch(r"(?s)(\w+)\s*\((.*)\)", expr.strip())
+        if plain and e.lower() in coldefs:
+            c, t, nn = coldefs[e.lower()]
+            key = e.lower() in keys
+            out.append({
+                "field": alias or c, "utype": t, "notnull": nn,
+                "key": key,
+                "agg": "" if key else ("" if agg_mv else "NONE"),
+                "define": f"`{c}`" if alias else "",
+            })
+            continue
+        if fnm is None:
+            out.append({"field": alias or expr.strip(),
+                        "utype": "bigint", "notnull": False,
+                        "key": False, "agg": "", "define": ""})
+            continue
+        fn, arg = fnm.group(1).lower(), fnm.group(2).strip()
+        argc = arg.strip("`").lower()
+        base = coldefs.get(argc)
+        if fn in ("sum", "min", "max") and base is not None:
+            c, t, nn = base
+            out.append({
+                "field": alias or c, "utype": t, "notnull": nn,
+                "key": False, "agg": fn.upper(),
+                "define": f"`{c}`" if alias else "",
+            })
+        elif fn == "count" and base is not None:
+            c, _t, _nn = base
+            out.append({
+                "field": alias or
+                f"CASE WHEN {c} IS NULL THEN 0 ELSE 1 END",
+                "utype": "bigint", "notnull": True, "key": False,
+                "agg": "SUM", "define": "",
+            })
+        elif fn == "hll_union":
+            hm = re.fullmatch(r"(?is)hll_hash\s*\(\s*`?(\w+)`?\s*\)",
+                              arg)
+            define = (
+                f"hll_hash(CAST(`{hm.group(1)}` AS varchar(65533)))"
+                if hm else ""
+            )
+            out.append({
+                "field": alias or f"__hll_union_{idx}",
+                "utype": "hll", "notnull": True, "key": False,
+                "agg": "HLL_UNION", "define": define,
+            })
+        elif fn == "bitmap_union":
+            out.append({
+                "field": alias or f"__bitmap_union_{idx}",
+                "utype": "bitmap", "notnull": True, "key": False,
+                "agg": "BITMAP_UNION", "define": "",
+            })
+        else:
+            out.append({
+                "field": alias or f"__{fn}_{idx}",
+                "utype": "bigint", "notnull": False, "key": False,
+                "agg": fn.upper(), "define": "",
+            })
+    return model, out
 
 
 def _row_matches(row, exp_line: str):
@@ -3808,22 +3990,22 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
     da = re.match(r"\s*DESC(?:RIBE)?\s+`?(\w+)`?\s+ALL\s*;?\s*$", sql,
                   re.I)
     if da and da.group(1).lower() in _TABLE_META:
-        # Doris `DESC t ALL`: 12-column render with one section per
-        # index (base + rollups), blank-row separated
+        # Doris `DESC t ALL`: one section per index (base + rollups +
+        # sync MVs), blank-row separated. Two golden layouts exist in
+        # the reference tree — a 12-column render (Field/Type/
+        # InternalType/../DefineExpr/WhereClause) and an older 9-column
+        # one (no InternalType/DefineExpr/WhereClause, uppercase
+        # types) — pick by the golden's column count.
         meta = _TABLE_META[da.group(1).lower()]
         model_label = {
             "aggregate": "AGG_KEYS", "unique": "UNQ_KEYS",
             "duplicate": "DUP_KEYS",
         }.get(meta.get("model", "duplicate"), "DUP_KEYS")
         coldefs = {c.lower(): (c, t, nn) for c, t, nn in meta["cols"]}
+        dkeys = meta.get("desc_keys") or meta["keys"]
+        dup_model = meta.get("model", "duplicate") == "duplicate"
 
-        def colrow(c, t, nn):
-            key = c.lower() in meta["keys"]
-            agg = (meta.get("aggs") or {}).get(c.lower(), "")
-            agg = agg.split(":")[0]  # generic:<fn> renders as GENERIC
-            dfl = (meta.get("defaults") or {}).get(c.lower())
-            default = (
-                str(dfl).strip("'\"") if dfl is not None else None)
+        def _ti(t: str) -> tuple[str, str]:
             # Type column shows the USER spelling (date, int),
             # InternalType the storage spelling (datev2); integer
             # display widths are cosmetic in both
@@ -3841,33 +4023,92 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
             internal = re.sub(wid, r"\1", internal)
             if internal.lower() == "datetimev2":
                 internal = internal + "(0)"  # storage scale is explicit
-            return (
-                c, disp, internal, "No" if nn else "Yes",
-                "true" if key else "false", default,
-                agg.upper() if agg else "", "true", "", "",
-            )
+            return disp, internal
 
-        rows = []
+        def colrow(c, t, nn):
+            key = c.lower() in dkeys
+            agg = (meta.get("aggs") or {}).get(c.lower(), "")
+            agg = agg.split(":")[0]  # generic:<fn> renders as GENERIC
+            if not agg and not key and dup_model:
+                agg = "NONE"
+            dfl = (meta.get("defaults") or {}).get(c.lower())
+            default = (
+                str(dfl).strip("'\"") if dfl is not None else None)
+            disp, internal = _ti(t)
+            return {
+                "field": c, "disp": disp, "internal": internal,
+                "null": "No" if nn else "Yes",
+                "key": "true" if key else "false", "default": default,
+                "agg": agg.upper() if agg else "", "define": "",
+            }
 
-        def section(idx_name, cols):
-            sec = [colrow(*cd) for cd in cols]
-            rows.append((idx_name, model_label) + sec[0])
-            rows.extend(("", "") + r for r in sec[1:])
-
-        section(da.group(1), meta["cols"])
+        sections = [
+            (da.group(1), model_label,
+             [colrow(*cd) for cd in meta["cols"]])
+        ]
         for rname, rcols in meta.get("rollups", []):
-            rows.append(("",) * 12)
-            section(rname, [
-                coldefs[c.lower()] for c in rcols
+            sections.append((rname, model_label, [
+                colrow(*coldefs[c.lower()]) for c in rcols
                 if c.lower() in coldefs
-            ])
+            ]))
+        for mv in meta.get("sync_mvs", []):
+            mlabel, mcols = _sync_mv_columns(meta, mv)
+            sec = []
+            for d in mcols:
+                disp, internal = _ti(d["utype"])
+                sec.append({
+                    "field": d["field"], "disp": disp,
+                    "internal": internal,
+                    "null": "No" if d["notnull"] else "Yes",
+                    "key": "true" if d["key"] else "false",
+                    "default": None, "agg": d["agg"],
+                    "define": d.get("define", ""),
+                })
+            sections.append((mv["name"], mlabel, sec))
+
+        def _render(width: int) -> list[tuple]:
+            rows_ = []
+            for si, (nm, ml, sec) in enumerate(sections):
+                if si:
+                    rows_.append(("",) * width)
+                for j, d in enumerate(sec):
+                    head = (nm, ml) if j == 0 else ("", "")
+                    if width == 12:
+                        rows_.append(head + (
+                            d["field"], d["disp"], d["internal"],
+                            d["null"], d["key"], d["default"],
+                            d["agg"], "true", d["define"], ""))
+                    else:
+                        rows_.append(head + (
+                            d["field"], d["disp"].upper(), d["null"],
+                            d["key"], d["default"], d["agg"], "true"))
+            return rows_
+
+        width = 12
+        if expected and len(expected[0].split("\t")) == 9:
+            width = 9
+        rows = _render(width)
         if len(rows) != len(expected):
             return False, f"desc-all rowcount {len(rows)} != {len(expected)}"
+        mism = None
         for row, exp_line in zip(rows, expected):
             ok, why = _row_matches(row, exp_line)
             if not ok:
-                return False, why
-        return True, ""
+                mism = why
+                break
+        if mism is None:
+            return True, ""
+        # order_qt DESC ALL goldens are row-sorted: compare as sorted
+        # rendered text before failing
+        rend = sorted(
+            "\t".join(
+                "\\N" if v is None else str(v) for v in r
+            ).rstrip()
+            for r in rows
+        )
+        if rend == sorted(e.rstrip() for e in expected):
+            return True, ""
+        return False, mism
     dm = re.match(r"\s*DESC(?:RIBE)?\s+`?(\w+)`?\s*;?\s*$", sql, re.I)
     if dm and dm.group(1).lower() in _TABLE_META:
         # Doris 6-column DESC (Field/Type/Null/Key/Default/Extra) from the
@@ -3969,10 +4210,26 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
                 *[c for c in df.columns if c.startswith("__x256_")])
         rows = df.collect()
     except Exception as exc:
+        # year-0 collect overflow: a year-1 instant rendered through the
+        # session zone's LMT offset crosses into year 0, which Python's
+        # datetime cannot hold — re-collect with temporal columns cast
+        # to STRING JVM-side (_cell_matches parses the text back)
+        if isinstance(exc, ValueError) and "out of range" in str(exc) \
+                and "df" in dir():
+            from pyspark.sql import functions as _SF2
+
+            cols2 = [
+                (_SF2.col(f"`{f.name}`").cast("string").alias(f.name)
+                 if f.dataType.typeName() in
+                 ("timestamp", "timestamp_ntz", "date")
+                 else _SF2.col(f"`{f.name}`"))
+                for f in df.schema.fields
+            ]
+            rows = df.select(*cols2).collect()
         # Doris can ORDER BY map/complex columns; Spark cannot. The golden
         # is a deterministic row set either way — drop the ORDER BY and
         # compare as a multiset.
-        if "INVALID_ORDERING_TYPE" in str(exc):
+        elif "INVALID_ORDERING_TYPE" in str(exc):
             # Doris ORDER BY on a MAP column = (keys, values) lexicographic
             # — rewrite to an orderable struct, preserving the exact order
             # the golden records; fall back to dropping the ORDER BY and
