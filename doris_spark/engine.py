@@ -1096,6 +1096,12 @@ def _grouping_having_rewrite(stmt: str) -> str | None:
     if m is None:
         return None
     items_src, rest = m.group(1), m.group(2)
+    distinct_kw = ""
+    dm0 = re.match(r"(?is)\s*DISTINCT\s+", items_src)
+    if dm0 is not None:
+        # SELECT DISTINCT survives the wrap on the OUTER projection
+        distinct_kw = "DISTINCT "
+        items_src = items_src[dm0.end():]
     gm = re.search(r"(?is)\bGROUP\s+BY\b(.*)$", rest)
     if gm is None:
         return None
@@ -1178,7 +1184,8 @@ def _grouping_having_rewrite(stmt: str) -> str | None:
 
     inner = (f"SELECT {', '.join(inner_items)} FROM {from_src} "
              f"GROUP BY {group_src}")
-    outer = f"SELECT {', '.join(f'`{c}`' for c in out_cols)} FROM ({inner}) __gh"
+    outer = (f"SELECT {distinct_kw}"
+             f"{', '.join(f'`{c}`' for c in out_cols)} FROM ({inner}) __gh")
     if having_src:
         outer += f" WHERE {substitute(having_src)}"
     if order_src:

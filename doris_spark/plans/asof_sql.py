@@ -595,7 +595,10 @@ def rewrite_asof(sql: str) -> str:
         m = _ASOF.search(sql)
         if m is None:
             return sql
-        kind = (m.group(1) or "INNER").strip().upper()
+        # Doris plans bare `ASOF JOIN` as ASOF_LEFT_OUTER_JOIN
+        # (query_p0/join/asof/test_asof_join.groovy test 39); only an
+        # explicit INNER keeps inner semantics
+        kind = (m.group(1) or "LEFT").strip().upper()
         i = _skip_ws(sql, m.end())
 
         # right relation: table name or (subquery), then optional alias

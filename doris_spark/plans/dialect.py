@@ -1315,6 +1315,30 @@ def dialect(sql: str) -> str:
         lambda m: _packed_dt(
             m.group(1), m.group(2) or "", "TIMESTAMP", m.group(0)),
         sql)
+    # CAST(<date/datetime COLUMN> AS numeric): Doris yields the packed
+    # digits (cast('2012-03-14' date AS BIGINT) = 20120314) — only when
+    # DDL-time type hints identify the column (harness/table contexts);
+    # unknown columns keep Spark semantics
+    def _cast_dt_col_numeric(m: re.Match) -> str:
+        from doris_spark.plans import type_hints as _th
+
+        t = _th.lookup(m.group(1))
+        if t is None:
+            return m.group(0)
+        if re.match(r"datetime", t):
+            fmt = "yyyyMMddHHmmss"
+        elif re.match(r"date(v2)?$", t):
+            fmt = "yyyyMMdd"
+        else:
+            return m.group(0)
+        return (f"CAST(date_format(`{m.group(1)}`, '{fmt}') "
+                f"AS {m.group(2)})")
+
+    sql = re.sub(
+        r"(?i)\bCAST\s*\(\s*`?(\w+)`?\s+AS\s+"
+        r"(BIGINT|LARGEINT|INT|INTEGER|SMALLINT|TINYINT|DOUBLE|FLOAT"
+        r"|DECIMAL(?:V2|V3)?\s*(?:\(\s*\d+\s*(?:,\s*\d+)?\s*\))?)\s*\)",
+        _cast_dt_col_numeric, sql)
     sql = _timediff_scale(sql)
     s = _cast_time_dt0(sql)
     # hour/minute/second/microsecond over the TIME shim route to the
@@ -1857,6 +1881,33 @@ def dialect(sql: str) -> str:
             lambda m: ("\\\\p{" + _POSIX[m.group(1).lower()] + "}"
                        if m.group(1).lower() in _POSIX else m.group(0)),
             s)
+    # `ORDER BY row_number() OVER (ORDER BY x)` sorts exactly like
+    # `ORDER BY x` (rank of x is monotone in x); Doris permits the
+    # window inside an aggregate's ORDER BY, Spark does not
+    # (query_p0/aggregate agg_group_concat)
+    s = re.sub(
+        r"(?i)\border\s+by\s+row_number\s*\(\s*\)\s*over\s*\(\s*"
+        r"order\s+by\s+([^()]+?)\s*\)",
+        lambda m: "order by " + m.group(1), s)
+    # constant scalar subquery as a plain expression (`order by
+    # (select 1)`): fold to the literal — Spark bans subqueries inside
+    # higher-order/aggregate sort lambdas. EXISTS/IN forms keep theirs.
+    def _const_subq(m: re.Match) -> str:
+        j = m.start() - 1
+        while j >= 0 and s[j].isspace():
+            j -= 1
+        k0 = j
+        while k0 >= 0 and (s[k0].isalnum() or s[k0] == "_"):
+            k0 -= 1
+        prev = s[k0 + 1 : j + 1].lower()
+        if prev in ("exists", "in", "from", "join", "union", "all",
+                    "except", "intersect"):
+            return m.group(0)
+        return "(" + m.group(1) + ")"
+
+    if re.search(r"(?i)\(\s*select\s+(?:\d+|'[^']*')\s*\)", s):
+        s = re.sub(
+            r"(?i)\(\s*select\s+(\d+|'[^']*')\s*\)", _const_subq, s)
     # rank-family windows without ORDER BY: Doris permits them (row
     # order), Spark requires an order — a constant sort is the same
     # "arbitrary but stable within partition" contract
@@ -1876,6 +1927,12 @@ def dialect(sql: str) -> str:
     s = re.sub(
         r"(?i)\bjoin\s*\[\s*(shuffle|broadcast|bucket|colocate)\s*\]",
         "join", s)
+    # the hint can also trail the table ref/alias (`join t3 t3s
+    # [broadcast] on ...`)
+    s = re.sub(
+        r"(?i)(\s)\[\s*(shuffle|broadcast|bucket|colocate)\s*\]"
+        r"(\s+(?:on|join|where|inner|left|right|full|cross)\b)",
+        r"\1\3", s)
     # Doris hidden delete-sign column (unique-model MoW): visible rows
     # always carry 0 — the engine's table models materialize deletes,
     # so every surviving row is visible

@@ -17,6 +17,36 @@ import re
 
 COLUMN_TYPES: dict[str, str] = {}
 _CONFLICT: set[str] = set()
+# statement-scoped overlay: when the harness knows the statement's FROM
+# is a single table, that table's declared types take precedence and
+# BYPASS the cross-table conflict set (common column names like k2 are
+# declared with different types across suite tables; the global map
+# alone would drop them)
+SCOPED: dict[str, str] = {}
+
+
+def set_scope(cols) -> None:
+    """cols: iterable of (name, doris_type_string) for the statement's
+    single FROM table. Replaces any previous scope."""
+    SCOPED.clear()
+    for name, typ in cols:
+        SCOPED[str(name).strip("`").lower()] = re.sub(
+            r"\s+", "", str(typ).lower())
+
+
+def clear_scope() -> None:
+    SCOPED.clear()
+
+
+def lookup(key: str) -> str | None:
+    """Scoped-first column-type lookup. Scoped names ignore _CONFLICT;
+    global names in _CONFLICT return None (conservative)."""
+    k = str(key).strip("`").lower()
+    if k in SCOPED:
+        return SCOPED[k]
+    if k in _CONFLICT:
+        return None
+    return COLUMN_TYPES.get(k)
 
 
 def register_columns(cols) -> None:
@@ -34,9 +64,9 @@ def array_datetime_scale(expr: str) -> int | None:
     """If `expr` is a bare column declared array<datetimev2(n)> /
     array<datetime(n)> with n > 0, return n."""
     key = expr.strip().strip("`").lower()
-    if not re.fullmatch(r"[a-z_]\w*", key) or key in _CONFLICT:
+    if not re.fullmatch(r"[a-z_]\w*", key):
         return None
-    t = COLUMN_TYPES.get(key)
+    t = lookup(key)
     if t is None:
         return None
     m = re.fullmatch(r"array<datetime(?:v2)?\((\d)\)>", t)

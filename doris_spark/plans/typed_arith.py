@@ -100,9 +100,9 @@ def _col_type(name: str):
     key = key.split(".")[-1].strip("`")
     if key in _LAMBDA_PARAMS:
         return None
-    if not re.fullmatch(r"[a-z_]\w*", key) or key in type_hints._CONFLICT:
+    if not re.fullmatch(r"[a-z_]\w*", key):
         return None
-    t = type_hints.COLUMN_TYPES.get(key)
+    t = type_hints.lookup(key)
     return _type_from_hint(t) if t else None
 
 
@@ -920,7 +920,7 @@ def arith_rewrite(stmt: str) -> str:
     arithmetic region of `stmt`. Regions with unknown leaves, INTERVAL
     arithmetic, subqueries, or any parse surprise are left byte-for-byte
     untouched (Spark semantics)."""
-    if not type_hints.COLUMN_TYPES:
+    if not type_hints.COLUMN_TYPES and not type_hints.SCOPED:
         return stmt
     if not _ARITH_CHARS.search(stmt):
         return stmt

@@ -28,8 +28,9 @@ import sys
 
 def _run(target: str, out_path: str, timeout: int = 900):
     env = dict(os.environ, RS_OUT=out_path)
+    targets = target.split() if " " in target else [target]
     proc = subprocess.run(
-        [sys.executable, "tools/ref_suite_runner.py", target],
+        [sys.executable, "tools/ref_suite_runner.py", *targets],
         capture_output=True,
         text=True,
         timeout=timeout,
@@ -106,17 +107,19 @@ def test_nereids_syntax_suite_floor():
     """nereids_syntax_p0: binder/analyzer surface (aliases, grouping
     sets + HAVING, CTE alias prefixes, constraints metadata, star
     REPLACE, partition-pruned SELECT, lateral views, recursive CTEs,
-    unrolled time-LUT matrix). Floor 2950/3039; remainder is a long
-    tail of 1-2 case files (plan-shape goldens, utf8 identifiers,
-    3-part name resolution, MV sync shapes)."""
+    unrolled time-LUT matrix, bind priority, comma-join precedence,
+    sync-MV DESC ALL, truthiness). Round 9: 3,083/3,085 — the two
+    remaining reds are a live-jdbc-catalog case (alias_conflict) and a
+    stale 3-column golden for a 2-column select (distribute/shuffle
+    4_phase_agg). Floor 3,070 leaves noise headroom only."""
     line, res = _run(
         "nereids_syntax_p0", "/tmp/ref_suites_syntax.json", timeout=1800
     )
-    assert res["total"] >= 3039, line
-    assert res["passed"] >= 2950, line + "\n" + json.dumps(
+    assert res["total"] >= 3080, line
+    assert res["passed"] >= 3070, line + "\n" + json.dumps(
         res["failures"][:10], indent=1
     )
-    assert res["files_green"] >= 110, line
+    assert res["files_green"] >= 138, line
 
 
 def test_function_p0_suite_floor():
@@ -151,3 +154,24 @@ def test_rec_cte_suite_full_green():
         res["failures"][:10], indent=1
     )
     assert res["files_green"] >= 3, line
+
+
+def test_query_p0_agg_join_suite_floor():
+    """query_p0/aggregate + query_p0/join (round 9): 2,110/2,123 — the
+    ASOF join suites are fully green (102/102, incl. the large-bucket
+    NULL-column matrix), test_join's 341-case null-value matrix is
+    green via the date-vs-numeric packed-digit comparison retry, and
+    bitmap-filter IN-subqueries explode correctly. Known remainder:
+    BE debug-point injection suites (sleep-under-fault goldens, 5),
+    DECIMAL256 column-path joins (5), a datetimev2(6) runtime-filter
+    precision case, map_agg NULL keys, and one 191-row full-outer
+    reconciliation query. Floor 2,090 tolerates environment noise."""
+    line, res = _run(
+        "query_p0/aggregate query_p0/join",
+        "/tmp/ref_suites_qp0.json", timeout=2400,
+    )
+    assert res["total"] >= 2120, line
+    assert res["passed"] >= 2090, line + "\n" + json.dumps(
+        res["failures"][:10], indent=1
+    )
+    assert res["files_green"] >= 126, line

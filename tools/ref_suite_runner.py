@@ -300,25 +300,32 @@ def main() -> None:
                 anc = f"{SUITES_ROOT}/{part}/load.groovy"
                 if os.path.exists(anc):
                     ancestors.append(anc)
-        for lg in list(reversed(ancestors)) + sorted(
-            glob.glob(f"{SUITES_ROOT}/{troot}/**/load.groovy", recursive=True)
-        ):
-            lg_db = _dir_db(os.path.relpath(lg, SUITES_ROOT))
-            try:
-                if _ensure_tpc_suite_fixture(eng, lg, lambda: _use_db(lg_db)):
-                    continue  # official-data fixture loader handled it
-            except Exception as exc:
-                print(f"  FIXTURE-FAIL {lg}: {type(exc).__name__}: {str(exc)[:140]}")
-            try:
-                _use_db(lg_db)
-                for name, stmt, _exp, _o in rp.parse_suite_files(lg):
-                    if name is None:
-                        try:
-                            rp.run_setup(eng, stmt)
-                        except Exception as exc:
-                            _note_platform(stmt, exc)
-            except Exception:
-                pass
+        def _run_fixtures() -> None:
+            for lg in list(reversed(ancestors)) + sorted(
+                glob.glob(f"{SUITES_ROOT}/{troot}/**/load.groovy",
+                          recursive=True)
+            ):
+                lg_db = _dir_db(os.path.relpath(lg, SUITES_ROOT))
+                try:
+                    if _ensure_tpc_suite_fixture(
+                        eng, lg, lambda: _use_db(lg_db)
+                    ):
+                        continue  # official-data fixture loader handled it
+                except Exception as exc:
+                    print(f"  FIXTURE-FAIL {lg}: "
+                          f"{type(exc).__name__}: {str(exc)[:140]}")
+                try:
+                    _use_db(lg_db)
+                    for name, stmt, _exp, _o in rp.parse_suite_files(lg):
+                        if name is None:
+                            try:
+                                rp.run_setup(eng, stmt)
+                            except Exception as exc:
+                                _note_platform(stmt, exc)
+                except Exception:
+                    pass
+
+        _run_fixtures()
         for label, gpath, opath in collect(target):
             try:
                 cases = rp.parse_suite_files(gpath, opath)
@@ -476,7 +483,13 @@ def main() -> None:
         # with data/<dir>/sql/q01.out (one golden block per file, named
         # after the file stem). The framework compares output in order;
         # queries carry their own ORDER BY, so run them as qt_ cases.
-        for label, sql_text, bname, opath in collect_sql(target):
+        _sql_cases = list(collect_sql(target))
+        if _sql_cases:
+            # a groovy suite above may have dropped/retyped a fixture
+            # table (test_join_with_const drops left_table) — restore
+            # the directory fixtures before the .sql-action cases
+            _run_fixtures()
+        for label, sql_text, bname, opath in _sql_cases:
             blocks: dict[str, list] = {}
             cur = None
             for line in open(opath):
