@@ -298,8 +298,12 @@ def train_ivf_codebook(
             st = os.stat(p)  # missing/remote file -> no caching
             stats.append((f, st.st_size, st.st_mtime_ns))
         if stats:
-            ck = (tuple(stats), vec_col, id_col, n_centroids, iters,
-                  round_dp)
+            # the logical plan's semantic hash distinguishes two
+            # corpora over the SAME files (a filtered view must not
+            # reuse the unfiltered corpus's codebook)
+            sem = corpus._jdf.queryExecution().analyzed().semanticHash()
+            ck = (tuple(stats), sem, vec_col, id_col, n_centroids,
+                  iters, round_dp)
     except Exception:
         ck = None
     if ck is not None and ck in _CODEBOOK_CACHE:

@@ -1063,8 +1063,17 @@ _SET_OP_RE = re.compile(
 )
 
 
+# strict-NULL pass flag: the ordered-multiset compare first matches
+# each '\\N' golden against REAL NULLs only, so the sketch-column
+# leniency below can't greedily consume a genuine non-null array row
+# (Array.groovy array_compact goldens sort '\\N' first)
+_STRICT_NULL = [False]
+
+
 def _cell_matches(exp: str, got) -> bool:
     if exp == "\\N":
+        if _STRICT_NULL[0]:
+            return got is None
         # Doris renders opaque sketch STATE columns (HLL/BITMAP/
         # QUANTILE_STATE) as NULL in plain selects; the engine's backing
         # is the array-shaped state itself (non-empty by construction —
@@ -5169,11 +5178,24 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
         remaining = list(rows)
         for exp_line in expected:
             hit = None
-            for i, row in enumerate(remaining):
-                ok, _ = _row_matches(row, exp_line)
-                if ok:
-                    hit = i
-                    break
+            # strict pass first: '\N' cells must match real NULLs, so
+            # the sketch-array leniency can't consume a non-null row
+            # another golden line needs
+            _STRICT_NULL[0] = True
+            try:
+                for i, row in enumerate(remaining):
+                    ok, _ = _row_matches(row, exp_line)
+                    if ok:
+                        hit = i
+                        break
+            finally:
+                _STRICT_NULL[0] = False
+            if hit is None:
+                for i, row in enumerate(remaining):
+                    ok, _ = _row_matches(row, exp_line)
+                    if ok:
+                        hit = i
+                        break
             if hit is None:
                 return False, f"no row matches {exp_line!r}"
             remaining.pop(hit)
