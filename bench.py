@@ -4,7 +4,10 @@ JSON line {"metric": ..., "value": total_sec, "unit": "sec",
 "queries": {name: sec}, "sf": ...}.
 
 Each query is executed with a count-style action (collect) after a warm-up of
-the session; timings are per-query wall clock, hot JVM.
+the session; timings are per-query wall clock, hot JVM, MIN of two
+back-to-back passes — single-pass totals on this box swing +/-25% on
+identical code (VERDICT r9: 167.6 s vs 209.4 s same-commit), which masked
+real regressions; the per-query min is load-robust.
 """
 
 from __future__ import annotations
@@ -38,20 +41,30 @@ def main() -> None:
     _noop = _F.pandas_udf(lambda s: s, "long")
     spark.range(32).select(_noop("id")).collect()
 
+    n_passes = int(os.environ.get("SPARK_GRAFT_BENCH_PASSES", "2"))
     timings: dict[str, float] = {}
+    pass_totals: list[float] = []
     failures: list[str] = []
-    for name in sorted(Q.QUERIES):
-        t0 = time.perf_counter()
-        try:
-            Q.QUERIES[name](spark, sf_dir).collect()
-        except Exception as exc:  # one broken query must not cost the run
-            failures.append(f"{name}: {type(exc).__name__}")
-            continue
-        finally:
-            timings[name] = round(time.perf_counter() - t0, 3)
-            # Queries may persist() intermediates for their own execution;
-            # drop them so later timings aren't skewed by dead-block GC.
-            spark.catalog.clearCache()
+    for pno in range(max(1, n_passes)):
+        ptotal = 0.0
+        for name in sorted(Q.QUERIES):
+            t0 = time.perf_counter()
+            try:
+                Q.QUERIES[name](spark, sf_dir).collect()
+            except Exception as exc:  # one broken query must not cost the run
+                if pno == 0:
+                    failures.append(f"{name}: {type(exc).__name__}")
+                continue
+            finally:
+                sec = round(time.perf_counter() - t0, 3)
+                ptotal += sec
+                if name not in timings or sec < timings[name]:
+                    timings[name] = sec
+                # Queries may persist() intermediates for their own
+                # execution; drop them so later timings aren't skewed by
+                # dead-block GC.
+                spark.catalog.clearCache()
+        pass_totals.append(round(ptotal, 3))
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     # The driver captures a bounded tail of stdout; keep the printed JSON
@@ -65,6 +78,8 @@ def main() -> None:
         "metric": "headline_queries_total_hot",
         "value": round(sum(timings.values()), 3),
         "unit": "sec",
+        "protocol": f"per-query min of {max(1, n_passes)} hot passes",
+        "pass_totals": pass_totals,
         "n_queries": len(timings),
         "queries": {k: v for k, v in timings.items() if k.startswith("tpch_")},
         "groups": groups,

@@ -495,7 +495,23 @@ def _rewrite_right_semi_anti(sql: str) -> str:
     only the operand texts. Operand extraction is conservative — a
     table ref `name [alias]` or a parenthesized subquery `( ... )
     [alias]` at the start of a FROM item; anything else is left alone
-    (pinned by nereids_tpch_p0 q4/q21)."""
+    (pinned by nereids_tpch_p0 q4/q21). Each rewrite restarts the scan
+    on the mutated string (fresh finditer + _lit_spans) — continuing
+    with stale match objects after a chained-segment rewrite relocates
+    earlier matches and would swap at stale offsets. Terminates because
+    every rewrite converts a RIGHT semi/anti into LEFT."""
+    for _ in range(32):
+        new = _rsa_one_pass(sql)
+        if new is None:
+            return sql
+        sql = new
+    return sql
+
+
+def _rsa_one_pass(sql: str):
+    """One scan of `_rewrite_right_semi_anti`: perform the rightmost
+    applicable swap and return the mutated SQL, or None if no RIGHT
+    SEMI/ANTI join remains rewritable."""
     spans = _lit_spans(sql)
 
     def in_lit(i: int) -> bool:
@@ -599,12 +615,11 @@ def _rewrite_right_semi_anti(sql: str) -> str:
                 rend = (r2 if alias and alias.lower() not in _FROM_KWS
                         else q)
                 right = sql[p:rend]
-                sql = (
+                return (
                     sql[:seg_start]
                     + f" {right} left {kind} join ({seg.strip()}) "
                     + sql[rend:]
                 )
-                continue
         # ---- left operand: scan backwards
         i = m.start() - 1
         while i >= 0 and sql[i].isspace():
@@ -717,12 +732,12 @@ def _rewrite_right_semi_anti(sql: str) -> str:
                 alias = ""
         rend = r2 if alias and alias.lower() not in _FROM_KWS else q
         right = sql[p:rend]
-        sql = (
+        return (
             sql[:lstart]
             + f"{right} left {kind} join {left}"
             + sql[rend:]
         )
-    return sql
+    return None
 
 
 def _split_select_items(s: str) -> list[str]:
@@ -1658,7 +1673,13 @@ def dialect(sql: str) -> str:
     # left alone — Spark already groups it correctly)
     def _is_bool_sub(src: str) -> str:
         pat = re.compile(r"\bIS\s+(NOT\s+)?(TRUE|FALSE)\b", re.I)
+        # matches inside string literals must be skipped ('x IS TRUE'
+        # is data, not an operator); right-to-left processing keeps the
+        # spans of yet-unvisited (earlier) matches valid after an edit
+        lit = _lit_spans(src)
         for m in reversed(list(pat.finditer(src))):
+            if any(a <= m.start() < b for a, b in lit):
+                continue
             i = m.start() - 1
             while i >= 0 and src[i].isspace():
                 i -= 1

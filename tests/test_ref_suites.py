@@ -179,3 +179,41 @@ def test_query_p0_agg_join_suite_floor():
         res["failures"][:10], indent=1
     )
     assert res["files_green"] >= 126, line
+
+
+def test_reference_refresh_canary():
+    """VERDICT r9 ask #7: the driver refreshed /root/reference mid-round
+    9 and the refresh silently changed suite contents until a comparator
+    bug surfaced. This canary pins the .groovy/.sql file counts of every
+    gated family — a future refresh fails HERE with an explicit message
+    instead of silently shifting a floor. On failure: re-run the listed
+    family through tools/ref_suite_runner.py, re-validate its floor, and
+    update BOTH the floor and this table in the same commit."""
+    import glob as _glob
+
+    root = "/root/reference/regression-test/suites"
+    if not os.path.isdir(root):
+        import pytest
+
+        pytest.skip("reference checkout absent")
+    expected = {
+        "nereids_function_p0": (62, 1),
+        "nereids_arith_p0": (8, 0),
+        "nereids_syntax_p0": (186, 2),
+        "query_p0/aggregate": (65, 0),
+        "query_p0/join": (82, 17),
+        "correctness": (40, 2),
+        "correctness_p0": (130, 0),
+        "nereids_tpch_p0": (28, 9),
+        "rec_cte_p0": (4, 0),
+    }
+    drift = {}
+    for fam, (ng, ns) in expected.items():
+        g = len(_glob.glob(f"{root}/{fam}/**/*.groovy", recursive=True))
+        s = len(_glob.glob(f"{root}/{fam}/**/*.sql", recursive=True))
+        if (g, s) != (ng, ns):
+            drift[fam] = {"expected": (ng, ns), "found": (g, s)}
+    assert not drift, (
+        "REFERENCE REFRESHED — suite files changed; re-gate these "
+        f"families and update floors + this canary: {drift}"
+    )

@@ -464,6 +464,13 @@ def _eval_list_builders(src: str) -> str:
             return v
         if not re.fullmatch(r"[\w\s+*/%()-]+", e):
             return None
+        # the char whitelist permits '**' — a fixture like 9**9**9 would
+        # hang/OOM the harness (untrusted-content DoS). Reject power and
+        # bound operand magnitude before eval.
+        if "**" in e:
+            return None
+        if any(len(d) > 12 for d in re.findall(r"\d+", e)):
+            return None
         try:
             return int(eval(e, {"__builtins__": {}}, dict(env)))
         except Exception:
@@ -5402,7 +5409,16 @@ def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
         r"\s*(?:\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b|\bHAVING\b|;|$)",
         sql,
     )
-    if _sfm and not re.search(r"(?i)\bjoin\b", sql):
+    # scope only truly single-table statements: a second SELECT/FROM
+    # means an IN/EXISTS/scalar subquery whose columns may share names
+    # with the outer table but carry different declared types — scoping
+    # would rewrite the subquery with the wrong type
+    if (
+        _sfm
+        and not re.search(r"(?i)\bjoin\b", sql)
+        and len(re.findall(r"(?i)\bselect\b", sql)) == 1
+        and len(re.findall(r"(?i)\bfrom\b", sql)) == 1
+    ):
         _smeta = _TABLE_META.get(_sfm.group(1).lower())
         if _smeta and _smeta.get("cols"):
             _th.set_scope((c, t) for c, t, _nn in _smeta["cols"])

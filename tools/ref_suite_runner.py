@@ -517,12 +517,15 @@ def main() -> None:
             # multi-statement .sql files (test_compare_expression.sql):
             # EVERY statement (SET knobs included — their golden is the
             # '0' affected-rows render) consumes a golden block
-            # <stem>[_N] in order — split on top-level ';' with
-            # comments stripped; single-statement files keep the
-            # original text (hint comments survive)
+            # <stem>[_N] in order — split on top-level ';' (quote-aware
+            # via ref_parity._split_statements; a ';' inside a string
+            # literal must not split) with comments stripped;
+            # single-statement files keep the original text (hint
+            # comments survive)
             nb = re.sub(r"/\*(?!\+).*?\*/", "", sql_text, flags=re.S)
             nb = re.sub(r"(?m)^\s*--.*$", "", nb)
-            stmts = [st.strip() for st in nb.split(";") if st.strip()]
+            stmts = [st.strip() for st in rp._split_statements(nb)
+                     if st.strip()]
             if len(stmts) <= 1:
                 stmts = [
                     re.sub(
