@@ -30,6 +30,29 @@ _DELETE_HEAD_RE = _re.compile(
 )
 
 
+def _split_value_tuples(body: str) -> list[str]:
+    """Top-level `(...)` groups of a VALUES body, quote-aware — the
+    inner text of each tuple, for rebuilding as SELECT ... UNION ALL."""
+    tuples, depth, start, in_q = [], 0, None, None
+    for i, ch in enumerate(body):
+        if in_q:
+            if ch == in_q:
+                in_q = None
+            continue
+        if ch in ("'", '"'):
+            in_q = ch
+        elif ch == "(":
+            if depth == 0:
+                start = i
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0 and start is not None:
+                tuples.append(body[start + 1 : i])
+                start = None
+    return tuples
+
+
 def _split_where(text: str) -> tuple[str, str | None]:
     """Split `text` on the first top-level WHERE (outside quotes/parens).
 
@@ -781,8 +804,13 @@ class Engine:
         if name not in self._meta:
             try:
                 if self.spark.catalog.tableExists(name):
+                    handled = self._catalog_insert_complex(name, text, m)
+                    if handled is not None:
+                        return handled
                     # real catalog table: Spark SQL handles the INSERT
                     return None
+            except ValueError:
+                raise
             except Exception:
                 pass
             raise ValueError(f"{name} is not an insertable keys-model table")
@@ -801,9 +829,22 @@ class Engine:
 
         if re.match(r"^VALUES\b", tail, re.I):
             body = _rw(dialect(tail[len("VALUES"):]))
-            new = self.spark.sql(
-                f"SELECT * FROM VALUES {body} AS __ins({', '.join(use_cols)})"
-            )
+            try:
+                new = self.spark.sql(
+                    f"SELECT * FROM VALUES {body} "
+                    f"AS __ins({', '.join(use_cols)})"
+                )
+            except Exception:
+                # Spark inline tables only accept FOLDABLE expressions —
+                # VALUES (1, to_bitmap(1)) with a registered UDF fails
+                # INVALID_INLINE_TABLE. Doris evaluates them per-row;
+                # rebuild as SELECT ... UNION ALL ... (still one batch)
+                tuples = _split_value_tuples(body)
+                if not tuples:
+                    raise
+                new = self.spark.sql(
+                    " UNION ALL ".join(f"SELECT {t}" for t in tuples)
+                ).toDF(*use_cols)
         elif re.match(r"^SELECT\b|^WITH\b", tail, re.I):
             new = self.spark.sql(_rw(dialect(tail)))
             if len(new.columns) != len(use_cols):
@@ -860,6 +901,71 @@ class Engine:
         view.createOrReplaceTempView(name)
         self._views[name] = view
         return self.spark.createDataFrame([(n_new,)], "affected_rows bigint")
+
+    def _catalog_insert_complex(self, name: str, text: str, m):
+        """INSERT INTO <catalog table> VALUES with string literals bound
+        for complex-typed (array/map/struct) columns: Doris parses the
+        Doris/JSON text form ('[1, 2]', '{\"k\": 1}') per column; Spark's
+        INSERT refuses the STRING->complex cast. Handles only the VALUES
+        form on tables that HAVE complex columns — everything else
+        returns None so plain Spark SQL takes it
+        (query_p0/sql_functions/conditional_functions/
+        test_coalesce.groovy map/array/struct fixtures)."""
+        import re
+
+        from pyspark.sql import functions as F
+        from pyspark.sql.types import ArrayType, MapType, StructType
+
+        tail = text[m.end():].rstrip().rstrip(";")
+        if not re.match(r"^VALUES\b", tail, re.I):
+            return None
+        cur = self.spark.table(name)
+        if not any(
+            isinstance(f.dataType, (ArrayType, MapType, StructType))
+            for f in cur.schema.fields
+        ):
+            return None
+        cols = (
+            [c.strip().strip("`") for c in m.group(3).split(",")]
+            if m.group(3) else None
+        )
+        use_cols = cols or cur.columns
+
+        from doris_spark.plans.dialect import dialect
+        from doris_spark.plans.sql_macros import rewrite as _rw
+
+        body = _rw(dialect(tail[len("VALUES"):]))
+        try:
+            new = self.spark.sql(
+                f"SELECT * FROM VALUES {body} "
+                f"AS __ins({', '.join(use_cols)})"
+            )
+        except Exception:
+            tuples = _split_value_tuples(body)
+            if not tuples:
+                return None
+            new = self.spark.sql(
+                " UNION ALL ".join(f"SELECT {t}" for t in tuples)
+            ).toDF(*use_cols)
+        sch = {f.name: f.dataType for f in cur.schema.fields}
+        src_t = {f.name: f.dataType for f in new.schema.fields}
+
+        def conv(c):
+            if c not in new.columns:
+                return F.lit(None).cast(sch[c]).alias(c)
+            t = sch[c]
+            if isinstance(t, (ArrayType, MapType, StructType)) and str(
+                src_t[c]
+            ) == "StringType()":
+                return F.from_json(F.col(c), t).alias(c)
+            return F.col(c).cast(t).alias(c)
+
+        aligned = new.select(*[conv(c) for c in cur.columns])
+        n_new = aligned.count()
+        aligned.coalesce(1).write.insertInto(name)
+        return self.spark.createDataFrame(
+            [(n_new,)], "affected_rows bigint"
+        )
 
     def create_table(
         self,

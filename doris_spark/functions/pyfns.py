@@ -267,6 +267,16 @@ def _isnull(v) -> bool:
 def _mysql_strftime_one(t, fmt):
     if _isnull(t) or _isnull(fmt):
         return None
+    if isinstance(t, str):
+        # call sites pass CAST(ts AS STRING): Arrow timestamp[ns] tops
+        # out at 2262-04-11, so a year-9999 Doris datetime must cross
+        # the Arrow boundary as text (python datetime goes to 9999)
+        import datetime as _dt
+
+        try:
+            t = _dt.datetime.fromisoformat(t)
+        except ValueError:
+            return None
     d = t
     iso_y, iso_w, _ = d.isocalendar()
     sunday_w = int(d.strftime("%U"))
@@ -709,6 +719,78 @@ def _json_extract_multi_one(j, paths_packed):
     return json.dumps(matches, separators=(",", ":"), ensure_ascii=False)
 
 
+def register_math_kernels(spark: SparkSession) -> int:
+    """Exact-math kernels SQL-UDF bodies reference at CREATE time:
+    __normal_cdf (math.erfc — exact where the A&S polynomial missed the
+    7th digit) and __doris_round_dyn (decimal-exact round/floor/ceil/
+    truncate with a NON-FOLDABLE or precision-critical scale — Spark
+    requires a foldable scale; Doris accepts columns:
+    math_functions/test_round.groovy floor_dec9...round_dec128)."""
+    import math
+
+    def _ncdf(mu: pd.Series, sigma: pd.Series, x: pd.Series) -> pd.Series:
+        def one(m, s, v):
+            if m is None or s is None or v is None or s <= 0:
+                return None
+            return 0.5 * math.erfc(-(v - m) / (s * math.sqrt(2.0)))
+
+        return pd.Series(
+            [one(m, s, v) for m, s, v in zip(mu, sigma, x)],
+            dtype="float64",
+        )
+
+    spark.udf.register("__normal_cdf", pandas_udf(_ncdf, "double"))
+
+    def _round_dyn_one(s, d, mode, t):
+        if s is None or d is None:
+            return None
+        import re as _re
+        from decimal import (
+            ROUND_CEILING,
+            ROUND_DOWN,
+            ROUND_FLOOR,
+            ROUND_HALF_UP,
+            Decimal,
+            localcontext,
+        )
+
+        try:
+            v = Decimal(str(s))
+            rnd = {
+                "round": ROUND_HALF_UP,
+                "floor": ROUND_FLOOR,
+                "ceil": ROUND_CEILING,
+                "truncate": ROUND_DOWN,
+            }[mode]
+            with localcontext() as ctx:
+                ctx.prec = 60
+                r = v.quantize(Decimal(1).scaleb(-int(d)), rounding=rnd)
+                m = _re.fullmatch(r"decimal\((\d+),(\d+)\)", t or "")
+                if m:
+                    # Doris keeps the INPUT's decimal scale when the
+                    # target scale isn't a literal
+                    r = r.quantize(Decimal(1).scaleb(-int(m.group(2))))
+                    return format(r, "f")
+            if (t or "") in ("double", "float"):
+                return repr(float(r))
+            return format(r, "f")
+        except Exception:
+            return None
+
+    def _round_dyn(s: pd.Series, d: pd.Series, mode: pd.Series,
+                   t: pd.Series) -> pd.Series:
+        return pd.Series(
+            [
+                _round_dyn_one(a, b, c, e)
+                for a, b, c, e in zip(s, d, mode, t)
+            ],
+            dtype=object,
+        )
+
+    spark.udf.register("__doris_round_dyn", pandas_udf(_round_dyn, "string"))
+    return 2
+
+
 def register_mysql_datetime(spark: SparkSession) -> int:
     """__mysql_strptime/__mysql_strftime/__mysql_week helpers — must be
     installed before any SQL UDF whose body references them (str_to_date,
@@ -956,6 +1038,106 @@ def register(spark: SparkSession) -> int:
             u = u.asNondeterministic()
         spark.udf.register(name, u)
         n += 1
+
+    # ---- format_round (function_string_format.h do_format_round):
+    #      decimal-exact, HALF-UP away from zero, comma-grouped, fixed
+    #      scale. DOUBLE/FLOAT inputs expand their exact binary value
+    #      (Decimal(float)) — DBL_MAX renders all 309 digits like the
+    #      reference; decimal/int inputs use the rendered text.
+    def _wrap(v, bits):
+        v &= (1 << bits) - 1
+        return v - (1 << bits) if v >= (1 << (bits - 1)) else v
+
+    def _format_round_one(s, d, t):
+        """FormatRound::do_format_round replayed bit-for-bit, INCLUDING
+        its native integer widths: the fractional value lives in the
+        decimal's backing int (int32/64/128 by precision) and the final
+        digit printer casts through int32 — the goldens bake those
+        wraparounds (format_round_18's '1.1949288396' IS an int32
+        overflow of 2345678900). Doubles follow FormatRoundDoubleImpl:
+        my_double_round then {:.{}f} exact binary expansion."""
+        if s is None or d is None:
+            return None
+        import math
+        from decimal import Decimal, localcontext
+
+        try:
+            d = int(d)
+            tm = re.fullmatch(r"decimal\((\d+),(\d+)\)", t or "")
+            if not tm:
+                # double path: d must be in [0, 1024] (else error -> NULL
+                # here); non-finite prints fmt's text form
+                if d < 0 or d > 1024:
+                    return None
+                value = float(s)
+                try:
+                    tmp = 10.0 ** d
+                except OverflowError:
+                    tmp = math.inf  # C++ pow(10, 324) = +inf
+                vm = value * tmp
+                if math.isfinite(vm):
+                    value = math.copysign(
+                        math.floor(abs(vm) + 0.5), vm) / tmp
+                if not math.isfinite(value):
+                    return ("inf" if value > 0 else "-inf") \
+                        if not math.isnan(value) else "nan"
+                body = f"{value:.{d}f}"
+                neg = body.startswith("-")
+                ip, _, fp = body.lstrip("-").partition(".")
+                out = f"{int(ip):,}" if len(ip) > 3 else ip
+                if fp:
+                    out += "." + fp
+                return ("-" if neg else "") + out
+            d = max(d, 0)
+            p_, scale = int(tm.group(1)), int(tm.group(2))
+            width = 32 if p_ <= 9 else 64 if p_ <= 18 else 128
+            with localcontext() as ctx:
+                ctx.prec = 80
+                v = Decimal(str(s))
+                neg = v < 0
+                i_ = int(v)
+                frac = int(
+                    (abs(v) - abs(Decimal(i_))).scaleb(scale)
+                    .to_integral_value())
+            if neg:
+                frac = -frac
+            # exp10_i32 saturates at INT_MAX past 10^9 (int_exp.h:69) —
+            # the goldens bake that too
+            def _exp10_i32(x):
+                return 0 if x < 0 else (
+                    2147483647 if x > 9 else 10 ** x)
+
+            if scale > d > 0:
+                mult = 10 ** (scale - (d + 1))
+                q = (abs(frac) // mult) * (1 if frac >= 0 else -1)
+                frac = abs(_wrap(q, 32)) + 5
+                frac //= 10
+            elif scale < d and d > 0:
+                frac = _wrap(frac * _exp10_i32(d - scale), width)
+            if d > 0 and frac == _exp10_i32(d):
+                i_ = i_ - 1 if neg else i_ + 1
+                frac = 0
+            out = f"{i_:,}"
+            if neg and i_ == 0:
+                out = "-" + out
+            if d > 0:
+                rem = abs(_wrap(frac, 32))
+                digs = []
+                for _ in range(d):
+                    digs.append(chr(48 + rem % 10))
+                    rem //= 10
+                out += "." + "".join(reversed(digs))
+            return out
+        except Exception:
+            return None
+
+    def format_round_k(s: pd.Series, d: pd.Series, t: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_format_round_one(a, b, c) for a, b, c in zip(s, d, t)],
+            dtype=object,
+        )
+
+    reg("__format_round", format_round_k, "string")
 
     # ---- IPv6 family (function_ip.cpp). Numeric IPv6 = DECIMAL(38,0)
     #      (uint128 fits; Doris stores LARGEINT).

@@ -174,20 +174,19 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "ELSE ceil(x * pow(10, d)) / pow(10, d) END",
     ),
     "dexp": ("x DOUBLE", "exp(x)"),
-    "dlog10": ("x DOUBLE", "log10(x)"),
-    "dsqrt": ("x DOUBLE", "sqrt(x)"),
+    # out-of-domain math unaries are NULL in Doris, not NaN
+    # (math_functions/test_math_unary_alway_nullable.groovy)
+    "dlog10": ("x DOUBLE", "CASE WHEN x <= 0 THEN NULL ELSE log10(x) END"),
+    "dsqrt": ("x DOUBLE", "CASE WHEN x < 0 THEN NULL ELSE sqrt(x) END"),
     "fmod": ("a DOUBLE, b DOUBLE", "a - b * CAST(CAST(a / b AS BIGINT) AS DOUBLE)"),
     "normal_cdf": (
-        # erf via Abramowitz-Stegun 7.1.26 (|err| < 1.5e-7) — Spark has no erf
+        # exact erfc kernel (__normal_cdf, pyfns) — the polynomial
+        # approximation missed doc goldens in the 7th digit; a
+        # non-positive sigma is out of domain -> NULL (BE
+        # function_math.cpp, math_functions/test_normal_cdf.groovy)
         "mu DOUBLE, sigma DOUBLE, x DOUBLE",
-        "CASE WHEN x IS NULL OR mu IS NULL OR sigma IS NULL THEN NULL ELSE "
-        "0.5 * (1.0 + sign(x - mu) * (1.0 - "
-        "(0.254829592 * (1.0 / (1.0 + 0.3275911 * (abs(x - mu) / (sigma * sqrt(2.0))))) "
-        "- 0.284496736 * pow(1.0 / (1.0 + 0.3275911 * (abs(x - mu) / (sigma * sqrt(2.0)))), 2) "
-        "+ 1.421413741 * pow(1.0 / (1.0 + 0.3275911 * (abs(x - mu) / (sigma * sqrt(2.0)))), 3) "
-        "- 1.453152027 * pow(1.0 / (1.0 + 0.3275911 * (abs(x - mu) / (sigma * sqrt(2.0)))), 4) "
-        "+ 1.061405429 * pow(1.0 / (1.0 + 0.3275911 * (abs(x - mu) / (sigma * sqrt(2.0)))), 5)) "
-        "* exp(-pow((x - mu) / (sigma * sqrt(2.0)), 2)))) END",
+        "CASE WHEN x IS NULL OR mu IS NULL OR sigma IS NULL "
+        "OR sigma <= 0 THEN NULL ELSE __normal_cdf(mu, sigma, x) END",
     ),
     # ---- string (function_string.cpp et al.)
     "strleft": ("s STRING, n INT", "left(s, n)"),
@@ -565,6 +564,7 @@ def register_all(spark: SparkSession) -> int:
     # MySQL datetime kernel first: str_to_date/time_format bodies below
     # reference __mysql_strptime/__mysql_strftime at analysis time.
     n = _pyfns.register_mysql_datetime(spark)
+    n += _pyfns.register_math_kernels(spark)
     from doris_spark.functions import geo2 as _geo2
 
     # __wkt_num before the SQL loop: st_astext's body references it
@@ -597,6 +597,9 @@ def register_all(spark: SparkSession) -> int:
     n += tvf.register(spark)
     n += ai.register(spark)
     n += dicts.register(spark)
+    from doris_spark.functions import crypto as _crypto
+
+    n += _crypto.register(spark)
     n += json_mut.register_aliases(spark)
     n += json_mut.register(spark)
     n += textdist.register(spark)

@@ -394,10 +394,11 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     "from_hex": ("s STRING", "CAST(unhex(s) AS STRING)"),
     "unhex_null": ("s STRING", "unhex(s)"),
     "strip_null_value": (
-        # remove null-valued top-level fields from a JSON object
+        # JSON null VALUE -> SQL NULL; everything else passes through
+        # unchanged (conditional_functions/test_strip_null_value.groovy:
+        # the JSON STRING "null" survives, only the null literal strips)
         "j STRING",
-        "CASE WHEN j IS NULL THEN NULL ELSE "
-        "to_json(map_filter(from_json(j, 'map<string,string>'), (k, v) -> v IS NOT NULL)) END",
+        "CASE WHEN j IS NULL OR j = 'null' THEN NULL ELSE j END",
     ),
     # =================================================================
     # array (be/src/exprs/function/array/)
@@ -725,16 +726,37 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
         "substring(to_json(array(s)), 2, length(to_json(array(s))) - 2) END",
     ),
     "json_parse": ("j STRING", "CAST(parse_json(j) AS STRING)"),
-    "json_parse_error_to_null": ("j STRING", "CAST(try_parse_json(j) AS STRING)"),
+    # JSON null parses to the TEXT 'null' (is_variant_null branch), and
+    # a SQL NULL input PROPAGATES (it is not a parse error, so the
+    # fallback value must not kick in) — conditional_functions/
+    # test_json_parse.groovy rows 4 and 7. The 1-arg *_to_value default
+    # is '{}' (parse_from_table_value1).
+    "json_parse_error_to_null": (
+        "j STRING",
+        "CASE WHEN j IS NULL THEN NULL "
+        "WHEN is_variant_null(try_parse_json(j)) THEN 'null' "
+        "ELSE CAST(try_parse_json(j) AS STRING) END",
+    ),
     "json_parse_error_to_value": (
-        "j STRING, v STRING",
-        "coalesce(CAST(try_parse_json(j) AS STRING), v)",
+        "j STRING, v STRING DEFAULT '{}'",
+        "CASE WHEN j IS NULL THEN NULL "
+        "WHEN is_variant_null(try_parse_json(j)) THEN 'null' "
+        "WHEN try_parse_json(j) IS NULL THEN v "
+        "ELSE CAST(try_parse_json(j) AS STRING) END",
     ),
     "jsonb_parse": ("j STRING", "CAST(parse_json(j) AS STRING)"),
-    "jsonb_parse_error_to_null": ("j STRING", "CAST(try_parse_json(j) AS STRING)"),
+    "jsonb_parse_error_to_null": (
+        "j STRING",
+        "CASE WHEN j IS NULL THEN NULL "
+        "WHEN is_variant_null(try_parse_json(j)) THEN 'null' "
+        "ELSE CAST(try_parse_json(j) AS STRING) END",
+    ),
     "jsonb_parse_error_to_value": (
-        "j STRING, v STRING",
-        "coalesce(CAST(try_parse_json(j) AS STRING), v)",
+        "j STRING, v STRING DEFAULT '{}'",
+        "CASE WHEN j IS NULL THEN NULL "
+        "WHEN is_variant_null(try_parse_json(j)) THEN 'null' "
+        "WHEN try_parse_json(j) IS NULL THEN v "
+        "ELSE CAST(try_parse_json(j) AS STRING) END",
     ),
     "json_keys": (
         "j STRING, p STRING DEFAULT '$'",

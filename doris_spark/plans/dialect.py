@@ -1231,6 +1231,96 @@ def dialect(sql: str) -> str:
         sql,
         flags=re.I,
     )
+    # double literals past DBL_MAX: Doris saturates to +/-Infinity
+    # (1e309 stores/compares as Infinity); Spark's parser rejects the
+    # literal outright (INVALID_NUMERIC_LITERAL_RANGE) —
+    # conditional_functions/test_query_in.groovy in33-36
+    def _inf_lit(m: re.Match) -> str:
+        try:
+            import math
+
+            if math.isinf(float(m.group(0))):
+                sign = "-" if m.group(0).lstrip().startswith("-") else ""
+                return f"CAST('{sign}Infinity' AS DOUBLE)"
+        except (ValueError, OverflowError):
+            pass
+        return m.group(0)
+
+    if re.search(r"\d[eE]\+?\d{3}", sql):
+        sql = _sub_outside_literals(
+            r"(?<![\w.])\d+(?:\.\d+)?[eE]\+?\d{3,}\b", _inf_lit, sql
+        )
+    # literals wider than DECIMAL256 (76 digits) are DOUBLE in Doris;
+    # Spark's parser rejects them (DECIMAL_PRECISION_EXCEEDS_MAX) —
+    # math_functions/test_format_round.groovy's 324-digit subnormals
+    def _wide_lit(m: re.Match) -> str:
+        if sum(c.isdigit() for c in m.group(0)) > 76:
+            return f"CAST('{m.group(0)}' AS DOUBLE)"
+        return m.group(0)
+
+    if re.search(r"\d{20}", sql):
+        sql = _sub_outside_literals(
+            r"(?<![\w.])\d+\.\d{39,}(?![\w.])|"
+            r"(?<![\w.])\d{39,}(?:\.\d+)?(?![\w.])",
+            _wide_lit, sql,
+        )
+    # CAST(x AS JSON) as an ARGUMENT of a json function: Spark has no
+    # JSON type — parse+normalize to the engine's JSON text form. Only
+    # the function-argument position is rewritten (top-level SELECT
+    # casts go through the column_cast tier) —
+    # conditional_functions/test_if.groovy jsonb_exists_path cases
+    sql = _sub_outside_literals(
+        r"(?i)(\bjsonb?_\w+\s*\(\s*)CAST\s*\("
+        r"((?:[^()']|'[^']*')+?)\s+AS\s+JSONB?\s*\)",
+        lambda m: f"{m.group(1)}CAST(parse_json({m.group(2)}) AS STRING)",
+        sql,
+    )
+    # MySQL IN-list coercion (conditional_functions/test_query_in):
+    # (a) a literal list mixing bare numerics and QUOTED numerics
+    # compares numerically in Doris ("0" casts to the column's decimal
+    # type); Spark coerces the COLUMN to STRING instead — unquote the
+    # numeric strings. (b) an explicitly string-CAST lhs against an
+    # all-numeric list compares as DOUBLE in MySQL ('3' matches 3.000).
+    def _num(x: str):
+        return re.fullmatch(r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?", x)
+
+    def _in_mixed(m: re.Match) -> str:
+        items = [x.strip() for x in m.group(2).split(",")]
+
+        def qnum(x: str):
+            return (len(x) >= 3 and x[0] == x[-1] and x[0] in "'\""
+                    and _num(x[1:-1].strip()))
+
+        if (
+            items
+            and any(_num(x) for x in items)
+            and any(qnum(x) for x in items)
+            and all(_num(x) or qnum(x) or x.upper() == "NULL"
+                    for x in items)
+        ):
+            new = [x[1:-1].strip() if qnum(x) else x for x in items]
+            return f"{m.group(1)}{', '.join(new)}{m.group(3)}"
+        return m.group(0)
+
+    if re.search(r"(?i)\bIN\s*\(", sql):
+        sql = _sub_outside_literals(
+            r"(?i)\b(IN\s*\(\s*)((?:[^()']|'[^']*')*?)(\s*\))",
+            _in_mixed, sql)
+
+        def _cast_char_in(m: re.Match) -> str:
+            items = [x.strip() for x in m.group(4).split(",")]
+            if items and all(_num(x) for x in items):
+                return (
+                    f"CAST({m.group(1)} AS DOUBLE) "
+                    f"{m.group(3) or ''}IN ({m.group(4)})"
+                )
+            return m.group(0)
+
+        sql = _sub_outside_literals(
+            r"(?i)\bCAST\s*\(([^()]+)\s+AS\s+"
+            r"(?:CHAR|VARCHAR(\(\d+\))?|STRING|TEXT)\s*\)\s*"
+            r"(NOT\s+)?IN\s*\(([^()]*)\)",
+            _cast_char_in, sql)
     # MySQL numeric truthiness for a bare integer WHERE/HAVING predicate
     sql = _sub_outside_literals(
         r"\b(WHERE|HAVING)\s+(\d+)\s*(?=;|$|\)|\bGROUP\b|\bORDER\b|\bLIMIT\b"
@@ -2836,20 +2926,23 @@ def dialect(sql: str) -> str:
     s = re.sub(
         r"\bdate_format\s*\(" + _FMT_ARG + r",\s*'([^']*%[^']*)'\s*\)",
         lambda m: (
-            "ltrim(__mysql_strftime("
+            # the CAST .. AS STRING crosses the Arrow boundary as text:
+            # timestamp[ns] tops out at 2262, Doris datetimes reach 9999
+            "ltrim(__mysql_strftime(CAST("
             f"CASE WHEN typeof({m.group(1)}) IN "
             "('tinyint', 'smallint', 'int', 'bigint') "
             # inline the packed-digit reader (a SQL UDF here would be
             # rejected inside Sort/Generate operators)
             f"THEN {_dt_from_numeric_inline(m.group(1))} "
-            f"ELSE CAST(({m.group(1)}) AS TIMESTAMP) END, '{m.group(2)}'))"
+            f"ELSE CAST(({m.group(1)}) AS TIMESTAMP) END "
+            f"AS STRING), '{m.group(2)}'))"
         ),
         s,
         flags=re.I | re.S,
     )
     s = re.sub(
         r"\bfrom_unixtime\s*\(" + _FMT_ARG + r",\s*'([^']*%[^']*)'\s*\)",
-        lambda m: f"__mysql_strftime(timestamp_seconds({m.group(1)}), '{m.group(2)}')",
+        lambda m: f"__mysql_strftime(CAST(timestamp_seconds({m.group(1)}) AS STRING), '{m.group(2)}')",
         s,
         flags=re.I | re.S,
     )
@@ -2858,7 +2951,7 @@ def dialect(sql: str) -> str:
     s = re.sub(
         r"\bfrom_unixtime\s*\(" + _FMT_ARG + r",\s*'([^'%]*)'\s*\)",
         lambda m: (
-            f"__mysql_strftime(timestamp_seconds({m.group(1)}), '{m.group(2)}')"
+            f"__mysql_strftime(CAST(timestamp_seconds({m.group(1)}) AS STRING), '{m.group(2)}')"
             if not re.fullmatch(r"[yMdHhmsSaET\-/:., ]*", m.group(2))
             else m.group(0)
         ),

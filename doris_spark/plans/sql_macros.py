@@ -950,6 +950,111 @@ def _atan2_macro(a: Sequence[str]) -> str:
     return f"atan2({a[0]}, {a[1]})"
 
 
+# MySQL block_encryption_mode session variable: picked up at REWRITE
+# time by the aes/sm4 macros below (statements run sequentially)
+_BLOCK_ENCRYPTION_MODE = {"value": ""}
+
+
+def set_block_encryption_mode(v: str) -> None:
+    _BLOCK_ENCRYPTION_MODE["value"] = (v or "").upper()
+
+
+def _bem_for(algo: str) -> str:
+    v = _BLOCK_ENCRYPTION_MODE["value"]
+    if v.startswith(algo.upper() + "_"):
+        return v
+    return f"{algo.upper()}_128_ECB"
+
+
+# named key objects (CREATE ENCRYPTKEY name AS '...'; referenced as
+# `KEY name` inside aes/sm4 calls, case-insensitive —
+# encryption_digest/key_case_sensitive.groovy)
+ENCRYPT_KEYS: dict[str, str] = {}
+
+
+def _resolve_keyref(arg: str) -> str:
+    km = re.fullmatch(r"(?is)\s*KEY\s+`?(\w+)`?\s*", arg)
+    if km and km.group(1).lower() in ENCRYPT_KEYS:
+        v = ENCRYPT_KEYS[km.group(1).lower()].replace("'", "''")
+        return f"'{v}'"
+    return arg
+
+
+def _cipher_macro(algo: str, op: str) -> "Macro":
+    """aes/sm4 encrypt/decrypt with MySQL semantics (functions/crypto.py
+    kernel): 2-arg uses the block_encryption_mode session variable,
+    3-arg adds the init vector, 4-arg names the mode explicitly.
+    Ciphertext stays BINARY end-to-end (a from_base64 STRING hop would
+    mangle non-UTF8 bytes — swap it for unbase64)."""
+
+    def m(args: Sequence[str]) -> str:
+        if not 2 <= len(args) <= 5:
+            return f"__KEEP__({', '.join(args)})"
+        args = [_resolve_keyref(a) for a in args]
+        payload = args[0]
+        if op == "dec":
+            payload = re.sub(
+                r"(?i)\bfrom_base64\s*\(", "unbase64(", payload)
+        iv = args[2] if len(args) >= 3 else "NULL"
+        mode = args[3] if len(args) >= 4 else f"'{_bem_for(algo)}'"
+        aad = args[4] if len(args) == 5 else "NULL"
+        core = (
+            f"__doris_cipher('{op}', CAST({payload} AS BINARY), "
+            f"CAST({args[1]} AS BINARY), CAST({iv} AS BINARY), {mode}, "
+            f"CAST({aad} AS BINARY))"
+        )
+        return core if op == "enc" else f"CAST({core} AS STRING)"
+
+    return m
+
+
+def _round_scale_macro(mode: str) -> "Macro":
+    """round/floor/ceil/truncate(x, scale): Doris accepts a NON-FOLDABLE
+    scale (column/expression) and keeps exact decimal semantics for
+    wide decimals; Spark's natives require a foldable scale and the
+    double-backed UDFs lose >15-digit precision. Route those shapes to
+    the __doris_round_dyn kernel; everything else keeps the native
+    path (__KEEP__)."""
+
+    def m(args: Sequence[str]) -> str:
+        if len(args) == 1:
+            if mode == "truncate":
+                return f"__KEEP__({args[0]}, 0)"
+            return "__KEEP__(" + ", ".join(args) + ")"
+        if len(args) != 2:
+            return "__KEEP__(" + ", ".join(args) + ")"
+        lit_scale = re.fullmatch(r"\s*-?\d+\s*", args[1])
+        wide_dec = False
+        cm = re.fullmatch(r"\s*`?(\w+)`?\s*", args[0])
+        if cm and not cm.group(1).isdigit():
+            from doris_spark.plans import type_hints as th
+
+            ty = th.lookup(cm.group(1)) or ""
+            tm = re.fullmatch(r"decimal(?:v2|v3)?\((\d+),(\d+)\)", ty)
+            wide_dec = bool(tm and int(tm.group(1)) > 15)
+        if lit_scale and not wide_dec:
+            return "__KEEP__(" + ", ".join(args) + ")"
+        return (
+            f"__doris_round_dyn(CAST({args[0]} AS STRING), "
+            f"CAST({args[1]} AS INT), '{mode}', typeof({args[0]}))"
+        )
+
+    return m
+
+
+def _mmh3_macro(kernel: str, cast: str | None = None) -> "Macro":
+    """Variadic murmur_hash3_* -> one kernel call over an array of the
+    stringified args (the FE casts every argument to VARCHAR before
+    hashing)."""
+
+    def m(args: Sequence[str]) -> str:
+        arr = ", ".join(f"CAST({a} AS STRING)" for a in args)
+        core = f"{kernel}(array({arr}))"
+        return f"CAST({core} AS {cast})" if cast else core
+
+    return m
+
+
 MACROS: dict[str, Macro] = {
     # Doris reports a MySQL-compatible version string
     # (GlobalVariable.java VERSION = "5.7.99")
@@ -1268,6 +1373,70 @@ MACROS: dict[str, Macro] = {
         ).format(args[0], args[1])
     ),
     "sem": _tpl("(stddev_samp({0}) / sqrt(count({0})))"),
+    # MySQL-semantics block ciphers (functions/crypto.py): XOR-folded
+    # keys + block_encryption_mode session variable — Spark's builtin
+    # aes_encrypt (GCM, raw key) is byte-incompatible
+    "aes_encrypt": _cipher_macro("AES", "enc"),
+    "aes_decrypt": _cipher_macro("AES", "dec"),
+    "sm4_encrypt": _cipher_macro("SM4", "enc"),
+    "sm4_decrypt": _cipher_macro("SM4", "dec"),
+    # binary-preserving to_base64 (the SQL-UDF form would coerce a
+    # BINARY ciphertext through STRING and mangle it)
+    "to_base64": _tpl("base64(CAST({0} AS BINARY))"),
+    # Doris MurmurHash3 family (util/hash/murmur_hash3.cpp): variadic
+    # args CHAIN (each arg hashed with the previous result as seed);
+    # the 32-bit family seeds 104729 (hash_util.hpp MURMUR3_32_SEED)
+    "murmur_hash3_32": _mmh3_macro("__mmh3_32"),
+    "murmur_hash3_64": _mmh3_macro("__mmh3_64"),
+    "murmur_hash3_64_v2": _mmh3_macro("__mmh3_64_v2"),
+    "murmur_hash3_u64_v2": _mmh3_macro(
+        "__mmh3_u64_v2", "DECIMAL(38,0)"),
+    "murmur_hash3_128": _mmh3_macro("__mmh3_128"),
+    "murmur_hash3_u128": _mmh3_macro("__mmh3_u128"),
+    "xxhash_32": _mmh3_macro("__xxh_32"),
+    "xxhash_64": _mmh3_macro("__xxh_64"),
+    # SM3 digest: sm3sum concatenates its args (md5sum-style); sm3 is
+    # its registered alias
+    "sm3": _mmh3_macro("__sm3"),
+    "sm3sum": _mmh3_macro("__sm3"),
+    # decimal-exact thousands formatting with MySQL half-up rounding;
+    # DOUBLE inputs expand their exact binary value (DBL_MAX prints all
+    # 309 digits — math_functions/test_format_round.groovy), so the
+    # kernel needs the value AND its type
+    "format_round": _tpl(
+        "__format_round(CAST({0} AS STRING), CAST({1} AS INT), "
+        "typeof({0}))"
+    ),
+    # rounding family with a NON-FOLDABLE or precision-critical scale:
+    # Spark requires a foldable scale and the double-backed UDFs lose
+    # >15-digit decimals — route to the decimal-exact kernel
+    # (math_functions/test_round.groovy); literal-scale calls over
+    # ordinary types keep the native path. 1-arg truncate defaults 0.
+    "round": _round_scale_macro("round"),
+    "dround": _round_scale_macro("round"),
+    "floor": _round_scale_macro("floor"),
+    "dfloor": _round_scale_macro("floor"),
+    "ceil": _round_scale_macro("ceil"),
+    "ceiling": _round_scale_macro("ceil"),
+    "dceil": _round_scale_macro("ceil"),
+    "truncate": _round_scale_macro("truncate"),
+    # Doris LEAST/GREATEST accept a single argument (identity)
+    "least": (lambda args: f"({args[0]})" if len(args) == 1
+              else "__KEEP__(" + ", ".join(args) + ")"),
+    "greatest": (lambda args: f"({args[0]})" if len(args) == 1
+                 else "__KEEP__(" + ", ".join(args) + ")"),
+    # Doris null-test predicates (fe NullPred: is_null_pred /
+    # is_not_null_pred are the named forms of IS [NOT] NULL —
+    # query_p0/sql_functions/conditional_functions/
+    # test_conditional_function.groovy)
+    "is_null_pred": _tpl("(({0}) IS NULL)"),
+    "is_not_null_pred": _tpl("(({0}) IS NOT NULL)"),
+    # Spark's width_bucket requires DOUBLE operands; Doris accepts any
+    # numeric (decimal/int) — promote explicitly
+    "width_bucket": _tpl(
+        "width_bucket(CAST({0} AS DOUBLE), CAST({1} AS DOUBLE), "
+        "CAST({2} AS DOUBLE), {3})"
+    ),
     "bitmap_agg": _tpl("array_sort(collect_set(CAST({0} AS BIGINT)))"),
     "bitmap_union": _tpl("array_sort(array_distinct(flatten(collect_list({0}))))"),
     "bitmap_union_count": _tpl(
@@ -2076,7 +2245,10 @@ def _date_format_macro(args: Sequence[str]) -> str:
     date_format rejects)."""
     if len(args) != 2 or args[1].lstrip().startswith(("'", '"')):
         return "__KEEP__(" + ", ".join(args) + ")"
-    return f"ltrim(__mysql_strftime(CAST({args[0]} AS TIMESTAMP), {args[1]}))"
+    return (
+        "ltrim(__mysql_strftime(CAST(CAST("
+        f"{args[0]} AS TIMESTAMP) AS STRING), {args[1]}))"
+    )
 
 
 MACROS["date_format"] = _date_format_macro
@@ -2479,6 +2651,11 @@ def _split_top(s: str) -> list[str]:
 _SET_LC = re.compile(
     r"^\s*SET\s+lc_time_names\s*=\s*'?([A-Za-z_]+)'?\s*;?\s*$", re.I
 )
+_SET_BEM = re.compile(
+    r"^\s*SET\s+block_encryption_mode\s*=\s*[\"']?([A-Za-z0-9_]*)[\"']?"
+    r"\s*;?\s*$",
+    re.I,
+)
 
 
 # TVFs backed by Python UDTFs (functions/tvf.py, functions/udtf.py):
@@ -2558,10 +2735,14 @@ _WIN_DISTRIB = {
     # aggregate instead (test_select_stddev_variance_window)
     "percentile", "percentile_array", "percentile_approx",
     "percentile_approx_weighted",
+    # bitmap aggregates as windows (BITMAP_UNION_COUNT(pv) OVER (...)):
+    # the CAST/size wrapper must not swallow the OVER —
+    # conditional_functions/test_nullif.groovy if_nullif29
+    "bitmap_union", "bitmap_union_count", "bitmap_agg",
 }
 _AGG_CALL = re.compile(
     r"\b(count|sum|avg|min|max|stddev_samp|stddev_pop|var_samp|var_pop|"
-    r"covar_samp|covar_pop|corr|collect_list|percentile)\s*\(",
+    r"covar_samp|covar_pop|corr|collect_list|collect_set|percentile)\s*\(",
     re.I,
 )
 
@@ -2611,6 +2792,33 @@ def rewrite(sql: str) -> str:
     if m:
         set_lc_time_names(m.group(1))
         return f"SET doris_spark.lc_time_names={m.group(1)}"
+    m = _SET_BEM.match(sql)
+    if m:
+        set_block_encryption_mode(m.group(1))
+        return f"SET doris_spark.block_encryption_mode={m.group(1)}"
+    if re.match(
+        r"(?i)^\s*UNSET\s+VARIABLE\s+block_encryption_mode\s*;?\s*$", sql
+    ):
+        set_block_encryption_mode("")
+        return "SET doris_spark.block_encryption_mode="
+    m = re.match(
+        # the dialect tier may have requoted the value ('v' -> `v`)
+        r"(?i)^\s*CREATE\s+ENCRYPTKEY\s+(?:IF\s+NOT\s+EXISTS\s+)?"
+        r"`?(\w+)`?\s+AS\s+(?:'([^']*)'|`([^`]*)`|\"([^\"]*)\")\s*;?\s*$",
+        sql,
+    )
+    if m:
+        ENCRYPT_KEYS[m.group(1).lower()] = (
+            m.group(2) or m.group(3) or m.group(4) or "")
+        return f"SET doris_spark.encryptkey.{m.group(1).lower()}=1"
+    m = re.match(
+        r"(?i)^\s*DROP\s+ENCRYPTKEY\s+(?:IF\s+EXISTS\s+)?"
+        r"`?(\w+)`?\s*;?\s*$",
+        sql,
+    )
+    if m:
+        ENCRYPT_KEYS.pop(m.group(1).lower(), None)
+        return f"SET doris_spark.encryptkey.{m.group(1).lower()}=0"
     if _LATVIEW.search(sql):
         sql = _lateral_view_udtfs(sql)
     if "asof" in sql.lower():

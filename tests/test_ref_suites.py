@@ -206,6 +206,11 @@ def test_reference_refresh_canary():
         "correctness_p0": (130, 0),
         "nereids_tpch_p0": (28, 9),
         "rec_cte_p0": (4, 0),
+        "query_p0/sql_functions/conditional_functions": (18, 0),
+        "query_p0/sql_functions/case_function": (3, 0),
+        "query_p0/sql_functions/math_functions": (12, 0),
+        "query_p0/sql_functions/hash_functions": (1, 0),
+        "query_p0/sql_functions/encryption_digest": (5, 0),
     }
     drift = {}
     for fam, (ng, ns) in expected.items():
@@ -217,3 +222,50 @@ def test_reference_refresh_canary():
         "REFERENCE REFRESHED — suite files changed; re-gate these "
         f"families and update floors + this canary: {drift}"
     )
+
+
+def test_sql_functions_conditional_case_floor():
+    """query_p0/sql_functions conditional_functions + case_function
+    (round 10): 382/392 with 18/20 files fully green. Fixed this round:
+    fixture loops with bare streamLoad table vars, INSERT VALUES with
+    non-foldable exprs (to_bitmap) and string literals into complex
+    columns, COUNT(DISTINCT <bitmap>) -> BITMAP_UNION_COUNT, FE
+    coalesce/ifnull/if/|| type coercions, IS TRUE truthiness, IN-list
+    numeric coercion, 1e309 -> Infinity, json_parse_error_to_*/
+    strip_null_value semantics, year-9999 date_format (string-crossing
+    the Arrow boundary), stream-load DUP-key storage order. Known
+    remainder: DECIMAL256 column paths (8), one 800-row reconciliation
+    case, LIKE blackslash-escape semantics (like19). Floor 370
+    tolerates environment noise."""
+    line, res = _run(
+        "query_p0/sql_functions/conditional_functions "
+        "query_p0/sql_functions/case_function",
+        "/tmp/ref_suites_condcase.json", timeout=2400,
+    )
+    assert res["total"] >= 390, line
+    assert res["passed"] >= 370, line + "\n" + json.dumps(
+        res["failures"][:10], indent=1)
+    assert res["files_green"] >= 16, line
+
+
+def test_sql_functions_math_hash_encryption_floor():
+    """query_p0/sql_functions math_functions + hash_functions +
+    encryption_digest (round 10): 489/489 after this round's additions:
+    MySQL-semantics AES/SM4 (XOR-folded keys, DORISDORISDORIS_ default
+    IV, GCM iv||ct||tag blobs, block_encryption_mode session variable,
+    CREATE ENCRYPTKEY objects), SM3 digest, Doris murmur_hash3_* (seed
+    104729 / chained variadics / int128 packing) and xxhash_32/XXH3-64,
+    format_round replayed bit-for-bit (int32 wraparounds included),
+    dynamic-scale round/floor/ceil/truncate via a decimal-exact kernel,
+    exact-erfc normal_cdf, NULL-on-domain-error dsqrt/dlog10. Floor 475
+    tolerates environment noise."""
+    line, res = _run(
+        "query_p0/sql_functions/math_functions "
+        "query_p0/sql_functions/hash_functions "
+        "query_p0/sql_functions/encryption_digest",
+        "/tmp/ref_suites_mathenc.json", timeout=3000,
+    )
+    assert res["total"] >= 485, line
+    assert res["passed"] >= 475, line + "\n" + json.dumps(
+        res["failures"][:10], indent=1)
+    assert res["files_green"] >= 15, line

@@ -46,6 +46,11 @@ def _groovy_unescape(s: str) -> str:
         c = s[i]
         if c == "\\" and i + 1 < n:
             nx = s[i + 1]
+            if nx == "\n":
+                # groovy line continuation: escaped newline vanishes
+                # (query_p0/.../test_query_like.groovy qt_like11)
+                i += 2
+                continue
             if nx in _G_ESC:
                 out.append(_G_ESC[nx])
                 i += 2
@@ -171,10 +176,22 @@ def _unroll_each(src: str) -> str:
             if k >= len(src):
                 return src
             body, var = src[start + 1 : k], m.group(1)
-            unrolled = "".join(
-                body.replace("${" + var + "}", v).replace("$" + var, v)
-                for v in vals
-            )
+
+            def _copy(v: str) -> str:
+                c = body.replace("${" + var + "}", v)
+                c = c.replace("$" + var, v)
+                # groovy evaluates BARE loop-var references too — the
+                # streamLoad keys (`table tableName`, `file f`) take the
+                # variable without interpolation (case_function/
+                # test_case_function_null.groovy). Only those keys are
+                # substituted bare: a blanket \bvar\b replace could
+                # corrupt same-named SQL columns in the body.
+                return re.sub(
+                    rf"\b(table|file|db)(\s+){re.escape(var)}\b",
+                    lambda mm: f'{mm.group(1)}{mm.group(2)}"{v}"', c,
+                )
+
+            unrolled = "".join(_copy(v) for v in vals)
             src = src[: m.start()] + unrolled + src[k + 1 :]
             changed = True
     return src
@@ -727,6 +744,76 @@ def _extract_stream_loads(src: str, gvars: dict, data_dir: str) -> str:
         i = k + 1
 
 
+_LIST_DEF = re.compile(
+    r"(?:def|List<String>|String\[\])\s+(\w+)\s*=\s*\[([^\[\]]*)\]")
+_FOR_IN = re.compile(
+    r"for\s*\(\s*(?:String\s+|def\s+|int\s+)?(\w+)\s+in\s+"
+    r"(\w+|\[[^\]]*\])\s*\)\s*\{")
+
+
+def _unroll_list_loops(src: str) -> str:
+    """Unroll `for ([String] v in <list>) { body }` where <list> is an
+    inline ['a','b'] literal or a previously-defined string/number list
+    var. Each copy substitutes ${v} / $v verbatim and bare `v` as a
+    quoted string (unquoted for numeric items), so patterns like
+    `streamLoad { table tableName ... file \"${tableName}.csv\" }`
+    inside fixture loops load every table
+    (query_p0/sql_functions/case_function/test_case_function_null.groovy).
+    Bounded passes handle nesting; unknown collections are left alone."""
+
+    def _items(text: str):
+        qs = re.findall(r"'([^']*)'|\"([^\"]*)\"", text)
+        rest = re.sub(r"'[^']*'|\"[^\"]*\"", "", text)
+        if qs and not re.search(r"[^\s,]", rest):
+            return [(a or b, True) for a, b in qs]
+        toks = [t.strip() for t in text.split(",") if t.strip()]
+        if toks and all(re.fullmatch(r"-?\d+(?:\.\d+)?", t) for t in toks):
+            return [(t, False) for t in toks]
+        return None
+
+    for _ in range(6):
+        lists = {}
+        for nm, body in _LIST_DEF.findall(src):
+            it = _items(body)
+            if it is not None:
+                lists[nm] = it
+        done = True
+        for m in _FOR_IN.finditer(src):
+            var, coll = m.group(1), m.group(2)
+            vals = (_items(coll[1:-1]) if coll.startswith("[")
+                    else lists.get(coll))
+            if vals is None:
+                continue
+            start = m.end() - 1
+            depth, k = 0, start
+            while k < len(src):
+                if src[k] == "{":
+                    depth += 1
+                elif src[k] == "}":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                k += 1
+            if k >= len(src):
+                continue
+            body = src[start + 1 : k]
+            copies = []
+            for it, is_str in vals:
+                c = body.replace("${" + var + "}", it)
+                c = re.sub(r"\$" + re.escape(var) + r"\b", it, c)
+                c = re.sub(
+                    r"\b" + re.escape(var) + r"\b",
+                    (f'"{it}"' if is_str else it), c,
+                )
+                copies.append(c)
+            src = src[: m.start()] + "\n".join(copies) + src[k + 1 :]
+            done = False
+            break
+        if done:
+            return src
+    return src
+
+
 def _inline_shared_sql(src: str) -> str:
     """`sql new File(\"regression-test/common/...\").text` loads a shared
     DDL/load script — inline its contents as a plain sql block."""
@@ -892,6 +979,8 @@ def parse_suite_files(groovy_path: str, out_path: str | None = None):
     src = _fold_const_ifs(src)
     if "new File" in src:
         src = _inline_shared_sql(src)
+    if re.search(r"\bfor\s*\(", src):
+        src = _unroll_list_loops(src)
     # groovy string interpolation: def name = "value" / def n = 123
     gvars = dict(
         re.findall(
@@ -1343,6 +1432,8 @@ def _cell_matches(exp: str, got) -> bool:
 _SETUP_OK = re.compile(
     r"^\s*(CREATE\s+TABLE|INSERT\s+INTO|DROP\s+TABLE|TRUNCATE|ALTER\s+TABLE"
     r"|SET\s+enable_strict_cast|SET\s+enable_decimal256"
+    r"|SET\s+block_encryption_mode|UNSET\s+VARIABLE\s+block_encryption"
+    r"|CREATE\s+ENCRYPTKEY|DROP\s+ENCRYPTKEY"
     r"|CREATE\s+(OR\s+REPLACE\s+)?VIEW|DROP\s+VIEW|SET\s+lc_time_names"
     r"|CREATE\s+MATERIALIZED\s+VIEW|DROP\s+MATERIALIZED\s+VIEW"
     r"|CREATE\s+DATABASE|DROP\s+DATABASE|USE\s"
@@ -1729,30 +1820,41 @@ _AGG_EXPRS = {
 }
 
 
-def _dup_sort_batch(eng, name: str, df):
-    """DUP-model mem-table sort for ONE insert batch: STABLE sort on the
-    key columns only — Doris's memtable flush (pdqsort) degenerates to
-    insertion sort below 24 rows, so suite-sized batches keep insertion
-    order within equal keys (pinned by test_last_value_window's tied
-    rows, whose window reads the is-then-doris insertion order)."""
+def _dup_sort_batch(eng, name: str, df, tie_desc: bool = False):
+    """DUP-model mem-table sort for ONE insert batch: sort on the key
+    columns (cast to the TABLE's declared key types — a CSV-read batch
+    is all-string, and '100' < '12' lexicographically). The INSERT path
+    keeps insertion order within equal keys (pinned by
+    test_last_value_window's tied rows); the STREAM-LOAD path observes
+    the REVERSE (`tie_desc`) — conditional_functions/test_nullif.groovy
+    datetype's four c_bigint=100 rows replay newest-first in the
+    golden."""
     meta = _TABLE_META.get(name.lower())
     if not meta or meta.get("model") != "duplicate" or not meta.get("keys"):
         return df
     keys = meta["keys"]
-    tcols = eng.spark.table(name).columns
-    by_pos = dict(zip(df.columns, tcols))
-    keycols = [c for c in df.columns if by_pos.get(c, "").lower() in keys]
+    tsch = eng.spark.table(name).schema
+    by_pos = dict(zip(df.columns, tsch.fields))
+    keycols = [
+        (c, by_pos[c].dataType)
+        for c in df.columns
+        if c in by_pos and by_pos[c].name.lower() in keys
+    ]
     if not keycols:
         return df
     try:
         from pyspark.sql import functions as F
 
-        ordered = (
+        order = [F.col(c).cast(t).asc() for c, t in keycols]
+        order.append(
+            F.col("__ins_ord").desc() if tie_desc
+            else F.col("__ins_ord").asc()
+        )
+        return (
             df.withColumn("__ins_ord", F.monotonically_increasing_id())
-            .orderBy(*(keycols + ["__ins_ord"]))
+            .orderBy(*order)
             .drop("__ins_ord")
         )
-        return ordered
     except Exception:
         return df
 
@@ -2080,6 +2182,11 @@ def _stream_load(eng, spec: dict) -> None:
                 sel5.append(df[dfc])
         if any5 and len(sel5) == len(df.columns):
             df = df.select(*sel5)
+    # DUP-model tables store each load key-sorted (memtable flush) —
+    # the INSERT path already does this via _dup_sort_batch; stream
+    # loads need the same or unsorted CSVs replay in the wrong storage
+    # order (conditional_functions/test_nullif.groovy datetype)
+    df = _dup_sort_batch(eng, name, df, tie_desc=True)
     df.coalesce(1).write.insertInto(name)
     _agg_remerge(eng, name)
 
@@ -4006,6 +4113,349 @@ _BITMAP_FNS = (
 )
 
 
+def _rewrite_fn_args(sql: str, names: str, fix) -> str | None:
+    """Rewrite every top-level `name(args)` call for the given
+    alternation of names: `fix(list_of_arg_texts) -> list | None`
+    produces the replacement args. Quote/paren-aware; returns None when
+    nothing changed."""
+    out = _rewrite_fn_args_each(sql, names, fix, each=False)
+    return out[0] if out else None
+
+
+def _rewrite_fn_args_each(sql: str, names: str, fix, each: bool = True):
+    """`each=True`: one candidate SQL per call site (exactly one site
+    rewritten in each) — lets a retry loop target only the call the
+    analyzer complained about instead of collateral-rewriting every
+    same-named call (if_nullif27's innocent ifnull(upper(\"null\"),..)).
+    `each=False`: single SQL with all sites rewritten."""
+    from doris_spark.plans.sql_macros import _split_top
+
+    pat = re.compile(rf"\b(?:{names})\s*\(", re.I)
+    sites = []
+    pos = 0
+    for m in pat.finditer(sql):
+        if m.start() < pos:
+            continue
+        depth, k, in_q = 0, m.end() - 1, None
+        while k < len(sql):
+            c = sql[k]
+            if in_q:
+                if c == in_q:
+                    in_q = None
+            elif c in "'\"":
+                in_q = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if k >= len(sql):
+            break
+        args = _split_top(sql[m.end():k])
+        new = fix([a.strip() for a in args])
+        if new is not None:
+            sites.append((m.end(), k, ", ".join(new)))
+        pos = k
+    if not sites:
+        return []
+    if each:
+        return [sql[:a] + repl + sql[b:] for a, b, repl in sites]
+    out, prev = [], 0
+    for a, b, repl in sites:
+        out.append(sql[prev:a])
+        out.append(repl)
+        prev = b
+    out.append(sql[prev:])
+    return ["".join(out)]
+
+
+def _fix_coalesce_types(sql: str, msg: str,
+                        names: str = "coalesce|ifnull|nvl"):
+    """Doris implicit-casts mismatched COALESCE/IFNULL operands to a
+    common type the FE picks (datetime beats numeric — an INT argument
+    goes through packed-digit datetime reading; VARCHAR casts to a
+    complex operand's type; BOOLEAN beats numeric). Spark refuses with
+    DATA_DIFF_TYPES instead — rebuild the call with explicit
+    conversions (query_p0/sql_functions/conditional_functions/
+    test_coalesce.groovy, test_conditional_function.groovy,
+    test_if.groovy)."""
+    from doris_spark.plans.dialect import _dt_from_numeric_inline
+
+    tm = re.search(r"but it's\s*[\[(](.*?)[\])][.\n;]", msg, re.S)
+    types = (
+        re.findall(r'"([A-Z][A-Za-z0-9_<>,():. \t]*)"', tm.group(1))
+        if tm else []
+    )
+    types = [
+        re.sub(r"\s+", " ", t.replace(" NOT NULL", "")).strip()
+        for t in types
+    ]
+    if not types:
+        return []
+    upper = [t.upper() for t in types]
+
+    dt_t = (
+        "TIMESTAMP"
+        if any(u.startswith("TIMESTAMP") for u in
+               [t.upper() for t in types])
+        else "DATE"
+    )
+
+    def wrap(a: str, mode: str) -> str:
+        if mode == "dt":
+            return (
+                f"CASE WHEN typeof({a}) IN ('tinyint', 'smallint', "
+                f"'int', 'bigint') THEN CAST("
+                f"{_dt_from_numeric_inline(a)} AS {dt_t}) "
+                f"ELSE CAST(({a}) AS {dt_t}) END"
+            )
+        if mode in ("int", "bool"):
+            return f"CAST(({a}) AS {'INT' if mode == 'int' else 'BOOLEAN'})"
+        target = types[0]
+        if target.upper().startswith(("MAP<", "ARRAY<", "STRUCT<")) and \
+                a.lstrip().startswith(("'", '"')):
+            return f"from_json({a}, '{target}')"
+        return f"CAST(({a}) AS {target})"
+
+    if any(u.startswith(("TIMESTAMP", "DATE")) for u in upper):
+        modes = ["dt"]
+    elif "BOOLEAN" in upper and any(
+        u in ("INT", "TINYINT", "SMALLINT", "BIGINT")
+        or u.startswith("DECIMAL") for u in upper
+    ):
+        # Doris widens boolean-vs-numeric to the numeric side (boolean
+        # renders 1/0 — if_nullif27); but when the result feeds CASE
+        # WHEN / a boolean context, the BOOLEAN form is the one that
+        # analyzes (test_if) — offer both, numeric first
+        modes = ["int", "bool"]
+    elif "BOOLEAN" in upper:
+        modes = ["bool"]
+    else:
+        modes = ["t0"]
+    out = []
+    for mode in modes:
+        out.extend(_rewrite_fn_args_each(
+            sql, names,
+            lambda args: (
+                [wrap(a, mode) for a in args] if len(args) > 1 else None
+            ),
+        ))
+    return out
+
+
+def _coalesce_retry_loop(eng, sql: str, msg: str, depth: int = 0,
+                         names: str = "coalesce|ifnull|nvl"):
+    """Try the one-site-per-candidate coalesce coercions; a fixed call
+    may surface the NEXT mismatched call — recurse (bounded)."""
+    cands = _fix_coalesce_types(sql, msg, names)
+    last = None
+    for cand in cands:
+        try:
+            return eng.sql(cand).collect()
+        except Exception as e2:
+            last = e2
+            if depth < 3 and "DATA_DIFF_TYPES" in str(e2):
+                try:
+                    return _coalesce_retry_loop(
+                        eng, cand, str(e2), depth + 1, names
+                    )
+                except Exception as e3:
+                    last = e3
+    raise last if last is not None else RuntimeError("no candidates")
+
+
+def _fix_if_cond_bool(sql: str) -> str | None:
+    """Doris implicit-casts IF's first argument to BOOLEAN (numeric
+    truthiness, string parse); Spark requires BOOLEAN
+    (conditional_functions/test_nullif.groovy if_nullif3/7)."""
+    return _rewrite_fn_args(
+        sql, "if",
+        lambda args: (
+            [f"CAST(({args[0]}) AS BOOLEAN)"] + list(args[1:])
+            if len(args) == 3 else None
+        ),
+    )
+
+
+def _group_by_alias_inline(sql: str, name: str) -> str | None:
+    """Replace `GROUP BY <name>` with the select-list expression aliased
+    <name> in the SAME select scope. Doris binds GROUP BY names to the
+    output aliases first; Spark prefers the input columns, which errors
+    with MISSING_AGGREGATION when both join sides expose the name
+    (conditional_functions/test_nullif.groovy if_nullif29)."""
+
+    def _depth_scan(upto: int):
+        """(depth at `upto`, {depth: last SELECT start before upto})."""
+        d, q, last_sel = 0, None, {}
+        for i, ch in enumerate(sql[:upto]):
+            if q:
+                if ch == q:
+                    q = None
+                continue
+            if ch in ("'", '"'):
+                q = ch
+            elif ch == "(":
+                d += 1
+            elif ch == ")":
+                d -= 1
+            elif ch in "sS" and sql[i : i + 6].lower() == "select" and (
+                i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")
+            ):
+                last_sel[d] = i
+        return d, last_sel
+
+    for m in re.finditer(r"(?i)\bgroup\s+by\b", sql):
+        d, last_sel = _depth_scan(m.start())
+        sel = last_sel.get(d)
+        if sel is None:
+            continue
+        # select list = text to the FROM at the same depth
+        d2, q2, frm = 0, None, None
+        for i in range(sel + 6, m.start()):
+            ch = sql[i]
+            if q2:
+                if ch == q2:
+                    q2 = None
+                continue
+            if ch in ("'", '"'):
+                q2 = ch
+            elif ch == "(":
+                d2 += 1
+            elif ch == ")":
+                d2 -= 1
+            elif d2 == 0 and ch in "fF" and sql[i : i + 4].lower() == "from" \
+                    and not (sql[i - 1].isalnum() or sql[i - 1] == "_"):
+                frm = i
+                break
+        if frm is None:
+            continue
+        expr = None
+        for item in _split_select_list(sql[sel + 6 : frm]):
+            am = re.match(
+                rf"(?is)^\s*(.+?)\s+(?:as\s+)?`?{re.escape(name)}`?\s*$",
+                item,
+            )
+            if am and re.search(r"[(.]", am.group(1)):
+                expr = am.group(1).strip()
+                break
+        if expr is None:
+            continue
+        # replacement extent: through HAVING/ORDER BY of the SAME scope
+        # (Doris binds those to the output alias too — after inlining
+        # the GROUP BY, a bare `name` in this scope's ORDER BY would be
+        # ambiguous against the join sides), stopping at LIMIT or the
+        # scope's closing paren
+        tail = re.compile(r"(?i)\blimit\b|;|$")
+        d3, q3, end = 0, None, len(sql)
+        for i in range(m.end(), len(sql)):
+            ch = sql[i]
+            if q3:
+                if ch == q3:
+                    q3 = None
+                continue
+            if ch in ("'", '"'):
+                q3 = ch
+            elif ch == "(":
+                d3 += 1
+            elif ch == ")":
+                if d3 == 0:
+                    end = i
+                    break
+                d3 -= 1
+            elif d3 == 0 and tail.match(sql, i):
+                end = i
+                break
+        seg = sql[m.end():end]
+        new_seg, n_sub = re.subn(
+            rf"(?<![\w.`]){re.escape(name)}(?![\w.`])", f"({expr})", seg
+        )
+        if n_sub:
+            return sql[: m.end()] + new_seg + sql[end:]
+    return None
+
+
+def _fix_if_branch_types(sql: str, msg: str) -> str | None:
+    """IF branches mixing BOOLEAN and STRING: Doris coerces the result
+    to VARCHAR, rendering the boolean as '1'/'0'
+    (conditional_functions/test_if.groovy jsonb_exists_path cases —
+    golden `0` for the boolean-false branch)."""
+    tm = re.search(r"but it's\s*[\[(](.*?)[\])][.\n;]", msg, re.S)
+    types = (
+        re.findall(r'"([A-Z][A-Za-z0-9_<>,():. \t]*)"', tm.group(1))
+        if tm else []
+    )
+    if {t.upper() for t in types} != {"STRING", "BOOLEAN"}:
+        return None
+
+    def fix(args):
+        if len(args) != 3:
+            return None
+        out = [args[0]]
+        for a in args[1:]:
+            if a.lstrip().startswith(("'", '"')):
+                out.append(a)
+            else:
+                out.append(f"CAST(CAST(({a}) AS INT) AS STRING)")
+        return out
+
+    return _rewrite_fn_args(sql, "if", fix)
+
+
+_CNTD = re.compile(r"\bcount\s*\(\s*distinct\b", re.I)
+
+
+def _count_distinct_bitmap(sql: str) -> str:
+    """Doris's FE rewrites COUNT(DISTINCT <bitmap expr>) into
+    BITMAP_UNION_COUNT (the cardinality of the union of the bitmaps —
+    query_p0/sql_functions/case_function/
+    test_count_distinct_with_case_function.groovy). The engine's
+    bitmaps back onto sorted BIGINT arrays, so a plain count-distinct
+    would count distinct ARRAYS instead. Applied only when the argument
+    references a column declared BITMAP in one of the statement's FROM
+    tables."""
+    tabs = [t.lower() for t in re.findall(r"(?i)\bfrom\s+`?(\w+)`?", sql)]
+    bmcols = set()
+    for t in tabs:
+        meta = _TABLE_META.get(t)
+        for cn, ty, _nn in (meta or {}).get("cols", []):
+            if ty.strip().lower().startswith("bitmap"):
+                bmcols.add(cn.lower())
+    if not bmcols:
+        return sql
+    out, pos = [], 0
+    for m in _CNTD.finditer(sql):
+        if m.start() < pos:
+            continue
+        depth, k, in_q = 0, sql.index("(", m.start()), None
+        while k < len(sql):
+            c = sql[k]
+            if in_q:
+                if c == in_q:
+                    in_q = None
+            elif c in "'\"":
+                in_q = c
+            elif c == "(":
+                depth += 1
+            elif c == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            k += 1
+        if k >= len(sql):
+            break
+        arg = sql[m.end():k]
+        ids = {w.lower() for w in re.findall(r"[A-Za-z_]\w*", arg)}
+        if not (ids & bmcols):
+            continue
+        out.append(sql[pos : m.start()])
+        out.append(f"bitmap_union_count({arg.strip()})")
+        pos = k + 1
+    out.append(sql[pos:])
+    return "".join(out)
+
+
 def _bitmap_in_rewrite(sql: str) -> str:
     """Doris bitmap filter: `x [NOT] IN (SELECT <bitmap expr> FROM t)`
     tests bitmap membership (BE bitmap-filter runtime predicate) —
@@ -4551,19 +5001,25 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
                 for t in re.split(r",| or ", tm.group(1))
             ] if tm else []
             others = [t for t in types if t in ("DATE", "TIMESTAMP")]
-            if not others:
-                raise
-            target = others[0]
-            retry = re.sub(
-                r"((?:coalesce|ifnull|nvl)\s*\((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*?,\s*)(-?\d+(?:\.\d+)?)(\s*\))",
-                lambda m: f"{m.group(1)}try_cast(CAST({m.group(2)} AS STRING) AS {target}){m.group(3)}",
-                dialect(sql),
-                flags=re.I,
-            )
-            if retry == dialect(sql):
-                raise
-            df = eng.sql(retry)
-            rows = df.collect()
+            retry = None
+            if others:
+                target = others[0]
+                retry = re.sub(
+                    r"((?:coalesce|ifnull|nvl)\s*\((?:[^()']|'[^']*'|\((?:[^()']|'[^']*')*\))*?,\s*)(-?\d+(?:\.\d+)?)(\s*\))",
+                    lambda m: f"{m.group(1)}try_cast(CAST({m.group(2)} AS STRING) AS {target}){m.group(3)}",
+                    dialect(sql),
+                    flags=re.I,
+                )
+                if retry == dialect(sql):
+                    retry = None
+            if retry is not None:
+                df = eng.sql(retry)
+                rows = df.collect()
+            else:
+                # general FE coercion (complex-vs-string, bool-vs-num,
+                # date-vs-column): rebuild the mismatched call with
+                # explicit casts, one site at a time
+                rows = _coalesce_retry_loop(eng, dialect(sql), str(exc))
         elif "DATA_DIFF_TYPES" in str(exc) and "casewhen" in str(exc):
             # Doris unifies CASE branch types to the non-numeric side
             # (numeric literal -> datev2 etc.; unconvertible values become
@@ -4786,11 +5242,23 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
                         rf"(?![\w.`]*\.)`?{re.escape(ident)}`?\b",
                         rf"\1\g<2>{cands[0]}.{ident}",
                         base2)
+                    rows = None
                     if retry2 != base2:
-                        df = eng.sql(retry2)
+                        try:
+                            df = eng.sql(retry2)
+                            rows = df.collect()
+                        except Exception:
+                            rows = None
+                    if rows is None:
+                        # the name is a select-list ALIAS over the join
+                        # sides (ifnull(a.x, b.x) x): Doris binds GROUP
+                        # BY/ORDER BY to the alias — inline its
+                        # expression (test_nullif if_nullif29)
+                        retry3 = _group_by_alias_inline(base2, ident)
+                        if retry3 is None:
+                            raise
+                        df = eng.sql(retry3)
                         rows = df.collect()
-                    else:
-                        raise
                 else:
                     raise
             else:
@@ -4947,6 +5415,57 @@ def _run_case_raw(eng, sql: str, expected: list[str], ordered: bool = False):
                     retry = r2
             if rows is None:
                 raise
+        elif "DATA_DIFF_TYPES" in str(exc) and re.search(
+            r"(?i)\b(coalesce|ifnull|nvl)\s*\(", sql
+        ):
+            rows = _coalesce_retry_loop(eng, dialect(sql), str(exc))
+        elif "DATA_DIFF_TYPES" in str(exc) and re.search(
+            r"(?i)\b(least|greatest)\s*\(", sql
+        ):
+            # LEAST/GREATEST mixing a date-typed column with a string
+            # literal: the FE coerces to the date side
+            # (math_functions/test_least_greatest.groovy)
+            rows = _coalesce_retry_loop(
+                eng, dialect(sql), str(exc), names="least|greatest")
+        elif "UNEXPECTED_INPUT_TYPE" in str(exc) and '"BOOLEAN"' in str(
+            exc
+        ) and re.search(r"(?i)\bIF\s*\(", sql):
+            retry = _fix_if_cond_bool(dialect(sql))
+            if retry is None:
+                raise
+            try:
+                df = eng.sql(retry)
+            except Exception as exc2:
+                if "DATA_DIFF_TYPES" not in str(exc2):
+                    raise
+                r2 = _fix_if_branch_types(retry, str(exc2))
+                if r2 is None:
+                    raise
+                df = eng.sql(r2)
+            rows = df.collect()
+        elif "MISSING_AGGREGATION" in str(exc) and re.search(
+            r'expression "(\w+)"', str(exc)
+        ) and re.search(r"(?i)\bgroup\s+by\b", sql):
+            nm = re.search(r'expression "(\w+)"', str(exc)).group(1)
+            retry = _group_by_alias_inline(dialect(sql), nm)
+            if retry is None:
+                raise
+            df = eng.sql(retry)
+            rows = df.collect()
+        elif "BINARY_OP_DIFF_TYPES" in str(exc) and "||" in sql:
+            # Doris '||' is logical OR (PIPES_AS_CONCAT off); Spark's is
+            # string concat — swap and retry (test_nullif if_nullif27).
+            # The unmasked boolean may then hit a coalesce/ifnull type
+            # mismatch — chain the FE-coercion fixer.
+            from doris_spark.plans.dialect import _sub_outside_literals
+
+            retry = _sub_outside_literals(r"\|\|", " OR ", dialect(sql))
+            try:
+                rows = eng.sql(retry).collect()
+            except Exception as exc2:
+                if "DATA_DIFF_TYPES" not in str(exc2):
+                    raise
+                rows = _coalesce_retry_loop(eng, retry, str(exc2))
         elif "UNRESOLVED_COLUMN" in str(exc) and re.search(
             r"name `(\w+)`\.`(\w+)`\.`(\w+)` cannot", str(exc)
         ):
@@ -5446,6 +5965,10 @@ def _run_case_scoped(eng, sql, expected, ordered, applicable,
         sql = _temp_partition_refs(sql)
     if re.search(r"\b(FROM|JOIN)\s+`?\w+`?\s+PARTITIONS?\b", sql, re.I):
         sql = _partition_refs(sql)
+    if _CNTD.search(sql) and not re.match(
+        r"\s*(INSERT|UPDATE|DELETE|CREATE|DROP|ALTER|TRUNCATE)\b", sql, re.I
+    ):
+        sql = _count_distinct_bitmap(sql)
     if re.search(r"\bbitmap|\bhll|quantile|\*", sql, re.I) and not re.match(
         r"\s*(INSERT|UPDATE|DELETE|CREATE|DROP|ALTER|TRUNCATE)\b", sql, re.I
     ):
