@@ -30,6 +30,98 @@ _DELETE_HEAD_RE = _re.compile(
 )
 
 
+def _split_items(text: str) -> list[str]:
+    """Quote/paren-aware top-level comma split (backslash escapes inside
+    quotes honored)."""
+    items, depth, in_q, esc, cur = [], 0, None, False, []
+    for ch in text:
+        if in_q:
+            cur.append(ch)
+            if esc:
+                esc = False
+            elif ch == "\\":
+                esc = True
+            elif ch == in_q:
+                in_q = None
+            continue
+        if ch in ("'", '"'):
+            in_q = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            items.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        items.append("".join(cur))
+    return items
+
+
+def _values_literal_df(spark, tuples, use_cols):
+    """Literal-only VALUES tuples -> an all-STRING DataFrame built
+    driver-side (the caller casts to the target schema). Returns None
+    when any item is an expression — Spark's inline table rejects
+    INCOMPATIBLE_TYPES when one column mixes NULL/string/number
+    literals across rows, but Doris casts each item to the TARGET
+    column type; a python parse sidesteps the analyzer entirely (800-
+    row generated fixtures would also be slow as an 800-branch
+    UNION)."""
+    import re
+
+    rows = []
+    for t in tuples:
+        items = _split_items(t)
+        if len(items) != len(use_cols):
+            return None
+        row = []
+        for it in items:
+            it = it.strip()
+            if re.fullmatch(r"(?i)null", it):
+                row.append(None)
+            elif len(it) >= 2 and it[0] == it[-1] == "'":
+                row.append(
+                    it[1:-1].replace("\\'", "'").replace("''", "'")
+                    .replace('\\"', '"').replace("\\\\", "\\"))
+            elif len(it) >= 2 and it[0] == it[-1] == '"':
+                row.append(
+                    it[1:-1].replace('\\"', '"').replace("\\'", "'")
+                    .replace("\\\\", "\\"))
+            elif re.fullmatch(r"[-+]?\d+(\.\d+)?([eE][-+]?\d+)?", it):
+                row.append(it)
+            elif re.fullmatch(r"(?i)true|false", it):
+                row.append(it.lower())
+            else:
+                return None
+        rows.append(row)
+    if not rows:
+        return None
+    from pyspark.sql.types import StringType, StructField, StructType
+
+    sch = StructType([StructField(c, StringType()) for c in use_cols])
+    return spark.createDataFrame(rows, sch)
+
+
+def _values_fallback_df(spark, body: str, use_cols):
+    """Recover an un-analyzable VALUES body: literal tuples build a
+    python-side DataFrame; otherwise each tuple becomes a SELECT branch
+    (evaluates registered UDFs like to_bitmap)."""
+    tuples = _split_value_tuples(body)
+    if not tuples:
+        return None
+    df = _values_literal_df(spark, tuples, use_cols)
+    if df is not None:
+        return df
+    return spark.sql(
+        " UNION ALL ".join(f"SELECT {t}" for t in tuples)
+    ).toDF(*use_cols)
+
+
 def _split_value_tuples(body: str) -> list[str]:
     """Top-level `(...)` groups of a VALUES body, quote-aware — the
     inner text of each tuple, for rebuilding as SELECT ... UNION ALL."""
@@ -835,16 +927,12 @@ class Engine:
                     f"AS __ins({', '.join(use_cols)})"
                 )
             except Exception:
-                # Spark inline tables only accept FOLDABLE expressions —
-                # VALUES (1, to_bitmap(1)) with a registered UDF fails
-                # INVALID_INLINE_TABLE. Doris evaluates them per-row;
-                # rebuild as SELECT ... UNION ALL ... (still one batch)
-                tuples = _split_value_tuples(body)
-                if not tuples:
+                # Spark inline tables reject non-foldable exprs
+                # (to_bitmap) and mixed-type literal columns that Doris
+                # casts per target column — recover python-side
+                new = _values_fallback_df(self.spark, body, use_cols)
+                if new is None:
                     raise
-                new = self.spark.sql(
-                    " UNION ALL ".join(f"SELECT {t}" for t in tuples)
-                ).toDF(*use_cols)
         elif re.match(r"^SELECT\b|^WITH\b", tail, re.I):
             new = self.spark.sql(_rw(dialect(tail)))
             if len(new.columns) != len(use_cols):
@@ -920,11 +1008,10 @@ class Engine:
         if not re.match(r"^VALUES\b", tail, re.I):
             return None
         cur = self.spark.table(name)
-        if not any(
+        has_complex = any(
             isinstance(f.dataType, (ArrayType, MapType, StructType))
             for f in cur.schema.fields
-        ):
-            return None
+        )
         cols = (
             [c.strip().strip("`") for c in m.group(3).split(",")]
             if m.group(3) else None
@@ -940,13 +1027,16 @@ class Engine:
                 f"SELECT * FROM VALUES {body} "
                 f"AS __ins({', '.join(use_cols)})"
             )
-        except Exception:
-            tuples = _split_value_tuples(body)
-            if not tuples:
+            if not has_complex:
+                # analyzable and no complex targets: the native INSERT
+                # path handles it (keeps existing behavior bit-for-bit)
                 return None
-            new = self.spark.sql(
-                " UNION ALL ".join(f"SELECT {t}" for t in tuples)
-            ).toDF(*use_cols)
+        except Exception:
+            # inline tables reject mixed-literal columns Doris casts per
+            # TARGET column (800-row generated fixtures) — recover
+            new = _values_fallback_df(self.spark, body, use_cols)
+            if new is None:
+                return None
         sch = {f.name: f.dataType for f in cur.schema.fields}
         src_t = {f.name: f.dataType for f in new.schema.fields}
 

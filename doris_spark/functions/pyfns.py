@@ -756,6 +756,9 @@ def register_math_kernels(spark: SparkSession) -> int:
 
         try:
             v = Decimal(str(s))
+            # bound the scale so a degenerate runtime value can't build
+            # a 10^huge quantizer (hang/OOM); |d|>100 saturates anyway
+            d = max(min(int(d), 100), -100)
             rnd = {
                 "round": ROUND_HALF_UP,
                 "floor": ROUND_FLOOR,
@@ -788,7 +791,193 @@ def register_math_kernels(spark: SparkSession) -> int:
         )
 
     spark.udf.register("__doris_round_dyn", pandas_udf(_round_dyn, "string"))
-    return 2
+
+    def _yearweek_one(s, mode):
+        """MySQL YEARWEEK(d, mode): the WEEK mode table with the year
+        rolling over in BOTH directions (early-January dates can belong
+        to the previous year's week 52/53, late-December dates to the
+        next year's week 1) — datetime_functions/test_time_lut.groovy
+        modes 2/4/6/7."""
+        if s is None or mode is None:
+            return None
+        import datetime as _dt
+
+        try:
+            d = _dt.datetime.fromisoformat(str(s)).date()
+            mode = int(mode) & 7
+        except (ValueError, OverflowError):
+            return None
+        monday_first = bool(mode & 1)
+        full_week = bool(mode & 4)
+        if not monday_first:
+            full_week = not full_week
+
+        def wk1_start(year):
+            jan1 = _dt.date(year, 1, 1)
+            wd = (jan1.weekday() if monday_first
+                  else (jan1.weekday() + 1) % 7)
+            if full_week:
+                days_before = 0 if wd == 0 else 7 - wd
+            else:
+                days_before = -wd if wd <= 3 else 7 - wd
+            return jan1 + _dt.timedelta(days=days_before)
+
+        start = wk1_start(d.year)
+        if d < start:
+            year = d.year - 1
+            start = wk1_start(year)
+        elif d.year < 9999 and d >= wk1_start(d.year + 1):
+            year = d.year + 1
+            start = wk1_start(year)
+        else:
+            year = d.year
+        return year * 100 + (d - start).days // 7 + 1
+
+    def _yearweek(s: pd.Series, mode: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_yearweek_one(a, b) for a, b in zip(s, mode)],
+            dtype=object,
+        )
+
+    spark.udf.register("__yearweek", pandas_udf(_yearweek, "int"))
+
+    def _initcap(s: pd.Series) -> pd.Series:
+        def one(v):
+            if v is None:
+                return None
+            out, prev_alnum = [], False
+            for ch in v:
+                if ch.isalpha():
+                    out.append(ch.lower() if prev_alnum else ch.upper())
+                else:
+                    out.append(ch)
+                prev_alnum = ch.isalnum()
+            return "".join(out)
+
+        return pd.Series([one(v) for v in s], dtype=object)
+
+    spark.udf.register("__doris_initcap", pandas_udf(_initcap, "string"))
+
+    def _split_part(s: pd.Series, sep: pd.Series,
+                    n: pd.Series) -> pd.Series:
+        def one(v, d, i):
+            if v is None or d is None or i is None or i == 0 or d == "":
+                return None
+            parts = v.split(d) if i > 0 else v.rsplit(d)
+            i = i if i > 0 else len(parts) + i + 1
+            if not 1 <= i <= len(parts):
+                return None
+            return parts[i - 1]
+
+        return pd.Series(
+            [one(v, d, i) for v, d, i in zip(s, sep, n)], dtype=object)
+
+    spark.udf.register("__split_part", pandas_udf(_split_part, "string"))
+
+    # ---- string<->int codec (function_encode_varchar.cpp): reversed
+    #      string bytes in the int's high bytes, (len<<1) in the low
+    #      byte, the whole value arithmetic-shifted right once with the
+    #      sign bit cleared
+    def _encode_varchar_one(s, nbytes):
+        if s is None:
+            return None
+        b = str(s).encode("utf-8")
+        if len(b) > nbytes - 1:
+            return None
+        mem = bytearray(nbytes)
+        if b:
+            mem[nbytes - len(b):] = bytes(reversed(b))
+        mem[0] = (len(b) << 1) & 0xFF
+        u = int.from_bytes(mem, "little")
+        return str((u >> 1) & ((1 << (8 * nbytes - 1)) - 1))
+
+    def _enc_vc(s: pd.Series, n: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_encode_varchar_one(a, b) for a, b in zip(s, n)],
+            dtype=object,
+        )
+
+    spark.udf.register("__encode_varchar", pandas_udf(_enc_vc, "string"))
+
+    def _decode_varchar_one(v, t):
+        if v is None:
+            return None
+        t = (t or "").lower()
+        nbytes = (2 if t == "smallint" else 4 if t == "int"
+                  else 8 if t == "bigint" else 16)
+        u = (int(str(v)) << 1) & ((1 << (8 * nbytes)) - 1)
+        ln = (u & 0xFF) >> 1 & 0x7F
+        if ln >= nbytes:
+            return None
+        mem = u.to_bytes(nbytes, "little")
+        try:
+            return bytes(reversed(mem[nbytes - ln:])).decode("utf-8")
+        except UnicodeDecodeError:
+            return None
+
+    def _dec_vc(v: pd.Series, t: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_decode_varchar_one(a, b) for a, b in zip(v, t)],
+            dtype=object,
+        )
+
+    spark.udf.register("__decode_varchar", pandas_udf(_dec_vc, "string"))
+
+    # ---- format_number humanizer (function_format.cpp: /1000 steps,
+    #      units K/M/B/T/Q, 2/1/0 decimals by magnitude)
+    def _fmt_number_one(x):
+        if x is None:
+            return None
+        import math
+
+        if not math.isfinite(x):
+            return "inf" if x > 0 else ("-inf" if x < 0 else "nan")
+        units = ["", "K", "M", "B", "T", "Q"]
+        a, i = abs(x), 0
+        while a >= 1000 and i < 5:
+            a /= 1000
+            i += 1
+        sign = "-" if x < 0 else ""
+        if a == 1:
+            body = "1"
+        elif a < 10:
+            body = f"{a:.2f}"
+        elif a < 100:
+            body = f"{a:.1f}"
+        else:
+            body = f"{a:.0f}"
+        return sign + body + units[i]
+
+    def _fmt_number(x: pd.Series) -> pd.Series:
+        return pd.Series([_fmt_number_one(v) for v in x], dtype=object)
+
+    spark.udf.register(
+        "__format_number_human", pandas_udf(_fmt_number, "string"))
+
+    # ---- DECIMAL256 shadow render: exact text -> Doris's fixed-scale
+    #      decimal form ('-001234.5', scale 6 -> '-1234.500000')
+    def _dec256_norm_one(s, scale):
+        if s is None or scale is None:
+            return None
+        from decimal import Decimal, localcontext
+
+        try:
+            with localcontext() as ctx:
+                ctx.prec = 100
+                v = Decimal(str(s)).quantize(
+                    Decimal(1).scaleb(-int(scale)))
+            return format(v, "f")
+        except Exception:
+            return None
+
+    def _dec256_norm(s: pd.Series, scale: pd.Series) -> pd.Series:
+        return pd.Series(
+            [_dec256_norm_one(a, b) for a, b in zip(s, scale)],
+            dtype=object,
+        )
+
+    spark.udf.register("__dec256_norm", pandas_udf(_dec256_norm, "string"))
+    return 10
 
 
 def register_mysql_datetime(spark: SparkSession) -> int:

@@ -190,7 +190,13 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
     ),
     # ---- string (function_string.cpp et al.)
     "strleft": ("s STRING, n INT", "left(s, n)"),
-    "strright": ("s STRING, n INT", "right(s, n)"),
+    # negative n reads FROM position -n (string_functions/
+    # test_string_function.groovy: strright('Hello doris', -5) = the
+    # tail starting at char 5)
+    "strright": (
+        "s STRING, n INT",
+        "CASE WHEN n < 0 THEN substr(s, -n) ELSE right(s, n) END",
+    ),
     "append_trailing_char_if_absent": (
         "s STRING, c STRING",
         "CASE WHEN endswith(s, c) THEN s ELSE s || c END",
@@ -203,7 +209,15 @@ DORIS_SQL_FUNCTIONS: dict[str, tuple[str, str]] = {
         "x DOUBLE",
         "format_number(x, 2)",
     ),
-    "split_by_string": ("s STRING, sep STRING", "split(s, '\\\\Q' || sep || '\\\\E')"),
+    "split_by_string": (
+        # '' input -> []; '' separator -> per-char with no trailing ''
+        # (string_functions/test_split_by_string.groovy)
+        "s STRING, sep STRING",
+        "CASE WHEN s IS NULL OR sep IS NULL THEN NULL "
+        "WHEN s = '' THEN CAST(array() AS ARRAY<STRING>) "
+        "WHEN sep = '' THEN filter(split(s, ''), x -> x != '') "
+        "ELSE split(s, '\\\\Q' || sep || '\\\\E') END",
+    ),
     "split_by_regexp": ("s STRING, pat STRING", "split(s, pat)"),
     "substring_index_doris": ("s STRING, sep STRING, n INT", "substring_index(s, sep, n)"),
     "is_uuid": (

@@ -335,8 +335,11 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
         "CASE WHEN len < 0 THEN '' ELSE substr(s, pos + len) END) END",
     ),
     "count_substrings": (
+        # NULL args -> NULL; empty needle / out-of-range start -> 0
+        # (string_functions/test_count_substrings.groovy)
         "s STRING, sub STRING, start INT DEFAULT 1",
-        "CASE WHEN sub = '' OR sub IS NULL OR s IS NULL THEN 0 ELSE "
+        "CASE WHEN sub IS NULL OR s IS NULL OR start IS NULL THEN NULL "
+        "WHEN sub = '' OR start <= 0 OR start > length(s) THEN 0 ELSE "
         "CAST((length(substr(s, start)) - length(replace(substr(s, start), sub, ''))) "
         "/ length(sub) AS INT) END",
     ),
@@ -392,7 +395,10 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     "to_base64_binary": ("b BINARY", "base64(b)"),
     "to_hex": ("s STRING", "hex(s)"),
     "from_hex": ("s STRING", "CAST(unhex(s) AS STRING)"),
-    "unhex_null": ("s STRING", "unhex(s)"),
+    "unhex_null": (
+        "s STRING",
+        "CASE WHEN s = '' THEN NULL ELSE CAST(unhex(s) AS STRING) END",
+    ),
     "strip_null_value": (
         # JSON null VALUE -> SQL NULL; everything else passes through
         # unchanged (conditional_functions/test_strip_null_value.groovy:
@@ -912,14 +918,24 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     "schema": ("", "current_database()"),
     "last_query_id": ("", "''"),
     "parse_data_size": (
+        # decimal-exact: 6EB = 6 * 2^60 must print all 19 digits
+        # (string_functions/test_format_functions.groovy), so the
+        # multiply stays in DECIMAL, never DOUBLE
         "s STRING",
-        "CAST(floor(CAST(regexp_extract(s, '^([0-9.]+)', 1) AS DOUBLE) * "
+        "CAST(floor(CAST(regexp_extract(s, '^([0-9.]+)', 1) "
+        "AS DECIMAL(27, 6)) * "
         "CASE regexp_extract(s, '([a-zA-Z]+)$', 1) "
         "WHEN 'B' THEN 1 WHEN 'kB' THEN 1024 WHEN 'KB' THEN 1024 WHEN 'KiB' THEN 1024 "
         "WHEN 'MB' THEN 1048576 WHEN 'MiB' THEN 1048576 "
         "WHEN 'GB' THEN 1073741824 WHEN 'GiB' THEN 1073741824 "
         "WHEN 'TB' THEN 1099511627776 WHEN 'TiB' THEN 1099511627776 "
         "WHEN 'PB' THEN 1125899906842624 WHEN 'PiB' THEN 1125899906842624 "
+        "WHEN 'EB' THEN CAST(1152921504606846976 AS DECIMAL(38,0)) "
+        "WHEN 'EiB' THEN CAST(1152921504606846976 AS DECIMAL(38,0)) "
+        "WHEN 'ZB' THEN CAST(1180591620717411303424 AS DECIMAL(38,0)) "
+        "WHEN 'ZiB' THEN CAST(1180591620717411303424 AS DECIMAL(38,0)) "
+        "WHEN 'YB' THEN CAST(1208925819614629174706176 AS DECIMAL(38,0)) "
+        "WHEN 'YiB' THEN CAST(1208925819614629174706176 AS DECIMAL(38,0)) "
         "ELSE 1 END) AS DECIMAL(38, 0))",
     ),
     "format_round": ("x DOUBLE, d INT", "format_number(x, d)"),
@@ -1125,19 +1141,12 @@ _W5 = (
 
 DORIS_SQL_FUNCTIONS_EXT.update(
     {
-        # yearweek(d[, mode]): YYYYWW; week-0 dates roll into the previous
-        # year's last week (modes 0/5); mode 1 = ISO week-year pairing
+        # yearweek(d[, mode]): YYYYWW for all 8 WEEK modes, with the
+        # year rolling over in both directions (python kernel —
+        # datetime_functions/test_time_lut.groovy)
         "yearweek": (
             "t TIMESTAMP, mode INT DEFAULT 0",
-            "CASE "
-            f"WHEN mode = 0 THEN CASE WHEN {_W0.format(d='t')} = 0 "
-            f"THEN (year(t) - 1) * 100 + {_W0.format(d=chr(39) + chr(39) + ' || (year(t) - 1) || ' + chr(39) + '-12-31' + chr(39))} "
-            f"ELSE year(t) * 100 + {_W0.format(d='t')} END "
-            "WHEN mode IN (1, 3) THEN year(date_add(date_trunc('WEEK', t), 3)) * 100 + weekofyear(t) "
-            f"WHEN mode = 5 THEN CASE WHEN {_W5.format(d='t')} = 0 "
-            f"THEN (year(t) - 1) * 100 + {_W5.format(d=chr(39) + chr(39) + ' || (year(t) - 1) || ' + chr(39) + '-12-31' + chr(39))} "
-            f"ELSE year(t) * 100 + {_W5.format(d='t')} END "
-            "ELSE NULL END",
+            "__yearweek(CAST(t AS STRING), mode)",
         ),
         # json_extract: full Doris path surface (wildcards $.k[*]/$.*,
         # recursive $**.k, [last], dotted index) via the python JSON-path

@@ -1203,6 +1203,16 @@ def dialect(sql: str) -> str:
     """MySQL/Doris spellings -> Spark SQL (the FE's dialect layer)."""
     if re.search(r"(?i)(?<![\w.])QUALIFY\b", sql):
         sql = _rewrite_qualify(sql)
+    if re.search(r"(?i)\bmap_agg", sql) and re.search(
+        r"(?i)\[\s*NULL\s*\]", sql
+    ):
+        # map_agg keeps NULL keys behind a NUL sentinel (Spark maps ban
+        # null keys) — a [null] subscript over one of its maps must
+        # look up that sentinel (query_p0/aggregate/map_agg.groovy
+        # test_null); sentinel lookups on maps WITHOUT null keys return
+        # NULL, same as Doris
+        sql = _sub_outside_literals(
+            r"(?i)\[\s*NULL\s*\]", "[concat(char(0), 'null')]", sql)
     if _RIGHT_SEMI.search(sql):
         sql = _rewrite_right_semi_anti(sql)
     if re.search(r"(?i)\bHAVING\b", sql):
@@ -1303,8 +1313,12 @@ def dialect(sql: str) -> str:
         return m.group(0)
 
     if re.search(r"(?i)\bIN\s*\(", sql):
+        # paren-free list body only — keeps the scan LINEAR (a lazy
+        # alternation-quantifier here backtracked catastrophically on
+        # long function-call lists); lists containing parens are never
+        # candidates for the literal-coercion rewrite anyway
         sql = _sub_outside_literals(
-            r"(?i)\b(IN\s*\(\s*)((?:[^()']|'[^']*')*?)(\s*\))",
+            r"(?i)\b(IN\s*\(\s*)([^()]*?)(\s*\))",
             _in_mixed, sql)
 
         def _cast_char_in(m: re.Match) -> str:

@@ -1399,6 +1399,42 @@ MACROS: dict[str, Macro] = {
     # its registered alias
     "sm3": _mmh3_macro("__sm3"),
     "sm3sum": _mmh3_macro("__sm3"),
+    # Doris unhex renders TEXT (Spark's returns binary, which the
+    # collector shows as b'...'); money_format shares format_round's
+    # decimal-exact kernel (half-up, not format_number's half-even)
+    "unhex": _tpl("CAST(unhex({0}) AS STRING)"),
+    "money_format": _tpl(
+        "__format_round(CAST({0} AS STRING), 2, typeof({0}))"),
+    # initcap capitalizes after ANY non-alphanumeric (Spark only splits
+    # on whitespace); split_part: index 0/out-of-range -> NULL and
+    # negative indexes re-split from the RIGHT (python kernels)
+    "initcap": _tpl("__doris_initcap({0})"),
+    "split_part": (lambda args: (
+        f"__split_part({args[0]}, {args[1]}, CAST({args[2]} AS INT))"
+        if len(args) == 3
+        else "__KEEP__(" + ", ".join(args) + ")")),
+    # string<->int codec (function_encode_varchar.cpp): reversed bytes
+    # packed into the int's high bytes; largeint returns as text (the
+    # 127-bit range exceeds DECIMAL(38))
+    "encode_as_smallint": _tpl(
+        "CAST(__encode_varchar({0}, 2) AS SMALLINT)"),
+    "encode_as_int": _tpl("CAST(__encode_varchar({0}, 4) AS INT)"),
+    "encode_as_bigint": _tpl("CAST(__encode_varchar({0}, 8) AS BIGINT)"),
+    "encode_as_largeint": _tpl("__encode_varchar({0}, 16)"),
+    "decode_as_varchar": _tpl(
+        "__decode_varchar(CAST({0} AS STRING), typeof({0}))"),
+    # 1-arg format_number is the HUMANIZER (12345 -> '12.3K'); the
+    # 2-arg form stays Spark's native thousands formatter
+    "format_number": (lambda args: (
+        f"__format_number_human(CAST({args[0]} AS DOUBLE))"
+        if len(args) == 1
+        else "__KEEP__(" + ", ".join(args) + ")")),
+    # right(s, n<0) reads from position -n (left keeps native)
+    "right": (lambda args: (
+        f"CASE WHEN ({args[1]}) < 0 THEN substr({args[0]}, -({args[1]})) "
+        f"ELSE right({args[0]}, {args[1]}) END"
+        if len(args) == 2
+        else "__KEEP__(" + ", ".join(args) + ")")),
     # decimal-exact thousands formatting with MySQL half-up rounding;
     # DOUBLE inputs expand their exact binary value (DBL_MAX prints all
     # 309 digits — math_functions/test_format_round.groovy), so the
@@ -1432,10 +1468,17 @@ MACROS: dict[str, Macro] = {
     "is_null_pred": _tpl("(({0}) IS NULL)"),
     "is_not_null_pred": _tpl("(({0}) IS NOT NULL)"),
     # Spark's width_bucket requires DOUBLE operands; Doris accepts any
-    # numeric (decimal/int) — promote explicitly
+    # numeric (decimal/int) and coerces DATE/DATETIME through their
+    # packed-digit form (yyyyMMddHHmmss — 2e13 lands in the overflow
+    # bucket for 1e10 bounds, matching test_conditional_function)
     "width_bucket": _tpl(
-        "width_bucket(CAST({0} AS DOUBLE), CAST({1} AS DOUBLE), "
-        "CAST({2} AS DOUBLE), {3})"
+        "width_bucket(CAST(CASE "
+        "WHEN typeof({0}) = 'date' THEN "
+        "date_format(CAST(CAST({0} AS STRING) AS TIMESTAMP), 'yyyyMMdd') "
+        "WHEN typeof({0}) IN ('timestamp', 'timestamp_ntz') THEN "
+        "date_format(CAST(CAST({0} AS STRING) AS TIMESTAMP), "
+        "'yyyyMMddHHmmss') ELSE CAST({0} AS STRING) END AS DOUBLE), "
+        "CAST({1} AS DOUBLE), CAST({2} AS DOUBLE), {3})"
     ),
     "bitmap_agg": _tpl("array_sort(collect_set(CAST({0} AS BIGINT)))"),
     "bitmap_union": _tpl("array_sort(array_distinct(flatten(collect_list({0}))))"),

