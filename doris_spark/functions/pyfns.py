@@ -846,9 +846,20 @@ def register_math_kernels(spark: SparkSession) -> int:
             if v is None:
                 return None
             out, prev_alnum = [], False
-            for ch in v:
+            for i, ch in enumerate(v):
                 if ch.isalpha():
-                    out.append(ch.lower() if prev_alnum else ch.upper())
+                    if prev_alnum:
+                        # context-aware lower: Greek capital sigma at a
+                        # word end becomes FINAL sigma (ς), which a
+                        # per-char .lower() misses
+                        if ch == "Σ" and (
+                            i + 1 >= len(v) or not v[i + 1].isalpha()
+                        ):
+                            out.append("ς")
+                        else:
+                            out.append(ch.lower())
+                    else:
+                        out.append(ch.upper())
                 else:
                     out.append(ch)
                 prev_alnum = ch.isalnum()

@@ -488,6 +488,123 @@ _FROM_KWS = {
 }
 
 
+_UNNEST = re.compile(
+    r"(?i)(,|\bleft\s+outer\s+join\b|\bcross\s+join\b|\bjoin\b)\s*"
+    r"UNNEST\s*\(\s*"
+    r"((?:[^()']|'[^']*'|\([^()]*\))+?)\s*\)\s*"
+    r"(WITH\s+ORDINALITY\s+)?AS\s+`?(\w+)`?\s*\(\s*([\w`\s,]+?)\s*\)"
+    r"(\s+ON\s+TRUE\b)?",
+)
+_UNNEST_BARE_FROM = re.compile(
+    r"(?i)\bFROM\s+UNNEST\s*\(\s*((?:[^()']|'[^']*'|\([^()]*\))+?)\s*\)"
+    r"(?:\s+AS\s+`?(\w+)`?\s*\(\s*([\w`\s,]+?)\s*\))?",
+)
+
+
+def _split_args_top(text: str) -> list[str]:
+    out, depth, in_q, cur = [], 0, None, []
+    for ch in text:
+        if in_q:
+            cur.append(ch)
+            if ch == in_q:
+                in_q = None
+            continue
+        if ch in ("'", '"'):
+            in_q = ch
+            cur.append(ch)
+        elif ch in "([":
+            depth += 1
+            cur.append(ch)
+        elif ch in ")]":
+            depth -= 1
+            cur.append(ch)
+        elif ch == "," and depth == 0:
+            out.append("".join(cur).strip())
+            cur = []
+        else:
+            cur.append(ch)
+    if "".join(cur).strip():
+        out.append("".join(cur).strip())
+    return out
+
+
+def _is_map_col(expr: str) -> bool:
+    cm = re.fullmatch(r"\s*`?(?:\w+\.)?(\w+)`?\s*", expr)
+    if not cm:
+        return False
+    from doris_spark.plans import type_hints as th
+
+    return (th.lookup(cm.group(1)) or "").startswith("map")
+
+
+def _rewrite_unnest(sql: str) -> str:
+    """Doris `FROM t, UNNEST(arr) AS a(val[, pos])` (fe UnnestTableFn;
+    nereids_function_p0/unnest_* + gen_function/unnest.groovy):
+    - comma/JOIN form -> LATERAL VIEW explode/posexplode (pos 0-based);
+    - LEFT OUTER JOIN UNNEST(..) [ON TRUE] -> LATERAL VIEW OUTER;
+    - UNNEST(a, b, ...) zips the arrays padded to the longest
+      (inline(arrays_zip(..)));
+    - MAP columns (declared type via plans.type_hints) emit (key, value);
+    - a bare `FROM UNNEST(..)` gets a one-row anchor relation;
+    - SELECT-list UNNEST(x) is plain explode."""
+
+    def gen_for(expr: str, cols: list, outer: bool) -> str | None:
+        args = _split_args_top(expr)
+        sfx = "_outer" if outer else ""
+        if len(args) > 1 and len(args) == len(cols):
+            zipped = f"arrays_zip({', '.join(args)})"
+            fn = "inline_outer" if outer else "inline"
+            return f"{fn}({zipped})", ", ".join(cols)
+        if len(cols) == 1:
+            return f"explode{sfx}({expr})", cols[0]
+        if len(cols) == 2 and _is_map_col(expr):
+            return f"explode{sfx}({expr})", f"{cols[0]}, {cols[1]}"
+        if len(cols) == 2:
+            return (
+                f"posexplode{sfx}({expr})", f"{cols[1]}, {cols[0]}")
+        return None
+
+    def one(m: re.Match) -> str:
+        outer = "left" in m.group(1).lower()
+        cols = [c.strip().strip("`") for c in m.group(5).split(",")]
+        g = gen_for(m.group(2), cols, outer)
+        if g is None:
+            return m.group(0)
+        fn, alias_cols = g
+        kw = " OUTER" if outer else ""
+        return f" LATERAL VIEW{kw} {fn} {m.group(4)} AS {alias_cols}"
+
+    prev = None
+    while prev != sql:
+        prev = sql
+        sql = _UNNEST.sub(one, sql, count=1)
+
+    def bare(m: re.Match) -> str:
+        args = _split_args_top(m.group(1))
+        alias = m.group(2) or "__unnest"
+        cols = (
+            [c.strip().strip("`") for c in m.group(3).split(",")]
+            if m.group(3)
+            else [f"c{i + 1}" for i in range(max(len(args), 1))]
+        )
+        g = gen_for(m.group(1), cols, False)
+        if g is None and len(args) > 1:
+            g = (f"inline(arrays_zip({', '.join(args)}))",
+                 ", ".join(cols))
+        if g is None:
+            return m.group(0)
+        fn, alias_cols = g
+        return (
+            f"FROM (SELECT 1 AS __anchor) __one "
+            f"LATERAL VIEW {fn} {alias} AS {alias_cols}"
+        )
+
+    sql = _UNNEST_BARE_FROM.sub(bare, sql)
+    # remaining (select-list) UNNEST calls are plain explode
+    sql = _sub_outside_literals(r"(?i)\bUNNEST\s*\(", "explode(", sql)
+    return sql
+
+
 def _rewrite_right_semi_anti(sql: str) -> str:
     """Doris `A right semi|anti join B ON c` -> `B left semi|anti join A
     ON c` (Spark has no RIGHT SEMI/ANTI). Output columns come from B in
@@ -1215,6 +1332,8 @@ def dialect(sql: str) -> str:
             r"(?i)\[\s*NULL\s*\]", "[concat(char(0), 'null')]", sql)
     if _RIGHT_SEMI.search(sql):
         sql = _rewrite_right_semi_anti(sql)
+    if re.search(r"(?i)\bUNNEST\s*\(", sql):
+        sql = _rewrite_unnest(sql)
     if re.search(r"(?i)\bHAVING\b", sql):
         sql = _having_no_group(sql)
     if any(ord(ch) > 127 for ch in sql):
@@ -1280,7 +1399,7 @@ def dialect(sql: str) -> str:
     # casts go through the column_cast tier) —
     # conditional_functions/test_if.groovy jsonb_exists_path cases
     sql = _sub_outside_literals(
-        r"(?i)(\bjsonb?_\w+\s*\(\s*)CAST\s*\("
+        r"(?i)(\b(?:jsonb?_|explode_json_)\w+\s*\(\s*)CAST\s*\("
         r"((?:[^()']|'[^']*')+?)\s+AS\s+JSONB?\s*\)",
         lambda m: f"{m.group(1)}CAST(parse_json({m.group(2)}) AS STRING)",
         sql,

@@ -133,6 +133,11 @@ def test_type_hint_scope_skips_subquery_statements():
     rp._TABLE_META["th_outer_t"] = {
         "cols": [("k2", "smallint", False)], "seq_col": None,
     }
+    # the hazard needs an actual name collision: the subquery's table
+    # declares the SAME column name with a DIFFERENT type
+    rp._TABLE_META["other_t"] = {
+        "cols": [("k2", "int", False)], "seq_col": None,
+    }
     try:
         captured = {}
 
@@ -161,6 +166,7 @@ def test_type_hint_scope_skips_subquery_statements():
         )
     finally:
         rp._TABLE_META.pop("th_outer_t", None)
+        rp._TABLE_META.pop("other_t", None)
 
 
 def test_codebook_disk_sidecar_cross_process_reuse(spark, tmp_path):

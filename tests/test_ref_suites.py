@@ -136,8 +136,8 @@ def test_function_p0_suite_floor():
     line, res = _run(
         "function_p0", "/tmp/ref_suites_function.json", timeout=2400
     )
-    assert res["total"] >= 8221, line
-    assert res["passed"] >= 8200, line + "\n" + json.dumps(
+    assert res["total"] >= 8239, line
+    assert res["passed"] >= 8215, line + "\n" + json.dumps(
         res["failures"][:10], indent=1
     )
     assert res["files_green"] >= 130, line
@@ -269,3 +269,21 @@ def test_sql_functions_math_hash_encryption_floor():
     assert res["passed"] >= 475, line + "\n" + json.dumps(
         res["failures"][:10], indent=1)
     assert res["files_green"] >= 15, line
+
+
+def test_sql_functions_time_lut_full_green():
+    """query_p0/sql_functions/datetime_functions/test_time_lut.groovy:
+    a 10,200-case generated matrix (year x month x WEEK-mode) over
+    week/yearweek — fully green after round 10's 8-mode yearweek kernel
+    with two-direction year rollover (pyfns.__yearweek). Floor 10,150
+    tolerates environment noise. The rest of the string/datetime family
+    is round-11 work (first scout: 9,950/13,133 before this round's
+    string fixes; concurrent-runner fixture contention prevented a
+    clean full-family re-measure this round)."""
+    line, res = _run(
+        "query_p0/sql_functions/datetime_functions/test_time_lut.groovy",
+        "/tmp/ref_suites_timelut.json", timeout=2400,
+    )
+    assert res["total"] >= 10200, line
+    assert res["passed"] >= 10150, line + "\n" + json.dumps(
+        res["failures"][:10], indent=1)

@@ -1037,6 +1037,24 @@ def parse_suite_files(groovy_path: str, out_path: str | None = None):
             )
         }
     )
+    # concat defs: `def tb = prefix + "table1"` / `def tb = "t_" + sfx`
+    for _ in range(3):
+        for m in re.finditer(
+            r"(?:def|String)\s+(\w+)\s*=\s*(\w+)\s*\+\s*"
+            r"(?:\"([^\"]*)\"|'([^']*)')",
+            src,
+        ):
+            if m.group(2) in gvars and m.group(1) not in gvars:
+                gvars[m.group(1)] = gvars[m.group(2)] + (
+                    m.group(3) or m.group(4) or "")
+        for m in re.finditer(
+            r"(?:def|String)\s+(\w+)\s*=\s*(?:\"([^\"]*)\"|'([^']*)')"
+            r"\s*\+\s*(\w+)",
+            src,
+        ):
+            if m.group(4) in gvars and m.group(1) not in gvars:
+                gvars[m.group(1)] = (
+                    m.group(2) or m.group(3) or "") + gvars[m.group(4)]
     # values may interpolate earlier vars (String v = "${suiteName}_view")
     for _ in range(3):
         changed_g = False
@@ -5996,18 +6014,29 @@ def run_case(eng, sql: str, expected: list[str], ordered: bool = False):
         r"\s*(?:\bWHERE\b|\bGROUP\b|\bORDER\b|\bLIMIT\b|\bHAVING\b|;|$)",
         sql,
     )
-    # scope only truly single-table statements: a second SELECT/FROM
-    # means an IN/EXISTS/scalar subquery whose columns may share names
-    # with the outer table but carry different declared types — scoping
-    # would rewrite the subquery with the wrong type
-    if (
-        _sfm
-        and not re.search(r"(?i)\bjoin\b", sql)
-        and len(re.findall(r"(?i)\bselect\b", sql)) == 1
-        and len(re.findall(r"(?i)\bfrom\b", sql)) == 1
-    ):
+    # scope single-outer-table statements. A subquery whose FROM table
+    # shares a column NAME with the outer table would inherit the wrong
+    # declared type (the ADVICE r9 hazard), so scoping is skipped only
+    # when such a name collision actually exists — blanket-skipping on
+    # any subquery regressed the packed-digit datetime casts
+    # (query_p0/join/test_bitmap_filter.groovy sql11).
+    if _sfm and not re.search(r"(?i)\bjoin\b", sql):
         _smeta = _TABLE_META.get(_sfm.group(1).lower())
-        if _smeta and _smeta.get("cols"):
+        _collide = False
+        if _smeta and len(re.findall(r"(?i)\bfrom\b", sql)) > 1:
+            _outer_cols = {
+                c.lower() for c, _t, _nn in _smeta.get("cols", [])
+            }
+            for _t2 in re.findall(
+                r"(?i)\bfrom\s+(?:`?\w+`?\.)?`?(\w+)`?", sql
+            )[1:]:
+                _m2 = _TABLE_META.get(_t2.lower())
+                if _m2 and _m2 is not _smeta and _outer_cols & {
+                    c.lower() for c, _t, _nn in _m2.get("cols", [])
+                }:
+                    _collide = True
+                    break
+        if _smeta and _smeta.get("cols") and not _collide:
             _th.set_scope((c, t) for c, t, _nn in _smeta["cols"])
     try:
         return _run_case_scoped(eng, sql, expected, ordered,
