@@ -895,16 +895,19 @@ class Engine:
         name = m.group(1)
         if name not in self._meta:
             try:
-                if self.spark.catalog.tableExists(name):
-                    handled = self._catalog_insert_complex(name, text, m)
-                    if handled is not None:
-                        return handled
-                    # real catalog table: Spark SQL handles the INSERT
-                    return None
-            except ValueError:
-                raise
+                exists = self.spark.catalog.tableExists(name)
             except Exception:
-                pass
+                exists = False
+            if exists:
+                # errors raised inside the complex-insert path (e.g. a
+                # failed insertInto after from_json conversion) must
+                # surface as themselves, not as the misleading
+                # "not an insertable keys-model table" below
+                handled = self._catalog_insert_complex(name, text, m)
+                if handled is not None:
+                    return handled
+                # real catalog table: Spark SQL handles the INSERT
+                return None
             raise ValueError(f"{name} is not an insertable keys-model table")
         cols = (
             [c.strip().strip("`") for c in m.group(3).split(",")]

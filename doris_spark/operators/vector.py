@@ -304,12 +304,15 @@ def train_ivf_codebook(
             # semanticHash() — because canonicalization normalizes
             # exprIds positionally, making the string identical across
             # processes; semanticHash differs per JVM, which would
-            # defeat the disk sidecar for cold runs.
+            # defeat the disk sidecar for cold runs. toJSON — not
+            # toString() — because toString truncates field lists at
+            # spark.sql.debug.maxToStringFields ('... N more fields'),
+            # which could collide two distinct wide corpora on one key.
             import hashlib
 
             sem = hashlib.sha256(
                 corpus._jdf.queryExecution().analyzed().canonicalized()
-                .toString().encode()
+                .toJSON().encode()
             ).hexdigest()
             ck = (tuple(stats), sem, vec_col, id_col, n_centroids,
                   iters, round_dp)

@@ -277,23 +277,11 @@ def _packed_digits(col: str, is_date: bool, dst: str) -> str:
 
 
 def _scan_balanced(s: str, i: int) -> int:
-    """i points at '('; return index just past the matching ')'."""
-    depth, in_str = 0, None
-    while i < len(s):
-        c = s[i]
-        if in_str:
-            if c == in_str:
-                in_str = None
-        elif c in ("'", '"'):
-            in_str = c
-        elif c == "(":
-            depth += 1
-        elif c == ")":
-            depth -= 1
-            if depth == 0:
-                return i + 1
-        i += 1
-    return i
+    """i points at '('; return index just past the matching ')'.
+    Delegates to the shared tokenizer (plans/sqltok.py)."""
+    from doris_spark.plans.sqltok import find_close
+
+    return min(find_close(s, i) + 1, len(s))
 
 
 _JC_HEAD = re.compile(r"\bcast\s*\(\s*", re.I)
@@ -443,27 +431,10 @@ def rewrite_column_casts(sql: str, col_types, strict: bool) -> str:
 
 
 def _split_top_commas(s: str) -> list[str]:
-    items, depth, buf, q = [], 0, [], None
-    for ch in s:
-        if q:
-            buf.append(ch)
-            if ch == q:
-                q = None
-            continue
-        if ch in ("'", '"'):
-            q = ch
-        elif ch == "(":
-            depth += 1
-        elif ch == ")":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            items.append("".join(buf))
-            buf = []
-            continue
-        buf.append(ch)
-    if "".join(buf).strip():
-        items.append("".join(buf))
-    return items
+    """Shared-tokenizer top-level comma split (plans/sqltok.py)."""
+    from doris_spark.plans.sqltok import split_args_top
+
+    return split_args_top(s)
 
 
 def _order_by_hits_rewrite(head: str, tail: str) -> bool:

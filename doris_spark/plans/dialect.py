@@ -23,33 +23,13 @@ _MYSQL_FMT = {
 }
 
 
-def _lit_spans(text: str) -> list[tuple[int, int]]:
-    """[start, end) spans of '...' / "..." string literals.
-
-    Handles MySQL-style escapes INSIDE a literal: backslash-escaped
-    quotes (``'a\\'b'``) and doubled-quote escapes (``'a''b'``) do not
-    terminate the span — otherwise the literal's tail would be
-    classified as code and LIMIT/XOR/dual rewrites could corrupt it."""
-    spans, i, n = [], 0, len(text)
-    while i < n:
-        c = text[i]
-        if c in ("'", '"'):
-            j = i + 1
-            while j < n:
-                if text[j] == "\\":
-                    j += 2
-                    continue
-                if text[j] == c:
-                    if j + 1 < n and text[j + 1] == c:  # doubled-quote escape
-                        j += 2
-                        continue
-                    break
-                j += 1
-            spans.append((i, min(j + 1, n)))
-            i = j + 1
-        else:
-            i += 1
-    return spans
+# canonical scanners live in plans/sqltok.py (one tokenizer for every
+# rewrite tier); these names stay for this module's many call sites and
+# for typed_arith's historical `from dialect import _lit_spans`
+from doris_spark.plans.sqltok import lit_spans as _lit_spans  # noqa: E402
+from doris_spark.plans.sqltok import (  # noqa: E402
+    sub_outside_literals as _sub_outside_literals,
+)
 
 
 _MAKE_IVL = {
@@ -72,23 +52,7 @@ def make_interval_expr(count: str, unit: str) -> str | None:
     return tpl.format(e=count) if tpl else None
 
 
-def _sub_outside_literals(pattern, repl, text: str, flags=0) -> str:
-    """re.sub that skips matches starting inside string literals — the
-    whole-text rewrites (LIMIT offset,count / XOR / join hints / bare-int
-    truthiness) must never corrupt '... LIMIT 1,2' inside a quoted
-    string."""
-    pat = re.compile(pattern, flags) if isinstance(pattern, str) else pattern
-    spans = _lit_spans(text)
-
-    def guarded(m: re.Match) -> str:
-        if any(a <= m.start() < b for a, b in spans):
-            return m.group(0)
-        return repl(m) if callable(repl) else m.expand(repl)
-
-    # spans computed once are valid because guarded() returns the
-    # original text for in-literal matches (no length change there), and
-    # re.sub scans left-to-right over the ORIGINAL string.
-    return pat.sub(guarded, text)
+# _sub_outside_literals: imported from sqltok above.
 
 
 def _xlate_fmt(fmt: str) -> str:
@@ -501,31 +465,70 @@ _UNNEST_BARE_FROM = re.compile(
 )
 
 
-def _split_args_top(text: str) -> list[str]:
-    out, depth, in_q, cur = [], 0, None, []
-    for ch in text:
-        if in_q:
-            cur.append(ch)
-            if ch == in_q:
-                in_q = None
+from doris_spark.plans.sqltok import (  # noqa: E402
+    split_args_top as _split_args_top,
+)
+
+
+_NULL_SUB = re.compile(r"(?i)\[\s*NULL\s*\]")
+
+
+def _rewrite_null_subscript(sql: str) -> str:
+    """`base[NULL]` -> `base[concat(char(0),'null')]` ONLY where the
+    base is a map_agg(..) call, a chained subscript, or a name NOT
+    declared array-typed (plans.type_hints). Arrays keep their NULL
+    index; other bases keep the old sentinel lookup (NULL result,
+    same as Doris)."""
+    spans = _lit_spans(sql)
+    out, last = [], 0
+    for m in _NULL_SUB.finditer(sql):
+        if any(a <= m.start() < b for a, b in spans):
             continue
-        if ch in ("'", '"'):
-            in_q = ch
-            cur.append(ch)
-        elif ch in "([":
-            depth += 1
-            cur.append(ch)
-        elif ch in ")]":
-            depth -= 1
-            cur.append(ch)
-        elif ch == "," and depth == 0:
-            out.append("".join(cur).strip())
-            cur = []
-        else:
-            cur.append(ch)
-    if "".join(cur).strip():
-        out.append("".join(cur).strip())
-    return out
+        i = m.start() - 1
+        while i >= 0 and sql[i] in " \t\n":
+            i -= 1
+        rewrite = True
+        if i >= 0 and sql[i] == ")":
+            # call base: rewrite only for map_agg(..)
+            depth, j, in_q = 0, i, None
+            while j >= 0:
+                c = sql[j]
+                if in_q:
+                    if c == in_q:
+                        in_q = None
+                elif c in ("'", '"'):
+                    in_q = c
+                elif c == ")":
+                    depth += 1
+                elif c == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            k = j - 1
+            while k >= 0 and sql[k] in " \t\n":
+                k -= 1
+            e = k
+            while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                k -= 1
+            rewrite = sql[k + 1 : e + 1].lower() == "map_agg"
+        elif i >= 0 and (sql[i].isalnum() or sql[i] in "_`"):
+            e = i
+            if sql[i] == "`":
+                e -= 1
+            k = e
+            while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                k -= 1
+            name = sql[k + 1 : e + 1]
+            from doris_spark.plans import type_hints as th
+
+            rewrite = not (th.lookup(name) or "").startswith("array")
+        if rewrite:
+            out.append(sql[last : m.start()])
+            out.append("[concat(char(0), 'null')]")
+            last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
 
 
 def _is_map_col(expr: str) -> bool:
@@ -1327,9 +1330,11 @@ def dialect(sql: str) -> str:
         # null keys) — a [null] subscript over one of its maps must
         # look up that sentinel (query_p0/aggregate/map_agg.groovy
         # test_null); sentinel lookups on maps WITHOUT null keys return
-        # NULL, same as Doris
-        sql = _sub_outside_literals(
-            r"(?i)\[\s*NULL\s*\]", "[concat(char(0), 'null')]", sql)
+        # NULL, same as Doris. Scoped: only subscripts whose base is a
+        # map_agg(..) call or a non-array-typed name (array[NULL] must
+        # stay a NULL index, and other maps' [NULL] stays NULL anyway
+        # but string-keying an int-keyed map would break analysis).
+        sql = _rewrite_null_subscript(sql)
     if _RIGHT_SEMI.search(sql):
         sql = _rewrite_right_semi_anti(sql)
     if re.search(r"(?i)\bUNNEST\s*\(", sql):

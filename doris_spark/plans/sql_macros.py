@@ -2662,33 +2662,19 @@ _IDENT = re.compile(r"[A-Za-z_][A-Za-z0-9_]*")
 
 
 def _split_top(s: str) -> list[str]:
-    out, depth, cur, i = [], 0, [], 0
-    in_str = None
-    while i < len(s):
-        ch = s[i]
-        if in_str:
-            cur.append(ch)
-            if ch == in_str:
-                in_str = None
-            i += 1
-            continue
-        if ch in ("'", '"'):
-            in_str = ch
-        elif ch in "([":
-            depth += 1
-        elif ch in ")]":
-            depth -= 1
-        elif ch == "," and depth == 0:
-            out.append("".join(cur).strip())
-            cur = []
-            i += 1
-            continue
-        cur.append(ch)
-        i += 1
-    tail = "".join(cur).strip()
-    if tail or out:
-        out.append(tail)
-    return out
+    """Top-level comma split via the shared tokenizer (plans/sqltok.py),
+    preserving this module's historical trailing-empty-arg semantics
+    (`f(a,)` -> ['a', '']) which the shared splitter drops."""
+    from doris_spark.plans.sqltok import split_args_top
+
+    parts = split_args_top(s + "\x00")
+    if parts and parts[-1] == "\x00":
+        parts[-1] = ""
+    elif parts and parts[-1].endswith("\x00"):
+        parts[-1] = parts[-1][:-1].rstrip()
+    if parts == [""]:
+        return []
+    return parts
 
 
 _SET_LC = re.compile(
@@ -2868,17 +2854,21 @@ def rewrite(sql: str) -> str:
         from doris_spark.plans.asof_sql import rewrite_asof
 
         sql = rewrite_asof(sql)
+    from doris_spark.plans.sqltok import find_close, lit_spans
+
     out = []
     i = 0
     n = len(sql)
+    lits = lit_spans(sql)
+    lit_by_start = {a: b for a, b in lits}
     while i < n:
         ch = sql[i]
         if ch in ("'", '"'):
-            j = i + 1
-            while j < n and sql[j] != ch:
-                j += 1
-            out.append(sql[i : j + 1])
-            i = j + 1
+            # shared-tokenizer literal span (escape-aware — a macro name
+            # inside 'a\'b || substr(x)' must not be expanded)
+            j = lit_by_start.get(i, i + 1)
+            out.append(sql[i:j])
+            i = j
             continue
         m = _IDENT.match(sql, i)
         if m:
@@ -2887,22 +2877,7 @@ def rewrite(sql: str) -> str:
             while j < n and sql[j] in " \t\n":
                 j += 1
             if j < n and sql[j] == "(" and name.lower() in MACROS:
-                # balanced close paren, quote-aware
-                depth, k, in_str = 0, j, None
-                while k < n:
-                    c = sql[k]
-                    if in_str:
-                        if c == in_str:
-                            in_str = None
-                    elif c in ("'", '"'):
-                        in_str = c
-                    elif c == "(":
-                        depth += 1
-                    elif c == ")":
-                        depth -= 1
-                        if depth == 0:
-                            break
-                    k += 1
+                k = find_close(sql, j)  # balanced close, quote-aware
                 inner = sql[j + 1 : k]
                 args = [rewrite(a) for a in _split_top(inner)]
                 expansion = MACROS[name.lower()](args)
@@ -2919,21 +2894,7 @@ def rewrite(sql: str) -> str:
                         while q < n and sql[q] in " \t\n":
                             q += 1
                         if q < n and sql[q] == "(":
-                            depth2, r, in_s2 = 0, q, None
-                            while r < n:
-                                cr = sql[r]
-                                if in_s2:
-                                    if cr == in_s2:
-                                        in_s2 = None
-                                elif cr in ("'", '"'):
-                                    in_s2 = cr
-                                elif cr == "(":
-                                    depth2 += 1
-                                elif cr == ")":
-                                    depth2 -= 1
-                                    if depth2 == 0:
-                                        break
-                                r += 1
+                            r = find_close(sql, q)
                             expansion = _attach_over(
                                 expansion, "OVER " + sql[q : r + 1]
                             )

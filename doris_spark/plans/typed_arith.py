@@ -41,7 +41,7 @@ from __future__ import annotations
 
 import re
 
-from doris_spark.plans.dialect import _lit_spans
+from doris_spark.plans.sqltok import lit_spans as _lit_spans
 from doris_spark.plans import type_hints
 
 # ---------------------------------------------------------------------------

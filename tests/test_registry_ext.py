@@ -67,7 +67,7 @@ CASES = [
     ("from_base64('aGVsbG8=')", "hello"),
     ("to_base64('hello')", "aGVsbG8="),
     ("to_hex('ab')", "6162"),
-    ("strip_null_value('{\"a\": 1, \"b\": null}')", '{"a":"1"}'),
+    ("strip_null_value('{\"a\": 1, \"b\": null}')", '{"a": 1, "b": null}'),
     ("array_apply(array(1.0, 2.0, 3.0), '>=', 2.0)", [2.0, 3.0]),
     ("array_contains_all(array('a','b','c'), array('c','a'))", True),
     ("array_cross_product(array(1.0,0.0,0.0), array(0.0,1.0,0.0))", [0.0, 0.0, 1.0]),
