@@ -517,8 +517,13 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
     "bitmap_to_array": ("b ARRAY<BIGINT>", "b"),
     "bitmap_to_string": ("b ARRAY<BIGINT>", "array_join(b, ',')"),
     "bitmap_from_string": (
+        # ANY unparsable/negative element -> NULL bitmap, not a partial
+        # one (be BitmapFunctions::bitmap_from_string; pinned by
+        # gen_function/unnest_bitmap_border_test '1,null,3' -> 0 rows)
         "s STRING",
         "CASE WHEN s = '' THEN CAST(array() AS ARRAY<BIGINT>) "
+        "WHEN exists(split(s, ','), x -> CAST(trim(x) AS BIGINT) IS NULL "
+        "OR CAST(trim(x) AS BIGINT) < 0) THEN NULL "
         "ELSE array_sort(array_distinct(transform(split(s, ','), x -> CAST(trim(x) AS BIGINT)))) END",
     ),
     "bitmap_from_array": ("a ARRAY<BIGINT>", "array_sort(array_distinct(a))"),

@@ -71,6 +71,37 @@ def register(spark) -> None:
         return cf._render(("dec", s.normalize(), None, None))
 
     spark.udf.register("__dec256_fold", _fold, "string")
+
+    def _int128_fold(vals, op):
+        """Exact group_bit_{and,or,xor} over LARGEINT: int128
+        two's-complement bitwise fold over collected exact-digit
+        strings (be/src AggregateFunctionBitwise over Int128 — the
+        DOUBLE column backing loses bits past 2^53)."""
+        nums = []
+        for x in vals or []:
+            if x is None:
+                continue
+            try:
+                nums.append(int(Decimal(x)))
+            except Exception:
+                return None
+        if not nums:
+            return None
+        mask = (1 << 128) - 1
+        acc = nums[0] & mask
+        for v in nums[1:]:
+            v &= mask
+            if op == "and":
+                acc &= v
+            elif op == "or":
+                acc |= v
+            else:
+                acc ^= v
+        if acc >= 1 << 127:
+            acc -= 1 << 128
+        return str(acc)
+
+    spark.udf.register("__int128_fold", _int128_fold, "string")
     _REGISTERED.add(key)
 
 

@@ -452,162 +452,6 @@ _FROM_KWS = {
 }
 
 
-_UNNEST = re.compile(
-    r"(?i)(,|\bleft\s+outer\s+join\b|\bcross\s+join\b|\bjoin\b)\s*"
-    r"UNNEST\s*\(\s*"
-    r"((?:[^()']|'[^']*'|\([^()]*\))+?)\s*\)\s*"
-    r"(WITH\s+ORDINALITY\s+)?AS\s+`?(\w+)`?\s*\(\s*([\w`\s,]+?)\s*\)"
-    r"(\s+ON\s+TRUE\b)?",
-)
-_UNNEST_BARE_FROM = re.compile(
-    r"(?i)\bFROM\s+UNNEST\s*\(\s*((?:[^()']|'[^']*'|\([^()]*\))+?)\s*\)"
-    r"(?:\s+AS\s+`?(\w+)`?\s*\(\s*([\w`\s,]+?)\s*\))?",
-)
-
-
-from doris_spark.plans.sqltok import (  # noqa: E402
-    split_args_top as _split_args_top,
-)
-
-
-_NULL_SUB = re.compile(r"(?i)\[\s*NULL\s*\]")
-
-
-def _rewrite_null_subscript(sql: str) -> str:
-    """`base[NULL]` -> `base[concat(char(0),'null')]` ONLY where the
-    base is a map_agg(..) call, a chained subscript, or a name NOT
-    declared array-typed (plans.type_hints). Arrays keep their NULL
-    index; other bases keep the old sentinel lookup (NULL result,
-    same as Doris)."""
-    spans = _lit_spans(sql)
-    out, last = [], 0
-    for m in _NULL_SUB.finditer(sql):
-        if any(a <= m.start() < b for a, b in spans):
-            continue
-        i = m.start() - 1
-        while i >= 0 and sql[i] in " \t\n":
-            i -= 1
-        rewrite = True
-        if i >= 0 and sql[i] == ")":
-            # call base: rewrite only for map_agg(..)
-            depth, j, in_q = 0, i, None
-            while j >= 0:
-                c = sql[j]
-                if in_q:
-                    if c == in_q:
-                        in_q = None
-                elif c in ("'", '"'):
-                    in_q = c
-                elif c == ")":
-                    depth += 1
-                elif c == "(":
-                    depth -= 1
-                    if depth == 0:
-                        break
-                j -= 1
-            k = j - 1
-            while k >= 0 and sql[k] in " \t\n":
-                k -= 1
-            e = k
-            while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
-                k -= 1
-            rewrite = sql[k + 1 : e + 1].lower() == "map_agg"
-        elif i >= 0 and (sql[i].isalnum() or sql[i] in "_`"):
-            e = i
-            if sql[i] == "`":
-                e -= 1
-            k = e
-            while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
-                k -= 1
-            name = sql[k + 1 : e + 1]
-            from doris_spark.plans import type_hints as th
-
-            rewrite = not (th.lookup(name) or "").startswith("array")
-        if rewrite:
-            out.append(sql[last : m.start()])
-            out.append("[concat(char(0), 'null')]")
-            last = m.end()
-    out.append(sql[last:])
-    return "".join(out)
-
-
-def _is_map_col(expr: str) -> bool:
-    cm = re.fullmatch(r"\s*`?(?:\w+\.)?(\w+)`?\s*", expr)
-    if not cm:
-        return False
-    from doris_spark.plans import type_hints as th
-
-    return (th.lookup(cm.group(1)) or "").startswith("map")
-
-
-def _rewrite_unnest(sql: str) -> str:
-    """Doris `FROM t, UNNEST(arr) AS a(val[, pos])` (fe UnnestTableFn;
-    nereids_function_p0/unnest_* + gen_function/unnest.groovy):
-    - comma/JOIN form -> LATERAL VIEW explode/posexplode (pos 0-based);
-    - LEFT OUTER JOIN UNNEST(..) [ON TRUE] -> LATERAL VIEW OUTER;
-    - UNNEST(a, b, ...) zips the arrays padded to the longest
-      (inline(arrays_zip(..)));
-    - MAP columns (declared type via plans.type_hints) emit (key, value);
-    - a bare `FROM UNNEST(..)` gets a one-row anchor relation;
-    - SELECT-list UNNEST(x) is plain explode."""
-
-    def gen_for(expr: str, cols: list, outer: bool) -> str | None:
-        args = _split_args_top(expr)
-        sfx = "_outer" if outer else ""
-        if len(args) > 1 and len(args) == len(cols):
-            zipped = f"arrays_zip({', '.join(args)})"
-            fn = "inline_outer" if outer else "inline"
-            return f"{fn}({zipped})", ", ".join(cols)
-        if len(cols) == 1:
-            return f"explode{sfx}({expr})", cols[0]
-        if len(cols) == 2 and _is_map_col(expr):
-            return f"explode{sfx}({expr})", f"{cols[0]}, {cols[1]}"
-        if len(cols) == 2:
-            return (
-                f"posexplode{sfx}({expr})", f"{cols[1]}, {cols[0]}")
-        return None
-
-    def one(m: re.Match) -> str:
-        outer = "left" in m.group(1).lower()
-        cols = [c.strip().strip("`") for c in m.group(5).split(",")]
-        g = gen_for(m.group(2), cols, outer)
-        if g is None:
-            return m.group(0)
-        fn, alias_cols = g
-        kw = " OUTER" if outer else ""
-        return f" LATERAL VIEW{kw} {fn} {m.group(4)} AS {alias_cols}"
-
-    prev = None
-    while prev != sql:
-        prev = sql
-        sql = _UNNEST.sub(one, sql, count=1)
-
-    def bare(m: re.Match) -> str:
-        args = _split_args_top(m.group(1))
-        alias = m.group(2) or "__unnest"
-        cols = (
-            [c.strip().strip("`") for c in m.group(3).split(",")]
-            if m.group(3)
-            else [f"c{i + 1}" for i in range(max(len(args), 1))]
-        )
-        g = gen_for(m.group(1), cols, False)
-        if g is None and len(args) > 1:
-            g = (f"inline(arrays_zip({', '.join(args)}))",
-                 ", ".join(cols))
-        if g is None:
-            return m.group(0)
-        fn, alias_cols = g
-        return (
-            f"FROM (SELECT 1 AS __anchor) __one "
-            f"LATERAL VIEW {fn} {alias} AS {alias_cols}"
-        )
-
-    sql = _UNNEST_BARE_FROM.sub(bare, sql)
-    # remaining (select-list) UNNEST calls are plain explode
-    sql = _sub_outside_literals(r"(?i)\bUNNEST\s*\(", "explode(", sql)
-    return sql
-
-
 def _rewrite_right_semi_anti(sql: str) -> str:
     """Doris `A right semi|anti join B ON c` -> `B left semi|anti join A
     ON c` (Spark has no RIGHT SEMI/ANTI). Output columns come from B in
@@ -1338,7 +1182,9 @@ def dialect(sql: str) -> str:
     if _RIGHT_SEMI.search(sql):
         sql = _rewrite_right_semi_anti(sql)
     if re.search(r"(?i)\bUNNEST\s*\(", sql):
-        sql = _rewrite_unnest(sql)
+        from doris_spark.plans.unnest_rewrite import rewrite_unnest
+
+        sql = rewrite_unnest(sql)
     if re.search(r"(?i)\bHAVING\b", sql):
         sql = _having_no_group(sql)
     if any(ord(ch) > 127 for ch in sql):

@@ -122,6 +122,26 @@ def _lambda_first(spark_name: str) -> Macro:
     return m
 
 
+def _group_bit(op: str, args: Sequence[str]) -> str:
+    """group_bit_{and,or,xor}: exact int128 over LARGEINT via the
+    __x256_ shadow; BIGINT cast for unshadowed largeint hints; plain
+    Spark bit_{op} otherwise."""
+    a = args[0].strip() if args else ""
+    cm = re.fullmatch(r"`?(?:\w+\.)?(\w+)`?", a)
+    if cm:
+        from doris_spark.plans import type_hints as th
+
+        name = cm.group(1)
+        if (th.lookup(name) or "") == "largeint":
+            if th.has_shadow(name):
+                shadow = f"__x256_{name.lower()}"
+                return (f"__int128_fold(collect_list("
+                        f"coalesce({shadow}, CAST({a} AS STRING))), "
+                        f"'{op}')")
+            return f"bit_{op}(CAST({a} AS BIGINT))"
+    return f"bit_{op}({a})"
+
+
 def _bit_count(args: Sequence[str]) -> str:
     """Doris bit_count counts 1-bits at the ARGUMENT's type width
     (bit_count(tinyint -1) = 8); Spark's is fixed 64-bit. Integer
@@ -1298,9 +1318,14 @@ MACROS: dict[str, Macro] = {
     ),
     "booland_agg": _rename("bool_and"),
     "boolor_agg": _rename("bool_or"),
-    "group_bit_and": _rename("bit_and"),
-    "group_bit_or": _rename("bit_or"),
-    "group_bit_xor": _rename("bit_xor"),
+    # group_bit_* (nereids_function_p0/agg_function/agg.groovy
+    # LargeInt family): LARGEINT columns are DOUBLE-backed, so bit ops
+    # route through the exact-digit __x256_ shadow as an int128
+    # two's-complement fold (plans/column_cast.py __int128_fold);
+    # non-shadowed largeint hints fall back to a BIGINT cast
+    "group_bit_and": lambda a: _group_bit("and", a),
+    "group_bit_or": lambda a: _group_bit("or", a),
+    "group_bit_xor": lambda a: _group_bit("xor", a),
     "ds_hll_estimate": _rename("approx_count_distinct"),
     "datasketches_hll_estimate": _rename("approx_count_distinct"),
     # empty group -> [] (Doris percentile_array contract)
@@ -1582,7 +1607,10 @@ MACROS: dict[str, Macro] = {
     # bitmap cardinality over the array representation (Spark's builtin
     # bitmap_count reads its own BINARY bitmaps and cannot be shadowed
     # by a SQL UDF)
-    "bitmap_count": _tpl("coalesce(size({0}), 0)"),
+    "bitmap_count": _tpl(
+        # NULL bitmap counts 0 (legacy sizeOfNull renders size(NULL)
+        # as -1, not NULL — greatest clamps both modes)
+        "coalesce(greatest(size({0}), 0), 0)"),
     # variadic bit_test(x, pos...): 1 iff EVERY listed bit is set
     # NULL in any argument propagates (CAST(boolean AS INT) keeps NULL)
     "bit_test": _bit_test_macro,

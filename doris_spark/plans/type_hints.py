@@ -49,6 +49,21 @@ def lookup(key: str) -> str | None:
     return COLUMN_TYPES.get(k)
 
 
+# columns that carry an exact-digit `__x256_<name>` STRING shadow twin
+# (DECIMAL256 / LARGEINT — created by the DDL paths that narrow them);
+# rewrites may reference the shadow ONLY for names registered here
+SHADOWED: set[str] = set()
+
+
+def register_shadowed(names) -> None:
+    for n in names:
+        SHADOWED.add(str(n).strip("`").lower())
+
+
+def has_shadow(key: str) -> bool:
+    return str(key).strip("`").lower() in SHADOWED
+
+
 def register_columns(cols) -> None:
     """cols: iterable of (name, doris_type_string)."""
     for name, typ in cols:

@@ -1614,6 +1614,7 @@ def translate_ddl(sql: str) -> str | None:
         elif re.match(r"bitmap\b", typ, re.I):
             _defaults[cm.group(1).lower()] = "CAST(array() AS ARRAY<BIGINT>)"
         _raw = re.sub(r"\s+(DEFAULT)\b.*$", "", _raw, flags=re.I | re.S)
+        _raw = re.sub(r"\s+KEY\s*$", "", _raw, flags=re.I)
         _doris_type = re.sub(r"\s*([<>,():])\s*", r"\1", _raw.strip()).lower()
         raw_cols.append((cm.group(1), _doris_type, _notnull))
         # strip per-column AGG_KEYS aggregate type and column attributes
@@ -1663,6 +1664,10 @@ def translate_ddl(sql: str) -> str | None:
         )
         typ = re.sub(r"\s+(NOT\s+)?NULL\b.*$", "", typ, flags=re.I)
         typ = re.sub(r"\s+(COMMENT|DEFAULT)\b.*$", "", typ, flags=re.I | re.S)
+        # inline key-column shorthand (`id INT KEY` — DorisParser
+        # columnDef KEY attribute, gen_function/unnest.groovy); trailing
+        # only, so STRUCT<key: INT> field names survive
+        typ = re.sub(r"\s+KEY\s*$", "", typ, flags=re.I)
         # trailing \b: struct FIELD NAMES like datetime_col must not be
         # mistaken for the type spelling (pinned by struct-md.groovy)
         typ = re.sub(r"\bTIMESTAMPTZ\b\s*(\(\s*\d+\s*\))?", "TIMESTAMP", typ, flags=re.I)
@@ -1825,9 +1830,13 @@ def translate_ddl(sql: str) -> str | None:
     }
     # engine-level column-type hints: scale-sensitive string macros
     # (array_join over array<datetimev2(n)>) need the DECLARED Doris type
-    from doris_spark.plans.type_hints import register_columns
+    from doris_spark.plans.type_hints import (
+        register_columns,
+        register_shadowed,
+    )
 
     register_columns((c, t) for c, t, _nn in raw_cols)
+    register_shadowed(dec256)
     if "." in name:
         # qualified name: register the bare name too (suites mix
         # `db.table` and in-db bare references)
@@ -2479,8 +2488,19 @@ def run_setup(eng, sql: str) -> None:
     if not sql.lstrip().startswith("__STREAM_LOAD__"):
         parts = _split_statements(sql)
         if len(parts) > 1:
+            # one failing statement must not abandon the rest of a
+            # multi_sql block (unnest.groovy: an unsupported CREATE
+            # aborted every later CREATE/INSERT, emptying the fixtures);
+            # the first error still surfaces to the caller afterwards
+            first_exc = None
             for p in parts:
-                run_setup(eng, p)
+                try:
+                    run_setup(eng, p)
+                except Exception as exc:
+                    if first_exc is None:
+                        first_exc = exc
+            if first_exc is not None:
+                raise first_exc
             return
     if sql.lstrip().startswith("__STREAM_LOAD__"):
         _stream_load(eng, json.loads(

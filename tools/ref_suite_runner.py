@@ -243,6 +243,27 @@ def _ensure_shared_db(eng) -> None:
 def main() -> None:
     import time as _time
 
+    # concurrent runner invocations DROP/CREATE the same fixture DBs in
+    # the shared spark-warehouse and corrupt each other (observed twice
+    # in round 10: a suite re-measure lost to a collision). One
+    # exclusive flock per warehouse; the second run fails fast.
+    import fcntl
+
+    lock_path = os.path.join(
+        os.environ.get("TMPDIR", "/tmp"), "doris_spark_suite_runner.lock"
+    )
+    lock_fh = open(lock_path, "w")
+    try:
+        fcntl.flock(lock_fh, fcntl.LOCK_EX | fcntl.LOCK_NB)
+    except OSError:
+        print(
+            "suite-runner: another invocation holds "
+            f"{lock_path} — refusing to run concurrently over the "
+            "shared fixture warehouse (re-run after it finishes, or "
+            "set TMPDIR+cwd to an isolated workspace)."
+        )
+        sys.exit(2)
+
     os.environ["TZ"] = "Asia/Shanghai"
     _time.tzset()
 
