@@ -20,6 +20,84 @@ from doris_spark.session import load_tables, register_views
 # ------------------------------------------------------------- generators
 
 @query(
+    "unnest_ordinality",
+    oracle="""
+SELECT doc_id,
+       CAST(generate_subscripts(toks, 1) - 1 AS BIGINT) AS pos,
+       unnest(toks) AS tok
+FROM (
+  SELECT doc_id,
+         string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS toks
+  FROM documents WHERE doc_id < 8
+) t
+ORDER BY doc_id, pos
+""",
+)
+def unnest_ordinality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doris `UNNEST(arr) WITH ORDINALITY AS t(pos, tok)` through the
+    dialect tier (plans/unnest_rewrite.py — pos binds FIRST, 0-based;
+    fe LogicalPlanBuilder.withUnnest / PosExplode.customSignature,
+    pinned by nereids_function_p0/gen_function/unnest_from_list)."""
+    from doris_spark.operators.textops import tokenize
+    from doris_spark.plans.dialect import dialect as _dialect
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 8)
+    # tokenize via the shared operator (the registry's Doris-semantics
+    # split UDF shadows Spark's split in SQL text); the Doris SQL below
+    # exercises only the UNNEST dialect path
+    docs.select("doc_id", tokenize("text").alias("toks")
+                ).createOrReplaceTempView("__unn_docs")
+    doris_sql = """
+        SELECT d.doc_id, t.pos, t.tok
+        FROM __unn_docs d,
+        UNNEST(d.toks) WITH ORDINALITY AS t(pos, tok)
+        ORDER BY d.doc_id, t.pos
+    """
+    return spark.sql(_dialect(doris_sql)).select(
+        "doc_id", F.col("pos").cast("bigint").alias("pos"), "tok")
+
+
+@query(
+    "unnest_zip",
+    oracle="""
+SELECT doc_id,
+       unnest(a1) AS t1,
+       unnest(a2) AS t2
+FROM (
+  SELECT doc_id,
+         list_slice(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), 1, 5) AS a1,
+         list_slice(string_split(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' '), 1, 3) AS a2
+  FROM documents WHERE doc_id < 8
+) t
+ORDER BY doc_id, t1 NULLS FIRST, t2 NULLS FIRST
+""",
+)
+def unnest_zip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Doris multi-array `UNNEST(a1, a2) AS t(c1, c2)` zip padded to
+    the longest (NULL-fill) through the dialect tier; DuckDB's
+    multi-unnest zips identically."""
+    from doris_spark.operators.textops import tokenize
+    from doris_spark.plans.dialect import dialect as _dialect
+
+    docs = load_tables(spark, sf_dir)["documents"].filter(
+        F.col("doc_id") < 8)
+    toks = tokenize("text")
+    docs.select(
+        "doc_id",
+        F.slice(toks, 1, 5).alias("a1"),
+        F.slice(toks, 1, 3).alias("a2"),
+    ).createOrReplaceTempView("__unn_zip_docs")
+    doris_sql = """
+        SELECT d.doc_id, t.c1 AS t1, t.c2 AS t2
+        FROM __unn_zip_docs d,
+        UNNEST(d.a1, d.a2) AS t(c1, c2)
+        ORDER BY d.doc_id, t.c1 NULLS FIRST, t.c2 NULLS FIRST
+    """
+    return spark.sql(_dialect(doris_sql))
+
+
+@query(
     "gen_explode",
     oracle="""
 SELECT doc_id,
