@@ -874,6 +874,10 @@ def register_math_kernels(spark: SparkSession) -> int:
         def one(v, d, i):
             if v is None or d is None or i is None or i == 0 or d == "":
                 return None
+            if d not in v:
+                # Doris returns NULL when the separator never occurs
+                # (scalar_function/S.groovy split_part goldens)
+                return None
             parts = v.split(d) if i > 0 else v.rsplit(d)
             i = i if i > 0 else len(parts) + i + 1
             if not 1 <= i <= len(parts):
@@ -1346,50 +1350,71 @@ def register(spark: SparkSession) -> int:
 
     reg("inet6_aton", inet6_aton, "string")
 
+    def _ip6_bytes_like(v):
+        """The engine's IPv6 value spellings -> IPv6Address or None:
+        binary16, packed-hex text (this engine's inet6_aton), a
+        uint128 decimal string (ipv6_string_to_num), or a 16-char
+        text whose BYTES are the address (MySQL INET6_NTOA over
+        VARBINARY semantics the IP suites exercise)."""
+        try:
+            if isinstance(v, (bytes, bytearray)):
+                return ipaddress.IPv6Address(bytes(v))
+            if isinstance(v, str):
+                t = v.strip()
+                if re.fullmatch(r"[0-9a-fA-F]{32}", t):
+                    return ipaddress.IPv6Address(bytes.fromhex(t))
+                if t.isdigit():
+                    return ipaddress.IPv6Address(int(t))
+                b = v.encode("utf-8", "surrogateescape")
+                if len(b) == 16:
+                    return ipaddress.IPv6Address(b)
+        except (ValueError, TypeError):
+            return None
+        return None
+
     def inet6_ntoa(s: pd.Series) -> pd.Series:
         def f(v):
-            try:
-                return str(ipaddress.IPv6Address(bytes.fromhex(v)))
-            except (ValueError, TypeError):
-                return None
+            a = _ip6_bytes_like(v)
+            return str(a) if a is not None else None
 
         return s.map(f)
 
     reg("inet6_ntoa", inet6_ntoa, "string")
 
     def ipv6_string_to_num(s: pd.Series) -> pd.Series:
+        # BINARY16 like the reference (hex(..) goldens print 32 hex
+        # digits; inet6_ntoa consumes the bytes directly)
         def f(v):
             a = _ip_any(v)
             if a is None:
                 return None
             if a.version == 4:
-                a = ipaddress.IPv6Address("::ffff:" + v)
-            return str(int(a))
+                a = ipaddress.IPv6Address("::ffff:" + str(a))
+            return a.packed
 
         return s.map(f)
 
     for nm in ("ipv6_string_to_num", "ipv6_string_to_num_or_null"):
-        reg(nm, ipv6_string_to_num, "string")
+        reg(nm, ipv6_string_to_num, "binary")
 
     def ipv6_string_to_num_or_default(s: pd.Series) -> pd.Series:
         def f(v):
             a = _ip_any(v)
             if a is None:
-                return "0"
+                return b"\x00" * 16
             if a.version == 4:
-                a = ipaddress.IPv6Address("::ffff:" + v)
-            return str(int(a))
+                a = ipaddress.IPv6Address("::ffff:" + str(a))
+            return a.packed
 
         return s.map(f)
 
-    reg("ipv6_string_to_num_or_default", ipv6_string_to_num_or_default, "string")
+    reg("ipv6_string_to_num_or_default", ipv6_string_to_num_or_default,
+        "binary")
 
     def ipv6_num_to_string(s: pd.Series) -> pd.Series:
         def f(v):
-            try:
-                return str(ipaddress.IPv6Address(int(v)))
-            except (ValueError, TypeError):
-                return None
+            a = _ip6_bytes_like(v)
+            return str(a) if a is not None else None
 
         return s.map(f)
 
@@ -1492,12 +1517,19 @@ def register(spark: SparkSession) -> int:
     reg("is_ipv6", is_ipv6, "boolean")
     reg("is_ipv6_string", is_ipv6, "boolean")
 
+    def _ip6_value(v):
+        """IPv6 in ANY of the engine's spellings: binary16, packed-hex
+        text, uint128 digits, 16-byte text, or plain IPv6 text."""
+        a = _ip6_bytes_like(v)
+        if a is not None:
+            return a
+        return _ip6(v)
+
     def is_ipv4_compat(s: pd.Series) -> pd.Series:
-        # hex-packed input (inet6_aton output): ::x.y.z.w but not ::/::1
+        # ::x.y.z.w but not ::/::1
         def f(v):
-            try:
-                a = ipaddress.IPv6Address(bytes.fromhex(v))
-            except (ValueError, TypeError):
+            a = _ip6_value(v)
+            if a is None:
                 return None
             return a.packed[:12] == b"\x00" * 12 and int(a) > 1
 
@@ -1507,9 +1539,8 @@ def register(spark: SparkSession) -> int:
 
     def is_ipv4_mapped(s: pd.Series) -> pd.Series:
         def f(v):
-            try:
-                a = ipaddress.IPv6Address(bytes.fromhex(v))
-            except (ValueError, TypeError):
+            a = _ip6_value(v)
+            if a is None:
                 return None
             return a.ipv4_mapped is not None
 
@@ -1554,6 +1585,14 @@ def register(spark: SparkSession) -> int:
         mins, maxs = [], []
         for v in s:
             try:
+                if isinstance(v, str) and re.match(
+                    r"^[0-9a-fA-F]{32}(/\d+)?$", v
+                ):
+                    # packed-hex form (this engine's inet6_aton output)
+                    addr, _, pre = v.partition("/")
+                    v = str(ipaddress.IPv6Address(bytes.fromhex(addr)))
+                    if pre:
+                        v += "/" + pre
                 net = ipaddress.IPv6Network(v, strict=False)
                 mins.append(str(net.network_address))
                 maxs.append(str(net.broadcast_address))

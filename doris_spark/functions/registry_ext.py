@@ -318,7 +318,11 @@ DORIS_SQL_FUNCTIONS_EXT: dict[str, tuple[str, str]] = {
         "s -> s.x) * b) END",
     ),
     "isinf": ("x DOUBLE", "abs(x) = CAST('Infinity' AS DOUBLE)"),
-    "signbit": ("x DOUBLE", "CASE WHEN x < 0 OR (x = 0 AND 1.0 / x < 0) THEN true ELSE false END"),
+    "signbit": (
+        "x DOUBLE",
+        "CASE WHEN x IS NULL THEN NULL "
+        "WHEN x < 0 OR CAST(x AS STRING) IN ('-0.0', '-0') THEN true ELSE false END",
+    ),
     "xor": ("a BOOLEAN, b BOOLEAN", "a <> b"),
     # =================================================================
     # string (function_string.cpp)
@@ -968,7 +972,11 @@ DORIS_SQL_FUNCTIONS_EXT.update(
         # Spark maps are key-unique by construction (last wins in
         # map_from_entries) — Doris deduplicate_map is the identity here
         "deduplicate_map": ("m MAP<STRING, STRING>", "m"),
-        "map_size": ("m MAP<STRING, STRING>", "CAST(size(m) AS BIGINT)"),
+        # NULL map -> NULL (legacy sizeOfNull would render -1)
+        "map_size": (
+            "m MAP<STRING, STRING>",
+            "IF(m IS NULL, NULL, CAST(size(m) AS BIGINT))",
+        ),
         "map_contains_value": ("m MAP<STRING, STRING>, v STRING", "array_contains(map_values(m), v)"),
         "map_contains_entry": (
             "m MAP<STRING, STRING>, k STRING, v STRING",

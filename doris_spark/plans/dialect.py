@@ -452,6 +452,135 @@ _FROM_KWS = {
 }
 
 
+_NULL_SUB = re.compile(r"(?i)\[\s*NULL\s*\]")
+
+
+def _rewrite_null_subscript(sql: str) -> str:
+    """`base[NULL]` -> `base[concat(char(0),'null')]` ONLY where the
+    base is a map_agg(..) call, a chained subscript, or a name NOT
+    declared array-typed (plans.type_hints). Arrays keep their NULL
+    index; other bases keep the old sentinel lookup (NULL result,
+    same as Doris)."""
+    spans = _lit_spans(sql)
+    out, last = [], 0
+    for m in _NULL_SUB.finditer(sql):
+        if any(a <= m.start() < b for a, b in spans):
+            continue
+        i = m.start() - 1
+        while i >= 0 and sql[i] in " \t\n":
+            i -= 1
+        rewrite = True
+        if i >= 0 and sql[i] == ")":
+            # call base: rewrite only for map_agg(..)
+            depth, j, in_q = 0, i, None
+            while j >= 0:
+                c = sql[j]
+                if in_q:
+                    if c == in_q:
+                        in_q = None
+                elif c in ("'", '"'):
+                    in_q = c
+                elif c == ")":
+                    depth += 1
+                elif c == "(":
+                    depth -= 1
+                    if depth == 0:
+                        break
+                j -= 1
+            k = j - 1
+            while k >= 0 and sql[k] in " \t\n":
+                k -= 1
+            e = k
+            while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                k -= 1
+            rewrite = sql[k + 1 : e + 1].lower() == "map_agg"
+        elif i >= 0 and (sql[i].isalnum() or sql[i] in "_`"):
+            e = i
+            if sql[i] == "`":
+                e -= 1
+            k = e
+            while k >= 0 and (sql[k].isalnum() or sql[k] == "_"):
+                k -= 1
+            name = sql[k + 1 : e + 1]
+            from doris_spark.plans import type_hints as th
+
+            rewrite = not (th.lookup(name) or "").startswith("array")
+        if rewrite:
+            out.append(sql[last : m.start()])
+            out.append("[concat(char(0), 'null')]")
+            last = m.end()
+    out.append(sql[last:])
+    return "".join(out)
+
+
+_CAST_HEAD = re.compile(r"(?i)\bCAST\s*\(")
+_DEC_BIG = re.compile(
+    r"(?i)^DECIMALV?[23]?\s*\(\s*(\d+)\s*,\s*(\d+)\s*\)\s*$")
+
+
+def _src_integral_digits(expr: str):
+    """Max integral digits the expression can produce, from declared
+    type hints / inner cast targets; None when unknowable."""
+    e = expr.strip()
+    im = re.match(r"(?i)^CAST\s*\((.*)\s+AS\s+([\w()\s,]+)\)$", e, re.S)
+    if im:
+        t = re.sub(r"\s+", "", im.group(2).lower())
+    else:
+        cm = re.fullmatch(r"`?(?:\w+\.)?(\w+)`?", e)
+        if not cm:
+            return None
+        from doris_spark.plans import type_hints as th
+
+        t = th.lookup(cm.group(1))
+        if t is None:
+            return None
+    dm = re.match(r"decimalv?[23]?\((\d+),?(\d*)\)", t)
+    if dm:
+        p_, s_ = int(dm.group(1)), int(dm.group(2) or 0)
+        return max(0, p_ - s_)
+    return {"tinyint": 3, "smallint": 5, "int": 10, "integer": 10,
+            "bigint": 19, "largeint": 39, "boolean": 1}.get(
+        re.sub(r"\(.*", "", t))
+
+
+def _narrow_dec256_casts(sql: str) -> str:
+    """CAST(expr AS DECIMAL(p>38, s)) with a typed source: narrow to
+    DECIMAL(38, min(s, 38 - source_integral)) — exact whenever the
+    source's integral range fits (fe enable_decimal256, pinned by
+    query_p0/join/test_join_decimal256*). Unknown sources fall through
+    to the integral-preserving blanket rule."""
+    from doris_spark.plans.sqltok import find_close
+
+    pos = 0
+    while True:
+        m = _CAST_HEAD.search(sql, pos)
+        if m is None:
+            return sql
+        o = m.end() - 1
+        c = find_close(sql, o)
+        if c >= len(sql):
+            return sql
+        inner = sql[o + 1 : c]
+        am = re.search(r"(?is)\s+AS\s+(DECIMALV?[23]?\s*\(\s*\d+\s*,"
+                       r"\s*\d+\s*\))\s*$", inner)
+        if am is None:
+            pos = m.end()
+            continue
+        dm = _DEC_BIG.match(am.group(1))
+        if dm is None or int(dm.group(1)) <= 38:
+            pos = m.end()
+            continue
+        s_ = int(dm.group(2))
+        integ = _src_integral_digits(inner[: am.start()])
+        if integ is None:
+            pos = m.end()
+            continue
+        s2 = max(0, min(s_, 38 - min(integ, 38)))
+        sql = (sql[: o + 1 + am.start()]
+               + f" AS DECIMAL(38,{s2})" + sql[c:])
+        pos = m.end()
+
+
 def _rewrite_right_semi_anti(sql: str) -> str:
     """Doris `A right semi|anti join B ON c` -> `B left semi|anti join A
     ON c` (Spark has no RIGHT SEMI/ANTI). Output columns come from B in
@@ -1497,6 +1626,13 @@ def dialect(sql: str) -> str:
     )
     # DECIMALV2/V3 are the reference's storage spellings of DECIMAL
     s = re.sub(r"\bDECIMALV[23]\b", "DECIMAL", s, flags=re.I)
+    # DECIMAL256 CASTs with a TYPED source first: the source type bounds
+    # the integral digits actually possible, so the narrowed DECIMAL128
+    # can keep the declared scale when it fits (query_p0/join
+    # test_join_decimal256: cast(decimal(38,6) AS decimal(76,6)) must
+    # keep .000001 fractions EXACT for join keys and renders — the
+    # integral-worst-case fallback below would zero the scale)
+    s = _narrow_dec256_casts(s)
     # DECIMAL256 (p > 38) narrows to DECIMAL128 PRESERVING THE INTEGRAL
     # RANGE: scale gives way (a (76,38) holds 38 integer digits — capping
     # to (38,38) would overflow every integer; (38,0) keeps them and the

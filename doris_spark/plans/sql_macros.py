@@ -122,6 +122,54 @@ def _lambda_first(spark_name: str) -> Macro:
     return m
 
 
+# aggregate macros that accept a `DISTINCT expr` first argument
+# (query_p0-style spellings, pinned by nereids_function_p0/agg_function/
+# agg_distinct_function.groovy). The engine strips the DISTINCT prefix
+# before arg-splitting and re-inserts it into the expansion's first
+# distinct-capable Spark aggregate; expansions without one silently
+# treat DISTINCT as a no-op (max_by-style order statistics).
+_DISTINCT_STRIP = {
+    "array_agg", "collect_list", "collect_set", "group_array",
+    "corr", "corr_welford", "covar", "covar_samp", "covar_pop",
+    "histogram", "map_agg", "map_agg_v1", "map_agg_v2",
+    "max_by", "min_by", "percentile", "percentile_array",
+    "percentile_approx", "percentile_approx_weighted",
+    "percentile_reservoir", "topn", "topn_array", "topn_weighted",
+    "exponential_moving_average", "group_concat", "avg_weighted",
+    "sum0", "multi_distinct_sum0",
+}
+
+_D_AGG_RE = re.compile(
+    r"(?i)\b(collect_list|collect_set|percentile_approx|percentile"
+    r"|corr|covar_samp|covar_pop|max_by|min_by|sum|avg)\s*\(")
+
+
+def _insert_distinct(expansion: str) -> str:
+    # EVERY distinct-capable aggregate site: histogram/topn expansions
+    # collect the same column several times (values + per-value counts)
+    # and Doris computes all of them over the distinct multiset
+    return _D_AGG_RE.sub(lambda m: m.group(0) + "DISTINCT ", expansion)
+
+
+def _sum_bool_aware(args: Sequence[str], zero: bool) -> str:
+    """Doris sums BOOLEAN as its tinyint value (TypeCoercionUtils);
+    Spark's sum refuses booleans. sum0 additionally maps the empty
+    group to 0."""
+    a = args[0].strip() if args else ""
+    cm = re.fullmatch(r"`?(?:\w+\.)?(\w+)`?", a)
+    expr = a
+    if cm:
+        from doris_spark.plans import type_hints as th
+
+        if (th.lookup(cm.group(1)) or "") == "boolean":
+            expr = f"CAST({a} AS INT)"
+    if zero:
+        return f"coalesce(sum({expr}), 0)"
+    if expr is not a:
+        return f"sum({expr})"
+    return "__KEEP__(" + ", ".join(args) + ")"
+
+
 def _group_bit(op: str, args: Sequence[str]) -> str:
     """group_bit_{and,or,xor}: exact int128 over LARGEINT via the
     __x256_ shadow; BIGINT cast for unshadowed largeint hints; plain
@@ -132,7 +180,7 @@ def _group_bit(op: str, args: Sequence[str]) -> str:
         from doris_spark.plans import type_hints as th
 
         name = cm.group(1)
-        if (th.lookup(name) or "") == "largeint":
+        if (th.lookup(name) or "").startswith("largeint"):
             if th.has_shadow(name):
                 shadow = f"__x256_{name.lower()}"
                 return (f"__int128_fold(collect_list("
@@ -1317,6 +1365,12 @@ MACROS: dict[str, Macro] = {
         "NULL)) > 0 THEN coalesce(corr({0}, {1}), CAST(0 AS DOUBLE)) END)"
     ),
     "booland_agg": _rename("bool_and"),
+    "sum": lambda a: _sum_bool_aware(a, False),
+    # union-of-bitmaps cardinality (orthogonal variant computes the
+    # same total; the BE splits work by bucket — Catalyst already does)
+    "orthogonal_bitmap_union_count": _tpl(
+        "CAST(size(array_distinct(flatten(collect_list({0})))) AS BIGINT)"
+    ),
     "boolor_agg": _rename("bool_or"),
     # group_bit_* (nereids_function_p0/agg_function/agg.groovy
     # LargeInt family): LARGEINT columns are DOUBLE-backed, so bit ops
@@ -1366,7 +1420,7 @@ MACROS: dict[str, Macro] = {
         if len(a) in (2, 3) else "__KEEP__(" + ", ".join(a) + ")"),
     "hist": _rename("histogram_numeric"),
     # ---- composite expansions
-    "sum0": _tpl("coalesce(sum({0}), 0)"),
+    "sum0": lambda a: _sum_bool_aware(a, True),
     "multi_distinct_count": _tpl("count(DISTINCT {0})"),
     "multi_distinct_sum": _tpl("sum(DISTINCT {0})"),
     "multi_distinct_sum0": _tpl("coalesce(sum(DISTINCT {0}), 0)"),
@@ -1830,6 +1884,10 @@ def _array_sort_macro(args: Sequence[str]) -> str:
         lam = args[0]
         var = lam.split("->")[0].strip().strip("()")
         body = lam.split("->", 1)[1].strip()
+        if "," in var:
+            # two-variable COMPARATOR lambda (Array2.groovy): Spark's
+            # array_sort takes it natively, array second -> first
+            return f"array_sort({args[1]}, {lam})"
         return (
             f"transform(array_sort(transform({args[1]}, {var} -> "
             f"named_struct('k', {body}, 'v', {var}))), __s -> __s.v)"
@@ -1955,11 +2013,21 @@ def _map_merge(agg_body: str) -> Macro:
     merged across the group, one output entry per distinct key."""
 
     def m(args: Sequence[str]) -> str:
-        ks, vs = args[0], args[1]
-        pairs = (
-            f"flatten(collect_list(zip_with({ks}, {vs}, "
-            f"(a, b) -> named_struct('k', a, 'v', b))))"
-        )
+        if len(args) == 1:
+            # Doris map_agg_by_key spelling: one MAP argument
+            # (agg_function/map_agg_by_key.groovy)
+            pairs = (
+                f"flatten(collect_list(transform(map_entries({args[0]}),"
+                f" __e -> named_struct('k', __e.key, 'v', __e.value))))"
+            )
+        elif len(args) == 2:
+            ks, vs = args[0], args[1]
+            pairs = (
+                f"flatten(collect_list(zip_with({ks}, {vs}, "
+                f"(a, b) -> named_struct('k', a, 'v', b))))"
+            )
+        else:
+            return "__KEEP__(" + ", ".join(args) + ")"
         keys = f"array_sort(array_distinct(transform({pairs}, p -> p.k)))"
         body = agg_body.replace("{PAIRS}", pairs)
         return f"map_from_entries(transform({keys}, k -> struct(k, {body})))"
@@ -2005,6 +2073,40 @@ def _pad(which: str) -> Macro:
 
     return m
 
+
+def _parse_url(args: Sequence[str]) -> str:
+    """Doris parse_url: part names are CASE-INSENSITIVE and include
+    PORT (fe url_parser; nereids_function_p0/scalar_function/P.groovy);
+    Spark's builtin wants uppercase and has no PORT."""
+    if len(args) < 2 or len(args) > 3:
+        return "__KEEP__(" + ", ".join(args) + ")"
+    u, part = args[0], args[1].strip()
+    lit = re.fullmatch(r"'([^']*)'", part)
+    port = ("nullif(regexp_extract(coalesce(parse_url({u}, 'AUTHORITY')"
+            ", ''), ':([0-9]+)$', 1), '')").format(u=u)
+    if lit:
+        up = lit.group(1).upper()
+        if up == "PORT":
+            return port
+        tail = f", {args[2]}" if len(args) == 3 else ""
+        return f"parse_url({u}, '{up}'{tail})"
+    tail = f", {args[2]}" if len(args) == 3 else ""
+    return (f"CASE WHEN upper({part}) = 'PORT' THEN {port} "
+            f"ELSE parse_url({u}, upper({part}){tail}) END")
+
+
+MACROS["parse_url"] = _parse_url
+MACROS["ipv4_cidr_to_range"] = lambda a: (
+    # 2-arg (addr, prefix) reference spelling -> the 1-arg cidr kernel;
+    # NULL address/prefix -> NULL struct (the concat would otherwise
+    # feed '' and render empty mins)
+    f"IF({a[0]} IS NULL OR {a[1]} IS NULL, NULL, "
+    f"ipv4_cidr_to_range(concat({a[0]}, '/', CAST({a[1]} AS INT))))"
+    if len(a) == 2 else "__KEEP__(" + ", ".join(a) + ")")
+MACROS["ipv6_cidr_to_range"] = lambda a: (
+    f"IF({a[0]} IS NULL OR {a[1]} IS NULL, NULL, "
+    f"ipv6_cidr_to_range(concat({a[0]}, '/', CAST({a[1]} AS INT))))"
+    if len(a) == 2 else "__KEEP__(" + ", ".join(a) + ")")
 
 MACROS["locate"] = _locate
 MACROS["lpad"] = _pad("lpad")
@@ -2907,8 +3009,18 @@ def rewrite(sql: str) -> str:
             if j < n and sql[j] == "(" and name.lower() in MACROS:
                 k = find_close(sql, j)  # balanced close, quote-aware
                 inner = sql[j + 1 : k]
+                dmm = re.match(r"(?i)\s*DISTINCT\b\s*", inner)
+                want_distinct = bool(
+                    dmm and name.lower() in _DISTINCT_STRIP)
+                if want_distinct:
+                    inner = inner[dmm.end():]
                 args = [rewrite(a) for a in _split_top(inner)]
                 expansion = MACROS[name.lower()](args)
+                if want_distinct and not expansion.startswith("__KEEP__("):
+                    expansion = _insert_distinct(expansion)
+                elif want_distinct:
+                    expansion = (expansion[: len("__KEEP__(")]
+                                 + "DISTINCT " + expansion[len("__KEEP__("):])
                 if expansion.startswith("__KEEP__("):
                     expansion = name + expansion[len("__KEEP__") :]
                 i = k + 1

@@ -63,6 +63,11 @@ def test_split_args_top_roundtrip_balanced(parts):
         spans = lit_spans(p)
         if any(p[b - 1] not in "'\"" or b - a < 2 for a, b in spans):
             return False  # unterminated literal
+        # doubled-quote ambiguity: a fragment ending like ''' scans as
+        # closed alone but re-opens when text follows — reject when a
+        # trailing sentinel would land inside a literal
+        if any(b > len(p) for _a, b in lit_spans(p + "\x01x")):
+            return False
         depth = 0
         for i, ch in enumerate(p):
             if in_spans(spans, i):
