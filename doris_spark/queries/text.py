@@ -220,15 +220,18 @@ def txt_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
         build_text_index(docs, "text", "doc_id", path)
     idx = TextIndex(spark, path)
     terms = ["spark", "join"]
-    any_ids = idx.doc_ids(terms, "any").withColumnRenamed("doc_id", "__aid")
-    all_ids = idx.doc_ids(terms, "all").withColumnRenamed("doc_id", "__bid")
+    # ONE partition-pruned index scan answers both predicates: a doc
+    # matching n_terms >= 1 is match_any, n_terms = |terms| is match_all
+    # (was: two index scans + two joins against the corpus).
+    counts = idx.term_doc_counts(terms).withColumnRenamed("doc_id", "__mid")
     return (
-        docs.join(any_ids, docs["doc_id"] == F.col("__aid"), "left")
-        .join(all_ids, docs["doc_id"] == F.col("__bid"), "left")
+        docs.join(counts, docs["doc_id"] == F.col("__mid"), "left")
         .groupBy("lang")
         .agg(
-            F.sum(F.when(F.col("__aid").isNotNull(), 1).otherwise(0)).alias("n_any"),
-            F.sum(F.when(F.col("__bid").isNotNull(), 1).otherwise(0)).alias("n_all"),
+            F.sum(F.when(F.col("__mid").isNotNull(), 1).otherwise(0)).alias("n_any"),
+            F.sum(
+                F.when(F.col("n_terms") == len(terms), 1).otherwise(0)
+            ).alias("n_all"),
         )
         .orderBy("lang")
     )

@@ -71,3 +71,31 @@ def test_probe_plan_prunes_and_never_tokenizes_corpus(spark, corpus, index):
     assert "regexp_replace" not in plan and "split(" not in plan.replace(
         "string_split", ""
     )
+
+
+def test_python_xxhash64_matches_spark(spark):
+    from pyspark.sql import functions as F
+
+    from doris_spark.operators.text_index import xxhash64_str
+
+    samples = [
+        "", "a", "spark", "join", "vector", "tok123", "ünïcode✓",
+        "eight888", "nine99999", "twelve-chars", "exactly-16-bytes",
+        "a string longer than thirty-two bytes to hit the stripe loop",
+        "TOKEN", " space padded ",
+    ]
+    df = spark.createDataFrame([(s,) for s in samples], "token STRING")
+    got = {r["token"]: r["h"] for r in df.select(
+        "token", F.xxhash64("token").alias("h")).collect()}
+    for s in samples:
+        assert xxhash64_str(s) == got[s], s
+
+
+def test_term_doc_counts_matches_doc_ids(spark, corpus, index):
+    terms = ["spark", "join"]
+    counts = {r["doc_id"]: r["n_terms"]
+              for r in index.term_doc_counts(terms).collect()}
+    any_ids = {r["doc_id"] for r in index.doc_ids(terms, "any").collect()}
+    all_ids = {r["doc_id"] for r in index.doc_ids(terms, "all").collect()}
+    assert set(counts) == any_ids
+    assert {d for d, n in counts.items() if n == len(terms)} == all_ids
