@@ -47,67 +47,92 @@ def window_funnel(
     strictly between the matches stops the funnel (non-step events may
     interleave freely in both modes).
 
-    Plan: one filtered aggregate per step, each a (user → min ts) row,
-    chained by equi-joins on user — k-1 small shuffles on the user key
-    (AQE coalesces), linear in events. Deduplication/fixed add one
-    anti-join per step against the (already filtered) violating events.
+    Plan: ONE shuffle — events are filtered to funnel-step types, mapped
+    to a narrow (ts, step_idx) struct, collected per user (partial
+    aggregation applies; the per-user state is bounded by that user's
+    step-event count, the same state the reference's
+    aggregate_function_window_funnel_v2.h buffers), and the whole chain
+    (earliest step-1 anchor, min-after-previous candidates, the
+    deduplication/fixed violation windows) is evaluated as staged
+    higher-order expressions over the array. Replaces the previous
+    k-join/anti-join chain (~2k shuffles); semantics are identical —
+    each stage mirrors the old join predicate exactly.
     """
     if mode not in ("increase", "default", "deduplication", "fixed"):
         raise ValueError(f"unsupported window_funnel mode {mode}")
-    u = F.col(user_col)
+    k = len(steps)
     win = F.expr(f"INTERVAL {window_seconds} SECOND")
 
-    cur = (
-        events.filter(F.col(type_col) == steps[0])
-        .groupBy(u.alias("user"))
-        .agg(F.min(ts_col).alias("t1"))
+    sidx = F.when(F.col(type_col) == steps[0], F.lit(0))
+    for i, s in enumerate(steps[1:], start=1):
+        sidx = sidx.when(F.col(type_col) == s, F.lit(i))
+    per_user = (
+        events.filter(F.col(type_col).isin(list(steps)))
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col(ts_col).alias("t"), sidx.alias("s"))
+            ).alias("evs")
+        )
     )
-    result = cur.select("user", F.lit(1).alias("level"), F.col("t1"), F.col("t1").alias("t_prev"))
+
+    def _step_min(idx: int, lo, strict: bool, deadline):
+        """Earliest step-`idx` event in (lo, deadline] (or [lo, ..] when
+        not strict) — the old join's min(nts) under the same predicate."""
+        return F.array_min(
+            F.transform(
+                F.filter(
+                    F.col("evs"),
+                    lambda e: (e["s"] == idx)
+                    & ((e["t"] > lo) if strict else (e["t"] >= lo))
+                    & (e["t"] <= deadline),
+                ),
+                lambda e: e["t"],
+            )
+        )
+
+    # Staged selects keep each chain value a named column so Catalyst
+    # doesn't re-inline the array scans into every downstream predicate.
+    df = per_user.select(
+        "user",
+        "evs",
+        F.array_min(
+            F.transform(
+                F.filter(F.col("evs"), lambda e: e["s"] == 0), lambda e: e["t"]
+            )
+        ).alias("t1"),
+    ).filter(F.col("t1").isNotNull())
+    df = df.select("user", "evs", "t1", (F.col("t1") + win).alias("tmax"))
+
+    prev = "t1"
+    adv_cols: list[str] = []
     for i, step in enumerate(steps[1:], start=2):
-        nxt = (
-            events.filter(F.col(type_col) == step)
-            .select(u.alias("nuser"), F.col(ts_col).alias("nts"))
-            .join(
-                result.filter(F.col("level") == i - 1).select("user", "t1", "t_prev"),
-                F.col("nuser") == F.col("user"),
-            )
-            .filter(
-                (
-                    (F.col("nts") >= F.col("t_prev"))
-                    if mode == "default"
-                    else (F.col("nts") > F.col("t_prev"))
-                )
-                & (F.col("nts") <= F.col("t1") + win)
-            )
-            .groupBy("user")
-            .agg(
-                F.min("t1").alias("t1"),
-                F.min("nts").alias("t_next"),
-                F.min("t_prev").alias("t_from"),
-            )
+        cand = _step_min(
+            i - 1, F.col(prev), mode != "default", F.col("tmax")
         )
+        df = df.select("*", cand.alias(f"c{i}"))
+        ok = F.col(f"c{i}").isNotNull()
         if mode in ("deduplication", "fixed"):
-            viol_types = (
-                list(steps[: i - 1])
+            viol_idx = (
+                list(range(i - 1))
                 if mode == "deduplication"
-                else [s for s in steps if s != step]
+                else [j for j in range(k) if j != i - 1]
             )
-            viol = events.filter(F.col(type_col).isin(viol_types)).select(
-                u.alias("vuser"), F.col(ts_col).alias("vts")
+            viol = F.exists(
+                F.col("evs"),
+                lambda e: e["s"].isin(viol_idx)
+                & (e["t"] > F.col(prev))
+                & (e["t"] < F.col(f"c{i}")),
             )
-            nxt = nxt.join(
-                viol,
-                (F.col("vuser") == F.col("user"))
-                & (F.col("vts") > F.col("t_from"))
-                & (F.col("vts") < F.col("t_next")),
-                "left_anti",
-            )
-        advanced = nxt.select(
-            "user", F.lit(i).alias("level"), "t1", F.col("t_next").alias("t_prev")
-        )
-        stayed = result.join(nxt.select("user"), "user", "left_anti")
-        result = stayed.unionByName(advanced)
-    return result.select("user", "level")
+            ok = ok & ~viol
+        cum = ok if not adv_cols else (F.col(adv_cols[-1]) & ok)
+        df = df.select("*", cum.alias(f"a{i}"))
+        adv_cols.append(f"a{i}")
+        prev = f"c{i}"
+    level = F.lit(1)
+    for a in adv_cols:
+        level = level + F.col(a).cast("int")
+    return df.select("user", level.alias("level"))
 
 
 def retention(
