@@ -247,10 +247,16 @@ def connected_components(
         edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
     )
     sym = sym.localCheckpoint(eager=True)
+    # Fused round 1: from identity labels, one propagation round yields
+    # label(u) = min(u, min neighbor) — compute that directly as the
+    # initial state instead of starting from label=id and paying a full
+    # join round to reach it. (sym is symmetric, so groupBy(u) sees every
+    # neighbor.) Lazy checkpoint: the first action below materializes it.
     labels = (
-        sym.select(F.col("u").alias("id")).distinct()
-        .withColumn("label", F.col("id"))
-        .localCheckpoint(eager=True)
+        sym.groupBy(F.col("u").alias("id"))
+        .agg(F.min("v").alias("__mn"))
+        .select("id", F.least(F.col("id"), F.col("__mn")).alias("label"))
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         neigh = (
@@ -264,6 +270,9 @@ def connected_components(
         lowered = F.least(
             F.col("l.label"), F.coalesce(F.col("n.nlabel"), F.col("l.label"))
         )
+        # Lazy checkpoint + the convergence count in ONE job: the agg
+        # below materializes the checkpointed partitions as it counts
+        # (was an eager-checkpoint job followed by a separate count job).
         new = (
             labels.alias("l")
             .join(neigh.alias("n"), "id", "left")
@@ -272,7 +281,7 @@ def connected_components(
                 lowered.alias("label"),
                 (lowered < F.col("l.label")).cast("int").alias("chg"),
             )
-            .localCheckpoint(eager=True)
+            .localCheckpoint(eager=False)
         )
         changed = new.agg(F.sum("chg")).first()[0]
         labels = new.drop("chg")
