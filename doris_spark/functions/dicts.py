@@ -63,6 +63,55 @@ def dict_get_join(
     return df.join(F.broadcast(d), key == F.col("__dict_key"), "left").drop("__dict_key")
 
 
+# ----------------------------------------------------- bounded geo dims
+
+# (session id, sf_dir) -> [(nationkey, n_name, r_name)]. nation/region are
+# BOUNDED dimensions (25/5 rows at every TPC-H scale factor — see
+# session.ALWAYS_BROADCAST), so the joined pairs are collected once per
+# session and inlined as literal-map lookups. Replaces two
+# BroadcastExchange builds (one job each) per consuming query with pure
+# whole-stage-codegen expressions — the dict_get tier this module exists
+# for, applied to the fixture's own geo dims.
+_NATION_GEO_CACHE: dict[tuple[int, str], list[tuple[int, str, str]]] = {}
+
+
+def nation_geo_pairs(spark, sf_dir: str) -> list[tuple[int, str, str]]:
+    from doris_spark.session import load_tables
+
+    key = (id(spark), sf_dir)
+    if key not in _NATION_GEO_CACHE:
+        t = load_tables(spark, sf_dir)
+        # LEFT join: the n_name map must cover every nation (consumers
+        # joining nation alone), while r_name stays NULL for a nation
+        # with no region match (consumers joining region drop it via
+        # their NOT NULL / equality filters — inner-join semantics).
+        rows = (
+            t["nation"]
+            .join(t["region"], F.col("n_regionkey") == F.col("r_regionkey"), "left")
+            .select("n_nationkey", "n_name", "r_name")
+            .collect()
+        )
+        _NATION_GEO_CACHE[key] = [(int(r[0]), r[1], r[2]) for r in rows]
+    return _NATION_GEO_CACHE[key]
+
+
+def nation_geo_exprs(spark, sf_dir: str, key: Column) -> tuple[Column, Column]:
+    """(n_name, r_name) literal-map lookups by nation key. Inner-join
+    semantics are preserved by callers filtering IS NOT NULL on the
+    result (a key absent from nation yields NULL, as dict_get does)."""
+    pairs = nation_geo_pairs(spark, sf_dir)
+    n_items: list[Column] = []
+    r_items: list[Column] = []
+    for k, n_name, r_name in pairs:
+        n_items += [F.lit(k), F.lit(n_name)]
+        if r_name is not None:  # absent key == NULL lookup; no null map values
+            r_items += [F.lit(k), F.lit(r_name)]
+    return (
+        F.element_at(F.create_map(*n_items), key),
+        F.element_at(F.create_map(*r_items), key),
+    )
+
+
 # ---------------------------------------------------------------- SQL tier
 
 # Session dictionary registry backing the SQL-callable dict_get name. The

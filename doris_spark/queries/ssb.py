@@ -51,31 +51,39 @@ def _lineorder(t) -> DataFrame:
     )
 
 
-def _supp_geo(t) -> DataFrame:
+def _supp_geo(spark, sf_dir, t) -> DataFrame:
+    # nation/region are BOUNDED dims: resolved via literal-map dictionary
+    # lookups (functions/dicts.nation_geo_exprs, the Doris dict_get tier)
+    # instead of two broadcast joins — two fewer BroadcastExchange builds
+    # per query, identical inner-join semantics via the NOT NULL filter.
+    from doris_spark.functions.dicts import nation_geo_exprs
+
+    n_name, r_name = nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))
     return (
         t["supplier"]
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(
             "s_suppkey",
-            F.col("n_name").alias("s_nation"),
-            F.col("r_name").alias("s_region"),
-            F.concat_ws("_", "n_name", (F.col("s_suppkey") % 5).cast("string")).alias("s_city"),
+            n_name.alias("s_nation"),
+            r_name.alias("s_region"),
+            F.concat_ws("_", n_name, (F.col("s_suppkey") % 5).cast("string")).alias("s_city"),
         )
+        .filter(F.col("s_nation").isNotNull() & F.col("s_region").isNotNull())
     )
 
 
-def _cust_geo(t) -> DataFrame:
+def _cust_geo(spark, sf_dir, t) -> DataFrame:
+    from doris_spark.functions.dicts import nation_geo_exprs
+
+    n_name, r_name = nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))
     return (
         t["customer"]
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
         .select(
             "c_custkey",
-            F.col("n_name").alias("c_nation"),
-            F.col("r_name").alias("c_region"),
-            F.concat_ws("_", "n_name", (F.col("c_custkey") % 5).cast("string")).alias("c_city"),
+            n_name.alias("c_nation"),
+            r_name.alias("c_region"),
+            F.concat_ws("_", n_name, (F.col("c_custkey") % 5).cast("string")).alias("c_city"),
         )
+        .filter(F.col("c_nation").isNotNull() & F.col("c_region").isNotNull())
     )
 
 
@@ -161,7 +169,7 @@ def ssb_q1_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _flight2(spark, sf_dir, part_pred, part_pred_sql):
     t = load_tables(spark, sf_dir)
     lo = _lineorder(t)
-    sg = _supp_geo(t)
+    sg = _supp_geo(spark, sf_dir, t)
     out = (
         lo.join(F.broadcast(t["part"].filter(part_pred)), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(sg.filter(F.col("s_region") == "AMERICA")), F.col("l_suppkey") == F.col("s_suppkey"))
@@ -211,8 +219,8 @@ def ssb_q2_3(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _flight3(spark, sf_dir, cg_col, sg_col, cg_pred, sg_pred, years, order_rev=True):
     t = load_tables(spark, sf_dir)
     lo = _lineorder(t)
-    cg = _cust_geo(t).filter(cg_pred)
-    sg = _supp_geo(t).filter(sg_pred)
+    cg = _cust_geo(spark, sf_dir, t).filter(cg_pred)
+    sg = _supp_geo(spark, sf_dir, t).filter(sg_pred)
     out = (
         lo.filter(F.col("d_year").between(*years))
         .join(cg, F.col("o_custkey") == F.col("c_custkey"))
@@ -303,8 +311,8 @@ def ssb_q4_1(spark: SparkSession, sf_dir: str) -> DataFrame:
     'manufacturers' (p_type classes on the fixture)."""
     t = load_tables(spark, sf_dir)
     lo = _lineorder(t)
-    cg = _cust_geo(t).filter(F.col("c_region") == "AMERICA")
-    sg = _supp_geo(t).filter(F.col("s_region") == "AMERICA")
+    cg = _cust_geo(spark, sf_dir, t).filter(F.col("c_region") == "AMERICA")
+    sg = _supp_geo(spark, sf_dir, t).filter(F.col("s_region") == "AMERICA")
     p = t["part"].filter(F.col("p_type").isin("ECONOMY", "STANDARD"))
     return (
         lo.join(cg, F.col("o_custkey") == F.col("c_custkey"))
@@ -334,8 +342,8 @@ def ssb_q4_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     two years."""
     t = load_tables(spark, sf_dir)
     lo = _lineorder(t).filter(F.col("d_year").isin(1997, 1998))
-    cg = _cust_geo(t).filter(F.col("c_region") == "AMERICA")
-    sg = _supp_geo(t).filter(F.col("s_region") == "AMERICA")
+    cg = _cust_geo(spark, sf_dir, t).filter(F.col("c_region") == "AMERICA")
+    sg = _supp_geo(spark, sf_dir, t).filter(F.col("s_region") == "AMERICA")
     p = t["part"].filter(F.col("p_type").isin("ECONOMY", "STANDARD"))
     return (
         lo.join(cg, F.col("o_custkey") == F.col("c_custkey"))
@@ -364,8 +372,8 @@ def ssb_q4_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSB q4.3: finest drill — (year, supplier city, brand) profit."""
     t = load_tables(spark, sf_dir)
     lo = _lineorder(t).filter(F.col("d_year").isin(1997, 1998))
-    cg = _cust_geo(t)
-    sg = _supp_geo(t).filter(F.col("s_nation") == "NATION_7")
+    cg = _cust_geo(spark, sf_dir, t)
+    sg = _supp_geo(spark, sf_dir, t).filter(F.col("s_nation") == "NATION_7")
     p = t["part"].filter(F.col("p_type") == "ECONOMY")
     return (
         lo.join(cg, F.col("o_custkey") == F.col("c_custkey"))

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from doris_spark.functions.dicts import nation_geo_exprs
 from doris_spark.queries import query
 from doris_spark.session import load_tables
 
@@ -169,12 +170,11 @@ ORDER BY revenue DESC, n_name
 )
 def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    nation_region = F.broadcast(
-        t["nation"].join(
-            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-    )
+    # nation/region are bounded dims: literal-map dictionary lookups
+    # (functions/dicts.nation_geo_exprs) replace the nation⋈region
+    # broadcast join — the r_name = 'ASIA' filter preserves the inner
+    # semantics (a key with no nation/region resolves NULL -> dropped).
+    n_name, r_name = nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))
     orders = t["orders"].filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"))
@@ -188,7 +188,8 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("l_suppkey") == F.col("s_suppkey"))
             & (F.col("c_nationkey") == F.col("s_nationkey")),
         )
-        .join(nation_region, F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(r_name == "ASIA")
+        .withColumn("n_name", n_name)
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .orderBy(F.desc("revenue"), "n_name")
@@ -251,8 +252,10 @@ ORDER BY supp_nation, cust_nation, l_year
 )
 def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    n1 = F.broadcast(t["nation"].select(F.col("n_nationkey").alias("n1_key"), F.col("n_name").alias("supp_nation")))
-    n2 = F.broadcast(t["nation"].select(F.col("n_nationkey").alias("n2_key"), F.col("n_name").alias("cust_nation")))
+    # Both nation sides resolved via the bounded-dim dictionary (no
+    # broadcast joins); the name-pair filter keeps inner semantics.
+    supp_nation, _ = nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))
+    cust_nation, _ = nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))
     li = t["lineitem"].filter(
         F.col("l_shipdate").between(
             F.lit("1996-01-01").cast("timestamp"), F.lit("1998-12-31").cast("timestamp")
@@ -263,8 +266,8 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(li, F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
         .join(t["customer"], F.col("c_custkey") == F.col("o_custkey"))
-        .join(n1, F.col("s_nationkey") == F.col("n1_key"))
-        .join(n2, F.col("c_nationkey") == F.col("n2_key"))
+        .withColumn("supp_nation", supp_nation)
+        .withColumn("cust_nation", cust_nation)
         .filter(
             ((F.col("supp_nation") == "NATION_1") & (F.col("cust_nation") == "NATION_2"))
             | ((F.col("supp_nation") == "NATION_2") & (F.col("cust_nation") == "NATION_1"))
@@ -315,12 +318,11 @@ ORDER BY o_year
 )
 def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
-    n1 = F.broadcast(
-        t["nation"]
-        .join(F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")), F.col("n_regionkey") == F.col("r_regionkey"))
-        .select(F.col("n_nationkey").alias("cust_nkey"))
-    )
-    n2 = F.broadcast(t["nation"].select(F.col("n_nationkey").alias("supp_nkey"), F.col("n_name").alias("nation")))
+    # Customer-side region membership and supplier-side nation name both
+    # resolve through the bounded-dim dictionary (was two broadcast
+    # joins, one with a nested region broadcast).
+    _, cust_region = nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))
+    supp_name, _ = nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))
     joined = (
         t["part"]
         .filter(F.col("p_type") == "STANDARD")
@@ -335,8 +337,9 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("l_orderkey") == F.col("o_orderkey"),
         )
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(n1, F.col("c_nationkey") == F.col("cust_nkey"))
-        .join(n2, F.col("s_nationkey") == F.col("supp_nkey"))
+        .filter(cust_region == "EUROPE")
+        .withColumn("nation", supp_name)
+        .filter(F.col("nation").isNotNull())
     )
     vol = (F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("volume")
     return (
@@ -382,14 +385,16 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["lineitem"], F.col("p_partkey") == F.col("l_partkey"))
         .join(t["supplier"], F.col("s_suppkey") == F.col("l_suppkey"))
         .join(t["orders"], F.col("o_orderkey") == F.col("l_orderkey"))
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
     )
+    n_name, _ = nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))
     amount = (
         F.col("l_extendedprice") * (1 - F.col("l_discount"))
         - F.col("p_retailprice") * F.col("l_quantity")
     ).alias("amount")
     return (
-        joined.select(F.col("n_name").alias("nation"), F.year("o_orderdate").alias("o_year"), amount)
+        joined.withColumn("nation", n_name)
+        .filter(F.col("nation").isNotNull())
+        .select("nation", F.year("o_orderdate").alias("o_year"), amount)
         .groupBy("nation", "o_year")
         .agg(F.sum("amount").alias("sum_profit"))
         .orderBy("nation", F.desc("o_year"))
@@ -429,7 +434,8 @@ def tpch_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("c_custkey") == F.col("o_custkey"),
         )
         .join(t["lineitem"].filter(F.col("l_returnflag") == "R"), F.col("l_orderkey") == F.col("o_orderkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
         .select("c_custkey", "c_name", "revenue", "c_acctbal", "n_name")
@@ -812,18 +818,30 @@ _PARTSUPP_SQL = """
 """
 
 
-def _partsupp(t: dict[str, DataFrame]) -> DataFrame:
-    from doris_spark.session import ensure_parallelism
+# (session id, sf_dir) -> |supplier|: a bounded scalar memoized per
+# session so the generator needs neither a count job nor a 1-row
+# broadcast per query (was a crossJoin(broadcast(count agg)) build job).
+_SUPPLIER_CNT_CACHE: dict[tuple[int, str], int] = {}
 
-    p = ensure_parallelism(t["part"])
-    s_cnt = t["supplier"].agg(F.count(F.lit(1)).alias("s_cnt"))
-    suppkey = (F.col("p_partkey") * 4 + F.col("i")) % F.col("s_cnt") + 1
+
+def _supplier_count(spark: SparkSession, sf_dir: str, t) -> int:
+    key = (id(spark), sf_dir)
+    if key not in _SUPPLIER_CNT_CACHE:
+        _SUPPLIER_CNT_CACHE[key] = t["supplier"].count()
+    return _SUPPLIER_CNT_CACHE[key]
+
+
+def _partsupp(spark: SparkSession, sf_dir: str, t: dict[str, DataFrame]) -> DataFrame:
+    # No repartition: the generator is trivial arithmetic over an explode
+    # and every consumer joins (shuffling anyway) — the old
+    # ensure_parallelism round-robin shuffle of `part` bought nothing.
+    s_cnt = F.lit(_supplier_count(spark, sf_dir, t))
+    suppkey = (F.col("p_partkey") * 4 + F.col("i")) % s_cnt + 1
     return (
-        p.crossJoin(F.broadcast(s_cnt))  # 1-row count, broadcast literal
+        t["part"]
         .select(
             "p_partkey",
             "p_retailprice",
-            "s_cnt",
             F.explode(F.sequence(F.lit(0), F.lit(3))).alias("i"),
         )
         .select(
@@ -867,14 +885,14 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q2: min-cost supplier — correlated scalar subquery as a groupBy-min
     join (regression-test/suites/nereids_tpch_p0/tpch/q2.groovy analog)."""
     t = _t(spark, sf_dir)
-    ps = _partsupp(t)
+    ps = _partsupp(spark, sf_dir, t)
+    # supplier geo via the bounded-dim dictionary (was nation+region
+    # broadcast joins); the EUROPE filter preserves inner-join semantics.
+    sup_n_name, sup_r_name = nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))
     euro_sup = (
         t["supplier"]
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
-        .join(
-            F.broadcast(t["region"].filter(F.col("r_name") == "EUROPE")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
+        .withColumn("n_name", sup_n_name)
+        .filter(sup_r_name == "EUROPE")
     )
     euro_ps = ps.join(
         euro_sup.select("s_suppkey", "s_acctbal", "s_name", "n_name"),
@@ -923,16 +941,13 @@ ORDER BY value DESC, ps_partkey
 def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Q11: important stock — group-having against a global scalar."""
     t = _t(spark, sf_dir)
-    asia_nations = F.broadcast(
-        t["nation"].join(
-            F.broadcast(t["region"].filter(F.col("r_name") == "ASIA")),
-            F.col("n_regionkey") == F.col("r_regionkey"),
-        )
-    )
+    # ASIA membership via the bounded-dim dictionary (was a broadcast
+    # nation⋈region join on the supplier side).
+    _, sup_region = nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))
     asia_ps = (
-        _partsupp(t)
+        _partsupp(spark, sf_dir, t)
         .join(t["supplier"], F.col("ps_suppkey") == F.col("s_suppkey"))
-        .join(asia_nations, F.col("s_nationkey") == F.col("n_nationkey"))
+        .filter(sup_region == "ASIA")
         .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
     )
     per_part = asia_ps.groupBy("ps_partkey").agg(F.sum("v").alias("raw_value"))
@@ -967,7 +982,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = _t(spark, sf_dir)
     bad_sup = t["supplier"].filter(F.col("s_acctbal") < 0).select("s_suppkey")
     return (
-        _partsupp(t)
+        _partsupp(spark, sf_dir, t)
         .join(bad_sup, F.col("ps_suppkey") == F.col("s_suppkey"), "left_anti")
         .join(
             t["part"].filter(
@@ -1037,9 +1052,9 @@ def tpch_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     nat_sup = F.broadcast(
         t["supplier"]
-        .join(
-            t["nation"].filter(F.col("n_name") == "NATION_3"),
-            F.col("s_nationkey") == F.col("n_nationkey"),
+        .filter(
+            nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))[0]
+            == "NATION_3"
         )
         .select("s_suppkey", "s_name")
     )
