@@ -441,10 +441,14 @@ def ivf_knn(
     corp = corpus.withColumn(
         "__cid", _assign_expr(vec_col, cent_vecs)
     ).filter(F.col("__cid").isin(probe))
-    q = F.broadcast(query.select(F.col(vec_col).alias("__qvec")))
+    # The query vector is already on the driver (collected above for the
+    # nprobe list selection): inline it as a literal array instead of a
+    # broadcast crossJoin of the 1-row query side — one less
+    # BroadcastExchange build job, identical distance values (same
+    # doubles, same left-to-right fold).
+    qv = F.array(*[F.lit(x) for x in qvec])
     return (
-        corp.crossJoin(q)
-        .select(F.col(id_col), l2_distance(vec_col, "__qvec").alias("score"))
+        corp.select(F.col(id_col), l2_distance(vec_col, qv).alias("score"))
         .orderBy(F.asc("score"), F.asc(id_col))
         .limit(k)
     )

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from doris_spark.functions.dicts import nation_geo_exprs
 from doris_spark.queries import query
 from doris_spark.session import load_tables, register_views
 
@@ -443,7 +444,8 @@ def collect_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     seg_set = F.array_sort(F.collect_set("c_mktsegment"))
     return (
         t["customer"]
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(
             # collect_set exercised; serialized for the driver canonicalizer
@@ -511,7 +513,8 @@ def cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
     nation_rev = (
         t["lineitem"]
         .join(t["supplier"], F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
     )

@@ -20,6 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from doris_spark.functions.dicts import nation_geo_exprs
 from doris_spark.queries import query
 from doris_spark.session import load_tables
 
@@ -81,10 +82,9 @@ def ds_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         t["orders"]
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(
-            F.broadcast(t["nation"].filter(F.col("n_nationkey") < 5)),
-            F.col("c_nationkey") == F.col("n_nationkey"),
-        )
+        .filter(F.col("c_nationkey") < 5)
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
     )
     g = j.rollup("n_name", "c_mktsegment").agg(
         F.count("*").alias("orders_cnt"),
@@ -317,7 +317,8 @@ def ds_returned_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     j = (
         t["lineitem"]
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
     )
     ret = F.sum(F.when(F.col("l_returnflag") == "R", F.col("l_extendedprice")))
     return (
@@ -587,7 +588,8 @@ def ds_q57_nation_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = (
         t["lineitem"]
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .groupBy("n_name", F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mon"))
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
     )
@@ -668,7 +670,8 @@ def ds_q35_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["customer"]
         .join(active, "c_custkey", "left_semi")
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .groupBy("n_name", "c_mktsegment")
         .agg(
             F.count(F.lit(1)).alias("cnt"),
@@ -991,7 +994,8 @@ def ds_q31_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         q.filter((F.col("hi_q1") > 0) & (F.col("lo_q1") > 0)
                  & (F.col("hi_q2") / F.col("hi_q1") > F.col("lo_q2") / F.col("lo_q1")))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .select("n_name",
                 F.round(F.col("hi_q2") / F.col("hi_q1"), 6).alias("hi_growth"),
                 F.round(F.col("lo_q2") / F.col("lo_q1"), 6).alias("lo_growth"))
@@ -1038,7 +1042,8 @@ def ds_q36_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .rollup("n_name", "p_brand")
         .agg(
             F.sum(rev - F.col("l_quantity") * F.col("p_retailprice") * 0.5).alias("profit"),
@@ -1371,7 +1376,8 @@ def ds_q6_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"].filter(F.year("o_orderdate") == 1995),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 10)
@@ -1404,7 +1410,8 @@ def ds_q15_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["orders"].filter((F.year("o_orderdate") == 1996) & (F.quarter("o_orderdate") == 1))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
         .filter(F.col("total") > 50000)
@@ -1704,7 +1711,8 @@ def ds_q17_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .groupBy("p_brand", "n_name")
         .agg(
             F.avg("l_quantity").alias("mean_qty"),
@@ -1754,7 +1762,8 @@ def ds_q62_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"].filter(F.year("o_orderdate") == 1996),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(
             band(lat <= 30).alias("d30"),
@@ -1859,7 +1868,8 @@ def ds_q8_preferred_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(preferred), "c_nationkey", "left_semi")
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
         .orderBy("n_name")
@@ -2185,7 +2195,7 @@ def ds_q37_inventory_range(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     t = load_tables(spark, sf_dir)
     in_band = (
-        _partsupp(t)
+        _partsupp(spark, sf_dir, t)
         .filter(F.col("ps_availqty").between(20, 40))
         .select(F.col("ps_partkey").alias("p_partkey")).distinct()
     )
@@ -2425,7 +2435,8 @@ def ds_q45_list_or_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["orders"]
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .join(F.broadcast(big), "o_custkey", "left")
         .filter(F.col("n_name").isin("NATION_1", "NATION_3", "NATION_7")
                 | F.col("is_big").isNotNull())
@@ -2503,7 +2514,8 @@ def ds_q50_return_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"].filter(F.col("l_returnflag") == "R")
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(band(lat <= 30, "d30"), band(lat.between(31, 60), "d60"),
              band(lat.between(61, 90), "d90"), band(lat > 90, "dmore"))
@@ -2753,7 +2765,8 @@ def ds_q66_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         t["lineitem"].filter(F.year("l_shipdate") == 1997)
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(*[m(n) for n in range(1, 13)])
         .orderBy("n_name")
@@ -2865,8 +2878,9 @@ def ds_q70_top_nations_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     base = (
         t["orders"]
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
-        .join(F.broadcast(t["region"]), F.col("n_regionkey") == F.col("r_regionkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
+        .withColumn("r_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[1])
+        .filter(F.col("n_name").isNotNull() & F.col("r_name").isNotNull())
     )
     nat_rev = base.groupBy("r_name", "n_name").agg(F.sum("o_totalprice").alias("rev"))
     w = Window.partitionBy("r_name").orderBy(F.col("rev").desc(), F.col("n_name"))
@@ -2915,7 +2929,7 @@ def ds_q72_inventory_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
     from doris_spark.queries.tpch import _partsupp
 
     t = load_tables(spark, sf_dir)
-    ps = _partsupp(t).select("ps_partkey", "ps_suppkey", "ps_availqty")
+    ps = _partsupp(spark, sf_dir, t).select("ps_partkey", "ps_suppkey", "ps_availqty")
     return (
         t["lineitem"]
         .join(ps, (F.col("l_partkey") == F.col("ps_partkey"))
@@ -2984,7 +2998,8 @@ def ds_q77_sales_returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     g = (
         t["lineitem"]
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
-        .join(F.broadcast(t["nation"]), F.col("s_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .rollup("l_linestatus", "n_name")
         .agg(
             F.round(F.sum(F.when(F.col("l_returnflag") != "R", F.col("l_extendedprice")).otherwise(0.0)), 4).alias("sales_rev"),
@@ -3205,7 +3220,8 @@ def ds_q10_active_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["customer"]
         .join(active, "c_custkey", "left_semi")
         .join(either, "c_custkey", "left_semi")
-        .join(F.broadcast(t["nation"]), F.col("c_nationkey") == F.col("n_nationkey"))
+        .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
+        .filter(F.col("n_name").isNotNull())
         .groupBy("c_mktsegment", "n_name")
         .agg(F.count("*").alias("customers"))
         .orderBy("c_mktsegment", "n_name")
@@ -3360,8 +3376,10 @@ def ds_q84_customer_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     return (
         t["customer"].filter(F.col("c_acctbal").between(1000, 3000))
-        .join(F.broadcast(t["nation"].filter(F.col("n_name") == "NATION_5")),
-              F.col("c_nationkey") == F.col("n_nationkey"))
+        .filter(
+            nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0]
+            == "NATION_5"
+        )
         .select(F.col("c_custkey").alias("customer_id"),
                 F.concat_ws(", ", "c_name", "c_mktsegment").alias("customername"),
                 F.round("c_acctbal", 4).alias("acctbal"))
