@@ -33,6 +33,21 @@ QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
 
+def merge_sorted(df: DataFrame, *cols) -> DataFrame:
+    """Final ORDER BY for BOUNDED result sets — single merge partition
+    (the Doris ResultSink merge-exchange analog: the coordinator merges
+    for the final ORDER BY) instead of a range exchange, whose
+    bound-sampling pass costs a full extra job and exchange.
+
+    ONLY for results bounded by fixed group-key cardinality (status
+    flags, nations, brands, years, buckets, ...) with algebraic
+    aggregates: those stay a few hundred rows at ANY scale factor, so a
+    single sorted partition is the scale-correct plan. Results that grow
+    with the data (per-customer, per-document, per-order rows) must keep
+    the range-partitioned global sort."""
+    return df.coalesce(1).sortWithinPartitions(*cols)
+
+
 def query(name: str, oracle: Optional[str] = None):
     """Decorator: register a query builder and its DuckDB oracle SQL."""
 

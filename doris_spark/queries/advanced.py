@@ -105,7 +105,7 @@ def sketch_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SK.bitmap_count(SK.bitmap_or("bm_a", "bm_b")).alias("or_count"),
         SK.bitmap_count(SK.bitmap_xor("bm_a", "bm_b")).alias("xor_count"),
         SK.bitmap_contains("bm_a", 3).alias("has_3"),
-    ).orderBy("flag_a", "flag_b")
+    ).coalesce(1).sortWithinPartitions("flag_a", "flag_b")
 
 
 @query(
@@ -129,7 +129,7 @@ def sketch_bitmap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             SK.bitmap_union_count("l_suppkey").alias("supp_ndv"),
             SK.bitmap_union_count("l_partkey").alias("part_ndv"),
         )
-        .orderBy("l_linestatus")
+        .coalesce(1).sortWithinPartitions("l_linestatus")
     )
 
 
@@ -165,7 +165,7 @@ def sketch_bitmap_roaring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min(arr).alias("min_supp"),
             F.array_max(arr).alias("max_supp"),
         )
-        .orderBy("l_linestatus")
+        .coalesce(1).sortWithinPartitions("l_linestatus")
     )
 
 
@@ -204,7 +204,7 @@ def sketch_orthogonal_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "intersect_count"
             ),
         )
-        .orderBy("l_linestatus")
+        .coalesce(1).sortWithinPartitions("l_linestatus")
     )
 
 
@@ -254,7 +254,7 @@ def agg_state_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
             C.max_merge("tax_st").cast("double").alias("max_tax"),
             C.avg_merge("qty_avg_st").alias("avg_qty"),
         )
-        .orderBy("l_returnflag")
+        .coalesce(1).sortWithinPartitions("l_returnflag")
     )
 
 
@@ -300,7 +300,7 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("ndv_within_5pct"),
         )
-        .orderBy("o_orderstatus")
+        .coalesce(1).sortWithinPartitions("o_orderstatus")
     )
 
 
@@ -394,7 +394,7 @@ def sketch_bitmap_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         SK.bitmap_to_string(SK.bitmap_subset_limit("bm", 30, 3)).alias("lim3"),
         SK.bitmap_to_string(SK.bitmap_remove("bm", 7)).alias("removed7"),
         F.size(SK.bitmap_subset_in_range("bm", 10, 20)).alias("in_range_cnt"),
-    ).orderBy("l_returnflag")
+    ).coalesce(1).sortWithinPartitions("l_returnflag")
 
 
 @query(
@@ -439,7 +439,7 @@ def mtmv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         mv.read()
         .select(F.col("yr").cast("int").alias("yr"), "o_orderstatus", "cnt", "total")
-        .orderBy("yr", "o_orderstatus")
+        .coalesce(1).sortWithinPartitions("yr", "o_orderstatus")
     )
 
 
@@ -549,7 +549,7 @@ def meta_scan_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
     parts = table_partitions(spark, path, ["o_orderpriority"])
     assert parts.filter(F.col("n_files") < 1).count() == 0
-    return parts.select("o_orderpriority", "n_rows").orderBy("o_orderpriority")
+    return parts.select("o_orderpriority", "n_rows").coalesce(1).sortWithinPartitions("o_orderpriority")
 
 
 @query(

@@ -168,7 +168,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "cnt")
-        .orderBy("gid", "l_returnflag", "l_linestatus")
+        .coalesce(1).sortWithinPartitions("gid", "l_returnflag", "l_linestatus")
     )
 
 
@@ -189,7 +189,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.grouping_id().alias("gid"), F.sum("l_extendedprice").alias("sum_price"))
         .select("l_returnflag", "l_linestatus", "gid", "sum_price")
-        .orderBy("gid", "l_returnflag", "l_linestatus")
+        .coalesce(1).sortWithinPartitions("gid", "l_returnflag", "l_linestatus")
     )
 
 
@@ -310,7 +310,7 @@ def distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum_distinct(F.col("l_quantity")).alias("sd_qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
-        .orderBy("l_returnflag")
+        .coalesce(1).sortWithinPartitions("l_returnflag")
     )
 
 
@@ -351,7 +351,7 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_r2("l_extendedprice", "l_quantity").alias("rr2"),
             F.regr_count("l_extendedprice", "l_quantity").alias("rcnt"),
         )
-        .orderBy("l_returnflag")
+        .coalesce(1).sortWithinPartitions("l_returnflag")
     )
 
 
@@ -421,7 +421,7 @@ def skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.skewness("v"), 6).alias("skew"),
             F.round(F.kurtosis("v"), 6).alias("kurt"),
         )
-        .orderBy("l_returnflag")
+        .coalesce(1).sortWithinPartitions("l_returnflag")
     )
 
 
@@ -529,7 +529,7 @@ def cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("rev") / F.col("total_rev")).alias("share"),
             (F.col("rev") - F.col("avg_rev")).alias("vs_avg"),
         )
-        .orderBy(F.desc("rev"), "n_name")
+        .coalesce(1).sortWithinPartitions(F.desc("rev"), "n_name")
     )
 
 

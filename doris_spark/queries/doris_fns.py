@@ -285,5 +285,5 @@ def dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(name_of.alias("nation_name"), "c_acctbal")
         .groupBy("nation_name")
         .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("c_acctbal").alias("total_bal"))
-        .orderBy("nation_name")
+        .coalesce(1).sortWithinPartitions("nation_name")
     )

@@ -504,7 +504,7 @@ def agg_count_by_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "null_cnt"
             ),
         )
-        .orderBy("o_orderstatus")
+        .coalesce(1).sortWithinPartitions("o_orderstatus")
     )
 
 
@@ -557,7 +557,7 @@ def agg_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
             ).alias("common_vals")
         )
-        .orderBy("l_returnflag")
+        .coalesce(1).sortWithinPartitions("l_returnflag")
     )
 
 

@@ -97,7 +97,7 @@ def txt_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("lang", T.lang_id("text").alias("predicted"))
         .groupBy("lang", "predicted")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("lang", "predicted")
+        .coalesce(1).sortWithinPartitions("lang", "predicted")
     )
 
 
@@ -149,7 +149,7 @@ def txt_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("source", T.fingerprint("text").alias("f"))
         .groupBy("source")
         .agg(F.count(F.lit(1)).alias("n_docs"), F.countDistinct("f").alias("n_distinct_fp"))
-        .orderBy("source")
+        .coalesce(1).sortWithinPartitions("source")
     )
 
 
@@ -182,7 +182,7 @@ def txt_match(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(T.match_phrase_prefix("text", "spark jo"), 1).otherwise(0)
             ).alias("n_phrase_prefix"),
         )
-        .orderBy("lang")
+        .coalesce(1).sortWithinPartitions("lang")
     )
 
 
@@ -233,7 +233,7 @@ def txt_match_indexed(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("n_terms") == len(terms), 1).otherwise(0)
             ).alias("n_all"),
         )
-        .orderBy("lang")
+        .coalesce(1).sortWithinPartitions("lang")
     )
 
 
@@ -462,7 +462,7 @@ def txt_search_dsl(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         docs.groupBy("lang")
         .agg(F.sum(F.when(hit, 1).otherwise(0)).alias("n_hits"))
-        .orderBy("lang")
+        .coalesce(1).sortWithinPartitions("lang")
     )
 
 
@@ -697,5 +697,5 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.size(T.tokenize("text"))), 6).alias("avg_tokens"),
             F.sum(F.length("text")).cast("bigint").alias("total_chars"),
         )
-        .orderBy("lang")
+        .coalesce(1).sortWithinPartitions("lang")
     )

@@ -24,6 +24,15 @@ from doris_spark.functions.dicts import nation_geo_exprs
 from doris_spark.queries import query
 from doris_spark.session import load_tables
 
+# Final ORDER BY policy (round 11): queries whose result set is bounded by
+# fixed group-key cardinality (brands, nations, years, buckets, rollup
+# levels, ...) with algebraic aggregates sort on a SINGLE merge partition
+# (.coalesce(1).sortWithinPartitions — the Doris ResultSink merge-exchange
+# analog) instead of a range exchange: the range-partitioner's
+# bound-sampling pass is a whole extra job that costs more than sorting a
+# few hundred rows at any scale. Results that grow with the data keep the
+# range-partitioned global orderBy.
+
 
 @query(
     "ds_yoy_brand",
@@ -55,7 +64,7 @@ def ds_yoy_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yr.select(
         "p_brand", "yr", "rev",
         F.round(F.col("rev") / F.lag("rev").over(w), 6).alias("yoy"),
-    ).orderBy("p_brand", "yr")
+    ).coalesce(1).sortWithinPartitions("p_brand", "yr")
 
 
 @query(
@@ -96,7 +105,7 @@ def ds_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_name", F.lit("ALL")).alias("nation"),
         F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
         "gid", "orders_cnt", "rev", "avg_rev",
-    ).orderBy("gid", "nation", "segment")
+    ).coalesce(1).sortWithinPartitions("gid", "nation", "segment")
 
 
 @query(
@@ -132,7 +141,7 @@ def ds_customer_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cnt").cast("bigint").alias("min_orders"),
             F.max("cnt").cast("bigint").alias("max_orders"),
         )
-        .orderBy("bucket")
+        .coalesce(1).sortWithinPartitions("bucket")
     )
 
 
@@ -159,7 +168,7 @@ def ds_channel_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "event_type", "dow", "n",
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
-    ).orderBy("event_type", "dow")
+    ).coalesce(1).sortWithinPartitions("event_type", "dow")
 
 
 @query(
@@ -215,7 +224,7 @@ def ds_cumulative_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mon", "rev", "orders_cnt",
         F.round(F.sum("rev").over(w), 4).alias("cum_rev"),
         F.row_number().over(ws).cast("bigint").alias("month_seq"),
-    ).orderBy("mon")
+    ).coalesce(1).sortWithinPartitions("mon")
 
 
 @query(
@@ -251,7 +260,7 @@ def ds_decile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("tot"), 4).alias("min_spend"),
             F.round(F.max("tot"), 4).alias("max_spend"),
         )
-        .orderBy("decile")
+        .coalesce(1).sortWithinPartitions("decile")
     )
 
 
@@ -355,7 +364,7 @@ def ds_monthly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "mon", "mau",
         F.round(F.col("mau") / F.lag("mau").over(w), 6).alias("mom_ratio"),
-    ).orderBy("mon")
+    ).coalesce(1).sortWithinPartitions("mon")
 
 
 @query(
@@ -405,7 +414,7 @@ def ds_q5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
             "sales", "returns_amt", "profit",
         )
-        .orderBy("channel", "brand")
+        .coalesce(1).sortWithinPartitions("channel", "brand")
     )
 
 
@@ -496,7 +505,7 @@ def ds_q14_cross_channel_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"),
         )
-        .orderBy("p_brand")
+        .coalesce(1).sortWithinPartitions("p_brand")
     )
 
 
@@ -554,7 +563,7 @@ def ds_q47_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_months",
             "prev_rev", "next_rev",
         )
-        .orderBy("p_brand", "yr", "mon")
+        .coalesce(1).sortWithinPartitions("p_brand", "yr", "mon")
     )
 
 
@@ -604,7 +613,7 @@ def ds_q57_nation_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.filter(F.col("rev_rank") <= 3)
         .select("n_name", "yr", "mon", "rev",
                 F.round("sum_year_raw", 2).alias("sum_year"), "rev_rank")
-        .orderBy("n_name", "rev_rank", "yr", "mon")
+        .coalesce(1).sortWithinPartitions("n_name", "rev_rank", "yr", "mon")
     )
 
 
@@ -640,7 +649,7 @@ def ds_q33_mfgr_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         u.groupBy("p_type")
         .agg(F.round(F.sum("amt"), 2).alias("total_amt"), F.count(F.lit(1)).alias("n"))
-        .orderBy(F.desc("total_amt"), "p_type")
+        .coalesce(1).sortWithinPartitions(F.desc("total_amt"), "p_type")
     )
 
 
@@ -679,7 +688,7 @@ def ds_q35_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         )
-        .orderBy("n_name", "c_mktsegment")
+        .coalesce(1).sortWithinPartitions("n_name", "c_mktsegment")
     )
 
 
@@ -771,7 +780,7 @@ def ds_q75_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qty").alias("qty_cur"),
         "qty_prev",
         F.round(F.col("amt") - F.col("amt_prev"), 2).alias("amt_delta"),
-    ).orderBy("amt_delta", "p_brand", "yr")
+    ).coalesce(1).sortWithinPartitions("amt_delta", "p_brand", "yr")
 
 
 @query(
@@ -819,7 +828,7 @@ def ds_q89_rolling_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "l_linestatus", "yr", "mon", "rev",
                 F.round("sum_m", 2).alias("sum_monthly"),
                 F.col("n_m").alias("n_m"))
-        .orderBy("p_brand", "l_linestatus", "yr", "mon")
+        .coalesce(1).sortWithinPartitions("p_brand", "l_linestatus", "yr", "mon")
     )
 
 
@@ -940,7 +949,7 @@ def ds_q2_wow_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(F.broadcast(b), F.col("wk") == F.col("wk_b"))
         .select("wk", "rev_1995", "rev_1996",
                 F.round(F.col("rev_1996") / F.col("rev_1995"), 6).alias("ratio"))
-        .orderBy("wk")
+        .coalesce(1).sortWithinPartitions("wk")
     )
 
 
@@ -999,7 +1008,7 @@ def ds_q31_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name",
                 F.round(F.col("hi_q2") / F.col("hi_q1"), 6).alias("hi_growth"),
                 F.round(F.col("lo_q2") / F.col("lo_q1"), 6).alias("lo_growth"))
-        .orderBy("n_name")
+        .coalesce(1).sortWithinPartitions("n_name")
     )
 
 
@@ -1062,7 +1071,7 @@ def ds_q36_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lochierarchy",
             F.rank().over(w).alias("rnk"),
         )
-        .orderBy(F.desc("lochierarchy"), "nation", "rnk", "brand")
+        .coalesce(1).sortWithinPartitions(F.desc("lochierarchy"), "nation", "rnk", "brand")
     )
 
 
@@ -1172,7 +1181,7 @@ def ds_q54_segment_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tot.groupBy(F.floor(F.col("t") / 50000).cast("int").alias("segment"))
         .agg(F.count(F.lit(1)).alias("num_customers"))
-        .orderBy("segment")
+        .coalesce(1).sortWithinPartitions("segment")
     )
 
 
@@ -1381,7 +1390,7 @@ def ds_q6_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 10)
-        .orderBy("cnt", "n_name")
+        .coalesce(1).sortWithinPartitions("cnt", "n_name")
     )
 
 
@@ -1415,7 +1424,7 @@ def ds_q15_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
         .filter(F.col("total") > 50000)
-        .orderBy("n_name")
+        .coalesce(1).sortWithinPartitions("n_name")
     )
 
 
@@ -1576,7 +1585,7 @@ def ds_q59_dow_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("fri_b") / F.col("fri"), 6).alias("fri_ratio"),
             F.round(F.col("sun_b") / F.col("sun"), 6).alias("sun_ratio"),
         )
-        .orderBy("wk")
+        .coalesce(1).sortWithinPartitions("wk")
     )
 
 
@@ -1612,7 +1621,7 @@ def ds_q63_above_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.withColumn("a", F.avg("s").over(w))
         .filter(F.col("s") > 1.1 * F.col("a"))
         .select("p_type", "ym", F.round("s", 2).alias("monthly"), F.round("a", 2).alias("trend"))
-        .orderBy("p_type", "ym")
+        .coalesce(1).sortWithinPartitions("p_type", "ym")
     )
 
 
@@ -1647,7 +1656,7 @@ def ds_q98_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_type", "p_brand", F.round("rev", 2).alias("rev"),
             F.round(F.col("rev") * 100 / F.sum("rev").over(w), 4).alias("share"),
         )
-        .orderBy("p_type", "p_brand")
+        .coalesce(1).sortWithinPartitions("p_type", "p_brand")
     )
 
 
@@ -1725,7 +1734,7 @@ def ds_q17_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter((F.col("cnt") >= 5) & (cov > 0.62))
         .select("p_brand", "n_name", F.round("mean_qty", 4).alias("mean_qty"),
                 F.round(cov, 4).alias("cov"))
-        .orderBy("p_brand", "n_name")
+        .coalesce(1).sortWithinPartitions("p_brand", "n_name")
     )
 
 
@@ -1772,7 +1781,7 @@ def ds_q62_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             band(lat.between(91, 120)).alias("d120"),
             band(lat > 120).alias("dmore"),
         )
-        .orderBy("n_name")
+        .coalesce(1).sortWithinPartitions("n_name")
     )
 
 
@@ -1797,7 +1806,7 @@ def ds_q3_brand_year(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").alias("yr"), F.col("p_brand"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
-        .orderBy("yr", F.col("rev").desc(), "p_brand")
+        .coalesce(1).sortWithinPartitions("yr", F.col("rev").desc(), "p_brand")
     )
 
 
@@ -1835,7 +1844,7 @@ def ds_q7_item_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("cnt"),
         )
-        .orderBy("p_brand")
+        .coalesce(1).sortWithinPartitions("p_brand")
     )
 
 
@@ -1872,7 +1881,7 @@ def ds_q8_preferred_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
-        .orderBy("n_name")
+        .coalesce(1).sortWithinPartitions("n_name")
     )
 
 
@@ -1906,7 +1915,7 @@ def ds_q12_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return itemrev.select(
         "p_type", "p_brand", "rev",
         F.round(F.col("rev") * 100.0 / F.sum("rev").over(w), 6).alias("revshare"),
-    ).orderBy("p_type", "p_brand")
+    ).coalesce(1).sortWithinPartitions("p_type", "p_brand")
 
 
 @query(
@@ -1999,7 +2008,7 @@ def ds_q19_cross_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy("p_brand")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
-        .orderBy("p_brand")
+        .coalesce(1).sortWithinPartitions("p_brand")
     )
 
 
@@ -2070,7 +2079,7 @@ def ds_q22_qty_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("p_type", F.lit("ALL")).alias("ptype"),
         F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
         "gid", "avg_qty", "cnt",
-    ).orderBy("gid", "ptype", "brand")
+    ).coalesce(1).sortWithinPartitions("gid", "ptype", "brand")
 
 
 @query(
@@ -2207,7 +2216,7 @@ def ds_q37_inventory_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count("*").alias("sold_lines"),
              F.round(F.sum("l_extendedprice"), 4).alias("rev"))
-        .orderBy("p_brand")
+        .coalesce(1).sortWithinPartitions("p_brand")
     )
 
 
@@ -2287,7 +2296,7 @@ def ds_q40_net_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.when(sd < "1998-01-01", net).otherwise(0.0)), 4).alias("rev_before"),
             F.round(F.sum(F.when(sd >= "1998-01-01", net).otherwise(0.0)), 4).alias("rev_after"),
         )
-        .orderBy("p_brand")
+        .coalesce(1).sortWithinPartitions("p_brand")
     )
 
 
@@ -2311,7 +2320,7 @@ def ds_q42_category_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").alias("yr"), F.col("p_type"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
-        .orderBy(F.col("rev").desc(), "yr", "p_type")
+        .coalesce(1).sortWithinPartitions(F.col("rev").desc(), "yr", "p_type")
     )
 
 
@@ -2442,7 +2451,7 @@ def ds_q45_list_or_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | F.col("is_big").isNotNull())
         .groupBy("n_name")
         .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
-        .orderBy("n_name")
+        .coalesce(1).sortWithinPartitions("n_name")
     )
 
 
@@ -2519,7 +2528,7 @@ def ds_q50_return_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(band(lat <= 30, "d30"), band(lat.between(31, 60), "d60"),
              band(lat.between(61, 90), "d90"), band(lat > 90, "dmore"))
-        .orderBy("n_name")
+        .coalesce(1).sortWithinPartitions("n_name")
     )
 
 
@@ -2558,7 +2567,7 @@ def ds_q53_quarterly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("avg_raw") > 0)
                 & (F.abs(F.col("rev") - F.col("avg_raw")) / F.col("avg_raw") > 0.1))
         .select("p_brand", "qtr", "rev", F.round("avg_raw", 6).alias("avg_rev"))
-        .orderBy("p_brand", "qtr")
+        .coalesce(1).sortWithinPartitions("p_brand", "qtr")
     )
 
 
@@ -2591,7 +2600,7 @@ def ds_q56_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         chan.groupBy("p_brand")
         .agg(F.round(F.sum("rev"), 4).alias("total_rev"))
-        .orderBy(F.col("total_rev").desc(), "p_brand")
+        .coalesce(1).sortWithinPartitions(F.col("total_rev").desc(), "p_brand")
     )
 
 
@@ -2649,7 +2658,7 @@ def ds_q58_equal_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("rev_a"), 4).alias("tot_a"),
              F.round(F.sum("rev_n"), 4).alias("tot_n"),
              F.round(F.sum("rev_r"), 4).alias("tot_r"))
-        .orderBy("p_brand")
+        .coalesce(1).sortWithinPartitions("p_brand")
     )
 
 
@@ -2726,7 +2735,7 @@ def ds_q64_price_drop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count("*").alias("drop_pairs"),
              F.round(F.avg(F.col("prev_price") - F.col("avg_price")), 6).alias("avg_drop"))
-        .orderBy("p_brand")
+        .coalesce(1).sortWithinPartitions("p_brand")
     )
 
 
@@ -2769,7 +2778,7 @@ def ds_q66_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(*[m(n) for n in range(1, 13)])
-        .orderBy("n_name")
+        .coalesce(1).sortWithinPartitions("n_name")
     )
 
 
@@ -2837,7 +2846,7 @@ def ds_q69_exclusive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(returned, "c_custkey", "left_anti")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("customers"))
-        .orderBy("c_mktsegment")
+        .coalesce(1).sortWithinPartitions("c_mktsegment")
     )
 
 
@@ -2898,7 +2907,7 @@ def ds_q70_top_nations_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("r_name", F.lit("ALL")).alias("region"),
         F.coalesce("n_name", F.lit("ALL")).alias("nation"),
         "gid", "rev",
-    ).orderBy("gid", "region", "nation")
+    ).coalesce(1).sortWithinPartitions("gid", "region", "nation")
 
 
 @query(
@@ -2938,7 +2947,7 @@ def ds_q72_inventory_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(F.count("*").alias("short_lines"))
-        .orderBy("p_brand")
+        .coalesce(1).sortWithinPartitions("p_brand")
     )
 
 
@@ -2971,7 +2980,7 @@ def ds_q76_null_channel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.coalesce("p_brand", F.lit("UNKNOWN")).alias("brand"))
         .agg(F.count("*").alias("cnt"),
              F.round(F.sum("l_extendedprice"), 4).alias("rev"))
-        .orderBy("channel", "yr", "brand")
+        .coalesce(1).sortWithinPartitions("channel", "yr", "brand")
     )
 
 
@@ -3011,7 +3020,7 @@ def ds_q77_sales_returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("l_linestatus", F.lit("ALL")).alias("channel"),
         F.coalesce("n_name", F.lit("ALL")).alias("nation"),
         "gid", "sales_rev", "returns_rev",
-    ).orderBy("gid", "channel", "nation")
+    ).coalesce(1).sortWithinPartitions("gid", "channel", "nation")
 
 
 @query(
@@ -3127,7 +3136,7 @@ def ds_q80_channel_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         F.coalesce("l_linestatus", F.lit("ALL")).alias("channel"),
         "gid", "gross_rev", "returned_rev", "net_rev",
-    ).orderBy("gid", "channel")
+    ).coalesce(1).sortWithinPartitions("gid", "channel")
 
 
 @query(
@@ -3224,7 +3233,7 @@ def ds_q10_active_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isNotNull())
         .groupBy("c_mktsegment", "n_name")
         .agg(F.count("*").alias("customers"))
-        .orderBy("c_mktsegment", "n_name")
+        .coalesce(1).sortWithinPartitions("c_mktsegment", "n_name")
     )
 
 
@@ -3307,7 +3316,7 @@ def ds_q25_profit_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(leg("1997-04-01", "1997-05-01", False, "sold_net"),
              leg("1997-05-01", "1997-08-01", True, "returned_net"),
              leg("1997-08-01", "1997-11-01", False, "resold_net"))
-        .orderBy("p_brand")
+        .coalesce(1).sortWithinPartitions("p_brand")
     )
 
 
@@ -3354,7 +3363,7 @@ def ds_q83_return_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("w1") * 100.0 / tot, 6).alias("w1_pct"),
                 F.round(F.col("w2") * 100.0 / tot, 6).alias("w2_pct"),
                 F.round(F.col("w3") * 100.0 / tot, 6).alias("w3_pct"))
-        .orderBy("p_brand")
+        .coalesce(1).sortWithinPartitions("p_brand")
     )
 
 
@@ -3427,7 +3436,7 @@ def ds_q85_reason_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("l_extendedprice"), 6).alias("avg_refund"),
              F.round(F.avg("l_discount"), 6).alias("avg_disc"),
              F.count("*").alias("cnt"))
-        .orderBy("reason_band")
+        .coalesce(1).sortWithinPartitions("reason_band")
     )
 
 
@@ -3465,7 +3474,7 @@ def ds_q86_hierarchy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(
         "gid", F.when(F.col("gid") == 0, F.col("ptype"))
     ).orderBy(F.col("rev").desc(), "ptype", "brand")
-    return g.withColumn("rank_in_parent", F.row_number().over(w)).orderBy("gid", "ptype", "brand")
+    return g.withColumn("rank_in_parent", F.row_number().over(w)).coalesce(1).sortWithinPartitions("gid", "ptype", "brand")
 
 
 @query(
@@ -3529,7 +3538,7 @@ def ds_q91_returns_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.month("l_shipdate").alias("mon"), F.col("c_mktsegment"),
                  F.col("o_orderpriority"))
         .agg(F.round(F.sum("l_extendedprice"), 4).alias("loss"))
-        .orderBy("mon", "c_mktsegment", "o_orderpriority")
+        .coalesce(1).sortWithinPartitions("mon", "c_mktsegment", "o_orderpriority")
     )
 
 

@@ -67,7 +67,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .orderBy("l_returnflag", "l_linestatus")
+        .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus")
     )
 
 
@@ -144,7 +144,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         semi.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .orderBy("o_orderpriority")
+        .coalesce(1).sortWithinPartitions("o_orderpriority")
     )
 
 
@@ -192,7 +192,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_name", n_name)
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .orderBy(F.desc("revenue"), "n_name")
+        .coalesce(1).sortWithinPartitions(F.desc("revenue"), "n_name")
     )
 
 
@@ -282,7 +282,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.sum("volume").alias("revenue"))
-        .orderBy("supp_nation", "cust_nation", "l_year")
+        .coalesce(1).sortWithinPartitions("supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -351,7 +351,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("volume")
             ).alias("mkt_share")
         )
-        .orderBy("o_year")
+        .coalesce(1).sortWithinPartitions("o_year")
     )
 
 
@@ -397,7 +397,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", F.year("o_orderdate").alias("o_year"), amount)
         .groupBy("nation", "o_year")
         .agg(F.sum("amount").alias("sum_profit"))
-        .orderBy("nation", F.desc("o_year"))
+        .coalesce(1).sortWithinPartitions("nation", F.desc("o_year"))
     )
 
 
@@ -483,7 +483,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
-        .orderBy("l_linestatus")
+        .coalesce(1).sortWithinPartitions("l_linestatus")
     )
 
 
@@ -520,7 +520,7 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .orderBy(F.desc("custdist"), F.desc("c_count"))
+        .coalesce(1).sortWithinPartitions(F.desc("custdist"), F.desc("c_count"))
     )
 
 
@@ -789,7 +789,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("c_mktsegment").alias("cntrycode"))
         .agg(F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
-        .orderBy("cntrycode")
+        .coalesce(1).sortWithinPartitions("cntrycode")
     )
 
 
@@ -994,7 +994,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
-        .orderBy(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .coalesce(1).sortWithinPartitions(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 

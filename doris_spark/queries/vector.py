@@ -159,7 +159,7 @@ def vec_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("dim") < 8)
         .groupBy("label", "dim")
         .agg(F.round(F.avg(F.col("v").cast("double")), 8).alias("centroid_v"))
-        .orderBy("label", "dim")
+        .coalesce(1).sortWithinPartitions("label", "dim")
     )
 
 

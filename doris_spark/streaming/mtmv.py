@@ -215,7 +215,13 @@ class MaterializedView:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
                 (
-                    out.write.mode("overwrite")
+                    # Hash-distribute by the partition column before the
+                    # write (Iceberg write.distribution-mode=hash analog):
+                    # one file set per refreshed partition instead of
+                    # up to |tasks| small files per partition — fewer
+                    # files to commit, list, and read back (guide §6).
+                    out.repartition(self.partition_col)
+                    .write.mode("overwrite")
                     .partitionBy(self.partition_col)
                     .parquet(self.data_path)
                 )
