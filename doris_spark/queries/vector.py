@@ -192,12 +192,22 @@ def vec_label_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-join so the quadratic blow-up is per-group, not global."""
     emb = load_tables(spark, sf_dir)["embeddings"]
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    nrm = F.sqrt(V.dot("embedding", "embedding"))
-    unit = emb.select(
-        "vec_id",
-        "label",
-        F.transform(dv, lambda x: x / nrm).alias("uv"),
-    ).persist()
+    # Stage the norm as a named column: referenced inside the transform
+    # lambda as a plain column it is computed once per ROW, where the
+    # inline fold expression was re-evaluated per ELEMENT (64x). The
+    # unrolled dot (fixture dim 64, same constant the RHP oracle pins)
+    # runs as flat codegen arithmetic instead of an interpreted
+    # higher-order fold — identical left-to-right fp accumulation.
+    unit = (
+        emb.select("vec_id", "label", dv.alias("dv"))
+        .withColumn("nrm", F.sqrt(V.dot_unrolled("dv", "dv", 64)))
+        .select(
+            "vec_id",
+            "label",
+            F.transform(F.col("dv"), lambda x: x / F.col("nrm")).alias("uv"),
+        )
+        .persist()
+    )
     a = unit.select("label", F.col("vec_id").alias("id_a"), F.col("uv").alias("ua"))
     b = unit.select(
         F.col("label").alias("label_b"), F.col("vec_id").alias("id_b"), F.col("uv").alias("ub")
@@ -205,7 +215,7 @@ def vec_label_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
     )
-    sim = V.dot("ua", "ub")
+    sim = V.dot_unrolled("ua", "ub", 64)
     # Materialize the raw sims before the rounded filter: filter+project
     # otherwise each recompute the 64-term dot per pair.
     sims = pairs.select("id_a", "id_b", sim.alias("raw_sim")).persist()
