@@ -164,20 +164,61 @@ def sequence_match(
 ) -> DataFrame:
     """Doris sequence_match('(?1).*(?2)...') boolean per user: do events
     matching cond1, cond2, ... occur in timestamp order (not necessarily
-    adjacent)? Implemented as a chained min-after-previous scan, one
-    aggregate per condition (same plan shape as window_funnel without the
-    window bound)."""
-    cur = events.filter(conds[0]).groupBy(F.col(user_col).alias("user")).agg(F.min(ts_col).alias("t"))
-    for c in conds[1:]:
-        cur = (
-            events.filter(c)
-            .select(F.col(user_col).alias("nuser"), F.col(ts_col).alias("nts"))
-            .join(cur, F.col("nuser") == F.col("user"))
-            .filter(F.col("nts") > F.col("t"))
-            .groupBy("user")
-            .agg(F.min("nts").alias("t"))
+    adjacent)? Greedy min-after-previous chain (exact for unbounded gaps).
+
+    Plan: ONE shuffle — events are tagged with a condition bitmask (an
+    event may satisfy several conditions), rows matching none are dropped
+    BEFORE the per-user collect (partial aggregation applies; per-user
+    state is bounded by that user's matching events, the same state the
+    reference's aggregate_function_sequence_match.h buffers), then the
+    chain is evaluated as staged array expressions that replicate the old
+    chained join+min-aggregate predicates exactly (min cond_i timestamp
+    strictly after the step-(i-1) match). Replaces the previous
+    k-round join/aggregate chain (one shuffle pair per condition)."""
+    mask = None
+    for i, c in enumerate(conds):
+        term = F.when(c, F.lit(1 << i)).otherwise(F.lit(0))
+        mask = term if mask is None else mask.bitwiseOR(term)
+    per_user = (
+        events.withColumn("__m", mask)
+        .filter(F.col("__m") > 0)
+        .groupBy(F.col(user_col).alias("user"))
+        .agg(
+            F.collect_list(
+                F.struct(F.col(ts_col).alias("t"), F.col("__m").alias("m"))
+            ).alias("evs")
         )
-    return cur.select("user", F.lit(True).alias("matched"))
+    )
+
+    def _step_min(idx: int, lo):
+        """Earliest cond-`idx` event strictly after `lo` (None = no lower
+        bound) — the old join round's min(nts) under the same predicate."""
+        bit = F.lit(1 << idx)
+        return F.array_min(
+            F.transform(
+                F.filter(
+                    F.col("evs"),
+                    lambda e: (e["m"].bitwiseAND(bit) != 0)
+                    if lo is None
+                    else (e["m"].bitwiseAND(bit) != 0) & (e["t"] > lo),
+                ),
+                lambda e: e["t"],
+            )
+        )
+
+    # Staged selects keep each chain value a named column (same rationale
+    # as window_funnel: stop Catalyst re-inlining the array scans).
+    df = per_user.select("user", "evs", _step_min(0, None).alias("t1")).filter(
+        F.col("t1").isNotNull()
+    )
+    prev = "t1"
+    for i in range(1, len(conds)):
+        col = f"t{i + 1}"
+        df = df.select("*", _step_min(i, F.col(prev)).alias(col)).filter(
+            F.col(col).isNotNull()
+        )
+        prev = col
+    return df.select("user", F.lit(True).alias("matched"))
 
 
 def sequence_match_gaps(
@@ -205,7 +246,10 @@ def sequence_match_gaps(
 
     Plan shape: one union + window pass per step (range frame on epoch
     micros enforces strict precedence) — k-1 shuffles on the user key for
-    a k-step pattern, no joins, no explosion.
+    a k-step pattern, no joins, no explosion. Intermediate candidate sets
+    are NOT deduplicated: duplicate (user, t) rows cannot change the
+    running min/max the next step reads, and skipping the distinct drops
+    one exchange per step; only the final user set is deduplicated.
 
     Returns (user, matched=true) for users whose stream matches.
     """
@@ -217,10 +261,8 @@ def sequence_match_gaps(
     }
     if len(gaps) != len(conds) - 1:
         raise ValueError("need exactly len(conds)-1 gap constraints (None allowed)")
-    cur = (
-        events.filter(conds[0])
-        .select(F.col(user_col).alias("user"), F.col(ts_col).alias("t"))
-        .distinct()
+    cur = events.filter(conds[0]).select(
+        F.col(user_col).alias("user"), F.col(ts_col).alias("t")
     )
     for cond, gap in zip(conds[1:], gaps):
         prev = cur.select(
@@ -258,7 +300,7 @@ def sequence_match_gaps(
             # lower bounds test the EARLIEST predecessor, upper the LATEST
             ref = F.col("mn") if op in (">", ">=") else F.col("mx")
             scanned = scanned.filter(ops[op](F.col("us") - ref, F.lit(micros)))
-        cur = scanned.select("user", F.col("ts").alias("t")).distinct()
+        cur = scanned.select("user", F.col("ts").alias("t"))
     return cur.select("user").distinct().withColumn("matched", F.lit(True))
 
 

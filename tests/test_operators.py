@@ -167,6 +167,39 @@ def test_sequence_count_greedy(spark):
     assert got == {1: 1, 2: 1, 3: 2, 4: 0}
 
 
+def test_sequence_match_chain(spark):
+    from doris_spark.operators.funnel import sequence_match
+
+    # user 1: s, p, e        → matched (strict order)
+    # user 2: p, s, e        → no p after s → not matched, user absent
+    # user 3: s, e, p, e     → s < p < later e → matched
+    # user 4: s@t, p@t       → p not STRICTLY after s → absent
+    # user 5: x only         → no matching events → absent
+    rows = [
+        (1, _ts("2024-01-01T10:00:00"), "s"), (1, _ts("2024-01-01T11:00:00"), "p"),
+        (1, _ts("2024-01-01T12:00:00"), "e"),
+        (2, _ts("2024-01-01T10:00:00"), "p"), (2, _ts("2024-01-01T11:00:00"), "s"),
+        (2, _ts("2024-01-01T12:00:00"), "e"),
+        (3, _ts("2024-01-01T10:00:00"), "s"), (3, _ts("2024-01-01T10:30:00"), "e"),
+        (3, _ts("2024-01-01T11:00:00"), "p"), (3, _ts("2024-01-01T11:30:00"), "e"),
+        (4, _ts("2024-01-01T10:00:00"), "s"), (4, _ts("2024-01-01T10:00:00"), "p"),
+        (5, _ts("2024-01-01T10:00:00"), "x"),
+    ]
+    ev = spark.createDataFrame(rows, "u INT, ts TIMESTAMP, et STRING")
+    conds = [F.col("et") == "s", F.col("et") == "p", F.col("et") == "e"]
+    got = sorted(r["user"] for r in sequence_match(ev, "u", "ts", conds).collect())
+    assert got == [1, 3]
+    # two-step prefix: user 4's same-timestamp p must still not count
+    got2 = sorted(r["user"] for r in sequence_match(ev, "u", "ts", conds[:2]).collect())
+    assert got2 == [1, 3]
+    # overlapping conditions: one event may satisfy several bitmask slots
+    overlap = [F.col("et").isin("s", "p"), F.col("et") == "p"]
+    got3 = sorted(r["user"] for r in sequence_match(ev, "u", "ts", overlap).collect())
+    # needs an s-or-p event with a p STRICTLY later: users 1 (s→p), 2 (p→…?
+    # p@10 then s@11, no later p → no), 3 (s→p), 4 (s@t,p@t equal → no)
+    assert got3 == [1, 3]
+
+
 def test_window_funnel_fixed_mode(spark):
     from doris_spark.operators.funnel import window_funnel
 
