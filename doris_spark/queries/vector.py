@@ -194,13 +194,13 @@ def vec_label_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     dv = F.transform(F.col("embedding"), lambda x: x.cast("double"))
     # Stage the norm as a named column: referenced inside the transform
     # lambda as a plain column it is computed once per ROW, where the
-    # inline fold expression was re-evaluated per ELEMENT (64x). The
-    # unrolled dot (fixture dim 64, same constant the RHP oracle pins)
-    # runs as flat codegen arithmetic instead of an interpreted
-    # higher-order fold — identical left-to-right fp accumulation.
+    # inline fold expression was re-evaluated per ELEMENT (64x). The dot
+    # stays the single-pass zip_with fold — the 64-term unrolled
+    # GetArrayItem sum measured ~1.7x SLOWER here (128 per-element
+    # null-checked extractions vs one array traversal).
     unit = (
         emb.select("vec_id", "label", dv.alias("dv"))
-        .withColumn("nrm", F.sqrt(V.dot_unrolled("dv", "dv", 64)))
+        .withColumn("nrm", F.sqrt(V.dot("dv", "dv")))
         .select(
             "vec_id",
             "label",
@@ -215,7 +215,7 @@ def vec_label_sim(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = a.join(
         b, (F.col("label") == F.col("label_b")) & (F.col("id_a") < F.col("id_b"))
     )
-    sim = V.dot_unrolled("ua", "ub", 64)
+    sim = V.dot("ua", "ub")
     # Materialize the raw sims before the rounded filter: filter+project
     # otherwise each recompute the 64-term dot per pair.
     sims = pairs.select("id_a", "id_b", sim.alias("raw_sim")).persist()
