@@ -32,6 +32,26 @@ def _c(col):
     return F.col(col) if isinstance(col, str) else col
 
 
+def _sql_double(x) -> str:
+    # repr() is the shortest round-trip decimal; Double.parseDouble (the
+    # string->double cast) is correctly rounded, so the parsed literal is
+    # bit-identical to F.lit(float(x)).
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _sql_double_array(vals) -> str:
+    return "array(" + ", ".join(_sql_double(v) for v in vals) + ")"
+
+
+def lit_dvec(vals):
+    """Literal double-array column parsed from ONE SQL string. A 64-dim
+    vector via `F.array(*[F.lit(x) ...])` costs 65 py4j round-trips PER
+    EXPRESSION BUILD (~0.5-1.5 s driver-side for a 16x64 codebook every
+    probe call); one `F.expr` parse is a single round-trip with
+    bit-identical literal values."""
+    return F.expr(_sql_double_array(vals))
+
+
 def dot(a, b):
     """Inner product as a fold over zip_with — JVM-side, no UDF."""
     return F.aggregate(
@@ -120,8 +140,7 @@ def rhp_signature(vec_col, dim: int, n_planes: int = 8, seed: int = 42):
     """Random-hyperplane LSH signature (int bitmask column expression)."""
     sig = F.lit(0)
     for i, plane in enumerate(_hyperplanes(dim, n_planes, seed)):
-        pl = F.array(*[F.lit(x) for x in plane])
-        d = dot(vec_col, pl)
+        d = dot(vec_col, lit_dvec(plane))
         sig = sig + F.when(d >= 0, F.lit(1 << i)).otherwise(F.lit(0))
     return sig
 
@@ -228,7 +247,7 @@ def ann_index_probe(
     scan carries PartitionFilters [sig = <literal>] — static partition
     pruning, then exact cosine + TakeOrderedAndProject inside the bucket."""
     qsig = python_rhp_signature(query_vec, dim, n_planes, seed)
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = lit_dvec(query_vec)
     idx = spark.read.parquet(path).filter(F.col("sig") == qsig)
     return (
         idx.select(
@@ -246,14 +265,18 @@ def _assign_expr(vec_col: str, codebook: list[tuple[int, list[float]]]):
     """argmin-L2 cluster id as a pure column expression: a struct-min
     over literal centroid arrays, fully inside whole-stage codegen. The
     fold over dimensions is index-ascending, so the summation order is
-    reproducible bit-for-bit by any engine that folds left-to-right."""
+    reproducible bit-for-bit by any engine that folds left-to-right.
+    Built as ONE parsed SQL string — the per-centroid F.lit/lambda
+    construction was ~1000 py4j round-trips per call (see lit_dvec)."""
     structs = []
     for cid, cv in codebook:
-        lit = F.array(*[F.lit(x) for x in cv])
-        diff = F.zip_with(_c(vec_col), lit, lambda x, y: x.cast("double") - y)
-        d2 = F.aggregate(diff, F.lit(0.0), lambda acc, v: acc + v * v)
-        structs.append(F.struct(d2.alias("d"), F.lit(cid).alias("cid")))
-    return F.array_min(F.array(*structs)).getField("cid")
+        d2 = (
+            f"aggregate(zip_with(`{vec_col}`, {_sql_double_array(cv)}, "
+            f"(x, y) -> CAST(x AS DOUBLE) - y), CAST(0.0 AS DOUBLE), "
+            f"(acc, v) -> acc + v * v)"
+        )
+        structs.append(f"named_struct('d', {d2}, 'cid', {int(cid)})")
+    return F.expr(f"array_min(array({', '.join(structs)})).cid")
 
 
 # bounded LRU (OrderedDict, move-to-end on hit): keys carry per-file
@@ -448,7 +471,7 @@ def ivf_knn(
     # broadcast crossJoin of the 1-row query side — one less
     # BroadcastExchange build job, identical distance values (same
     # doubles, same left-to-right fold).
-    qv = F.array(*[F.lit(x) for x in qvec])
+    qv = lit_dvec(qvec)
     return (
         corp.select(F.col(id_col), l2_distance(vec_col, qv).alias("score"))
         .orderBy(F.asc("score"), F.asc(id_col))
@@ -550,7 +573,7 @@ def ivf_index_probe(
 
     cb = load_ivf_codebook(path)
     probe = nearest_lists(cb, query_vec, nprobe)
-    qv = F.array(*[F.lit(float(x)) for x in query_vec])
+    qv = lit_dvec(query_vec)
     reader = spark.read
     schema_path = os.path.join(path, "schema.json")
     if os.path.exists(schema_path):
