@@ -7,9 +7,9 @@ path — so they scale linearly with executors:
 
 - exact_dedup: one shuffle on the content hash.
 - minhash_lsh_pairs: explode shingles (map-side), one groupBy per doc for
-  signatures, one groupBy on (band, band_key) for buckets, then a
-  self-join restricted to buckets — the classic O(n·bands) LSH plan; the
-  quadratic blow-up is confined to same-bucket candidates.
+  signatures, one groupBy on (band, band_key) collecting each bucket's
+  doc ids, then in-bucket combinations — the classic O(n·bands) LSH
+  plan; the quadratic blow-up is confined to same-bucket candidates.
 
 Hash choice: md5 (hex string). Deliberately engine-portable — the DuckDB
 oracle computes identical signatures, so correctness is hash-checked, not
@@ -118,6 +118,16 @@ def minhash_lsh_pairs(
 
     Signature is split into `bands` bands of num_hashes/bands rows; docs
     sharing any full band collide. Distinct pairs are returned.
+
+    Pair generation is ONE aggregation on (band, key) — collect the
+    bucket's (unique) doc ids sorted, emit in-bucket i<j combinations
+    with an array expression — instead of a bucket self-join. Identical
+    pair set (same bucket membership, same a<b orientation, distinct
+    over cross-band repeats); the self-join needed the bucket table
+    persisted (it fed both sides) plus two join-side exchanges, where
+    this is a single shuffle and no cache. Per-bucket state is bounded
+    by bucket size — the same quadratic blow-up the self-join confines
+    to same-bucket candidates, held as one array per group.
     """
     assert num_hashes % bands == 0
     rows = num_hashes // bands
@@ -132,23 +142,26 @@ def minhash_lsh_pairs(
                 ).alias("key"),
             )
         )
-    # Persist: the bucket table feeds both sides of the self-join; without
-    # it the whole shingle→minhash pipeline runs twice.
-    buckets = (
-        sigs.select(F.col("doc"), F.explode(F.array(*band_cols)).alias("bk"))
-        .select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
-        .persist()
+    buckets = sigs.select(
+        F.col("doc"), F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    grouped = (
+        buckets.groupBy("band", "key")
+        .agg(F.sort_array(F.collect_list("doc")).alias("ds"))
+        .filter(F.size("ds") > 1)
     )
-    a = buckets.alias("a")
-    b = buckets.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.key") == F.col("b.key"))
-            & (F.col("a.doc") < F.col("b.doc")),
+    pair_arr = F.flatten(
+        F.transform(
+            F.col("ds"),
+            lambda x, i: F.transform(
+                F.slice(F.col("ds"), i + F.lit(2), F.size(F.col("ds"))),
+                lambda y: F.struct(x.alias("doc_a"), y.alias("doc_b")),
+            ),
         )
-        .select(F.col("a.doc").alias("doc_a"), F.col("b.doc").alias("doc_b"))
+    )
+    return (
+        grouped.select(F.explode(pair_arr).alias("p"))
+        .select("p.doc_a", "p.doc_b")
         .distinct()
     )
 
