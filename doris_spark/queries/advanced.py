@@ -93,7 +93,12 @@ def sketch_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     between group bitmaps (exact distinct-set semantics; array<bigint>
     representation — see functions/sketches.py)."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    per_flag = li.groupBy("l_returnflag").agg(SK.bitmap_agg("l_suppkey").alias("bm"))
+    # Both self-join sides consume this aggregate; materialize the 3-row
+    # bitmap table once instead of building it per side.
+    per_flag = (
+        li.groupBy("l_returnflag").agg(SK.bitmap_agg("l_suppkey").alias("bm"))
+        .localCheckpoint(eager=False)
+    )
     a = per_flag.select(F.col("l_returnflag").alias("flag_a"), F.col("bm").alias("bm_a"))
     b = per_flag.select(F.col("l_returnflag").alias("flag_b"), F.col("bm").alias("bm_b"))
     pairs = a.join(b, F.col("flag_a") < F.col("flag_b"))

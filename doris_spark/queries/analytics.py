@@ -517,6 +517,10 @@ def cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
+        # The CTE has two consumers (totals + final projection); Catalyst
+        # does not reuse the exchange across them, so materialize the
+        # 25-row aggregate once — the actual LogicalCTEProducer analog.
+        .localCheckpoint(eager=False)
     )
     totals = nation_rev.agg(
         F.sum("rev").alias("total_rev"), F.avg("rev").alias("avg_rev")

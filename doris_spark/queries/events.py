@@ -667,23 +667,24 @@ def ev_orthogonal_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """orthogonal_bitmap_intersect_count / union_count / andnot
     (orthogonal_bitmap_* family, be/src/exprs/aggregate/): audience
     overlap between event types via per-type user bitmaps. The partial
-    bitmap_agg per (type) is exactly the orthogonal scheme — per-bucket
+    conditional bitmap_agg is exactly the orthogonal scheme — per-bucket
     bitmaps built in parallel, tiny final merge."""
     from doris_spark.functions import sketches as SK
 
     ev = load_tables(spark, sf_dir)["events"]
-    per_type = (
+    # Both type bitmaps from ONE scan+aggregate: collect_set skips the
+    # NULLs the when() produces, so each conditional bitmap_agg holds
+    # exactly its type's users — no per-type slices, no cross join
+    # (Catalyst planned the grouped aggregate once per crossJoin side).
+    both = (
         ev.filter(F.col("event_type").isin("click", "purchase"))
-        .groupBy("event_type")
-        .agg(SK.bitmap_agg("user_id").alias("bm"))
+        .agg(
+            SK.bitmap_agg(F.when(F.col("event_type") == "click", F.col("user_id")))
+            .alias("bm_click"),
+            SK.bitmap_agg(F.when(F.col("event_type") == "purchase", F.col("user_id")))
+            .alias("bm_buy"),
+        )
     )
-    click = per_type.filter(F.col("event_type") == "click").select(
-        F.col("bm").alias("bm_click")
-    )
-    buy = per_type.filter(F.col("event_type") == "purchase").select(
-        F.col("bm").alias("bm_buy")
-    )
-    both = click.crossJoin(buy)
     return both.select(
         SK.bitmap_count(SK.bitmap_and("bm_click", "bm_buy")).alias("and_count"),
         SK.bitmap_count(SK.bitmap_or("bm_click", "bm_buy")).alias("or_count"),

@@ -932,21 +932,25 @@ ORDER BY wk
 )
 def ds_q2_wow_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q2 shape (query2.sql): weekly revenue aligned across two
-    consecutive years, ratio per ISO week. One scan aggregates both
-    years (partial+final); the year-on-year alignment joins the two
-    53-row slices of the SAME aggregate — Catalyst reuses the exchange,
-    and the join is trivially broadcast."""
+    consecutive years, ratio per ISO week. The year-on-year alignment is
+    a conditional-aggregate pivot: ONE scan, one shuffle to wk, no
+    self-join (Catalyst planned the aggregate once per self-join side).
+    The inner-join existence requirement — the week must occur in BOTH
+    years — survives as the NOT NULL filter: sum(when(yr=Y, net)) is
+    NULL exactly when year Y has no rows for that week (net itself is
+    never NULL), which is exactly when the join would drop the week."""
     t = load_tables(spark, sf_dir)
-    wk = (
-        t["lineitem"]
-        .filter(F.year("l_shipdate").isin(1995, 1996))
-        .groupBy(F.year("l_shipdate").alias("yr"), F.weekofyear("l_shipdate").alias("wk"))
-        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
-    )
-    a = wk.filter(F.col("yr") == 1995).select("wk", F.col("rev").alias("rev_1995"))
-    b = wk.filter(F.col("yr") == 1996).select(F.col("wk").alias("wk_b"), F.col("rev").alias("rev_1996"))
+    yr = F.year("l_shipdate")
+    net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
-        a.join(F.broadcast(b), F.col("wk") == F.col("wk_b"))
+        t["lineitem"]
+        .filter(yr.isin(1995, 1996))
+        .groupBy(F.weekofyear("l_shipdate").alias("wk"))
+        .agg(
+            F.round(F.sum(F.when(yr == 1995, net)), 4).alias("rev_1995"),
+            F.round(F.sum(F.when(yr == 1996, net)), 4).alias("rev_1996"),
+        )
+        .filter(F.col("rev_1995").isNotNull() & F.col("rev_1996").isNotNull())
         .select("wk", "rev_1995", "rev_1996",
                 F.round(F.col("rev_1996") / F.col("rev_1995"), 6).alias("ratio"))
         .coalesce(1).sortWithinPartitions("wk")
@@ -1558,26 +1562,31 @@ ORDER BY wk
 )
 def ds_q59_dow_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q59 shape (query59.sql): day-of-week revenue pivot per week,
-    ratio against the same week one year later. One conditional-aggregate
-    scan covers both years; the year alignment joins two 53-row slices of
-    the same aggregate (broadcast)."""
+    ratio against the same week one year later. The year alignment is a
+    (year x dow) conditional-aggregate pivot — ONE scan, one shuffle to
+    wk, no self-join (Catalyst planned the aggregate once per join
+    side). The inner-join existence requirement — the week must have
+    rows in BOTH years even if a tracked weekday's sum is NULL — is
+    preserved by the conditional per-year row counts."""
     t = load_tables(spark, sf_dir)
+    yr = F.year("l_shipdate")
     dow = F.weekday("l_shipdate") + 1  # 1=Mon..7=Sun, matches DuckDB isodow
 
-    def band(d):
-        return F.sum(F.when(dow == d, F.col("l_extendedprice")))
+    def band(y, d):
+        return F.sum(F.when((yr == y) & (dow == d), F.col("l_extendedprice")))
 
-    w = (
-        t["lineitem"].filter(F.year("l_shipdate").isin(1995, 1996))
-        .groupBy(F.year("l_shipdate").alias("y"), F.weekofyear("l_shipdate").alias("wk"))
-        .agg(band(1).alias("mon"), band(3).alias("wed"), band(5).alias("fri"), band(7).alias("sun"))
-    )
-    a = w.filter(F.col("y") == 1995).select("wk", "mon", "wed", "fri", "sun")
-    b = w.filter(F.col("y") == 1996).select(
-        F.col("wk").alias("wk_b"), F.col("mon").alias("mon_b"), F.col("wed").alias("wed_b"),
-        F.col("fri").alias("fri_b"), F.col("sun").alias("sun_b"))
     return (
-        a.join(F.broadcast(b), F.col("wk") == F.col("wk_b"))
+        t["lineitem"].filter(yr.isin(1995, 1996))
+        .groupBy(F.weekofyear("l_shipdate").alias("wk"))
+        .agg(
+            band(1995, 1).alias("mon"), band(1995, 3).alias("wed"),
+            band(1995, 5).alias("fri"), band(1995, 7).alias("sun"),
+            band(1996, 1).alias("mon_b"), band(1996, 3).alias("wed_b"),
+            band(1996, 5).alias("fri_b"), band(1996, 7).alias("sun_b"),
+            F.count(F.when(yr == 1995, F.lit(1))).alias("_n_1995"),
+            F.count(F.when(yr == 1996, F.lit(1))).alias("_n_1996"),
+        )
+        .filter((F.col("_n_1995") > 0) & (F.col("_n_1996") > 0))
         .select(
             "wk",
             F.round(F.col("mon_b") / F.col("mon"), 6).alias("mon_ratio"),
@@ -2132,6 +2141,10 @@ def ds_q30_user_above_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = (
         t["events"].filter(F.col("event_type") == "purchase")
         .groupBy("user_id").agg(F.round(F.sum("value"), 4).alias("total"))
+        # Feeds both the cohort average and the filtered result; Catalyst
+        # plans the scan+aggregate twice (no cross-consumer exchange
+        # reuse), so materialize the slim aggregated rows once.
+        .localCheckpoint(eager=False)
     )
     avg_total = per_user.agg(F.avg("total").alias("avg_total"))
     return (
@@ -2391,6 +2404,9 @@ def ds_q44_best_worst(spark: SparkSession, sf_dir: str) -> DataFrame:
     perf = (
         t["lineitem"].groupBy("l_partkey")
         .agg(F.round(F.avg(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("avg_net"))
+        # Both TopN pipelines (best and worst) consume this aggregate;
+        # materialize it once instead of scanning+aggregating lineitem twice.
+        .localCheckpoint(eager=False)
     )
     # TakeOrderedAndProject pulls only 10 rows to the driver side of the
     # sort; the row_number window then runs on a 10-row set (no global
@@ -3270,6 +3286,13 @@ def ds_q24_same_nation_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("c_name", "p_brand")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("net_raw"))
+        # The spend subtree feeds BOTH the threshold aggregate and the
+        # filtered result; Catalyst does not reuse the exchange across
+        # the two consumers, so without this the 4-join aggregation runs
+        # twice. Lazy checkpoint: materialized by the threshold job,
+        # rescanned (aggregated rows only, far smaller than the join
+        # inputs) by the filter.
+        .localCheckpoint(eager=False)
     )
     thr = spend.agg((1.3 * F.avg("net_raw")).alias("thr"))
     return (

@@ -589,6 +589,10 @@ def tpch_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("l_suppkey").alias("supplier_no"))
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("total_revenue"))
+        # The revenue view feeds both the max() scalar and the join;
+        # Catalyst replans the lineitem scan+aggregate for each consumer,
+        # so materialize the per-supplier rows once (CTE-reuse analog).
+        .localCheckpoint(eager=False)
     )
     max_rev = revenue.agg(F.max("total_revenue").alias("mr"))
     return (
