@@ -2845,21 +2845,26 @@ GROUP BY c_mktsegment ORDER BY c_mktsegment
 )
 def ds_q69_exclusive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q69 shape (query69.sql): customers active in one channel
-    and absent from another — a semi join plus an anti join on the same
-    fact, then a demographic count."""
+    and absent from another. The semi+anti pair on the same in-window
+    orders collapses to ONE per-custkey flag aggregate: a left join
+    marks orders carrying a returned line, the groupBy is the distinct,
+    and active-and-never-returned is a flag filter — one orders scan
+    and one customer join instead of two of each."""
     t = load_tables(spark, sf_dir)
     in_window = t["orders"].filter(
         (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
-    active = in_window.select(F.col("o_custkey").alias("c_custkey")).distinct()
-    returned = (
-        in_window.join(t["lineitem"].filter(F.col("l_returnflag") == "R"),
-                       F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("c_custkey")).distinct()
+    eligible = (
+        in_window
+        .join(t["lineitem"].filter(F.col("l_returnflag") == "R").select("l_orderkey"),
+              F.col("o_orderkey") == F.col("l_orderkey"), "left")
+        .groupBy(F.col("o_custkey").alias("c_custkey"))
+        .agg(F.max(F.when(F.col("l_orderkey").isNotNull(), F.lit(1))).alias("returned"))
+        .filter(F.col("returned").isNull())
+        .select("c_custkey")
     )
     return (
         t["customer"]
-        .join(active, "c_custkey", "left_semi")
-        .join(returned, "c_custkey", "left_anti")
+        .join(eligible, "c_custkey", "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("customers"))
         .coalesce(1).sortWithinPartitions("c_mktsegment")
@@ -3223,28 +3228,44 @@ ORDER BY c_mktsegment, n_name
 )
 def ds_q10_active_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q10 shape (query10.sql): demographic counts of customers
-    active in one channel AND present in at least one of two others —
-    the OR of two IN-subqueries is a semi join against their union."""
+    active in one channel AND present in at least one of two others.
+    The active and urgent sets are per-custkey flags from ONE scan of
+    orders (the OR of the two pushed-down predicates prunes the scan);
+    only the returns set, which needs the lineitem join, is a separate
+    input, unioned into the SAME flag aggregate (one shuffle resolves
+    all three memberships) — two orders scans and one customer semi
+    join instead of three and two, no distincts."""
     t = load_tables(spark, sf_dir)
-    active = (
+    in_window = (F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01")
+    is_urgent = F.col("o_orderpriority") == "1-URGENT"
+    flag_src = (
         t["orders"]
-        .filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
-        .select(F.col("o_custkey").alias("c_custkey")).distinct()
+        .filter(in_window | is_urgent)
+        .select(F.col("o_custkey").alias("c_custkey"),
+                F.when(in_window, F.lit(1)).alias("active"),
+                F.when(is_urgent, F.lit(1)).alias("urgent"),
+                F.lit(None).cast("int").alias("ret"))
     )
-    returned = (
+    ret_src = (
         t["orders"].join(t["lineitem"].filter(F.col("l_returnflag") == "R"),
                          F.col("o_orderkey") == F.col("l_orderkey"))
-        .select(F.col("o_custkey").alias("c_custkey"))
+        .select(F.col("o_custkey").alias("c_custkey"),
+                F.lit(None).cast("int").alias("active"),
+                F.lit(None).cast("int").alias("urgent"),
+                F.lit(1).alias("ret"))
     )
-    urgent = (
-        t["orders"].filter(F.col("o_orderpriority") == "1-URGENT")
-        .select(F.col("o_custkey").alias("c_custkey"))
+    eligible = (
+        flag_src.unionByName(ret_src)
+        .groupBy("c_custkey")
+        .agg(F.max("active").alias("active"), F.max("urgent").alias("urgent"),
+             F.max("ret").alias("ret"))
+        .filter(F.col("active").isNotNull()
+                & (F.col("urgent").isNotNull() | F.col("ret").isNotNull()))
+        .select("c_custkey")
     )
-    either = returned.unionByName(urgent).distinct()
     return (
         t["customer"]
-        .join(active, "c_custkey", "left_semi")
-        .join(either, "c_custkey", "left_semi")
+        .join(eligible, "c_custkey", "left_semi")
         .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
         .filter(F.col("n_name").isNotNull())
         .groupBy("c_mktsegment", "n_name")
@@ -3517,24 +3538,31 @@ SELECT count(*) AS exclusive_customers FROM (
 )
 def ds_q87_channel_except(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q87 shape (query87.sql): customers in the first channel
-    and neither of the other two — chained EXCEPT DISTINCT, counted."""
+    and neither of the other two — chained EXCEPT DISTINCT. The two
+    year sides are per-custkey flags from ONE scan of orders (EXCEPT
+    DISTINCT ≡ grouped flags with y97 AND NOT y98 — the groupBy is the
+    distinct); only the returns side, which needs the lineitem join,
+    stays a separate anti-join input."""
     t = load_tables(spark, sf_dir)
-    y97 = (
+    od = F.col("o_orderdate")
+    per_cust = (
         t["orders"]
-        .filter((F.col("o_orderdate") >= "1997-01-01") & (F.col("o_orderdate") < "1998-01-01"))
-        .select("o_custkey").distinct()
-    )
-    y98 = (
-        t["orders"]
-        .filter((F.col("o_orderdate") >= "1998-01-01") & (F.col("o_orderdate") < "1999-01-01"))
-        .select("o_custkey").distinct()
+        .filter((od >= "1997-01-01") & (od < "1999-01-01"))
+        .groupBy("o_custkey")
+        .agg(
+            F.max(F.when(od < "1998-01-01", F.lit(1))).alias("y97"),
+            F.max(F.when(od >= "1998-01-01", F.lit(1))).alias("y98"),
+        )
+        .filter(F.col("y97").isNotNull() & F.col("y98").isNull())
+        .select("o_custkey")
     )
     ret = (
         t["orders"].join(t["lineitem"].filter(F.col("l_returnflag") == "R"),
                          F.col("o_orderkey") == F.col("l_orderkey"))
         .select("o_custkey").distinct()
     )
-    return y97.subtract(y98).subtract(ret).agg(F.count("*").alias("exclusive_customers"))
+    return per_cust.join(ret, "o_custkey", "left_anti").agg(
+        F.count("*").alias("exclusive_customers"))
 
 
 @query(
