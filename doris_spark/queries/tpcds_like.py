@@ -2211,21 +2211,28 @@ GROUP BY p_brand ORDER BY p_brand
 )
 def ds_q37_inventory_range(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q37/q82 shape (query37.sql): items whose on-hand inventory
-    sits in a band AND sold in a 6-month window. The availqty IN-set is a
-    broadcast semi join against the linear partsupp generator."""
-    from doris_spark.queries.tpch import _partsupp
+    sits in a band AND sold in a 6-month window. ps_availqty is pure
+    arithmetic over p_partkey (the partsupp generator), so the IN-set
+    collapses to a closed-form predicate on the part dimension — the
+    explode + distinct + semi join disappear into the existing broadcast
+    part join. Same expressions as _partsupp, so the band membership is
+    bit-identical."""
+    from doris_spark.queries.tpch import _supplier_count
 
     t = load_tables(spark, sf_dir)
-    in_band = (
-        _partsupp(spark, sf_dir, t)
-        .filter(F.col("ps_availqty").between(20, 40))
-        .select(F.col("ps_partkey").alias("p_partkey")).distinct()
-    )
+    s_cnt = F.lit(_supplier_count(spark, sf_dir, t))
+
+    def _avail(i: int):
+        sk = (F.col("p_partkey") * 4 + F.lit(i)) % s_cnt + 1
+        return 1 + (F.col("p_partkey") * 13 + sk * 3) % 100
+
+    in_band = _avail(0).between(20, 40)
+    for _i in (1, 2, 3):
+        in_band = in_band | _avail(_i).between(20, 40)
     return (
         t["lineitem"]
         .filter((F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-07-01"))
-        .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
-        .join(F.broadcast(in_band), "p_partkey", "left_semi")
+        .join(F.broadcast(t["part"].filter(in_band)), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(F.count("*").alias("sold_lines"),
              F.round(F.sum("l_extendedprice"), 4).alias("rev"))
@@ -2903,7 +2910,11 @@ ORDER BY gid, region, nation
 def ds_q70_top_nations_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q70 shape (query70.sql): profit ROLLUP over the geography
     hierarchy, restricted to each region's top-5 states found by a
-    ranked subquery (WindowGroupLimit inside the semi join build side)."""
+    ranked subquery. sum() is algebraic, so the ROLLUP re-aggregates the
+    SAME per-(region, nation) sums the ranking consumed — the fact
+    pipeline runs once and the old second pass + semi join over the
+    orders-customer join disappear (each nation maps to one region, so
+    the n_name semi filter is the rnk filter)."""
     t = load_tables(spark, sf_dir)
     base = (
         t["orders"]
@@ -2916,12 +2927,11 @@ def ds_q70_top_nations_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("r_name").orderBy(F.col("rev").desc(), F.col("n_name"))
     top5 = (
         nat_rev.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= 5).select("n_name")
+        .filter(F.col("rnk") <= 5).select("r_name", "n_name", "rev")
     )
     g = (
-        base.join(F.broadcast(top5), "n_name", "left_semi")
-        .rollup("r_name", "n_name")
-        .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"),
+        top5.rollup("r_name", "n_name")
+        .agg(F.round(F.sum("rev"), 4).alias("rev"),
              (F.grouping("r_name") * 2 + F.grouping("n_name")).cast("bigint").alias("gid"))
     )
     return g.select(
