@@ -490,13 +490,20 @@ ORDER BY p_brand
 """,
 )
 def ds_q14_cross_channel_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-DS q14 shape: parts sold through ALL THREE channels
-    (INTERSECT chain), then revenue by brand restricted to that set via
-    a left-semi join (no row duplication, runtime-filterable)."""
+    """TPC-DS q14 shape: parts sold through ALL THREE channels, then
+    revenue by brand restricted to that set via a left-semi join. The
+    INTERSECT chain (three scans, three distincts, two joins) is a
+    per-partkey flag aggregate over ONE scan: a key is in the
+    intersection exactly when all three channel flags are set."""
     t = load_tables(spark, sf_dir)
     li = t["lineitem"]
-    chan = lambda m: li.filter(F.col("l_returnflag") == m).select("l_partkey")
-    all3 = chan("A").intersect(chan("N")).intersect(chan("R"))
+    flag = lambda m: F.max(F.when(F.col("l_returnflag") == m, F.lit(1)))
+    all3 = (
+        li.groupBy("l_partkey")
+        .agg(flag("A").alias("fa"), flag("N").alias("fn"), flag("R").alias("fr"))
+        .filter(F.col("fa").isNotNull() & F.col("fn").isNotNull() & F.col("fr").isNotNull())
+        .select("l_partkey")
+    )
     return (
         li.join(all3, "l_partkey", "left_semi")
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
@@ -636,16 +643,17 @@ FROM u GROUP BY p_type ORDER BY total_amt DESC, p_type
 )
 def ds_q33_mfgr_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q33 shape: part-type revenue unioned across three
-    channels then re-aggregated. The union branches share one scan
-    shape; filters push to parquet; final agg is partial+final."""
+    channels then re-aggregated. The three union branches are DISJOINT
+    slices of the same join (one branch per l_returnflag value), and the
+    re-aggregation ignores the channel tag — so the union IS a single
+    isin filter over one scan instead of three."""
     t = load_tables(spark, sf_dir)
     li = t["lineitem"].join(
         F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey")
     )
-    branch = lambda m: li.filter(F.col("l_returnflag") == m).select(
-        "p_type", F.lit(m).alias("channel"), F.col("l_extendedprice").alias("amt")
+    u = li.filter(F.col("l_returnflag").isin("A", "N", "R")).select(
+        "p_type", F.col("l_extendedprice").alias("amt")
     )
-    u = branch("A").unionByName(branch("N")).unionByName(branch("R"))
     return (
         u.groupBy("p_type")
         .agg(F.round(F.sum("amt"), 2).alias("total_amt"), F.count(F.lit(1)).alias("n"))
@@ -1340,21 +1348,22 @@ FROM a FULL OUTER JOIN b ON a.ck = b.ck AND a.pk = b.pk
 )
 def ds_q97_channel_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q97 shape (query97.sql): customer-part overlap between two
-    sales channels via FULL OUTER JOIN over the distinct key sets. Both
-    distinct sets shuffle on the same (custkey, partkey) key, so the
-    full-outer join colocates with the distincts (no extra exchange);
-    the 3-way census is one final aggregate."""
+    sales channels. The FULL OUTER JOIN over two distinct key sets is a
+    per-(custkey, partkey) channel-flag aggregate — the groupBy is both
+    distincts at once, the flag pair is the join's null pattern, and the
+    lineitem-orders pipeline runs once instead of twice."""
     t = load_tables(spark, sf_dir)
     li_o = t["lineitem"].join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
-    a = (li_o.filter(F.col("l_linestatus") == "O")
-         .select(F.col("o_custkey").alias("a_ck"), F.col("l_partkey").alias("a_pk")).distinct())
-    b = (li_o.filter(F.col("l_linestatus") == "F")
-         .select(F.col("o_custkey").alias("b_ck"), F.col("l_partkey").alias("b_pk")).distinct())
-    j = a.join(b, (F.col("a_ck") == F.col("b_ck")) & (F.col("a_pk") == F.col("b_pk")), "full_outer")
-    return j.agg(
-        F.sum(F.when(F.col("a_ck").isNotNull() & F.col("b_ck").isNotNull(), 1).otherwise(0)).alias("both_channels"),
-        F.sum(F.when(F.col("a_ck").isNotNull() & F.col("b_ck").isNull(), 1).otherwise(0)).alias("only_open"),
-        F.sum(F.when(F.col("a_ck").isNull() & F.col("b_ck").isNotNull(), 1).otherwise(0)).alias("only_finished"),
+    pairs = (
+        li_o.filter(F.col("l_linestatus").isin("O", "F"))
+        .groupBy("o_custkey", "l_partkey")
+        .agg(F.max(F.when(F.col("l_linestatus") == "O", F.lit(1))).alias("in_o"),
+             F.max(F.when(F.col("l_linestatus") == "F", F.lit(1))).alias("in_f"))
+    )
+    return pairs.agg(
+        F.sum(F.when(F.col("in_o").isNotNull() & F.col("in_f").isNotNull(), 1).otherwise(0)).alias("both_channels"),
+        F.sum(F.when(F.col("in_o").isNotNull() & F.col("in_f").isNull(), 1).otherwise(0)).alias("only_open"),
+        F.sum(F.when(F.col("in_o").isNull() & F.col("in_f").isNotNull(), 1).otherwise(0)).alias("only_finished"),
     )
 
 
@@ -2173,14 +2182,15 @@ WHERE l_shipdate >= TIMESTAMP '1997-01-01' AND l_shipdate < TIMESTAMP '1997-04-0
 def ds_q32_excess_discount(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q32/q92 shape (query32.sql): revenue from lines discounted
     more than 1.3x the item's window average — the correlated scalar
-    subquery decorrelates to a per-part aggregate join on l_partkey."""
+    subquery decorrelates to a window average over l_partkey: one scan
+    and one shuffle instead of a second aggregate pipeline joined back."""
     t = load_tables(spark, sf_dir)
     win = t["lineitem"].filter(
         (F.col("l_shipdate") >= "1997-01-01") & (F.col("l_shipdate") < "1997-04-01")
     )
-    per_part = win.groupBy(F.col("l_partkey").alias("pk")).agg(F.avg("l_discount").alias("avg_disc"))
+    w = Window.partitionBy("l_partkey")
     return (
-        win.join(per_part, F.col("l_partkey") == F.col("pk"))
+        win.withColumn("avg_disc", F.avg("l_discount").over(w))
         .filter(F.col("l_discount") > 1.3 * F.col("avg_disc"))
         .agg(F.round(F.sum("l_extendedprice"), 4).alias("excess_rev"))
     )

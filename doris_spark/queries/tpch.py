@@ -902,18 +902,19 @@ def tpch_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
         euro_sup.select("s_suppkey", "s_acctbal", "s_name", "n_name"),
         F.col("ps_suppkey") == F.col("s_suppkey"),
     )
-    min_cost = euro_ps.groupBy(F.col("ps_partkey").alias("mc_partkey")).agg(
-        F.min("ps_supplycost").alias("min_cost")
+    # The correlated min decorrelates to a window over ps_partkey: one
+    # pass over euro_ps instead of a second aggregate pipeline plus a
+    # join-back (ties at the min survive either way).
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("ps_partkey")
+    best = euro_ps.withColumn("min_cost", F.min("ps_supplycost").over(w)).filter(
+        F.col("ps_supplycost") == F.col("min_cost")
     )
     return (
         t["part"]
         .filter(F.col("p_size") == 15)
-        .join(euro_ps, F.col("p_partkey") == F.col("ps_partkey"))
-        .join(
-            min_cost,
-            (F.col("p_partkey") == F.col("mc_partkey"))
-            & (F.col("ps_supplycost") == F.col("min_cost")),
-        )
+        .join(best, F.col("p_partkey") == F.col("ps_partkey"))
         .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_brand")
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)
@@ -954,9 +955,16 @@ def tpch_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(sup_region == "ASIA")
         .select("ps_partkey", (F.col("ps_supplycost") * F.col("ps_availqty")).alias("v"))
     )
-    per_part = asia_ps.groupBy("ps_partkey").agg(F.sum("v").alias("raw_value"))
-    threshold = asia_ps.agg(
-        (F.sum("v") / F.countDistinct("ps_partkey") * 1.5).alias("thr")
+    # The HAVING threshold is derivable from the SAME per-part aggregate
+    # (sum of sums; count-distinct of keys = row count), so asia_ps is
+    # consumed once; the checkpoint stops Catalyst replanning the
+    # generator+join pipeline for each consumer of per_part.
+    per_part = (
+        asia_ps.groupBy("ps_partkey").agg(F.sum("v").alias("raw_value"))
+        .localCheckpoint(eager=False)
+    )
+    threshold = per_part.agg(
+        (F.sum("raw_value") / F.count(F.lit(1)) * 1.5).alias("thr")
     )
     return (
         per_part.crossJoin(F.broadcast(threshold))
