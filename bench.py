@@ -89,9 +89,14 @@ def main() -> None:
         out["failures"] = failures
     full = dict(out)
     full["queries"] = timings
+    # Sidecar path is overridable so test runs (tests/test_bench_contract.py
+    # drives bench.py at sf0.001) don't clobber the committed sf0.1 sidecar.
+    full_path = os.environ.get(
+        "SPARK_GRAFT_BENCH_FULL",
+        os.path.join(os.path.dirname(os.path.abspath(__file__)), "bench_full.json"),
+    )
     try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "bench_full.json"), "w") as fh:
+        with open(full_path, "w") as fh:
             json.dump(full, fh)
     except OSError:
         pass

@@ -72,13 +72,15 @@ def dict_get_join(
 # BroadcastExchange builds (one job each) per consuming query with pure
 # whole-stage-codegen expressions — the dict_get tier this module exists
 # for, applied to the fixture's own geo dims.
-_NATION_GEO_CACHE: dict[tuple[int, str], list[tuple[int, str, str]]] = {}
+# Keyed on session_token, not bare id(spark): a GC'd session's id() can be
+# reused by a new session and would serve a stale dictionary (ADVICE r11).
+_NATION_GEO_CACHE: dict[tuple[tuple[int, str], str], list[tuple[int, str, str]]] = {}
 
 
 def nation_geo_pairs(spark, sf_dir: str) -> list[tuple[int, str, str]]:
-    from doris_spark.session import load_tables
+    from doris_spark.session import load_tables, session_token
 
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key not in _NATION_GEO_CACHE:
         t = load_tables(spark, sf_dir)
         # LEFT join: the n_name map must cover every nation (consumers

@@ -60,6 +60,12 @@ def window_funnel(
     """
     if mode not in ("increase", "default", "deduplication", "fixed"):
         raise ValueError(f"unsupported window_funnel mode {mode}")
+    if len(set(steps)) != len(steps):
+        # The step-index when-chain maps each event to its FIRST matching
+        # step, so a type repeated at two funnel positions would silently
+        # cap the level at the first occurrence (sequence_match handles
+        # overlap with a bitmask; this operator does not — ADVICE r11).
+        raise ValueError(f"window_funnel steps must be distinct, got {list(steps)}")
     k = len(steps)
     win = F.expr(f"INTERVAL {window_seconds} SECOND")
 

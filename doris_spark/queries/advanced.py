@@ -44,11 +44,32 @@ def rec_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what keeps a cyclic graph from exploding combinatorially.
     min(depth) in the final aggregate makes the result independent of
     visit multiplicity across levels."""
+    from doris_spark.queries import merge_sorted
     from doris_spark.session import register_views
 
     register_views(spark, sf_dir)  # the SQL below reads the `nation` view
-    return spark.sql(
-        """
+    # Scoped execution confs for the fixpoint loop (r11 VERDICT #4): the
+    # whole recursion state is BOUNDED — edges = 2·|nation| = 50 rows and
+    # the frontier ≤ 25 nodes (keys are mod 25) at EVERY scale factor, like
+    # nation itself — so the scale-correct loop plan is ONE shuffle
+    # partition, statically planned. AQE re-plans each UnionLoop round's
+    # materialization (several extra jobs per round: 74 jobs total), and a
+    # per-round BroadcastExchange build is pure overhead on a ≤25-row
+    # probe. Measured sf0.01 hot: 74 jobs/4.4 s -> 21 jobs/2.9 s.
+    # The confs only apply at execution, so the loop is materialized here
+    # (eager localCheckpoint on the ≤25-row aggregate) inside set/restore;
+    # the bench times the builder, so this work stays in the timed region.
+    scoped = {
+        "spark.sql.shuffle.partitions": "1",
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        reach = spark.sql(
+            """
 WITH RECURSIVE
 edges AS (
   SELECT CAST(n_nationkey AS BIGINT) AS src,
@@ -65,9 +86,18 @@ reach(node, depth) AS (
   WHERE r.depth < 10
 )
 SELECT node, min(depth) AS min_depth
-FROM reach GROUP BY node ORDER BY node
+FROM reach GROUP BY node
 """
-    )
+        ).localCheckpoint(eager=True)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    # Final ORDER BY on the bounded (≤25-row) result: single merge
+    # partition, same rule as every bounded final sort.
+    return merge_sorted(reach, "node")
 
 
 @query(

@@ -668,7 +668,13 @@ def ev_orthogonal_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
     (orthogonal_bitmap_* family, be/src/exprs/aggregate/): audience
     overlap between event types via per-type user bitmaps. The partial
     conditional bitmap_agg is exactly the orthogonal scheme — per-bucket
-    bitmaps built in parallel, tiny final merge."""
+    bitmaps built in parallel, tiny final merge.
+
+    Intentional divergence on degenerate input (ADVICE r11): the old
+    per-type groupBy + crossJoin produced ZERO rows when either event
+    type was absent; this ungrouped aggregate returns ONE row with empty
+    bitmaps / zero counts — the Doris aggregate-without-GROUP-BY shape.
+    Fixture data always has both types, so the oracle sees no difference."""
     from doris_spark.functions import sketches as SK
 
     ev = load_tables(spark, sf_dir)["events"]

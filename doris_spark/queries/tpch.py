@@ -822,14 +822,18 @@ _PARTSUPP_SQL = """
 """
 
 
-# (session id, sf_dir) -> |supplier|: a bounded scalar memoized per
+# (session token, sf_dir) -> |supplier|: a bounded scalar memoized per
 # session so the generator needs neither a count job nor a 1-row
 # broadcast per query (was a crossJoin(broadcast(count agg)) build job).
-_SUPPLIER_CNT_CACHE: dict[tuple[int, str], int] = {}
+# session_token, not bare id(spark): a GC'd session's id() can be reused
+# by a new session and would serve stale counts (ADVICE r11).
+_SUPPLIER_CNT_CACHE: dict[tuple[tuple[int, str], str], int] = {}
 
 
 def _supplier_count(spark: SparkSession, sf_dir: str, t) -> int:
-    key = (id(spark), sf_dir)
+    from doris_spark.session import session_token
+
+    key = (session_token(spark), sf_dir)
     if key not in _SUPPLIER_CNT_CACHE:
         _SUPPLIER_CNT_CACHE[key] = t["supplier"].count()
     return _SUPPLIER_CNT_CACHE[key]

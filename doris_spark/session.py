@@ -89,14 +89,23 @@ def get_spark(app_name: str = "doris_spark", cpus: int | None = None) -> SparkSe
     return prepare_session(spark)
 
 
-# (SparkSession id, sf_dir) -> table DataFrames. DataFrames are lazy plan
+def session_token(spark: SparkSession) -> tuple[int, str]:
+    """Stable per-session cache key: id() alone can be reused after a
+    session is GC'd (a new session with the recycled id would be served
+    stale cached state — ADVICE r11); the applicationId disambiguates a
+    recycled id across contexts, and id() disambiguates newSession()
+    clones sharing one context (separate function registries)."""
+    return (id(spark), spark.sparkContext.applicationId)
+
+
+# (session token, sf_dir) -> table DataFrames. DataFrames are lazy plan
 # handles — memoizing them skips repeated footer/schema reads per query
 # without pinning any data.
-_TABLE_CACHE: dict[tuple[int, str], dict[str, DataFrame]] = {}
+_TABLE_CACHE: dict[tuple[tuple[int, str], str], dict[str, DataFrame]] = {}
 
-# Sessions already passed through prepare_session (by id; same lifetime
-# assumption as _TABLE_CACHE).
-_PREPARED: set[int] = set()
+# Sessions already passed through prepare_session (same keying rationale
+# as _TABLE_CACHE).
+_PREPARED: set[tuple[int, str]] = set()
 
 # Runtime confs every entry path needs regardless of who built the session.
 # All of these are SQLConf runtime-settable (not static/core confs).
@@ -122,7 +131,7 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     Sets the runtime confs the fixture data requires and installs the Doris
     function-name surface. Idempotent and cheap per session.
     """
-    if id(spark) in _PREPARED:
+    if session_token(spark) in _PREPARED:
         return spark
     for k, v in _REQUIRED_RUNTIME_CONFS.items():
         try:
@@ -144,7 +153,7 @@ def prepare_session(spark: SparkSession) -> SparkSession:
     from doris_spark.functions import register_all
 
     register_all(spark)
-    _PREPARED.add(id(spark))
+    _PREPARED.add(session_token(spark))
     return spark
 
 
@@ -157,7 +166,7 @@ def load_tables(spark: SparkSession, sf_dir: str | None = None) -> dict[str, Dat
     """
     prepare_session(spark)
     sf_dir = sf_dir or default_sf_dir()
-    key = (id(spark), sf_dir)
+    key = (session_token(spark), sf_dir)
     if key in _TABLE_CACHE:
         return dict(_TABLE_CACHE[key])
     out: dict[str, DataFrame] = {}

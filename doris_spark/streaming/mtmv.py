@@ -63,6 +63,32 @@ class MaterializedView:
         self.data_path = os.path.join(storage_dir, f"{name}.mv.parquet")
         self.snapshot_path = os.path.join(storage_dir, f"{name}.snapshot.json")
 
+    def _distribute_for_write(self, out: DataFrame) -> DataFrame:
+        """Cluster the refresh output by the partition column before the
+        partitioned write (Iceberg write.distribution-mode=hash analog):
+        bounded files per partition to commit, list, and read back
+        (guide §6) — WITHOUT collapsing each partition value onto a
+        single writer task. Bare repartition(partition_col) did exactly
+        that (r11): a hot partition (today's date in a date-partitioned
+        MV) became a 1-task write bottleneck — the §2.2 skew problem
+        reintroduced at the sink — and the driver measured mv/mtmv 2×
+        slower. The hash key is salted with a deterministic row-content
+        hash mod N (guide §2.5: never rand() — retried tasks must
+        reproduce the same row placement), so each partition value fans
+        out over up to N writer tasks and still yields at most N files.
+        N: SPARK_GRAFT_MV_WRITE_SALTS (default 4; tune to target-file
+        bytes per refreshed partition in production; 0/1 = unsalted)."""
+        n = int(os.environ.get("SPARK_GRAFT_MV_WRITE_SALTS", "4"))
+        hashable = [
+            f.name
+            for f in out.schema.fields
+            if f.dataType.typeName() != "map"  # xxhash64 rejects maps
+        ]
+        if n <= 1 or not hashable:
+            return out.repartition(self.partition_col)
+        salt = F.pmod(F.xxhash64(*[F.col(c) for c in hashable]), F.lit(n))
+        return out.repartition(F.col(self.partition_col), salt)
+
     # ---- snapshot (MTMVRefreshSnapshot analog) -------------------------
 
     def _file_meta(self, base: DataFrame) -> dict[str, list] | None:
@@ -215,12 +241,7 @@ class MaterializedView:
             self.spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
             try:
                 (
-                    # Hash-distribute by the partition column before the
-                    # write (Iceberg write.distribution-mode=hash analog):
-                    # one file set per refreshed partition instead of
-                    # up to |tasks| small files per partition — fewer
-                    # files to commit, list, and read back (guide §6).
-                    out.repartition(self.partition_col)
+                    self._distribute_for_write(out)
                     .write.mode("overwrite")
                     .partitionBy(self.partition_col)
                     .parquet(self.data_path)

@@ -12,6 +12,11 @@ def test_bench_json_contract():
     env = dict(os.environ)
     env["SPARK_GRAFT_SF_DIR"] = "/root/testdata/sf0.001"
     env["SPARK_GRAFT_CPUS"] = "8"
+    # Write the full-map sidecar to a temp path so this test never
+    # clobbers the committed sf0.1 bench_full.json (VERDICT r11 #4).
+    import tempfile
+    sidecar = os.path.join(tempfile.mkdtemp(prefix="bench_contract_"), "bench_full.json")
+    env["SPARK_GRAFT_BENCH_FULL"] = sidecar
     out = subprocess.run(
         [sys.executable, "bench.py"],
         capture_output=True,
@@ -34,7 +39,6 @@ def test_bench_json_contract():
     assert d["n_queries"] >= 80
     assert d["sf"] == 0.001
     # Full per-query map goes to the sidecar file.
-    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
-    with open(os.path.join(repo, "bench_full.json")) as fh:
+    with open(sidecar) as fh:
         full = json.load(fh)
     assert len(full["queries"]) == d["n_queries"]

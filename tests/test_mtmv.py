@@ -136,3 +136,27 @@ def test_mtmv_noop_refresh_runs_zero_jobs(spark, tmp_path, base_path):
     after = jobs()
     assert r["refreshed"] == [] and r["unchanged"] == ["2024-01-01"]
     assert after == before, f"no-op refresh ran {after - before} jobs"
+
+
+def test_mtmv_write_files_bounded_per_partition(spark, tmp_path, base_path):
+    """The salted write distribution (mtmv._distribute_for_write) must
+    keep files per partition bounded by the salt fan-out N (default 4):
+    salting fixes the 1-task hot-partition write collapse WITHOUT
+    reintroducing one-file-per-task spray."""
+    import glob
+
+    n = int(os.environ.get("SPARK_GRAFT_MV_WRITE_SALTS", "4"))
+    rows = [("2024-01-01", f"t{i}", float(i)) for i in range(200)] + [
+        ("2024-01-02", f"t{i}", float(i)) for i in range(50)
+    ]
+    _write_base(spark, base_path, rows)
+    mv = MaterializedView(
+        spark, "fb", str(tmp_path / "mvfb"), _definition, "day"
+    )
+    base = spark.read.parquet(base_path)
+    mv.refresh(base)
+    for day in ("2024-01-01", "2024-01-02"):
+        part_dir = str(tmp_path / "mvfb" / "fb.mv.parquet" / f"day={day}")
+        files = glob.glob(os.path.join(part_dir, "*.parquet"))
+        assert 1 <= len(files) <= max(n, 1), (day, files)
+    _mv_equals_full(mv, base)

@@ -59,10 +59,12 @@ def main() -> None:
     for name in names:
         print(f"{best[name]:8.3f}  {name}")
     if explain:
-        os.makedirs("plans/r11", exist_ok=True)
+        outdir = os.environ.get("QTIME_PLANS_DIR", "plans/r12")
+        suffix = os.environ.get("QTIME_PLANS_SUFFIX", "_current")
+        os.makedirs(outdir, exist_ok=True)
         for name in names:
             df = Q.QUERIES[name](spark, sf_dir)
-            with open(f"plans/r11/{name}_current.txt", "w") as fh:
+            with open(f"{outdir}/{name}{suffix}.txt", "w") as fh:
                 fh.write(df._sc._jvm.PythonSQLUtils.explainString(
                     df._jdf.queryExecution(), "formatted"))
             spark.catalog.clearCache()
