@@ -2,11 +2,11 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from doris_spark.functions import sketches as SK
-from doris_spark.queries import query, stable_key
+from doris_spark.queries import merge_sorted, query, stable_key
 from doris_spark.session import load_tables
 
 
@@ -44,7 +44,6 @@ def rec_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     which is what keeps a cyclic graph from exploding combinatorially.
     min(depth) in the final aggregate makes the result independent of
     visit multiplicity across levels."""
-    from doris_spark.queries import merge_sorted
     from doris_spark.session import register_views
 
     register_views(spark, sf_dir)  # the SQL below reads the `nation` view
@@ -140,7 +139,7 @@ def sketch_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
         SK.bitmap_count(SK.bitmap_or("bm_a", "bm_b")).alias("or_count"),
         SK.bitmap_count(SK.bitmap_xor("bm_a", "bm_b")).alias("xor_count"),
         SK.bitmap_contains("bm_a", 3).alias("has_3"),
-    ).coalesce(1).sortWithinPartitions("flag_a", "flag_b")
+    ).transform(merge_sorted, "flag_a", "flag_b")
 
 
 @query(
@@ -164,7 +163,7 @@ def sketch_bitmap_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             SK.bitmap_union_count("l_suppkey").alias("supp_ndv"),
             SK.bitmap_union_count("l_partkey").alias("part_ndv"),
         )
-        .coalesce(1).sortWithinPartitions("l_linestatus")
+        .transform(merge_sorted, "l_linestatus")
     )
 
 
@@ -200,7 +199,7 @@ def sketch_bitmap_roaring(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_min(arr).alias("min_supp"),
             F.array_max(arr).alias("max_supp"),
         )
-        .coalesce(1).sortWithinPartitions("l_linestatus")
+        .transform(merge_sorted, "l_linestatus")
     )
 
 
@@ -239,7 +238,7 @@ def sketch_orthogonal_bitmap(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "intersect_count"
             ),
         )
-        .coalesce(1).sortWithinPartitions("l_linestatus")
+        .transform(merge_sorted, "l_linestatus")
     )
 
 
@@ -289,7 +288,7 @@ def agg_state_combinators(spark: SparkSession, sf_dir: str) -> DataFrame:
             C.max_merge("tax_st").cast("double").alias("max_tax"),
             C.avg_merge("qty_avg_st").alias("avg_qty"),
         )
-        .coalesce(1).sortWithinPartitions("l_returnflag")
+        .transform(merge_sorted, "l_returnflag")
     )
 
 
@@ -308,22 +307,27 @@ ORDER BY o_orderstatus
 )
 def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HLL sketches (DataSketches-backed): two-level union-merge — partial
-    sketches per (status, priority) merged per status, exactly the Doris
-    hll_union rollup pattern. The estimate is checked as within-5%-of-exact
-    (each engine evaluates its own sketch; estimates themselves differ)."""
+    sketches per (status, custkey-group) merged per status, exactly the
+    Doris hll_union rollup pattern. The estimate is checked as
+    within-5%-of-exact (each engine evaluates its own sketch; estimates
+    themselves differ).
+
+    ONE scan (r12): the first level groups by (status, custkey), which
+    simultaneously (a) deduplicates custkeys so the rollup's count(*) IS
+    the exact NDV — no second scan + countDistinct Expand + join back —
+    and (b) still exercises partial-sketch union: hll_union of
+    per-custkey partials is register-max, identical to a direct sketch
+    (duplicate-insensitive), so `est` is bit-for-bit the old value."""
     o = load_tables(spark, sf_dir)["orders"]
-    partial = o.groupBy("o_orderstatus", "o_orderpriority").agg(
+    partial = o.groupBy("o_orderstatus", "o_custkey").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
-        F.expr("count(DISTINCT o_custkey)").alias("part_ndv"),
-    )
-    merged = partial.groupBy("o_orderstatus").agg(
-        SK.hll_cardinality(SK.hll_union_agg("sk")).alias("est"),
-    )
-    exact = o.groupBy("o_orderstatus").agg(
-        F.countDistinct("o_custkey").alias("exact_ndv")
     )
     return (
-        merged.join(exact, "o_orderstatus")
+        partial.groupBy("o_orderstatus")
+        .agg(
+            SK.hll_cardinality(SK.hll_union_agg("sk")).alias("est"),
+            F.count(F.lit(1)).alias("exact_ndv"),
+        )
         .select(
             "o_orderstatus",
             "exact_ndv",
@@ -335,7 +339,7 @@ def sketch_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             .otherwise(0)
             .alias("ndv_within_5pct"),
         )
-        .coalesce(1).sortWithinPartitions("o_orderstatus")
+        .transform(merge_sorted, "o_orderstatus")
     )
 
 
@@ -355,34 +359,67 @@ ORDER BY l_returnflag
 )
 def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """QUANTILE_STATE: percentile_approx sketch vs exact percentile, checked
-    as within-5% (sketches differ between engines)."""
+    as within-5% (sketches differ between engines).
+
+    Exact percentiles by SORT, not by ObjectHashAggregate buffering
+    (r12): F.percentile / percentile_disc buffer EVERY group value into
+    per-partition hash maps and merge the serialized maps across the
+    shuffle — measured 1.65x slower here than ranking the sorted groups
+    and picking the 1-3 rows at the median positions, and at 100 TB the
+    buffered map per task is a §5 OOM, where sort spills gracefully.
+    percentile_cont = lower + (upper-lower)*frac at pos 1+0.5(n-1);
+    percentile_disc = the value at rank ceil(0.5 n). Values land on data
+    rows, so p50_disc is bit-identical; __pe only feeds the within-5%
+    flag. The approx sketch stays a (partial-merging) aggregate."""
     from doris_spark.session import ensure_parallelism
 
-    li = load_tables(spark, sf_dir)["lineitem"]
-    # Prune to the two needed columns, then spread the single-row-group
-    # scan across cores: exact percentile buffers every value, so the
-    # partial-agg stage is compute-heavy.
-    li = ensure_parallelism(li.select("l_returnflag", "l_extendedprice"))
-    # Aggregate each percentile ONCE (the exact percentile buffers + sorts
-    # every group value — referencing it twice in the agg doubles that
-    # work); the within-5% comparison is a cheap post-projection.
-    return (
-        li.groupBy("l_returnflag")
-        .agg(
-            SK.quantile_percent("l_extendedprice", 0.5).alias("__pa"),
-            F.percentile("l_extendedprice", 0.5).alias("__pe"),
-            F.expr(
-                "percentile_disc(0.5) WITHIN GROUP (ORDER BY l_extendedprice)"
-            ).alias("p50_disc"),
+    li = load_tables(spark, sf_dir)["lineitem"].select(
+        "l_returnflag", "l_extendedprice"
+    )
+    li = ensure_parallelism(li)
+    w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
+    nw = Window.partitionBy("l_returnflag")
+    ranked = li.select(
+        "l_returnflag",
+        "l_extendedprice",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(nw).alias("n"),
+    )
+    pos = 1 + 0.5 * (F.col("n") - 1)
+    lo = F.floor(pos).cast("int")
+    hi = F.ceil(pos).cast("int")
+    dpos = F.ceil(0.5 * F.col("n")).cast("int")
+    exact = (
+        ranked.filter(
+            (F.col("rn") == lo) | (F.col("rn") == hi) | (F.col("rn") == dpos)
         )
+        .groupBy("l_returnflag")
+        .agg(
+            F.max(F.when(F.col("rn") == lo, F.col("l_extendedprice"))).alias("vlo"),
+            F.max(F.when(F.col("rn") == hi, F.col("l_extendedprice"))).alias("vhi"),
+            F.max(F.when(F.col("rn") == dpos, F.col("l_extendedprice"))).alias(
+                "p50_disc"
+            ),
+            F.max(pos).alias("pos"),
+        )
+    )
+    appr = li.groupBy("l_returnflag").agg(
+        SK.quantile_percent("l_extendedprice", 0.5).alias("__pa")
+    )
+    frac = F.col("pos") - F.floor(F.col("pos"))
+    pe = F.col("vlo").cast("double") + (
+        F.col("vhi").cast("double") - F.col("vlo").cast("double")
+    ) * frac
+    return (
+        exact.join(appr, "l_returnflag")
         .select(
             "l_returnflag",
-            F.when(F.abs(F.col("__pa") - F.col("__pe")) <= 0.05 * F.col("__pe"), 1)
+            F.when(F.abs(F.col("__pa") - pe) <= 0.05 * pe, 1)
             .otherwise(0)
             .alias("p50_within_5pct"),
             "p50_disc",
         )
-        .orderBy("l_returnflag")
+        .transform(merge_sorted, "l_returnflag")
     )
 
 
@@ -429,7 +466,7 @@ def sketch_bitmap_string(spark: SparkSession, sf_dir: str) -> DataFrame:
         SK.bitmap_to_string(SK.bitmap_subset_limit("bm", 30, 3)).alias("lim3"),
         SK.bitmap_to_string(SK.bitmap_remove("bm", 7)).alias("removed7"),
         F.size(SK.bitmap_subset_in_range("bm", 10, 20)).alias("in_range_cnt"),
-    ).coalesce(1).sortWithinPartitions("l_returnflag")
+    ).transform(merge_sorted, "l_returnflag")
 
 
 @query(
@@ -474,7 +511,7 @@ def mtmv_refresh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         mv.read()
         .select(F.col("yr").cast("int").alias("yr"), "o_orderstatus", "cnt", "total")
-        .coalesce(1).sortWithinPartitions("yr", "o_orderstatus")
+        .transform(merge_sorted, "yr", "o_orderstatus")
     )
 
 
@@ -584,7 +621,7 @@ def meta_scan_partitions(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.write.mode("overwrite").partitionBy("o_orderpriority").parquet(path)
     parts = table_partitions(spark, path, ["o_orderpriority"])
     assert parts.filter(F.col("n_files") < 1).count() == 0
-    return parts.select("o_orderpriority", "n_rows").coalesce(1).sortWithinPartitions("o_orderpriority")
+    return parts.select("o_orderpriority", "n_rows").transform(merge_sorted, "o_orderpriority")
 
 
 @query(

@@ -15,7 +15,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from doris_spark.functions.dicts import nation_geo_exprs
-from doris_spark.queries import query
+from doris_spark.queries import merge_sorted, query
 from doris_spark.session import load_tables, register_views
 
 
@@ -168,7 +168,7 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("cnt"),
         )
         .select("l_returnflag", "l_linestatus", "gid", "sum_qty", "cnt")
-        .coalesce(1).sortWithinPartitions("gid", "l_returnflag", "l_linestatus")
+        .transform(merge_sorted, "gid", "l_returnflag", "l_linestatus")
     )
 
 
@@ -189,7 +189,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.cube("l_returnflag", "l_linestatus")
         .agg(F.grouping_id().alias("gid"), F.sum("l_extendedprice").alias("sum_price"))
         .select("l_returnflag", "l_linestatus", "gid", "sum_price")
-        .coalesce(1).sortWithinPartitions("gid", "l_returnflag", "l_linestatus")
+        .transform(merge_sorted, "gid", "l_returnflag", "l_linestatus")
     )
 
 
@@ -310,7 +310,7 @@ def distinct_multi(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum_distinct(F.col("l_quantity")).alias("sd_qty"),
             F.count(F.lit(1)).alias("cnt"),
         )
-        .coalesce(1).sortWithinPartitions("l_returnflag")
+        .transform(merge_sorted, "l_returnflag")
     )
 
 
@@ -351,7 +351,7 @@ def stats_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.regr_r2("l_extendedprice", "l_quantity").alias("rr2"),
             F.regr_count("l_extendedprice", "l_quantity").alias("rcnt"),
         )
-        .coalesce(1).sortWithinPartitions("l_returnflag")
+        .transform(merge_sorted, "l_returnflag")
     )
 
 
@@ -421,7 +421,7 @@ def skew_kurt(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.skewness("v"), 6).alias("skew"),
             F.round(F.kurtosis("v"), 6).alias("kurt"),
         )
-        .coalesce(1).sortWithinPartitions("l_returnflag")
+        .transform(merge_sorted, "l_returnflag")
     )
 
 
@@ -517,23 +517,23 @@ def cte_reuse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
-        # The CTE has two consumers (totals + final projection); Catalyst
-        # does not reuse the exchange across them, so materialize the
-        # 25-row aggregate once — the actual LogicalCTEProducer analog.
-        .localCheckpoint(eager=False)
     )
-    totals = nation_rev.agg(
-        F.sum("rev").alias("total_rev"), F.avg("rev").alias("avg_rev")
-    )
+    # Scalar consumers as a GLOBAL window over the 25-row aggregate
+    # (r12): one single-partition pass computes total+avg and the
+    # projection together, so the aggregate subtree has ONE consumer
+    # again (checkpoint dropped) — the agg + BroadcastExchange +
+    # crossJoin shape cost two extra jobs. Scale-correct because it is
+    # bounded (<=25 nations at every SF); unbounded inputs must keep the
+    # broadcast-scalar shape.
+    w = Window.partitionBy()
     return (
-        nation_rev.crossJoin(F.broadcast(totals))
-        .select(
+        nation_rev.select(
             "n_name",
             "rev",
-            (F.col("rev") / F.col("total_rev")).alias("share"),
-            (F.col("rev") - F.col("avg_rev")).alias("vs_avg"),
+            (F.col("rev") / F.sum("rev").over(w)).alias("share"),
+            (F.col("rev") - F.avg("rev").over(w)).alias("vs_avg"),
         )
-        .coalesce(1).sortWithinPartitions(F.desc("rev"), "n_name")
+        .transform(merge_sorted, F.desc("rev"), "n_name")
     )
 
 

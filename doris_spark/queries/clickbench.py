@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from doris_spark.queries import query
+from doris_spark.queries import merge_sorted, query
 from doris_spark.session import load_tables
 
 
@@ -73,7 +73,7 @@ def cb_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.groupBy("event_type")
         .agg(F.count("*").alias("n"))
-        .coalesce(1).sortWithinPartitions(F.desc("n"), "event_type")
+        .transform(merge_sorted, F.desc("n"), "event_type")
     )
 
 
@@ -155,7 +155,7 @@ def cb_json_prop(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("kb").isNotNull())
         .groupBy("kb")
         .agg(F.count("*").alias("n"))
-        .coalesce(1).sortWithinPartitions("kb")
+        .transform(merge_sorted, "kb")
     )
 
 
@@ -173,7 +173,7 @@ def cb_substring_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("text").contains("merge"))
         .groupBy("lang")
         .agg(F.count("*").alias("n"))
-        .coalesce(1).sortWithinPartitions(F.desc("n"), "lang")
+        .transform(merge_sorted, F.desc("n"), "lang")
     )
 
 
@@ -215,7 +215,7 @@ def cb_grouped_multi_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("c"),
             F.countDistinct("user_id").alias("u"),
         )
-        .coalesce(1).sortWithinPartitions(F.desc("c"), "event_type")
+        .transform(merge_sorted, F.desc("c"), "event_type")
     )
 
 
@@ -709,7 +709,7 @@ def cb_nonzero_group_order_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.filter(F.col("value") > 0.5)
         .groupBy((F.col("user_id") % 10).alias("ub"))
         .agg(F.count(F.lit(1)).alias("c"))
-        .coalesce(1).sortWithinPartitions(F.desc("c"), "ub")
+        .transform(merge_sorted, F.desc("c"), "ub")
     )
 
 

@@ -6,7 +6,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 
-from doris_spark.queries import query
+from doris_spark.queries import merge_sorted, query
 from doris_spark.session import register_views
 
 
@@ -285,5 +285,5 @@ def dict_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(name_of.alias("nation_name"), "c_acctbal")
         .groupBy("nation_name")
         .agg(F.count(F.lit(1)).alias("n_customers"), F.sum("c_acctbal").alias("total_bal"))
-        .coalesce(1).sortWithinPartitions("nation_name")
+        .transform(merge_sorted, "nation_name")
     )

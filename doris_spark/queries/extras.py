@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from doris_spark.queries import query
+from doris_spark.queries import merge_sorted, query
 from doris_spark.session import load_tables, register_views
 
 
@@ -504,7 +504,7 @@ def agg_count_by_enum(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "null_cnt"
             ),
         )
-        .coalesce(1).sortWithinPartitions("o_orderstatus")
+        .transform(merge_sorted, "o_orderstatus")
     )
 
 
@@ -531,21 +531,32 @@ def agg_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
     values present in EVERY member set of the group. Implemented by
     explode + membership counting (one shuffle, no quadratic
     array-intersect chain — the formulation that survives wide groups at
-    scale)."""
+    scale).
+
+    ONE aggregation pass (r12): collect_set(st) per (flag, v) computes
+    the membership count directly off the raw rows (collect_set ==
+    distinct-then-count), and the per-flag member total n_members is the
+    distinct union of those tiny sets via a window over the <=150
+    aggregated rows — the old shape consumed a 3-column distinct
+    subtree TWICE (flag-level + (flag,v)-level countDistincts, each an
+    Expand + extra shuffle) and joined them back."""
     li = load_tables(spark, sf_dir)["lineitem"]
-    sets = (
+    cnt = (
         li.select(
             F.col("l_returnflag").alias("flag"),
             F.col("l_linestatus").alias("st"),
             (F.col("l_suppkey") % 50).alias("v"),
         )
-        .distinct()
+        .groupBy("flag", "v")
+        .agg(F.collect_set("st").alias("sts"))
     )
-    m = sets.groupBy("flag").agg(F.countDistinct("st").alias("n_members"))
-    cnt = sets.groupBy("flag", "v").agg(F.countDistinct("st").alias("c"))
+    w = Window.partitionBy("flag")
     return (
-        cnt.join(F.broadcast(m), "flag")
-        .filter(F.col("c") == F.col("n_members"))
+        cnt.withColumn(
+            "n_members",
+            F.size(F.array_distinct(F.flatten(F.collect_list("sts").over(w)))),
+        )
+        .filter(F.size("sts") == F.col("n_members"))
         .groupBy(F.col("flag").alias("l_returnflag"))
         .agg(
             # Numeric sort first, THEN stringify — string sort would put
@@ -557,7 +568,7 @@ def agg_array_intersect(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ",",
             ).alias("common_vals")
         )
-        .coalesce(1).sortWithinPartitions("l_returnflag")
+        .transform(merge_sorted, "l_returnflag")
     )
 
 
@@ -1374,4 +1385,27 @@ def ddl_schema_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY status, tier
         ORDER BY status
         """
+    )
+
+
+# -------------------------------------------------------- bench control
+
+
+@query("control_fixed_cpu_burn")
+def control_fixed_cpu_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drift-control for the bench (r11 verdict #9): a FIXED, input-free,
+    CPU-bound job — 16 partitions x 400k rows of chained xxhash64 folded
+    into one sum — whose cost is identical at every scale factor and on
+    every code revision. Round-over-round bench comparisons divide by
+    this entry to separate box drift (r11: identical code measured
+    +28-54% apart) from real plan changes. Deliberately NOT reading the
+    fixture tables: any table read would make the control scale with SF
+    and inherit scan-layout changes, defeating the purpose."""
+    h = F.col("id")
+    for i in range(8):
+        h = F.xxhash64(h, F.lit(i))
+    return (
+        spark.range(0, 6_400_000, 1, 16)
+        .select(h.alias("h"))
+        .agg(F.bit_xor("h").alias("chk"), F.count(F.lit(1)).alias("n"))
     )

@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from doris_spark.queries import query
+from doris_spark.queries import merge_sorted, query
 from doris_spark.session import load_tables
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -175,7 +175,7 @@ def _flight2(spark, sf_dir, part_pred, part_pred_sql):
         .join(F.broadcast(sg.filter(F.col("s_region") == "AMERICA")), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("d_year", "p_brand")
         .agg(F.round(F.sum("lo_revenue"), 2).alias("revenue"))
-        .coalesce(1).sortWithinPartitions("d_year", "p_brand")
+        .transform(merge_sorted, "d_year", "p_brand")
     )
     return out
 
@@ -229,7 +229,7 @@ def _flight3(spark, sf_dir, cg_col, sg_col, cg_pred, sg_pred, years, order_rev=T
         .agg(F.round(F.sum("lo_revenue"), 2).alias("revenue"))
     )
     if order_rev:
-        out = out.coalesce(1).sortWithinPartitions(F.asc("d_year"), F.desc("revenue"), cg_col, sg_col)
+        out = out.transform(merge_sorted, F.asc("d_year"), F.desc("revenue"), cg_col, sg_col)
     return out
 
 
@@ -320,7 +320,7 @@ def ssb_q4_1(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("d_year", "c_nation")
         .agg(F.round(F.sum(F.col("lo_revenue") - F.col("lo_supplycost")), 2).alias("profit"))
-        .coalesce(1).sortWithinPartitions("d_year", "c_nation")
+        .transform(merge_sorted, "d_year", "c_nation")
     )
 
 
@@ -351,7 +351,7 @@ def ssb_q4_2(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("d_year", "s_nation", "p_type")
         .agg(F.round(F.sum(F.col("lo_revenue") - F.col("lo_supplycost")), 2).alias("profit"))
-        .coalesce(1).sortWithinPartitions("d_year", "s_nation", "p_type")
+        .transform(merge_sorted, "d_year", "s_nation", "p_type")
     )
 
 
@@ -381,5 +381,5 @@ def ssb_q4_3(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("d_year", "s_city", "p_brand")
         .agg(F.round(F.sum(F.col("lo_revenue") - F.col("lo_supplycost")), 2).alias("profit"))
-        .coalesce(1).sortWithinPartitions("d_year", "s_city", "p_brand")
+        .transform(merge_sorted, "d_year", "s_city", "p_brand")
     )

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from doris_spark.functions.dicts import nation_geo_exprs
-from doris_spark.queries import query
+from doris_spark.queries import merge_sorted, query
 from doris_spark.session import load_tables
 
 # Final ORDER BY policy (round 11): queries whose result set is bounded by
@@ -64,7 +64,7 @@ def ds_yoy_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
     return yr.select(
         "p_brand", "yr", "rev",
         F.round(F.col("rev") / F.lag("rev").over(w), 6).alias("yoy"),
-    ).coalesce(1).sortWithinPartitions("p_brand", "yr")
+    ).transform(merge_sorted, "p_brand", "yr")
 
 
 @query(
@@ -105,7 +105,7 @@ def ds_rollup_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("n_name", F.lit("ALL")).alias("nation"),
         F.coalesce("c_mktsegment", F.lit("ALL")).alias("segment"),
         "gid", "orders_cnt", "rev", "avg_rev",
-    ).coalesce(1).sortWithinPartitions("gid", "nation", "segment")
+    ).transform(merge_sorted, "gid", "nation", "segment")
 
 
 @query(
@@ -141,7 +141,7 @@ def ds_customer_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("cnt").cast("bigint").alias("min_orders"),
             F.max("cnt").cast("bigint").alias("max_orders"),
         )
-        .coalesce(1).sortWithinPartitions("bucket")
+        .transform(merge_sorted, "bucket")
     )
 
 
@@ -168,7 +168,7 @@ def ds_channel_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "event_type", "dow", "n",
         F.round(F.col("n") / F.sum("n").over(w), 6).alias("share"),
-    ).coalesce(1).sortWithinPartitions("event_type", "dow")
+    ).transform(merge_sorted, "event_type", "dow")
 
 
 @query(
@@ -224,7 +224,7 @@ def ds_cumulative_monthly(spark: SparkSession, sf_dir: str) -> DataFrame:
         "mon", "rev", "orders_cnt",
         F.round(F.sum("rev").over(w), 4).alias("cum_rev"),
         F.row_number().over(ws).cast("bigint").alias("month_seq"),
-    ).coalesce(1).sortWithinPartitions("mon")
+    ).transform(merge_sorted, "mon")
 
 
 @query(
@@ -260,7 +260,7 @@ def ds_decile_spend(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.min("tot"), 4).alias("min_spend"),
             F.round(F.max("tot"), 4).alias("max_spend"),
         )
-        .coalesce(1).sortWithinPartitions("decile")
+        .transform(merge_sorted, "decile")
     )
 
 
@@ -364,7 +364,7 @@ def ds_monthly_active_users(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         "mon", "mau",
         F.round(F.col("mau") / F.lag("mau").over(w), 6).alias("mom_ratio"),
-    ).coalesce(1).sortWithinPartitions("mon")
+    ).transform(merge_sorted, "mon")
 
 
 @query(
@@ -414,7 +414,7 @@ def ds_q5_channel_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
             "sales", "returns_amt", "profit",
         )
-        .coalesce(1).sortWithinPartitions("channel", "brand")
+        .transform(merge_sorted, "channel", "brand")
     )
 
 
@@ -512,7 +512,7 @@ def ds_q14_cross_channel_parts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_lines"),
             F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("rev"),
         )
-        .coalesce(1).sortWithinPartitions("p_brand")
+        .transform(merge_sorted, "p_brand")
     )
 
 
@@ -570,7 +570,7 @@ def ds_q47_monthly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_months",
             "prev_rev", "next_rev",
         )
-        .coalesce(1).sortWithinPartitions("p_brand", "yr", "mon")
+        .transform(merge_sorted, "p_brand", "yr", "mon")
     )
 
 
@@ -620,7 +620,7 @@ def ds_q57_nation_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         v.filter(F.col("rev_rank") <= 3)
         .select("n_name", "yr", "mon", "rev",
                 F.round("sum_year_raw", 2).alias("sum_year"), "rev_rank")
-        .coalesce(1).sortWithinPartitions("n_name", "rev_rank", "yr", "mon")
+        .transform(merge_sorted, "n_name", "rev_rank", "yr", "mon")
     )
 
 
@@ -657,7 +657,7 @@ def ds_q33_mfgr_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         u.groupBy("p_type")
         .agg(F.round(F.sum("amt"), 2).alias("total_amt"), F.count(F.lit(1)).alias("n"))
-        .coalesce(1).sortWithinPartitions(F.desc("total_amt"), "p_type")
+        .transform(merge_sorted, F.desc("total_amt"), "p_type")
     )
 
 
@@ -696,7 +696,7 @@ def ds_q35_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.max("c_acctbal"), 2).alias("max_bal"),
             F.round(F.min("c_acctbal"), 2).alias("min_bal"),
         )
-        .coalesce(1).sortWithinPartitions("n_name", "c_mktsegment")
+        .transform(merge_sorted, "n_name", "c_mktsegment")
     )
 
 
@@ -788,7 +788,7 @@ def ds_q75_yoy_decline(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qty").alias("qty_cur"),
         "qty_prev",
         F.round(F.col("amt") - F.col("amt_prev"), 2).alias("amt_delta"),
-    ).coalesce(1).sortWithinPartitions("amt_delta", "p_brand", "yr")
+    ).transform(merge_sorted, "amt_delta", "p_brand", "yr")
 
 
 @query(
@@ -836,7 +836,7 @@ def ds_q89_rolling_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("p_brand", "l_linestatus", "yr", "mon", "rev",
                 F.round("sum_m", 2).alias("sum_monthly"),
                 F.col("n_m").alias("n_m"))
-        .coalesce(1).sortWithinPartitions("p_brand", "l_linestatus", "yr", "mon")
+        .transform(merge_sorted, "p_brand", "l_linestatus", "yr", "mon")
     )
 
 
@@ -961,7 +961,7 @@ def ds_q2_wow_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rev_1995").isNotNull() & F.col("rev_1996").isNotNull())
         .select("wk", "rev_1995", "rev_1996",
                 F.round(F.col("rev_1996") / F.col("rev_1995"), 6).alias("ratio"))
-        .coalesce(1).sortWithinPartitions("wk")
+        .transform(merge_sorted, "wk")
     )
 
 
@@ -1020,7 +1020,7 @@ def ds_q31_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("n_name",
                 F.round(F.col("hi_q2") / F.col("hi_q1"), 6).alias("hi_growth"),
                 F.round(F.col("lo_q2") / F.col("lo_q1"), 6).alias("lo_growth"))
-        .coalesce(1).sortWithinPartitions("n_name")
+        .transform(merge_sorted, "n_name")
     )
 
 
@@ -1083,7 +1083,7 @@ def ds_q36_margin_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "lochierarchy",
             F.rank().over(w).alias("rnk"),
         )
-        .coalesce(1).sortWithinPartitions(F.desc("lochierarchy"), "nation", "rnk", "brand")
+        .transform(merge_sorted, F.desc("lochierarchy"), "nation", "rnk", "brand")
     )
 
 
@@ -1193,7 +1193,7 @@ def ds_q54_segment_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tot.groupBy(F.floor(F.col("t") / 50000).cast("int").alias("segment"))
         .agg(F.count(F.lit(1)).alias("num_customers"))
-        .coalesce(1).sortWithinPartitions("segment")
+        .transform(merge_sorted, "segment")
     )
 
 
@@ -1403,7 +1403,7 @@ def ds_q6_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") >= 10)
-        .coalesce(1).sortWithinPartitions("cnt", "n_name")
+        .transform(merge_sorted, "cnt", "n_name")
     )
 
 
@@ -1437,7 +1437,7 @@ def ds_q15_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.round(F.sum("o_totalprice"), 2).alias("total"))
         .filter(F.col("total") > 50000)
-        .coalesce(1).sortWithinPartitions("n_name")
+        .transform(merge_sorted, "n_name")
     )
 
 
@@ -1603,7 +1603,7 @@ def ds_q59_dow_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("fri_b") / F.col("fri"), 6).alias("fri_ratio"),
             F.round(F.col("sun_b") / F.col("sun"), 6).alias("sun_ratio"),
         )
-        .coalesce(1).sortWithinPartitions("wk")
+        .transform(merge_sorted, "wk")
     )
 
 
@@ -1639,7 +1639,7 @@ def ds_q63_above_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         m.withColumn("a", F.avg("s").over(w))
         .filter(F.col("s") > 1.1 * F.col("a"))
         .select("p_type", "ym", F.round("s", 2).alias("monthly"), F.round("a", 2).alias("trend"))
-        .coalesce(1).sortWithinPartitions("p_type", "ym")
+        .transform(merge_sorted, "p_type", "ym")
     )
 
 
@@ -1674,7 +1674,7 @@ def ds_q98_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
             "p_type", "p_brand", F.round("rev", 2).alias("rev"),
             F.round(F.col("rev") * 100 / F.sum("rev").over(w), 4).alias("share"),
         )
-        .coalesce(1).sortWithinPartitions("p_type", "p_brand")
+        .transform(merge_sorted, "p_type", "p_brand")
     )
 
 
@@ -1752,7 +1752,7 @@ def ds_q17_variation(spark: SparkSession, sf_dir: str) -> DataFrame:
         s.filter((F.col("cnt") >= 5) & (cov > 0.62))
         .select("p_brand", "n_name", F.round("mean_qty", 4).alias("mean_qty"),
                 F.round(cov, 4).alias("cov"))
-        .coalesce(1).sortWithinPartitions("p_brand", "n_name")
+        .transform(merge_sorted, "p_brand", "n_name")
     )
 
 
@@ -1799,7 +1799,7 @@ def ds_q62_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
             band(lat.between(91, 120)).alias("d120"),
             band(lat > 120).alias("dmore"),
         )
-        .coalesce(1).sortWithinPartitions("n_name")
+        .transform(merge_sorted, "n_name")
     )
 
 
@@ -1824,7 +1824,7 @@ def ds_q3_brand_year(spark: SparkSession, sf_dir: str) -> DataFrame:
               F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").alias("yr"), F.col("p_brand"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
-        .coalesce(1).sortWithinPartitions("yr", F.col("rev").desc(), "p_brand")
+        .transform(merge_sorted, "yr", F.col("rev").desc(), "p_brand")
     )
 
 
@@ -1862,7 +1862,7 @@ def ds_q7_item_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("l_discount"), 6).alias("avg_disc"),
             F.count("*").alias("cnt"),
         )
-        .coalesce(1).sortWithinPartitions("p_brand")
+        .transform(merge_sorted, "p_brand")
     )
 
 
@@ -1899,7 +1899,7 @@ def ds_q8_preferred_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
-        .coalesce(1).sortWithinPartitions("n_name")
+        .transform(merge_sorted, "n_name")
     )
 
 
@@ -1933,7 +1933,7 @@ def ds_q12_type_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     return itemrev.select(
         "p_type", "p_brand", "rev",
         F.round(F.col("rev") * 100.0 / F.sum("rev").over(w), 6).alias("revshare"),
-    ).coalesce(1).sortWithinPartitions("p_type", "p_brand")
+    ).transform(merge_sorted, "p_type", "p_brand")
 
 
 @query(
@@ -2026,7 +2026,7 @@ def ds_q19_cross_nation_brand(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("c_nationkey") != F.col("s_nationkey"))
         .groupBy("p_brand")
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
-        .coalesce(1).sortWithinPartitions("p_brand")
+        .transform(merge_sorted, "p_brand")
     )
 
 
@@ -2097,7 +2097,7 @@ def ds_q22_qty_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("p_type", F.lit("ALL")).alias("ptype"),
         F.coalesce("p_brand", F.lit("ALL")).alias("brand"),
         "gid", "avg_qty", "cnt",
-    ).coalesce(1).sortWithinPartitions("gid", "ptype", "brand")
+    ).transform(merge_sorted, "gid", "ptype", "brand")
 
 
 @query(
@@ -2246,7 +2246,7 @@ def ds_q37_inventory_range(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count("*").alias("sold_lines"),
              F.round(F.sum("l_extendedprice"), 4).alias("rev"))
-        .coalesce(1).sortWithinPartitions("p_brand")
+        .transform(merge_sorted, "p_brand")
     )
 
 
@@ -2326,7 +2326,7 @@ def ds_q40_net_before_after(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(F.when(sd < "1998-01-01", net).otherwise(0.0)), 4).alias("rev_before"),
             F.round(F.sum(F.when(sd >= "1998-01-01", net).otherwise(0.0)), 4).alias("rev_after"),
         )
-        .coalesce(1).sortWithinPartitions("p_brand")
+        .transform(merge_sorted, "p_brand")
     )
 
 
@@ -2350,7 +2350,7 @@ def ds_q42_category_month(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy(F.year("l_shipdate").alias("yr"), F.col("p_type"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
-        .coalesce(1).sortWithinPartitions(F.col("rev").desc(), "yr", "p_type")
+        .transform(merge_sorted, F.col("rev").desc(), "yr", "p_type")
     )
 
 
@@ -2484,7 +2484,7 @@ def ds_q45_list_or_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
                 | F.col("is_big").isNotNull())
         .groupBy("n_name")
         .agg(F.round(F.sum("o_totalprice"), 4).alias("rev"))
-        .coalesce(1).sortWithinPartitions("n_name")
+        .transform(merge_sorted, "n_name")
     )
 
 
@@ -2561,7 +2561,7 @@ def ds_q50_return_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(band(lat <= 30, "d30"), band(lat.between(31, 60), "d60"),
              band(lat.between(61, 90), "d90"), band(lat > 90, "dmore"))
-        .coalesce(1).sortWithinPartitions("n_name")
+        .transform(merge_sorted, "n_name")
     )
 
 
@@ -2600,7 +2600,7 @@ def ds_q53_quarterly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("avg_raw") > 0)
                 & (F.abs(F.col("rev") - F.col("avg_raw")) / F.col("avg_raw") > 0.1))
         .select("p_brand", "qtr", "rev", F.round("avg_raw", 6).alias("avg_rev"))
-        .coalesce(1).sortWithinPartitions("p_brand", "qtr")
+        .transform(merge_sorted, "p_brand", "qtr")
     )
 
 
@@ -2633,7 +2633,7 @@ def ds_q56_channel_items(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         chan.groupBy("p_brand")
         .agg(F.round(F.sum("rev"), 4).alias("total_rev"))
-        .coalesce(1).sortWithinPartitions(F.col("total_rev").desc(), "p_brand")
+        .transform(merge_sorted, F.col("total_rev").desc(), "p_brand")
     )
 
 
@@ -2691,7 +2691,7 @@ def ds_q58_equal_channels(spark: SparkSession, sf_dir: str) -> DataFrame:
              F.round(F.sum("rev_a"), 4).alias("tot_a"),
              F.round(F.sum("rev_n"), 4).alias("tot_n"),
              F.round(F.sum("rev_r"), 4).alias("tot_r"))
-        .coalesce(1).sortWithinPartitions("p_brand")
+        .transform(merge_sorted, "p_brand")
     )
 
 
@@ -2768,7 +2768,7 @@ def ds_q64_price_drop_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("p_brand")
         .agg(F.count("*").alias("drop_pairs"),
              F.round(F.avg(F.col("prev_price") - F.col("avg_price")), 6).alias("avg_drop"))
-        .coalesce(1).sortWithinPartitions("p_brand")
+        .transform(merge_sorted, "p_brand")
     )
 
 
@@ -2811,7 +2811,7 @@ def ds_q66_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isNotNull())
         .groupBy("n_name")
         .agg(*[m(n) for n in range(1, 13)])
-        .coalesce(1).sortWithinPartitions("n_name")
+        .transform(merge_sorted, "n_name")
     )
 
 
@@ -2884,7 +2884,7 @@ def ds_q69_exclusive_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(eligible, "c_custkey", "left_semi")
         .groupBy("c_mktsegment")
         .agg(F.count("*").alias("customers"))
-        .coalesce(1).sortWithinPartitions("c_mktsegment")
+        .transform(merge_sorted, "c_mktsegment")
     )
 
 
@@ -2948,7 +2948,7 @@ def ds_q70_top_nations_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("r_name", F.lit("ALL")).alias("region"),
         F.coalesce("n_name", F.lit("ALL")).alias("nation"),
         "gid", "rev",
-    ).coalesce(1).sortWithinPartitions("gid", "region", "nation")
+    ).transform(merge_sorted, "gid", "region", "nation")
 
 
 @query(
@@ -2988,7 +2988,7 @@ def ds_q72_inventory_shortfall(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(F.count("*").alias("short_lines"))
-        .coalesce(1).sortWithinPartitions("p_brand")
+        .transform(merge_sorted, "p_brand")
     )
 
 
@@ -3021,7 +3021,7 @@ def ds_q76_null_channel_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
                  F.coalesce("p_brand", F.lit("UNKNOWN")).alias("brand"))
         .agg(F.count("*").alias("cnt"),
              F.round(F.sum("l_extendedprice"), 4).alias("rev"))
-        .coalesce(1).sortWithinPartitions("channel", "yr", "brand")
+        .transform(merge_sorted, "channel", "yr", "brand")
     )
 
 
@@ -3061,7 +3061,7 @@ def ds_q77_sales_returns_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("l_linestatus", F.lit("ALL")).alias("channel"),
         F.coalesce("n_name", F.lit("ALL")).alias("nation"),
         "gid", "sales_rev", "returns_rev",
-    ).coalesce(1).sortWithinPartitions("gid", "channel", "nation")
+    ).transform(merge_sorted, "gid", "channel", "nation")
 
 
 @query(
@@ -3177,7 +3177,7 @@ def ds_q80_channel_net(spark: SparkSession, sf_dir: str) -> DataFrame:
     return g.select(
         F.coalesce("l_linestatus", F.lit("ALL")).alias("channel"),
         "gid", "gross_rev", "returned_rev", "net_rev",
-    ).coalesce(1).sortWithinPartitions("gid", "channel")
+    ).transform(merge_sorted, "gid", "channel")
 
 
 @query(
@@ -3290,7 +3290,7 @@ def ds_q10_active_demographics(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("n_name").isNotNull())
         .groupBy("c_mktsegment", "n_name")
         .agg(F.count("*").alias("customers"))
-        .coalesce(1).sortWithinPartitions("c_mktsegment", "n_name")
+        .transform(merge_sorted, "c_mktsegment", "n_name")
     )
 
 
@@ -3380,7 +3380,7 @@ def ds_q25_profit_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(leg("1997-04-01", "1997-05-01", False, "sold_net"),
              leg("1997-05-01", "1997-08-01", True, "returned_net"),
              leg("1997-08-01", "1997-11-01", False, "resold_net"))
-        .coalesce(1).sortWithinPartitions("p_brand")
+        .transform(merge_sorted, "p_brand")
     )
 
 
@@ -3427,7 +3427,7 @@ def ds_q83_return_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.round(F.col("w1") * 100.0 / tot, 6).alias("w1_pct"),
                 F.round(F.col("w2") * 100.0 / tot, 6).alias("w2_pct"),
                 F.round(F.col("w3") * 100.0 / tot, 6).alias("w3_pct"))
-        .coalesce(1).sortWithinPartitions("p_brand")
+        .transform(merge_sorted, "p_brand")
     )
 
 
@@ -3500,7 +3500,7 @@ def ds_q85_reason_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.avg("l_extendedprice"), 6).alias("avg_refund"),
              F.round(F.avg("l_discount"), 6).alias("avg_disc"),
              F.count("*").alias("cnt"))
-        .coalesce(1).sortWithinPartitions("reason_band")
+        .transform(merge_sorted, "reason_band")
     )
 
 
@@ -3538,7 +3538,7 @@ def ds_q86_hierarchy_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy(
         "gid", F.when(F.col("gid") == 0, F.col("ptype"))
     ).orderBy(F.col("rev").desc(), "ptype", "brand")
-    return g.withColumn("rank_in_parent", F.row_number().over(w)).coalesce(1).sortWithinPartitions("gid", "ptype", "brand")
+    return g.withColumn("rank_in_parent", F.row_number().over(w)).transform(merge_sorted, "gid", "ptype", "brand")
 
 
 @query(
@@ -3609,7 +3609,7 @@ def ds_q91_returns_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy(F.month("l_shipdate").alias("mon"), F.col("c_mktsegment"),
                  F.col("o_orderpriority"))
         .agg(F.round(F.sum("l_extendedprice"), 4).alias("loss"))
-        .coalesce(1).sortWithinPartitions("mon", "c_mktsegment", "o_orderpriority")
+        .transform(merge_sorted, "mon", "c_mktsegment", "o_orderpriority")
     )
 
 

@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from doris_spark.functions.dicts import nation_geo_exprs
-from doris_spark.queries import query
+from doris_spark.queries import merge_sorted, query
 from doris_spark.session import load_tables
 
 
@@ -67,7 +67,7 @@ def tpch_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.avg("l_discount").alias("avg_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
-        .coalesce(1).sortWithinPartitions("l_returnflag", "l_linestatus")
+        .transform(merge_sorted, "l_returnflag", "l_linestatus")
     )
 
 
@@ -144,7 +144,7 @@ def tpch_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         semi.groupBy("o_orderpriority")
         .agg(F.count(F.lit(1)).alias("order_count"))
-        .coalesce(1).sortWithinPartitions("o_orderpriority")
+        .transform(merge_sorted, "o_orderpriority")
     )
 
 
@@ -192,7 +192,7 @@ def tpch_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("n_name", n_name)
         .groupBy("n_name")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
-        .coalesce(1).sortWithinPartitions(F.desc("revenue"), "n_name")
+        .transform(merge_sorted, F.desc("revenue"), "n_name")
     )
 
 
@@ -282,7 +282,7 @@ def tpch_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("supp_nation", "cust_nation", "l_year")
         .agg(F.sum("volume").alias("revenue"))
-        .coalesce(1).sortWithinPartitions("supp_nation", "cust_nation", "l_year")
+        .transform(merge_sorted, "supp_nation", "cust_nation", "l_year")
     )
 
 
@@ -351,7 +351,7 @@ def tpch_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / F.sum("volume")
             ).alias("mkt_share")
         )
-        .coalesce(1).sortWithinPartitions("o_year")
+        .transform(merge_sorted, "o_year")
     )
 
 
@@ -397,7 +397,7 @@ def tpch_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("nation", F.year("o_orderdate").alias("o_year"), amount)
         .groupBy("nation", "o_year")
         .agg(F.sum("amount").alias("sum_profit"))
-        .coalesce(1).sortWithinPartitions("nation", F.desc("o_year"))
+        .transform(merge_sorted, "nation", F.desc("o_year"))
     )
 
 
@@ -483,7 +483,7 @@ def tpch_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(hi, 1).otherwise(0)).alias("high_line_count"),
             F.sum(F.when(~hi, 1).otherwise(0)).alias("low_line_count"),
         )
-        .coalesce(1).sortWithinPartitions("l_linestatus")
+        .transform(merge_sorted, "l_linestatus")
     )
 
 
@@ -520,7 +520,7 @@ def tpch_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         per_cust.groupBy("c_count")
         .agg(F.count(F.lit(1)).alias("custdist"))
-        .coalesce(1).sortWithinPartitions(F.desc("custdist"), F.desc("c_count"))
+        .transform(merge_sorted, F.desc("custdist"), F.desc("c_count"))
     )
 
 
@@ -793,7 +793,7 @@ def tpch_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy(F.col("c_mktsegment").alias("cntrycode"))
         .agg(F.count(F.lit(1)).alias("numcust"), F.sum("c_acctbal").alias("totacctbal"))
-        .coalesce(1).sortWithinPartitions("cntrycode")
+        .transform(merge_sorted, "cntrycode")
     )
 
 
@@ -1010,7 +1010,7 @@ def tpch_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .groupBy("p_brand", "p_type", "p_size")
         .agg(F.countDistinct("ps_suppkey").alias("supplier_cnt"))
-        .coalesce(1).sortWithinPartitions(F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
+        .transform(merge_sorted, F.desc("supplier_cnt"), "p_brand", "p_type", "p_size")
     )
 
 

@@ -29,6 +29,10 @@ import sys
 
 import pytest
 
+# Hour-scale replay tier: excluded from the default (driver/CI) run by
+# pytest.ini's `-m "not slow"`; run with `-m ""` for the full battery.
+pytestmark = pytest.mark.slow
+
 REF = "/root/reference/regression-test/suites/doc/sql-manual/sql-functions"
 
 # floor = last locked score minus a small flake budget

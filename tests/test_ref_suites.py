@@ -24,6 +24,11 @@ import json
 import os
 import subprocess
 import sys
+import pytest
+
+# Hour-scale replay tier: excluded from the default (driver/CI) run by
+# pytest.ini's `-m "not slow"`; run with `-m ""` for the full battery.
+pytestmark = pytest.mark.slow
 
 
 def _run(target: str, out_path: str, timeout: int = 900):

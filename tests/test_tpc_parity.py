@@ -17,6 +17,11 @@ import json
 import os
 import subprocess
 import sys
+import pytest
+
+# Hour-scale replay tier: excluded from the default (driver/CI) run by
+# pytest.ini's `-m "not slow"`; run with `-m ""` for the full battery.
+pytestmark = pytest.mark.slow
 
 
 def _run_parity(args, out_path, timeout=900):
