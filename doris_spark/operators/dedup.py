@@ -113,6 +113,7 @@ def minhash_lsh_pairs(
     num_hashes: int = 8,
     bands: int = 4,
     shingle_n: int = 3,
+    dedup: bool = True,
 ) -> DataFrame:
     """Candidate near-duplicate pairs (doc_a < doc_b) via banded LSH.
 
@@ -159,11 +160,14 @@ def minhash_lsh_pairs(
             ),
         )
     )
-    return (
-        grouped.select(F.explode(pair_arr).alias("p"))
-        .select("p.doc_a", "p.doc_b")
-        .distinct()
+    out = grouped.select(F.explode(pair_arr).alias("p")).select(
+        "p.doc_a", "p.doc_b"
     )
+    # dedup=False skips the cross-band distinct (an extra exchange+agg):
+    # consumers that are duplicate-insensitive — connected components,
+    # any min/max/exists per pair — get the same answer from the raw
+    # multi-band emission (r12).
+    return out.distinct() if dedup else out
 
 
 # ----------------------------------------------------------- ngram jaccard
@@ -250,16 +254,57 @@ def connected_components(
     be/src/olap/merger.* keeps one row per key; here we keep one doc per
     near-dup cluster) has tiny cluster diameters — candidate pairs come
     from LSH buckets — so plain propagation converges in a few rounds.
-    Each round is one shuffle (groupBy u) plus a broadcast-size check;
-    labels are localCheckpoint'ed per round to truncate lineage (the
+    Labels are localCheckpoint'ed per round to truncate lineage (the
     recursive-CTE lesson: checkpoint the accumulator, never unroll).
     For adversarial diameters at 100 TB swap in large-star/small-star
     (alternating min-propagation that halves diameter per round) — same
-    loop skeleton, different neighbor expansion."""
-    sym = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).union(
-        edges.select(F.col(dst).alias("u"), F.col(src).alias("v"))
+    loop skeleton, different neighbor expansion.
+
+    r12 loop-plan surgery (same treatment as rec_cte_bfs, measured on
+    the corpus pipeline: 6 jobs/round -> 1, sym materialization 5 -> 2):
+    - Checkpoint the EDGE LIST, not the symmetrized union: the union's
+      two sides each embedded the full candidate-pair pipeline, so the
+      old eager sym checkpoint ran it twice; sym is now a cheap lazy
+      projection-union over the checkpointed edges.
+    - The loop state (edges + labels) is a vanishing fraction of the
+      corpus — candidate pairs, not documents — so the loop runs under
+      SCOPED static confs: AQE off (each AQE stage materialization is a
+      whole job; a 2-round loop paid ~12) and shuffle partitions sized
+      from the measured edge count (SPARK_GRAFT_CC_LOOP_ROWS per
+      partition, default 2M — scale-adaptive, not a local[32] constant);
+      broadcast off so no per-round build job. Confs are restored in a
+      finally block."""
+    import os
+
+    spark = edges.sparkSession
+    edge_ck = edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).localCheckpoint(
+        eager=True
     )
-    sym = sym.localCheckpoint(eager=True)
+    sym = edge_ck.union(edge_ck.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    rows_per_part = int(os.environ.get("SPARK_GRAFT_CC_LOOP_ROWS", str(2_000_000)))
+    n_edges = edge_ck.count()
+    loop_parts = max(1, (2 * n_edges + rows_per_part - 1) // rows_per_part)
+    scoped = {
+        "spark.sql.shuffle.partitions": str(loop_parts),
+        "spark.sql.adaptive.enabled": "false",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k, None) for k in scoped}
+    for k, v in scoped.items():
+        spark.conf.set(k, v)
+    try:
+        return _cc_loop(sym, max_iter)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _cc_loop(sym: DataFrame, max_iter: int) -> DataFrame:
+    """Min-label propagation loop body; every round is fully materialized
+    (localCheckpoint + count) inside the caller's scoped-conf window."""
     # Fused round 1: from identity labels, one propagation round yields
     # label(u) = min(u, min neighbor) — compute that directly as the
     # initial state instead of starting from label=id and paying a full

@@ -313,9 +313,14 @@ def txt_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
     instead of ~25-char strings (3× on the scan-side stage); the oracle
     hashes identically, so values still match exactly."""
     docs = load_tables(spark, sf_dir)["documents"]
-    # Persist the shingle sets: both join sides read the same computed
-    # arrays instead of re-deriving ~300 shingles per doc per side (the
-    # CTE-materialization decision — Doris CTEInline.java analog).
+    # Pair assembly by EXPLODE + one groupBy (r12, the LSH in-bucket
+    # combination trick applied to the adjacent-id self-join): each doc
+    # emits its shingle set under pair keys doc_id (as the left role) and
+    # doc_id-1 (as the right role); grouping on the key reassembles the
+    # (d, d+1) pair in ONE shuffle. The old persisted self-join cached the
+    # shingle arrays (a §5 memory hold at scale) and paid two join-side
+    # exchanges; here the ~300-shingle pipeline still runs once per doc,
+    # and inner-join existence survives as the both-roles-present filter.
     t = ensure_parallelism(docs).select(
         "doc_id",
         F.array_distinct(
@@ -324,18 +329,38 @@ def txt_jaccard_adjacent(spark: SparkSession, sf_dir: str) -> DataFrame:
                 lambda s: F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("bigint"),
             )
         ).alias("sh"),
-    ).persist()
-    a = t.alias("a")
-    b = t.select(
-        (F.col("doc_id") - 1).alias("join_id"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("sh").alias("sh_b"),
-    ).alias("b")
-    joined = a.join(b, F.col("a.doc_id") == F.col("join_id"))
-    inter = F.size(F.array_intersect(F.col("sh"), F.col("sh_b")))
-    union = F.size(F.array_union(F.col("sh"), F.col("sh_b")))
-    return joined.select(
-        F.col("a.doc_id").alias("doc_a"),
+    )
+    sides = t.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id").alias("k"), F.lit(0).alias("pos"),
+                    F.col("doc_id"), F.col("sh"),
+                ),
+                F.struct(
+                    (F.col("doc_id") - 1).alias("k"), F.lit(1).alias("pos"),
+                    F.col("doc_id"), F.col("sh"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
+    pairs = (
+        sides.groupBy("k")
+        .agg(
+            F.first(F.when(F.col("pos") == 0, F.col("sh")), True).alias("sh_a"),
+            F.first(F.when(F.col("pos") == 1, F.col("sh")), True).alias("sh_b"),
+            F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("doc_b"),
+            # presence flags, NOT payload nullness: a NULL-text doc still
+            # exists for the inner-join semantics
+            F.max(F.when(F.col("pos") == 0, 1)).alias("has_a"),
+            F.max(F.when(F.col("pos") == 1, 1)).alias("has_b"),
+        )
+        .filter(F.col("has_a").isNotNull() & F.col("has_b").isNotNull())
+    )
+    inter = F.size(F.array_intersect(F.col("sh_a"), F.col("sh_b")))
+    union = F.size(F.array_union(F.col("sh_a"), F.col("sh_b")))
+    return pairs.select(
+        F.col("k").alias("doc_a"),
         F.col("doc_b"),
         F.when(union == 0, F.lit(0.0))
         .otherwise(inter.cast("double") / union.cast("double"))
@@ -371,26 +396,44 @@ def txt_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     fingerprint in DuckDB (hex-char → bigint without conv), so the whole
     bit-vote pipeline is value-checked."""
     docs = load_tables(spark, sf_dir)["documents"]
-    # Persist: both sides of the adjacent-id self-join read the computed
-    # fingerprints instead of re-deriving the md5/vote pipeline twice.
-    sim = (
-        ensure_parallelism(docs)
-        .select("doc_id", D.simhash64("text", 2).alias("simhash"))
-        .persist()
+    # Pair assembly by EXPLODE + one groupBy (r12, same shape as
+    # txt_jaccard_adjacent): each fingerprint is emitted under pair keys
+    # doc_id and doc_id-1; one shuffle reassembles (d, d+1). Replaces the
+    # persisted self-join (cache + two join-side exchanges); the md5/vote
+    # pipeline still runs once per doc, pre-explode.
+    sim = ensure_parallelism(docs).select(
+        "doc_id", D.simhash64("text", 2).alias("simhash")
     )
-    a = sim.alias("a")
-    b = sim.select(
-        (F.col("doc_id") - 1).alias("join_id"),
-        F.col("doc_id").alias("doc_b"),
-        F.col("simhash").alias("sim_b"),
-    )
+    sides = sim.select(
+        F.explode(
+            F.array(
+                F.struct(
+                    F.col("doc_id").alias("k"), F.lit(0).alias("pos"),
+                    F.col("doc_id"), F.col("simhash"),
+                ),
+                F.struct(
+                    (F.col("doc_id") - 1).alias("k"), F.lit(1).alias("pos"),
+                    F.col("doc_id"), F.col("simhash"),
+                ),
+            )
+        ).alias("s")
+    ).select("s.*")
     return (
-        a.join(b, F.col("a.doc_id") == F.col("join_id"))
+        sides.groupBy("k")
+        .agg(
+            F.max(F.when(F.col("pos") == 0, F.col("simhash"))).alias("sim_a"),
+            F.max(F.when(F.col("pos") == 1, F.col("simhash"))).alias("sim_b"),
+            F.max(F.when(F.col("pos") == 1, F.col("doc_id"))).alias("doc_b"),
+            # presence flags, NOT payload nullness (NULL-text doc exists)
+            F.max(F.when(F.col("pos") == 0, 1)).alias("has_a"),
+            F.max(F.when(F.col("pos") == 1, 1)).alias("has_b"),
+        )
+        .filter(F.col("has_a").isNotNull() & F.col("has_b").isNotNull())
         .select(
-            F.col("a.doc_id").alias("doc_a"),
+            F.col("k").alias("doc_a"),
             F.col("doc_b"),
-            F.col("a.simhash").alias("sim_a"),
-            F.bit_count(F.col("a.simhash").bitwiseXOR(F.col("sim_b"))).cast("bigint").alias("hamming"),
+            F.col("sim_a"),
+            F.bit_count(F.col("sim_a").bitwiseXOR(F.col("sim_b"))).cast("bigint").alias("hamming"),
         )
         .orderBy("doc_a")
     )
@@ -508,7 +551,10 @@ def txt_dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     entire pipeline in DuckDB, components via recursive reachability —
     the clustering itself is value-checked, not just the pair list."""
     docs = load_tables(spark, sf_dir)["documents"]
-    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=8, bands=4, shingle_n=3)
+    # dedup=False: connected components are duplicate-edge-insensitive,
+    # so the cross-band distinct (one exchange+agg) is skipped (r12).
+    pairs = D.minhash_lsh_pairs(docs, "text", "doc_id", num_hashes=8, bands=4,
+                                shingle_n=3, dedup=False)
     return D.dedup_clusters(docs, pairs, "doc_id").orderBy("component", "doc_id")
 
 
@@ -674,8 +720,9 @@ def corpus_curation_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
     quality = docs.filter(
         (F.col("n_chars") >= 40) & (F.size(T.tokenize("text")) >= 5)
     )
+    # dedup=False: the CC consumer is duplicate-edge-insensitive (r12).
     pairs = D.minhash_lsh_pairs(quality, "text", "doc_id",
-                                num_hashes=8, bands=4, shingle_n=3)
+                                num_hashes=8, bands=4, shingle_n=3, dedup=False)
     clusters = D.dedup_clusters(quality, pairs, "doc_id").withColumnRenamed(
         "doc_id", "cl_doc"
     )
