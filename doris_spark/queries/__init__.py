@@ -48,6 +48,20 @@ def merge_sorted(df: DataFrame, *cols) -> DataFrame:
     return df.coalesce(1).sortWithinPartitions(*cols)
 
 
+def year_between(col, lo: int, hi: Optional[int] = None):
+    """Pushdown-friendly year predicate: `year(col) in [lo, hi]` expressed
+    as a half-open timestamp range. Plain comparisons reach the parquet
+    scan's PushedFilters (row-group/page min-max skipping — the lever at
+    100 TB), where a `year(col) = Y` filter pushes nothing but IsNotNull
+    (guide §6, verified in plans/r12). Exact for every non-null
+    timestamp; NULLs fail both forms identically."""
+    from pyspark.sql import functions as F
+
+    hi = lo if hi is None else hi
+    c = F.col(col) if isinstance(col, str) else col
+    return (c >= F.lit(f"{lo}-01-01")) & (c < F.lit(f"{hi + 1}-01-01"))
+
+
 def query(name: str, oracle: Optional[str] = None):
     """Decorator: register a query builder and its DuckDB oracle SQL."""
 

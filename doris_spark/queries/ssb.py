@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from doris_spark.queries import merge_sorted, query
+from doris_spark.queries import merge_sorted, query, year_between
 from doris_spark.session import load_tables
 
 _REV = "l_extendedprice * (1 - l_discount)"
@@ -118,7 +118,7 @@ def ssb_q1_1(spark: SparkSession, sf_dir: str) -> DataFrame:
     only shuffle."""
     lo = _lineorder(load_tables(spark, sf_dir))
     return lo.filter(
-        (F.col("d_year") == 1995)
+        year_between("o_orderdate", 1995)
         & F.col("l_discount").between(0.01, 0.03)
         & (F.col("l_quantity") < 25)
     ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
@@ -137,8 +137,10 @@ WHERE d_year = 1996 AND d_month = 1
 def ssb_q1_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSB q1.2: one-month probe (q1.1 narrowed to a yearmonth)."""
     lo = _lineorder(load_tables(spark, sf_dir))
+    # d_year=1996 & d_month=1 as one exact pushable range (guide §6)
     return lo.filter(
-        (F.col("d_year") == 1996) & (F.col("d_month") == 1)
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1996-02-01"))
         & F.col("l_discount").between(0.04, 0.06)
         & F.col("l_quantity").between(26, 35)
     ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
@@ -157,8 +159,11 @@ WHERE d_year = 1996 AND d_week = 6
 def ssb_q1_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSB q1.3: one-week probe (weeknuminyear filter)."""
     lo = _lineorder(load_tables(spark, sf_dir))
+    # exact ISO-week predicate kept; redundant year range added purely
+    # for parquet row-group skipping (guide §6)
     return lo.filter(
-        (F.col("d_year") == 1996) & (F.col("d_week") == 6)
+        year_between("o_orderdate", 1996)
+        & (F.col("d_year") == 1996) & (F.col("d_week") == 6)
         & F.col("l_discount").between(0.05, 0.07)
         & F.col("l_quantity").between(26, 35)
     ).agg(F.round(F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2).alias("revenue"))
@@ -222,7 +227,7 @@ def _flight3(spark, sf_dir, cg_col, sg_col, cg_pred, sg_pred, years, order_rev=T
     cg = _cust_geo(spark, sf_dir, t).filter(cg_pred)
     sg = _supp_geo(spark, sf_dir, t).filter(sg_pred)
     out = (
-        lo.filter(F.col("d_year").between(*years))
+        lo.filter(year_between("o_orderdate", years[0], years[1]))
         .join(cg, F.col("o_custkey") == F.col("c_custkey"))
         .join(F.broadcast(sg), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy(cg_col, sg_col, "d_year")
@@ -341,7 +346,7 @@ def ssb_q4_2(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSB q4.2: q4.1 drilled into (supplier nation, part category) for
     two years."""
     t = load_tables(spark, sf_dir)
-    lo = _lineorder(t).filter(F.col("d_year").isin(1997, 1998))
+    lo = _lineorder(t).filter(year_between("o_orderdate", 1997, 1998))
     cg = _cust_geo(spark, sf_dir, t).filter(F.col("c_region") == "AMERICA")
     sg = _supp_geo(spark, sf_dir, t).filter(F.col("s_region") == "AMERICA")
     p = t["part"].filter(F.col("p_type").isin("ECONOMY", "STANDARD"))
@@ -371,7 +376,7 @@ ORDER BY d_year, s_city, p_brand
 def ssb_q4_3(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SSB q4.3: finest drill — (year, supplier city, brand) profit."""
     t = load_tables(spark, sf_dir)
-    lo = _lineorder(t).filter(F.col("d_year").isin(1997, 1998))
+    lo = _lineorder(t).filter(year_between("o_orderdate", 1997, 1998))
     cg = _cust_geo(spark, sf_dir, t)
     sg = _supp_geo(spark, sf_dir, t).filter(F.col("s_nation") == "NATION_7")
     p = t["part"].filter(F.col("p_type") == "ECONOMY")

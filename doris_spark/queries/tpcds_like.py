@@ -21,7 +21,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from doris_spark.functions.dicts import nation_geo_exprs
-from doris_spark.queries import merge_sorted, query
+from doris_spark.queries import merge_sorted, query, year_between
 from doris_spark.session import load_tables
 
 # Final ORDER BY policy (round 11): queries whose result set is bounded by
@@ -681,7 +681,7 @@ def ds_q35_customer_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-DS q35 shape: demographic stats over customers active in a
     year — EXISTS becomes a left-semi join on the filtered fact."""
     t = load_tables(spark, sf_dir)
-    active = t["orders"].filter(F.year("o_orderdate") == 1995).select(
+    active = t["orders"].filter(year_between("o_orderdate", 1995)).select(
         F.col("o_custkey").alias("c_custkey")
     )
     return (
@@ -726,8 +726,20 @@ def ds_q65_low_revenue_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     a window over the FIRST aggregate's output — no re-scan, no
     self-join of the fact table."""
     t = load_tables(spark, sf_dir)
-    sp = t["lineitem"].groupBy("l_suppkey", "l_partkey").agg(
-        F.sum("l_extendedprice").alias("rev")
+    # ONE exchange for agg + window (r12, guide §2.4): hash-partitioning
+    # on l_suppkey satisfies the (l_suppkey, l_partkey) aggregate's
+    # clustered distribution AND the window's, so the explicit
+    # repartition is the only shuffle of lineitem. Map-side partial agg
+    # bought nothing here — (suppkey, partkey) is ~98% distinct
+    # (590973 groups / 600000 rows at sf0.1), so the agg exchange moved
+    # the same bytes. l_suppkey cardinality scales with SF (no
+    # parallelism collapse), and AQE still coalesces the exchange.
+    sp = (
+        t["lineitem"]
+        .select("l_suppkey", "l_partkey", "l_extendedprice")
+        .repartition(F.col("l_suppkey"))
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(F.sum("l_extendedprice").alias("rev"))
     )
     w = Window.partitionBy("l_suppkey")
     low = sp.withColumn("avg_rev_raw", F.avg("rev").over(w)).filter(
@@ -821,7 +833,7 @@ def ds_q89_rolling_brand_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = load_tables(spark, sf_dir)
     m = (
         t["lineitem"]
-        .filter(F.year("l_shipdate") == 1995)
+        .filter(year_between("l_shipdate", 1995))
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", "l_linestatus", F.year("l_shipdate").alias("yr"), F.month("l_shipdate").alias("mon"))
         .agg(F.round(F.sum("l_extendedprice"), 2).alias("rev"))
@@ -952,7 +964,7 @@ def ds_q2_wow_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     return (
         t["lineitem"]
-        .filter(yr.isin(1995, 1996))
+        .filter(year_between("l_shipdate", 1995, 1996))
         .groupBy(F.weekofyear("l_shipdate").alias("wk"))
         .agg(
             F.round(F.sum(F.when(yr == 1995, net)), 4).alias("rev_1995"),
@@ -1004,7 +1016,7 @@ def ds_q31_qoq_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.sum(F.when(cond, F.col("o_totalprice")).otherwise(0))
 
     q = (
-        t["orders"].filter(F.year("o_orderdate") == 1996)
+        t["orders"].filter(year_between("o_orderdate", 1996))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy("c_nationkey")
         .agg(
@@ -1180,7 +1192,7 @@ def ds_q54_segment_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["part"].filter(F.col("p_brand") == "Brand#12")),
               F.col("l_partkey") == F.col("p_partkey"))
-        .filter(F.year("o_orderdate") == 1995)
+        .filter(year_between("o_orderdate", 1995))
         .select("o_custkey").distinct()
     )
     tot = (
@@ -1395,7 +1407,7 @@ def ds_q6_above_avg_price(spark: SparkSession, sf_dir: str) -> DataFrame:
         t["lineitem"]
         .join(F.broadcast(part_avg.filter(F.col("p_retailprice") > 1.2 * F.col("a"))),
               F.col("l_partkey") == F.col("p_partkey"))
-        .join(t["orders"].filter(F.year("o_orderdate") == 1995),
+        .join(t["orders"].filter(year_between("o_orderdate", 1995)),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
@@ -1430,7 +1442,9 @@ def ds_q15_or_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("c_acctbal") > 9000) | F.col("c_mktsegment").isin("BUILDING", "MACHINERY")
     )
     return (
-        t["orders"].filter((F.year("o_orderdate") == 1996) & (F.quarter("o_orderdate") == 1))
+        # year==1996 & quarter==1 as one exact pushable range (guide §6)
+        t["orders"].filter((F.col("o_orderdate") >= F.lit("1996-01-01"))
+                           & (F.col("o_orderdate") < F.lit("1996-04-01")))
         .join(cust, F.col("o_custkey") == F.col("c_custkey"))
         .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("c_nationkey"))[0])
         .filter(F.col("n_name").isNotNull())
@@ -1467,7 +1481,7 @@ def ds_q23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the heavy CROSS of TPC-DS's CTEs never materializes)."""
     t = load_tables(spark, sf_dir)
     freq = (
-        t["lineitem"].filter(F.year("l_shipdate") == 1995)
+        t["lineitem"].filter(year_between("l_shipdate", 1995))
         .groupBy("l_partkey").agg(F.count(F.lit(1)).alias("cnt"))
         .filter(F.col("cnt") > 4).select(F.col("l_partkey").alias("f_partkey"))
     )
@@ -1476,7 +1490,7 @@ def ds_q23_frequent_best(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("tot") > 500000).select(F.col("o_custkey").alias("b_custkey"))
     )
     return (
-        t["lineitem"].filter(F.year("l_shipdate") == 1996)
+        t["lineitem"].filter(year_between("l_shipdate", 1996))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(freq, F.col("l_partkey") == F.col("f_partkey"), "left_semi")
         .join(best, F.col("o_custkey") == F.col("b_custkey"), "left_semi")
@@ -1507,7 +1521,7 @@ def ds_q29_quantity_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.round(F.sum(F.when(F.col("l_returnflag") == flag, F.col("l_quantity")).otherwise(0)), 2)
 
     return (
-        t["lineitem"].filter(F.year("l_shipdate").between(1995, 1997))
+        t["lineitem"].filter(year_between("l_shipdate", 1995, 1997))
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand")
         .agg(flow("N").alias("sold_qty"), flow("R").alias("returned_qty"), flow("A").alias("ack_qty"))
@@ -1585,7 +1599,7 @@ def ds_q59_dow_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.sum(F.when((yr == y) & (dow == d), F.col("l_extendedprice")))
 
     return (
-        t["lineitem"].filter(yr.isin(1995, 1996))
+        t["lineitem"].filter(year_between("l_shipdate", 1995, 1996))
         .groupBy(F.weekofyear("l_shipdate").alias("wk"))
         .agg(
             band(1995, 1).alias("mon"), band(1995, 3).alias("wed"),
@@ -1663,7 +1677,7 @@ def ds_q98_category_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     The share window repartitions only the slim aggregate output."""
     t = load_tables(spark, sf_dir)
     r = (
-        t["lineitem"].filter(F.year("l_shipdate") == 1995)
+        t["lineitem"].filter(year_between("l_shipdate", 1995))
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_type", "p_brand")
         .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("rev"))
@@ -1786,7 +1800,7 @@ def ds_q62_latency_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return (
         t["lineitem"]
-        .join(t["orders"].filter(F.year("o_orderdate") == 1996),
+        .join(t["orders"].filter(year_between("o_orderdate", 1996)),
               F.col("l_orderkey") == F.col("o_orderkey"))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))[0])
@@ -2277,7 +2291,7 @@ def ds_q39_monthly_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitions on the aggregate's own key — shuffle reused."""
     t = load_tables(spark, sf_dir)
     monthly = (
-        t["lineitem"].filter(F.year("l_shipdate") == 1997)
+        t["lineitem"].filter(year_between("l_shipdate", 1997))
         .groupBy("l_suppkey", F.month("l_shipdate").alias("mon"))
         .agg(F.round(F.sum("l_quantity"), 4).alias("qty"))
     )
@@ -2383,7 +2397,7 @@ def ds_q43_supplier_dow(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.round(F.sum(F.when(dow == n, F.col("l_extendedprice")).otherwise(0.0)), 4).alias(name)
 
     return (
-        t["lineitem"].filter(F.year("l_shipdate") == 1997)
+        t["lineitem"].filter(year_between("l_shipdate", 1997))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(day(1, "sun_rev"), day(2, "mon_rev"), day(3, "tue_rev"),
@@ -2589,7 +2603,7 @@ def ds_q53_quarterly_deviation(spark: SparkSession, sf_dir: str) -> DataFrame:
     it deviates >10% from the brand's own quarterly average."""
     t = load_tables(spark, sf_dir)
     q = (
-        t["lineitem"].filter(F.year("l_shipdate") == 1997)
+        t["lineitem"].filter(year_between("l_shipdate", 1997))
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand", F.quarter("l_shipdate").alias("qtr"))
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 4).alias("rev"))
@@ -2716,7 +2730,7 @@ def ds_q61_promo_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     net = F.col("l_extendedprice") * (1 - F.col("l_discount"))
     is_promo = (F.col("p_type") == "PROMO") & (F.col("l_discount") >= 0.05)
     return (
-        t["lineitem"].filter(F.year("l_shipdate") == 1998)
+        t["lineitem"].filter(year_between("l_shipdate", 1998))
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.round(F.sum(F.when(is_promo, net).otherwise(0.0)), 4).alias("promo_rev"),
@@ -2805,7 +2819,7 @@ def ds_q66_monthly_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         return F.round(F.sum(F.when(mon == n, F.col("l_extendedprice")).otherwise(0.0)), 4).alias(f"m{n}")
 
     return (
-        t["lineitem"].filter(F.year("l_shipdate") == 1997)
+        t["lineitem"].filter(year_between("l_shipdate", 1997))
         .join(F.broadcast(t["supplier"]), F.col("l_suppkey") == F.col("s_suppkey"))
         .withColumn("n_name", nation_geo_exprs(spark, sf_dir, F.col("s_nationkey"))[0])
         .filter(F.col("n_name").isNotNull())
@@ -3213,7 +3227,7 @@ def ds_q4_three_channel_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
                             F.col("l_extendedprice")).otherwise(0.0))
 
     per = (
-        t["lineitem"].filter(F.year("l_shipdate").isin(1997, 1998))
+        t["lineitem"].filter(year_between("l_shipdate", 1997, 1998))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .groupBy(F.col("o_custkey").alias("custkey"))
         .agg(leg("O", 1997).alias("o_97"), leg("O", 1998).alias("o_98"),
@@ -3415,8 +3429,10 @@ def ds_q83_return_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     r = (
         t["lineitem"]
-        .filter((F.col("l_returnflag") == "R") & (F.year("l_shipdate") == 1998)
-                & (F.month("l_shipdate") <= 3))
+        # year==1998 & month<=3 as one exact pushable range (guide §6)
+        .filter((F.col("l_returnflag") == "R")
+                & (F.col("l_shipdate") >= F.lit("1998-01-01"))
+                & (F.col("l_shipdate") < F.lit("1998-04-01")))
         .join(F.broadcast(t["part"]), F.col("l_partkey") == F.col("p_partkey"))
         .groupBy("p_brand").agg(w(1), w(2), w(3))
     )
@@ -3603,7 +3619,7 @@ def ds_q91_returns_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     by month, demographic, and priority."""
     t = load_tables(spark, sf_dir)
     return (
-        t["lineitem"].filter((F.col("l_returnflag") == "R") & (F.year("l_shipdate") == 1997))
+        t["lineitem"].filter((F.col("l_returnflag") == "R") & (year_between("l_shipdate", 1997)))
         .join(t["orders"], F.col("l_orderkey") == F.col("o_orderkey"))
         .join(t["customer"], F.col("o_custkey") == F.col("c_custkey"))
         .groupBy(F.month("l_shipdate").alias("mon"), F.col("c_mktsegment"),
