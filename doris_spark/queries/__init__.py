@@ -44,7 +44,11 @@ def merge_sorted(df: DataFrame, *cols) -> DataFrame:
     aggregates: those stay a few hundred rows at ANY scale factor, so a
     single sorted partition is the scale-correct plan. Results that grow
     with the data (per-customer, per-document, per-order rows) must keep
-    the range-partitioned global sort."""
+    the range-partitioned global sort. Time-window keys (hourly
+    tumbling/sliding buckets) count as bounded here because cardinality
+    scales with the RETENTION WINDOW's span (fixture: a fixed range;
+    production: the TTL), not with row volume — revisit if a consumer
+    ever sorts unbounded-history windows."""
     return df.coalesce(1).sortWithinPartitions(*cols)
 
 
