@@ -287,7 +287,11 @@ def test_sql_functions_time_lut_full_green():
     clean full-family re-measure this round)."""
     line, res = _run(
         "query_p0/sql_functions/datetime_functions/test_time_lut.groovy",
-        "/tmp/ref_suites_timelut.json", timeout=2400,
+        # 6000s: this box drifts 2-3x on identical code (r12: this
+        # replay fit in 2400s on earlier rounds' windows and hit
+        # TimeoutExpired on a degraded one); the test is slow-tier-only
+        # (pytest.ini), so the headroom costs the default run nothing.
+        "/tmp/ref_suites_timelut.json", timeout=6000,
     )
     assert res["total"] >= 10200, line
     assert res["passed"] >= 10150, line + "\n" + json.dumps(
