@@ -31,63 +31,85 @@ FROM reach GROUP BY node ORDER BY node
 """,
 )
 def rec_cte_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """WITH RECURSIVE reachability (BFS depths) over a derived graph —
-    native Spark 4 recursive CTE (reference analog rec_cte_*_operator.h,
-    FE LogicalRecursiveUnion.java). The whole fixpoint runs JVM-side
-    (UnionLoop physical operator), ~10x faster than the driver-side loop
-    it replaced (plans/recursive_cte.recursive_union remains the
-    semi-naive path for UNION DISTINCT / unbounded-depth recursion).
+    """WITH RECURSIVE reachability (BFS depths) over a derived graph
+    (reference analog rec_cte_*_operator.h, FE
+    LogicalRecursiveUnion.java). The literal depth bound (r.depth < 10)
+    and the structurally bounded graph (25 nodes, out-degree 2 at every
+    SF) let the fixpoint be statically unrolled into one lazy plan of
+    broadcast joins — see the inline rationale; the native UnionLoop and
+    the semi-naive loop (plans/recursive_cte.recursive_union) remain the
+    general paths for unbounded-depth / UNION DISTINCT recursion.
 
-    Scale notes: Spark only supports UNION ALL recursion, so the
-    recursive term dedups its own level (SELECT DISTINCT node, depth) —
-    the frontier is bounded by |V| per level instead of counting paths,
-    which is what keeps a cyclic graph from exploding combinatorially.
     min(depth) in the final aggregate makes the result independent of
-    visit multiplicity across levels."""
+    visit multiplicity across levels, which is also what licenses
+    dropping the SQL form's per-level DISTINCT in the unrolled plan."""
+    from functools import reduce
+
     from doris_spark.session import register_views
 
-    register_views(spark, sf_dir)  # the SQL below reads the `nation` view
-    # Scoped execution confs for the fixpoint loop (r11 VERDICT #4): the
-    # whole recursion state is BOUNDED — edges = 2·|nation| = 50 rows and
-    # the frontier ≤ 25 nodes (keys are mod 25) at EVERY scale factor, like
-    # nation itself — so the scale-correct loop plan is ONE shuffle
-    # partition, statically planned. AQE re-plans each UnionLoop round's
-    # materialization (several extra jobs per round: 74 jobs total), and a
-    # per-round BroadcastExchange build is pure overhead on a ≤25-row
-    # probe. Measured sf0.01 hot: 74 jobs/4.4 s -> 21 jobs/2.9 s.
-    # The confs only apply at execution, so the loop is materialized here
-    # (eager localCheckpoint on the ≤25-row aggregate) inside set/restore;
-    # the bench times the builder, so this work stays in the timed region.
+    register_views(spark, sf_dir)  # reads the `nation` view
+    # Statically unrolled fixpoint (r12, guide §2.4/§3.1): the recursion
+    # depth is a LITERAL (r.depth < 10) and the graph is structurally
+    # bounded at every scale factor — nation is 25 rows, each node has
+    # exactly 2 out-edges, so level d holds at most 2^d ≤ 1024 path rows
+    # (2047 total across all 11 levels). That makes the loop expressible
+    # as ONE lazy plan: 10 broadcast joins against the 50-row edge table
+    # (ReuseExchange builds the broadcast once) with NO per-level
+    # materialization, where the native UnionLoop ran ~2 jobs per round
+    # (22 jobs total) to checkpoint each level. The per-level SELECT
+    # DISTINCT of the SQL form is dropped: the final aggregate
+    # min(depth) GROUP BY node is duplicate-insensitive, and the set of
+    # distinct (node, depth) pairs is unchanged by dedup — proved
+    # row-identical against the native operator and the DuckDB oracle.
+    # Measured same-session sf0.1 hot: 3.24 s/22 jobs -> 1.48 s/7 jobs.
+    # For UNBOUNDED-depth or high-out-degree recursion this unroll would
+    # be wrong (path-count explosion) — the native UnionLoop / semi-naive
+    # loop in plans/recursive_cte.py remains the general path.
+    # Scoped static confs (r11 VERDICT #4 rationale still applies): the
+    # state is tiny, so one statically-planned shuffle partition is the
+    # scale-correct plan; AQE would re-plan the final agg into extra jobs.
     scoped = {
         "spark.sql.shuffle.partitions": "1",
         "spark.sql.adaptive.enabled": "false",
-        "spark.sql.autoBroadcastJoinThreshold": "-1",
     }
     saved = {k: spark.conf.get(k, None) for k in scoped}
     for k, v in scoped.items():
         spark.conf.set(k, v)
     try:
-        reach = spark.sql(
-            """
-WITH RECURSIVE
-edges AS (
-  SELECT CAST(n_nationkey AS BIGINT) AS src,
-         CAST((n_nationkey * 2 + 1) % 25 AS BIGINT) AS dst FROM nation
-  UNION ALL
-  SELECT CAST(n_nationkey AS BIGINT) AS src,
-         CAST((n_nationkey * 3 + 2) % 25 AS BIGINT) AS dst FROM nation
-),
-reach(node, depth) AS (
-  SELECT CAST(0 AS BIGINT) AS node, 0 AS depth
-  UNION ALL
-  SELECT DISTINCT e.dst AS node, r.depth + 1 AS depth
-  FROM reach r JOIN edges e ON e.src = r.node
-  WHERE r.depth < 10
-)
-SELECT node, min(depth) AS min_depth
-FROM reach GROUP BY node
-"""
-        ).localCheckpoint(eager=True)
+        nation = spark.table("nation")
+        edges = (
+            nation.select(
+                F.col("n_nationkey").cast("bigint").alias("src"),
+                ((F.col("n_nationkey") * 2 + 1) % 25).cast("bigint").alias("dst"),
+            )
+            .unionAll(
+                nation.select(
+                    F.col("n_nationkey").cast("bigint").alias("src"),
+                    ((F.col("n_nationkey") * 3 + 2) % 25).cast("bigint").alias("dst"),
+                )
+            )
+            # 50 rows; checkpointed so the chain reads nation once, not 20x.
+            .localCheckpoint(eager=True)
+        )
+        level = spark.range(1).select(
+            F.lit(0).cast("bigint").alias("node"), F.lit(0).alias("depth")
+        )
+        levels = [level]
+        for d in range(1, 11):
+            e = F.broadcast(edges).alias(f"e{d}")
+            level = (
+                level.alias("r")
+                .join(e, F.col("r.node") == F.col(f"e{d}.src"))
+                .select(F.col(f"e{d}.dst").alias("node"), F.lit(d).alias("depth"))
+            )
+            levels.append(level)
+        reach = reduce(lambda a, b: a.unionAll(b), levels)
+        # Eager so the scoped confs govern the actual execution.
+        out = (
+            reach.groupBy("node")
+            .agg(F.min("depth").alias("min_depth"))
+            .localCheckpoint(eager=True)
+        )
     finally:
         for k, v in saved.items():
             if v is None:
@@ -96,7 +118,7 @@ FROM reach GROUP BY node
                 spark.conf.set(k, v)
     # Final ORDER BY on the bounded (≤25-row) result: single merge
     # partition, same rule as every bounded final sort.
-    return merge_sorted(reach, "node")
+    return merge_sorted(out, "node")
 
 
 @query(
@@ -389,29 +411,29 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     lo = F.floor(pos).cast("int")
     hi = F.ceil(pos).cast("int")
     dpos = F.ceil(0.5 * F.col("n")).cast("int")
-    exact = (
-        ranked.filter(
-            (F.col("rn") == lo) | (F.col("rn") == hi) | (F.col("rn") == dpos)
-        )
-        .groupBy("l_returnflag")
-        .agg(
-            F.max(F.when(F.col("rn") == lo, F.col("l_extendedprice"))).alias("vlo"),
-            F.max(F.when(F.col("rn") == hi, F.col("l_extendedprice"))).alias("vhi"),
-            F.max(F.when(F.col("rn") == dpos, F.col("l_extendedprice"))).alias(
-                "p50_disc"
-            ),
-            F.max(pos).alias("pos"),
-        )
-    )
-    appr = li.groupBy("l_returnflag").agg(
-        SK.quantile_percent("l_extendedprice", 0.5).alias("__pa")
+    # Single pass (r12, guide §2.4): the approx sketch rides the window's
+    # flag partitioning instead of a SECOND lineitem scan + 2-stage agg +
+    # join-back — groupBy(l_returnflag) over the ranked rows reuses the
+    # window's exchange (same key), so the whole query is one scan and
+    # one shuffle. The sketch sees the same value multiset (conditional
+    # maxes pick the boundary ranks; the sketch aggregates every row).
+    # Same-session A/B sf0.1: 2.63 -> 2.35 s, jobs 4 -> 3, output
+    # bit-identical.
+    merged = ranked.groupBy("l_returnflag").agg(
+        F.max(F.when(F.col("rn") == lo, F.col("l_extendedprice"))).alias("vlo"),
+        F.max(F.when(F.col("rn") == hi, F.col("l_extendedprice"))).alias("vhi"),
+        F.max(F.when(F.col("rn") == dpos, F.col("l_extendedprice"))).alias(
+            "p50_disc"
+        ),
+        F.max(pos).alias("pos"),
+        SK.quantile_percent("l_extendedprice", 0.5).alias("__pa"),
     )
     frac = F.col("pos") - F.floor(F.col("pos"))
     pe = F.col("vlo").cast("double") + (
         F.col("vhi").cast("double") - F.col("vlo").cast("double")
     ) * frac
     return (
-        exact.join(appr, "l_returnflag")
+        merged
         .select(
             "l_returnflag",
             F.when(F.abs(F.col("__pa") - pe) <= 0.05 * pe, 1)
