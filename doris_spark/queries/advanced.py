@@ -393,12 +393,14 @@ def sketch_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     percentile_disc = the value at rank ceil(0.5 n). Values land on data
     rows, so p50_disc is bit-identical; __pe only feeds the within-5%
     flag. The approx sketch stays a (partial-merging) aggregate."""
-    from doris_spark.session import ensure_parallelism
-
+    # No ensure_parallelism round-robin here (r12): since the approx
+    # sketch merged into the window pass, all compute sits AFTER the
+    # hash exchange, so the round-robin spread was a pure extra pass
+    # over the data (A/B sf0.1: 2.09 -> 1.68 s, identical output). At
+    # real scale the helper is a no-op anyway (scan is already split).
     li = load_tables(spark, sf_dir)["lineitem"].select(
         "l_returnflag", "l_extendedprice"
     )
-    li = ensure_parallelism(li)
     w = Window.partitionBy("l_returnflag").orderBy("l_extendedprice")
     nw = Window.partitionBy("l_returnflag")
     ranked = li.select(
